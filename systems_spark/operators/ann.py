@@ -1,0 +1,147 @@
+"""QueryANN — top-k similarity retrieval over embedding columns.
+
+Reference semantics (QueryFaiss): query vector → top-k candidate ids by inner
+product over an item-embedding index (``IVF32,Flat``, nprobe=8, topk=10)
+(reference: merlin/systems/dag/ops/faiss.py:29-218 — search kernel :90-112,
+index builder ``setup_faiss`` :191-218, inner-product metric :194,213).
+
+Spark-first, two physical strategies (chosen per scale, same logical result):
+
+- **exact** (the correctness baseline): candidates × items broadcast cross
+  join, JVM-side dot product (functions/similarity.py), per-query window
+  top-k. The item side is broadcast, so the query side never shuffles; at
+  N_items ≲ 1M × 128 dims this is the right plan even on a big cluster.
+
+- **lsh** (the 100 TB path): deterministic random-hyperplane LSH (SimHash
+  family). Each vector gets ``n_tables`` bucket signatures of ``n_planes``
+  sign bits; queries equi-join items on (table, signature) — a plain
+  shuffle/broadcast hash join on a narrow int key — then exact-rerank within
+  the candidate set. Hyperplane components are derived from the portable
+  md5 hash (deterministic across engines and runs → oracle-checkable and
+  retry-safe; no stored index artifact needed, unlike FAISS). Recall is
+  tunable via (n_tables, n_planes), mirroring IVF's nprobe knob.
+
+Metrics: ``ip`` (inner product, the reference default) or ``cosine``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from systems_spark.functions.hashing import unit_uniform
+from systems_spark.functions.similarity import cosine_similarity, dot_product
+from systems_spark.operators.base import Operator
+
+
+def _score(metric: str, q, it):
+    if metric == "ip":
+        return dot_product(q, it)
+    if metric == "cosine":
+        return cosine_similarity(q, it)
+    raise ValueError(f"unknown metric {metric!r}")
+
+
+def hyperplane_signature(vec_col, dim: int, n_planes: int, table: int, salt: str = "ann"):
+    """Sign-bit signature under deterministic pseudo-random hyperplanes.
+
+    Plane component r[t,p,d] = 2*U(salt|t|p|d) - 1 with U the portable md5
+    uniform — identical in Spark and the SQL oracle, no randomness to store.
+    Signature = Σ_p bit_p(v)·2^p  where bit_p = 1 if Σ_d v[d]*r[d] >= 0.
+    """
+    sig = F.lit(0)
+    for p in range(n_planes):
+        proj = F.lit(0.0)
+        for d in range(dim):
+            r = unit_uniform(F.lit(f"{table}|{p}|{d}"), salt=salt) * 2.0 - 1.0
+            proj = proj + F.element_at(vec_col, d + 1).cast("double") * r
+        sig = sig + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return sig
+
+
+class QueryANN(Operator):
+    """Append top-k neighbor rows for each query row.
+
+    Output: one row per (query, neighbor) with ``ann_rank`` (1-based by
+    descending score, ties broken by item id ascending) and ``ann_score``.
+    The reference flattens (1, topk) to topk rows too (faiss.py:110).
+    """
+
+    def __init__(self, items_df: DataFrame, item_id_col: str = "item_id",
+                 item_vec_col: str = "embedding", query_vec_col: str = "embedding",
+                 query_id_col: str = "request_id", topk: int = 10, metric: str = "ip",
+                 strategy: str = "exact", n_tables: int = 4, n_planes: int = 8,
+                 dim: Optional[int] = None, broadcast: bool = True):
+        self.items_df = items_df
+        self.item_id_col = item_id_col
+        self.item_vec_col = item_vec_col
+        self.query_vec_col = query_vec_col
+        self.query_id_col = query_id_col
+        self.topk = int(topk)
+        self.metric = metric
+        self.strategy = strategy
+        self.n_tables = int(n_tables)
+        self.n_planes = int(n_planes)
+        self.dim = dim
+        self.broadcast = broadcast
+        self.requires = (query_id_col, query_vec_col)
+
+    # ------------------------------------------------------------------
+    def _items(self) -> DataFrame:
+        it = self.items_df.select(
+            F.col(self.item_id_col).alias("_ann_id"),
+            F.col(self.item_vec_col).alias("_ann_vec"),
+        )
+        return F.broadcast(it) if self.broadcast else it
+
+    def _rank_topk(self, joined: DataFrame) -> DataFrame:
+        w = Window.partitionBy(self.query_id_col).orderBy(
+            F.col("ann_score").desc(), F.col("_ann_id").asc()
+        )
+        return (
+            joined.withColumn("ann_rank", F.row_number().over(w))
+            .where(F.col("ann_rank") <= self.topk)
+            .withColumnRenamed("_ann_id", "ann_id")
+            .drop("_ann_vec")
+        )
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        if self.strategy == "exact":
+            joined = df.crossJoin(self._items()).withColumn(
+                "ann_score",
+                _score(self.metric, F.col(self.query_vec_col), F.col("_ann_vec")),
+            )
+            return self._rank_topk(joined)
+        if self.strategy == "lsh":
+            return self._transform_lsh(df)
+        raise ValueError(f"unknown strategy {self.strategy!r}")
+
+    def _transform_lsh(self, df: DataFrame) -> DataFrame:
+        if self.dim is None:
+            raise ValueError("lsh strategy requires dim=")
+        items = self._items()
+        # per-table signatures on both sides; union of table-wise equi-joins
+        cands = None
+        for t in range(self.n_tables):
+            it_sig = items.withColumn(
+                "_sig", hyperplane_signature(F.col("_ann_vec"), self.dim, self.n_planes, t)
+            )
+            q_sig = df.withColumn(
+                "_sig", hyperplane_signature(F.col(self.query_vec_col), self.dim, self.n_planes, t)
+            )
+            pairs = q_sig.join(it_sig, on="_sig").drop("_sig")
+            cands = pairs if cands is None else cands.unionByName(pairs)
+        cands = cands.dropDuplicates([self.query_id_col, "_ann_id"])
+        joined = cands.withColumn(
+            "ann_score", _score(self.metric, F.col(self.query_vec_col), F.col("_ann_vec"))
+        )
+        return self._rank_topk(joined)
+
+
+def build_ann_index(items_df: DataFrame, **kwargs) -> QueryANN:
+    """Index-builder convenience mirroring ``setup_faiss``
+    (reference: merlin/systems/dag/ops/faiss.py:191-218)."""
+    return QueryANN(items_df, **kwargs)
