@@ -1,0 +1,13 @@
+from systems_spark.dedup.exact import ExactDedup
+from systems_spark.dedup.minhash import MinHashDedup
+from systems_spark.dedup.simhash import SimHashDedup
+from systems_spark.dedup.ngram import NGramJaccardDedup
+from systems_spark.dedup.embedding import EmbeddingDedup
+
+__all__ = [
+    "ExactDedup",
+    "MinHashDedup",
+    "SimHashDedup",
+    "NGramJaccardDedup",
+    "EmbeddingDedup",
+]

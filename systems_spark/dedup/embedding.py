@@ -1,0 +1,91 @@
+"""Embedding-cosine near-duplicate pairs.
+
+Pairs of vectors whose cosine similarity ≥ threshold. Exact strategy is a
+broadcast self-join (right for ≲1M vectors); the LSH strategy reuses the
+deterministic hyperplane signatures from operators/ann.py to bucket first —
+the 100 TB path (equi-join on an int signature, then exact rerank inside
+buckets; recall tunable via n_tables/n_planes).
+
+Threshold comparison happens on the rounded score so the SQL oracle (DuckDB
+``list_cosine_similarity``) agrees at the boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from systems_spark.functions.similarity import cosine_similarity
+from systems_spark.operators.ann import hyperplane_signature
+from systems_spark.operators.base import Operator
+
+
+class EmbeddingDedup(Operator):
+    def __init__(self, vec_col: str = "embedding", id_col: str = "vec_id",
+                 threshold: float = 0.9, strategy: str = "exact",
+                 dim: int = None, n_tables: int = 4, n_planes: int = 8,
+                 round_dp: int = 6):
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.threshold = float(threshold)
+        self.strategy = strategy
+        self.dim = dim
+        self.n_tables = int(n_tables)
+        self.n_planes = int(n_planes)
+        self.round_dp = int(round_dp)
+        self.requires = (vec_col, id_col)
+
+    def _score_pairs(self, pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.withColumn(
+                "cosine",
+                F.round(cosine_similarity(F.col("_va"), F.col("_vb")), self.round_dp),
+            )
+            .where(F.col("cosine") >= self.threshold)
+            .select("a", "b", "cosine")
+        )
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        base = df.select(F.col(self.id_col), F.col(self.vec_col))
+        left = base.select(F.col(self.id_col).alias("a"), F.col(self.vec_col).alias("_va"))
+        right = base.select(F.col(self.id_col).alias("b"), F.col(self.vec_col).alias("_vb"))
+        if self.strategy == "exact":
+            pairs = left.join(F.broadcast(right), on=F.col("a") < F.col("b"))
+            return self._score_pairs(pairs)
+        if self.strategy == "lsh":
+            if self.dim is None:
+                raise ValueError("lsh strategy requires dim=")
+            cands = None
+            for t in range(self.n_tables):
+                l_sig = left.withColumn(
+                    "_sig", hyperplane_signature(F.col("_va"), self.dim, self.n_planes, t)
+                )
+                r_sig = right.withColumn(
+                    "_sig", hyperplane_signature(F.col("_vb"), self.dim, self.n_planes, t)
+                )
+                p = l_sig.join(r_sig, on="_sig").where(F.col("a") < F.col("b")).drop("_sig")
+                cands = p if cands is None else cands.unionByName(p)
+            return self._score_pairs(cands.dropDuplicates(["a", "b"]))
+        raise ValueError(f"unknown strategy {self.strategy!r}")
+
+    def pairs_oracle_sql(self, table: str = "embeddings") -> str:
+        # mirror functions/similarity.py exactly: dot/(sqrt(aa)*sqrt(bb)),
+        # left-to-right double folds — NOT list_cosine_similarity, whose
+        # internal accumulation order isn't contractual
+        va, vb = f"L.{self.vec_col}::DOUBLE[]", f"R.{self.vec_col}::DOUBLE[]"
+        cos = (
+            f"list_inner_product({va}, {vb}) / "
+            f"(sqrt(list_inner_product({va}, {va})) * sqrt(list_inner_product({vb}, {vb})))"
+        )
+        return f"""
+SELECT L.{self.id_col} AS a, R.{self.id_col} AS b,
+       round({cos}, {self.round_dp}) AS cosine
+FROM {table} L JOIN {table} R ON L.{self.id_col} < R.{self.id_col}
+WHERE round({cos}, {self.round_dp}) >= {self.threshold}
+"""
+
+    def get_params(self):
+        return {"vec_col": self.vec_col, "id_col": self.id_col,
+                "threshold": self.threshold, "strategy": self.strategy,
+                "dim": self.dim, "n_tables": self.n_tables,
+                "n_planes": self.n_planes, "round_dp": self.round_dp}

@@ -1,0 +1,175 @@
+"""MinHash + LSH near-duplicate detection.
+
+Pipeline (the standard web-scale dedup shape, e.g. GPT-3/C4/RefinedWeb data
+cleaning): word shingles → portable 60-bit hash → P universal-hash
+permutations → per-doc minhash signature → band the signature into B bands of
+R rows → docs sharing any band bucket are candidate pairs → estimate Jaccard
+as the fraction of equal signature components → keep pairs ≥ threshold.
+
+Scale design:
+- the signature build is ONE narrow aggregation: explode shingles (map-side),
+  ``groupBy(doc).agg(min(perm_i) …)`` — shuffles (doc_id, P ints), not text;
+- banding is a projection; the bucket join shuffles (band_key, doc_id) pairs;
+- candidate pairs are verified on the P-int signatures, never on raw text —
+  no document bodies ever cross the network;
+- permutation constants are fixed (derived from a seed via a little LCG), so
+  signatures are reproducible across runs/engines — the whole operator is
+  oracle-checkable in SQL, which a random-permutation implementation never is.
+
+``a < b`` ordering on emitted pairs avoids double-counting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from systems_spark.functions.hashing import (
+    MERSENNE_31,
+    hash64,
+    hash64_sql,
+    minhash_permuted,
+    minhash_permuted_sql,
+)
+from systems_spark.functions.text import word_shingles, word_shingles_sql
+from systems_spark.operators.base import Operator
+
+
+def permutation_constants(num_perm: int, seed: int = 7) -> list:
+    """Deterministic (a, b) pairs, a != 0, via a tiny LCG mod M31."""
+    out, state = [], seed
+    while len(out) < num_perm:
+        state = (1103515245 * state + 12345) % MERSENNE_31
+        a = state or 1
+        state = (1103515245 * state + 12345) % MERSENNE_31
+        b = state
+        out.append((a, b))
+    return out
+
+
+class MinHashDedup(Operator):
+    def __init__(self, content_col: str = "text", id_col: str = "doc_id",
+                 num_perm: int = 16, bands: int = 4, shingle_k: int = 3,
+                 threshold: float = 0.5, seed: int = 7):
+        if num_perm % bands:
+            raise ValueError("num_perm must be divisible by bands")
+        self.content_col = content_col
+        self.id_col = id_col
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.shingle_k = shingle_k
+        self.threshold = threshold
+        self.seed = seed
+        self.requires = (content_col, id_col)
+
+    # -- signature ---------------------------------------------------------
+    def signatures(self, df: DataFrame) -> DataFrame:
+        """(id_col, m0..m{P-1}) one row per doc. Docs with no shingles get
+        sentinel M31 components (never match anything)."""
+        consts = permutation_constants(self.num_perm, self.seed)
+        sh = df.select(
+            F.col(self.id_col),
+            F.explode_outer(word_shingles(F.col(self.content_col), self.shingle_k)).alias("_sh"),
+        ).withColumn("_h", hash64(F.col("_sh")))
+        aggs = [
+            F.coalesce(
+                F.min(minhash_permuted(F.col("_h"), a, b)), F.lit(MERSENNE_31)
+            ).alias(f"m{i}")
+            for i, (a, b) in enumerate(consts)
+        ]
+        return sh.groupBy(self.id_col).agg(*aggs)
+
+    def signatures_oracle_sql(self, table: str = "documents") -> str:
+        consts = permutation_constants(self.num_perm, self.seed)
+        shingles = word_shingles_sql("text", self.shingle_k)
+        mins = ", ".join(
+            f"coalesce(min({minhash_permuted_sql('_h', a, b)}), {MERSENNE_31}) AS m{i}"
+            for i, (a, b) in enumerate(consts)
+        )
+        return f"""
+WITH sh AS (
+  SELECT {self.id_col}, unnest({shingles}) AS _sh FROM {table}
+), h AS (
+  SELECT {self.id_col}, {hash64_sql('_sh')} AS _h FROM sh
+), allids AS (SELECT {self.id_col} FROM {table})
+SELECT a.{self.id_col}, {mins}
+FROM allids a LEFT JOIN h USING ({self.id_col})
+GROUP BY a.{self.id_col}
+"""
+
+    # -- candidate pairs via banding ----------------------------------------
+    def candidate_pairs(self, sigs: DataFrame) -> DataFrame:
+        """(a, b, n_equal) for pairs sharing ≥1 band; n_equal = # equal
+        signature components (Jaccard estimate = n_equal / num_perm)."""
+        r = self.rows_per_band
+        bands = sigs.select(
+            F.col(self.id_col),
+            *[F.struct(*[F.col(f"m{band * r + j}") for j in range(r)]).alias(f"band{band}")
+              for band in range(self.bands)],
+            *[F.col(f"m{i}") for i in range(self.num_perm)],
+        )
+        pairs = None
+        for band in range(self.bands):
+            left = bands.alias("L")
+            right = bands.alias("R")
+            p = (
+                left.join(
+                    right,
+                    on=[
+                        F.col(f"L.band{band}") == F.col(f"R.band{band}"),
+                        F.col(f"L.{self.id_col}") < F.col(f"R.{self.id_col}"),
+                    ],
+                )
+                .select(
+                    F.col(f"L.{self.id_col}").alias("a"),
+                    F.col(f"R.{self.id_col}").alias("b"),
+                    *[
+                        (F.col(f"L.m{i}") == F.col(f"R.m{i}")).cast("int").alias(f"eq{i}")
+                        for i in range(self.num_perm)
+                    ],
+                )
+            )
+            pairs = p if pairs is None else pairs.unionByName(p)
+        eq_sum = sum(F.col(f"eq{i}") for i in range(self.num_perm))
+        return (
+            pairs.dropDuplicates(["a", "b"])
+            .withColumn("n_equal", eq_sum)
+            .select("a", "b", "n_equal")
+        )
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        """Near-duplicate pairs with estimated Jaccard ≥ threshold.
+
+        Docs with no shingles (null/short text) carry the all-sentinel
+        signature and are excluded from pairing — they'd otherwise all
+        "match" each other at n_equal == num_perm."""
+        min_eq = int(self.threshold * self.num_perm)
+        sigs = self.signatures(df).where(F.col("m0") != MERSENNE_31)
+        return self.candidate_pairs(sigs).where(F.col("n_equal") >= min_eq)
+
+    def pairs_oracle_sql(self, table: str = "documents") -> str:
+        sigs = self.signatures_oracle_sql(table)
+        r = self.rows_per_band
+        band_match = " OR ".join(
+            "(" + " AND ".join(f"L.m{band * r + j} = R.m{band * r + j}" for j in range(r)) + ")"
+            for band in range(self.bands)
+        )
+        eq_sum = " + ".join(
+            f"CASE WHEN L.m{i} = R.m{i} THEN 1 ELSE 0 END" for i in range(self.num_perm)
+        )
+        min_eq = int(self.threshold * self.num_perm)
+        return f"""
+WITH sigs0 AS ({sigs}),
+sigs AS (SELECT * FROM sigs0 WHERE m0 <> {MERSENNE_31})
+SELECT L.{self.id_col} AS a, R.{self.id_col} AS b, ({eq_sum}) AS n_equal
+FROM sigs L JOIN sigs R
+  ON L.{self.id_col} < R.{self.id_col} AND ({band_match})
+WHERE ({eq_sum}) >= {min_eq}
+"""
+
+    def get_params(self):
+        return {"content_col": self.content_col, "id_col": self.id_col,
+                "num_perm": self.num_perm, "bands": self.bands,
+                "shingle_k": self.shingle_k, "threshold": self.threshold,
+                "seed": self.seed}

@@ -1,0 +1,134 @@
+"""Exact n-gram Jaccard near-duplicate pairs.
+
+Ground-truth (non-approximate) set Jaccard over word shingles, computed
+relationally: explode distinct shingles per doc, self-join on shingle to get
+per-pair intersection counts, combine with per-doc set sizes:
+
+    J(a,b) = |A∩B| / (|A| + |B| - |A∩B|)
+
+All-integer arithmetic until the final ratio; the threshold test uses the
+cross-multiplied integer form so the oracle matches exactly.
+
+Scale note: this shuffles one row per (shingle, doc) — at 100 TB you run
+MinHashDedup first and use this only to verify candidate pairs (the
+``verify_pairs`` helper joins a candidate set); the standalone transform is
+for modest corpora / oracle checking. Extremely common shingles create join
+skew, so ``max_shingle_freq`` drops shingles shared by more than N docs
+(boilerplate n-grams carry no dedup signal anyway).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from systems_spark.functions.text import word_shingles, word_shingles_sql
+from systems_spark.operators.base import Operator
+
+
+class NGramJaccardDedup(Operator):
+    def __init__(self, content_col: str = "text", id_col: str = "doc_id",
+                 shingle_k: int = 3, threshold: float = 0.8,
+                 max_shingle_freq: int = 0):
+        self.content_col = content_col
+        self.id_col = id_col
+        self.shingle_k = shingle_k
+        self.threshold = float(threshold)
+        self.max_shingle_freq = int(max_shingle_freq)
+        self.requires = (content_col, id_col)
+
+    def _shingle_rows(self, df: DataFrame) -> DataFrame:
+        sh = (
+            df.select(
+                F.col(self.id_col),
+                F.explode(
+                    F.array_distinct(word_shingles(F.col(self.content_col), self.shingle_k))
+                ).alias("shingle"),
+            )
+        )
+        if self.max_shingle_freq > 0:
+            freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
+            sh = sh.join(
+                F.broadcast(freq.where(F.col("_f") <= self.max_shingle_freq)), "shingle"
+            ).drop("_f")
+        return sh
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        """(a, b, inter, size_a, size_b) with J ≥ threshold, a < b."""
+        sh = self._shingle_rows(df)
+        sizes = sh.groupBy(self.id_col).agg(F.count(F.lit(1)).alias("set_size"))
+        inter = (
+            sh.alias("L")
+            .join(sh.alias("R"), on="shingle")
+            .where(F.col(f"L.{self.id_col}") < F.col(f"R.{self.id_col}"))
+            .groupBy(
+                F.col(f"L.{self.id_col}").alias("a"),
+                F.col(f"R.{self.id_col}").alias("b"),
+            )
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        num, den = int(self.threshold * 1_000_000), 1_000_000
+        return (
+            inter.join(sizes.withColumnRenamed(self.id_col, "a")
+                       .withColumnRenamed("set_size", "size_a"), "a")
+            .join(sizes.withColumnRenamed(self.id_col, "b")
+                  .withColumnRenamed("set_size", "size_b"), "b")
+            # J >= t  <=>  inter * den >= t*1e6 * (size_a + size_b - inter)
+            .where(F.col("inter") * den >= num * (F.col("size_a") + F.col("size_b") - F.col("inter")))
+            .select("a", "b", "inter", "size_a", "size_b")
+        )
+
+    def verify_pairs(self, df: DataFrame, pairs: DataFrame) -> DataFrame:
+        """Exact-Jaccard verification of candidate (a, b) pairs from an
+        approximate pass (minhash/simhash) — the scalable composition."""
+        sh = self._shingle_rows(df)
+        a_sh = sh.withColumnRenamed(self.id_col, "a").withColumnRenamed("shingle", "sh_a")
+        b_sh = sh.withColumnRenamed(self.id_col, "b").withColumnRenamed("shingle", "sh_b")
+        inter = (
+            pairs.join(a_sh, "a").join(b_sh, "b")
+            .where(F.col("sh_a") == F.col("sh_b"))
+            .groupBy("a", "b").agg(F.count(F.lit(1)).alias("inter"))
+        )
+        sizes = sh.groupBy(self.id_col).agg(F.count(F.lit(1)).alias("set_size"))
+        return (
+            inter.join(sizes.withColumnRenamed(self.id_col, "a")
+                       .withColumnRenamed("set_size", "size_a"), "a")
+            .join(sizes.withColumnRenamed(self.id_col, "b")
+                  .withColumnRenamed("set_size", "size_b"), "b")
+            .withColumn(
+                "jaccard",
+                F.round(F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 6),
+            )
+        )
+
+    def pairs_oracle_sql(self, table: str = "documents") -> str:
+        shingles = word_shingles_sql(self.content_col, self.shingle_k)
+        num, den = int(self.threshold * 1_000_000), 1_000_000
+        freq_filter = ""
+        if self.max_shingle_freq > 0:
+            freq_filter = f"""
+, freq AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {self.max_shingle_freq})
+"""
+        sh_src = "sh JOIN freq USING (shingle)" if self.max_shingle_freq > 0 else "sh"
+        return f"""
+WITH sh0 AS (
+  SELECT {self.id_col}, unnest(list_distinct({shingles})) AS shingle FROM {table}
+), sh AS (SELECT * FROM sh0){freq_filter},
+shf AS (SELECT * FROM {sh_src}),
+sizes AS (SELECT {self.id_col}, count(*) AS set_size FROM shf GROUP BY {self.id_col}),
+inter AS (
+  SELECT L.{self.id_col} AS a, R.{self.id_col} AS b, count(*) AS inter
+  FROM shf L JOIN shf R ON L.shingle = R.shingle AND L.{self.id_col} < R.{self.id_col}
+  GROUP BY 1, 2
+)
+SELECT a, b, inter, sa.set_size AS size_a, sb.set_size AS size_b
+FROM inter
+JOIN sizes sa ON sa.{self.id_col} = a
+JOIN sizes sb ON sb.{self.id_col} = b
+WHERE inter * {den} >= {num} * (sa.set_size + sb.set_size - inter)
+"""
+
+    def get_params(self):
+        return {"content_col": self.content_col, "id_col": self.id_col,
+                "shingle_k": self.shingle_k, "threshold": self.threshold,
+                "max_shingle_freq": self.max_shingle_freq}

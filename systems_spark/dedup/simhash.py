@@ -1,0 +1,157 @@
+"""SimHash near-duplicate detection (Charikar's random-hyperplane sketch for
+token multisets).
+
+Each document gets a W-bit signature: bit j is the sign of
+Σ_tokens (±1 depending on bit j of the token's hash). Documents whose
+signatures are within ``max_hamming`` bits are near-duplicates.
+
+Scale design: the signature is ONE aggregation over exploded tokens —
+``groupBy(doc).agg(W conditional sums)`` — shuffling (doc_id, W small ints).
+Pairing at 100 TB uses the pigeonhole trick: split the W bits into
+``max_hamming + 1`` chunks; any pair within distance ``max_hamming`` must
+agree exactly on ≥1 chunk, so equi-joining on each chunk (a narrow int key)
+finds all candidates without an N² comparison. Verification is
+``bit_count(xor)`` on two ints.
+
+W = 32 keeps every value exact int64 in both Spark and the SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from systems_spark.functions.hashing import hash64, hash64_sql
+from systems_spark.functions.text import tokens, tokens_sql
+from systems_spark.operators.base import Operator
+
+WIDTH = 32
+
+
+class SimHashDedup(Operator):
+    def __init__(self, content_col: str = "text", id_col: str = "doc_id",
+                 max_hamming: int = 3, n_chunks: int = None):
+        self.content_col = content_col
+        self.id_col = id_col
+        self.max_hamming = int(max_hamming)
+        # pigeonhole: need > max_hamming chunks to guarantee one exact match
+        self.n_chunks = n_chunks or (self.max_hamming + 1)
+        if WIDTH % self.n_chunks:
+            raise ValueError(f"n_chunks must divide {WIDTH}")
+        self.requires = (content_col, id_col)
+
+    # -- signatures --------------------------------------------------------
+    def signatures(self, df: DataFrame) -> DataFrame:
+        """(id_col, simhash) — simhash < 2^32, 0 for empty docs."""
+        tok = df.select(
+            F.col(self.id_col),
+            F.explode_outer(tokens(F.col(self.content_col))).alias("_t"),
+        ).withColumn("_h", hash64(F.col("_t")))
+        bit_sums = [
+            F.sum(
+                F.when(F.col("_h").isNull(), 0)
+                .when(F.shiftright(F.col("_h"), j).bitwiseAND(1) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(WIDTH)
+        ]
+        agg = tok.groupBy(self.id_col).agg(*bit_sums)
+        sig = sum(
+            F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            for j in range(WIDTH)
+        )
+        return agg.select(self.id_col, sig.cast("long").alias("simhash"))
+
+    def signatures_oracle_sql(self, table: str = "documents") -> str:
+        toks = tokens_sql(self.content_col)
+        bit_sums = ", ".join(
+            f"sum(CASE WHEN _h IS NULL THEN 0 WHEN ((_h >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS s{j}"
+            for j in range(WIDTH)
+        )
+        sig = " + ".join(
+            f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(WIDTH)
+        )
+        return f"""
+WITH tok AS (
+  SELECT {self.id_col}, unnest({toks}) AS _t FROM {table}
+), h AS (
+  SELECT {self.id_col}, {hash64_sql('_t')} AS _h FROM tok
+), allids AS (SELECT {self.id_col} FROM {table}),
+agg AS (
+  SELECT a.{self.id_col}, {bit_sums}
+  FROM allids a LEFT JOIN h USING ({self.id_col})
+  GROUP BY a.{self.id_col}
+)
+SELECT {self.id_col}, ({sig})::BIGINT AS simhash FROM agg
+"""
+
+    # -- pairing -----------------------------------------------------------
+    def transform(self, df: DataFrame) -> DataFrame:
+        """(a, b, hamming) pairs with hamming ≤ max_hamming, a < b.
+
+        Token-less docs (null/empty text) are excluded — their all-zero
+        signatures would otherwise pair with each other at hamming 0."""
+        nonempty = df.where(
+            F.size(tokens(F.col(self.content_col))) > 0
+        ).select(self.id_col)
+        sigs = self.signatures(df).join(nonempty, self.id_col)
+        chunk_bits = WIDTH // self.n_chunks
+        mask = (1 << chunk_bits) - 1
+        with_chunks = sigs.select(
+            self.id_col, "simhash",
+            *[
+                F.shiftright(F.col("simhash"), c * chunk_bits).bitwiseAND(mask).alias(f"c{c}")
+                for c in range(self.n_chunks)
+            ],
+        )
+        pairs = None
+        for c in range(self.n_chunks):
+            left, right = with_chunks.alias("L"), with_chunks.alias("R")
+            p = left.join(
+                right,
+                on=[
+                    F.col(f"L.c{c}") == F.col(f"R.c{c}"),
+                    F.col(f"L.{self.id_col}") < F.col(f"R.{self.id_col}"),
+                ],
+            ).select(
+                F.col(f"L.{self.id_col}").alias("a"),
+                F.col(f"R.{self.id_col}").alias("b"),
+                F.col("L.simhash").alias("sig_a"),
+                F.col("R.simhash").alias("sig_b"),
+            )
+            pairs = p if pairs is None else pairs.unionByName(p)
+        return (
+            pairs.dropDuplicates(["a", "b"])
+            .withColumn(
+                "hamming",
+                F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))),
+            )
+            .where(F.col("hamming") <= self.max_hamming)
+            .select("a", "b", "hamming")
+        )
+
+    def pairs_oracle_sql(self, table: str = "documents") -> str:
+        sigs = self.signatures_oracle_sql(table)
+        toks_filter = tokens_sql(self.content_col)
+        chunk_bits = WIDTH // self.n_chunks
+        mask = (1 << chunk_bits) - 1
+        chunk_match = " OR ".join(
+            f"((L.simhash >> {c * chunk_bits}) & {mask}) = ((R.simhash >> {c * chunk_bits}) & {mask})"
+            for c in range(self.n_chunks)
+        )
+        return f"""
+WITH sigs0 AS ({sigs}),
+sigs AS (
+  SELECT * FROM sigs0
+  WHERE {self.id_col} IN (SELECT {self.id_col} FROM {table} WHERE len({toks_filter}) > 0)
+)
+SELECT L.{self.id_col} AS a, R.{self.id_col} AS b,
+       bit_count(xor(L.simhash, R.simhash)) AS hamming
+FROM sigs L JOIN sigs R
+  ON L.{self.id_col} < R.{self.id_col} AND ({chunk_match})
+WHERE bit_count(xor(L.simhash, R.simhash)) <= {self.max_hamming}
+"""
+
+    def get_params(self):
+        return {"content_col": self.content_col, "id_col": self.id_col,
+                "max_hamming": self.max_hamming, "n_chunks": self.n_chunks}
