@@ -1,38 +1,797 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship four-stage recommender pipeline
+(reference: README.md:56-104 — retrieval → filter → features → scoring →
+sampling) on sf0.001. ``queries()`` exposes every implemented operator from
+SURVEY.md §2 plus the LLM-data-pipeline operators; ``oracle_sql()`` gives the
+DuckDB twin for each SQL-expressible query.
+
+Portability rules that make the oracles exact (see systems_spark/functions/
+hashing.py): all randomness is a portable md5 hash; float aggregation goes
+through DECIMAL (exact in both engines) and is cast to DOUBLE at the end;
+integer outputs are cast to BIGINT on both sides; doubles that pass through
+transcendental math are rounded before output.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from systems_spark.dedup import (
+    EmbeddingDedup,
+    ExactDedup,
+    MinHashDedup,
+    NGramJaccardDedup,
+    SimHashDedup,
+)
+from systems_spark.functions import text as TX
+from systems_spark.functions.hashing import hash64, hash64_sql, unit_uniform_sql
+from systems_spark.functions.similarity import dot_product
+from systems_spark.operators import (
+    Categorify,
+    FilterCandidates,
+    Padding,
+    QueryFeatureTable,
+    SoftmaxSampling,
+    UnrollFeatures,
+)
+from systems_spark.operators.ann import QueryANN
+from systems_spark.operators.asof import AsofJoin
+from systems_spark.operators.embedding_lookup import EmbeddingLookup
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+# shared operator configs (one definition → both query and oracle)
+_MINHASH = dict(threshold=0.3)
+_SIMHASH = dict(max_hamming=7)
+_NGRAM = dict(threshold=0.2, shingle_k=3)
+_EMBDED = dict(threshold=0.3)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS); Spark 4 refuses it unless
+        # read as int64 nanos. The data has no sub-microsecond components,
+        # so integer nanos == DuckDB's epoch_ns() exactly.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col, p=18, s=6):
+    return F.col(col).cast(f"decimal({p},{s})") if isinstance(col, str) else col.cast(f"decimal({p},{s})")
+
+
+def _dsum(expr):
+    """Exact decimal sum → double. Rounding to 4dp in the DECIMAL domain
+    first matters: it shrinks the scaled integer below 2^53 so the
+    decimal→double cast is a single correctly-rounded division in BOTH
+    engines (DuckDB's wide-decimal→double cast is not correctly rounded).
+    Source data has ≤4 decimal places, so the round is value-preserving."""
+    return F.round(F.sum(expr), 4).cast("double")
+
+
+# ===========================================================================
+# Core relational queries (scan/filter/agg/join/window/sort coverage)
+# ===========================================================================
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan + filter + group-agg. DECIMAL sums → exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - _dec("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(_dec("l_quantity")).alias("sum_qty"),
+            _dsum(_dec("l_extendedprice")).alias("sum_base_price"),
+            _dsum(disc).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+    )
+
+
+_SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity::DECIMAL(18,6)), 4)::DOUBLE AS sum_qty,
+       round(sum(l_extendedprice::DECIMAL(18,6)), 4)::DOUBLE AS sum_base_price,
+       round(sum(l_extendedprice::DECIMAL(18,6) * (1::DECIMAL(18,6) - l_discount::DECIMAL(18,6))), 4)::DOUBLE AS sum_disc_price,
+       count(*) AS count_order,
+       round(sum(l_quantity::DECIMAL(18,6)), 4)::DOUBLE / count(*) AS avg_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-10."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - _dec("l_discount")))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(rev.alias("_rev"))
+        .select("o_orderkey", F.round(F.col("_rev"), 4).cast("double").alias("revenue"),
+                F.col("_rev"))
+        .orderBy(F.col("_rev").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .drop("_rev")
+    )
+
+
+_SQL_SHIPPING = """
+SELECT o_orderkey,
+       round(sum(l_extendedprice::DECIMAL(18,6) * (1::DECIMAL(18,6) - l_discount::DECIMAL(18,6))), 4)::DOUBLE AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY sum(l_extendedprice::DECIMAL(18,6) * (1::DECIMAL(18,6) - l_discount::DECIMAL(18,6))) DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_region_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: 5-way star join + agg (broadcastable dims)."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - _dec("l_discount")))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(F.round(rev, 4).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+_SQL_REGION = """
+SELECT r_name,
+       round(sum(l_extendedprice::DECIMAL(18,6) * (1::DECIMAL(18,6) - l_discount::DECIMAL(18,6))), 4)::DOUBLE AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_top_parts_per_brand(spark, sf_dir):
+    """Window top-k per group."""
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        part.withColumn("price_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("price_rank") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "price_rank")
+    )
+
+
+_SQL_TOP_PARTS = """
+SELECT p_brand, p_partkey, p_retailprice,
+       row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC)::BIGINT AS price_rank
+FROM part
+QUALIFY price_rank <= 3
+"""
+
+
+def q_events_rollup(spark, sf_dir):
+    """ROLLUP aggregation over the event stream table."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.rollup("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(_dec("value", 18, 6)).alias("total_value"),
+        )
+    )
+
+
+_SQL_ROLLUP = """
+SELECT event_type, count(*) AS n_events,
+       round(sum(value::DECIMAL(18,6)), 4)::DOUBLE AS total_value
+FROM events GROUP BY ROLLUP (event_type)
+"""
+
+
+def q_user_activity(spark, sf_dir):
+    """Group-agg + JSON-ish extraction from the props column."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), r'"k": ([0-9]+)', 1).cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            _dsum(_dec("value", 18, 6)).alias("sum_value"),
+        )
+    )
+
+
+_SQL_USER_ACTIVITY = """
+SELECT user_id, count(*) AS n_events,
+       sum(regexp_extract(props, '"k": ([0-9]+)', 1)::BIGINT) AS sum_k,
+       round(sum(value::DECIMAL(18,6)), 4)::DOUBLE AS sum_value
+FROM events GROUP BY user_id
+"""
+
+
+def q_asof_view_before_purchase(spark, sf_dir):
+    """As-of join: each purchase matched to the user's most recent
+    at-or-before view event (point-in-time correctness primitive)."""
+    # ts is int64 nanos (see _t); truncate to µs to match DuckDB's TIMESTAMP
+    # precision (the parquet data has sub-µs components DuckDB drops)
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.expr("ts div 1000"))
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts"), F.col("event_id").alias("view_event_id")
+    )
+    op = AsofJoin(views, on=["user_id"], left_ts="ts", right_ts="view_ts",
+                  right_cols=["view_event_id", "view_ts"])
+    out = op(purchases)
+    # integer µs arithmetic — double division would lose precision at 1e15+
+    return out.select(
+        "event_id", "user_id", "view_event_id",
+        F.expr("(ts - view_ts) div 1000").alias("gap_ms"),
+    )
+
+
+_SQL_ASOF = """
+SELECT p.event_id, p.user_id, v.event_id AS view_event_id,
+       (epoch_us(p.ts) - epoch_us(v.ts)) // 1000 AS gap_ms
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+# ===========================================================================
+# Reference-surface operators (SURVEY.md §2)
+# ===========================================================================
+
+def q_filter_candidates(spark, sf_dir):
+    """Anti-membership filter (session_filter.py semantics), relational output."""
+    li = _t(spark, sf_dir, "lineitem")
+    cand = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("candidate_ids"))
+    seen = (
+        li.where(F.col("l_linenumber") <= 2)
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("seen_ids"))
+    )
+    # LEFT join: orders with no low-linenumber rows still keep all their
+    # candidates (an inner join would drop them entirely)
+    df = cand.join(seen, "l_orderkey", "left").withColumn(
+        "seen_ids", F.coalesce(F.col("seen_ids"), F.array().cast("array<bigint>"))
+    )
+    op = FilterCandidates("seen_ids", "candidate_ids", keep_duplicates=False)
+    return (
+        op(df)
+        .select("l_orderkey", F.explode("filtered_ids").alias("filtered_id"))
+    )
+
+
+_SQL_FILTER_CANDIDATES = """
+SELECT DISTINCT l.l_orderkey, l.l_partkey AS filtered_id
+FROM lineitem l
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem s
+  WHERE s.l_orderkey = l.l_orderkey AND s.l_partkey = l.l_partkey
+    AND s.l_linenumber <= 2
+)
+"""
+
+
+def _softmax_key_sql(request: str, cand: str, score: str, temperature: float, seed: str) -> str:
+    key_str = f"CAST({request} AS VARCHAR) || '|' || CAST({cand} AS VARCHAR)"
+    u = unit_uniform_sql(key_str, salt=seed)
+    return f"(-ln({u}) / exp({temperature} * {score}))"
+
+
+def q_softmax_sampling(spark, sf_dir):
+    """Weighted top-k sampling without replacement (softmax_sampling.py
+    semantics), deterministic portable randomness, per-request windows."""
+    li = _t(spark, sf_dir, "lineitem")
+    # min-aggregate duplicate (request, candidate) pairs — dropDuplicates
+    # would keep an arbitrary row's score (nondeterministic vs the oracle)
+    rows = li.groupBy(
+        F.col("l_orderkey").alias("request_id"),
+        F.col("l_partkey").alias("candidate_id"),
+    ).agg(F.min("l_discount").alias("score"))
+    op = SoftmaxSampling("score", temperature=20.0, topk=3,
+                         input_col="candidate_id", request_col="request_id", seed="0")
+    return op(rows).select(
+        "request_id", "candidate_id", "score", F.col("sample_rank").cast("long").alias("sample_rank")
+    )
+
+
+_SQL_SOFTMAX = f"""
+WITH dedup AS (
+  SELECT l_orderkey AS request_id, l_partkey AS candidate_id,
+         min(l_discount) AS score
+  FROM lineitem GROUP BY 1, 2
+), keyed AS (
+  SELECT *, {_softmax_key_sql('request_id', 'candidate_id', 'score', 20.0, '0')} AS _k
+  FROM dedup
+)
+SELECT request_id, candidate_id, score,
+       row_number() OVER (PARTITION BY request_id ORDER BY _k ASC, candidate_id ASC)::BIGINT AS sample_rank
+FROM keyed
+QUALIFY sample_rank <= 3
+"""
+
+
+def q_unroll_features(spark, sf_dir):
+    """Broadcast per-request (user) features onto candidate rows
+    (unroll_features.py semantics)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    cand = li.select(
+        F.col("l_orderkey").alias("request_id"), F.col("l_partkey").alias("candidate_id")
+    )
+    user_feats = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        F.col("o_orderkey").alias("request_id"), "c_acctbal", "c_mktsegment"
+    )
+    op = UnrollFeatures("request_id", user_feats,
+                        ["c_acctbal", "c_mktsegment"], prefix="user_")
+    return op(cand)
+
+
+_SQL_UNROLL = """
+SELECT l.l_orderkey AS request_id, l.l_partkey AS candidate_id,
+       c.c_acctbal AS user_c_acctbal, c.c_mktsegment AS user_c_mktsegment
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+def q_query_feature_table(spark, sf_dir):
+    """Feature-store point-lookup join with output prefix (feast.py
+    semantics: scalar features, prefixing, id passthrough)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    requests = li.select(
+        F.col("l_orderkey"), F.col("l_linenumber"), F.col("l_partkey").alias("p_partkey")
+    )
+    op = QueryFeatureTable(part, "p_partkey",
+                           features=["p_brand", "p_retailprice", "p_size"],
+                           prefix="item_")
+    return op(requests)
+
+
+_SQL_FEATURE_TABLE = """
+SELECT l.l_partkey AS p_partkey, l.l_orderkey, l.l_linenumber,
+       p.p_brand AS item_p_brand, p.p_retailprice AS item_p_retailprice,
+       p.p_size AS item_p_size
+FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+"""
+
+
+def q_embedding_lookup(spark, sf_dir):
+    """Id → embedding row join (embedding_op semantics); emits dim + label."""
+    li = _t(spark, sf_dir, "lineitem")
+    emb = _t(spark, sf_dir, "embeddings")
+    req = li.select(F.col("l_partkey")).distinct().withColumn(
+        "vec_id", F.pmod(F.col("l_partkey"), F.lit(500)).cast("long")
+    )
+    op = EmbeddingLookup(emb, "vec_id", "embedding", broadcast=True)
+    out = op(req)
+    lbl = F.broadcast(emb.select("vec_id", "label"))
+    return (
+        out.join(lbl, "vec_id", "left")
+        .select(
+            "l_partkey", "vec_id",
+            F.size("embedding").cast("long").alias("emb_dim"),
+            F.col("label").cast("long").alias("label"),
+        )
+    )
+
+
+_SQL_EMBEDDING_LOOKUP = """
+SELECT pk AS l_partkey, pk % 500 AS vec_id,
+       len(e.embedding)::BIGINT AS emb_dim, e.label::BIGINT AS label
+FROM (SELECT DISTINCT l_partkey AS pk FROM lineitem) r
+LEFT JOIN embeddings e ON e.vec_id = pk % 500
+"""
+
+
+def q_padding(spark, sf_dir):
+    """Ragged → fixed-length padding (padding_op semantics), exploded."""
+    li = _t(spark, sf_dir, "lineitem")
+    arrs = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_linenumber")).alias("arr")
+    )
+    padded = Padding("arr", 8, 0)(arrs)
+    return padded.select(
+        "l_orderkey", F.posexplode("arr")
+    ).select(
+        "l_orderkey",
+        (F.col("pos") + 1).cast("long").alias("pos"),
+        F.col("col").cast("long").alias("val"),
+    )
+
+
+_SQL_PADDING = """
+SELECT l_orderkey, i AS pos, coalesce(arr[i::INT], 0)::BIGINT AS val
+FROM (SELECT l_orderkey, list_sort(list(l_linenumber)) AS arr FROM lineitem GROUP BY 1)
+CROSS JOIN range(1, 9) t(i)
+"""
+
+
+def q_categorify(spark, sf_dir):
+    """Vocabulary fit + deterministic code assignment (Categorify semantics:
+    codes by frequency desc then value asc, 0 reserved for OOV/null)."""
+    orders = _t(spark, sf_dir, "orders")
+    cat = Categorify(["o_orderpriority"], out_suffix="_code")
+    cat.fit(orders)
+    return (
+        cat(orders)
+        .groupBy("o_orderpriority", "o_orderpriority_code")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_SQL_CATEGORIFY = """
+WITH vocab AS (
+  SELECT o_orderpriority AS value,
+         row_number() OVER (ORDER BY count(*) DESC, o_orderpriority ASC) AS code
+  FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY o_orderpriority
+)
+SELECT o.o_orderpriority, coalesce(v.code, 0)::BIGINT AS o_orderpriority_code,
+       count(*) AS n
+FROM orders o LEFT JOIN vocab v ON o.o_orderpriority = v.value
+GROUP BY 1, 2
+"""
+
+
+def q_ann_topk(spark, sf_dir):
+    """Exact inner-product top-k retrieval (QueryFaiss semantics,
+    faiss.py:90-112; metric=IP per :194)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    op = QueryANN(emb, item_id_col="vec_id", item_vec_col="embedding",
+                  query_vec_col="qvec", query_id_col="query_id", topk=5, metric="ip")
+    return op(queries).select(
+        "query_id", F.col("ann_id").alias("item_id"),
+        F.col("ann_rank").cast("long").alias("ann_rank"),
+        F.round(F.col("ann_score"), 4).alias("score"),
+    )
+
+
+_SQL_ANN_TOPK = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, i.vec_id AS item_id,
+         list_inner_product(q.embedding::DOUBLE[], i.embedding::DOUBLE[]) AS dot
+  FROM (SELECT * FROM embeddings WHERE vec_id < 20) q
+  CROSS JOIN embeddings i
+)
+SELECT query_id, item_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, item_id ASC)::BIGINT AS ann_rank,
+       round(dot, 4) AS score
+FROM scored
+QUALIFY ann_rank <= 5
+"""
+
+
+# ===========================================================================
+# LLM-data-pipeline operators (dedup / similarity / text analysis)
+# ===========================================================================
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    op = ExactDedup("text", "doc_id", normalize=True)
+    return docs.select("doc_id", op._key().alias("content_key"))
+
+
+_SQL_DEDUP_EXACT = (
+    "SELECT doc_id, "
+    + hash64_sql("regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')")
+    + " AS content_key FROM documents"
+)
+
+
+def q_dedup_minhash(spark, sf_dir):
+    return MinHashDedup(**_MINHASH).transform(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return SimHashDedup(**_SIMHASH).transform(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram(spark, sf_dir):
+    return NGramJaccardDedup(**_NGRAM).transform(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_embedding(spark, sf_dir):
+    return EmbeddingDedup(**_EMBDED).transform(_t(spark, sf_dir, "embeddings"))
+
+
+def q_minhash_signatures(spark, sf_dir):
+    return MinHashDedup(**_MINHASH).signatures(_t(spark, sf_dir, "documents"))
+
+
+def q_text_stats(spark, sf_dir):
+    """Token counts, BPE-ish counts, lang-ID, quality score, fingerprint —
+    the per-document text-analysis sweep, all JVM expressions."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.token_count(t).cast("long").alias("n_tokens"),
+        TX.bpe_token_count(t).cast("long").alias("n_bpe_tokens"),
+        TX.lang_id(t).alias("pred_lang"),
+        TX.quality_score(t).alias("quality"),
+        TX.fingerprint(t).alias("fingerprint"),
+    )
+
+
+_SQL_TEXT_STATS = f"""
+SELECT doc_id,
+       ({TX.token_count_sql('text')})::BIGINT AS n_tokens,
+       ({TX.bpe_token_count_sql('text')})::BIGINT AS n_bpe_tokens,
+       {TX.lang_id_sql('text')} AS pred_lang,
+       {TX.quality_score_sql('text')} AS quality,
+       {TX.fingerprint_sql('text')} AS fingerprint
+FROM documents
+"""
+
+
+# ===========================================================================
+# Non-SQL-expressible (rows-only checks): ML model operators, LSH retrieval
+# ===========================================================================
+
+def q_ann_lsh(spark, sf_dir):
+    """Hyperplane-LSH bucketed retrieval (the 100 TB ANN path). Candidate
+    set depends on LSH bucketing — verified structurally (rows-only) here,
+    exactly vs exact-rerank in tests/."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    op = QueryANN(emb, item_id_col="vec_id", item_vec_col="embedding",
+                  query_vec_col="qvec", query_id_col="query_id", topk=5,
+                  metric="ip", strategy="lsh", dim=64, n_tables=4, n_planes=8)
+    return op(queries).select(
+        "query_id", F.col("ann_id").alias("item_id"),
+        F.col("ann_rank").cast("long").alias("ann_rank"),
+        F.round(F.col("ann_score"), 4).alias("score"),
+    )
+
+
+def q_implicit_recommend(spark, sf_dir):
+    """Matrix-factorization recommend (implicit.py semantics) via ALS
+    ``recommendForUserSubset`` — iterative, no SQL oracle."""
+    from pyspark.ml.recommendation import ALS
+
+    ev = _t(spark, sf_dir, "events")
+    inter = (
+        ev.select(
+            F.col("user_id").cast("int").alias("user"),
+            F.pmod(F.col("event_id"), F.lit(200)).cast("int").alias("item"),
+            F.lit(1.0).alias("rating"),
+        )
+        .groupBy("user", "item")
+        .agg(F.count(F.lit(1)).cast("float").alias("rating"))
+    )
+    als = ALS(rank=8, maxIter=5, seed=42, implicitPrefs=True,
+              userCol="user", itemCol="item", ratingCol="rating",
+              coldStartStrategy="drop")
+    model = als.fit(inter)
+    users = inter.select("user").distinct().limit(20)
+    recs = model.recommendForUserSubset(users, 5)
+    return recs.select(
+        F.col("user").cast("long").alias("user_id"),
+        F.posexplode("recommendations"),
+    ).select(
+        "user_id",
+        (F.col("pos") + 1).cast("long").alias("rec_rank"),
+        F.col("col.item").cast("long").alias("item_id"),
+    )
+
+
+def q_predict_forest(spark, sf_dir):
+    """Forest-model scoring (fil.py semantics) via MLlib RandomForest —
+    fit + transform, output class histogram. No SQL oracle (model training)."""
+    from pyspark.ml.classification import RandomForestClassifier
+    from pyspark.ml.feature import VectorAssembler
+
+    li = _t(spark, sf_dir, "lineitem")
+    data = li.select(
+        F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount"),
+        F.col("l_tax"),
+        (F.col("l_returnflag") == "R").cast("double").alias("label"),
+    )
+    assembler = VectorAssembler(
+        inputCols=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        outputCol="features",
+    )
+    rf = RandomForestClassifier(numTrees=8, maxDepth=4, seed=42)
+    assembled = assembler.transform(data)
+    model = rf.fit(assembled)
+    return (
+        model.transform(assembled)
+        .groupBy(F.col("label").cast("long").alias("label"),
+                 F.col("prediction").cast("long").alias("prediction"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ===========================================================================
+# Flagship: the four-stage recommender pipeline (README.md:56-104)
+# ===========================================================================
+
+def q_four_stage_recs(spark, sf_dir):
+    """request(user) → user vector → ANN top-20 → filter seen → item
+    features → score → softmax top-5. Fully deterministic & oracle-checked."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 50)
+    emb = _t(spark, sf_dir, "embeddings")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+
+    # stage 1: user features + user vector (embedding lookup by hashed key)
+    users = cust.select(
+        F.col("c_custkey").alias("request_id"),
+        F.pmod(F.col("c_custkey"), F.lit(500)).cast("long").alias("vec_id"),
+    )
+    users = EmbeddingLookup(emb, "vec_id", "embedding", output_col="user_vec")(users)
+
+    # stage 2: ANN top-20 candidate items (exact IP retrieval)
+    ann = QueryANN(emb, item_id_col="vec_id", item_vec_col="embedding",
+                   query_vec_col="user_vec", query_id_col="request_id",
+                   topk=20, metric="ip")
+    cands = ann(users).select("request_id", F.col("ann_id").alias("item_id"), "ann_score")
+
+    # stage 3: filter already-seen items (anti-join on the user's history)
+    seen = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("request_id"),
+            F.pmod(F.col("l_partkey"), F.lit(500)).cast("long").alias("item_id"),
+        )
+        .dropDuplicates(["request_id", "item_id"])
+    )
+    cands = cands.join(seen, ["request_id", "item_id"], "left_anti")
+
+    # stage 4: item features + scoring + softmax top-5 sampling
+    feats = QueryFeatureTable(emb.select(F.col("vec_id").alias("item_id"), "label"),
+                              "item_id", features=["label"], prefix="item_")(cands)
+    scored = feats.withColumn(
+        "score", F.round(F.col("ann_score") + F.col("item_label") * 0.01, 6)
+    )
+    top = SoftmaxSampling("score", temperature=20.0, topk=5,
+                          input_col="item_id", request_col="request_id", seed="0")(scored)
+    return top.select(
+        "request_id", "item_id", "score",
+        F.col("sample_rank").cast("long").alias("sample_rank"),
+    )
+
+
+_SQL_FOUR_STAGE = f"""
+WITH users AS (
+  SELECT c_custkey AS request_id, c_custkey % 500 AS vec_id
+  FROM customer WHERE c_custkey < 50
+), uvec AS (
+  SELECT u.request_id, e.embedding AS user_vec
+  FROM users u JOIN embeddings e ON e.vec_id = u.vec_id
+), scored_items AS (
+  SELECT u.request_id, i.vec_id AS item_id,
+         list_inner_product(u.user_vec::DOUBLE[], i.embedding::DOUBLE[]) AS dot
+  FROM uvec u CROSS JOIN embeddings i
+), ann AS (
+  SELECT request_id, item_id, dot,
+         row_number() OVER (PARTITION BY request_id ORDER BY dot DESC, item_id ASC) AS r
+  FROM scored_items QUALIFY r <= 20
+), seen AS (
+  SELECT DISTINCT o.o_custkey AS request_id, l.l_partkey % 500 AS item_id
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), unseen AS (
+  SELECT a.request_id, a.item_id, a.dot FROM ann a
+  ANTI JOIN seen s ON a.request_id = s.request_id AND a.item_id = s.item_id
+), feat AS (
+  SELECT u.request_id, u.item_id,
+         round(u.dot + e.label * 0.01, 6) AS score
+  FROM unseen u LEFT JOIN embeddings e ON e.vec_id = u.item_id
+), keyed AS (
+  SELECT *, {_softmax_key_sql('request_id', 'item_id', 'score', 20.0, '0')} AS _k
+  FROM feat
+)
+SELECT request_id, item_id, score,
+       row_number() OVER (PARTITION BY request_id ORDER BY _k ASC, item_id ASC)::BIGINT AS sample_rank
+FROM keyed
+QUALIFY sample_rank <= 5
+"""
+
+
+# ===========================================================================
+# Driver contract
+# ===========================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_four_stage_recs(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # core relational
+        "pricing_summary": q_pricing_summary,
+        "shipping_priority": q_shipping_priority,
+        "region_revenue": q_region_revenue,
+        "top_parts_per_brand": q_top_parts_per_brand,
+        "events_rollup": q_events_rollup,
+        "user_activity": q_user_activity,
+        "asof_view_before_purchase": q_asof_view_before_purchase,
+        # reference operator surface
+        "filter_candidates": q_filter_candidates,
+        "softmax_sampling": q_softmax_sampling,
+        "unroll_features": q_unroll_features,
+        "query_feature_table": q_query_feature_table,
+        "embedding_lookup": q_embedding_lookup,
+        "padding": q_padding,
+        "categorify": q_categorify,
+        "ann_topk": q_ann_topk,
+        "four_stage_recs": q_four_stage_recs,
+        # LLM-data pipeline
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram": q_dedup_ngram,
+        "dedup_embedding": q_dedup_embedding,
+        "minhash_signatures": q_minhash_signatures,
+        "text_stats": q_text_stats,
+        # rows-only (non-SQL-expressible)
+        "ann_lsh": q_ann_lsh,
+        "implicit_recommend": q_implicit_recommend,
+        "predict_forest": q_predict_forest,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": _SQL_PRICING,
+        "shipping_priority": _SQL_SHIPPING,
+        "region_revenue": _SQL_REGION,
+        "top_parts_per_brand": _SQL_TOP_PARTS,
+        "events_rollup": _SQL_ROLLUP,
+        "user_activity": _SQL_USER_ACTIVITY,
+        "asof_view_before_purchase": _SQL_ASOF,
+        "filter_candidates": _SQL_FILTER_CANDIDATES,
+        "softmax_sampling": _SQL_SOFTMAX,
+        "unroll_features": _SQL_UNROLL,
+        "query_feature_table": _SQL_FEATURE_TABLE,
+        "embedding_lookup": _SQL_EMBEDDING_LOOKUP,
+        "padding": _SQL_PADDING,
+        "categorify": _SQL_CATEGORIFY,
+        "ann_topk": _SQL_ANN_TOPK,
+        "four_stage_recs": _SQL_FOUR_STAGE,
+        "dedup_exact": _SQL_DEDUP_EXACT,
+        "dedup_minhash": MinHashDedup(**_MINHASH).pairs_oracle_sql(),
+        "dedup_simhash": SimHashDedup(**_SIMHASH).pairs_oracle_sql(),
+        "dedup_ngram": NGramJaccardDedup(**_NGRAM).pairs_oracle_sql(),
+        "dedup_embedding": EmbeddingDedup(**_EMBDED).pairs_oracle_sql(),
+        "minhash_signatures": MinHashDedup(**_MINHASH).signatures_oracle_sql(),
+        "text_stats": _SQL_TEXT_STATS,
+        # ann_lsh / implicit_recommend / predict_forest: rows-only
+    }

@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Queries execute via the noop sink (full plan runs, nothing collected to the
+driver) — the honest distributed-execution cost, not collect() serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as entrymod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# headline set: every operator family, weighted toward shuffle/join-heavy
+BENCH_QUERIES = [
+    "pricing_summary",
+    "shipping_priority",
+    "region_revenue",
+    "top_parts_per_brand",
+    "events_rollup",
+    "user_activity",
+    "asof_view_before_purchase",
+    "filter_candidates",
+    "softmax_sampling",
+    "unroll_features",
+    "query_feature_table",
+    "embedding_lookup",
+    "padding",
+    "categorify",
+    "ann_topk",
+    "four_stage_recs",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_ngram",
+    "dedup_embedding",
+    "text_stats",
+]
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("systems-spark-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entrymod.queries()
+    timings = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        try:
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 - record, keep benching
+            dt = round(time.perf_counter() - t0, 3)
+            print(f"# {name} FAILED after {dt}s: {exc}", file=sys.stderr)
+            timings[name] = None
+            continue
+        timings[name] = dt
+        total += dt
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

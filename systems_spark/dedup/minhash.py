@@ -134,7 +134,7 @@ GROUP BY a.{self.id_col}
         eq_sum = sum(F.col(f"eq{i}") for i in range(self.num_perm))
         return (
             pairs.dropDuplicates(["a", "b"])
-            .withColumn("n_equal", eq_sum)
+            .withColumn("n_equal", eq_sum.cast("long"))
             .select("a", "b", "n_equal")
         )
 
@@ -162,7 +162,7 @@ GROUP BY a.{self.id_col}
         return f"""
 WITH sigs0 AS ({sigs}),
 sigs AS (SELECT * FROM sigs0 WHERE m0 <> {MERSENNE_31})
-SELECT L.{self.id_col} AS a, R.{self.id_col} AS b, ({eq_sum}) AS n_equal
+SELECT L.{self.id_col} AS a, R.{self.id_col} AS b, ({eq_sum})::BIGINT AS n_equal
 FROM sigs L JOIN sigs R
   ON L.{self.id_col} < R.{self.id_col} AND ({band_match})
 WHERE ({eq_sum}) >= {min_eq}

@@ -124,7 +124,7 @@ SELECT {self.id_col}, ({sig})::BIGINT AS simhash FROM agg
             pairs.dropDuplicates(["a", "b"])
             .withColumn(
                 "hamming",
-                F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))),
+                F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long"),
             )
             .where(F.col("hamming") <= self.max_hamming)
             .select("a", "b", "hamming")
@@ -146,7 +146,7 @@ sigs AS (
   WHERE {self.id_col} IN (SELECT {self.id_col} FROM {table} WHERE len({toks_filter}) > 0)
 )
 SELECT L.{self.id_col} AS a, R.{self.id_col} AS b,
-       bit_count(xor(L.simhash, R.simhash)) AS hamming
+       bit_count(xor(L.simhash, R.simhash))::BIGINT AS hamming
 FROM sigs L JOIN sigs R
   ON L.{self.id_col} < R.{self.id_col} AND ({chunk_match})
 WHERE bit_count(xor(L.simhash, R.simhash)) <= {self.max_hamming}

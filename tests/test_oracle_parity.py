@@ -1,0 +1,81 @@
+"""Replicates the driver's correctness gate: run every queries() entry on
+Spark AND its oracle_sql() twin on DuckDB at sf0.01, compare row count,
+column names, and order-insensitive values.
+
+This is the test that must be green before any round ships — it is a local
+rehearsal of CORRECTNESS_r{N}.json.
+"""
+
+import math
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+SF = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+def _normalize(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # tolerate last-ulp drift in values that went through libm
+        return round(v, 9)
+    return v
+
+
+def _rows(frame_rows, columns):
+    ordered_cols = sorted(columns)
+    out = []
+    for r in frame_rows:
+        if isinstance(r, dict):
+            d = r
+        elif hasattr(r, "asDict"):
+            d = r.asDict()
+        else:
+            d = dict(zip(columns, r))
+        out.append(tuple(_normalize(d[c]) for c in ordered_cols))
+    return sorted(out, key=repr)  # repr-keyed: total order even with None/mixed
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(name, spark, duck):
+    sdf = QUERIES[name](spark, SF)
+    spark_cols = sdf.columns
+    spark_rows = _rows(sdf.collect(), spark_cols)
+
+    res = duck.execute(ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = _rows(
+        [dict(zip(duck_cols, row)) for row in res.fetchall()], duck_cols
+    )
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    mismatches = [
+        (s, d) for s, d in zip(spark_rows, duck_rows) if s != d
+    ]
+    assert not mismatches, f"{name}: {len(mismatches)} mismatched rows; first 3: {mismatches[:3]}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_query_runs(name, spark):
+    df = QUERIES[name](spark, SF)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
