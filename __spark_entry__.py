@@ -46,7 +46,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 # shared operator configs (one definition → both query and oracle)
 _MINHASH = dict(threshold=0.3)
-_SIMHASH = dict(max_hamming=7)
+_SIMHASH = dict(max_hamming=3)  # 3/32 bits ≈ strict near-dup; 4 chunk joins
 _NGRAM = dict(threshold=0.2, shingle_k=3)
 _EMBDED = dict(threshold=0.3)
 

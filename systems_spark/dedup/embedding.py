@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from systems_spark.functions.similarity import cosine_similarity
+from systems_spark.functions.similarity import dot_product, l2_norm
 from systems_spark.operators.ann import hyperplane_signature
 from systems_spark.operators.base import Operator
 
@@ -36,19 +36,26 @@ class EmbeddingDedup(Operator):
         self.requires = (vec_col, id_col)
 
     def _score_pairs(self, pairs: DataFrame) -> DataFrame:
+        # norms were precomputed per vector (N sqrt-folds, not N² — the
+        # expression dot/(na*nb) is bit-identical to dot/(sqrt(aa)*sqrt(bb)))
+        cos = dot_product(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
         return (
-            pairs.withColumn(
-                "cosine",
-                F.round(cosine_similarity(F.col("_va"), F.col("_vb")), self.round_dp),
-            )
+            pairs.withColumn("cosine", F.round(cos, self.round_dp))
             .where(F.col("cosine") >= self.threshold)
             .select("a", "b", "cosine")
         )
 
     def transform(self, df: DataFrame) -> DataFrame:
-        base = df.select(F.col(self.id_col), F.col(self.vec_col))
-        left = base.select(F.col(self.id_col).alias("a"), F.col(self.vec_col).alias("_va"))
-        right = base.select(F.col(self.id_col).alias("b"), F.col(self.vec_col).alias("_vb"))
+        # cast float→double ONCE per vector (not once per pair), and spread
+        # the left side across all cores — a small parquet input arrives as
+        # one partition, which would serialize the O(N²) pair computation
+        vec_d = F.transform(F.col(self.vec_col), lambda x: x.cast("double"))
+        base = df.select(F.col(self.id_col), vec_d.alias(self.vec_col))
+        par = df.sparkSession.sparkContext.defaultParallelism * 2
+        left = base.select(F.col(self.id_col).alias("a"), F.col(self.vec_col).alias("_va"),
+                           l2_norm(F.col(self.vec_col)).alias("_na")).repartition(par)
+        right = base.select(F.col(self.id_col).alias("b"), F.col(self.vec_col).alias("_vb"),
+                            l2_norm(F.col(self.vec_col)).alias("_nb"))
         if self.strategy == "exact":
             pairs = left.join(F.broadcast(right), on=F.col("a") < F.col("b"))
             return self._score_pairs(pairs)

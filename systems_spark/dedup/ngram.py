@@ -54,9 +54,22 @@ class NGramJaccardDedup(Operator):
         return sh
 
     def transform(self, df: DataFrame) -> DataFrame:
-        """(a, b, inter, size_a, size_b) with J ≥ threshold, a < b."""
+        """(a, b, inter, size_a, size_b) with J ≥ threshold, a < b.
+
+        Set sizes come from a pure per-row projection (``size(array_distinct
+        (shingles))``) — no explode, no shuffle, no caching; only the
+        pair-intersection needs the exploded shingle relation."""
         sh = self._shingle_rows(df)
-        sizes = sh.groupBy(self.id_col).agg(F.count(F.lit(1)).alias("set_size"))
+        if self.max_shingle_freq > 0:
+            # sizes must count only retained shingles → derive from sh
+            sizes = sh.groupBy(self.id_col).agg(F.count(F.lit(1)).alias("set_size"))
+        else:
+            sizes = df.select(
+                F.col(self.id_col),
+                F.size(
+                    F.array_distinct(word_shingles(F.col(self.content_col), self.shingle_k))
+                ).cast("long").alias("set_size"),
+            )
         inter = (
             sh.alias("L")
             .join(sh.alias("R"), on="shingle")
