@@ -7,8 +7,22 @@ from systems_spark.operators.feature_table import QueryFeatureTable
 from systems_spark.operators.embedding_lookup import EmbeddingLookup
 from systems_spark.operators.padding import Padding
 from systems_spark.operators.categorify import Categorify
+from systems_spark.operators.normalize import Normalize, FillMissing
+from systems_spark.operators.asof import AsofJoin
+from systems_spark.operators.ann import QueryANN
+from systems_spark.operators.predict import PredictModel, PredictForest, PredictImplicit
+from systems_spark.operators.multimodal import MediaFeatureExtract, FrameSample
 
 __all__ = [
+    "Normalize",
+    "FillMissing",
+    "AsofJoin",
+    "QueryANN",
+    "PredictModel",
+    "PredictForest",
+    "PredictImplicit",
+    "MediaFeatureExtract",
+    "FrameSample",
     "Operator",
     "LambdaOp",
     "SelectColumns",

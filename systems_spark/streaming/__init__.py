@@ -1,0 +1,66 @@
+"""Streaming serving runtime — the engine's online-scoring surface.
+
+Reference context: the reference's online path delegates to Triton
+(merlin/systems/dag/runtimes/triton/runtime.py) — request/response
+micro-batching with no watermarks or stateful stream semantics
+(SURVEY.md §2.2 "Streaming ops: none"). Our engine replaces that with
+Structured Streaming, which is genuinely new surface:
+
+- ``serve_pipeline``: apply ANY batch Pipeline to a stream via
+  ``foreachBatch`` — the same operator graph runs in both batch and
+  streaming (one definition, two runtimes — the lambda-architecture
+  killer Spark was built for).
+- ``transform_stream``: for pipelines made of stream-safe ops (projection,
+  filters, stream-static joins — e.g. QueryFeatureTable against a static
+  feature table), apply directly to the streaming DataFrame and keep
+  incremental execution + watermarks.
+- ``windowed_rollup``: event-time tumbling-window aggregation with
+  watermarked late-data handling — the canonical streaming agg.
+
+At scale: stream-static joins broadcast the feature table per micro-batch;
+stateful aggs shard by key across executors with RocksDB-backed state.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def transform_stream(pipeline, stream_df: DataFrame) -> DataFrame:
+    """Apply a pipeline of stream-safe operators directly (incremental
+    execution preserved — use for projection/filter/lookup-join pipelines)."""
+    return pipeline.transform(stream_df)
+
+
+def serve_pipeline(pipeline, stream_df: DataFrame, sink_fn: Callable,
+                   checkpoint: Optional[str] = None, trigger: Optional[dict] = None):
+    """Run a batch Pipeline over each micro-batch via foreachBatch.
+
+    ``sink_fn(result_df, batch_id)`` receives the scored batch (write to a
+    table, push to a cache, answer requests). Returns the StreamingQuery.
+    """
+
+    def process(batch_df: DataFrame, batch_id: int):
+        sink_fn(pipeline.transform(batch_df), batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(process)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def windowed_rollup(stream_df: DataFrame, ts_col: str, keys, window: str,
+                    watermark: str = "10 minutes", aggs: Optional[list] = None):
+    """Event-time tumbling-window aggregation with late-data watermark."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    aggs = aggs or [F.count(F.lit(1)).alias("n")]
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), *keys)
+        .agg(*aggs)
+    )

@@ -1,0 +1,204 @@
+"""Operator-level unit tests mirroring the reference's test patterns
+(SURVEY.md §5): tiny synthetic columns, exact/property assertions, schema
+propagation, save/load roundtrip equivalence.
+
+Reference analogs cited per test.
+"""
+
+import os
+import sys
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from systems_spark import Pipeline, Schema
+from systems_spark.operators import (
+    Categorify,
+    DropColumns,
+    FilterCandidates,
+    Padding,
+    Rename,
+    SelectColumns,
+    SoftmaxSampling,
+)
+from systems_spark.operators.ann import QueryANN
+from systems_spark.operators.asof import AsofJoin
+
+
+def test_filter_candidates_100_minus_20(spark):
+    """reference: tests/unit/systems/dag/ops/test_ops.py:126-155 —
+    100 candidates minus 20 seen = 80 filtered."""
+    candidates = list(range(100))
+    seen = candidates[:20]
+    df = spark.createDataFrame(
+        [(1, candidates, seen)], "request_id long, candidate_ids array<int>, seen array<int>"
+    )
+    out = FilterCandidates("seen", "candidate_ids")(df).collect()[0]
+    assert len(out.filtered_ids) == 80
+    assert set(out.filtered_ids) == set(candidates[20:])
+
+
+def test_filter_candidates_keeps_duplicates(spark):
+    """np.isin keeps duplicate candidates (session_filter.py:161);
+    array_except would dedup."""
+    df = spark.createDataFrame(
+        [(1, [5, 5, 7, 9], [9])], "request_id long, candidate_ids array<int>, seen array<int>"
+    )
+    kept = FilterCandidates("seen", "candidate_ids")(df).collect()[0].filtered_ids
+    assert kept == [5, 5, 7]
+    dedup = FilterCandidates("seen", "candidate_ids", keep_duplicates=False)(df)
+    assert dedup.collect()[0].filtered_ids == [5, 7]
+
+
+def test_softmax_sampling_properties(spark):
+    """reference: test_ops.py:48-122 — k rows per request, ids subset of
+    candidates, dtypes preserved, deterministic given seed."""
+    rows = [(req, i, float(i % 7) / 7.0) for req in (1, 2, 3) for i in range(100)]
+    df = spark.createDataFrame(rows, "request_id long, candidate_ids int, rel double")
+    op = SoftmaxSampling("rel", topk=10, input_col="candidate_ids", seed="42")
+    out = op(df)
+    per_req = out.groupBy("request_id").count().collect()
+    assert all(r["count"] == 10 for r in per_req)
+    got = out.select("candidate_ids").distinct().collect()
+    assert all(0 <= r.candidate_ids < 100 for r in got)
+    # dtype preservation (int stays int, double stays double)
+    assert dict(out.dtypes)["candidate_ids"] == "int"
+    assert dict(out.dtypes)["rel"] == "double"
+    # determinism
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, op(df).collect()))
+    assert a == b
+    # different seed → (almost surely) different sample
+    c = sorted(map(tuple, SoftmaxSampling("rel", topk=10, input_col="candidate_ids",
+                                          seed="43")(df).collect()))
+    assert a != c
+
+
+def test_softmax_sampling_as_arrays_shape(spark):
+    """reference output shape (1, topk): test_ops.py:112-113 — array mode."""
+    rows = [(1, i, float(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "request_id long, candidate_ids int, rel double")
+    out = SoftmaxSampling("rel", topk=5, input_col="candidate_ids",
+                          as_arrays=True)(df).collect()
+    assert len(out) == 1
+    assert len(out[0].ordered_ids) == 5
+    assert len(out[0].ordered_scores) == 5
+    # rank 1 = first element: scores follow the sampled order, not sorted order
+    assert set(out[0].ordered_ids) <= set(range(30))
+
+
+def test_higher_relevance_sampled_more(spark):
+    """Distributional property: with temperature 20, the top-scored item
+    should win rank 1 for most requests (weights are exp(20*s))."""
+    rows = [(req, i, 1.0 if i == 99 else 0.0) for req in range(50) for i in range(100)]
+    df = spark.createDataFrame(rows, "request_id long, candidate_ids int, rel double")
+    out = SoftmaxSampling("rel", topk=1, input_col="candidate_ids", seed="7")(df)
+    winners = [r.candidate_ids for r in out.collect()]
+    assert sum(1 for w in winners if w == 99) >= 45  # e^20 dominance
+
+
+def test_schema_propagation_through_pipeline(spark):
+    """reference: tests/unit/systems/dag/test_graph.py:31-49 — schema
+    equality through composed ops, without executing."""
+    schema = Schema.from_struct_type(
+        spark.createDataFrame([], "a int, b string, label double").schema
+    )
+    pipe = Pipeline([SelectColumns(["a", "b", "label"]),
+                     Rename(postfix="_x", columns=["a"]),
+                     DropColumns(["label"])])
+    out = pipe.compute_output_schema(schema)
+    assert out.column_names == ["a_x", "b"]
+
+
+def test_missing_column_raises(spark):
+    """reference: negative schema tests, fil/test_op.py:316-334."""
+    df = spark.createDataFrame([(1,)], "a int")
+    with pytest.raises(ValueError, match="missing input columns"):
+        SoftmaxSampling("nope", input_col="a", request_col="a")(df)
+
+
+def test_save_load_roundtrip_equivalence(spark, tables):
+    """reference: tests/unit/systems/dag/test_ensemble.py:27-58 — identical
+    outputs before/after persistence."""
+    li = tables["lineitem"]
+    cat = Categorify(["l_returnflag"], out_suffix="_c")
+    cat.fit(li)
+    pipe = Pipeline([cat, Rename(postfix="_renamed", columns=["l_returnflag_c"])])
+    before = pipe.transform(li).groupBy("l_returnflag", "l_returnflag_c_renamed").count()
+    with tempfile.TemporaryDirectory() as d:
+        pipe.save(d)
+        loaded = Pipeline.load(d, spark=spark)
+        after = loaded.transform(li).groupBy("l_returnflag", "l_returnflag_c_renamed").count()
+        assert sorted(map(tuple, before.collect())) == sorted(map(tuple, after.collect()))
+
+
+def test_categorify_code_order(spark):
+    """Codes 1..N by (freq desc, value asc); OOV/null → 0."""
+    df = spark.createDataFrame(
+        [("b",), ("b",), ("a",), ("c",), ("c",), ("c",), (None,)], "x string"
+    )
+    cat = Categorify(["x"], out_suffix="_c")
+    cat.fit(df)
+    got = {r.x: r.x_c for r in cat(df).select("x", F.col("x_c")).distinct().collect()}
+    assert got == {"c": 1, "b": 2, "a": 3, None: 0}
+    assert cat.cardinality("x") == 3
+
+
+def test_padding_exact(spark):
+    """reference: padding_op.py:25-41 — ragged [[1]], [[2,3]] → 2×5 dense."""
+    df = spark.createDataFrame([(1, [1]), (2, [2, 3])], "id int, a array<int>")
+    out = {r.id: r.a for r in Padding("a", 5, 0)(df).collect()}
+    assert out == {1: [1, 0, 0, 0, 0], 2: [2, 3, 0, 0, 0]}
+
+
+def test_ann_exact_self_is_top1_cosine(spark, tables):
+    """reference: faiss tests — querying with an indexed vector returns
+    itself first (cosine metric; self-similarity = 1)."""
+    emb = tables["embeddings"]
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("request_id"), F.col("embedding").alias("qvec")
+    )
+    op = QueryANN(emb, item_id_col="vec_id", query_vec_col="qvec",
+                  query_id_col="request_id", topk=3, metric="cosine")
+    top1 = op(q).where(F.col("ann_rank") == 1).collect()
+    assert all(r.request_id == r.ann_id for r in top1)
+
+
+def test_ann_lsh_is_subset_of_items_and_ranked(spark, tables):
+    emb = tables["embeddings"]
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("request_id"), F.col("embedding").alias("qvec")
+    )
+    op = QueryANN(emb, item_id_col="vec_id", query_vec_col="qvec",
+                  query_id_col="request_id", topk=5, strategy="lsh",
+                  dim=64, n_tables=4, n_planes=6)
+    rows = op(q).collect()
+    for r in rows:
+        assert 1 <= r.ann_rank <= 5
+    # per-query ranks are dense from 1
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.request_id, []).append(r.ann_rank)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_asof_join_exact(spark):
+    """Left row matches the latest right row at-or-before its ts, per key."""
+    left = spark.createDataFrame(
+        [(1, 100, 10), (2, 100, 25), (3, 200, 10)], "id long, k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(100, 5, "a"), (100, 10, "b"), (100, 20, "c"), (200, 99, "z")],
+        "k long, rts long, v string",
+    )
+    op = AsofJoin(right, on=["k"], left_ts="ts", right_ts="rts", right_cols=["v"])
+    got = {r.id: r.v for r in op(left).collect()}
+    assert got == {1: "b", 2: "c", 3: None}  # inclusive; no match → null
+    strict = AsofJoin(right, on=["k"], left_ts="ts", right_ts="rts",
+                      right_cols=["v"], strict=True)
+    got2 = {r.id: r.v for r in strict(left).collect()}
+    assert got2 == {1: "a", 2: "c", 3: None}  # strict: equal-ts row excluded

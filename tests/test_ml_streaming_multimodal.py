@@ -1,0 +1,186 @@
+"""Tests for model scoring, fitted transforms, streaming runtime, and
+multimodal plumbing (reference test patterns: golden-model parity —
+tests/unit/systems/ops/tf/test_ensemble.py:276-278; executor parity —
+test_executors.py:34-129)."""
+
+import os
+import sys
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from systems_spark import Pipeline
+from systems_spark.operators.multimodal import FrameSample, MediaFeatureExtract
+from systems_spark.operators.normalize import FillMissing, Normalize
+from systems_spark.operators.predict import PredictForest, PredictImplicit, PredictModel
+from systems_spark.streaming import serve_pipeline, transform_stream, windowed_rollup
+
+
+# -- fitted transforms -----------------------------------------------------
+
+def test_normalize_fit_transform(spark):
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "x double")
+    op = Normalize(["x"]).fit(df)
+    vals = sorted(r.x for r in op(df).collect())
+    assert abs(sum(vals)) < 1e-9  # zero-mean
+    assert abs(max(vals) - 1.2247448) < 1e-5  # unit pop-std
+
+
+def test_fill_missing_mean(spark):
+    df = spark.createDataFrame([(1.0,), (None,), (3.0,)], "x double")
+    op = FillMissing(["x"], strategy="mean").fit(df)
+    assert sorted(r.x for r in op(df).collect()) == [1.0, 2.0, 3.0]
+
+
+# -- model scoring ---------------------------------------------------------
+
+def test_predict_model_golden_parity(spark):
+    """Distributed scoring must equal in-process predict (golden parity)."""
+    import numpy as np
+    import pandas as pd
+
+    class ToyModel:
+        def predict(self, x):
+            return x[:, 0] * 2.0 + x[:, 1]
+
+    rows = [(i, float(i), float(i % 5)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, f0 double, f1 double")
+
+    op = PredictModel(
+        loader=lambda: ToyModel(),
+        predict_fn=lambda m, pdf: pd.DataFrame(
+            {"yhat": m.predict(pdf.to_numpy(dtype="float64"))}
+        ),
+        input_cols=["f0", "f1"],
+        output_schema="yhat double",
+    )
+    got = {r.id: r.yhat for r in op(df).collect()}
+    want = {i: i * 2.0 + (i % 5) for i in range(100)}
+    assert got == want
+
+
+def test_predict_forest_mllib_and_knobs(spark):
+    from pyspark.ml.classification import RandomForestClassifier
+    from pyspark.ml.feature import VectorAssembler
+
+    rows = [(float(i), float(i % 3), 1.0 if i % 2 else 0.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "f0 double, f1 double, label double")
+    assembled = VectorAssembler(inputCols=["f0", "f1"], outputCol="features").transform(df)
+    model = RandomForestClassifier(numTrees=5, maxDepth=3, seed=1).fit(assembled)
+
+    out = PredictForest(model, ["f0", "f1"])(df)
+    assert "output__0" in out.columns
+    assert dict(out.dtypes)["output__0"] == "float"
+    assert out.count() == 200
+
+    proba = PredictForest(model, ["f0", "f1"], predict_proba=True)(df)
+    first = proba.select("output__0").first()[0]
+    assert len(first) == 2  # per-class probabilities (fil.py predict_proba)
+
+
+def test_predict_forest_python_model(spark):
+    class SkLike:
+        def predict(self, x):
+            return (x[:, 0] > 50).astype("float32")
+
+    rows = [(i, float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, f0 double")
+    out = PredictForest(SkLike(), ["f0"], output_class=True, threshold=0.5)(df)
+    got = {r.id: r.output__0 for r in out.collect()}
+    assert got[10] == 0.0 and got[60] == 1.0
+
+
+def test_predict_implicit_shapes(spark, tables):
+    """implicit.py:92-113: per user, ids+scores arrays of length N."""
+    from pyspark.ml.recommendation import ALS
+
+    ev = tables["events"]
+    inter = ev.select(
+        F.col("user_id").cast("int").alias("user"),
+        F.pmod(F.col("event_id"), F.lit(50)).cast("int").alias("item"),
+        F.lit(1.0).alias("rating"),
+    ).groupBy("user", "item").agg(F.count(F.lit(1)).cast("float").alias("rating"))
+    model = ALS(rank=4, maxIter=3, seed=1, implicitPrefs=True, userCol="user",
+                itemCol="item", ratingCol="rating").fit(inter)
+    req = inter.select(F.col("user").cast("long").alias("user_id")).distinct().limit(5)
+    out = PredictImplicit(model, num_to_recommend=7)(req).collect()
+    assert len(out) == 5
+    for r in out:
+        assert len(r.ids) == 7 and len(r.scores) == 7
+        assert sorted(r.scores, reverse=True) == list(r.scores)  # ranked
+
+
+# -- streaming -------------------------------------------------------------
+
+def test_streaming_foreachbatch_parity(spark, tables, tmp_path):
+    """The same Pipeline produces identical results in batch and streaming
+    (executor-parity pattern, test_executors.py:34-129)."""
+    from systems_spark.operators import SelectColumns
+    from systems_spark.operators.selection import FilterRows
+
+    src = str(tmp_path / "src")
+    tables["events"].limit(500).write.mode("overwrite").parquet(src)
+    static = spark.read.parquet(src)
+
+    pipe = Pipeline([
+        SelectColumns(["event_id", "event_type", "value"]),
+        FilterRows("event_type = 'purchase'"),
+    ])
+    batch_result = sorted(map(tuple, pipe.transform(static).collect()))
+
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    collected = []
+    q = serve_pipeline(
+        pipe, stream,
+        sink_fn=lambda df, bid: collected.extend(map(tuple, df.collect())),
+        checkpoint=str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    assert sorted(collected) == batch_result
+
+
+def test_streaming_windowed_rollup(spark, tables, tmp_path):
+    src = str(tmp_path / "wsrc")
+    ev = tables["events"].limit(1000).withColumn(
+        "ts_ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    ev.write.mode("overwrite").parquet(src)
+    static = spark.read.parquet(src)
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    agg = windowed_rollup(stream, "ts_ts", "event_type", "1 hour", "1 minute")
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName("rollup_test").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select count(*) c from rollup_test").first().c
+    # batch equivalent
+    want = (static.groupBy(F.window("ts_ts", "1 hour"), "event_type").count().count())
+    assert got == want
+
+
+# -- multimodal ------------------------------------------------------------
+
+def test_media_feature_extract_plumbing(spark):
+    rows = [(1, b"\x01\x02\x03" * 100), (2, b"\xff" * 50), (3, None)]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = MediaFeatureExtract("payload", dim=8)(df)
+    got = {r.id: r.features for r in out.collect()}
+    assert all(len(v) == 8 for v in got.values())
+    # deterministic: re-run equals
+    got2 = {r.id: r.features for r in MediaFeatureExtract("payload", dim=8)(df).collect()}
+    assert got == got2
+    # distinct payloads → distinct features; null payload handled
+    assert got[1] != got[2] and got[3] is not None
+
+
+def test_frame_sample_explodes(spark):
+    df = spark.createDataFrame([(1, bytes(range(64)))], "id long, payload binary")
+    out = FrameSample("payload", n_frames=4)(df).collect()
+    assert len(out) == 4
+    assert [r.frame_idx for r in out] == [0, 1, 2, 3]
+    assert all(isinstance(r.frame, (bytes, bytearray)) for r in out)
+    # frames partition the payload deterministically
+    assert b"".join(r.frame for r in sorted(out, key=lambda r: r.frame_idx)) == bytes(range(64))
