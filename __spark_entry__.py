@@ -558,6 +558,151 @@ FROM documents
 """
 
 
+def q_ann_ivf(spark, sf_dir):
+    """Deterministic IVF retrieval (IVF32,Flat nprobe=8 — faiss.py:213-214):
+    coarse cells seeded by lowest-id vectors, probe top-8 cells, exact
+    rerank. Fully oracle-checked — unlike FAISS's trained quantizer."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    op = QueryANN(emb, item_id_col="vec_id", item_vec_col="embedding",
+                  query_vec_col="qvec", query_id_col="query_id", topk=5,
+                  metric="ip", strategy="ivf", n_cells=32, nprobe=8)
+    return op(queries).select(
+        "query_id", F.col("ann_id").alias("item_id"),
+        F.col("ann_rank").cast("long").alias("ann_rank"),
+        F.round(F.col("ann_score"), 4).alias("score"),
+    )
+
+
+_SQL_ANN_IVF = """
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS cent_vec FROM embeddings
+  ORDER BY vec_id ASC LIMIT 32
+), item_cells AS (
+  SELECT vec_id, embedding, cent_id AS cell FROM (
+    SELECT i.vec_id, i.embedding, c.cent_id,
+           row_number() OVER (
+             PARTITION BY i.vec_id
+             ORDER BY list_inner_product(i.embedding::DOUBLE[], c.cent_vec::DOUBLE[]) DESC,
+                      c.cent_id ASC) AS rn
+    FROM embeddings i CROSS JOIN cents c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT query_id, qvec, cell FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cent_id AS cell,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_inner_product(q.embedding::DOUBLE[], c.cent_vec::DOUBLE[]) DESC,
+                      c.cent_id ASC) AS rn
+    FROM (SELECT * FROM embeddings WHERE vec_id < 20) q CROSS JOIN cents c
+  ) WHERE rn <= 8
+), cand AS (
+  SELECT p.query_id, i.vec_id AS item_id,
+         list_inner_product(p.qvec::DOUBLE[], i.embedding::DOUBLE[]) AS dot
+  FROM probes p JOIN item_cells i ON p.cell = i.cell
+)
+SELECT query_id, item_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, item_id ASC)::BIGINT AS ann_rank,
+       round(dot, 4) AS score
+FROM cand
+QUALIFY ann_rank <= 5
+"""
+
+
+def q_events_hourly(spark, sf_dir):
+    """Event-time tumbling-window rollup (the batch twin of the streaming
+    windowed_rollup) — integer hour buckets from the nanos timestamp, so no
+    timezone semantics leak into the comparison."""
+    ev = _t(spark, sf_dir, "events")  # ts int64 nanos
+    return (
+        ev.withColumn("hour_bucket", F.expr("(ts div 1000) div 3600000000"))
+        .groupBy("hour_bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(_dec("value", 18, 6)).alias("total_value"),
+        )
+    )
+
+
+_SQL_EVENTS_HOURLY = """
+SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
+       count(*) AS n_events,
+       round(sum(value::DECIMAL(18,6)), 4)::DOUBLE AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_top_ngrams(spark, sf_dir):
+    """Global top-20 word 3-grams by frequency — the shuffle-heavy text
+    aggregation (corpus statistics for tokenizer/quality work)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(TX.word_shingles(F.col("text"), 3)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("ngram").asc())
+        .limit(20)
+    )
+
+
+_SQL_TOP_NGRAMS = f"""
+SELECT ngram, count(*) AS n
+FROM (SELECT unnest({TX.word_shingles_sql('text', 3)}) AS ngram FROM documents)
+GROUP BY 1 ORDER BY n DESC, ngram ASC LIMIT 20
+"""
+
+
+def q_dedup_verified(spark, sf_dir):
+    """THE scalable dedup composition: minhash-LSH candidate pairs (cheap,
+    approximate) verified with exact n-gram Jaccard (expensive, only on
+    candidates). At 100 TB this is the only viable exact-threshold dedup —
+    and it is still fully oracle-checked here."""
+    docs = _t(spark, sf_dir, "documents")
+    mh = MinHashDedup(**_MINHASH)
+    sigs = mh.signatures(docs).where(F.col("m0") != 2147483647)
+    cands = mh.candidate_pairs(sigs).select("a", "b")
+    ng = NGramJaccardDedup(shingle_k=3)
+    verified = ng.verify_pairs(docs, cands)
+    # J >= 0.4  <=>  10*inter >= 4*(size_a+size_b-inter)
+    return verified.where(
+        F.col("inter") * 10 >= 4 * (F.col("size_a") + F.col("size_b") - F.col("inter"))
+    ).select("a", "b", "inter", "size_a", "size_b", "jaccard")
+
+
+def _sql_dedup_verified() -> str:
+    mh = MinHashDedup(**_MINHASH)
+    sigs = mh.signatures_oracle_sql("documents")
+    r = mh.rows_per_band
+    band_match = " OR ".join(
+        "(" + " AND ".join(f"L.m{band * r + j} = R.m{band * r + j}" for j in range(r)) + ")"
+        for band in range(mh.bands)
+    )
+    shingles = TX.word_shingles_sql("text", 3)
+    return f"""
+WITH sigs0 AS ({sigs}),
+sigs AS (SELECT * FROM sigs0 WHERE m0 <> 2147483647),
+cand AS (
+  SELECT L.doc_id AS a, R.doc_id AS b
+  FROM sigs L JOIN sigs R ON L.doc_id < R.doc_id AND ({band_match})
+),
+sh AS (SELECT doc_id, unnest(list_distinct({shingles})) AS shingle FROM documents),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT a, b, inter, za.set_size AS size_a, zb.set_size AS size_b,
+       round(inter / (za.set_size + zb.set_size - inter), 6) AS jaccard
+FROM inter JOIN sizes za ON za.doc_id = a JOIN sizes zb ON zb.doc_id = b
+WHERE 10 * inter >= 4 * (za.set_size + zb.set_size - inter)
+"""
+
+
 # ===========================================================================
 # Non-SQL-expressible (rows-only checks): ML model operators, LSH retrieval
 # ===========================================================================
@@ -752,6 +897,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "padding": q_padding,
         "categorify": q_categorify,
         "ann_topk": q_ann_topk,
+        "ann_ivf": q_ann_ivf,
+        "events_hourly": q_events_hourly,
+        "top_ngrams": q_top_ngrams,
+        "dedup_verified": q_dedup_verified,
         "four_stage_recs": q_four_stage_recs,
         # LLM-data pipeline
         "dedup_exact": q_dedup_exact,
@@ -785,6 +934,10 @@ def oracle_sql() -> dict[str, str]:
         "padding": _SQL_PADDING,
         "categorify": _SQL_CATEGORIFY,
         "ann_topk": _SQL_ANN_TOPK,
+        "ann_ivf": _SQL_ANN_IVF,
+        "events_hourly": _SQL_EVENTS_HOURLY,
+        "top_ngrams": _SQL_TOP_NGRAMS,
+        "dedup_verified": _sql_dedup_verified(),
         "four_stage_recs": _SQL_FOUR_STAGE,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_minhash": MinHashDedup(**_MINHASH).pairs_oracle_sql(),

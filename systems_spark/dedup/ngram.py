@@ -93,13 +93,17 @@ class NGramJaccardDedup(Operator):
 
     def verify_pairs(self, df: DataFrame, pairs: DataFrame) -> DataFrame:
         """Exact-Jaccard verification of candidate (a, b) pairs from an
-        approximate pass (minhash/simhash) — the scalable composition."""
+        approximate pass (minhash/simhash) — the scalable composition.
+
+        Join order matters: pairs⋈shingles(a) first, THEN an equi-join on
+        (b, shingle) — keeping 'shingle' in the join key avoids the per-pair
+        |A|×|B| cross product a filter-after-join would materialize."""
         sh = self._shingle_rows(df)
-        a_sh = sh.withColumnRenamed(self.id_col, "a").withColumnRenamed("shingle", "sh_a")
-        b_sh = sh.withColumnRenamed(self.id_col, "b").withColumnRenamed("shingle", "sh_b")
+        a_sh = sh.withColumnRenamed(self.id_col, "a")
+        b_sh = sh.withColumnRenamed(self.id_col, "b")
         inter = (
-            pairs.join(a_sh, "a").join(b_sh, "b")
-            .where(F.col("sh_a") == F.col("sh_b"))
+            pairs.join(a_sh, "a")
+            .join(b_sh, ["b", "shingle"])
             .groupBy("a", "b").agg(F.count(F.lit(1)).alias("inter"))
         )
         sizes = sh.groupBy(self.id_col).agg(F.count(F.lit(1)).alias("set_size"))

@@ -74,7 +74,10 @@ class QueryANN(Operator):
                  item_vec_col: str = "embedding", query_vec_col: str = "embedding",
                  query_id_col: str = "request_id", topk: int = 10, metric: str = "ip",
                  strategy: str = "exact", n_tables: int = 4, n_planes: int = 8,
-                 dim: Optional[int] = None, broadcast: bool = True):
+                 dim: Optional[int] = None, broadcast: bool = True,
+                 n_cells: int = 32, nprobe: int = 8):
+        self.n_cells = int(n_cells)
+        self.nprobe = int(nprobe)
         self.items_df = items_df
         self.item_id_col = item_id_col
         self.item_vec_col = item_vec_col
@@ -117,7 +120,53 @@ class QueryANN(Operator):
             return self._rank_topk(joined)
         if self.strategy == "lsh":
             return self._transform_lsh(df)
+        if self.strategy == "ivf":
+            return self._transform_ivf(df)
         raise ValueError(f"unknown strategy {self.strategy!r}")
+
+    def _transform_ivf(self, df: DataFrame) -> DataFrame:
+        """Deterministic IVF (the reference index is IVF32,Flat nprobe=8 —
+        faiss.py:213-214): coarse cells are seeded by the ``n_cells``
+        lowest-id item vectors (no iterative k-means → reproducible and
+        oracle-checkable); each item joins its best cell, each query probes its
+        ``nprobe`` best cells, exact rerank inside the probed cells.
+
+        Scale shape: cell assignment is a broadcast map-side pass over
+        items (N×K dots, no shuffle); the probe join is an equi-join on a
+        narrow int cell key — the cross join of exact search never happens.
+        """
+        n_cells, nprobe = self.n_cells, self.nprobe
+        items = self._items()
+        cents = F.broadcast(
+            items.orderBy(F.col("_ann_id").asc()).limit(n_cells).select(
+                F.col("_ann_id").alias("_cent_id"), F.col("_ann_vec").alias("_cent_vec")
+            )
+        )
+        cell_w = Window.partitionBy("_ann_id").orderBy(
+            F.col("_cdot").desc(), F.col("_cent_id").asc()
+        )
+        item_cells = (
+            items.crossJoin(cents)
+            .withColumn("_cdot", _score(self.metric, F.col("_ann_vec"), F.col("_cent_vec")))
+            .withColumn("_crn", F.row_number().over(cell_w))
+            .where(F.col("_crn") == 1)
+            .select("_ann_id", "_ann_vec", F.col("_cent_id").alias("_cell"))
+        )
+        probe_w = Window.partitionBy(self.query_id_col).orderBy(
+            F.col("_cdot").desc(), F.col("_cent_id").asc()
+        )
+        probes = (
+            df.crossJoin(cents)
+            .withColumn("_cdot", _score(self.metric, F.col(self.query_vec_col), F.col("_cent_vec")))
+            .withColumn("_crn", F.row_number().over(probe_w))
+            .where(F.col("_crn") <= nprobe)
+            .drop("_cent_vec", "_cdot", "_crn")
+            .withColumnRenamed("_cent_id", "_cell")
+        )
+        joined = probes.join(item_cells, on="_cell").withColumn(
+            "ann_score", _score(self.metric, F.col(self.query_vec_col), F.col("_ann_vec"))
+        ).drop("_cell")
+        return self._rank_topk(joined)
 
     def _transform_lsh(self, df: DataFrame) -> DataFrame:
         if self.dim is None:

@@ -109,6 +109,24 @@ class Pipeline:
         with open(os.path.join(path, _PLAN_FILE), "w") as f:
             json.dump(plan, f, indent=2)
 
+    def export(self, path: str, input_schema=None) -> None:
+        """Serving export: ``save()`` plus a ``metadata.json`` recording the
+        declared input/output schemas (incl. list-ness and tags), mirroring
+        the reference's exported-ensemble schema contract
+        (merlin/systems/dag/ensemble.py:147-153, triton export schema at
+        runtimes/triton/runtime.py:145-219). A server wraps ``Pipeline.load``
+        + ``transform`` — e.g. the streaming runtime's serve_pipeline."""
+        import json as _json
+
+        self.save(path)
+        meta = {}
+        if input_schema is not None:
+            out_schema = self.compute_output_schema(input_schema)
+            meta["input_schema"] = input_schema.to_struct_type().jsonValue()
+            meta["output_schema"] = out_schema.to_struct_type().jsonValue()
+        with open(os.path.join(path, "metadata.json"), "w") as f:
+            _json.dump(meta, f, indent=2)
+
     @classmethod
     def load(cls, path: str, spark=None) -> "Pipeline":
         from systems_spark import __version__

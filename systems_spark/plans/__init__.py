@@ -1,0 +1,79 @@
+"""Plan introspection & scale guardrails.
+
+The reference's "optimizer" is schema propagation + selector-based column
+pruning (SURVEY.md §4.1); Catalyst subsumes all of it. What a 100 TB engine
+still needs is *assertions* that the optimizer produced the plan you
+intended — a broadcast that silently becomes a sort-merge join, or a filter
+that stops reaching the scan, is a 100× regression that correctness tests
+never see. These helpers make plan shape testable.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Shuffle count — the number that matters most at scale."""
+    return len(re.findall(r"\bExchange\b", formatted_plan(df)))
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in formatted_plan(df) or \
+        "BroadcastNestedLoopJoin" in formatted_plan(df)
+
+
+def has_sort_merge_join(df: DataFrame) -> bool:
+    return "SortMergeJoin" in formatted_plan(df)
+
+
+def pushed_filters(df: DataFrame) -> list:
+    """Filters that reached the parquet scan (predicate pushdown proof)."""
+    out = []
+    for line in formatted_plan(df).splitlines():
+        m = re.search(r"PushedFilters: \[(.*)\]", line)
+        if m and m.group(1).strip():
+            out.extend(p.strip() for p in m.group(1).split(","))
+    return out
+
+
+def scan_columns(df: DataFrame) -> list:
+    """Columns actually read from the scan (column-pruning proof)."""
+    cols = []
+    for line in formatted_plan(df).splitlines():
+        m = re.search(r"ReadSchema: struct<(.*)>", line)
+        if m:
+            cols.extend(c.split(":")[0].strip() for c in m.group(1).split(",") if c)
+    return cols
+
+
+def assert_no_cartesian(df: DataFrame) -> None:
+    plan = formatted_plan(df)
+    if "CartesianProduct" in plan:
+        raise AssertionError("plan contains a CartesianProduct:\n" + plan)
+
+
+def salted_group_count(df: DataFrame, key_col: str, n_salts: int = 16,
+                       count_col: str = "n") -> DataFrame:
+    """Skew-safe distributed count: two-stage aggregation with a salt.
+
+    ``groupBy(key)`` on a hot key puts the whole key on one task; salting
+    splits it across ``n_salts`` partial aggregates, then merges — the
+    standard remedy when AQE's skew handling doesn't apply (aggregations).
+    """
+    from pyspark.sql import functions as F
+
+    salted = df.withColumn("_salt", (F.rand() * n_salts).cast("int"))
+    partial = salted.groupBy(key_col, "_salt").agg(F.count(F.lit(1)).alias("_pc"))
+    return partial.groupBy(key_col).agg(F.sum("_pc").cast("long").alias(count_col))

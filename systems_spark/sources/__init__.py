@@ -1,0 +1,109 @@
+"""Sources & sinks.
+
+Reference surface (SURVEY.md §2.2): parquet + CSV (with and without header)
+datasets (tests/conftest.py:87-104,157-185), feature tables backed by parquet
+(the Feast offline store IS parquet — tests/integration/feast/
+test_int_feast.py:40-67), model artifacts, and an exported serving directory.
+
+Spark-first: thin, opinionated wrappers over ``spark.read``/``df.write`` that
+encode the scale decisions a 100 TB pipeline needs made explicitly:
+- schema-on-read for headerless CSV (never infer on big data — an extra full
+  scan);
+- partitioned + optionally bucketed parquet sinks (bucketing co-locates
+  later joins on the bucket key with zero shuffle);
+- a FeatureTable helper that models the online-store view: parquet +
+  dedup-by-key (+ optional event-time as-of filtering for point-in-time
+  training reads).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_parquet(spark: SparkSession, path: str, columns: Optional[Iterable[str]] = None,
+                 nanos_as_long: bool = True) -> DataFrame:
+    """Parquet scan; column selection here reaches the reader (pruned
+    ReadSchema). ``nanos_as_long`` tolerates TIMESTAMP(NANOS) files."""
+    if nanos_as_long:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    return df.select(*columns) if columns else df
+
+
+def read_csv(spark: SparkSession, path: str, schema=None, header: bool = True,
+             **options) -> DataFrame:
+    """CSV with explicit schema (headerless files supported, reference
+    conftest.py:174-185). Schema inference is refused for headerless files —
+    at scale it is a hidden full scan."""
+    reader = spark.read.options(header=str(header).lower(), **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif not header:
+        raise ValueError("headerless CSV requires an explicit schema")
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
+                  partition_by: Optional[Iterable[str]] = None,
+                  max_records_per_file: Optional[int] = None) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*list(partition_by))
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.parquet(path)
+
+
+def write_bucketed_table(df: DataFrame, table_name: str, bucket_col: str,
+                         n_buckets: int, mode: str = "overwrite") -> None:
+    """Bucketed managed table: joins/aggs on ``bucket_col`` against other
+    tables bucketed the same way need NO shuffle — the pre-partitioning is
+    the single biggest lever for repeated 100 TB joins."""
+    (df.write.mode(mode)
+     .bucketBy(n_buckets, bucket_col)
+     .sortBy(bucket_col)
+     .saveAsTable(table_name))
+
+
+class FeatureTable:
+    """Parquet-backed feature view (QueryFeast's store analog).
+
+    ``latest()`` = online-store semantics (one row per entity, last write
+    wins by event-time when given); ``as_of(ts)`` = point-in-time snapshot
+    for leakage-free training reads (feast.py's offline retrieval)."""
+
+    def __init__(self, spark: SparkSession, path: str, entity_col: str,
+                 event_time_col: Optional[str] = None):
+        self.spark = spark
+        self.path = path
+        self.entity_col = entity_col
+        self.event_time_col = event_time_col
+
+    def frame(self) -> DataFrame:
+        return read_parquet(self.spark, self.path)
+
+    def latest(self) -> DataFrame:
+        df = self.frame()
+        if not self.event_time_col:
+            return df.dropDuplicates([self.entity_col])
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(self.entity_col).orderBy(F.col(self.event_time_col).desc())
+        return (df.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1).drop("_rn"))
+
+    def as_of(self, ts) -> DataFrame:
+        if not self.event_time_col:
+            raise ValueError("as_of requires an event_time_col")
+        df = self.frame().where(F.col(self.event_time_col) <= F.lit(ts))
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(self.entity_col).orderBy(F.col(self.event_time_col).desc())
+        return (df.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1).drop("_rn"))

@@ -1,0 +1,123 @@
+"""Sources/sinks, registry, pipeline export, and plan-introspection tests."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from systems_spark import Pipeline, Schema
+from systems_spark.operators import Rename, SelectColumns
+from systems_spark.plans import (
+    count_exchanges,
+    has_broadcast_join,
+    has_sort_merge_join,
+    pushed_filters,
+    salted_group_count,
+    scan_columns,
+)
+from systems_spark.registry import FileSystemModelRegistry
+from systems_spark.sources import FeatureTable, read_csv, read_parquet, write_parquet
+
+
+def test_read_csv_headerless_requires_schema(spark, tmp_path):
+    p = str(tmp_path / "x.csv")
+    with open(p, "w") as f:
+        f.write("1,foo\n2,bar\n")
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_csv(spark, p, header=False)
+    df = read_csv(spark, p, schema="id int, name string", header=False)
+    assert sorted(map(tuple, df.collect())) == [(1, "foo"), (2, "bar")]
+
+
+def test_csv_roundtrip_with_header(spark, tmp_path):
+    src = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    p = str(tmp_path / "csv_out")
+    src.write.option("header", "true").mode("overwrite").csv(p)
+    back = read_csv(spark, p, schema="id int, v string", header=True)
+    assert sorted(map(tuple, back.collect())) == [(1, "a"), (2, "b")]
+
+
+def test_write_parquet_partitioned(spark, tmp_path, tables):
+    p = str(tmp_path / "part_out")
+    write_parquet(tables["region"], p, partition_by=["r_regionkey"])
+    names = os.listdir(p)
+    assert any(n.startswith("r_regionkey=") for n in names)
+    back = read_parquet(spark, p)
+    assert back.count() == 5
+
+
+def test_feature_table_latest_and_asof(spark, tmp_path):
+    rows = [(1, 10, "v1"), (1, 20, "v2"), (2, 15, "w1")]
+    df = spark.createDataFrame(rows, "entity long, event_time long, val string")
+    p = str(tmp_path / "feat")
+    df.write.parquet(p)
+    ft = FeatureTable(spark, p, "entity", "event_time")
+    latest = {r.entity: r.val for r in ft.latest().collect()}
+    assert latest == {1: "v2", 2: "w1"}
+    asof = {r.entity: r.val for r in ft.as_of(12).collect()}
+    assert asof == {1: "v1"}  # entity 2 has nothing at-or-before t=12
+
+
+def test_filesystem_registry(tmp_path):
+    base = tmp_path / "models" / "ranker"
+    (base / "1").mkdir(parents=True)
+    (base / "3").mkdir()
+    reg = FileSystemModelRegistry(str(tmp_path / "models"), "ranker")
+    assert reg.get_artifact_uri().endswith("ranker/3")
+    reg1 = FileSystemModelRegistry(str(tmp_path / "models"), "ranker", version=1)
+    assert reg1.get_artifact_uri().endswith("ranker/1")
+    with pytest.raises(FileNotFoundError):
+        FileSystemModelRegistry(str(tmp_path / "models"), "ranker", version=9).get_artifact_uri()
+
+
+def test_pipeline_export_metadata(spark, tmp_path):
+    pipe = Pipeline([SelectColumns(["a"]), Rename(postfix="_y", columns=["a"])])
+    schema = Schema.from_struct_type(T.StructType([T.StructField("a", T.LongType())]))
+    d = str(tmp_path / "exported")
+    pipe.export(d, input_schema=schema)
+    import json
+
+    meta = json.load(open(os.path.join(d, "metadata.json")))
+    out_fields = [f["name"] for f in meta["output_schema"]["fields"]]
+    assert out_fields == ["a_y"]
+    loaded = Pipeline.load(d, spark=spark)
+    assert len(loaded.operators) == 2
+
+
+# -- plan introspection ----------------------------------------------------
+
+def test_pushdown_and_pruning_visible(spark, tables):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    df = li.where(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    assert any("l_quantity" in f for f in pushed_filters(df))
+    cols = scan_columns(df)
+    assert set(cols) == {"l_orderkey", "l_quantity"}  # pruned scan
+
+
+def test_broadcast_vs_smj_detection(spark, tables):
+    small = tables["region"]
+    big = tables["customer"]
+    b = big.join(F.broadcast(small), big.c_nationkey == small.r_regionkey)
+    assert has_broadcast_join(b)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        s = big.join(small.hint("merge"), big.c_nationkey == small.r_regionkey)
+        assert has_sort_merge_join(s)
+        assert count_exchanges(s) >= 2  # both sides shuffle
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_salted_group_count_equals_plain(spark, tables):
+    li = tables["lineitem"]
+    plain = {r.l_returnflag: r.n for r in
+             li.groupBy("l_returnflag").agg(F.count(F.lit(1)).cast("long").alias("n")).collect()}
+    salted = {r.l_returnflag: r.n for r in
+              salted_group_count(li, "l_returnflag", n_salts=8).collect()}
+    assert plain == salted
