@@ -507,7 +507,7 @@ def q_dedup_exact(spark, sf_dir):
 
 _SQL_DEDUP_EXACT = (
     "SELECT doc_id, "
-    + hash64_sql("regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')")
+    + ExactDedup("text", "doc_id", normalize=True).key_sql("text")
     + " AS content_key FROM documents"
 )
 
@@ -537,13 +537,20 @@ def q_text_stats(spark, sf_dir):
     the per-document text-analysis sweep, all JVM expressions."""
     docs = _t(spark, sf_dir, "documents")
     t = F.col("text")
-    return docs.select(
+    # stage token materialization: tokens computed ONCE per row, then every
+    # downstream stat reads the arrays (10× over inline re-tokenization)
+    staged = docs.select(
+        "doc_id", t,
+        TX.tokens(t).alias("_toks"),
+        TX.tokens(F.lower(t)).alias("_toks_lower"),
+    )
+    return staged.select(
         "doc_id",
-        TX.token_count(t).cast("long").alias("n_tokens"),
+        F.size("_toks").cast("long").alias("n_tokens"),
         TX.bpe_token_count(t).cast("long").alias("n_bpe_tokens"),
-        TX.lang_id(t).alias("pred_lang"),
-        TX.quality_score(t).alias("quality"),
-        TX.fingerprint(t).alias("fingerprint"),
+        TX.lang_id_from_tokens(F.col("_toks_lower")).alias("pred_lang"),
+        TX.quality_score_from_tokens(t, F.col("_toks"), F.col("_toks_lower")).alias("quality"),
+        TX.fingerprint_from_tokens(t, F.col("_toks")).alias("fingerprint"),
     )
 
 
@@ -555,6 +562,96 @@ SELECT doc_id,
        {TX.quality_score_sql('text')} AS quality,
        {TX.fingerprint_sql('text')} AS fingerprint
 FROM documents
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization of the event stream (30-minute gap):
+    per (user, session) event count and duration. Pure window arithmetic
+    on integer µs timestamps — deterministic, one shuffle."""
+    from systems_spark.operators.sessionize import Sessionize
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.expr("ts div 1000"))  # µs
+    gap_us = 30 * 60 * 1_000_000
+    op = Sessionize("user_id", "ts", gap_us, order_cols=["event_id"])
+    return (
+        op(ev)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("(max(ts) - min(ts)) div 1000").alias("duration_ms"),
+        )
+    )
+
+
+_SQL_SESSIONIZE = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+), flagged AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)
+), sessions AS (
+  SELECT user_id, ts_us,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+                          ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       (max(ts_us) - min(ts_us)) // 1000 AS duration_ms
+FROM sessions GROUP BY 1, 2
+"""
+
+
+def q_value_banded(spark, sf_dir):
+    """Range join: bucket event values into [lo, hi) bands via the
+    discretize-explode-refine pattern (no cartesian product)."""
+    from systems_spark.operators.range_join import RangeJoin
+
+    ev = _t(spark, sf_dir, "events")
+    bands = spark.range(10).select(
+        F.col("id").alias("band"),
+        (F.col("id") * 10.0).alias("lo"),
+        ((F.col("id") + 1) * 10.0).alias("hi"),
+    )
+    op = RangeJoin(bands, "value", bucket_size=5.0, broadcast=True)
+    return (
+        op(ev)
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"),
+             _dsum(_dec("value", 18, 6)).alias("band_value"))
+    )
+
+
+_SQL_VALUE_BANDED = """
+SELECT b.band, count(*) AS n,
+       round(sum(e.value::DECIMAL(18,6)), 4)::DOUBLE AS band_value
+FROM events e
+JOIN (SELECT i AS band, i*10.0 AS lo, (i+1)*10.0 AS hi FROM range(10) t(i)) b
+  ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.band
+"""
+
+
+def q_value_quantiles(spark, sf_dir):
+    """Exact interpolated quantiles per event type (percentile ≡ DuckDB
+    quantile_cont — same linear-interpolation definition)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+_SQL_VALUE_QUANTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
 """
 
 
@@ -639,7 +736,8 @@ def q_top_ngrams(spark, sf_dir):
     aggregation (corpus statistics for tokenizer/quality work)."""
     docs = _t(spark, sf_dir, "documents")
     return (
-        docs.select(F.explode(TX.word_shingles(F.col("text"), 3)).alias("ngram"))
+        docs.select(TX.tokens(F.col("text")).alias("_toks"))
+        .select(F.explode(TX.word_shingles_from_tokens(F.col("_toks"), 3)).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("ngram").asc())
@@ -898,6 +996,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "categorify": q_categorify,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
+        "sessionize": q_sessionize,
+        "value_banded": q_value_banded,
+        "value_quantiles": q_value_quantiles,
         "events_hourly": q_events_hourly,
         "top_ngrams": q_top_ngrams,
         "dedup_verified": q_dedup_verified,
@@ -935,6 +1036,9 @@ def oracle_sql() -> dict[str, str]:
         "categorify": _SQL_CATEGORIFY,
         "ann_topk": _SQL_ANN_TOPK,
         "ann_ivf": _SQL_ANN_IVF,
+        "sessionize": _SQL_SESSIONIZE,
+        "value_banded": _SQL_VALUE_BANDED,
+        "value_quantiles": _SQL_VALUE_QUANTILES,
         "events_hourly": _SQL_EVENTS_HOURLY,
         "top_ngrams": _SQL_TOP_NGRAMS,
         "dedup_verified": _sql_dedup_verified(),

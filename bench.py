@@ -42,6 +42,13 @@ BENCH_QUERIES = [
     "padding",
     "categorify",
     "ann_topk",
+    "ann_ivf",
+    "sessionize",
+    "value_banded",
+    "value_quantiles",
+    "events_hourly",
+    "top_ngrams",
+    "dedup_verified",
     "four_stage_recs",
     "dedup_exact",
     "dedup_minhash",

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from systems_spark.functions.hashing import hash64
+from systems_spark.functions.text import WS_RUN, ws_fold, ws_fold_sql
 from systems_spark.operators.base import Operator
 
 
@@ -30,8 +31,26 @@ class ExactDedup(Operator):
     def _key(self) -> F.Column:
         c = F.col(self.content_col)
         if self.normalize:
-            c = F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+            # fold exotic unicode spaces (portable translate, see
+            # functions/text.py), collapse runs to one space, strip ends
+            c = F.regexp_replace(
+                F.regexp_replace(ws_fold(F.lower(c)), WS_RUN, " "), "^ +| +$", ""
+            )
         return hash64(c)
+
+    def key_sql(self, expr: str = "text") -> str:
+        """DuckDB twin of :meth:`_key` (used by the oracle query)."""
+        if not self.normalize:
+            from systems_spark.functions.hashing import hash64_sql
+
+            return hash64_sql(expr)
+        from systems_spark.functions.hashing import hash64_sql
+
+        norm = (
+            f"regexp_replace(regexp_replace({ws_fold_sql(f'lower({expr})')}, "
+            f"'{WS_RUN}', ' ', 'g'), '^ +| +$', '', 'g')"
+        )
+        return hash64_sql(norm)
 
     def transform(self, df: DataFrame) -> DataFrame:
         w = Window.partitionBy("_dedup_key").orderBy(F.col(self.id_col).asc())

