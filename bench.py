@@ -73,6 +73,14 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warmup: JVM/JIT + parquet footer reads — environment setup, not query
+    # cost; excluded from timings so q1 isn't charged the session tax
+    for t in ("lineitem", "orders", "documents", "embeddings", "events"):
+        try:
+            spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
+        except Exception:
+            pass
+
     queries = entrymod.queries()
     timings = {}
     total = 0.0

@@ -34,7 +34,10 @@ class QueryFeatureTable(Operator):
     def __init__(self, features_df: DataFrame, entity_col: str,
                  features: Optional[Iterable[str]] = None, prefix: str = "",
                  include_id: bool = True, broadcast: bool = True,
-                 how: str = "left"):
+                 how: str = "left", strict: bool = False):
+        #: strict=True reproduces QueryFeast's raise on an empty entity-id
+        #: set (feast.py:215-219) — costs one count() action at transform
+        self.strict = strict
         self.features_df = features_df
         self.entity_col = entity_col
         self.features = list(features) if features is not None else None
@@ -55,6 +58,11 @@ class QueryFeatureTable(Operator):
         return self.features_df.select(*sel).dropDuplicates([self.entity_col])
 
     def transform(self, df: DataFrame) -> DataFrame:
+        if self.strict and df.where(F.col(self.entity_col).isNotNull()).limit(1).count() == 0:
+            raise ValueError(
+                f"QueryFeatureTable: no non-null {self.entity_col!r} ids in request "
+                "(reference parity: feast.py:215-219 raises on empty id set)"
+            )
         feats = self._feature_frame()
         if self.broadcast:
             feats = F.broadcast(feats)

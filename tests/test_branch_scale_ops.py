@@ -1,0 +1,135 @@
+"""Tests: branch concat, sessionize, range join, strict lookup, bucketed
+zero-shuffle joins, native streaming session windows."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from systems_spark import Pipeline
+from systems_spark.operators import (
+    QueryFeatureTable,
+    RangeJoin,
+    Rename,
+    SelectColumns,
+    Sessionize,
+)
+from systems_spark.operators.branch import BranchConcat
+from systems_spark.plans import count_exchanges, formatted_plan
+
+
+def test_branch_concat_column_union(spark):
+    """reference + semantics: branches on the same upstream, column concat
+    (test_graph.py:56-61); right-biased on collisions."""
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, x double")
+    b1 = Pipeline([SelectColumns(["id", "x"]), Rename(mapping={"x": "x_a"})])
+    b2 = Pipeline([SelectColumns(["id", "x"])]) >> (
+        lambda d: d.withColumn("x2", F.col("x") * 2)
+    )
+    op = BranchConcat([b1, b2], key="id")
+    out = op(df)
+    assert set(out.columns) == {"id", "x_a", "x", "x2"}
+    got = {r.id: (r.x_a, r.x2) for r in out.collect()}
+    assert got == {1: (10.0, 20.0), 2: (20.0, 40.0)}
+
+
+def test_branch_concat_requires_key(spark):
+    df = spark.createDataFrame([(1, 2.0)], "id long, x double")
+    op = BranchConcat([Pipeline([SelectColumns(["x"])])], key="id")
+    with pytest.raises(ValueError, match="dropped key"):
+        op(df)
+
+
+def test_sessionize_gap_semantics(spark):
+    rows = [
+        (1, 100), (1, 200), (1, 5000),   # gap 4800 > 1000 → new session
+        (2, 50),
+    ]
+    df = spark.createDataFrame(rows, "user long, ts long")
+    out = Sessionize("user", "ts", gap=1000)(df).collect()
+    sessions = {(r.user, r.ts): r.session_id for r in out}
+    assert sessions[(1, 100)] == 1
+    assert sessions[(1, 200)] == 1
+    assert sessions[(1, 5000)] == 2
+    assert sessions[(2, 50)] == 1
+
+
+def test_range_join_matches_theta_join(spark, tables):
+    ev = tables["events"].limit(2000)
+    bands = spark.range(10).select(
+        F.col("id").alias("band"),
+        (F.col("id") * 10.0).alias("lo"),
+        ((F.col("id") + 1) * 10.0).alias("hi"),
+    )
+    fast = RangeJoin(bands, "value", bucket_size=7.0, broadcast=True)(ev)
+    slow = ev.join(bands, (ev.value >= bands.lo) & (ev.value < bands.hi))
+    a = sorted((r.event_id, r.band) for r in fast.select("event_id", "band").collect())
+    b = sorted((r.event_id, r.band) for r in slow.select("event_id", "band").collect())
+    assert a == b
+
+
+def test_strict_feature_lookup_raises_on_empty(spark, tables):
+    """feast.py:215-219 parity: empty id set raises."""
+    part = tables["part"]
+    empty = spark.createDataFrame([], "p_partkey long")
+    op = QueryFeatureTable(part, "p_partkey", features=["p_brand"], strict=True)
+    with pytest.raises(ValueError, match="empty id set"):
+        op(empty)
+    # non-strict passes through
+    assert QueryFeatureTable(part, "p_partkey", features=["p_brand"])(empty).count() == 0
+
+
+def test_bucketed_join_has_no_shuffle(spark, tables, tmp_path):
+    """write_bucketed_table: co-bucketed tables join without Exchange —
+    the 100 TB repeated-join lever."""
+    import shutil
+
+    from systems_spark.sources import write_bucketed_table
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    # warehouse dir outlives the in-memory catalog: stale locations from a
+    # previous session make saveAsTable fail LOCATION_ALREADY_EXISTS
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_orders", "b_lineitem"):
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    write_bucketed_table(tables["orders"].select("o_orderkey", "o_totalprice"),
+                         "b_orders", "o_orderkey", 8)
+    write_bucketed_table(
+        tables["lineitem"].select(F.col("l_orderkey").alias("o_orderkey"), "l_quantity"),
+        "b_lineitem", "o_orderkey", 8)
+    joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = formatted_plan(joined)
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_streaming_session_window(spark, tables, tmp_path):
+    """Native Structured Streaming session windows (the streaming twin of
+    the batch Sessionize operator)."""
+    src = str(tmp_path / "ssrc")
+    ev = tables["events"].limit(800).withColumn(
+        "ts_ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    ev.write.mode("overwrite").parquet(src)
+    static = spark.read.parquet(src)
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts_ts", "1 minute")
+        .groupBy(F.session_window("ts_ts", "30 minutes"), "user_id")
+        .count()
+    )
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName("sess_test").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select count(*) c from sess_test").first().c
+    want = (static.groupBy(F.session_window("ts_ts", "30 minutes"), "user_id")
+            .count().count())
+    assert got == want and got > 0
