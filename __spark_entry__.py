@@ -268,6 +268,53 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
 # Reference-surface operators (SURVEY.md §2)
 # ===========================================================================
 
+def q_order_priority_check(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS semi-join + agg (late lineitems per priority)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = li.where(F.col("l_shipdate") > F.lit("1997-01-01")).select("l_orderkey").distinct()
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+_SQL_ORDER_PRIORITY = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > TIMESTAMP '1997-01-01'
+)
+GROUP BY o_orderpriority
+"""
+
+
+def q_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: LEFT OUTER join + two-level aggregation
+    (how many customers have how many orders, including zero)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_SQL_CUSTOMER_DISTRIBUTION = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
 def q_filter_candidates(spark, sf_dir):
     """Anti-membership filter (session_filter.py semantics), relational output."""
     li = _t(spark, sf_dir, "lineitem")
@@ -986,6 +1033,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         "user_activity": q_user_activity,
         "asof_view_before_purchase": q_asof_view_before_purchase,
+        "order_priority_check": q_order_priority_check,
+        "customer_distribution": q_customer_distribution,
         # reference operator surface
         "filter_candidates": q_filter_candidates,
         "softmax_sampling": q_softmax_sampling,
@@ -1027,6 +1076,8 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup": _SQL_ROLLUP,
         "user_activity": _SQL_USER_ACTIVITY,
         "asof_view_before_purchase": _SQL_ASOF,
+        "order_priority_check": _SQL_ORDER_PRIORITY,
+        "customer_distribution": _SQL_CUSTOMER_DISTRIBUTION,
         "filter_candidates": _SQL_FILTER_CANDIDATES,
         "softmax_sampling": _SQL_SOFTMAX,
         "unroll_features": _SQL_UNROLL,

@@ -42,25 +42,44 @@ class SimHashDedup(Operator):
 
     # -- signatures --------------------------------------------------------
     def signatures(self, df: DataFrame) -> DataFrame:
-        """(id_col, simhash) — simhash < 2^32, 0 for empty docs."""
-        tok = df.select(
+        """(id_col, simhash) — simhash < 2^32, 0 for empty docs.
+
+        Computed as a PER-ROW array fold — token hashes feed 32 counters via
+        ``aggregate(zip_with(...))`` — so the signature build needs no
+        explode and NO shuffle at all (the groupBy formulation shuffles
+        (doc, 32 ints); this shuffles nothing). Semantics identical to the
+        per-bit ±1 sums: bit_j = 1 iff Σ±1 > 0 iff 2·ones_j > n_tokens.
+        The SQL oracle keeps the explode/groupBy formulation — same values.
+        """
+        toks = df.select(
             F.col(self.id_col),
-            F.explode_outer(tokens(F.col(self.content_col))).alias("_t"),
-        ).withColumn("_h", hash64(F.col("_t")))
-        bit_sums = [
-            F.sum(
-                F.when(F.col("_h").isNull(), 0)
-                .when(F.shiftright(F.col("_h"), j).bitwiseAND(1) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"s{j}")
-            for j in range(WIDTH)
-        ]
-        agg = tok.groupBy(self.id_col).agg(*bit_sums)
+            F.coalesce(tokens(F.col(self.content_col)),
+                       F.array().cast("array<string>")).alias("_toks"),
+        )
+        hashes = F.transform(F.col("_toks"), lambda t: hash64(t))
+        zeros = F.array_repeat(F.lit(0), WIDTH)
+        counters = F.aggregate(
+            hashes,
+            zeros,
+            lambda acc, h: F.array(*[
+                F.element_at(acc, j + 1)
+                + F.shiftright(h, j).bitwiseAND(1).cast("int")
+                for j in range(WIDTH)
+            ]),
+        )
+        staged = toks.select(
+            self.id_col,
+            F.size("_toks").alias("_n"),
+            counters.alias("_ones"),
+        )
         sig = sum(
-            F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            F.when(
+                F.element_at(F.col("_ones"), j + 1) * 2 > F.col("_n"),
+                F.lit(1 << j).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
             for j in range(WIDTH)
         )
-        return agg.select(self.id_col, sig.cast("long").alias("simhash"))
+        return staged.select(self.id_col, sig.cast("long").alias("simhash"))
 
     def signatures_oracle_sql(self, table: str = "documents") -> str:
         toks = tokens_sql(self.content_col)
