@@ -70,7 +70,7 @@ class QueryANN(Operator):
     The reference flattens (1, topk) to topk rows too (faiss.py:110).
     """
 
-    def __init__(self, items_df: DataFrame, item_id_col: str = "item_id",
+    def __init__(self, items_df: DataFrame = None, item_id_col: str = "item_id",
                  item_vec_col: str = "embedding", query_vec_col: str = "embedding",
                  query_id_col: str = "request_id", topk: int = 10, metric: str = "ip",
                  strategy: str = "exact", n_tables: int = 4, n_planes: int = 8,
@@ -188,6 +188,22 @@ class QueryANN(Operator):
             "ann_score", _score(self.metric, F.col(self.query_vec_col), F.col("_ann_vec"))
         )
         return self._rank_topk(joined)
+
+
+    # -- persistence (index save/load ≈ setup_faiss artifacts, faiss.py:59-78)
+    def get_params(self):
+        return {"item_id_col": self.item_id_col, "item_vec_col": self.item_vec_col,
+                "query_vec_col": self.query_vec_col, "query_id_col": self.query_id_col,
+                "topk": self.topk, "metric": self.metric, "strategy": self.strategy,
+                "n_tables": self.n_tables, "n_planes": self.n_planes, "dim": self.dim,
+                "broadcast": self.broadcast, "n_cells": self.n_cells,
+                "nprobe": self.nprobe}
+
+    def save_artifacts(self, path: str) -> None:
+        self.items_df.write.mode("overwrite").parquet(f"{path}/items.parquet")
+
+    def load_artifacts(self, path: str, spark=None) -> None:
+        self.items_df = spark.read.parquet(f"{path}/items.parquet")
 
 
 def build_ann_index(items_df: DataFrame, **kwargs) -> QueryANN:

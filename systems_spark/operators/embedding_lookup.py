@@ -21,7 +21,7 @@ from systems_spark.schema import Schema
 
 
 class EmbeddingLookup(Operator):
-    def __init__(self, embeddings_df: DataFrame, id_col: str,
+    def __init__(self, embeddings_df: DataFrame = None, id_col: str = "id",
                  embedding_col: str = "embedding", output_col: str = "embedding",
                  broadcast: bool = True, how: str = "left"):
         self.embeddings_df = embeddings_df
@@ -46,5 +46,13 @@ class EmbeddingLookup(Operator):
         col = next(iter(emb)).with_name(self.output_col)
         return input_schema + Schema([col])
 
+    def get_params(self):
+        return {"id_col": self.id_col, "embedding_col": self.embedding_col,
+                "output_col": self.output_col, "broadcast": self.broadcast,
+                "how": self.how}
+
     def save_artifacts(self, path: str) -> None:
         self.embeddings_df.write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
+
+    def load_artifacts(self, path: str, spark=None) -> None:
+        self.embeddings_df = spark.read.parquet(f"{path}/embeddings.parquet")

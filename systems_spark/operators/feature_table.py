@@ -31,7 +31,7 @@ from systems_spark.schema import Schema
 
 
 class QueryFeatureTable(Operator):
-    def __init__(self, features_df: DataFrame, entity_col: str,
+    def __init__(self, features_df: Optional[DataFrame] = None, entity_col: str = "id",
                  features: Optional[Iterable[str]] = None, prefix: str = "",
                  include_id: bool = True, broadcast: bool = True,
                  how: str = "left", strict: bool = False):
@@ -78,5 +78,15 @@ class QueryFeatureTable(Operator):
             out = out.excluding([self.entity_col])
         return out
 
+    # -- persistence (Ensemble save/load parity, ensemble.py:80-145) -------
+    def get_params(self):
+        return {"entity_col": self.entity_col, "features": self.features,
+                "prefix": self.prefix, "include_id": self.include_id,
+                "broadcast": self.broadcast, "how": self.how, "strict": self.strict}
+
     def save_artifacts(self, path: str) -> None:
-        self._feature_frame().write.mode("overwrite").parquet(f"{path}/features.parquet")
+        # RAW frame, not _feature_frame(): prefix/dedup re-apply at load
+        self.features_df.write.mode("overwrite").parquet(f"{path}/features.parquet")
+
+    def load_artifacts(self, path: str, spark=None) -> None:
+        self.features_df = spark.read.parquet(f"{path}/features.parquet")

@@ -84,7 +84,7 @@ class FilterCandidatesRelational(Operator):
     (no shuffle of the candidate side).
     """
 
-    def __init__(self, seen_df: DataFrame, on, broadcast: Optional[bool] = None):
+    def __init__(self, seen_df: DataFrame = None, on=("id",), broadcast: Optional[bool] = None):
         self.seen_df = seen_df
         self.on = [on] if isinstance(on, str) else list(on)
         self.broadcast = broadcast
@@ -95,10 +95,13 @@ class FilterCandidatesRelational(Operator):
             seen = F.broadcast(seen)
         return df.join(seen, on=self.on, how="left_anti")
 
-    def get_params(self):  # seen_df is data, not a param — persisted as artifact
-        raise TypeError("FilterCandidatesRelational persists via save_artifacts")
+    def get_params(self):
+        return {"on": self.on, "broadcast": self.broadcast}
 
     def save_artifacts(self, path: str) -> None:
         self.seen_df.select(*self.on).dropDuplicates(self.on).write.mode(
             "overwrite"
         ).parquet(f"{path}/seen.parquet")
+
+    def load_artifacts(self, path: str, spark=None) -> None:
+        self.seen_df = spark.read.parquet(f"{path}/seen.parquet")

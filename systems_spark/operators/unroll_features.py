@@ -36,8 +36,8 @@ class UnrollFeatures(Operator):
     prefix : optional rename prefix (reference ``unrolled_prefix``, :41-51).
     """
 
-    def __init__(self, request_col: str, features_df: DataFrame,
-                 unroll_cols: Iterable[str], prefix: str = ""):
+    def __init__(self, request_col: str = "request_id", features_df: DataFrame = None,
+                 unroll_cols: Iterable[str] = (), prefix: str = ""):
         self.request_col = request_col
         self.features_df = features_df
         self.unroll_cols = list(unroll_cols)
@@ -62,5 +62,12 @@ class UnrollFeatures(Operator):
         )
         return input_schema + renamed
 
+    def get_params(self):
+        return {"request_col": self.request_col, "unroll_cols": self.unroll_cols,
+                "prefix": self.prefix}
+
     def save_artifacts(self, path: str) -> None:
         self.features_df.write.mode("overwrite").parquet(f"{path}/features.parquet")
+
+    def load_artifacts(self, path: str, spark=None) -> None:
+        self.features_df = spark.read.parquet(f"{path}/features.parquet")

@@ -102,7 +102,10 @@ class ColumnSchema:
         if self.tags:
             meta["tags"] = sorted(self.tags)
         if self.dims is not None:
-            meta["dims"] = list(self.dims)
+            # Spark metadata arrays reject nulls → encode the reference's
+            # None wildcard (dims with unknown extent,
+            # merlin/systems/dag/ops/__init__.py:18-39) as -1
+            meta["dims"] = [-1 if d is None else d for d in self.dims]
         if self.properties:
             meta["properties"] = dict(self.properties)
         return T.StructField(self.name, self.spark_type, nullable=True, metadata=meta)
@@ -116,7 +119,8 @@ class ColumnSchema:
             name=sf.name,
             dtype=dtype,
             is_list=is_list,
-            dims=tuple(meta["dims"]) if "dims" in meta else None,
+            dims=tuple(None if d == -1 else d for d in meta["dims"])
+            if "dims" in meta else None,
             tags=frozenset(meta.get("tags", [])),
             properties=dict(meta.get("properties", {})),
         )
