@@ -70,7 +70,12 @@ class MinHashDedup(Operator):
     # -- signature ---------------------------------------------------------
     def signatures(self, df: DataFrame) -> DataFrame:
         """(id_col, m0..m{P-1}) one row per doc. Docs with no shingles get
-        sentinel M31 components (never match anything)."""
+        sentinel M31 components (never match anything).
+
+        Shape note: explode + groupBy(P mins) beats a per-row array fold
+        here (measured 4×) — hash aggregation does map-side partial combine,
+        so the shuffle carries only (doc, P ints) per doc anyway, while the
+        fold pays a P-element array allocation per shingle."""
         consts = permutation_constants(self.num_perm, self.seed)
         sh = df.select(
             F.col(self.id_col), tokens(F.col(self.content_col)).alias("_toks")
