@@ -848,14 +848,66 @@ WHERE 10 * inter >= 4 * (za.set_size + zb.set_size - inter)
 """
 
 
+def _sql_ann_lsh(n_tables: int = 4, n_planes: int = 8, dim: int = 64,
+                 topk: int = 5, salt: str = "ann") -> str:
+    """Full SQL oracle for the LSH retrieval path.
+
+    The hyperplane components are md5-derived (functions/hashing.py), so
+    Python reproduces them bit-exactly and embeds them as DOUBLE literals;
+    each projection is UNROLLED left-to-right to match Spark's fold order,
+    making even this 'approximate' index oracle-checkable."""
+    import hashlib
+
+    def h64(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def uniform(s: str) -> float:
+        return ((h64(salt + s) % 1_000_000_007) + 1) / 1_000_000_008.0
+
+    def sig_expr(vec: str, t: int) -> str:
+        bits = []
+        for p in range(n_planes):
+            terms = []
+            for d in range(dim):
+                r = uniform(f"{t}|{p}|{d}") * 2.0 - 1.0
+                terms.append(f"{vec}[{d + 1}]*{r!r}")
+            proj = " + ".join(terms)
+            bits.append(f"CASE WHEN ({proj}) >= 0 THEN {1 << p} ELSE 0 END")
+        return "(" + " + ".join(bits) + ")"
+
+    item_sigs = ", ".join(f"{sig_expr('embedding', t)} AS s{t}" for t in range(n_tables))
+    query_sigs = ", ".join(f"{sig_expr('embedding', t)} AS s{t}" for t in range(n_tables))
+    bucket_match = " OR ".join(f"q.s{t} = i.s{t}" for t in range(n_tables))
+    return f"""
+WITH item_sigs AS (
+  SELECT vec_id, embedding, {item_sigs} FROM embeddings
+), query_sigs AS (
+  SELECT vec_id AS query_id, embedding AS qvec, {query_sigs}
+  FROM embeddings WHERE vec_id < 20
+), cand AS (
+  SELECT DISTINCT q.query_id, q.qvec, i.vec_id AS item_id, i.embedding
+  FROM query_sigs q JOIN item_sigs i ON ({bucket_match})
+), scored AS (
+  SELECT query_id, item_id,
+         list_inner_product(qvec::DOUBLE[], embedding::DOUBLE[]) AS dot
+  FROM cand
+)
+SELECT query_id, item_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, item_id ASC)::BIGINT AS ann_rank,
+       round(dot, 4) AS score
+FROM scored
+QUALIFY ann_rank <= {topk}
+"""
+
+
 # ===========================================================================
-# Non-SQL-expressible (rows-only checks): ML model operators, LSH retrieval
+# Non-SQL-expressible (rows-only checks): ML model operators
 # ===========================================================================
 
 def q_ann_lsh(spark, sf_dir):
-    """Hyperplane-LSH bucketed retrieval (the 100 TB ANN path). Candidate
-    set depends on LSH bucketing — verified structurally (rows-only) here,
-    exactly vs exact-rerank in tests/."""
+    """Hyperplane-LSH bucketed retrieval (the 100 TB ANN path) — fully
+    oracle-checked: the deterministic md5 hyperplanes are replicated in the
+    SQL oracle as unrolled literal expressions (_sql_ann_lsh)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
@@ -1093,6 +1145,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": _SQL_EVENTS_HOURLY,
         "top_ngrams": _SQL_TOP_NGRAMS,
         "dedup_verified": _sql_dedup_verified(),
+        "ann_lsh": _sql_ann_lsh(),
         "four_stage_recs": _SQL_FOUR_STAGE,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_minhash": MinHashDedup(**_MINHASH).pairs_oracle_sql(),
