@@ -315,6 +315,60 @@ GROUP BY c_count
 """
 
 
+def q_customer_set_ops(spark, sf_dir):
+    """Set operations (UNION / INTERSECT / EXCEPT — SURVEY §2.2 set-ops row):
+    building-segment customers vs high-balance customers, labeled."""
+    cust = _t(spark, sf_dir, "customer")
+    building = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = cust.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    return (
+        building.union(rich).distinct().withColumn("set_op", F.lit("union"))
+        .unionByName(building.intersect(rich).withColumn("set_op", F.lit("intersect")))
+        .unionByName(building.exceptAll(rich).withColumn("set_op", F.lit("except")))
+    )
+
+
+_SQL_SET_OPS = """
+WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+SELECT c_custkey, 'union' AS set_op FROM (SELECT * FROM building UNION SELECT * FROM rich)
+UNION ALL
+SELECT c_custkey, 'intersect' FROM (SELECT * FROM building INTERSECT SELECT * FROM rich)
+UNION ALL
+SELECT c_custkey, 'except' FROM (SELECT * FROM building EXCEPT ALL SELECT * FROM rich)
+"""
+
+
+def q_small_quantity_parts(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar subquery — lineitems below half
+    the average quantity of their part."""
+    li = _t(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg(_dec("l_quantity")).alias("avg_qty")  # exact decimal avg
+    )
+    return (
+        li.join(avg_qty, li.l_partkey == avg_qty.pk)
+        .where(_dec("l_quantity") * 2 < F.col("avg_qty"))
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            _dsum(_dec("l_extendedprice")).alias("small_revenue"),
+        )
+    )
+
+
+_SQL_SMALL_QTY = """
+SELECT l.l_partkey, count(*) AS n_small,
+       round(sum(l.l_extendedprice::DECIMAL(18,6)), 4)::DOUBLE AS small_revenue
+FROM lineitem l
+JOIN (SELECT l_partkey AS pk, avg(l_quantity::DECIMAL(18,6)) AS avg_qty
+      FROM lineitem GROUP BY l_partkey) a
+  ON l.l_partkey = a.pk
+WHERE l.l_quantity::DECIMAL(18,6) * 2 < a.avg_qty
+GROUP BY l.l_partkey
+"""
+
+
 def q_filter_candidates(spark, sf_dir):
     """Anti-membership filter (session_filter.py semantics), relational output."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1087,6 +1141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_view_before_purchase": q_asof_view_before_purchase,
         "order_priority_check": q_order_priority_check,
         "customer_distribution": q_customer_distribution,
+        "customer_set_ops": q_customer_set_ops,
+        "small_quantity_parts": q_small_quantity_parts,
         # reference operator surface
         "filter_candidates": q_filter_candidates,
         "softmax_sampling": q_softmax_sampling,
@@ -1130,6 +1186,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_view_before_purchase": _SQL_ASOF,
         "order_priority_check": _SQL_ORDER_PRIORITY,
         "customer_distribution": _SQL_CUSTOMER_DISTRIBUTION,
+        "customer_set_ops": _SQL_SET_OPS,
+        "small_quantity_parts": _SQL_SMALL_QTY,
         "filter_candidates": _SQL_FILTER_CANDIDATES,
         "softmax_sampling": _SQL_SOFTMAX,
         "unroll_features": _SQL_UNROLL,
