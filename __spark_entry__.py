@@ -369,6 +369,141 @@ GROUP BY l.l_partkey
 """
 
 
+def q_running_order_totals(spark, sf_dir):
+    """Window-function shape: per-customer running order total, order
+    sequence number, and days since the previous order (lag). o_orderdate
+    is TIMESTAMP_NTZ in Spark — tz-independent, matches DuckDB exactly.
+    Ordered by (o_orderdate, o_orderkey): orderkey is unique, so the frame
+    is deterministic and the running decimal sum is oracle-exact."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("order_seq"),
+        F.round(F.sum(_dec("o_totalprice")).over(w), 4)
+         .cast("double").alias("running_total"),
+        F.datediff(
+            F.to_date("o_orderdate"),
+            F.to_date(F.lag("o_orderdate").over(w)),
+        ).cast("bigint").alias("days_since_prev"),
+    )
+
+
+_SQL_RUNNING_TOTALS = """
+SELECT o_custkey, o_orderkey,
+       row_number() OVER w AS order_seq,
+       round(sum(o_totalprice::DECIMAL(18,6)) OVER w, 4)::DOUBLE AS running_total,
+       date_diff('day', lag(o_orderdate::DATE) OVER w, o_orderdate::DATE)::BIGINT
+           AS days_since_prev
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def q_cube_revenue(spark, sf_dir):
+    """CUBE grouping-sets over (nation, order year) with grouping flags —
+    all four aggregation levels in one shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_name", F.year("o_orderdate").alias("order_year"), "o_totalprice")
+    )
+    return (
+        joined.cube("n_name", "order_year")
+        .agg(
+            F.grouping("n_name").cast("bigint").alias("g_nation"),
+            F.grouping("order_year").cast("bigint").alias("g_year"),
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(_dec("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+_SQL_CUBE_REVENUE = """
+SELECT n_name, year(o_orderdate) AS order_year,
+       grouping(n_name)::BIGINT AS g_nation,
+       grouping(year(o_orderdate))::BIGINT AS g_year,
+       count(*) AS n_orders,
+       round(sum(o_totalprice::DECIMAL(18,6)), 4)::DOUBLE AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY CUBE (n_name, year(o_orderdate))
+"""
+
+
+def q_pivot_orders(spark, sf_dir):
+    """Pivot: order counts + revenue by market segment × order year, years
+    as columns. Explicit pivot values → single-pass (no distinct pre-scan
+    job), which is also the 100 TB-safe form."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    years = [1995, 1996, 1997, 1998, 1999, 2000, 2001]
+    joined = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", F.year("o_orderdate").alias("y")
+    )
+    piv = joined.groupBy("c_mktsegment").pivot("y", years).agg(
+        F.count(F.lit(1))
+    )
+    return piv.select(
+        "c_mktsegment",
+        *[F.coalesce(F.col(str(y)), F.lit(0)).alias(f"y{y}") for y in years],
+    )
+
+
+_SQL_PIVOT_ORDERS = """
+SELECT c_mktsegment,
+       count(*) FILTER (year(o_orderdate) = 1995) AS y1995,
+       count(*) FILTER (year(o_orderdate) = 1996) AS y1996,
+       count(*) FILTER (year(o_orderdate) = 1997) AS y1997,
+       count(*) FILTER (year(o_orderdate) = 1998) AS y1998,
+       count(*) FILTER (year(o_orderdate) = 1999) AS y1999,
+       count(*) FILTER (year(o_orderdate) = 2000) AS y2000,
+       count(*) FILTER (year(o_orderdate) = 2001) AS y2001
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_balance_deciles(spark, sf_dir):
+    """ntile decile bucketing over account balance (tie-broken by custkey
+    for determinism), then per-decile aggregates — the classic quantile
+    bucketing shape for feature binning.
+
+    Scale note: exact global ntile funnels all rows through one window
+    task. At 100 TB use percentile_approx to get decile boundaries and
+    band-join them (RangeJoin) instead; this exact form is the oracle-
+    comparable variant on the small dimension table."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select("c_acctbal", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("c_acctbal"), 4).alias("lo"),
+            F.round(F.max("c_acctbal"), 4).alias("hi"),
+            _dsum(_dec("c_acctbal")).alias("total_bal"),
+        )
+    )
+
+
+_SQL_BALANCE_DECILES = """
+SELECT decile, count(*) AS n,
+       round(min(c_acctbal), 4) AS lo,
+       round(max(c_acctbal), 4) AS hi,
+       round(sum(c_acctbal::DECIMAL(18,6)), 4)::DOUBLE AS total_bal
+FROM (SELECT c_acctbal,
+             ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+      FROM customer)
+GROUP BY decile
+"""
+
+
 def q_filter_candidates(spark, sf_dir):
     """Anti-membership filter (session_filter.py semantics), relational output."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1143,6 +1278,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_distribution": q_customer_distribution,
         "customer_set_ops": q_customer_set_ops,
         "small_quantity_parts": q_small_quantity_parts,
+        "running_order_totals": q_running_order_totals,
+        "cube_revenue": q_cube_revenue,
+        "pivot_orders": q_pivot_orders,
+        "balance_deciles": q_balance_deciles,
         # reference operator surface
         "filter_candidates": q_filter_candidates,
         "softmax_sampling": q_softmax_sampling,
@@ -1188,6 +1327,10 @@ def oracle_sql() -> dict[str, str]:
         "customer_distribution": _SQL_CUSTOMER_DISTRIBUTION,
         "customer_set_ops": _SQL_SET_OPS,
         "small_quantity_parts": _SQL_SMALL_QTY,
+        "running_order_totals": _SQL_RUNNING_TOTALS,
+        "cube_revenue": _SQL_CUBE_REVENUE,
+        "pivot_orders": _SQL_PIVOT_ORDERS,
+        "balance_deciles": _SQL_BALANCE_DECILES,
         "filter_candidates": _SQL_FILTER_CANDIDATES,
         "softmax_sampling": _SQL_SOFTMAX,
         "unroll_features": _SQL_UNROLL,
