@@ -28,6 +28,12 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from systems_spark.streaming.stateful import (  # noqa: F401
+    StreamingSessionizer,
+    decode_kafka_json,
+    kafka_source_options,
+)
+
 
 def transform_stream(pipeline, stream_df: DataFrame) -> DataFrame:
     """Apply a pipeline of stream-safe operators directly (incremental

@@ -1,0 +1,187 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+This is new design surface relative to the reference: Merlin Systems has no
+stream-state semantics at all (SURVEY.md §2.2 "Streaming ops: none" —
+merlin/systems/dag/runtimes/triton/runtime.py handles request batching
+only). The batch `Sessionize` operator (operators/sessionize.py) computes
+gap-based sessions with a window-lag over complete data; this module is its
+streaming twin: the same session semantics over an unbounded stream, with
+explicit per-key state and event-time timeouts so sessions close even when
+a user goes silent.
+
+Scale design: state is sharded by the group key across executors (one
+GroupState per key, RocksDB-backed with
+`spark.sql.streaming.stateStore.providerClass` in production), and the
+watermark bounds state size — closed sessions are emitted and their state
+cleared, so memory is O(active keys), not O(history).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+class StreamingSessionizer:
+    """Gap-based sessionization over a stream with explicit keyed state.
+
+    Events for the same ``key_col`` that arrive within ``gap`` seconds of
+    each other belong to one session; a session is emitted when either
+    (a) an in-batch event arrives more than ``gap`` after the session's
+    last event, or (b) the event-time watermark passes last_ts + gap
+    (state timeout — the silent-user case a batch job never has to solve).
+
+    Output rows: key, session_start (µs), session_end (µs), n_events,
+    total_value.
+
+    Batch twin: ``systems_spark.operators.sessionize.Sessionize`` — the
+    oracle-parity test asserts both produce identical sessions on the same
+    (replayed) data once the stream is fully drained.
+    """
+
+    def __init__(self, key_col: str, ts_col: str, gap_seconds: int,
+                 value_col: str | None = None,
+                 watermark: str = "10 seconds"):
+        self.key_col = key_col
+        self.ts_col = ts_col
+        self.gap_seconds = int(gap_seconds)
+        self.value_col = value_col
+        self.watermark = watermark
+
+    def output_schema(self, key_type=StringType()) -> StructType:
+        return StructType([
+            StructField(self.key_col, key_type),
+            StructField("session_start_us", LongType()),
+            StructField("session_end_us", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ])
+
+    @property
+    def state_schema(self) -> StructType:
+        return StructType([
+            StructField("session_start_us", LongType()),
+            StructField("last_ts_us", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ])
+
+    def __call__(self, stream_df: DataFrame) -> DataFrame:
+        # locals only in the worker closure (executor-closure hygiene:
+        # the package is not installed on executors)
+        key_col = self.key_col
+        ts_col = self.ts_col
+        value_col = self.value_col
+        gap_us = self.gap_seconds * 1_000_000
+
+        def sessionize(
+            key: Tuple,
+            pdfs: Iterator[pd.DataFrame],
+            state: GroupState,
+        ) -> Iterator[pd.DataFrame]:
+            out = []
+
+            def emit(start, last, n, total):
+                out.append((key[0], int(start), int(last), int(n), float(total)))
+
+            if state.hasTimedOut:
+                start, last, n, total = state.get
+                emit(start, last, n, total)
+                state.remove()
+            else:
+                if state.exists:
+                    start, last, n, total = state.get
+                else:
+                    start = last = None
+                    n, total = 0, 0.0
+                rows = pd.concat(list(pdfs), ignore_index=True)
+                # event-time order within the batch; µs integers end-to-end
+                ts_us = (
+                    rows[ts_col].astype("int64") // 1000
+                    if rows[ts_col].dtype.kind == "i"
+                    else rows[ts_col].astype("datetime64[us]").astype("int64")
+                )
+                rows = rows.assign(_ts_us=ts_us).sort_values("_ts_us")
+                vals = (
+                    rows[value_col].astype(float)
+                    if value_col is not None
+                    else pd.Series(0.0, index=rows.index)
+                )
+                for t, v in zip(rows["_ts_us"].to_numpy(), vals.to_numpy()):
+                    if last is not None and t - last > gap_us:
+                        emit(start, last, n, total)
+                        start, n, total = t, 0, 0.0
+                    elif last is None:
+                        start = t
+                    last = t
+                    n += 1
+                    total += v
+                state.update((int(start), int(last), int(n), float(total)))
+                # close the open session once the watermark passes last+gap
+                state.setTimeoutTimestamp(int(last) // 1000 + gap_us // 1000)
+
+            yield pd.DataFrame(
+                out,
+                columns=[key_col, "session_start_us", "session_end_us",
+                         "n_events", "total_value"],
+            )
+
+        key_type = stream_df.schema[key_col].dataType
+        with_wm = stream_df.withWatermark(ts_col, self.watermark)
+        return (
+            with_wm.groupBy(key_col)
+            .applyInPandasWithState(
+                sessionize,
+                outputStructType=self.output_schema(key_type),
+                stateStructType=self.state_schema,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            )
+        )
+
+
+def kafka_source_options(brokers: str, topics: str, *,
+                         starting_offsets: str = "latest",
+                         fail_on_data_loss: bool = False,
+                         max_offsets_per_trigger: int | None = None,
+                         **extra: str) -> dict:
+    """Canonical Kafka source configuration (config surface only — the
+    container has no broker or kafka connector jar; at deploy time pass
+    these to ``spark.readStream.format("kafka").options(**opts).load()``).
+
+    `maxOffsetsPerTrigger` is the scale knob: it caps per-micro-batch read
+    volume so a backlogged topic can't produce an unbounded first batch.
+    """
+    opts = {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topics,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": str(fail_on_data_loss).lower(),
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    opts.update(extra)
+    return opts
+
+
+def decode_kafka_json(raw: DataFrame, schema: StructType) -> DataFrame:
+    """Decode a Kafka-wire DataFrame (binary key/value + metadata) into
+    typed columns: JSON value parsed against ``schema``, key as string.
+    Works on any DataFrame with Kafka's wire schema, so it is unit-testable
+    without a broker."""
+    return raw.select(
+        F.col("key").cast("string").alias("kafka_key"),
+        F.from_json(F.col("value").cast("string"), schema).alias("v"),
+        "topic", "partition", "offset", "timestamp",
+    ).select("kafka_key", "v.*", "topic", "partition", "offset", "timestamp")

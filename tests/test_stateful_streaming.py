@@ -1,0 +1,161 @@
+"""Stateful-streaming operator tests: StreamingSessionizer
+(applyInPandasWithState with event-time timeouts) must agree with the
+batch Sessionize operator on replayed data, and the Kafka config/decode
+surface must be exercised without a broker."""
+
+import os
+import sys
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from systems_spark.operators.sessionize import Sessionize
+from systems_spark.streaming import (
+    StreamingSessionizer,
+    decode_kafka_json,
+    kafka_source_options,
+)
+
+
+EVENT_SCHEMA = StructType([
+    StructField("user", StringType()),
+    StructField("ts", TimestampType()),
+    StructField("value", DoubleType()),
+])
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(u, __import__("datetime").datetime.utcfromtimestamp(t), v)
+         for u, t, v in rows],
+        EVENT_SCHEMA,
+    )
+
+
+def test_streaming_sessionizer_multi_batch(spark, tmp_path):
+    """Sessions split on gap within a batch, carry state ACROSS batches,
+    and close via event-time timeout when the watermark passes."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    base = 1_700_000_000  # fixed epoch; tz-independent (utcfromtimestamp)
+    batch1 = [("a", base + 0, 1.0), ("a", base + 10, 2.0),
+              ("b", base + 5, 5.0)]
+    batch2 = [("a", base + 15, 3.0),       # continues a's open session
+              ("a", base + 100, 4.0),      # gap 85s > 30s → new session
+              ("b", base + 200, 6.0)]      # gap 195s → new session for b
+    flush = [("zz", base + 10_000, 0.0)]   # advances watermark, times out all
+
+    # mtime ordering drives file-stream batch order
+    for i, rows in enumerate([batch1, batch2, flush]):
+        p = f"{src}/f{i}.parquet"
+        _events(spark, rows).coalesce(1).write.mode("overwrite").parquet(p)
+        t = time.time() + i * 10
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+
+    stream = (spark.readStream.schema(EVENT_SCHEMA)
+              .option("maxFilesPerTrigger", "1").parquet(src + "/*"))
+    op = StreamingSessionizer("user", "ts", gap_seconds=30,
+                              value_col="value", watermark="1 second")
+    q = (op(stream).writeStream.outputMode("append").format("memory")
+         .queryName("sessions").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {
+        (r.user, r.session_start_us, r.session_end_us, r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM sessions").collect()
+        if r.user != "zz"
+    }
+    us = 1_000_000
+    expected = {
+        ("a", (base + 0) * us, (base + 15) * us, 3, 6.0),
+        ("a", (base + 100) * us, (base + 100) * us, 1, 4.0),
+        ("b", (base + 5) * us, (base + 5) * us, 1, 5.0),
+        ("b", (base + 200) * us, (base + 200) * us, 1, 6.0),
+    }
+    assert got == expected
+
+
+def test_streaming_sessionizer_matches_batch_twin(spark, tmp_path):
+    """Replaying the whole stream must yield the same (start, end, count)
+    sessions the batch Sessionize operator computes on the static data."""
+    base = 1_700_000_000
+    rows = [("a", base + t, 1.0) for t in (0, 10, 15, 100, 130, 400)] + \
+           [("b", base + t, 1.0) for t in (5, 50, 70, 300)]
+
+    static = _events(spark, rows).withColumn(
+        "ts_us", F.col("ts").cast("long") * 1_000_000
+    )
+    gap_us = 30 * 1_000_000
+    batch = (
+        Sessionize("user", "ts_us", gap_us)(static)
+        .groupBy("user", "session_id")
+        .agg(F.min("ts_us").alias("session_start_us"),
+             F.max("ts_us").alias("session_end_us"),
+             F.count(F.lit(1)).alias("n_events"))
+    )
+    batch_sessions = {
+        (r.user, r.session_start_us, r.session_end_us, r.n_events)
+        for r in batch.collect()
+    }
+
+    src = str(tmp_path / "replay")
+    _events(spark, rows + [("zz", base + 100_000, 0.0)]).write.parquet(src)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    op = StreamingSessionizer("user", "ts", gap_seconds=30,
+                              value_col="value", watermark="1 second")
+    q = (op(stream).writeStream.outputMode("append").format("memory")
+         .queryName("replayed").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    stream_sessions = {
+        (r.user, r.session_start_us, r.session_end_us, r.n_events)
+        for r in spark.sql("SELECT * FROM replayed").collect()
+        if r.user != "zz"
+    }
+    assert stream_sessions == batch_sessions
+
+
+def test_kafka_config_surface():
+    opts = kafka_source_options(
+        "broker1:9092,broker2:9092", "events",
+        starting_offsets="earliest", max_offsets_per_trigger=100_000,
+        **{"kafka.security.protocol": "SASL_SSL"},
+    )
+    assert opts["kafka.bootstrap.servers"] == "broker1:9092,broker2:9092"
+    assert opts["subscribe"] == "events"
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["failOnDataLoss"] == "false"
+    assert opts["maxOffsetsPerTrigger"] == "100000"
+    assert opts["kafka.security.protocol"] == "SASL_SSL"
+
+
+def test_decode_kafka_json(spark):
+    """Decode works on any DataFrame with Kafka's wire schema — no broker
+    needed to test the parse path."""
+    import datetime
+    wire = spark.createDataFrame(
+        [(b"k1", b'{"user": "a", "value": 2.5}', "events", 0, 42,
+          datetime.datetime(2026, 1, 1))],
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp timestamp",
+    )
+    payload = StructType([
+        StructField("user", StringType()),
+        StructField("value", DoubleType()),
+    ])
+    row = decode_kafka_json(wire, payload).collect()[0]
+    assert (row.kafka_key, row.user, row.value, row.offset) == ("k1", "a", 2.5, 42)
