@@ -30,10 +30,19 @@ from systems_spark.operators.base import Operator
 
 
 class Categorify(Operator):
-    def __init__(self, columns, out_suffix: str = "", freq_threshold: int = 0):
+    def __init__(self, columns, out_suffix: str = "", freq_threshold: int = 0,
+                 encode_type: str = "per-col"):
+        """``encode_type="per-col"`` (default): independent vocab per column.
+        ``encode_type="joint"``: one shared vocab over the union of all
+        columns' values (NVTabular joint encoding — e.g. two item-id
+        columns that must map to the same code space); requires all
+        columns to share a dtype."""
+        if encode_type not in ("per-col", "joint"):
+            raise ValueError(f"encode_type must be per-col|joint, got {encode_type}")
         self.columns = [columns] if isinstance(columns, str) else list(columns)
         self.out_suffix = out_suffix
         self.freq_threshold = int(freq_threshold)
+        self.encode_type = encode_type
         self.vocabs = {}  # col -> DataFrame(value, code)
         self.requires = tuple(self.columns)
 
@@ -51,9 +60,71 @@ class Categorify(Operator):
         return counts.select("value", F.row_number().over(w).alias("code"))
 
     def fit(self, df: DataFrame) -> "Categorify":
+        """Single-job fit: columns sharing a dtype are counted in ONE pass
+        (explode an array of (col, value) structs → one groupBy), instead
+        of one full table scan per column. At 100 TB the difference is
+        N scans vs 1 — the explode multiplies rows but partial aggregation
+        collapses them map-side, so the shuffle stays vocab-sized."""
+        dtypes = dict(df.dtypes)
+        groups: dict[str, list[str]] = {}
         for c in self.columns:
-            self.vocabs[c] = self.build_vocab(df, c, self.freq_threshold)
+            groups.setdefault(dtypes[c], []).append(c)
+
+        if self.encode_type == "joint":
+            if len(groups) > 1:
+                raise ValueError(
+                    f"joint encoding needs one shared dtype, got {sorted(groups)}"
+                )
+            cols = self.columns
+            kv = self._stacked(df, cols)
+            counts = kv.groupBy("value").agg(F.count(F.lit(1)).alias("cnt"))
+            if self.freq_threshold > 0:
+                counts = counts.where(F.col("cnt") >= self.freq_threshold)
+            w = Window.orderBy(F.col("cnt").desc(), F.col("value").asc())
+            vocab = counts.select(
+                "value", F.row_number().over(w).alias("code")
+            ).persist()
+            for c in cols:
+                self.vocabs[c] = vocab
+            return self
+
+        for dt, cols in groups.items():
+            if len(cols) == 1:
+                self.vocabs[cols[0]] = self.build_vocab(
+                    df, cols[0], self.freq_threshold
+                )
+                continue
+            kv = self._stacked(df, cols)
+            counts = kv.groupBy("_col", "value").agg(
+                F.count(F.lit(1)).alias("cnt")
+            )
+            if self.freq_threshold > 0:
+                counts = counts.where(F.col("cnt") >= self.freq_threshold)
+            w = Window.partitionBy("_col").orderBy(
+                F.col("cnt").desc(), F.col("value").asc()
+            )
+            coded = counts.select(
+                "_col", "value", F.row_number().over(w).alias("code")
+            ).persist()  # persisted: each column's transform reuses ONE job
+            for c in cols:
+                self.vocabs[c] = coded.where(F.col("_col") == c).select(
+                    "value", "code"
+                )
         return self
+
+    @staticmethod
+    def _stacked(df: DataFrame, cols: list[str]) -> DataFrame:
+        """(col_name, value) pairs for all ``cols`` in one projection —
+        array-of-structs explode (type-safe within a dtype group)."""
+        pairs = F.array(*[
+            F.struct(F.lit(c).alias("_col"), F.col(c).alias("value"))
+            for c in cols
+        ])
+        return (
+            df.select(F.explode(pairs).alias("kv"))
+            .select("kv._col", "kv.value")
+            .where(F.col("value").isNotNull())
+        )
 
     def transform(self, df: DataFrame) -> DataFrame:
         if set(self.vocabs) != set(self.columns):
@@ -81,7 +152,8 @@ class Categorify(Operator):
 
     def get_params(self):
         return {"columns": self.columns, "out_suffix": self.out_suffix,
-                "freq_threshold": self.freq_threshold}
+                "freq_threshold": self.freq_threshold,
+                "encode_type": self.encode_type}
 
     def save_artifacts(self, path: str) -> None:
         for c, v in self.vocabs.items():

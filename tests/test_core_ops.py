@@ -147,6 +147,36 @@ def test_categorify_code_order(spark):
     assert cat.cardinality("x") == 3
 
 
+def test_categorify_multicol_single_pass_parity(spark, tables):
+    """Multi-column fit (one exploded agg) must produce byte-identical
+    vocabs to the per-column build_vocab path."""
+    li = tables["lineitem"]
+    cols = ["l_returnflag", "l_linestatus"]
+    cat = Categorify(cols).fit(li)
+    for c in cols:
+        fast = sorted(map(tuple, cat.vocabs[c].collect()))
+        ref = sorted(map(tuple, Categorify.build_vocab(li, c).collect()))
+        assert fast == ref, c
+
+
+def test_categorify_joint_encoding(spark):
+    """Joint encoding: all columns share ONE code space over the union of
+    their values (NVTabular joint encode_type)."""
+    df = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "a")], "x string, y string"
+    )
+    cat = Categorify(["x", "y"], out_suffix="_c", encode_type="joint").fit(df)
+    out = cat(df)
+    # union counts: a=3, b=2, c=1 → codes a=1, b=2, c=3 in BOTH columns
+    rows = {(r.x, r.x_c, r.y, r.y_c) for r in out.collect()}
+    assert rows == {("a", 1, "b", 2), ("a", 1, "c", 3), ("b", 2, "a", 1)}
+    assert cat.cardinality("x") == cat.cardinality("y") == 3
+
+    with pytest.raises(ValueError, match="shared dtype"):
+        mixed = spark.createDataFrame([("a", 1)], "x string, y int")
+        Categorify(["x", "y"], encode_type="joint").fit(mixed)
+
+
 def test_padding_exact(spark):
     """reference: padding_op.py:25-41 — ragged [[1]], [[2,3]] → 2×5 dense."""
     df = spark.createDataFrame([(1, [1]), (2, [2, 3])], "id int, a array<int>")
