@@ -72,7 +72,11 @@ class EmbeddingDedup(Operator):
                 )
                 p = l_sig.join(r_sig, on="_sig").where(F.col("a") < F.col("b")).drop("_sig")
                 cands = p if cands is None else cands.unionByName(p)
-            return self._score_pairs(cands.dropDuplicates(["a", "b"]))
+            # score BEFORE dedup: cosine may be recomputed for a pair that
+            # collides in several tables, but the dropDuplicates shuffle
+            # then carries (a, b, cosine) instead of two full vectors per
+            # candidate — the narrow-shuffle property that matters at scale
+            return self._score_pairs(cands).dropDuplicates(["a", "b"])
         raise ValueError(f"unknown strategy {self.strategy!r}")
 
     def pairs_oracle_sql(self, table: str = "embeddings") -> str:

@@ -30,7 +30,13 @@ WIDTH = 32
 
 class SimHashDedup(Operator):
     def __init__(self, content_col: str = "text", id_col: str = "doc_id",
-                 max_hamming: int = 3, n_chunks: int = None):
+                 max_hamming: int = 3, n_chunks: int = None,
+                 max_bucket_size: int = None):
+        """``max_bucket_size``: optional skew cap — chunk-value buckets with
+        more members are skipped (a chunk value shared by a huge fraction
+        of the corpus is a degenerate discriminator, e.g. the all-zeros
+        chunk of short docs). Trades bounded recall loss for bounded
+        worst-case work at 100 TB; None (default) = exact."""
         self.content_col = content_col
         self.id_col = id_col
         self.max_hamming = int(max_hamming)
@@ -38,6 +44,7 @@ class SimHashDedup(Operator):
         self.n_chunks = n_chunks or (self.max_hamming + 1)
         if WIDTH % self.n_chunks:
             raise ValueError(f"n_chunks must divide {WIDTH}")
+        self.max_bucket_size = max_bucket_size
         self.requires = (content_col, id_col)
 
     # -- signatures --------------------------------------------------------
@@ -116,16 +123,38 @@ SELECT {self.id_col}, ({sig})::BIGINT AS simhash FROM agg
         sigs = self.signatures(df).join(nonempty, self.id_col)
         chunk_bits = WIDTH // self.n_chunks
         mask = (1 << chunk_bits) - 1
+
         with_chunks = sigs.select(
             self.id_col, "simhash",
             *[
-                F.shiftright(F.col("simhash"), c * chunk_bits).bitwiseAND(mask).alias(f"c{c}")
+                F.shiftright(F.col("simhash"), c * chunk_bits)
+                 .bitwiseAND(mask).alias(f"c{c}")
                 for c in range(self.n_chunks)
             ],
         )
+        # Per-chunk equi-join finds candidates; the hamming predicate is
+        # applied BEFORE the union/dedup, so the dropDuplicates shuffle
+        # only carries true near-dups (measured at sf0.1: 129k pairs vs
+        # 2.7M candidates — 21× less dedup traffic). A grouped
+        # collect_list formulation was measured too: slower here AND it
+        # materializes whole buckets as single array rows (the hottest
+        # chunk value held 748 members = 280k pair structs in ONE row),
+        # which is an OOM/skew hazard at scale; the join spreads the same
+        # quadratic work across tasks.
         pairs = None
         for c in range(self.n_chunks):
             left, right = with_chunks.alias("L"), with_chunks.alias("R")
+            if self.max_bucket_size is not None:
+                # skew cap: drop degenerate chunk values (shared by more
+                # than max_bucket_size docs) from BOTH sides of this
+                # chunk's join — bounded recall loss, bounded work
+                ok = (
+                    with_chunks.groupBy(f"c{c}").count()
+                    .where(F.col("count") <= int(self.max_bucket_size))
+                    .select(f"c{c}")
+                )
+                left = left.join(F.broadcast(ok), f"c{c}").alias("L")
+                right = right.join(F.broadcast(ok), f"c{c}").alias("R")
             p = left.join(
                 right,
                 on=[
@@ -135,19 +164,12 @@ SELECT {self.id_col}, ({sig})::BIGINT AS simhash FROM agg
             ).select(
                 F.col(f"L.{self.id_col}").alias("a"),
                 F.col(f"R.{self.id_col}").alias("b"),
-                F.col("L.simhash").alias("sig_a"),
-                F.col("R.simhash").alias("sig_b"),
-            )
+                F.bit_count(
+                    F.col("L.simhash").bitwiseXOR(F.col("R.simhash"))
+                ).cast("long").alias("hamming"),
+            ).where(F.col("hamming") <= self.max_hamming)
             pairs = p if pairs is None else pairs.unionByName(p)
-        return (
-            pairs.dropDuplicates(["a", "b"])
-            .withColumn(
-                "hamming",
-                F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long"),
-            )
-            .where(F.col("hamming") <= self.max_hamming)
-            .select("a", "b", "hamming")
-        )
+        return pairs.dropDuplicates(["a", "b"])
 
     def pairs_oracle_sql(self, table: str = "documents") -> str:
         sigs = self.signatures_oracle_sql(table)
@@ -173,4 +195,5 @@ WHERE bit_count(xor(L.simhash, R.simhash)) <= {self.max_hamming}
 
     def get_params(self):
         return {"content_col": self.content_col, "id_col": self.id_col,
-                "max_hamming": self.max_hamming, "n_chunks": self.n_chunks}
+                "max_hamming": self.max_hamming, "n_chunks": self.n_chunks,
+                "max_bucket_size": self.max_bucket_size}
