@@ -99,6 +99,81 @@ class PredictModel(Operator):
         raise TypeError("PredictModel persists via framework-specific artifacts")
 
 
+class PredictModelBatched(Operator):
+    """``predict_batch_udf`` variant of :class:`PredictModel`
+    (``pyspark.ml.functions``, Spark 3.4+).
+
+    Differences from the mapInPandas path that matter operationally:
+
+    - the model is cached **per Python worker process** and reused across
+      tasks and queries (mapInPandas reloads once per task) — the right
+      trade for heavyweight models (TF/Torch nets, big boosters);
+    - ``batch_size`` explicitly caps rows per predict call independently of
+      ``spark.sql.execution.arrow.maxRecordsPerBatch`` — the reference's
+      FIL serving knob (``max_batch_size=8192``, fil.py:128) maps here;
+    - the scorer is a column expression, so it composes inside a wider
+      select and Catalyst prunes inputs to exactly ``input_cols``.
+
+    GPU note (no GPU in this container — config surface only): pair with
+    stage-level scheduling, e.g. ``df.rdd.withResources`` or
+    ``spark.task.resource.gpu.amount``, so executors schedule one scoring
+    task per GPU while the model stays pinned in the worker process.
+
+    ``predict_fn(model, x)`` receives a float32 matrix (n_rows × n_cols)
+    and must return a 1-D array (scalar ``return_type``) or a dict of
+    arrays (struct ``return_type``).
+    """
+
+    def __init__(self, loader: Callable, predict_fn: Callable,
+                 input_cols: Iterable[str], return_type="double",
+                 output_col: str = "output__0", batch_size: int = 8192):
+        self.loader = loader
+        self.predict_fn = predict_fn
+        self.input_cols = list(input_cols)
+        self.return_type = (
+            T._parse_datatype_string(return_type)
+            if isinstance(return_type, str)
+            else return_type
+        )
+        self.output_col = output_col
+        self.batch_size = int(batch_size)
+        self.requires = tuple(self.input_cols)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from pyspark.ml.functions import predict_batch_udf
+
+        loader, user_fn = self.loader, self.predict_fn
+
+        def make_predict_fn():  # runs once per worker process, cached
+            import numpy as np
+
+            model = loader()
+
+            def fn(x):  # x: (batch, n_features) float32 tensor
+                return user_fn(model, np.asarray(x, dtype="float32"))
+
+            return fn
+
+        udf = predict_batch_udf(
+            make_predict_fn,
+            return_type=self.return_type,
+            batch_size=self.batch_size,
+            input_tensor_shapes=[[len(self.input_cols)]],
+        )
+        # single tensor column: the feature matrix crosses the Arrow
+        # boundary as one array<float> column (float32 — half the transfer
+        # width of double), shape-checked against input_tensor_shapes
+        features = F.array(
+            *[F.col(c).cast("float") for c in self.input_cols]
+        )
+        return df.withColumn(self.output_col, udf(features))
+
+    def get_params(self):
+        raise TypeError(
+            "PredictModelBatched persists via framework-specific artifacts"
+        )
+
+
 class PredictForest(Operator):
     """Forest scoring with the reference's serving knobs (fil.py:124-210).
 

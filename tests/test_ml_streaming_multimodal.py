@@ -15,7 +15,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from systems_spark import Pipeline
 from systems_spark.operators.multimodal import FrameSample, MediaFeatureExtract
 from systems_spark.operators.normalize import FillMissing, Normalize
-from systems_spark.operators.predict import PredictForest, PredictImplicit, PredictModel
+from systems_spark.operators.predict import (
+    PredictForest,
+    PredictImplicit,
+    PredictModel,
+    PredictModelBatched,
+)
 from systems_spark.streaming import serve_pipeline, transform_stream, windowed_rollup
 
 
@@ -60,6 +65,58 @@ def test_predict_model_golden_parity(spark):
     got = {r.id: r.yhat for r in op(df).collect()}
     want = {i: i * 2.0 + (i % 5) for i in range(100)}
     assert got == want
+
+
+def test_predict_batch_udf_parity_with_mapinpandas(spark):
+    """The predict_batch_udf path must score identically to the
+    mapInPandas path (executor-parity pattern, test_executors.py:34-129),
+    including multi-output struct returns."""
+    import pandas as pd
+
+    class ToyModel:
+        def predict(self, x):
+            return x[:, 0] * 2.0 + x[:, 1]
+
+    rows = [(i, float(i), float(i % 5)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, f0 double, f1 double")
+
+    batched = PredictModelBatched(
+        loader=lambda: ToyModel(),
+        predict_fn=lambda m, x: m.predict(x).astype("float64"),
+        input_cols=["f0", "f1"],
+        return_type="double",
+        output_col="yhat",
+        batch_size=16,
+    )
+    got = {r.id: r.yhat for r in batched(df).collect()}
+
+    mip = PredictModel(
+        loader=lambda: ToyModel(),
+        predict_fn=lambda m, pdf: pd.DataFrame(
+            {"yhat": m.predict(pdf.to_numpy(dtype="float32")).astype("float64")}
+        ),
+        input_cols=["f0", "f1"],
+        output_schema="yhat double",
+    )
+    want = {r.id: r.yhat for r in mip(df).collect()}
+    assert got == want
+
+    # struct return: multi-output heads in one pass
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    multi = PredictModelBatched(
+        loader=lambda: ToyModel(),
+        predict_fn=lambda m, x: {
+            "y1": m.predict(x).astype("float64"),
+            "y2": (x[:, 0] * -1.0).astype("float64"),
+        },
+        input_cols=["f0", "f1"],
+        return_type=StructType([StructField("y1", DoubleType()),
+                                StructField("y2", DoubleType())]),
+        output_col="preds",
+    )
+    row = multi(df).where(F.col("id") == 7).select("preds.*").first()
+    assert (row.y1, row.y2) == (7 * 2.0 + 2.0, -7.0)
 
 
 def test_predict_forest_mllib_and_knobs(spark):
