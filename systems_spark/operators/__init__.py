@@ -14,12 +14,13 @@ from systems_spark.operators.predict import PredictModel, PredictForest, Predict
 from systems_spark.operators.multimodal import MediaFeatureExtract, FrameSample
 from systems_spark.operators.sessionize import Sessionize
 from systems_spark.operators.range_join import RangeJoin
-from systems_spark.operators.branch import BranchConcat
+from systems_spark.operators.branch import BranchConcat, Subgraph
 
 __all__ = [
     "Sessionize",
     "RangeJoin",
     "BranchConcat",
+    "Subgraph",
     "Normalize",
     "FillMissing",
     "AsofJoin",

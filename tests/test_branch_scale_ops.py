@@ -17,7 +17,7 @@ from systems_spark.operators import (
     SelectColumns,
     Sessionize,
 )
-from systems_spark.operators.branch import BranchConcat
+from systems_spark.operators.branch import BranchConcat, Subgraph
 from systems_spark.plans import count_exchanges, formatted_plan
 
 
@@ -34,6 +34,45 @@ def test_branch_concat_column_union(spark):
     assert set(out.columns) == {"id", "x_a", "x", "x2"}
     got = {r.id: (r.x_a, r.x2) for r in out.collect()}
     assert got == {1: (10.0, 20.0), 2: (20.0, 40.0)}
+
+
+def test_subgraph_named_node_and_roundtrip(spark, tmp_path):
+    """reference: Subgraph — named sub-DAG usable as a node
+    (tests/unit/systems/ops/tf/test_ensemble.py:263-265). A fitted
+    Subgraph nested in a Pipeline must survive save/load with identical
+    outputs (persistence pattern, test_ensemble.py:27-58)."""
+    from systems_spark.operators import Categorify
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("a", 3.0)], "cat string, x double"
+    )
+    inner = Pipeline([Categorify(["cat"], out_suffix="_c")])
+    sub = Subgraph("encode", inner)
+    pipe = Pipeline([sub, Rename(mapping={"x": "x_renamed"})])
+    pipe.fit(df)
+    before = sorted(map(tuple, pipe.transform(df).collect()))
+
+    path = str(tmp_path / "nested")
+    pipe.save(path)
+    loaded = Pipeline.load(path, spark=spark)
+    after = sorted(map(tuple, loaded.transform(df).collect()))
+    assert before == after
+    assert loaded.operators[0].name == "encode"
+
+
+def test_branch_concat_roundtrip(spark, tmp_path):
+    """BranchConcat persists each branch as a nested pipeline."""
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, x double")
+    b1 = Pipeline([SelectColumns(["id", "x"]), Rename(mapping={"x": "x_a"})])
+    b2 = Pipeline([SelectColumns(["id"])])
+    pipe = Pipeline([BranchConcat([b1, b2], key="id")])
+    before = sorted(map(tuple, pipe.transform(df).collect()))
+
+    path = str(tmp_path / "branches")
+    pipe.save(path)
+    loaded = Pipeline.load(path, spark=spark)
+    after = sorted(map(tuple, loaded.transform(df).collect()))
+    assert before == after
 
 
 def test_branch_concat_requires_key(spark):
