@@ -77,3 +77,32 @@ def salted_group_count(df: DataFrame, key_col: str, n_salts: int = 16,
     salted = df.withColumn("_salt", (F.rand() * n_salts).cast("int"))
     partial = salted.groupBy(key_col, "_salt").agg(F.count(F.lit(1)).alias("_pc"))
     return partial.groupBy(key_col).agg(F.sum("_pc").cast("long").alias(count_col))
+
+
+def salted_join(left: DataFrame, right: DataFrame, key_col: str,
+                n_salts: int = 16, how: str = "inner") -> DataFrame:
+    """Skew-safe equi-join: salt the (large, skewed) LEFT side, replicate
+    the (smaller) RIGHT side once per salt, join on (key, salt).
+
+    A hot key in a plain shuffle join lands every one of its rows on ONE
+    task; salting fans it out across ``n_salts`` tasks at the cost of
+    replicating the right side n_salts×. Prefer AQE's skew-join handling
+    (``spark.sql.adaptive.skewJoin.enabled``, on by default) when splits
+    suffice — this helper is for the cases AQE can't fix: a single key too
+    hot for any split, or a non-shuffle-join plan you must force.
+
+    Row multiplicity is exactly the plain join's: each left row carries one
+    salt, and the right replica set contains each right row once per salt.
+    """
+    from pyspark.sql import functions as F
+
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left (right/outer "
+                         "would need BOTH sides salted on the hot keys)")
+    l_salted = left.withColumn("_salt", (F.rand() * n_salts).cast("int"))
+    r_replicated = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return l_salted.join(
+        r_replicated, on=[key_col, "_salt"], how=how
+    ).drop("_salt")

@@ -121,3 +121,31 @@ def test_salted_group_count_equals_plain(spark, tables):
     salted = {r.l_returnflag: r.n for r in
               salted_group_count(li, "l_returnflag", n_salts=8).collect()}
     assert plain == salted
+
+
+def test_salted_join_equals_plain(spark, tables):
+    """Salted join must be row-for-row identical to the plain join —
+    including duplicate keys on both sides (multiplicity check) and
+    unmatched left rows under how='left'."""
+    from systems_spark.plans import salted_join
+
+    li = tables["lineitem"].select("l_orderkey", "l_partkey").limit(2000)
+    orders = tables["orders"].select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    plain = li.join(orders, on="l_orderkey", how="inner")
+    salted = salted_join(li, orders, "l_orderkey", n_salts=8, how="inner")
+    assert sorted(map(tuple, plain.collect())) == \
+        sorted(map(tuple, salted.collect()))
+
+    # left join keeps unmatched rows exactly once
+    li_with_orphans = li.union(
+        spark.createDataFrame([(-1, -1), (-1, -2)], "l_orderkey long, l_partkey long")
+    )
+    plain_l = li_with_orphans.join(orders, on="l_orderkey", how="left")
+    salted_l = salted_join(li_with_orphans, orders, "l_orderkey", n_salts=8, how="left")
+    assert sorted(map(tuple, plain_l.collect())) == \
+        sorted(map(tuple, salted_l.collect()))
+
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(li, orders, "l_orderkey", how="right")
