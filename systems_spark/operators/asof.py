@@ -32,7 +32,15 @@ from systems_spark.operators.base import Operator
 class AsofJoin(Operator):
     def __init__(self, right_df: DataFrame, on: Iterable[str],
                  left_ts: str, right_ts: str, right_cols: Iterable[str],
-                 strict: bool = False, suffix: str = "_asof"):
+                 strict: bool = False, suffix: str = "_asof",
+                 direction: str = "backward", tolerance=None):
+        """``direction="backward"`` (default): most recent right row
+        at-or-before the left timestamp; ``"forward"``: earliest right row
+        at-or-after it (pandas ``merge_asof`` surface). ``tolerance``: max
+        allowed |left_ts − right_ts| in timestamp units — matches outside
+        it are nulled (no leakage from stale features)."""
+        if direction not in ("backward", "forward"):
+            raise ValueError(f"direction must be backward|forward, got {direction}")
         self.right_df = right_df
         self.on = [on] if isinstance(on, str) else list(on)
         self.left_ts = left_ts
@@ -40,11 +48,14 @@ class AsofJoin(Operator):
         self.right_cols = list(right_cols)
         self.strict = strict
         self.suffix = suffix
+        self.direction = direction
+        self.tolerance = tolerance
         self.requires = tuple(self.on) + (left_ts,)
 
     def transform(self, df: DataFrame) -> DataFrame:
         out_names = [f"{c}{self.suffix}" if c in df.columns else c for c in self.right_cols]
         left_cols = [c for c in df.columns]
+        carry_rts = self.tolerance is not None
 
         left = df.select(
             *left_cols,
@@ -52,6 +63,8 @@ class AsofJoin(Operator):
             F.lit(1).alias("_tag"),
             *[F.lit(None).cast(self.right_df.schema[c].dataType).alias(o)
               for c, o in zip(self.right_cols, out_names)],
+            *([F.lit(None).cast(self.right_df.schema[self.right_ts].dataType)
+               .alias("_rts")] if carry_rts else []),
         )
         right = self.right_df.select(
             *[F.lit(None).cast(df.schema[c].dataType).alias(c)
@@ -60,17 +73,33 @@ class AsofJoin(Operator):
             F.col(self.right_ts).alias("_ts"),
             F.lit(0).alias("_tag"),
             *[F.col(c).alias(o) for c, o in zip(self.right_cols, out_names)],
-        ).select(*left_cols, "_ts", "_tag", *out_names)
+            *([F.col(self.right_ts).alias("_rts")] if carry_rts else []),
+        ).select(*left_cols, "_ts", "_tag", *out_names,
+                 *(["_rts"] if carry_rts else []))
 
-        # inclusive: right (tag 0) sorts before left (tag 1) at equal ts, so
-        # last() sees it; strict: flip so equal-ts right rows are NOT visible
+        # traversal order: backward walks time ascending (carry the most
+        # recent right row forward); forward walks descending (carry the
+        # earliest upcoming right row backward). In BOTH, at equal ts the
+        # right row (tag 0) is visible iff inclusive, so it sorts first
+        # unless strict.
+        ts_order = (F.col("_ts").asc() if self.direction == "backward"
+                    else F.col("_ts").desc())
         tag_order = F.col("_tag").asc() if not self.strict else F.col("_tag").desc()
         w = (
             Window.partitionBy(*self.on)
-            .orderBy(F.col("_ts").asc(), tag_order)
+            .orderBy(ts_order, tag_order)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         carried = left.unionByName(right)
-        for o in out_names:
+        carry_cols = out_names + (["_rts"] if carry_rts else [])
+        for o in carry_cols:
             carried = carried.withColumn(o, F.last(o, ignorenulls=True).over(w))
-        return carried.where(F.col("_tag") == 1).drop("_ts", "_tag")
+        out = carried.where(F.col("_tag") == 1)
+        if carry_rts:
+            gap = (F.col("_ts") - F.col("_rts") if self.direction == "backward"
+                   else F.col("_rts") - F.col("_ts"))
+            within = F.col("_rts").isNotNull() & (gap <= F.lit(self.tolerance))
+            for o in out_names:
+                out = out.withColumn(o, F.when(within, F.col(o)))
+            out = out.drop("_rts")
+        return out.drop("_ts", "_tag")
