@@ -771,14 +771,17 @@ def q_minhash_signatures(spark, sf_dir):
 def q_text_stats(spark, sf_dir):
     """Token counts, BPE-ish counts, lang-ID, quality score, fingerprint —
     the per-document text-analysis sweep, all JVM expressions."""
+    from systems_spark.functions.fence import fence_columns
+
     docs = _t(spark, sf_dir, "documents")
     t = F.col("text")
-    # stage token materialization: tokens computed ONCE per row, then every
-    # downstream stat reads the arrays (10× over inline re-tokenization)
-    staged = docs.select(
-        "doc_id", t,
-        TX.tokens(t).alias("_toks"),
-        TX.tokens(F.lower(t)).alias("_toks_lower"),
+    # fenced token materialization: tokens computed ONCE per row as real
+    # attributes (functions/fence.py — a plain alias would be re-inlined
+    # into every downstream lambda by ProjectCollapsing)
+    staged = fence_columns(
+        docs.select("doc_id", t),
+        _toks=TX.tokens(t),
+        _toks_lower=TX.tokens(F.lower(t)),
     )
     return staged.select(
         "doc_id",
@@ -970,9 +973,11 @@ FROM events GROUP BY 1, 2
 def q_top_ngrams(spark, sf_dir):
     """Global top-20 word 3-grams by frequency — the shuffle-heavy text
     aggregation (corpus statistics for tokenizer/quality work)."""
+    from systems_spark.functions.fence import fence_columns
+
     docs = _t(spark, sf_dir, "documents")
     return (
-        docs.select(TX.tokens(F.col("text")).alias("_toks"))
+        fence_columns(docs.select("text"), _toks=TX.tokens(F.col("text")))
         .select(F.explode(TX.word_shingles_from_tokens(F.col("_toks"), 3)).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -76,9 +76,14 @@ class MinHashDedup(Operator):
         here (measured 4×) — hash aggregation does map-side partial combine,
         so the shuffle carries only (doc, P ints) per doc anyway, while the
         fold pays a P-element array allocation per shingle."""
+        from systems_spark.functions.fence import fence_columns
+
         consts = permutation_constants(self.num_perm, self.seed)
-        sh = df.select(
-            F.col(self.id_col), tokens(F.col(self.content_col)).alias("_toks")
+        # _toks fenced: a real attribute, never re-inlined into the
+        # shingle lambda (functions/fence.py)
+        sh = fence_columns(
+            df.select(self.id_col, self.content_col),
+            _toks=tokens(F.col(self.content_col)),
         ).select(
             F.col(self.id_col),
             F.explode_outer(

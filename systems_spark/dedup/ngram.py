@@ -42,10 +42,17 @@ class NGramJaccardDedup(Operator):
         self.requires = (content_col, id_col)
 
     def _shingle_rows(self, df: DataFrame) -> DataFrame:
-        # two-step staging: materialize tokens, THEN shingle — avoids
-        # re-tokenizing per shingle slice (10× on this operator's hot path)
+        # fenced staging: _toks must be a real attribute, not an alias —
+        # ProjectCollapsing would otherwise re-inline the tokenization into
+        # every shingle-lambda element (measured 15× on this hot path; see
+        # functions/fence.py)
+        from systems_spark.functions.fence import fence_columns
+
         sh = (
-            df.select(F.col(self.id_col), tokens(F.col(self.content_col)).alias("_toks"))
+            fence_columns(
+                df.select(self.id_col, self.content_col),
+                _toks=tokens(F.col(self.content_col)),
+            )
             .select(
                 F.col(self.id_col),
                 F.explode(
@@ -71,8 +78,11 @@ class NGramJaccardDedup(Operator):
             # sizes must count only retained shingles → derive from sh
             sizes = sh.groupBy(self.id_col).agg(F.count(F.lit(1)).alias("set_size"))
         else:
-            sizes = df.select(
-                F.col(self.id_col), tokens(F.col(self.content_col)).alias("_toks")
+            from systems_spark.functions.fence import fence_columns
+
+            sizes = fence_columns(
+                df.select(self.id_col, self.content_col),
+                _toks=tokens(F.col(self.content_col)),
             ).select(
                 F.col(self.id_col),
                 F.size(

@@ -58,10 +58,16 @@ class SimHashDedup(Operator):
         per-bit ±1 sums: bit_j = 1 iff Σ±1 > 0 iff 2·ones_j > n_tokens.
         The SQL oracle keeps the explode/groupBy formulation — same values.
         """
-        toks = df.select(
-            F.col(self.id_col),
-            F.coalesce(tokens(F.col(self.content_col)),
-                       F.array().cast("array<string>")).alias("_toks"),
+        from systems_spark.functions.fence import fence_columns
+
+        # _toks and _ones fenced (functions/fence.py): _toks feeds a
+        # per-element hash lambda, and _ones is read by 32 bit extractors —
+        # without the fence ProjectCollapsing re-evaluates the tokenization
+        # per hash and the whole counter fold per bit
+        toks = fence_columns(
+            df.select(self.id_col, self.content_col),
+            _toks=F.coalesce(tokens(F.col(self.content_col)),
+                             F.array().cast("array<string>")),
         )
         hashes = F.transform(F.col("_toks"), lambda t: hash64(t))
         zeros = F.array_repeat(F.lit(0), WIDTH)
@@ -74,11 +80,10 @@ class SimHashDedup(Operator):
                 for j in range(WIDTH)
             ]),
         )
-        staged = toks.select(
-            self.id_col,
-            F.size("_toks").alias("_n"),
-            counters.alias("_ones"),
-        )
+        staged = fence_columns(
+            toks.select(self.id_col, F.size("_toks").alias("_n"), "_toks"),
+            _ones=counters,
+        ).drop("_toks")
         sig = sum(
             F.when(
                 F.element_at(F.col("_ones"), j + 1) * 2 > F.col("_n"),
