@@ -49,6 +49,39 @@ def read_csv(spark: SparkSession, path: str, schema=None, header: bool = True,
     return reader.csv(path)
 
 
+def read_json(spark: SparkSession, path: str, schema=None,
+              multiline: bool = False, **options) -> DataFrame:
+    """JSON-lines scan with explicit schema (inference refused — on JSON it
+    is a full scan AND type-unstable across files; declare the contract)."""
+    if schema is None:
+        raise ValueError("read_json requires an explicit schema "
+                         "(inference = hidden full scan at scale)")
+    return (spark.read.schema(schema)
+            .options(multiLine=str(multiline).lower(), **options).json(path))
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite",
+               compression: str = "gzip") -> None:
+    """JSON-lines sink (interchange format; compressed by default — raw
+    JSON is ~10× parquet on disk)."""
+    df.write.mode(mode).option("compression", compression).json(path)
+
+
+def read_orc(spark: SparkSession, path: str,
+             columns: Optional[Iterable[str]] = None) -> DataFrame:
+    """ORC scan — same pushdown/pruning properties as parquet."""
+    df = spark.read.orc(path)
+    return df.select(*columns) if columns else df
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
+              partition_by: Optional[Iterable[str]] = None) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*list(partition_by))
+    w.orc(path)
+
+
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
                   partition_by: Optional[Iterable[str]] = None,
                   max_records_per_file: Optional[int] = None) -> None:

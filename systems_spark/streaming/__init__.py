@@ -60,6 +60,34 @@ def serve_pipeline(pipeline, stream_df: DataFrame, sink_fn: Callable,
     return writer.start()
 
 
+def stream_stream_join(left: DataFrame, right: DataFrame, on,
+                       left_ts: str, right_ts: str,
+                       max_delay: str, watermark: str = "10 minutes",
+                       how: str = "inner") -> DataFrame:
+    """Windowed stream-stream equi-join: right rows match left rows whose
+    event time is within ``[left_ts, left_ts + max_delay]`` (the
+    view→purchase attribution shape).
+
+    Both sides get watermarks and the join carries an explicit time-range
+    predicate — REQUIRED for stream-stream joins, or state grows without
+    bound: the range bounds how long each side's rows are retained, the
+    watermark bounds lateness, and Spark drops state older than
+    watermark + delay. State is sharded by the join key across executors.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    l_wm = left.withWatermark(left_ts, watermark)
+    r_wm = right.withWatermark(right_ts, watermark)
+    cond = [l_wm[k] == r_wm[k] for k in on] + [
+        r_wm[right_ts] >= l_wm[left_ts],
+        r_wm[right_ts] <= F.expr(f"{left_ts} + interval {max_delay}"),
+    ]
+    joined = l_wm.join(r_wm, cond, how)
+    # drop the right side's duplicated key columns
+    for k in on:
+        joined = joined.drop(r_wm[k])
+    return joined
+
+
 def windowed_rollup(stream_df: DataFrame, ts_col: str, keys, window: str,
                     watermark: str = "10 minutes", aggs: Optional[list] = None):
     """Event-time tumbling-window aggregation with late-data watermark."""

@@ -41,6 +41,25 @@ def test_csv_roundtrip_with_header(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == [(1, "a"), (2, "b")]
 
 
+def test_json_orc_roundtrip(spark, tmp_path, tables):
+    """JSON-lines and ORC sinks/scans round-trip values; JSON without an
+    explicit schema is refused."""
+    from systems_spark.sources import read_json, read_orc, write_json, write_orc
+
+    li = tables["lineitem"].select("l_orderkey", "l_quantity").limit(50)
+    jp, op_ = str(tmp_path / "j"), str(tmp_path / "o")
+    write_json(li, jp)
+    write_orc(li, op_)
+    want = sorted(map(tuple, li.collect()))
+    got_j = sorted(map(tuple, read_json(
+        spark, jp, schema="l_orderkey long, l_quantity double").collect()))
+    got_o = sorted(map(tuple, read_orc(spark, op_).collect()))
+    assert got_j == want and got_o == want
+
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_json(spark, jp)
+
+
 def test_write_parquet_partitioned(spark, tmp_path, tables):
     p = str(tmp_path / "part_out")
     write_parquet(tables["region"], p, partition_by=["r_regionkey"])

@@ -129,6 +129,43 @@ def test_streaming_sessionizer_matches_batch_twin(spark, tmp_path):
     assert stream_sessions == batch_sessions
 
 
+def test_stream_stream_join_attribution(spark, tmp_path):
+    """Windowed stream-stream join: purchases attribute to views of the
+    same user within the delay window; matches the static join."""
+    from systems_spark.streaming import stream_stream_join
+
+    base = 1_700_000_000
+    views = [("a", base + 0), ("a", base + 100), ("b", base + 50)]
+    buys = [("a", base + 30), ("a", base + 500), ("b", base + 400)]
+
+    import datetime
+    vdf_rows = [(u, datetime.datetime.utcfromtimestamp(t)) for u, t in views]
+    bdf_rows = [(u, datetime.datetime.utcfromtimestamp(t)) for u, t in buys]
+    vschema = "user string, view_ts timestamp"
+    bschema = "user string, buy_ts timestamp"
+
+    vp, bp = str(tmp_path / "views"), str(tmp_path / "buys")
+    spark.createDataFrame(vdf_rows, vschema).write.parquet(vp)
+    spark.createDataFrame(bdf_rows, bschema).write.parquet(bp)
+
+    vstream = spark.readStream.schema(vschema).parquet(vp)
+    bstream = spark.readStream.schema(bschema).parquet(bp)
+    joined = stream_stream_join(vstream, bstream, "user",
+                                "view_ts", "buy_ts", max_delay="60 seconds",
+                                watermark="1 second")
+    q = (joined.writeStream.outputMode("append").format("memory")
+         .queryName("attrib").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(r.user, int(r.view_ts.timestamp()), int(r.buy_ts.timestamp()))
+           for r in spark.sql("SELECT * FROM attrib").collect()}
+    # static truth: buy within [view, view+60s]
+    want = {(u, vt, bt) for u, vt in views for bu, bt in buys
+            if bu == u and vt <= bt <= vt + 60}
+    assert got == want
+    assert ("a", base + 0, base + 30) in got  # the attributed purchase
+
+
 def test_kafka_config_surface():
     opts = kafka_source_options(
         "broker1:9092,broker2:9092", "events",
