@@ -369,6 +369,67 @@ GROUP BY l.l_partkey
 """
 
 
+def q_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: aggregate view + scalar-subquery max — suppliers
+    whose lineitem revenue equals the global maximum. Decimal revenue is
+    exact, so the equality join on the max is deterministic (no float
+    ties ambiguity)."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.round(F.sum(_dec("l_extendedprice")
+                           * (F.lit(1).cast("decimal(18,6)") - _dec("l_discount"))), 4)
+             .alias("total_rev"))
+    )
+    max_rev = rev.agg(F.max("total_rev").alias("m"))
+    return (
+        rev.join(F.broadcast(max_rev), rev.total_rev == F.col("m"))
+        .select("l_suppkey", F.col("total_rev").cast("double").alias("total_rev"))
+    )
+
+
+_SQL_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice::DECIMAL(18,6)
+                   * (1::DECIMAL(18,6) - l_discount::DECIMAL(18,6))), 4) AS total_rev
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT l_suppkey, total_rev::DOUBLE AS total_rev FROM rev
+WHERE total_rev = (SELECT max(total_rev) FROM rev)
+"""
+
+
+def q_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape: above-average-balance customers with NO orders —
+    scalar subquery + anti-join, grouped by market segment."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        F.avg(_dec("c_acctbal")).alias("ab")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal), F.col("c_acctbal").cast("decimal(18,6)") > F.col("ab"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            _dsum(_dec("c_acctbal")).alias("total_bal"),
+        )
+    )
+
+
+_SQL_IDLE_RICH = """
+SELECT c_mktsegment, count(*) AS n_cust,
+       round(sum(c_acctbal::DECIMAL(18,6)), 4)::DOUBLE AS total_bal
+FROM customer
+WHERE c_acctbal::DECIMAL(18,6) > (SELECT avg(c_acctbal::DECIMAL(18,6))
+                                  FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
 def q_running_order_totals(spark, sf_dir):
     """Window-function shape: per-customer running order total, order
     sequence number, and days since the previous order (lag). o_orderdate
@@ -1287,6 +1348,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_revenue": q_cube_revenue,
         "pivot_orders": q_pivot_orders,
         "balance_deciles": q_balance_deciles,
+        "top_supplier": q_top_supplier,
+        "idle_rich_customers": q_idle_rich_customers,
         # reference operator surface
         "filter_candidates": q_filter_candidates,
         "softmax_sampling": q_softmax_sampling,
@@ -1336,6 +1399,8 @@ def oracle_sql() -> dict[str, str]:
         "cube_revenue": _SQL_CUBE_REVENUE,
         "pivot_orders": _SQL_PIVOT_ORDERS,
         "balance_deciles": _SQL_BALANCE_DECILES,
+        "top_supplier": _SQL_TOP_SUPPLIER,
+        "idle_rich_customers": _SQL_IDLE_RICH,
         "filter_candidates": _SQL_FILTER_CANDIDATES,
         "softmax_sampling": _SQL_SOFTMAX,
         "unroll_features": _SQL_UNROLL,
