@@ -52,6 +52,18 @@ class AsofJoin(Operator):
         self.tolerance = tolerance
         self.requires = tuple(self.on) + (left_ts,)
 
+    def compute_output_schema(self, input_schema):
+        from systems_spark.schema import ColumnSchema, Schema
+
+        rt = Schema.of(self.right_df)
+        added = []
+        for c in self.right_cols:
+            out = f"{c}{self.suffix}" if c in input_schema else c
+            rc = rt[c]
+            added.append(ColumnSchema(out, rc.dtype, is_list=rc.is_list,
+                                      dims=rc.dims, tags=rc.tags))
+        return input_schema + Schema(added)
+
     def transform(self, df: DataFrame) -> DataFrame:
         out_names = [f"{c}{self.suffix}" if c in df.columns else c for c in self.right_cols]
         left_cols = [c for c in df.columns]

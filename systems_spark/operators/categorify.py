@@ -150,6 +150,16 @@ class Categorify(Operator):
     def cardinality(self, column: str) -> int:
         return self.vocabs[column].count()
 
+    def compute_output_schema(self, input_schema):
+        from systems_spark.schema import ColumnSchema, Schema
+
+        added = Schema([
+            ColumnSchema(f"{c}{self.out_suffix}", "int64",
+                         tags=frozenset({"CATEGORICAL"}))
+            for c in self.columns
+        ])
+        return input_schema + added
+
     def get_params(self):
         return {"columns": self.columns, "out_suffix": self.out_suffix,
                 "freq_threshold": self.freq_threshold,

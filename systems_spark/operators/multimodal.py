@@ -113,6 +113,14 @@ class MediaFeatureExtract(Operator):
 
         return df.mapInPandas(extract, schema=result_schema)
 
+    def compute_output_schema(self, input_schema):
+        from systems_spark.schema import ColumnSchema, Schema
+
+        return input_schema + Schema([
+            ColumnSchema(self.output_col, "float32", is_list=True,
+                         dims=(None, self.dim), tags=frozenset({"EMBEDDING"}))
+        ])
+
     def get_params(self):
         return {"payload_col": self.payload_col, "output_col": self.output_col,
                 "dim": self.dim, "target_batch_bytes": self.target_batch_bytes,
@@ -159,6 +167,14 @@ class FrameSample(Operator):
                 yield pd.DataFrame(rows, columns=out_cols)
 
         return df.mapInPandas(sample, schema=result_schema)
+
+    def compute_output_schema(self, input_schema):
+        from systems_spark.schema import ColumnSchema, Schema
+
+        return input_schema + Schema([
+            ColumnSchema("frame_idx", "int32"),
+            ColumnSchema(self.frame_col, "binary"),
+        ])
 
     def get_params(self):
         return {"payload_col": self.payload_col, "n_frames": self.n_frames,

@@ -93,7 +93,17 @@ class PredictModel(Operator):
                     out[name] = preds[name].values
                 yield out
 
-        return df.select(*keep, *in_cols).mapInPandas(score, schema=result_schema)
+        # dedup: passthrough may include feature columns
+        sel = keep + [c for c in in_cols if c not in keep]
+        return df.select(*sel).mapInPandas(score, schema=result_schema)
+
+    def compute_output_schema(self, input_schema):
+        from systems_spark.schema import Schema
+
+        keep = self.passthrough if self.passthrough is not None else [
+            c for c in input_schema.column_names if c not in self.input_cols
+        ]
+        return input_schema.select(keep) + Schema.from_struct_type(self.output_schema)
 
     def get_params(self):
         raise TypeError("PredictModel persists via framework-specific artifacts")
@@ -167,6 +177,13 @@ class PredictModelBatched(Operator):
             *[F.col(c).cast("float") for c in self.input_cols]
         )
         return df.withColumn(self.output_col, udf(features))
+
+    def compute_output_schema(self, input_schema):
+        from systems_spark.schema import Schema
+
+        return input_schema + Schema.from_struct_type(
+            T.StructType([T.StructField(self.output_col, self.return_type)])
+        )
 
     def get_params(self):
         raise TypeError(
@@ -245,8 +262,11 @@ class PredictForest(Operator):
             return pd.DataFrame({out_col: y.reshape(len(pdf))})
 
         out_type = "array<float>" if proba else "float"
+        # passthrough=df.columns: keep feature columns, matching the MLlib
+        # path (which never drops them)
         op = PredictModel(loader, predict_fn, self.input_cols,
-                          f"{self.output_col} {out_type}")
+                          f"{self.output_col} {out_type}",
+                          passthrough=list(df.columns))
         return op.transform(df)
 
 

@@ -59,6 +59,11 @@ class RangeJoin(Operator):
             return joined
         raise ValueError(f"unsupported how={self.how!r}")
 
+    def compute_output_schema(self, input_schema):
+        from systems_spark.schema import Schema
+
+        return input_schema + Schema.of(self.ranges_df)
+
     def get_params(self):
         raise TypeError("RangeJoin persists via save_artifacts (ranges are data)")
 

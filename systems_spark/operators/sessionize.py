@@ -47,6 +47,11 @@ class Sessionize(Operator):
             self.session_col, F.sum("_new_s").over(running).cast("long")
         ).drop("_new_s")
 
+    def compute_output_schema(self, input_schema):
+        from systems_spark.schema import ColumnSchema, Schema
+
+        return input_schema + Schema([ColumnSchema(self.session_col, "int64")])
+
     def get_params(self):
         return {"user_col": self.user_col, "ts_col": self.ts_col, "gap": self.gap,
                 "order_cols": self.order_cols, "session_col": self.session_col}

@@ -113,6 +113,42 @@ def test_schema_propagation_through_pipeline(spark):
     assert out.column_names == ["a_x", "b"]
 
 
+def test_schema_propagation_matches_execution(spark, tables):
+    """compute_output_schema must agree with the executed DataFrame's
+    schema for every operator that overrides it (reference pattern:
+    test_graph.py:31-49, no-execution schema preview)."""
+    from systems_spark.operators.predict import PredictModel
+    from systems_spark.operators.sessionize import Sessionize
+
+    li = tables["lineitem"]
+    cases = []
+
+    cat = Categorify(["l_returnflag"], out_suffix="_c").fit(li)
+    cases.append((cat, li))
+
+    sess = Sessionize("l_orderkey", "l_linenumber", 10)
+    cases.append((sess, li))
+
+    import pandas as pd
+    pm = PredictModel(
+        loader=lambda: None,
+        predict_fn=lambda m, pdf: pd.DataFrame({"yhat": pdf["l_quantity"]}),
+        input_cols=["l_quantity"],
+        output_schema="yhat double",
+    )
+    cases.append((pm, li))
+
+    for op, df in cases:
+        declared = op.compute_output_schema(Schema.of(df))
+        executed = Schema.of(op(df))
+        # set comparison: joins may reorder columns (join key first)
+        assert sorted(declared.column_names) == sorted(executed.column_names), \
+            type(op).__name__
+        for name in declared.column_names:
+            assert declared[name].spark_type == executed[name].spark_type, \
+                f"{type(op).__name__}.{name}"
+
+
 def test_missing_column_raises(spark):
     """reference: negative schema tests, fil/test_op.py:316-334."""
     df = spark.createDataFrame([(1,)], "a int")
