@@ -565,6 +565,79 @@ GROUP BY decile
 """
 
 
+def q_order_rank_stats(spark, sf_dir):
+    """percent_rank + cume_dist within market segment — relative-rank
+    window family (deterministic: ordered by price then custkey)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_mktsegment", "o_orderkey",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .where(F.col("pct_rank") >= 0.99)  # top percentile per segment
+    )
+
+
+_SQL_ORDER_RANK = """
+SELECT c_mktsegment, o_orderkey,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM orders JOIN customer ON o_custkey = c_custkey
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY o_totalprice, o_orderkey)
+QUALIFY pct_rank >= 0.99
+"""
+
+
+def q_latest_order_per_customer(spark, sf_dir):
+    """Windowed dedup: keep each customer's most recent order (row_number
+    over business key — the canonical CDC/snapshot-compaction shape)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("o_custkey", "o_orderkey",
+                F.col("o_totalprice").alias("latest_price"))
+    )
+
+
+_SQL_LATEST_ORDER = """
+SELECT o_custkey, o_orderkey, o_totalprice AS latest_price
+FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+"""
+
+
+def q_monthly_revenue(spark, sf_dir):
+    """Calendar bucketing: revenue by month (date_trunc on TIMESTAMP_NTZ —
+    tz-independent in both engines)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(_dec("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+_SQL_MONTHLY_REVENUE = """
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+       count(*) AS n_orders,
+       round(sum(o_totalprice::DECIMAL(18,6)), 4)::DOUBLE AS revenue
+FROM orders GROUP BY month
+"""
+
+
 def q_filter_candidates(spark, sf_dir):
     """Anti-membership filter (session_filter.py semantics), relational output."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1350,6 +1423,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "balance_deciles": q_balance_deciles,
         "top_supplier": q_top_supplier,
         "idle_rich_customers": q_idle_rich_customers,
+        "order_rank_stats": q_order_rank_stats,
+        "latest_order_per_customer": q_latest_order_per_customer,
+        "monthly_revenue": q_monthly_revenue,
         # reference operator surface
         "filter_candidates": q_filter_candidates,
         "softmax_sampling": q_softmax_sampling,
@@ -1401,6 +1477,9 @@ def oracle_sql() -> dict[str, str]:
         "balance_deciles": _SQL_BALANCE_DECILES,
         "top_supplier": _SQL_TOP_SUPPLIER,
         "idle_rich_customers": _SQL_IDLE_RICH,
+        "order_rank_stats": _SQL_ORDER_RANK,
+        "latest_order_per_customer": _SQL_LATEST_ORDER,
+        "monthly_revenue": _SQL_MONTHLY_REVENUE,
         "filter_candidates": _SQL_FILTER_CANDIDATES,
         "softmax_sampling": _SQL_SOFTMAX,
         "unroll_features": _SQL_UNROLL,
