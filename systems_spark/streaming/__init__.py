@@ -60,6 +60,30 @@ def serve_pipeline(pipeline, stream_df: DataFrame, sink_fn: Callable,
     return writer.start()
 
 
+def stream_dedup(stream_df: DataFrame, keys, ts_col: Optional[str] = None,
+                 watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup on ``keys`` with bounded state.
+
+    With ``ts_col``: ``dropDuplicatesWithinWatermark`` — duplicates are
+    suppressed as long as they arrive within the watermark delay of the
+    first occurrence, and state for old keys is dropped once the watermark
+    passes (the only shape whose state does NOT grow with the key
+    cardinality of all time — mandatory for infinite streams). Without
+    ``ts_col``: plain ``dropDuplicates`` (state grows forever — only for
+    finite backfills).
+
+    Batch twin: ``dedup.ExactDedup`` (content-hash groupBy); this is the
+    ingest-time guard in front of it (at-least-once sources re-deliver).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if ts_col is None:
+        return stream_df.dropDuplicates(keys)
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(keys)
+    )
+
+
 def stream_stream_join(left: DataFrame, right: DataFrame, on,
                        left_ts: str, right_ts: str,
                        max_delay: str, watermark: str = "10 minutes",

@@ -129,6 +129,33 @@ def test_streaming_sessionizer_matches_batch_twin(spark, tmp_path):
     assert stream_sessions == batch_sessions
 
 
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Duplicate event_ids arriving within the watermark window are
+    suppressed; state is watermark-bounded."""
+    from systems_spark.streaming import stream_dedup
+
+    import datetime
+    base = 1_700_000_000
+    rows = [(1, datetime.datetime.utcfromtimestamp(base + 0)),
+            (1, datetime.datetime.utcfromtimestamp(base + 5)),   # dup
+            (2, datetime.datetime.utcfromtimestamp(base + 10)),
+            (2, datetime.datetime.utcfromtimestamp(base + 11)),  # dup
+            (3, datetime.datetime.utcfromtimestamp(base + 20))]
+    schema = "event_id long, ts timestamp"
+    src = str(tmp_path / "dups")
+    spark.createDataFrame(rows, schema).write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    deduped = stream_dedup(stream, "event_id", ts_col="ts",
+                           watermark="30 seconds")
+    q = (deduped.writeStream.outputMode("append").format("memory")
+         .queryName("deduped").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = sorted(r.event_id for r in spark.sql("SELECT * FROM deduped").collect())
+    assert got == [1, 2, 3]
+
+
 def test_stream_stream_join_attribution(spark, tmp_path):
     """Windowed stream-stream join: purchases attribute to views of the
     same user within the delay window; matches the static join."""
