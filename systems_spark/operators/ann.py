@@ -75,9 +75,13 @@ class QueryANN(Operator):
                  query_id_col: str = "request_id", topk: int = 10, metric: str = "ip",
                  strategy: str = "exact", n_tables: int = 4, n_planes: int = 8,
                  dim: Optional[int] = None, broadcast: bool = True,
-                 n_cells: int = 32, nprobe: int = 8):
+                 n_cells: int = 32, nprobe: int = 8,
+                 pq_m: int = 8, pq_k: int = 16, rerank: int = 50):
         self.n_cells = int(n_cells)
         self.nprobe = int(nprobe)
+        self.pq_m = int(pq_m)
+        self.pq_k = int(pq_k)
+        self.rerank = int(rerank)
         self.items_df = items_df
         self.item_id_col = item_id_col
         self.item_vec_col = item_vec_col
@@ -122,7 +126,127 @@ class QueryANN(Operator):
             return self._transform_lsh(df)
         if self.strategy == "ivf":
             return self._transform_ivf(df)
+        if self.strategy == "pq":
+            return self._transform_pq(df)
         raise ValueError(f"unknown strategy {self.strategy!r}")
+
+    def _transform_pq(self, df: DataFrame) -> DataFrame:
+        """Product quantization with asymmetric distance (ADC) + exact
+        rerank — the bandwidth-compression scale path (FAISS's PQ family):
+        each item vector is stored as ``pq_m`` small centroid codes
+        (m × log2(k) bits vs D floats — 32× smaller at m=8,k=16,D=64), and
+        query↔item scoring reads ONLY the codes plus a per-query lookup
+        table, never the item vectors. Exact rerank of the top ``rerank``
+        approx candidates restores precision.
+
+        Deterministic codebooks (like the IVF seeding): subspace m's K
+        centroids are the sub-vectors of the K lowest-id items — no
+        iterative k-means, so results are reproducible run-to-run.
+
+        Scale shape: coding is a map-side pass over items against a
+        broadcast codebook (M·K sub-dots per item, no shuffle); the
+        query×item scan moves only code arrays; vectors are fetched for
+        rerank by an equi-join on the top candidates.
+        """
+        if self.dim is None:
+            raise ValueError("pq strategy requires dim=")
+        M, K, rerank = self.pq_m, self.pq_k, max(self.rerank, self.topk)
+        if self.dim % M:
+            raise ValueError(f"dim={self.dim} not divisible by pq_m={M}")
+        sub = self.dim // M
+        items = self._items()
+
+        def subvec(vec, m):
+            return F.slice(vec, m * sub + 1, sub)
+
+        def subdot(a, b):
+            return F.aggregate(
+                F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                F.lit(0.0), lambda acc, v: acc + v,
+            )
+
+        # codebook rows: (_m, _k, _cvec) — K lowest-id items' sub-vectors
+        seeds = items.orderBy(F.col("_ann_id").asc()).limit(K).select(
+            F.row_number().over(Window.orderBy(F.col("_ann_id").asc())).alias("_k"),
+            F.col("_ann_vec").alias("_svec"),
+        )
+        codebook = F.broadcast(
+            seeds.select(
+                "_k",
+                F.explode(F.array(*[
+                    F.struct(F.lit(m).alias("_m"), subvec(F.col("_svec"), m).alias("_cvec"))
+                    for m in range(M)
+                ])).alias("_c"),
+            ).select("_k", "_c._m", "_c._cvec")
+        )
+
+        # item codes: argmax centroid per (item, subspace) → sorted code array
+        code_w = Window.partitionBy("_ann_id", "_m").orderBy(
+            F.col("_sdot").desc(), F.col("_k").asc()
+        )
+        item_codes = (
+            items.select("_ann_id", F.explode(F.array(*[
+                F.struct(F.lit(m).alias("_m"), subvec(F.col("_ann_vec"), m).alias("_svec"))
+                for m in range(M)
+            ])).alias("_s"))
+            .select("_ann_id", "_s._m", "_s._svec")
+            .join(codebook, on="_m")
+            .withColumn("_sdot", subdot(F.col("_svec"), F.col("_cvec")))
+            .withColumn("_rn", F.row_number().over(code_w))
+            .where(F.col("_rn") == 1)
+            .groupBy("_ann_id")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("_m", "_k"))),
+                lambda s: s["_k"],
+            ).alias("_codes"))
+        )
+
+        # per-query LUT: lut[m][k] = dot(query_sub_m, centroid_{m,k})
+        lut = (
+            df.select(self.query_id_col, self.query_vec_col)
+            .select(self.query_id_col, F.explode(F.array(*[
+                F.struct(F.lit(m).alias("_m"), subvec(F.col(self.query_vec_col), m).alias("_qsub"))
+                for m in range(M)
+            ])).alias("_q"))
+            .select(self.query_id_col, "_q._m", "_q._qsub")
+            .join(codebook, on="_m")
+            .withColumn("_qdot", subdot(F.col("_qsub"), F.col("_cvec")))
+            .groupBy(self.query_id_col, "_m")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("_k", "_qdot"))),
+                lambda s: s["_qdot"],
+            ).alias("_lut_row"))
+            .groupBy(self.query_id_col)
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("_m", "_lut_row"))),
+                lambda s: s["_lut_row"],
+            ).alias("_lut"))
+        )
+
+        # ADC scan: only codes + LUT move; approx score = Σ_m lut[m][code_m]
+        approx = (
+            df.join(lut, on=self.query_id_col)
+            .crossJoin(item_codes)
+            .withColumn("_approx", F.aggregate(
+                F.zip_with(F.col("_codes"), F.col("_lut"),
+                           lambda c, row: F.element_at(row, c)),
+                F.lit(0.0), lambda acc, v: acc + v,
+            ))
+        )
+        cand_w = Window.partitionBy(self.query_id_col).orderBy(
+            F.col("_approx").desc(), F.col("_ann_id").asc()
+        )
+        cands = (
+            approx.withColumn("_crn", F.row_number().over(cand_w))
+            .where(F.col("_crn") <= rerank)
+            .drop("_codes", "_lut", "_approx", "_crn")
+        )
+        # exact rerank: fetch true vectors for the shortlist only
+        joined = cands.join(items, on="_ann_id").withColumn(
+            "ann_score",
+            _score(self.metric, F.col(self.query_vec_col), F.col("_ann_vec")),
+        )
+        return self._rank_topk(joined)
 
     def _transform_ivf(self, df: DataFrame) -> DataFrame:
         """Deterministic IVF (the reference index is IVF32,Flat nprobe=8 —
@@ -197,7 +321,8 @@ class QueryANN(Operator):
                 "topk": self.topk, "metric": self.metric, "strategy": self.strategy,
                 "n_tables": self.n_tables, "n_planes": self.n_planes, "dim": self.dim,
                 "broadcast": self.broadcast, "n_cells": self.n_cells,
-                "nprobe": self.nprobe}
+                "nprobe": self.nprobe, "pq_m": self.pq_m, "pq_k": self.pq_k,
+                "rerank": self.rerank}
 
     def save_artifacts(self, path: str) -> None:
         self.items_df.write.mode("overwrite").parquet(f"{path}/items.parquet")

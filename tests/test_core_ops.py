@@ -252,6 +252,41 @@ def test_ann_lsh_is_subset_of_items_and_ranked(spark, tables):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
 
 
+def test_ann_pq_recall_and_self_rank(spark, tables):
+    """PQ+ADC with exact rerank: self-query ranks itself #1 (it survives
+    into the rerank shortlist and exact scoring puts it first), and
+    recall@10 vs exact is high with a 50-candidate rerank buffer."""
+    emb = tables["embeddings"]
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("request_id"), F.col("embedding").alias("qvec")
+    )
+    exact = QueryANN(emb, item_id_col="vec_id", query_vec_col="qvec",
+                     query_id_col="request_id", topk=10, metric="ip")
+    pq = QueryANN(emb, item_id_col="vec_id", query_vec_col="qvec",
+                  query_id_col="request_id", topk=10, metric="ip",
+                  strategy="pq", dim=64, pq_m=8, pq_k=16, rerank=50)
+
+    want = {}
+    for r in exact(q).collect():
+        want.setdefault(r.request_id, set()).add(r.ann_id)
+    got = {}
+    top1 = {}
+    for r in pq(q).collect():
+        got.setdefault(r.request_id, set()).add(r.ann_id)
+        if r.ann_rank == 1:
+            top1[r.request_id] = r.ann_id
+
+    # every query's PQ result has exactly topk ranked rows
+    assert all(len(v) == 10 for v in got.values())
+    # self is recalled and reranked to #1 under inner product on own vector
+    hits = sum(1 for k, v in top1.items() if k == v)
+    assert hits >= 18  # allow rare approx misses of self in the shortlist
+    recall = sum(len(want[k] & got[k]) for k in want) / sum(
+        len(want[k]) for k in want
+    )
+    assert recall >= 0.5, recall  # random vectors; rerank buffer recovers
+
+
 def test_asof_join_exact(spark):
     """Left row matches the latest right row at-or-before its ts, per key."""
     left = spark.createDataFrame(
