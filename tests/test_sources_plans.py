@@ -133,6 +133,40 @@ def test_broadcast_vs_smj_detection(spark, tables):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
+def test_headline_query_plan_shapes(spark):
+    """Plan-quality regression gate for headline queries: predicate
+    pushdown reaches the scan, column pruning holds, dim joins broadcast,
+    and nothing degenerates to a cartesian product. A silent plan
+    regression here is a 100× cost at scale even when results stay
+    correct."""
+    import __spark_entry__ as entrymod
+    from systems_spark.plans import (
+        assert_no_cartesian,
+        has_broadcast_join,
+        pushed_filters,
+        scan_columns,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    qs = entrymod.queries()
+
+    pricing = qs["pricing_summary"](spark, sf)
+    assert any("l_shipdate" in f for f in pushed_filters(pricing)), \
+        "shipdate filter must reach the parquet scan"
+    cols = scan_columns(pricing)
+    assert "l_orderkey" not in cols, "unused columns must be pruned from scan"
+
+    region = qs["region_revenue"](spark, sf)
+    assert has_broadcast_join(region), "dim joins must broadcast"
+    assert_no_cartesian(region)
+
+    feature = qs["query_feature_table"](spark, sf)
+    assert has_broadcast_join(feature), "feature lookup must broadcast"
+
+    # four-stage flagship: no cartesian anywhere in the composed graph
+    assert_no_cartesian(qs["four_stage_recs"](spark, sf))
+
+
 def test_salted_group_count_equals_plain(spark, tables):
     li = tables["lineitem"]
     plain = {r.l_returnflag: r.n for r in
