@@ -151,6 +151,88 @@ class StreamingSessionizer:
         )
 
 
+class RunningAggregator:
+    """Per-key running (count, sum) over a stream via the Spark 4
+    ``transformWithStateInPandas`` StatefulProcessor API — the successor to
+    applyInPandasWithState, with typed state handles and native state TTL.
+
+    Emits one updated (key, n_events, total_value) row per key per
+    micro-batch (Update mode). ``ttl`` (e.g. "1 hour") expires idle keys'
+    state server-side — the operational guard for unbounded key spaces
+    (anonymous visitors, one-shot ids) that a hand-rolled timeout can't
+    match for robustness.
+
+    The processor class is defined inside ``__call__`` so cloudpickle
+    serializes it BY VALUE (executor workers don't import this package).
+
+    Runtime dependency: Spark's transformWithState protocol speaks
+    protobuf — ``google.protobuf`` must be importable by the Python
+    workers (it ships with any real PySpark deployment; the test is
+    importorskip-gated for minimal containers). The applyInPandasWithState
+    operators above have no such dependency.
+    """
+
+    def __init__(self, key_col: str, value_col: str, ttl: str = None):
+        self.key_col = key_col
+        self.value_col = value_col
+        self.ttl = ttl
+
+    def __call__(self, stream_df: DataFrame) -> DataFrame:
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        key_col, value_col, ttl = self.key_col, self.value_col, self.ttl
+        key_type = stream_df.schema[key_col].dataType
+        out_schema = StructType([
+            StructField(key_col, key_type),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ])
+        state_schema = StructType([
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+        ])
+
+        class Agg(StatefulProcessor):  # local: pickled by value
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                ttl_ms = None
+                if ttl is not None:
+                    import re as _re
+
+                    m = _re.match(r"(\d+)\s*(second|minute|hour)s?", ttl)
+                    mult = {"second": 1_000, "minute": 60_000,
+                            "hour": 3_600_000}[m.group(2)]
+                    ttl_ms = int(m.group(1)) * mult
+                self._agg = handle.getValueState("agg", state_schema, ttl_ms)
+
+            def handleInputRows(self, key, rows, timerValues):
+                n, total = (self._agg.get() or (0, 0.0)) if self._agg.exists() \
+                    else (0, 0.0)
+                for pdf in rows:
+                    n += len(pdf)
+                    total += float(pdf[value_col].sum())
+                self._agg.update((int(n), float(total)))
+                yield pd.DataFrame(
+                    {key_col: [key[0]], "n_events": [int(n)],
+                     "total_value": [float(total)]}
+                )
+
+            def close(self) -> None:
+                pass
+
+        return (
+            stream_df.groupBy(key_col)
+            .transformWithStateInPandas(
+                statefulProcessor=Agg(),
+                outputStructType=out_schema,
+                outputMode="Update",
+                timeMode="None",
+            )
+        )
+
+
 def kafka_source_options(brokers: str, topics: str, *,
                          starting_offsets: str = "latest",
                          fail_on_data_loss: bool = False,

@@ -133,6 +133,30 @@ def test_broadcast_vs_smj_detection(spark, tables):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
+def test_partition_pruning_on_partitioned_write(spark, tmp_path, tables):
+    """Hive-partitioned writes enable partition pruning: a filter on the
+    partition column appears as PartitionFilters and non-matching
+    directories are never read."""
+    from systems_spark.plans import formatted_plan
+    from systems_spark.sources import write_parquet
+
+    ev = tables["events"].select(
+        "event_id", "user_id", "value",
+        F.pmod(F.col("user_id"), F.lit(8)).alias("shard"),
+    )
+    path = str(tmp_path / "sharded")
+    write_parquet(ev, path, partition_by=["shard"])
+
+    scan = spark.read.parquet(path).where(F.col("shard") == 3)
+    plan = formatted_plan(scan)
+    assert "PartitionFilters" in plan
+    # the pruned scan reads exactly the one shard
+    assert scan.select("shard").distinct().collect()[0].shard == 3
+    full = spark.read.parquet(path).count()
+    pruned = scan.count()
+    assert 0 < pruned < full
+
+
 def test_headline_query_plan_shapes(spark):
     """Plan-quality regression gate for headline queries: predicate
     pushdown reaches the scan, column pruning holds, dim joins broadcast,

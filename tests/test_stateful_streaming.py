@@ -129,6 +129,44 @@ def test_streaming_sessionizer_matches_batch_twin(spark, tmp_path):
     assert stream_sessions == batch_sessions
 
 
+def test_running_aggregator_transform_with_state(spark, tmp_path):
+    """transformWithStateInPandas processor: per-key running totals
+    accumulate ACROSS micro-batches; final totals match the static agg.
+    (Skip-gated: Spark's transformWithState protocol needs protobuf —
+    reference graceful-skip pattern, SURVEY.md §5.8.)"""
+    pytest.importorskip("google.protobuf.descriptor")
+    from systems_spark.streaming import RunningAggregator
+
+    src = str(tmp_path / "tws")
+    os.makedirs(src)
+    batch1 = [("a", 1.0), ("a", 2.0), ("b", 5.0)]
+    batch2 = [("a", 4.0), ("b", 1.0), ("c", 9.0)]
+    schema = "user string, value double"
+    for i, rows in enumerate([batch1, batch2]):
+        p = f"{src}/f{i}.parquet"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(p)
+        t = time.time() + i * 10
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src + "/*"))
+    op = RunningAggregator("user", "value")
+    q = (op(stream).writeStream.outputMode("update").format("memory")
+         .queryName("running").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    # last emitted row per key = final running totals
+    rows = spark.sql(
+        "SELECT * FROM (SELECT *, row_number() OVER "
+        "(PARTITION BY user ORDER BY n_events DESC) rn FROM running) "
+        "WHERE rn = 1"
+    ).collect()
+    got = {(r.user, r.n_events, r.total_value) for r in rows}
+    assert got == {("a", 3, 7.0), ("b", 2, 6.0), ("c", 1, 9.0)}
+
+
 def test_stream_dedup_within_watermark(spark, tmp_path):
     """Duplicate event_ids arriving within the watermark window are
     suppressed; state is watermark-bounded."""
