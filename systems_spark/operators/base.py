@@ -55,6 +55,19 @@ class Operator:
 
         return Pipeline([self]) >> other
 
+    def __rrshift__(self, other) -> "Pipeline":
+        """Reference graph-building sugar: ``["user_id"] >> op`` selects
+        columns as the chain's root (README.md:26, selection-node lifting
+        at session_filter.py:45)."""
+        from systems_spark.operators.selection import SelectColumns
+        from systems_spark.pipeline import Pipeline
+
+        if isinstance(other, (list, tuple)) and all(
+            isinstance(c, str) for c in other
+        ):
+            return Pipeline([SelectColumns(list(other)), self])
+        return NotImplemented
+
     def __call__(self, df: DataFrame) -> DataFrame:
         self._validate(df)
         return self.transform(df)

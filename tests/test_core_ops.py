@@ -100,6 +100,15 @@ def test_higher_relevance_sampled_more(spark):
     assert sum(1 for w in winners if w == 99) >= 45  # e^20 dominance
 
 
+def test_selector_rshift_sugar(spark):
+    """reference API: ``["a", "b"] >> op`` roots the chain in a column
+    selection (README.md:26-30)."""
+    df = spark.createDataFrame([(1, 2.0, "x")], "a int, b double, c string")
+    pipe = ["a", "b"] >> Rename(postfix="_r", columns=["a"])
+    out = pipe.transform(df)
+    assert set(out.columns) == {"a_r", "b"}
+
+
 def test_schema_propagation_through_pipeline(spark):
     """reference: tests/unit/systems/dag/test_graph.py:31-49 — schema
     equality through composed ops, without executing."""
