@@ -638,6 +638,61 @@ FROM orders GROUP BY month
 """
 
 
+_SAMPLER = dict(key_col="event_id", stratify_col="event_type",
+                fractions={"view": 0.1, "purchase": 1.0}, fraction=0.5)
+_SPLITS = [("train", 0.8), ("valid", 0.1), ("test", 0.1)]
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling (hash-uniform, retry/engine-stable):
+    keep 10% of views, all purchases, 50% of everything else — then count
+    per type to keep the compared frame small."""
+    from systems_spark.operators.sampler import HashSampler
+
+    ev = _t(spark, sf_dir, "events")
+    op = HashSampler(**_SAMPLER)
+    return op(ev).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+def _sql_stratified_sample():
+    from systems_spark.operators.sampler import HashSampler
+
+    pred = HashSampler(**_SAMPLER).keep_predicate_sql()
+    return f"""
+SELECT event_type, count(*) AS n_kept,
+       min(event_id) AS min_id, max(event_id) AS max_id
+FROM events WHERE {pred}
+GROUP BY event_type
+"""
+
+
+def q_train_test_split(spark, sf_dir):
+    """Deterministic 80/10/10 split assignment over documents — identical
+    membership on every run/engine (the reproducible-dataset-carve op)."""
+    from systems_spark.operators.sampler import HashSampler
+
+    docs = _t(spark, sf_dir, "documents")
+    op = HashSampler("doc_id", split_col="split", splits=_SPLITS)
+    return op(docs).groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+    )
+
+
+def _sql_train_test_split():
+    from systems_spark.operators.sampler import HashSampler
+
+    case = HashSampler("doc_id", split_col="split", splits=_SPLITS).split_case_sql()
+    return f"""
+SELECT {case} AS split, count(*) AS n_docs, min(doc_id) AS min_id
+FROM documents GROUP BY split
+"""
+
+
 def q_filter_candidates(spark, sf_dir):
     """Anti-membership filter (session_filter.py semantics), relational output."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1426,6 +1481,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_rank_stats": q_order_rank_stats,
         "latest_order_per_customer": q_latest_order_per_customer,
         "monthly_revenue": q_monthly_revenue,
+        "stratified_sample": q_stratified_sample,
+        "train_test_split": q_train_test_split,
         # reference operator surface
         "filter_candidates": q_filter_candidates,
         "softmax_sampling": q_softmax_sampling,
@@ -1480,6 +1537,8 @@ def oracle_sql() -> dict[str, str]:
         "order_rank_stats": _SQL_ORDER_RANK,
         "latest_order_per_customer": _SQL_LATEST_ORDER,
         "monthly_revenue": _SQL_MONTHLY_REVENUE,
+        "stratified_sample": _sql_stratified_sample(),
+        "train_test_split": _sql_train_test_split(),
         "filter_candidates": _SQL_FILTER_CANDIDATES,
         "softmax_sampling": _SQL_SOFTMAX,
         "unroll_features": _SQL_UNROLL,

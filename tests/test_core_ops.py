@@ -261,6 +261,32 @@ def test_ann_lsh_is_subset_of_items_and_ranked(spark, tables):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
 
 
+def test_hash_sampler_partition_invariant(spark, tables):
+    """The sample is a pure function of the data: identical membership
+    across different partitionings (df.sample is NOT — its seed interacts
+    with partition layout), and split labels partition the data exactly."""
+    from systems_spark.operators.sampler import HashSampler
+
+    ev = tables["events"].select("event_id", "event_type")
+    op = HashSampler("event_id", fraction=0.3)
+    a = {r.event_id for r in op(ev).collect()}
+    b = {r.event_id for r in op(ev.repartition(17)).collect()}
+    assert a == b and 0 < len(a) < ev.count()
+
+    split = HashSampler("event_id", split_col="split",
+                        splits=[("train", 0.8), ("test", 0.2)])
+    out = split(ev)
+    counts = {r.split: r.n for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "test"}
+    assert sum(counts.values()) == ev.count()  # exact partition of rows
+    n = ev.count()
+    assert abs(counts["train"] / n - 0.8) < 0.05  # uniform hash ≈ fractions
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        HashSampler("event_id", split_col="s", splits=[("a", 0.5)])
+
+
 def test_ann_pq_recall_and_self_rank(spark, tables):
     """PQ+ADC with exact rerank: self-query ranks itself #1 (it survives
     into the rerank shortlist and exact scoring puts it first), and
