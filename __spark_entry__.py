@@ -638,6 +638,29 @@ FROM orders GROUP BY month
 """
 
 
+def q_order_baskets(spark, sf_dir):
+    """Array aggregation: each order's sorted basket of parts (the
+    market-basket shape feeding co-occurrence/embedding training).
+    Arrays are sorted so values are deterministic in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_sort(F.collect_list("l_partkey")).alias("basket"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .where(F.col("n_items") >= 4)
+    )
+
+
+_SQL_ORDER_BASKETS = """
+SELECT l_orderkey, list_sort(list(l_partkey)) AS basket, count(*) AS n_items
+FROM lineitem
+GROUP BY l_orderkey
+HAVING count(*) >= 4
+"""
+
+
 _SAMPLER = dict(key_col="event_id", stratify_col="event_type",
                 fractions={"view": 0.1, "purchase": 1.0}, fraction=0.5)
 _SPLITS = [("train", 0.8), ("valid", 0.1), ("test", 0.1)]
@@ -1483,6 +1506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monthly_revenue": q_monthly_revenue,
         "stratified_sample": q_stratified_sample,
         "train_test_split": q_train_test_split,
+        "order_baskets": q_order_baskets,
         # reference operator surface
         "filter_candidates": q_filter_candidates,
         "softmax_sampling": q_softmax_sampling,
@@ -1539,6 +1563,7 @@ def oracle_sql() -> dict[str, str]:
         "monthly_revenue": _SQL_MONTHLY_REVENUE,
         "stratified_sample": _sql_stratified_sample(),
         "train_test_split": _sql_train_test_split(),
+        "order_baskets": _SQL_ORDER_BASKETS,
         "filter_candidates": _SQL_FILTER_CANDIDATES,
         "softmax_sampling": _SQL_SOFTMAX,
         "unroll_features": _SQL_UNROLL,
