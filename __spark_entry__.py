@@ -661,6 +661,36 @@ HAVING count(*) >= 4
 """
 
 
+def q_part_cooccurrence(spark, sf_dir):
+    """Item co-occurrence: ordered part pairs appearing in the same order
+    ≥ 2 times corpus-wide (the PMI/item2vec co-count matrix). Within-order
+    self-join — fanout bounded by basket size, shuffled on the order key."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = (
+        li.alias("L")
+        .join(li.alias("R"), on=[
+            F.col("L.l_orderkey") == F.col("R.l_orderkey"),
+            F.col("L.l_partkey") < F.col("R.l_partkey"),
+        ])
+        .groupBy(
+            F.col("L.l_partkey").alias("part_a"),
+            F.col("R.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_cooccur"))
+        .where(F.col("n_cooccur") >= 2)
+    )
+    return pairs
+
+
+_SQL_COOCCURRENCE = """
+SELECT L.l_partkey AS part_a, R.l_partkey AS part_b, count(*) AS n_cooccur
+FROM lineitem L JOIN lineitem R
+  ON L.l_orderkey = R.l_orderkey AND L.l_partkey < R.l_partkey
+GROUP BY part_a, part_b
+HAVING count(*) >= 2
+"""
+
+
 _SAMPLER = dict(key_col="event_id", stratify_col="event_type",
                 fractions={"view": 0.1, "purchase": 1.0}, fraction=0.5)
 _SPLITS = [("train", 0.8), ("valid", 0.1), ("test", 0.1)]
@@ -1507,6 +1537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "train_test_split": q_train_test_split,
         "order_baskets": q_order_baskets,
+        "part_cooccurrence": q_part_cooccurrence,
         # reference operator surface
         "filter_candidates": q_filter_candidates,
         "softmax_sampling": q_softmax_sampling,
@@ -1564,6 +1595,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _sql_stratified_sample(),
         "train_test_split": _sql_train_test_split(),
         "order_baskets": _SQL_ORDER_BASKETS,
+        "part_cooccurrence": _SQL_COOCCURRENCE,
         "filter_candidates": _SQL_FILTER_CANDIDATES,
         "softmax_sampling": _SQL_SOFTMAX,
         "unroll_features": _SQL_UNROLL,
