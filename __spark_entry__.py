@@ -661,6 +661,77 @@ HAVING count(*) >= 4
 """
 
 
+def q_order_streaks(spark, sf_dir):
+    """Gaps-and-islands: longest streak of CONSECUTIVE months with ≥1
+    order, per customer (rank-difference idiom: month_index − row_number
+    is constant within an island)."""
+    o = _t(spark, sf_dir, "orders")
+    months = (
+        o.select(
+            "o_custkey",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("o_custkey").orderBy("m")
+    islands = months.withColumn("island", F.col("m") - F.row_number().over(w))
+    return (
+        islands.groupBy("o_custkey", "island")
+        .agg(F.count(F.lit(1)).alias("streak_len"))
+        .groupBy("o_custkey")
+        .agg(F.max("streak_len").alias("max_streak"))
+        .where(F.col("max_streak") >= 3)
+    )
+
+
+_SQL_ORDER_STREAKS = """
+WITH months AS (
+  SELECT DISTINCT o_custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) AS m
+  FROM orders
+), islands AS (
+  SELECT o_custkey, m,
+         m - row_number() OVER (PARTITION BY o_custkey ORDER BY m) AS island
+  FROM months
+)
+SELECT o_custkey, max(streak_len) AS max_streak
+FROM (SELECT o_custkey, island, count(*) AS streak_len
+      FROM islands GROUP BY o_custkey, island)
+GROUP BY o_custkey
+HAVING max(streak_len) >= 3
+"""
+
+
+def q_revenue_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS ((nation), (year), ()) — the SQL surface of
+    the engine (temp-view + spark.sql); sets chosen to NOT be a rollup or
+    cube, exercising the general form."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    (o.join(c, o.o_custkey == c.c_custkey)
+      .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+      .select("n_name", F.year("o_orderdate").alias("order_year"), "o_totalprice")
+      .createOrReplaceTempView("_gs_base"))
+    return spark.sql("""
+        SELECT n_name, order_year, count(*) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DOUBLE)
+                   AS revenue
+        FROM _gs_base
+        GROUP BY GROUPING SETS ((n_name), (order_year), ())
+    """)
+
+
+_SQL_GROUPING_SETS = """
+SELECT n_name, year(o_orderdate) AS order_year, count(*) AS n_orders,
+       round(sum(o_totalprice::DECIMAL(18,6)), 4)::DOUBLE AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((n_name), (year(o_orderdate)), ())
+"""
+
+
 def q_part_cooccurrence(spark, sf_dir):
     """Item co-occurrence: ordered part pairs appearing in the same order
     ≥ 2 times corpus-wide (the PMI/item2vec co-count matrix). Within-order
@@ -1538,6 +1609,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_test_split": q_train_test_split,
         "order_baskets": q_order_baskets,
         "part_cooccurrence": q_part_cooccurrence,
+        "order_streaks": q_order_streaks,
+        "revenue_grouping_sets": q_revenue_grouping_sets,
         # reference operator surface
         "filter_candidates": q_filter_candidates,
         "softmax_sampling": q_softmax_sampling,
@@ -1596,6 +1669,8 @@ def oracle_sql() -> dict[str, str]:
         "train_test_split": _sql_train_test_split(),
         "order_baskets": _SQL_ORDER_BASKETS,
         "part_cooccurrence": _SQL_COOCCURRENCE,
+        "order_streaks": _SQL_ORDER_STREAKS,
+        "revenue_grouping_sets": _SQL_GROUPING_SETS,
         "filter_candidates": _SQL_FILTER_CANDIDATES,
         "softmax_sampling": _SQL_SOFTMAX,
         "unroll_features": _SQL_UNROLL,
