@@ -69,6 +69,7 @@ class Categorify(Operator):
         groups: dict[str, list[str]] = {}
         for c in self.columns:
             groups.setdefault(dtypes[c], []).append(c)
+        self._persisted = []
 
         if self.encode_type == "joint":
             if len(groups) > 1:
@@ -84,6 +85,7 @@ class Categorify(Operator):
             vocab = counts.select(
                 "value", F.row_number().over(w).alias("code")
             ).persist()
+            self._persisted.append(vocab)
             for c in cols:
                 self.vocabs[c] = vocab
             return self
@@ -106,6 +108,7 @@ class Categorify(Operator):
             coded = counts.select(
                 "_col", "value", F.row_number().over(w).alias("code")
             ).persist()  # persisted: each column's transform reuses ONE job
+            self._persisted.append(coded)
             for c in cols:
                 self.vocabs[c] = coded.where(F.col("_col") == c).select(
                     "value", "code"
@@ -149,6 +152,15 @@ class Categorify(Operator):
     # cardinality feeds embedding sizes (workflow/__init__.py:46-57)
     def cardinality(self, column: str) -> int:
         return self.vocabs[column].count()
+
+    def unpersist(self) -> "Categorify":
+        """Release the cached combined-vocab frames from executor memory
+        (the multi-column fit persists them so every column's transform
+        reuses ONE fit job — call this when the operator is retired)."""
+        for frame in getattr(self, "_persisted", []):
+            frame.unpersist()
+        self._persisted = []
+        return self
 
     def compute_output_schema(self, input_schema):
         from systems_spark.schema import ColumnSchema, Schema

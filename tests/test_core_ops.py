@@ -204,6 +204,19 @@ def test_categorify_multicol_single_pass_parity(spark, tables):
         assert fast == ref, c
 
 
+def test_categorify_unpersist_lifecycle(spark, tables):
+    """Multi-column fit caches the combined vocab; unpersist releases it
+    and transforms still work (recompute instead of cache)."""
+    li = tables["lineitem"]
+    cat = Categorify(["l_returnflag", "l_linestatus"]).fit(li)
+    assert len(cat._persisted) == 1
+    assert cat._persisted[0].storageLevel.useMemory
+    before = cat(li).count()
+    cat.unpersist()
+    assert cat._persisted == []
+    assert cat(li).count() == before  # still correct, just uncached
+
+
 def test_categorify_joint_encoding(spark):
     """Joint encoding: all columns share ONE code space over the union of
     their values (NVTabular joint encode_type)."""
