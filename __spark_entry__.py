@@ -1207,6 +1207,22 @@ FROM events GROUP BY event_type
 """
 
 
+def q_ann_pq(spark, sf_dir):
+    """Product-quantization retrieval (ADC + exact rerank) — rows-only:
+    the codebook/LUT pipeline is deterministic (untrained seeding) but not
+    reasonably SQL-expressible. Recall vs exact is pinned in
+    test_ann_pq_recall_and_self_rank."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("request_id"), F.col("embedding").alias("qvec")
+    )
+    op = QueryANN(emb, item_id_col="vec_id", query_vec_col="qvec",
+                  query_id_col="request_id", topk=10, metric="ip",
+                  strategy="pq", dim=64, pq_m=8, pq_k=16, rerank=50)
+    return op(q).select("request_id", "ann_id", "ann_rank",
+                        F.round("ann_score", 6).alias("ann_score"))
+
+
 def q_ann_ivf(spark, sf_dir):
     """Deterministic IVF retrieval (IVF32,Flat nprobe=8 — faiss.py:213-214):
     coarse cells seeded by lowest-id vectors, probe top-8 cells, exact
@@ -1638,6 +1654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         # rows-only (non-SQL-expressible)
         "ann_lsh": q_ann_lsh,
+        "ann_pq": q_ann_pq,
         "implicit_recommend": q_implicit_recommend,
         "predict_forest": q_predict_forest,
     }
