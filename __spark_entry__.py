@@ -732,6 +732,25 @@ GROUP BY GROUPING SETS ((n_name), (year(o_orderdate)), ())
 """
 
 
+_SQL_LATERAL_RECENT = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice AS price
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_custkey = c.c_custkey
+         ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 2) t
+WHERE c.c_acctbal > 9000
+"""
+
+
+def q_lateral_recent_orders(spark, sf_dir):
+    """LATERAL correlated subquery: each high-balance customer's 2 most
+    recent orders — identical SQL text runs on both engines (Catalyst
+    rewrites the lateral into a ranked join under the hood)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SQL_LATERAL_RECENT)
+
+
 def q_part_cooccurrence(spark, sf_dir):
     """Item co-occurrence: ordered part pairs appearing in the same order
     ≥ 2 times corpus-wide (the PMI/item2vec co-count matrix). Within-order
@@ -1627,6 +1646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_cooccurrence": q_part_cooccurrence,
         "order_streaks": q_order_streaks,
         "revenue_grouping_sets": q_revenue_grouping_sets,
+        "lateral_recent_orders": q_lateral_recent_orders,
         # reference operator surface
         "filter_candidates": q_filter_candidates,
         "softmax_sampling": q_softmax_sampling,
@@ -1688,6 +1708,7 @@ def oracle_sql() -> dict[str, str]:
         "part_cooccurrence": _SQL_COOCCURRENCE,
         "order_streaks": _SQL_ORDER_STREAKS,
         "revenue_grouping_sets": _SQL_GROUPING_SETS,
+        "lateral_recent_orders": _SQL_LATERAL_RECENT,
         "filter_candidates": _SQL_FILTER_CANDIDATES,
         "softmax_sampling": _SQL_SOFTMAX,
         "unroll_features": _SQL_UNROLL,
