@@ -227,7 +227,7 @@ def q_user_activity(spark, sf_dir):
 
 _SQL_USER_ACTIVITY = """
 SELECT user_id, count(*) AS n_events,
-       sum(regexp_extract(props, '"k": ([0-9]+)', 1)::BIGINT) AS sum_k,
+       sum(regexp_extract(props, '"k": ([0-9]+)', 1)::BIGINT)::BIGINT AS sum_k,
        round(sum(value::DECIMAL(18,6)), 4)::DOUBLE AS sum_value
 FROM events GROUP BY user_id
 """
@@ -641,20 +641,31 @@ FROM orders GROUP BY month
 def q_order_baskets(spark, sf_dir):
     """Array aggregation: each order's sorted basket of parts (the
     market-basket shape feeding co-occurrence/embedding training).
-    Arrays are sorted so values are deterministic in both engines."""
+    Arrays are sorted so values are deterministic in both engines.
+    The basket is projected to a canonical comma-joined string because the
+    driver's canonicalizer hashes via pandas.sort_values, which cannot hash
+    raw list cells (CORRECTNESS_r01 order_baskets err); array-agg semantics
+    are still exercised — the string is derived from the sorted array."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_orderkey")
         .agg(
-            F.array_sort(F.collect_list("l_partkey")).alias("basket"),
+            F.array_sort(F.collect_list("l_partkey")).alias("basket_arr"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .where(F.col("n_items") >= 4)
+        .select(
+            "l_orderkey",
+            F.array_join(F.col("basket_arr"), ",").alias("basket"),
+            "n_items",
+        )
     )
 
 
 _SQL_ORDER_BASKETS = """
-SELECT l_orderkey, list_sort(list(l_partkey)) AS basket, count(*) AS n_items
+SELECT l_orderkey,
+       array_to_string(list_sort(list(l_partkey)), ',') AS basket,
+       count(*) AS n_items
 FROM lineitem
 GROUP BY l_orderkey
 HAVING count(*) >= 4

@@ -26,8 +26,10 @@ def _normalize(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        # tolerate last-ulp drift in values that went through libm
-        return round(v, 9)
+        # EXACT compare — the driver hashes raw values, so any tolerance here
+        # hides a divergence the driver would flag (r1: user_activity slipped
+        # through the old 9dp rounding)
+        return v
     return v
 
 
