@@ -95,6 +95,42 @@ FROM {table} L JOIN {table} R ON L.{self.id_col} < R.{self.id_col}
 WHERE round({cos}, {self.round_dp}) >= {self.threshold}
 """
 
+    def lsh_pairs_oracle_sql(self, table: str = "embeddings") -> str:
+        """Full SQL oracle for the BUCKETED (100 TB) strategy: candidate
+        pairs share at least one md5-deterministic hyperplane signature
+        (hyperplane_signature_sql replicates the Spark bits exactly), then
+        the same rounded-cosine threshold as the exact path."""
+        from systems_spark.operators.ann import hyperplane_signature_sql
+
+        if self.dim is None:
+            raise ValueError("lsh oracle requires dim=")
+        sigs = ", ".join(
+            f"{hyperplane_signature_sql(self.vec_col, self.dim, self.n_planes, t)} AS s{t}"
+            for t in range(self.n_tables)
+        )
+        bucket_match = " OR ".join(f"L.s{t} = R.s{t}" for t in range(self.n_tables))
+        va, vb = "va::DOUBLE[]", "vb::DOUBLE[]"
+        cos = (
+            f"list_inner_product({va}, {vb}) / "
+            f"(sqrt(list_inner_product({va}, {va})) * sqrt(list_inner_product({vb}, {vb})))"
+        )
+        # MATERIALIZED: DuckDB inlines CTEs by default, which would
+        # re-evaluate the unrolled signature expressions once per JOIN pair
+        # instead of once per row
+        return f"""
+WITH sigs AS MATERIALIZED (
+  SELECT {self.id_col}, {self.vec_col}, {sigs} FROM {table}
+), cand AS (
+  SELECT DISTINCT L.{self.id_col} AS a, R.{self.id_col} AS b,
+         L.{self.vec_col} AS va, R.{self.vec_col} AS vb
+  FROM sigs L JOIN sigs R
+    ON L.{self.id_col} < R.{self.id_col} AND ({bucket_match})
+)
+SELECT a, b, round({cos}, {self.round_dp}) AS cosine
+FROM cand
+WHERE round({cos}, {self.round_dp}) >= {self.threshold}
+"""
+
     def get_params(self):
         return {"vec_col": self.vec_col, "id_col": self.id_col,
                 "threshold": self.threshold, "strategy": self.strategy,

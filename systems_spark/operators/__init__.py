@@ -15,6 +15,7 @@ from systems_spark.operators.multimodal import MediaFeatureExtract, FrameSample
 from systems_spark.operators.sessionize import Sessionize
 from systems_spark.operators.range_join import RangeJoin
 from systems_spark.operators.branch import BranchConcat, Subgraph
+from systems_spark.operators.global_rank import GlobalRank, exact_quantiles, ntile_expr
 
 __all__ = [
     "Sessionize",
@@ -43,4 +44,7 @@ __all__ = [
     "EmbeddingLookup",
     "Padding",
     "Categorify",
+    "GlobalRank",
+    "exact_quantiles",
+    "ntile_expr",
 ]

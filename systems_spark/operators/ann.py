@@ -62,6 +62,33 @@ def hyperplane_signature(vec_col, dim: int, n_planes: int, table: int, salt: str
     return sig
 
 
+def hyperplane_signature_sql(vec_expr: str, dim: int, n_planes: int, table: int,
+                             salt: str = "ann") -> str:
+    """DuckDB expression matching :func:`hyperplane_signature` bit-exactly.
+
+    The md5-derived plane components are recomputed in Python (same integer
+    hash, same IEEE double ops) and embedded as literals; each projection is
+    unrolled left-to-right to match Spark's fold order — which is what makes
+    even this 'approximate' index oracle-checkable."""
+    import hashlib
+
+    def h64(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def uniform(s: str) -> float:
+        return ((h64(salt + s) % 1_000_000_007) + 1) / 1_000_000_008.0
+
+    bits = []
+    for p in range(n_planes):
+        terms = []
+        for d in range(dim):
+            r = uniform(f"{table}|{p}|{d}") * 2.0 - 1.0
+            terms.append(f"{vec_expr}[{d + 1}]*{r!r}")
+        proj = " + ".join(terms)
+        bits.append(f"CASE WHEN ({proj}) >= 0 THEN {1 << p} ELSE 0 END")
+    return "(" + " + ".join(bits) + ")"
+
+
 class QueryANN(Operator):
     """Append top-k neighbor rows for each query row.
 

@@ -64,19 +64,50 @@ class AsofJoin(Operator):
                                       dims=rc.dims, tags=rc.tags))
         return input_schema + Schema(added)
 
+    @staticmethod
+    def _ts_number(col, dtype):
+        """Normalize a timestamp-ish column for gap arithmetic: real
+        TimestampType subtracts to a DayTimeIntervalType (not comparable to
+        a numeric tolerance), so convert to epoch microseconds; numeric
+        epoch columns pass through. ``tolerance`` is therefore in
+        MICROSECONDS for TimestampType inputs and in the column's own units
+        for numeric inputs."""
+        from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+        if isinstance(dtype, TimestampType):
+            return F.unix_micros(col)
+        if isinstance(dtype, TimestampNTZType):
+            return F.unix_micros(col.cast("timestamp"))
+        if isinstance(dtype, DateType):
+            return F.unix_micros(col.cast("timestamp"))
+        return col
+
     def transform(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql.types import StructField, StructType
+
         out_names = [f"{c}{self.suffix}" if c in df.columns else c for c in self.right_cols]
         left_cols = [c for c in df.columns]
-        carry_rts = self.tolerance is not None
+        rschema = self.right_df.schema
+
+        # the matched right row travels as ONE struct with ONE
+        # last(ignorenulls=True): per-column carries would stitch fields
+        # from DIFFERENT right rows whenever the matched row holds a NULL
+        # payload value but an older row doesn't — true as-of semantics
+        # (and DuckDB's ASOF JOIN) keep the matched row's NULLs
+        struct_fields = [
+            StructField(o, rschema[c].dataType) for c, o in zip(self.right_cols, out_names)
+        ] + [StructField("_rts", rschema[self.right_ts].dataType)]
+        struct_type = StructType(struct_fields)
+        rstruct = F.struct(
+            *[F.col(c).alias(o) for c, o in zip(self.right_cols, out_names)],
+            F.col(self.right_ts).alias("_rts"),
+        )
 
         left = df.select(
             *left_cols,
             F.col(self.left_ts).alias("_ts"),
             F.lit(1).alias("_tag"),
-            *[F.lit(None).cast(self.right_df.schema[c].dataType).alias(o)
-              for c, o in zip(self.right_cols, out_names)],
-            *([F.lit(None).cast(self.right_df.schema[self.right_ts].dataType)
-               .alias("_rts")] if carry_rts else []),
+            F.lit(None).cast(struct_type).alias("_r"),
         )
         right = self.right_df.select(
             *[F.lit(None).cast(df.schema[c].dataType).alias(c)
@@ -84,10 +115,8 @@ class AsofJoin(Operator):
             *[F.col(k) for k in self.on],
             F.col(self.right_ts).alias("_ts"),
             F.lit(0).alias("_tag"),
-            *[F.col(c).alias(o) for c, o in zip(self.right_cols, out_names)],
-            *([F.col(self.right_ts).alias("_rts")] if carry_rts else []),
-        ).select(*left_cols, "_ts", "_tag", *out_names,
-                 *(["_rts"] if carry_rts else []))
+            rstruct.alias("_r"),
+        ).select(*left_cols, "_ts", "_tag", "_r")
 
         # traversal order: backward walks time ascending (carry the most
         # recent right row forward); forward walks descending (carry the
@@ -102,16 +131,19 @@ class AsofJoin(Operator):
             .orderBy(ts_order, tag_order)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        carried = left.unionByName(right)
-        carry_cols = out_names + (["_rts"] if carry_rts else [])
-        for o in carry_cols:
-            carried = carried.withColumn(o, F.last(o, ignorenulls=True).over(w))
-        out = carried.where(F.col("_tag") == 1)
-        if carry_rts:
-            gap = (F.col("_ts") - F.col("_rts") if self.direction == "backward"
-                   else F.col("_rts") - F.col("_ts"))
-            within = F.col("_rts").isNotNull() & (gap <= F.lit(self.tolerance))
+        out = (
+            left.unionByName(right)
+            .withColumn("_r", F.last("_r", ignorenulls=True).over(w))
+            .where(F.col("_tag") == 1)
+        )
+        if self.tolerance is not None:
+            lnum = self._ts_number(F.col("_ts"), df.schema[self.left_ts].dataType)
+            rnum = self._ts_number(F.col("_r._rts"), rschema[self.right_ts].dataType)
+            gap = lnum - rnum if self.direction == "backward" else rnum - lnum
+            within = F.col("_r").isNotNull() & (gap <= F.lit(self.tolerance))
             for o in out_names:
-                out = out.withColumn(o, F.when(within, F.col(o)))
-            out = out.drop("_rts")
-        return out.drop("_ts", "_tag")
+                out = out.withColumn(o, F.when(within, F.col(f"_r.{o}")))
+        else:
+            for o in out_names:
+                out = out.withColumn(o, F.col(f"_r.{o}"))
+        return out.drop("_r", "_ts", "_tag")

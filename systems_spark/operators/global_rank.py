@@ -1,0 +1,304 @@
+"""GlobalRank — distributed EXACT global row numbering / ntile / quantiles.
+
+The naive exact forms funnel everything through one task:
+
+- ``ntile(k) OVER (ORDER BY x)`` — Spark plans a single-partition window
+  (every row moves to ONE task; dead at 100 TB).
+- ``percentile(x, p)`` — one task per group materializes the whole group.
+
+This operator computes the same EXACT answer with no single-task stage:
+
+1. Derive a DETERMINISTIC order-preserving bucket column from the first
+   order key: boundaries via ``approxQuantile`` (numeric) or a
+   seeded-sample quantile sweep (other orderable types), embedded as
+   literals. Boundary quality affects only balance, never correctness.
+   We deliberately do NOT use ``repartitionByRange``: its range bounds
+   come from a sample seeded by the RDD id, so two executions of the same
+   plan can partition differently — any rank bookkeeping tied to physical
+   partitions silently corrupts when a downstream action (or a task retry
+   lineage recompute) re-runs the exchange. A bucket that is a pure
+   function of the row is re-execution-proof.
+2. One tiny map-side-combined aggregation collects per-(bucket, group) row
+   counts straight off the scan (no wide shuffle) and turns them into
+   prefix offsets on the driver.
+3. Hash-repartition on the bucket column, sort within partitions by
+   (bucket, group, order), then an Arrow-batched ``mapInPandas`` appends
+   rank = offset[bucket, group] + local position. No second wide shuffle;
+   the kernel only appends two long columns.
+
+Use this when the ORDER spans the whole table (or a handful of huge
+groups). When there are MANY small groups, a plain
+``Window.partitionBy(group)`` is already scale-safe — use that instead.
+
+Reference anchor: ranking semantics in the reference are per-request top-k
+(merlin/systems/dag/ops/softmax_sampling.py:104-113); this operator is the
+engine-side generalization needed for dataset-scale quantile bucketing.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterable, List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, NumericType, StructField, StructType
+
+from systems_spark.operators.base import Operator
+
+
+def ntile_expr(rank_col: str, total_col: str, k: int) -> Column:
+    """SQL-standard ntile from a 1-based rank and the partition row count:
+    the first ``total % k`` buckets get ``total//k + 1`` rows, the rest
+    ``total//k`` — identical to ``ntile(k)`` in Spark and DuckDB."""
+    r, n = F.col(rank_col), F.col(total_col)
+    base = (n / k).cast("long")  # floor: both operands non-negative
+    rem = n % k
+    big = base + 1
+    in_big = r <= rem * big
+    # guard base==0 (k > n): then rem == n and every row is in a big bucket,
+    # so the otherwise-branch never selects — greatest() only avoids a
+    # speculative division by zero
+    return (
+        F.when(in_big, ((r - 1) / big).cast("long") + 1)
+        .otherwise(rem + ((r - rem * big - 1) / F.greatest(base, F.lit(1))).cast("long") + 1)
+    )
+
+
+class GlobalRank(Operator):
+    """Append exact global ``rank_col`` (1-based row_number) and
+    ``total_col`` (group row count) ordered by ``order_cols`` ascending
+    (nulls first, matching window defaults) within each ``group_cols``
+    combination (empty = whole dataset).
+
+    Ties: rows equal on the full (group, order) key receive distinct
+    arbitrary consecutive ranks — include a unique tiebreaker in
+    ``order_cols`` when rank assignment must be reproducible row-for-row
+    (ntile aggregates and quantile interpolation only need value-level
+    determinism, which ties already guarantee).
+    """
+
+    def __init__(self, order_cols: Sequence[str], group_cols: Sequence[str] = (),
+                 rank_col: str = "rank", total_col: str = "grp_total",
+                 num_partitions: Optional[int] = None, sample_seed: int = 42):
+        self.order_cols = list(order_cols)
+        self.group_cols = list(group_cols)
+        self.rank_col = rank_col
+        self.total_col = total_col
+        self.num_partitions = num_partitions
+        self.sample_seed = int(sample_seed)
+        self.requires = tuple(self.group_cols + self.order_cols)
+        #: populated by transform(): {group tuple: total rows} — lets
+        #: callers (exact_quantiles) reuse the counts without another job
+        self.group_totals_: dict = {}
+
+    # -- deterministic order-preserving bucketing --------------------------
+    def _boundaries(self, df: DataFrame, n_buckets: int) -> List:
+        col0 = self.order_cols[0]
+        dtype = df.schema[col0].dataType
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        if isinstance(dtype, NumericType):
+            # single pass, deterministic (Greenwald-Khanna, no RNG)
+            bounds = df.stat.approxQuantile(col0, probs, 1.0 / (2 * n_buckets))
+        else:
+            # orderable non-numeric (string/date/timestamp): seeded sample
+            cnt = df.count()
+            if cnt == 0:
+                return []
+            frac = min(1.0, (n_buckets * 200.0) / cnt)
+            sample = [
+                r[0]
+                for r in df.select(col0).where(F.col(col0).isNotNull())
+                .sample(False, frac, seed=self.sample_seed).collect()
+            ]
+            if not sample:
+                return []
+            sample.sort()
+            bounds = [sample[int(p * (len(sample) - 1))] for p in probs]
+        out: List = []
+        for b in bounds:
+            if b is not None and (not out or b > out[-1]):
+                out.append(b)
+        return out
+
+    def _bucket_expr(self, boundaries: List, col0: str) -> Column:
+        if not boundaries:
+            return F.lit(0)
+        arr = F.array(*[F.lit(b) for b in boundaries])
+        # bucket = #boundaries <= value; NULL value → predicate NULL → kept
+        # out of the filter → bucket 0, consistent with nulls-first ordering
+        return F.size(F.filter(arr, lambda b: F.col(col0) >= b))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        spark = df.sparkSession
+        n_buckets = self.num_partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        boundaries = self._boundaries(df, n_buckets)
+        withb = df.withColumn(
+            "_gr_bkt", self._bucket_expr(boundaries, self.order_cols[0])
+        )
+
+        # tiny job: per-(bucket, group) counts — map-side combine off the
+        # scan, the shuffle carries ≤ n_buckets × #groups rows
+        counts = (
+            withb.groupBy("_gr_bkt", *self.group_cols)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        offsets: dict = {}
+        totals: dict = {}
+        for row in sorted(counts, key=lambda r: r["_gr_bkt"]):
+            grp = tuple(row[c] for c in self.group_cols)
+            offsets[(row["_gr_bkt"], grp)] = totals.get(grp, 0)
+            totals[grp] = totals.get(grp, 0) + row["_n"]
+        self.group_totals_ = totals
+
+        sort_keys = ["_gr_bkt"] + self.group_cols + self.order_cols
+        ranged = withb.repartition(n_buckets, F.col("_gr_bkt")).sortWithinPartitions(
+            *sort_keys
+        )
+
+        group_cols = list(self.group_cols)
+        rank_col, total_col = self.rank_col, self.total_col
+        out_schema = StructType(
+            [f for f in withb.schema.fields if f.name != "_gr_bkt"]
+            + [StructField(rank_col, LongType(), False),
+               StructField(total_col, LongType(), False)]
+        )
+        run_cols = ["_gr_bkt"] + group_cols  # rank-run key inside a partition
+
+        def add_ranks(batches):
+            import numpy as np
+
+            consumed: dict = {}  # (bucket, group tuple) -> rows ranked so far
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                local = pdf.groupby(run_cols, sort=False, dropna=False).cumcount()
+                bkts = pdf["_gr_bkt"].tolist()
+                grp_keys = (
+                    list(zip(*(pdf[c] for c in group_cols)))
+                    if group_cols
+                    else [()] * len(pdf)
+                )
+                start = np.fromiter(
+                    (
+                        offsets.get((b, g), 0)
+                        + consumed.get((b, g), 0)
+                        for b, g in zip(bkts, grp_keys)
+                    ),
+                    dtype=np.int64,
+                    count=len(pdf),
+                )
+                tot = np.fromiter(
+                    (totals.get(g, 0) for g in grp_keys),
+                    dtype=np.int64,
+                    count=len(pdf),
+                )
+                pdf[rank_col] = start + local.to_numpy(dtype=np.int64) + 1
+                pdf[total_col] = tot
+                for (b, g), n in _run_sizes(bkts, grp_keys):
+                    consumed[(b, g)] = consumed.get((b, g), 0) + n
+                yield pdf.drop(columns=["_gr_bkt"])
+
+        return ranged.mapInPandas(add_ranks, schema=out_schema)
+
+    def with_ntile(self, df: DataFrame, k: int, ntile_col: str = "bucket") -> DataFrame:
+        """Exact distributed ``ntile(k)`` — same answer as the single-task
+        global window, no single-task stage."""
+        ranked = self(df)
+        return ranked.withColumn(
+            ntile_col, ntile_expr(self.rank_col, self.total_col, k)
+        ).drop(self.rank_col, self.total_col)
+
+    def get_params(self):
+        return {
+            "order_cols": self.order_cols, "group_cols": self.group_cols,
+            "rank_col": self.rank_col, "total_col": self.total_col,
+            "num_partitions": self.num_partitions, "sample_seed": self.sample_seed,
+        }
+
+
+def _run_sizes(bkts, grp_keys):
+    """Sizes of each (bucket, group) combination in a batch (order-free —
+    consumed counts are keyed by value, not by run position)."""
+    sizes: dict = {}
+    for b, g in zip(bkts, grp_keys):
+        sizes[(b, g)] = sizes.get((b, g), 0) + 1
+    return sizes.items()
+
+
+def exact_quantiles(df: DataFrame, value_col: str, ps: Iterable[float],
+                    group_cols: Sequence[str] = (),
+                    num_partitions: Optional[int] = None) -> DataFrame:
+    """Exact linear-interpolated quantiles (the ``percentile`` /
+    DuckDB ``quantile_cont`` definition: position ``p*(n-1)`` 0-based,
+    interpolate between the two straddling order statistics) computed
+    WITHOUT materializing any group on a single task.
+
+    Plan: GlobalRank over (group, value), then a broadcast equi-join keeps
+    only the ≤ 2·|ps| needed order statistics per group, and a tiny
+    aggregation interpolates. The big table never shuffles again after the
+    bucket exchange.
+
+    Output: one row per group, one double column per p named ``p<digits>``
+    (0.5 → p5, 0.99 → p99).
+    """
+    ps = list(ps)
+    gr = GlobalRank([value_col], group_cols=group_cols,
+                    rank_col="_gq_rank", total_col="_gq_total",
+                    num_partitions=num_partitions)
+    ranked = gr(df)
+    spark = df.sparkSession
+
+    # needed order statistics per (group, p): straddling ranks + frac
+    need_rows = []
+    for grp, n in gr.group_totals_.items():
+        if n == 0:
+            continue
+        for p in ps:
+            pos = p * (n - 1)  # same IEEE double product DuckDB computes
+            lo = int(math.floor(pos))
+            hi = int(math.ceil(pos))
+            need_rows.append((*grp, float(p), lo + 1, hi + 1, pos - lo))
+    cols = list(group_cols) + ["_gq_p", "_gq_lo", "_gq_hi", "_gq_frac"]
+    need = spark.createDataFrame(
+        [tuple(r) for r in need_rows], schema=cols
+    ).withColumn("_gq_lo", F.col("_gq_lo").cast("long")) \
+     .withColumn("_gq_hi", F.col("_gq_hi").cast("long"))
+
+    # broadcast join: the ranked big table streams in place; only rows
+    # holding a needed order statistic survive
+    if group_cols:
+        joined = ranked.join(F.broadcast(need), on=list(group_cols), how="inner")
+    else:
+        joined = ranked.crossJoin(F.broadcast(need))
+    joined = joined.where(
+        (F.col("_gq_rank") == F.col("_gq_lo")) | (F.col("_gq_rank") == F.col("_gq_hi"))
+    )
+    v = F.col(value_col).cast("double")
+    agg = (
+        joined.groupBy(*group_cols, "_gq_p")
+        .agg(
+            F.max(F.when(F.col("_gq_rank") == F.col("_gq_lo"), v)).alias("_v_lo"),
+            F.max(F.when(F.col("_gq_rank") == F.col("_gq_hi"), v)).alias("_v_hi"),
+            F.first("_gq_frac").alias("_frac"),
+        )
+        .withColumn(
+            "_q",
+            F.col("_v_lo")
+            + (F.coalesce(F.col("_v_hi"), F.col("_v_lo")) - F.col("_v_lo"))
+            * F.col("_frac"),
+        )
+    )
+
+    def label(p: float) -> str:
+        return "p" + f"{p:g}".replace("0.", "").replace(".", "_")
+
+    return agg.groupBy(*group_cols).agg(
+        *[
+            F.max(F.when(F.col("_gq_p") == p, F.col("_q"))).alias(label(p))
+            for p in ps
+        ]
+    )

@@ -172,10 +172,33 @@ class RunningAggregator:
     operators above have no such dependency.
     """
 
+    #: ms per supported TTL unit (singular; trailing "s" accepted)
+    _TTL_UNITS = {"ms": 1, "millisecond": 1, "second": 1_000,
+                  "minute": 60_000, "hour": 3_600_000, "day": 86_400_000}
+
+    @classmethod
+    def parse_ttl_ms(cls, ttl: str) -> int:
+        """Validate DRIVER-side: a bad unit must raise a readable error at
+        construction, not an opaque AttributeError inside the executor's
+        StatefulProcessor.init (r1 ADVICE)."""
+        import re as _re
+
+        m = _re.fullmatch(r"\s*(\d+)\s*([a-zA-Z]+?)s?\s*", ttl)
+        unit = m.group(2).lower() if m else None
+        if unit == "m":  # "5 ms" consumes the s → unit "m"; restore
+            unit = "ms"
+        if m is None or unit not in cls._TTL_UNITS:
+            raise ValueError(
+                f"unsupported ttl {ttl!r}; expected '<n> <unit>' with unit in "
+                f"{sorted(cls._TTL_UNITS)}"
+            )
+        return int(m.group(1)) * cls._TTL_UNITS[unit]
+
     def __init__(self, key_col: str, value_col: str, ttl: str = None):
         self.key_col = key_col
         self.value_col = value_col
         self.ttl = ttl
+        self.ttl_ms = self.parse_ttl_ms(ttl) if ttl is not None else None
 
     def __call__(self, stream_df: DataFrame) -> DataFrame:
         from pyspark.sql.streaming.stateful_processor import (
@@ -183,7 +206,8 @@ class RunningAggregator:
             StatefulProcessorHandle,
         )
 
-        key_col, value_col, ttl = self.key_col, self.value_col, self.ttl
+        key_col, value_col = self.key_col, self.value_col
+        ttl_ms_parsed = self.ttl_ms
         key_type = stream_df.schema[key_col].dataType
         out_schema = StructType([
             StructField(key_col, key_type),
@@ -197,15 +221,8 @@ class RunningAggregator:
 
         class Agg(StatefulProcessor):  # local: pickled by value
             def init(self, handle: StatefulProcessorHandle) -> None:
-                ttl_ms = None
-                if ttl is not None:
-                    import re as _re
-
-                    m = _re.match(r"(\d+)\s*(second|minute|hour)s?", ttl)
-                    mult = {"second": 1_000, "minute": 60_000,
-                            "hour": 3_600_000}[m.group(2)]
-                    ttl_ms = int(m.group(1)) * mult
-                self._agg = handle.getValueState("agg", state_schema, ttl_ms)
+                # ttl already validated/parsed driver-side (parse_ttl_ms)
+                self._agg = handle.getValueState("agg", state_schema, ttl_ms_parsed)
 
             def handleInputRows(self, key, rows, timerValues):
                 n, total = (self._agg.get() or (0, 0.0)) if self._agg.exists() \

@@ -167,6 +167,24 @@ def test_running_aggregator_transform_with_state(spark, tmp_path):
     assert got == {("a", 3, 7.0), ("b", 2, 6.0), ("c", 1, 9.0)}
 
 
+def test_running_aggregator_ttl_validation():
+    """Bad TTL units fail fast driver-side with a readable error (r1
+    ADVICE: the old executor-side regex crashed with AttributeError)."""
+    from systems_spark.streaming import RunningAggregator
+
+    assert RunningAggregator.parse_ttl_ms("30 seconds") == 30_000
+    assert RunningAggregator.parse_ttl_ms("1 minute") == 60_000
+    assert RunningAggregator.parse_ttl_ms("2 hours") == 7_200_000
+    assert RunningAggregator.parse_ttl_ms("1 day") == 86_400_000
+    assert RunningAggregator.parse_ttl_ms("500 ms") == 500
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unsupported ttl"):
+        RunningAggregator("k", "v", ttl="1 fortnight")
+    with _pt.raises(ValueError, match="unsupported ttl"):
+        RunningAggregator("k", "v", ttl="soon")
+
+
 def test_stream_dedup_within_watermark(spark, tmp_path):
     """Duplicate event_ids arriving within the watermark window are
     suppressed; state is watermark-bounded."""
