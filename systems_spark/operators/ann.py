@@ -146,7 +146,19 @@ class QueryANN(Operator):
 
     def transform(self, df: DataFrame) -> DataFrame:
         if self.strategy == "exact":
-            joined = df.crossJoin(self._items()).withColumn(
+            # Pre-cluster the QUERY side on the ranking key: with a
+            # broadcast item side every query's scored rows are already
+            # co-located, so this small exchange (Q rows, pre-join)
+            # satisfies the ranking window's distribution requirement and
+            # Catalyst plans NO post-scoring exchange — the naive plan
+            # shuffles Q×N scored rows instead. Spark's WindowGroupLimit
+            # additionally caps rows at topk per query before the final
+            # window (verified in tests/test_sources_plans.py).
+            q = (
+                df.repartition(F.col(self.query_id_col))
+                if self.broadcast else df
+            )
+            joined = q.crossJoin(self._items()).withColumn(
                 "ann_score",
                 _score(self.metric, F.col(self.query_vec_col), F.col("_ann_vec")),
             )

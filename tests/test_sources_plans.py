@@ -191,6 +191,30 @@ def test_headline_query_plan_shapes(spark):
     assert_no_cartesian(qs["four_stage_recs"](spark, sf))
 
 
+def test_ann_exact_ranking_shuffles_queries_not_scores(spark):
+    """QueryANN exact: the only hash exchange must sit BEFORE the
+    cross join (Q query rows), never after scoring (Q×N rows) — the
+    ranking window's distribution requirement is satisfied by
+    pre-clustering the query side. Also asserts Spark's WindowGroupLimit
+    partial top-k kicked in (caps per-partition rows at topk pre-window)."""
+    from pyspark.sql import functions as F
+
+    from systems_spark.operators.ann import QueryANN
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    op = QueryANN(emb, item_id_col="vec_id", item_vec_col="embedding",
+                  query_vec_col="qvec", query_id_col="query_id", topk=5)
+    plan = op(queries)._jdf.queryExecution().executedPlan().toString()
+
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "WindowGroupLimit" in plan, plan
+    # the one exchange is the query-side REPARTITION, not a window shuffle
+    assert "REPARTITION_BY_COL" in plan, plan
+
+
 def test_salted_group_count_equals_plain(spark, tables):
     li = tables["lineitem"]
     plain = {r.l_returnflag: r.n for r in
