@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "sessionize",
     "value_banded",
     "value_quantiles",
+    "value_quantiles_scalable",
+    "balance_deciles_scalable",
     "events_hourly",
     "top_ngrams",
     "dedup_verified",
@@ -55,7 +57,10 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_ngram",
     "dedup_embedding",
+    "dedup_embedding_lsh",
     "text_stats",
+    "multimodal_features",
+    "ann_lsh",
 ]
 
 
@@ -74,12 +79,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # warmup: JVM/JIT + parquet footer reads — environment setup, not query
-    # cost; excluded from timings so q1 isn't charged the session tax
+    # cost; excluded from timings so q1 isn't charged the session tax.
+    # events.parquet stores TIMESTAMP(NANOS): without nanosAsLong the warmup
+    # read throws and the events table starts cold (r1 bench tail noise)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for t in ("lineitem", "orders", "documents", "embeddings", "events"):
         try:
             spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
-        except Exception:
-            pass
+        except Exception as exc:  # noqa: BLE001 - warmup must stay best-effort
+            print(f"# warmup {t} failed: {exc}", file=sys.stderr)
 
     queries = entrymod.queries()
     timings = {}

@@ -10,7 +10,13 @@ from systems_spark.operators.categorify import Categorify
 from systems_spark.operators.normalize import Normalize, FillMissing
 from systems_spark.operators.asof import AsofJoin
 from systems_spark.operators.ann import QueryANN
-from systems_spark.operators.predict import PredictModel, PredictForest, PredictImplicit
+from systems_spark.operators.predict import (
+    PredictModel,
+    PredictForest,
+    PredictImplicit,
+    predict_model_from_signature,
+    schema_from_signature,
+)
 from systems_spark.operators.multimodal import MediaFeatureExtract, FrameSample
 from systems_spark.operators.sessionize import Sessionize
 from systems_spark.operators.range_join import RangeJoin
@@ -47,4 +53,6 @@ __all__ = [
     "GlobalRank",
     "exact_quantiles",
     "ntile_expr",
+    "schema_from_signature",
+    "predict_model_from_signature",
 ]

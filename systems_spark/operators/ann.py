@@ -45,19 +45,40 @@ def _score(metric: str, q, it):
     raise ValueError(f"unknown metric {metric!r}")
 
 
+def _plane_component(table: int, p: int, d: int, salt: str) -> float:
+    """r[t,p,d] = 2·U(salt|t|p|d) − 1 computed in PYTHON with the exact
+    integer/IEEE steps of functions/hashing.unit_uniform — the Spark
+    expression would constant-fold to this same double, but folding a
+    dim×planes unrolled tree made Catalyst analysis take MINUTES (measured:
+    ann_lsh 120 s at sf0.01, almost all driver-side). Precomputing the
+    literals keeps the plan tiny; the SQL oracle (below) uses the same
+    Python values, so bit-parity is preserved by construction."""
+    import hashlib
+
+    h = int(hashlib.md5((salt + f"{table}|{p}|{d}").encode()).hexdigest()[:15], 16)
+    return (((h % 1_000_000_007) + 1) / 1_000_000_008.0) * 2.0 - 1.0
+
+
 def hyperplane_signature(vec_col, dim: int, n_planes: int, table: int, salt: str = "ann"):
     """Sign-bit signature under deterministic pseudo-random hyperplanes.
 
     Plane component r[t,p,d] = 2*U(salt|t|p|d) - 1 with U the portable md5
     uniform — identical in Spark and the SQL oracle, no randomness to store.
     Signature = Σ_p bit_p(v)·2^p  where bit_p = 1 if Σ_d v[d]*r[d] >= 0.
+
+    Each plane is ONE array literal folded with zip_with+aggregate (left
+    fold, same IEEE order as the unrolled sum), so the expression tree is
+    O(planes) nodes instead of O(planes×dim) — large unrolled trees made
+    Catalyst analysis quadratic-slow.
     """
     sig = F.lit(0)
     for p in range(n_planes):
-        proj = F.lit(0.0)
-        for d in range(dim):
-            r = unit_uniform(F.lit(f"{table}|{p}|{d}"), salt=salt) * 2.0 - 1.0
-            proj = proj + F.element_at(vec_col, d + 1).cast("double") * r
+        plane = F.lit([_plane_component(table, p, d, salt) for d in range(dim)])
+        proj = F.aggregate(
+            F.zip_with(vec_col, plane, lambda x, r: x.cast("double") * r),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
         sig = sig + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
     return sig
 
@@ -66,23 +87,15 @@ def hyperplane_signature_sql(vec_expr: str, dim: int, n_planes: int, table: int,
                              salt: str = "ann") -> str:
     """DuckDB expression matching :func:`hyperplane_signature` bit-exactly.
 
-    The md5-derived plane components are recomputed in Python (same integer
-    hash, same IEEE double ops) and embedded as literals; each projection is
-    unrolled left-to-right to match Spark's fold order — which is what makes
-    even this 'approximate' index oracle-checkable."""
-    import hashlib
-
-    def h64(s: str) -> int:
-        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
-
-    def uniform(s: str) -> float:
-        return ((h64(salt + s) % 1_000_000_007) + 1) / 1_000_000_008.0
-
+    The plane components are the SAME Python doubles the Spark expression
+    embeds (_plane_component); each projection is unrolled left-to-right to
+    match the zip_with+aggregate left fold — which is what makes even this
+    'approximate' index oracle-checkable."""
     bits = []
     for p in range(n_planes):
         terms = []
         for d in range(dim):
-            r = uniform(f"{table}|{p}|{d}") * 2.0 - 1.0
+            r = _plane_component(table, p, d, salt)
             terms.append(f"{vec_expr}[{d + 1}]*{r!r}")
         proj = " + ".join(terms)
         bits.append(f"CASE WHEN ({proj}) >= 0 THEN {1 << p} ELSE 0 END")

@@ -40,6 +40,104 @@ from systems_spark.operators.base import Operator
 # into an import-by-reference and break exactly there.
 
 
+def _sig_dtype(spec) -> str:
+    """Normalize a signature dtype: accepts strings ('float32'),
+    numpy dtypes, or framework dtype objects exposing ``.name``
+    (tf.DType duck type)."""
+    d = spec.get("dtype") if isinstance(spec, dict) else getattr(spec, "dtype", None)
+    if d is None:
+        raise ValueError(f"signature spec {spec!r} has no dtype")
+    name = getattr(d, "name", None) or str(d)
+    return name.removeprefix("tf.").removeprefix("torch.")
+
+
+def _sig_shape(spec) -> tuple:
+    s = spec.get("shape") if isinstance(spec, dict) else getattr(spec, "shape", None)
+    if s is None:
+        return (None,)
+    out = []
+    for d in s:
+        # TF Dimension objects expose .value; -1 and None are wildcards
+        v = getattr(d, "value", d)
+        out.append(None if v in (None, -1) else int(v))
+    return tuple(out)
+
+
+def schema_from_signature(signature) -> "Schema":
+    """Translate a framework model-signature dict into a :class:`Schema`,
+    reassembling ragged ``col__values``/``col__offsets`` tensor pairs into
+    single list columns — the reference derives serving schemas from the TF
+    SavedModel signature exactly this way
+    (merlin/systems/dag/ops/tensorflow.py:138-170; the values/offsets
+    ragged encoding: merlin/systems/triton/conversions.py:63-125).
+
+    ``signature``: mapping name → spec, where a spec is either a dict with
+    ``dtype``/``shape`` keys or any object with ``.dtype``/``.shape``
+    attributes (``tf.TensorSpec`` duck type — stub-testable without TF).
+
+    Rules:
+    - ``col__values`` + ``col__offsets`` → one ragged list column ``col``
+      with the values' dtype (offsets carry no schema information beyond
+      raggedness); an unpaired half raises.
+    - rank-1 shape ``(batch,)`` → scalar column.
+    - rank-2 shape ``(batch, d)`` → list column, ``dims=(None, d)``;
+      a wildcard d means ragged.
+    """
+    from systems_spark.schema import ColumnSchema, Schema
+
+    names = set(signature)
+    cols = []
+    for name in signature:
+        if name.endswith("__offsets"):
+            base = name[: -len("__offsets")]
+            if f"{base}__values" not in names:
+                raise ValueError(
+                    f"signature has {name} without {base}__values — "
+                    "ragged pairs must travel together"
+                )
+            continue  # schema comes from the __values half
+        spec = signature[name]
+        dtype = _sig_dtype(spec)
+        if name.endswith("__values"):
+            base = name[: -len("__values")]
+            if f"{base}__offsets" not in names:
+                raise ValueError(
+                    f"signature has {name} without {base}__offsets — "
+                    "ragged pairs must travel together"
+                )
+            cols.append(
+                ColumnSchema(base, dtype, is_list=True, dims=(None, None))
+            )
+            continue
+        shape = _sig_shape(spec)
+        if len(shape) <= 1:
+            cols.append(ColumnSchema(name, dtype))
+        else:
+            cols.append(
+                ColumnSchema(name, dtype, is_list=True, dims=shape)
+            )
+    return Schema(cols)
+
+
+def predict_model_from_signature(loader: Callable, predict_fn: Callable,
+                                 input_signature, output_signature,
+                                 passthrough: Optional[Iterable[str]] = None
+                                 ) -> "PredictModel":
+    """Build a :class:`PredictModel` whose input columns and output schema
+    are DERIVED from framework signatures instead of hand-written — the
+    reference's ``PredictTensorflow(model)`` ergonomics
+    (tensorflow.py:31-52: schemas come from the SavedModel, the user
+    supplies nothing)."""
+    in_schema = schema_from_signature(input_signature)
+    out_schema = schema_from_signature(output_signature)
+    return PredictModel(
+        loader, predict_fn,
+        input_cols=in_schema.column_names,
+        output_schema=out_schema.to_struct_type(),
+        passthrough=passthrough,
+    )
+
+
 class PredictModel(Operator):
     """Generic Arrow-batched scorer for any Python model.
 
@@ -200,7 +298,7 @@ class PredictForest(Operator):
     PredictModel's mapInPandas path).
     """
 
-    def __init__(self, model, input_cols: Iterable[str],
+    def __init__(self, model=None, input_cols: Iterable[str] = (),
                  predict_proba: bool = False, output_class: bool = False,
                  threshold: float = 0.5, output_col: str = "output__0"):
         self.model = model
@@ -213,6 +311,90 @@ class PredictForest(Operator):
 
     def _is_mllib(self) -> bool:
         return hasattr(self.model, "transform") and hasattr(self.model, "uid")
+
+    # -- persistence (restores Pipeline.save/load closure for pipelines
+    # containing a forest scorer — reference fil.py:349-493: the model FILE
+    # is the artifact: xgboost.json / lightgbm model.txt / checkpoint) -----
+    def get_params(self):
+        # the model itself travels via save_artifacts/load_artifacts
+        return {"input_cols": self.input_cols,
+                "predict_proba": self.predict_proba,
+                "output_class": self.output_class,
+                "threshold": self.threshold,
+                "output_col": self.output_col}
+
+    def save_artifacts(self, path: str) -> None:
+        import json
+        import os
+
+        m = self.model
+        if m is None:
+            raise ValueError("PredictForest has no model to save")
+        mod = type(m).__module__ or ""
+        if self._is_mllib():
+            m.write().overwrite().save(os.path.join(path, "mllib_model"))
+            meta = {"format": "mllib", "module": mod,
+                    "cls": type(m).__qualname__}
+        elif mod.startswith("xgboost"):
+            # Booster and the sklearn wrappers share save_model/load_model
+            # with the same xgboost.json format (reference fil.py:349-415)
+            m.save_model(os.path.join(path, "model.json"))
+            meta = {"format": "xgboost_json", "module": mod,
+                    "cls": type(m).__qualname__}
+        elif mod.startswith("lightgbm"):
+            booster = getattr(m, "booster_", m)
+            booster.save_model(os.path.join(path, "model.txt"))
+            # sklearn LGBM wrappers reload as a raw Booster (predict gives
+            # raw scores) — same artifact the reference persists
+            # (fil.py:418-449 model.txt)
+            meta = {"format": "lightgbm_txt"}
+        else:
+            # generic python model (sklearn forests, test doubles): pickled.
+            # The reference uses treelite checkpoints here (fil.py:452-493);
+            # without treelite in the environment, a pickle is the honest
+            # portable fallback. cloudpickle (ships with pyspark) serializes
+            # by value, so even models whose defining module isn't
+            # importable at load time roundtrip; plain pickle.loads reads it.
+            try:
+                from pyspark import cloudpickle as _pkl
+            except ImportError:  # pragma: no cover
+                import pickle as _pkl
+
+            with open(os.path.join(path, "model.pkl"), "wb") as f:
+                f.write(_pkl.dumps(m))
+            meta = {"format": "pickle"}
+        with open(os.path.join(path, "forest.json"), "w") as f:
+            json.dump(meta, f)
+
+    def load_artifacts(self, path: str, spark=None) -> None:
+        import importlib
+        import json
+        import os
+
+        with open(os.path.join(path, "forest.json")) as f:
+            meta = json.load(f)
+        fmt = meta["format"]
+        if fmt == "mllib":
+            cls = getattr(importlib.import_module(meta["module"]), meta["cls"])
+            self.model = cls.load(os.path.join(path, "mllib_model"))
+        elif fmt == "xgboost_json":
+            cls = getattr(importlib.import_module(meta["module"]), meta["cls"])
+            obj = cls()
+            obj.load_model(os.path.join(path, "model.json"))
+            self.model = obj
+        elif fmt == "lightgbm_txt":
+            import lightgbm
+
+            self.model = lightgbm.Booster(
+                model_file=os.path.join(path, "model.txt")
+            )
+        elif fmt == "pickle":
+            import pickle
+
+            with open(os.path.join(path, "model.pkl"), "rb") as f:
+                self.model = pickle.load(f)
+        else:
+            raise ValueError(f"unknown forest artifact format {fmt!r}")
 
     def transform(self, df: DataFrame) -> DataFrame:
         if self._is_mllib():

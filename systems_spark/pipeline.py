@@ -36,23 +36,37 @@ _PLAN_FILE = "pipeline.json"
 
 
 class Pipeline:
-    """Ordered operator chain. ``p = op_a >> op_b`` or ``Pipeline([a, b])``."""
+    """Ordered operator chain. ``p = op_a >> op_b`` or ``Pipeline([a, b])``.
 
-    def __init__(self, operators: Iterable = ()):
+    ``sparse_max``: serve-time dense-padding knob ``{column: max_len}`` —
+    after all operators run, each listed ragged list column is padded (and
+    truncated) to its fixed length with ``sparse_fill``. Mirrors the
+    fitted-workflow boundary option of the reference
+    (merlin/systems/dag/ops/workflow.py:31-61 ``sparse_max``); implemented
+    with the same JVM-only expression as :class:`Padding`."""
+
+    def __init__(self, operators: Iterable = (), sparse_max: dict = None,
+                 sparse_fill=0):
         self.operators: List = list(operators)
+        self.sparse_max = dict(sparse_max) if sparse_max else None
+        self.sparse_fill = sparse_fill
 
     # -- composition -------------------------------------------------------
     def __rshift__(self, other) -> "Pipeline":
         from systems_spark.operators.base import Operator
 
+        kw = dict(sparse_max=self.sparse_max, sparse_fill=self.sparse_fill)
         if isinstance(other, Pipeline):
-            return Pipeline(self.operators + other.operators)
+            return Pipeline(self.operators + other.operators,
+                            **(dict(sparse_max=other.sparse_max,
+                                    sparse_fill=other.sparse_fill)
+                               if other.sparse_max else kw))
         if isinstance(other, Operator):
-            return Pipeline(self.operators + [other])
+            return Pipeline(self.operators + [other], **kw)
         if callable(other):
             from systems_spark.operators.base import LambdaOp
 
-            return Pipeline(self.operators + [LambdaOp(other)])
+            return Pipeline(self.operators + [LambdaOp(other)], **kw)
         raise TypeError(f"cannot compose Pipeline with {type(other)}")
 
     # -- execution ---------------------------------------------------------
@@ -69,6 +83,11 @@ class Pipeline:
         current = df
         for op in self.operators:
             current = op(current)
+        if self.sparse_max:
+            from systems_spark.operators.padding import Padding
+
+            for col, n in self.sparse_max.items():
+                current = Padding(col, n, fill=self.sparse_fill)(current)
         return current
 
     def fit_transform(self, df: DataFrame) -> DataFrame:
@@ -81,6 +100,20 @@ class Pipeline:
         current = input_schema
         for op in self.operators:
             current = op.compute_output_schema(current)
+        if self.sparse_max:
+            from systems_spark.schema import ColumnSchema
+
+            cols = []
+            for c in current:
+                if c.name in self.sparse_max:
+                    cols.append(ColumnSchema(
+                        c.name, c.dtype, is_list=True,
+                        dims=(None, self.sparse_max[c.name]),
+                        tags=c.tags, properties=c.properties,
+                    ))
+                else:
+                    cols.append(c)
+            current = Schema(cols)
         return current
 
     # -- persistence -------------------------------------------------------
@@ -94,6 +127,9 @@ class Pipeline:
 
         os.makedirs(path, exist_ok=True)
         plan = {"engine_version": __version__, "operators": []}
+        if self.sparse_max:
+            plan["sparse_max"] = self.sparse_max
+            plan["sparse_fill"] = self.sparse_fill
         for i, op in enumerate(self.operators):
             entry = {
                 "module": type(op).__module__,
@@ -146,7 +182,8 @@ class Pipeline:
             if "artifacts" in entry and hasattr(op, "load_artifacts"):
                 op.load_artifacts(os.path.join(path, entry["artifacts"]), spark=spark)
             ops.append(op)
-        return cls(ops)
+        return cls(ops, sparse_max=plan.get("sparse_max"),
+                   sparse_fill=plan.get("sparse_fill", 0))
 
     def __repr__(self) -> str:
         return "Pipeline(" + " >> ".join(repr(op) for op in self.operators) + ")"

@@ -71,6 +71,127 @@ def test_full_recommender_pipeline_save_load(spark, tables):
     assert before == after
 
 
+def _stub_forest():
+    """Picklable stand-in for a python forest model (container has no
+    xgboost/lightgbm): predict = row-sum. Built ONLY from importable
+    stdlib/numpy pieces — executor workers and artifact loads can't import
+    this test module, so a locally-defined class would not unpickle."""
+    import functools
+    import types
+
+    import numpy as np
+
+    return types.SimpleNamespace(predict=functools.partial(np.sum, axis=1))
+
+
+def test_forest_pipeline_save_load_python_model(spark, tables):
+    """A pipeline containing PredictForest(python model) survives
+    Pipeline.save/load with identical scores (reference
+    tests/unit/systems/dag/test_ensemble.py:27-58; model-file-as-artifact
+    semantics from fil.py:349-493 — pickle fallback here, xgboost.json /
+    model.txt when those frameworks are present)."""
+    from systems_spark.operators import PredictForest
+
+    feats = tables["customer"].select(
+        "c_custkey",
+        F.col("c_acctbal").cast("float").alias("f0"),
+        (F.col("c_custkey") % 7).cast("float").alias("f1"),
+    ).where(F.col("c_custkey") < 200)
+
+    pipe = Pipeline([PredictForest(_stub_forest(), ["f0", "f1"])])
+    before = sorted(
+        (r.c_custkey, round(r.output__0, 5))
+        for r in pipe.transform(feats).collect()
+    )
+    assert len(before) > 0
+    with tempfile.TemporaryDirectory() as d:
+        pipe.save(d)
+        loaded = Pipeline.load(d, spark=spark)
+        after = sorted(
+            (r.c_custkey, round(r.output__0, 5))
+            for r in loaded.transform(feats).collect()
+        )
+    assert before == after
+
+
+def test_forest_pipeline_save_load_mllib_model(spark, tables):
+    """MLlib forest models persist through their native write()/load()
+    inside the pipeline artifact dir and rescore identically."""
+    from pyspark.ml.classification import RandomForestClassifier
+    from pyspark.ml.feature import VectorAssembler
+
+    from systems_spark.operators import PredictForest
+
+    feats = tables["customer"].select(
+        "c_custkey",
+        F.col("c_acctbal").cast("float").alias("f0"),
+        (F.col("c_custkey") % 7).cast("float").alias("f1"),
+        (F.col("c_acctbal") > 0).cast("double").alias("label"),
+    ).where(F.col("c_custkey") < 300)
+    assembled = VectorAssembler(
+        inputCols=["f0", "f1"], outputCol="features"
+    ).transform(feats)
+    model = RandomForestClassifier(
+        numTrees=5, maxDepth=3, seed=42, labelCol="label"
+    ).fit(assembled)
+
+    pipe = Pipeline([
+        PredictForest(model, ["f0", "f1"], predict_proba=True)
+    ])
+    before = sorted(
+        (r.c_custkey, tuple(round(v, 6) for v in r.output__0))
+        for r in pipe.transform(feats).collect()
+    )
+    assert len(before) > 0
+    with tempfile.TemporaryDirectory() as d:
+        pipe.save(d)
+        loaded = Pipeline.load(d, spark=spark)
+        after = sorted(
+            (r.c_custkey, tuple(round(v, 6) for v in r.output__0))
+            for r in loaded.transform(feats).collect()
+        )
+    assert before == after
+
+
+def test_pipeline_sparse_max_padding(spark, tables):
+    """Pipeline-level sparse_max pads ragged outputs to fixed length at
+    serve time (reference workflow.py:31-61 TransformWorkflow sparse_max),
+    survives save/load, and is reflected in compute_output_schema dims."""
+    from systems_spark.operators import LambdaOp
+
+    docs = tables["documents"].select("doc_id", "text").limit(50)
+    tokenize = LambdaOp(
+        lambda df: df.withColumn("tokens", F.split(F.col("text"), r"\s+")),
+        name="tokenize",
+    )
+    pipe = Pipeline([tokenize], sparse_max={"tokens": 8}, sparse_fill="")
+    out = pipe.transform(docs)
+    lens = {r[0] for r in out.select(F.size("tokens")).distinct().collect()}
+    assert lens == {8}
+
+    in_schema = Schema([
+        ColumnSchema("doc_id", "int64"),
+        ColumnSchema("text", "string"),
+        ColumnSchema("tokens", "string", is_list=True),
+    ])
+    dims = {c.name: c.dims for c in pipe.compute_output_schema(in_schema)}
+    assert dims["tokens"] == (None, 8)
+
+    with tempfile.TemporaryDirectory() as d:
+        # LambdaOp isn't declaratively persistable; test the knob itself
+        Pipeline([], sparse_max={"tokens": 8}, sparse_fill="").save(d)
+        loaded = Pipeline.load(d, spark=spark)
+        assert loaded.sparse_max == {"tokens": 8}
+        assert loaded.sparse_fill == ""
+        relens = {
+            r[0]
+            for r in loaded.transform(out.drop("tokens").withColumn(
+                "tokens", F.split(F.col("text"), r"\s+")
+            )).select(F.size("tokens")).distinct().collect()
+        }
+        assert relens == {8}
+
+
 def test_dims_and_tags_metadata_roundtrip(spark):
     """reference compute_dims table (tests/unit/systems/dag/ops/test_ops.py:33-45):
     list-ness/shape/tags survive StructType conversion and parquet IO."""

@@ -67,6 +67,69 @@ def test_predict_model_golden_parity(spark):
     assert got == want
 
 
+def test_schema_from_signature_ragged_and_scalar():
+    """Signature→schema derivation mirrors the reference's SavedModel
+    translation (tensorflow.py:138-170): values/offsets pairs reassemble
+    into ONE ragged list column; rank-1 tensors become scalars; rank-2
+    fixed dims become fixed lists. Stub signature objects — no TF needed."""
+    from types import SimpleNamespace
+
+    from systems_spark.operators import schema_from_signature
+
+    sig = {
+        "user_id": {"dtype": "int64", "shape": (None,)},
+        "item_ids__values": {"dtype": "int32", "shape": (None,)},
+        "item_ids__offsets": {"dtype": "int32", "shape": (None,)},
+        # TensorSpec duck type: .dtype has .name, shape has wildcard -1
+        "dense_vec": SimpleNamespace(
+            dtype=SimpleNamespace(name="float32"), shape=(-1, 64)
+        ),
+    }
+    schema = schema_from_signature(sig)
+    assert schema.column_names == ["user_id", "item_ids", "dense_vec"]
+    by_name = {c.name: c for c in schema}
+    assert not by_name["user_id"].is_list
+    assert by_name["item_ids"].is_list and by_name["item_ids"].dims == (None, None)
+    assert by_name["dense_vec"].is_list and by_name["dense_vec"].dims == (None, 64)
+    # ragged offsets never surface as their own column
+    assert "item_ids__offsets" not in schema.column_names
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="ragged pairs"):
+        schema_from_signature({"a__values": {"dtype": "int32", "shape": (None,)}})
+    with _pt.raises(ValueError, match="ragged pairs"):
+        schema_from_signature({"a__offsets": {"dtype": "int32", "shape": (None,)}})
+
+
+def test_predict_model_from_signature_end_to_end(spark):
+    """A PredictModel built purely from signatures scores correctly —
+    the PredictTensorflow(model) ergonomics with a stub 'framework'."""
+    import pandas as pd
+
+    from systems_spark.operators import predict_model_from_signature
+
+    in_sig = {"f0": {"dtype": "float64", "shape": (None,)},
+              "f1": {"dtype": "float64", "shape": (None,)}}
+    out_sig = {"yhat": {"dtype": "float64", "shape": (None,)}}
+
+    op = predict_model_from_signature(
+        loader=lambda: None,
+        predict_fn=lambda m, pdf: pd.DataFrame({"yhat": pdf["f0"] * 2 + pdf["f1"]}),
+        input_signature=in_sig,
+        output_signature=out_sig,
+    )
+    assert op.input_cols == ["f0", "f1"]
+    assert [f.name for f in op.output_schema.fields] == ["yhat"]
+
+    df = spark.createDataFrame(
+        [(i, float(i), float(i % 5)) for i in range(50)],
+        "id long, f0 double, f1 double",
+    )
+    got = {r.id: r.yhat for r in op(df).collect()}
+    assert got == {i: i * 2.0 + (i % 5) for i in range(50)}
+
+
 def test_predict_batch_udf_parity_with_mapinpandas(spark):
     """The predict_batch_udf path must score identically to the
     mapInPandas path (executor-parity pattern, test_executors.py:34-129),
