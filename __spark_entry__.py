@@ -572,7 +572,7 @@ def q_balance_deciles_scalable(spark, sf_dir):
     oracle), but the exact ntile comes from GlobalRank's deterministic
     bucket-offset plan — no single-partition window anywhere in the plan
     (operators/global_rank.py)."""
-    c = _t(spark, sf_dir, "customer")
+    c = _t(spark, sf_dir, "customer").select("c_acctbal", "c_custkey")
     op = GlobalRank(["c_acctbal", "c_custkey"])
     return (
         op.with_ntile(c, 10, "decile")

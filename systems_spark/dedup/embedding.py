@@ -62,16 +62,18 @@ class EmbeddingDedup(Operator):
         if self.strategy == "lsh":
             if self.dim is None:
                 raise ValueError("lsh strategy requires dim=")
-            cands = None
-            for t in range(self.n_tables):
-                l_sig = left.withColumn(
-                    "_sig", hyperplane_signature(F.col("_va"), self.dim, self.n_planes, t)
-                )
-                r_sig = right.withColumn(
-                    "_sig", hyperplane_signature(F.col("_vb"), self.dim, self.n_planes, t)
-                )
-                p = l_sig.join(r_sig, on="_sig").where(F.col("a") < F.col("b")).drop("_sig")
-                cands = p if cands is None else cands.unionByName(p)
+            from systems_spark.operators.ann import _explode_signatures
+
+            # ONE equi-join on (table, signature) via posexplode per side
+            # (the Generate fences signature computation to once per row)
+            # instead of n_tables joins + union — one shuffle stage
+            l_sig = _explode_signatures(left, "_va", self.dim, self.n_planes, self.n_tables)
+            r_sig = _explode_signatures(right, "_vb", self.dim, self.n_planes, self.n_tables)
+            cands = (
+                l_sig.join(r_sig, on=["_tbl", "_sig"])
+                .where(F.col("a") < F.col("b"))
+                .drop("_tbl", "_sig")
+            )
             # score BEFORE dedup: cosine may be recomputed for a pair that
             # collides in several tables, but the dropDuplicates shuffle
             # then carries (a, b, cosine) instead of two full vectors per

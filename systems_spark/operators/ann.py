@@ -83,6 +83,18 @@ def hyperplane_signature(vec_col, dim: int, n_planes: int, table: int, salt: str
     return sig
 
 
+def _explode_signatures(df: DataFrame, vec_col: str, dim: int, n_planes: int,
+                        n_tables: int, salt: str = "ann") -> DataFrame:
+    """Append ``(_tbl, _sig)`` via posexplode of the per-table signature
+    array — the single-join LSH candidate shape (one shuffle on the
+    composite key instead of one join per table)."""
+    sig_arr = F.array(*[
+        hyperplane_signature(F.col(vec_col), dim, n_planes, t, salt=salt)
+        for t in range(n_tables)
+    ])
+    return df.select("*", F.posexplode(sig_arr).alias("_tbl", "_sig"))
+
+
 def hyperplane_signature_sql(vec_expr: str, dim: int, n_planes: int, table: int,
                              salt: str = "ann") -> str:
     """DuckDB expression matching :func:`hyperplane_signature` bit-exactly.
@@ -399,18 +411,24 @@ class QueryANN(Operator):
     def _transform_lsh(self, df: DataFrame) -> DataFrame:
         if self.dim is None:
             raise ValueError("lsh strategy requires dim=")
-        items = self._items()
-        # per-table signatures on both sides; union of table-wise equi-joins
-        cands = None
-        for t in range(self.n_tables):
-            it_sig = items.withColumn(
-                "_sig", hyperplane_signature(F.col("_ann_vec"), self.dim, self.n_planes, t)
-            )
-            q_sig = df.withColumn(
-                "_sig", hyperplane_signature(F.col(self.query_vec_col), self.dim, self.n_planes, t)
-            )
-            pairs = q_sig.join(it_sig, on="_sig").drop("_sig")
-            cands = pairs if cands is None else cands.unionByName(pairs)
+        # ONE equi-join on the (table, signature) composite key: both sides
+        # posexplode their n_tables signatures (the Generate is also a
+        # ProjectCollapsing fence, so each signature is computed once per
+        # row), replacing the previous n_tables separate joins + union —
+        # one shuffle stage instead of four at identical byte volume
+        it = _explode_signatures(
+            self.items_df.select(
+                F.col(self.item_id_col).alias("_ann_id"),
+                F.col(self.item_vec_col).alias("_ann_vec"),
+            ),
+            "_ann_vec", self.dim, self.n_planes, self.n_tables,
+        )
+        if self.broadcast:
+            it = F.broadcast(it)
+        q = _explode_signatures(
+            df, self.query_vec_col, self.dim, self.n_planes, self.n_tables
+        )
+        cands = q.join(it, on=["_tbl", "_sig"]).drop("_tbl", "_sig")
         cands = cands.dropDuplicates([self.query_id_col, "_ann_id"])
         joined = cands.withColumn(
             "ann_score", _score(self.metric, F.col(self.query_vec_col), F.col("_ann_vec"))

@@ -451,6 +451,16 @@ class PredictForest(Operator):
                           passthrough=list(df.columns))
         return op.transform(df)
 
+    def compute_output_schema(self, input_schema):
+        from systems_spark.schema import ColumnSchema, Schema
+
+        proba = self.predict_proba
+        out = ColumnSchema(
+            self.output_col, "float32", is_list=bool(proba),
+            dims=(None, None) if proba else None,
+        )
+        return input_schema + Schema([out])
+
 
 class PredictImplicit(Operator):
     """ALS top-N recommendation (implicit.py:92-113 semantics: per user_id,

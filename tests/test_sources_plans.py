@@ -9,7 +9,7 @@ from pyspark.sql import types as T
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from systems_spark import Pipeline, Schema
+from systems_spark import ColumnSchema, Pipeline, Schema
 from systems_spark.operators import Rename, SelectColumns
 from systems_spark.plans import (
     count_exchanges,
@@ -105,6 +105,120 @@ def test_pipeline_export_metadata(spark, tmp_path):
     assert out_fields == ["a_y"]
     loaded = Pipeline.load(d, spark=spark)
     assert len(loaded.operators) == 2
+
+
+def test_export_config_sweep_every_op_type(spark, tables, tmp_path):
+    """Reference-style export-config verification (reference writes
+    config.pbtxt and asserts names/backends/dims per op —
+    runtimes/triton/runtime.py:89-219, tests/unit/systems/ops/fil/
+    test_op.py:33-49): parse the exported plan + metadata for a pipeline
+    containing one of EVERY persistable op family and assert operator
+    identity, artifact presence, and full dtype/dims schema contract."""
+    import json
+
+    from systems_spark.operators import (
+        Categorify,
+        DropColumns,
+        Padding,
+        PredictForest,
+        QueryFeatureTable,
+    )
+    from systems_spark.operators.filter_candidates import (
+        FilterCandidatesRelational,
+    )
+
+    docs = tables["customer"].select(
+        "c_custkey", "c_mktsegment",
+        F.col("c_acctbal").cast("float").alias("f0"),
+        (F.col("c_custkey") % 3).cast("float").alias("f1"),
+    ).limit(300)
+    feature_tbl = tables["customer"].select(
+        F.col("c_custkey"), F.col("c_name").alias("feat_name")
+    )
+    seen = tables["customer"].select("c_custkey").where(F.col("c_custkey") % 11 == 0)
+    forest = __import__("types").SimpleNamespace(
+        predict=__import__("functools").partial(
+            __import__("numpy").sum, axis=1
+        )
+    )
+
+    pipe = Pipeline([
+        Categorify(["c_mktsegment"]),
+        FilterCandidatesRelational(seen, on="c_custkey"),
+        QueryFeatureTable(feature_tbl, "c_custkey", features=["feat_name"]),
+        PredictForest(forest, ["f0", "f1"]),
+        DropColumns(["feat_name"]),
+    ], sparse_max=None)
+    pipe.fit(docs)
+
+    in_schema = Schema([
+        ColumnSchema("c_custkey", "int64"),
+        ColumnSchema("c_mktsegment", "string"),
+        ColumnSchema("f0", "float32"),
+        ColumnSchema("f1", "float32"),
+    ])
+    d = str(tmp_path / "exported")
+    pipe.export(d, input_schema=in_schema)
+
+    # --- plan contract: every op recorded with class identity; stateful /
+    # model ops carry artifact dirs that actually exist on disk
+    plan = json.load(open(os.path.join(d, "pipeline.json")))
+    classes = [e["cls"] for e in plan["operators"]]
+    assert classes == [
+        "Categorify", "FilterCandidatesRelational", "QueryFeatureTable",
+        "PredictForest", "DropColumns",
+    ]
+    with_artifacts = {
+        e["cls"] for e in plan["operators"] if "artifacts" in e
+    }
+    assert {"Categorify", "PredictForest"} <= with_artifacts
+    for e in plan["operators"]:
+        if "artifacts" in e:
+            assert os.path.isdir(os.path.join(d, e["artifacts"])), e
+
+    # --- schema contract: parse metadata.json and assert names AND dtypes
+    meta = json.load(open(os.path.join(d, "metadata.json")))
+    in_fields = {f["name"]: f["type"] for f in meta["input_schema"]["fields"]}
+    assert in_fields == {
+        "c_custkey": "long", "c_mktsegment": "string",
+        "f0": "float", "f1": "float",
+    }
+    out_fields = {f["name"]: f["type"] for f in meta["output_schema"]["fields"]}
+    assert out_fields["c_mktsegment"] == "long"  # categorified → codes
+    assert out_fields["output__0"] == "float"    # forest score
+    assert "feat_name" not in out_fields         # dropped
+
+    # --- roundtrip: loaded pipeline rescoring matches the original
+    before = sorted(
+        (r.c_custkey, round(float(r.output__0), 4))
+        for r in pipe.transform(docs).collect()
+    )
+    loaded = Pipeline.load(d, spark=spark)
+    after = sorted(
+        (r.c_custkey, round(float(r.output__0), 4))
+        for r in loaded.transform(docs).collect()
+    )
+    assert before == after and len(before) > 0
+
+
+def test_export_dims_contract_for_list_columns(spark, tmp_path):
+    """dims/list-ness survive export: a padded ragged column exports with
+    fixed dims metadata (the reference's values/offsets shape contract,
+    triton/export.py:27-45 — here ArrayType + dims in field metadata)."""
+    import json
+
+    pipe = Pipeline([], sparse_max={"tokens": 6}, sparse_fill="")
+    in_schema = Schema([
+        ColumnSchema("doc_id", "int64"),
+        ColumnSchema("tokens", "string", is_list=True, dims=(None, None)),
+    ])
+    d = str(tmp_path / "exported_dims")
+    pipe.export(d, input_schema=in_schema)
+    meta = json.load(open(os.path.join(d, "metadata.json")))
+    tok = next(f for f in meta["output_schema"]["fields"] if f["name"] == "tokens")
+    assert tok["type"]["type"] == "array"
+    assert tok["type"]["elementType"] == "string"
+    assert tok["metadata"]["dims"] == [-1, 6]  # -1 encodes the None wildcard
 
 
 # -- plan introspection ----------------------------------------------------
