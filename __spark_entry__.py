@@ -603,6 +603,32 @@ def q_order_rank_stats(spark, sf_dir):
     )
 
 
+def q_order_rank_stats_scalable(spark, sf_dir):
+    """The 100 TB twin of ``order_rank_stats`` (same SQL oracle): the
+    relative-rank family without a per-segment single-task window. The
+    order key (o_totalprice, o_orderkey) is unique, so percent_rank has no
+    ties and equals (row_number-1)/(n-1), cume_dist equals row_number/n —
+    both derivable from GlobalRank's distributed exact row numbers."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+    gr = GlobalRank(["o_totalprice", "o_orderkey"],
+                    group_cols=["c_mktsegment"], rank_col="_r", total_col="_n")
+    ranked = gr(j)
+    r, n = F.col("_r"), F.col("_n")
+    return (
+        ranked.select(
+            "c_mktsegment", "o_orderkey",
+            F.round(F.when(n > 1, (r - 1) / (n - 1)).otherwise(F.lit(0.0)), 6)
+            .alias("pct_rank"),
+            F.round(r / n, 6).alias("cume"),
+        )
+        .where(F.col("pct_rank") >= 0.99)
+    )
+
+
 _SQL_ORDER_RANK = """
 SELECT c_mktsegment, o_orderkey,
        round(percent_rank() OVER w, 6) AS pct_rank,
@@ -1736,7 +1762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_orders": q_pivot_orders,
         "top_supplier": q_top_supplier,
         "idle_rich_customers": q_idle_rich_customers,
-        "order_rank_stats": q_order_rank_stats,
+        "order_rank_stats_scalable": q_order_rank_stats_scalable,
         "stratified_sample": q_stratified_sample,
         "train_test_split": q_train_test_split,
         "order_baskets": q_order_baskets,
@@ -1786,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_order_per_customer": q_latest_order_per_customer,
         "balance_deciles": q_balance_deciles,
         "value_quantiles": q_value_quantiles,
+        "order_rank_stats": q_order_rank_stats,
     }
 
 
@@ -1809,6 +1836,7 @@ def oracle_sql() -> dict[str, str]:
         "top_supplier": _SQL_TOP_SUPPLIER,
         "idle_rich_customers": _SQL_IDLE_RICH,
         "order_rank_stats": _SQL_ORDER_RANK,
+        "order_rank_stats_scalable": _SQL_ORDER_RANK,
         "latest_order_per_customer": _SQL_LATEST_ORDER,
         "monthly_revenue": _SQL_MONTHLY_REVENUE,
         "stratified_sample": _sql_stratified_sample(),

@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "value_quantiles",
     "value_quantiles_scalable",
     "balance_deciles_scalable",
+    "order_rank_stats_scalable",
     "events_hourly",
     "top_ngrams",
     "dedup_verified",
