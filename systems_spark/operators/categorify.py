@@ -31,23 +31,55 @@ from systems_spark.operators.base import Operator
 
 class Categorify(Operator):
     def __init__(self, columns, out_suffix: str = "", freq_threshold: int = 0,
-                 encode_type: str = "per-col"):
+                 encode_type: str = "per-col", code_strategy: str = "window"):
         """``encode_type="per-col"`` (default): independent vocab per column.
         ``encode_type="joint"``: one shared vocab over the union of all
         columns' values (NVTabular joint encoding — e.g. two item-id
         columns that must map to the same code space); requires all
-        columns to share a dtype."""
+        columns to share a dtype.
+
+        ``code_strategy``: how codes 1..N are assigned over the counted
+        vocabulary. ``"window"`` (default) ranks with a global window —
+        right for true categorical vocabularies (bounded size).
+        ``"distributed"`` ranks via GlobalRank (operators/global_rank.py) —
+        identical codes, no single-task stage; use when "categorifying" an
+        id-like column whose vocabulary is itself huge."""
         if encode_type not in ("per-col", "joint"):
             raise ValueError(f"encode_type must be per-col|joint, got {encode_type}")
+        if code_strategy not in ("window", "distributed"):
+            raise ValueError(
+                f"code_strategy must be window|distributed, got {code_strategy}"
+            )
         self.columns = [columns] if isinstance(columns, str) else list(columns)
         self.out_suffix = out_suffix
         self.freq_threshold = int(freq_threshold)
         self.encode_type = encode_type
+        self.code_strategy = code_strategy
         self.vocabs = {}  # col -> DataFrame(value, code)
         self.requires = tuple(self.columns)
 
-    @staticmethod
-    def build_vocab(df: DataFrame, column: str, freq_threshold: int = 0) -> DataFrame:
+    @classmethod
+    def _rank_codes(cls, counts: DataFrame, partition_cols=(),
+                    code_strategy: str = "window") -> DataFrame:
+        """codes 1..N by (frequency DESC, value ASC) within each partition
+        group — via a window (small vocabs) or GlobalRank (huge vocabs,
+        same codes, no single-task stage)."""
+        keep = [*partition_cols, "value"]
+        if code_strategy == "distributed":
+            from systems_spark.operators.global_rank import GlobalRank
+
+            neg = counts.withColumn("_negcnt", -F.col("cnt"))
+            gr = GlobalRank(["_negcnt", "value"],
+                            group_cols=list(partition_cols), rank_col="code")
+            return gr(neg).select(*keep, "code")
+        w = Window.partitionBy(*partition_cols).orderBy(
+            F.col("cnt").desc(), F.col("value").asc()
+        )
+        return counts.select(*keep, F.row_number().over(w).alias("code"))
+
+    @classmethod
+    def build_vocab(cls, df: DataFrame, column: str, freq_threshold: int = 0,
+                    code_strategy: str = "window") -> DataFrame:
         counts = (
             df.where(F.col(column).isNotNull())
             .groupBy(F.col(column).alias("value"))
@@ -55,9 +87,7 @@ class Categorify(Operator):
         )
         if freq_threshold > 0:
             counts = counts.where(F.col("cnt") >= freq_threshold)
-        w = Window.orderBy(F.col("cnt").desc(), F.col("value").asc())
-        # single-partition window is fine: vocabularies are small by definition
-        return counts.select("value", F.row_number().over(w).alias("code"))
+        return cls._rank_codes(counts, (), code_strategy)
 
     def fit(self, df: DataFrame) -> "Categorify":
         """Single-job fit: columns sharing a dtype are counted in ONE pass
@@ -81,10 +111,7 @@ class Categorify(Operator):
             counts = kv.groupBy("value").agg(F.count(F.lit(1)).alias("cnt"))
             if self.freq_threshold > 0:
                 counts = counts.where(F.col("cnt") >= self.freq_threshold)
-            w = Window.orderBy(F.col("cnt").desc(), F.col("value").asc())
-            vocab = counts.select(
-                "value", F.row_number().over(w).alias("code")
-            ).persist()
+            vocab = self._rank_codes(counts, (), self.code_strategy).persist()
             self._persisted.append(vocab)
             for c in cols:
                 self.vocabs[c] = vocab
@@ -93,7 +120,7 @@ class Categorify(Operator):
         for dt, cols in groups.items():
             if len(cols) == 1:
                 self.vocabs[cols[0]] = self.build_vocab(
-                    df, cols[0], self.freq_threshold
+                    df, cols[0], self.freq_threshold, self.code_strategy
                 )
                 continue
             kv = self._stacked(df, cols)
@@ -102,11 +129,8 @@ class Categorify(Operator):
             )
             if self.freq_threshold > 0:
                 counts = counts.where(F.col("cnt") >= self.freq_threshold)
-            w = Window.partitionBy("_col").orderBy(
-                F.col("cnt").desc(), F.col("value").asc()
-            )
-            coded = counts.select(
-                "_col", "value", F.row_number().over(w).alias("code")
+            coded = self._rank_codes(
+                counts, ("_col",), self.code_strategy
             ).persist()  # persisted: each column's transform reuses ONE job
             self._persisted.append(coded)
             for c in cols:
@@ -175,7 +199,8 @@ class Categorify(Operator):
     def get_params(self):
         return {"columns": self.columns, "out_suffix": self.out_suffix,
                 "freq_threshold": self.freq_threshold,
-                "encode_type": self.encode_type}
+                "encode_type": self.encode_type,
+                "code_strategy": self.code_strategy}
 
     def save_artifacts(self, path: str) -> None:
         for c, v in self.vocabs.items():

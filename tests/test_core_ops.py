@@ -235,6 +235,32 @@ def test_categorify_joint_encoding(spark):
         Categorify(["x", "y"], encode_type="joint").fit(mixed)
 
 
+def test_categorify_distributed_codes_match_window(spark, tables):
+    """code_strategy='distributed' (GlobalRank, no single-task stage) must
+    assign byte-identical codes to the window path — per-col multi-column
+    AND joint encoding."""
+    li = tables["lineitem"]
+    cols = ["l_returnflag", "l_linestatus"]
+    win = Categorify(cols).fit(li)
+    dist = Categorify(cols, code_strategy="distributed").fit(li)
+    for c in cols:
+        a = sorted(map(tuple, win.vocabs[c].collect()))
+        b = sorted(map(tuple, dist.vocabs[c].collect()))
+        assert a == b, c
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "a")], "x string, y string"
+    )
+    j_win = Categorify(["x", "y"], out_suffix="_c", encode_type="joint").fit(df)
+    j_dist = Categorify(["x", "y"], out_suffix="_c", encode_type="joint",
+                        code_strategy="distributed").fit(df)
+    assert sorted(map(tuple, j_win(df).collect())) == \
+        sorted(map(tuple, j_dist(df).collect()))
+
+    with pytest.raises(ValueError, match="code_strategy"):
+        Categorify(["x"], code_strategy="bogus")
+
+
 def test_padding_exact(spark):
     """reference: padding_op.py:25-41 — ragged [[1]], [[2,3]] → 2×5 dense."""
     df = spark.createDataFrame([(1, [1]), (2, [2, 3])], "id int, a array<int>")
