@@ -42,7 +42,13 @@ from typing import Iterable, List, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, NumericType, StructField, StructType
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    NumericType,
+    StructField,
+    StructType,
+)
 
 from systems_spark.operators.base import Operator
 
@@ -266,11 +272,17 @@ def exact_quantiles(df: DataFrame, value_col: str, ps: Iterable[float],
             lo = int(math.floor(pos))
             hi = int(math.ceil(pos))
             need_rows.append((*grp, float(p), lo + 1, hi + 1, pos - lo))
-    cols = list(group_cols) + ["_gq_p", "_gq_lo", "_gq_hi", "_gq_frac"]
-    need = spark.createDataFrame(
-        [tuple(r) for r in need_rows], schema=cols
-    ).withColumn("_gq_lo", F.col("_gq_lo").cast("long")) \
-     .withColumn("_gq_hi", F.col("_gq_hi").cast("long"))
+    # explicit schema: empty inputs (need_rows == []) cannot infer types
+    need_schema = StructType(
+        [StructField(c, df.schema[c].dataType, True) for c in group_cols]
+        + [
+            StructField("_gq_p", DoubleType(), False),
+            StructField("_gq_lo", LongType(), False),
+            StructField("_gq_hi", LongType(), False),
+            StructField("_gq_frac", DoubleType(), False),
+        ]
+    )
+    need = spark.createDataFrame([tuple(r) for r in need_rows], schema=need_schema)
 
     # broadcast join: the ranked big table streams in place; only rows
     # holding a needed order statistic survive

@@ -152,19 +152,24 @@ class FrameSample(Operator):
         out_cols = [f.name for f in result_schema.fields]
 
         def sample(batches):
-            import pandas as pd
+            import numpy as np
 
             for pdf in batches:
-                rows = []
-                for _, row in pdf.iterrows():
-                    p = row[payload_col] or b""
+                if len(pdf) == 0:
+                    continue
+                # vectorized row replication (iterrows + dict-per-row was
+                # the Python-side hot spot); only the byte slicing loops
+                rep = pdf.loc[pdf.index.repeat(n)].reset_index(drop=True)
+                rep["frame_idx"] = np.tile(np.arange(n, dtype="int32"), len(pdf))
+                frames = []
+                for p in pdf[payload_col]:
+                    p = p or b""
                     step = max(1, len(p) // n)
-                    for i in range(n):
-                        r = row.to_dict()
-                        r["frame_idx"] = i
-                        r[frame_col] = bytes(p[i * step:(i + 1) * step])
-                        rows.append(r)
-                yield pd.DataFrame(rows, columns=out_cols)
+                    frames.extend(
+                        bytes(p[i * step:(i + 1) * step]) for i in range(n)
+                    )
+                rep[frame_col] = frames
+                yield rep[out_cols]
 
         return df.mapInPandas(sample, schema=result_schema)
 
