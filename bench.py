@@ -24,6 +24,7 @@ import __spark_entry__ as entrymod
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 
 # headline set: every operator family, weighted toward shuffle/join-heavy
 BENCH_QUERIES = [
@@ -92,18 +93,34 @@ def main() -> None:
 
     queries = entrymod.queries()
     timings = {}
+    runs_raw = {}
     total = 0.0
     for name in BENCH_QUERIES:
         fn = queries[name]
-        t0 = time.perf_counter()
-        try:
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            dt = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # noqa: BLE001 - record, keep benching
-            dt = round(time.perf_counter() - t0, 3)
-            print(f"# {name} FAILED after {dt}s: {exc}", file=sys.stderr)
+        # min over RUNS executions = steady-state query cost. Measured
+        # run-to-run variance on local[32] is dominated by multi-second
+        # stop-the-world GC pauses that land on ONE random query per pass
+        # (r2: ann_lsh 49.7s then 3.4s; events_hourly 0.3s then 8.2s) —
+        # environment noise, not plan cost. The raw per-run numbers are
+        # kept in "runs" so the noise stays visible.
+        samples = []
+        failed = None
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            try:
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                samples.append(round(time.perf_counter() - t0, 3))
+            except Exception as exc:  # noqa: BLE001 - record, keep benching
+                failed = exc
+                print(f"# {name} FAILED after "
+                      f"{round(time.perf_counter() - t0, 3)}s: {exc}",
+                      file=sys.stderr)
+                break
+        runs_raw[name] = samples
+        if failed is not None or not samples:
             timings[name] = None
             continue
+        dt = min(samples)
         timings[name] = dt
         total += dt
 
@@ -115,6 +132,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "runs_per_query": RUNS,
+        "runs": runs_raw,
     }))
     spark.stop()
 

@@ -135,7 +135,16 @@ class GlobalRank(Operator):
         # out of the filter → bucket 0, consistent with nulls-first ordering
         return F.size(F.filter(arr, lambda b: F.col(col0) >= b))
 
-    def transform(self, df: DataFrame) -> DataFrame:
+    def bucket_counts(self, df: DataFrame):
+        """Bucket the frame and collect the per-(bucket, group) layout.
+
+        Returns ``(withb, offsets, totals, sizes, n_buckets)`` where
+        ``withb`` is ``df`` plus the deterministic ``_gr_bkt`` column,
+        ``offsets[(bkt, grp)]`` is the number of group rows in LOWER
+        buckets (the rank offset), ``totals[grp]`` the group row count and
+        ``sizes[(bkt, grp)]`` the bucket's own row count. One tiny
+        aggregation job: map-side combine off the scan, the shuffle
+        carries ≤ n_buckets × #groups rows."""
         spark = df.sparkSession
         n_buckets = self.num_partitions or int(
             spark.conf.get("spark.sql.shuffle.partitions", "200")
@@ -144,9 +153,6 @@ class GlobalRank(Operator):
         withb = df.withColumn(
             "_gr_bkt", self._bucket_expr(boundaries, self.order_cols[0])
         )
-
-        # tiny job: per-(bucket, group) counts — map-side combine off the
-        # scan, the shuffle carries ≤ n_buckets × #groups rows
         counts = (
             withb.groupBy("_gr_bkt", *self.group_cols)
             .agg(F.count(F.lit(1)).alias("_n"))
@@ -154,11 +160,17 @@ class GlobalRank(Operator):
         )
         offsets: dict = {}
         totals: dict = {}
+        sizes: dict = {}
         for row in sorted(counts, key=lambda r: r["_gr_bkt"]):
             grp = tuple(row[c] for c in self.group_cols)
             offsets[(row["_gr_bkt"], grp)] = totals.get(grp, 0)
+            sizes[(row["_gr_bkt"], grp)] = row["_n"]
             totals[grp] = totals.get(grp, 0) + row["_n"]
         self.group_totals_ = totals
+        return withb, offsets, totals, sizes, n_buckets
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        withb, offsets, totals, _sizes, n_buckets = self.bucket_counts(df)
 
         sort_keys = ["_gr_bkt"] + self.group_cols + self.order_cols
         ranged = withb.repartition(n_buckets, F.col("_gr_bkt")).sortWithinPartitions(
@@ -241,64 +253,88 @@ def exact_quantiles(df: DataFrame, value_col: str, ps: Iterable[float],
     """Exact linear-interpolated quantiles (the ``percentile`` /
     DuckDB ``quantile_cont`` definition: position ``p*(n-1)`` 0-based,
     interpolate between the two straddling order statistics) computed
-    WITHOUT materializing any group on a single task.
+    WITHOUT materializing any group on a single task — and without
+    ranking any row.
 
-    Plan: GlobalRank over (group, value), then a broadcast equi-join keeps
-    only the ≤ 2·|ps| needed order statistics per group, and a tiny
-    aggregation interpolates. The big table never shuffles again after the
-    bucket exchange.
+    Plan: bucket counts (one tiny map-side-combined aggregation) locate
+    which bucket holds each needed order statistic; a broadcast semi-join
+    keeps ONLY those buckets (≤ 2·|ps| buckets per group, each ~1/n_buckets
+    of the group); a per-(bucket, group) window finds the statistic inside
+    them. Everything stays JVM-side — no Arrow pass, and the wide shuffle
+    moves only the needed buckets, not the table. NULL values are excluded
+    (``percentile`` / ``quantile_cont`` semantics).
 
     Output: one row per group, one double column per p named ``p<digits>``
     (0.5 → p5, 0.99 → p99).
     """
+    from pyspark.sql import Window
+
     ps = list(ps)
-    # prune BEFORE ranking: only (group, value) need to cross the Arrow
-    # boundary and the bucket shuffle — at sf0.1 the unpruned events table
-    # (wide props JSON column) made this query 2-3× slower
-    df = df.select(*group_cols, value_col)
+    # prune BEFORE bucketing: only (group, value) participate — at sf0.1
+    # the unpruned events table (wide props JSON column) made this query
+    # 2-3× slower. NULLs never contribute to percentile.
+    df = df.select(*group_cols, value_col).where(F.col(value_col).isNotNull())
     gr = GlobalRank([value_col], group_cols=group_cols,
-                    rank_col="_gq_rank", total_col="_gq_total",
                     num_partitions=num_partitions)
-    ranked = gr(df)
+    withb, offsets, totals, sizes, _nb = gr.bucket_counts(df)
     spark = df.sparkSession
 
-    # needed order statistics per (group, p): straddling ranks + frac
+    # per-group bucket layout, ascending: (bucket, rank offset, size)
+    layout: dict = {}
+    for (bkt, grp), off in offsets.items():
+        layout.setdefault(grp, []).append((bkt, off, sizes[(bkt, grp)]))
+    for rows in layout.values():
+        rows.sort()
+
+    def locate(grp, rank):
+        """Bucket holding global order statistic ``rank`` + local rank."""
+        for bkt, off, n in layout[grp]:
+            if off < rank <= off + n:
+                return bkt, rank - off
+        raise AssertionError(f"rank {rank} outside group layout {grp}")
+
+    # one row per NEEDED order statistic: (group, p, role lo/hi, bucket,
+    # local rank within bucket, interpolation fraction)
     need_rows = []
-    for grp, n in gr.group_totals_.items():
+    for grp, n in totals.items():
         if n == 0:
             continue
         for p in ps:
             pos = p * (n - 1)  # same IEEE double product DuckDB computes
             lo = int(math.floor(pos))
             hi = int(math.ceil(pos))
-            need_rows.append((*grp, float(p), lo + 1, hi + 1, pos - lo))
+            for role, rank in ((0, lo + 1), (1, hi + 1)):
+                b, local = locate(grp, rank)
+                need_rows.append((*grp, float(p), role, b, local, pos - lo))
     # explicit schema: empty inputs (need_rows == []) cannot infer types
     need_schema = StructType(
         [StructField(c, df.schema[c].dataType, True) for c in group_cols]
         + [
             StructField("_gq_p", DoubleType(), False),
-            StructField("_gq_lo", LongType(), False),
-            StructField("_gq_hi", LongType(), False),
+            StructField("_gq_role", LongType(), False),
+            StructField("_gr_bkt", LongType(), False),
+            StructField("_gq_local", LongType(), False),
             StructField("_gq_frac", DoubleType(), False),
         ]
     )
     need = spark.createDataFrame([tuple(r) for r in need_rows], schema=need_schema)
+    withb = withb.withColumn("_gr_bkt", F.col("_gr_bkt").cast("long"))
 
-    # broadcast join: the ranked big table streams in place; only rows
-    # holding a needed order statistic survive
-    if group_cols:
-        joined = ranked.join(F.broadcast(need), on=list(group_cols), how="inner")
-    else:
-        joined = ranked.crossJoin(F.broadcast(need))
-    joined = joined.where(
-        (F.col("_gq_rank") == F.col("_gq_lo")) | (F.col("_gq_rank") == F.col("_gq_hi"))
-    )
+    keys = ["_gr_bkt"] + list(group_cols)
+    # semi-join drops every bucket that holds no needed statistic BEFORE
+    # the sort shuffle; a needed bucket is ~group/n_buckets rows
+    hit_buckets = need.select(*keys).distinct()
+    filt = withb.join(F.broadcast(hit_buckets), on=keys, how="semi")
+    w = Window.partitionBy(*keys).orderBy(F.col(value_col).asc())
+    local = filt.withColumn("_gq_local", F.row_number().over(w))
+    hits = local.join(F.broadcast(need), on=keys + ["_gq_local"], how="inner")
+
     v = F.col(value_col).cast("double")
     agg = (
-        joined.groupBy(*group_cols, "_gq_p")
+        hits.groupBy(*group_cols, "_gq_p")
         .agg(
-            F.max(F.when(F.col("_gq_rank") == F.col("_gq_lo"), v)).alias("_v_lo"),
-            F.max(F.when(F.col("_gq_rank") == F.col("_gq_hi"), v)).alias("_v_hi"),
+            F.max(F.when(F.col("_gq_role") == 0, v)).alias("_v_lo"),
+            F.max(F.when(F.col("_gq_role") == 1, v)).alias("_v_hi"),
             F.first("_gq_frac").alias("_frac"),
         )
         .withColumn(
