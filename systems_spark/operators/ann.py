@@ -83,16 +83,64 @@ def hyperplane_signature(vec_col, dim: int, n_planes: int, table: int, salt: str
     return sig
 
 
+def hyperplane_signatures_kernel(dim: int, n_planes: int, n_tables: int,
+                                 salt: str = "ann"):
+    """Arrow-batched pandas UDF computing ALL ``n_tables`` signatures of a
+    vector in one pass — bit-identical to :func:`hyperplane_signature`.
+
+    The Catalyst ``zip_with``+``aggregate`` form evaluates higher-order
+    functions interpreted, per element: ~1.5 ms/row at 32 planes × 64 dims
+    (measured sf0.1) — fine for query sides, hostile for a billion-item
+    side. This kernel replays the SAME IEEE double operations vectorized
+    across the batch: the fold ``acc = (acc + x_d·r_d)`` runs in ascending
+    ``d`` with one in-place numpy add per dimension, so every row's
+    accumulation order — and therefore every sign bit and the SQL oracle —
+    is preserved exactly. ~µs/row.
+
+    Degenerate rows (NULL vector or length ≠ dim) get signature 0 in every
+    table, matching the expression form (null projection → no bit set).
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    # (tables·planes, dim) plane matrix — same Python doubles the
+    # expression form embeds as literals
+    pm = np.array([
+        [_plane_component(t, p, d, salt) for d in range(dim)]
+        for t in range(n_tables) for p in range(n_planes)
+    ])
+    bit_w = np.array([1 << p for p in range(n_planes)], dtype=np.int64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def sigs(vecs):
+        import pandas as pd
+
+        n = len(vecs)
+        ok = np.fromiter(
+            (v is not None and len(v) == dim for v in vecs),
+            dtype=bool, count=n,
+        )
+        rows = [np.asarray(v) if o else np.zeros(dim) for v, o in zip(vecs, ok)]
+        v_mat = np.stack(rows).astype(np.float64) if n else np.zeros((0, dim))
+        acc = np.zeros((n, pm.shape[0]))
+        for d in range(dim):  # ascending d = the aggregate() fold order
+            acc += v_mat[:, d:d + 1] * pm[:, d]
+        sig = ((acc >= 0.0).reshape(n, n_tables, n_planes) * bit_w).sum(axis=2)
+        sig[~ok] = 0
+        return pd.Series(list(sig.astype(np.int64)))
+
+    return sigs
+
+
 def _explode_signatures(df: DataFrame, vec_col: str, dim: int, n_planes: int,
                         n_tables: int, salt: str = "ann") -> DataFrame:
     """Append ``(_tbl, _sig)`` via posexplode of the per-table signature
     array — the single-join LSH candidate shape (one shuffle on the
-    composite key instead of one join per table)."""
-    sig_arr = F.array(*[
-        hyperplane_signature(F.col(vec_col), dim, n_planes, t, salt=salt)
-        for t in range(n_tables)
-    ])
-    return df.select("*", F.posexplode(sig_arr).alias("_tbl", "_sig"))
+    composite key instead of one join per table). Signatures come from the
+    vectorized Arrow kernel; the Generate stage materializes them once."""
+    kern = hyperplane_signatures_kernel(dim, n_planes, n_tables, salt)
+    return df.select("*", F.posexplode(kern(F.col(vec_col))).alias("_tbl", "_sig"))
 
 
 def hyperplane_signature_sql(vec_expr: str, dim: int, n_planes: int, table: int,

@@ -300,6 +300,33 @@ def test_ann_lsh_is_subset_of_items_and_ranked(spark, tables):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
 
 
+def test_lsh_kernel_matches_expression_bitwise(spark, tables):
+    """The vectorized Arrow signature kernel must reproduce the Catalyst
+    zip_with+aggregate form BIT-EXACTLY (it replays the same IEEE left-fold
+    in ascending dimension order) — this equality is what keeps the LSH SQL
+    oracle valid after the kernel swap."""
+    from systems_spark.operators.ann import (
+        hyperplane_signature,
+        hyperplane_signatures_kernel,
+    )
+
+    emb = tables["embeddings"]
+    n_tables, n_planes = 4, 8
+    expr = {
+        r.vec_id: tuple(r[f"s{t}"] for t in range(n_tables))
+        for r in emb.select("vec_id", *[
+            hyperplane_signature(F.col("embedding"), 64, n_planes, t).alias(f"s{t}")
+            for t in range(n_tables)
+        ]).collect()
+    }
+    kern = hyperplane_signatures_kernel(64, n_planes, n_tables)
+    got = {
+        r.vec_id: tuple(r.arr)
+        for r in emb.select("vec_id", kern(F.col("embedding")).alias("arr")).collect()
+    }
+    assert got == expr
+
+
 def test_hash_sampler_partition_invariant(spark, tables):
     """The sample is a pure function of the data: identical membership
     across different partitionings (df.sample is NOT — its seed interacts
