@@ -51,47 +51,51 @@ class SimHashDedup(Operator):
     def signatures(self, df: DataFrame) -> DataFrame:
         """(id_col, simhash) — simhash < 2^32, 0 for empty docs.
 
-        Computed as a PER-ROW array fold — token hashes feed 32 counters via
-        ``aggregate(zip_with(...))`` — so the signature build needs no
-        explode and NO shuffle at all (the groupBy formulation shuffles
-        (doc, 32 ints); this shuffles nothing). Semantics identical to the
-        per-bit ±1 sums: bit_j = 1 iff Σ±1 > 0 iff 2·ones_j > n_tokens.
-        The SQL oracle keeps the explode/groupBy formulation — same values.
+        Explode tokens → ONE hash-aggregation with 32 conditional sums.
+        Every expression stays inside whole-stage codegen (a per-row
+        ``aggregate(...)`` array fold was tried first: higher-order
+        functions evaluate interpreted and the fold rebuilt a 32-element
+        array per token — ~4× slower at sf0.1 despite shuffling nothing).
+        The aggregation map-side-combines, so the shuffle carries only
+        (doc, 32 small ints) per doc — not tokens — and matches the SQL
+        oracle's own explode/groupBy formulation. ``explode_outer`` keeps
+        token-less docs as a NULL-hash row: their sums never fire, giving
+        the same all-zeros signature with no extra join against the id set.
+        Bit semantics: bit_j = 1 iff Σ±1 > 0 iff 2·ones_j > n_tokens.
         """
-        from systems_spark.functions.fence import fence_columns
+        return self._signatures_n(df).select(self.id_col, "simhash")
 
-        # _toks and _ones fenced (functions/fence.py): _toks feeds a
-        # per-element hash lambda, and _ones is read by 32 bit extractors —
-        # without the fence ProjectCollapsing re-evaluates the tokenization
-        # per hash and the whole counter fold per bit
-        toks = fence_columns(
-            df.select(self.id_col, self.content_col),
-            _toks=F.coalesce(tokens(F.col(self.content_col)),
-                             F.array().cast("array<string>")),
+    def _signatures_n(self, df: DataFrame) -> DataFrame:
+        """(id_col, simhash, _n token count) — lets transform() filter
+        token-less docs straight off the aggregation instead of paying a
+        second tokenization pass + join."""
+        tok = df.select(
+            self.id_col,
+            F.explode_outer(
+                F.coalesce(tokens(F.col(self.content_col)),
+                           F.array().cast("array<string>"))
+            ).alias("_t"),
         )
-        hashes = F.transform(F.col("_toks"), lambda t: hash64(t))
-        zeros = F.array_repeat(F.lit(0), WIDTH)
-        counters = F.aggregate(
-            hashes,
-            zeros,
-            lambda acc, h: F.array(*[
-                F.element_at(acc, j + 1)
-                + F.shiftright(h, j).bitwiseAND(1).cast("int")
+        h = tok.select(self.id_col, hash64(F.col("_t")).alias("_h"))
+        agg = h.groupBy(self.id_col).agg(
+            F.count("_h").alias("_n"),  # non-null = true token count
+            *[
+                F.sum(
+                    F.when(
+                        F.col("_h").isNotNull(),
+                        F.shiftright(F.col("_h"), j).bitwiseAND(1).cast("int"),
+                    ).otherwise(F.lit(0))
+                ).alias(f"_o{j}")
                 for j in range(WIDTH)
-            ]),
+            ],
         )
-        staged = fence_columns(
-            toks.select(self.id_col, F.size("_toks").alias("_n"), "_toks"),
-            _ones=counters,
-        ).drop("_toks")
         sig = sum(
             F.when(
-                F.element_at(F.col("_ones"), j + 1) * 2 > F.col("_n"),
-                F.lit(1 << j).cast("long"),
+                F.col(f"_o{j}") * 2 > F.col("_n"), F.lit(1 << j).cast("long")
             ).otherwise(F.lit(0).cast("long"))
             for j in range(WIDTH)
         )
-        return staged.select(self.id_col, sig.cast("long").alias("simhash"))
+        return agg.select(self.id_col, sig.cast("long").alias("simhash"), "_n")
 
     def signatures_oracle_sql(self, table: str = "documents") -> str:
         toks = tokens_sql(self.content_col)
@@ -121,59 +125,62 @@ SELECT {self.id_col}, ({sig})::BIGINT AS simhash FROM agg
         """(a, b, hamming) pairs with hamming ≤ max_hamming, a < b.
 
         Token-less docs (null/empty text) are excluded — their all-zero
-        signatures would otherwise pair with each other at hamming 0."""
-        nonempty = df.where(
-            F.size(tokens(F.col(self.content_col))) > 0
-        ).select(self.id_col)
-        sigs = self.signatures(df).join(nonempty, self.id_col)
+        signatures would otherwise pair with each other at hamming 0.
+
+        Single-join shape: both sides posexplode their chunk values and
+        equi-join once on the (chunk index, chunk value) composite key —
+        one shuffle stage instead of one join per chunk, and the identical
+        signature-aggregation subplans under L/R are a ReusedExchange
+        (the per-chunk-join loop re-executed the signature build 2×chunks
+        times; measured 4.0s → this shape at sf0.1). The hamming predicate
+        is applied BEFORE the dedup, so the dropDuplicates shuffle only
+        carries true near-dups (measured at sf0.1: 129k pairs vs 2.7M
+        candidates — 21× less dedup traffic). A grouped collect_list
+        formulation was measured too: slower AND it materializes whole
+        buckets as single array rows (the hottest chunk value held 748
+        members = 280k pair structs in ONE row) — an OOM/skew hazard at
+        scale; the join spreads the same quadratic work across tasks."""
         chunk_bits = WIDTH // self.n_chunks
         mask = (1 << chunk_bits) - 1
-
-        with_chunks = sigs.select(
-            self.id_col, "simhash",
-            *[
-                F.shiftright(F.col("simhash"), c * chunk_bits)
-                 .bitwiseAND(mask).alias(f"c{c}")
-                for c in range(self.n_chunks)
-            ],
+        sigs = (
+            self._signatures_n(df)
+            .where(F.col("_n") > 0)
+            .select(self.id_col, "simhash")
         )
-        # Per-chunk equi-join finds candidates; the hamming predicate is
-        # applied BEFORE the union/dedup, so the dropDuplicates shuffle
-        # only carries true near-dups (measured at sf0.1: 129k pairs vs
-        # 2.7M candidates — 21× less dedup traffic). A grouped
-        # collect_list formulation was measured too: slower here AND it
-        # materializes whole buckets as single array rows (the hottest
-        # chunk value held 748 members = 280k pair structs in ONE row),
-        # which is an OOM/skew hazard at scale; the join spreads the same
-        # quadratic work across tasks.
-        pairs = None
-        for c in range(self.n_chunks):
-            left, right = with_chunks.alias("L"), with_chunks.alias("R")
-            if self.max_bucket_size is not None:
-                # skew cap: drop degenerate chunk values (shared by more
-                # than max_bucket_size docs) from BOTH sides of this
-                # chunk's join — bounded recall loss, bounded work
-                ok = (
-                    with_chunks.groupBy(f"c{c}").count()
-                    .where(F.col("count") <= int(self.max_bucket_size))
-                    .select(f"c{c}")
-                )
-                left = left.join(F.broadcast(ok), f"c{c}").alias("L")
-                right = right.join(F.broadcast(ok), f"c{c}").alias("R")
-            p = left.join(
-                right,
-                on=[
-                    F.col(f"L.c{c}") == F.col(f"R.c{c}"),
-                    F.col(f"L.{self.id_col}") < F.col(f"R.{self.id_col}"),
-                ],
-            ).select(
-                F.col(f"L.{self.id_col}").alias("a"),
-                F.col(f"R.{self.id_col}").alias("b"),
-                F.bit_count(
-                    F.col("L.simhash").bitwiseXOR(F.col("R.simhash"))
-                ).cast("long").alias("hamming"),
-            ).where(F.col("hamming") <= self.max_hamming)
-            pairs = p if pairs is None else pairs.unionByName(p)
+        expl = sigs.select(
+            self.id_col, "simhash",
+            F.posexplode(F.array(*[
+                F.shiftright(F.col("simhash"), c * chunk_bits).bitwiseAND(mask)
+                for c in range(self.n_chunks)
+            ])).alias("_ci", "_cv"),
+        )
+        if self.max_bucket_size is not None:
+            # skew cap: drop degenerate chunk values (shared by more than
+            # max_bucket_size docs) from both sides — a chunk value held
+            # by a huge fraction of the corpus (e.g. the all-zeros chunk
+            # of short docs) is a degenerate discriminator. Bounded recall
+            # loss for bounded worst-case work at 100 TB; None = exact.
+            ok = (
+                expl.groupBy("_ci", "_cv").count()
+                .where(F.col("count") <= int(self.max_bucket_size))
+                .select("_ci", "_cv")
+            )
+            expl = expl.join(F.broadcast(ok), ["_ci", "_cv"])
+        left, right = expl.alias("L"), expl.alias("R")
+        pairs = left.join(
+            right,
+            on=[
+                F.col("L._ci") == F.col("R._ci"),
+                F.col("L._cv") == F.col("R._cv"),
+                F.col(f"L.{self.id_col}") < F.col(f"R.{self.id_col}"),
+            ],
+        ).select(
+            F.col(f"L.{self.id_col}").alias("a"),
+            F.col(f"R.{self.id_col}").alias("b"),
+            F.bit_count(
+                F.col("L.simhash").bitwiseXOR(F.col("R.simhash"))
+            ).cast("long").alias("hamming"),
+        ).where(F.col("hamming") <= self.max_hamming)
         return pairs.dropDuplicates(["a", "b"])
 
     def pairs_oracle_sql(self, table: str = "documents") -> str:
