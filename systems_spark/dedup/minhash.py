@@ -119,36 +119,41 @@ GROUP BY a.{self.id_col}
     # -- candidate pairs via banding ----------------------------------------
     def candidate_pairs(self, sigs: DataFrame) -> DataFrame:
         """(a, b, n_equal) for pairs sharing ≥1 band; n_equal = # equal
-        signature components (Jaccard estimate = n_equal / num_perm)."""
+        signature components (Jaccard estimate = n_equal / num_perm).
+
+        Single-join shape: both sides posexplode their band structs and
+        equi-join ONCE on the (band index, band value) composite key — one
+        shuffle stage instead of one join per band, and the identical
+        signature-aggregation subplans under L/R become a ReusedExchange
+        under AQE (the per-band loop re-executed the signature build on
+        both sides of every join)."""
         r = self.rows_per_band
-        bands = sigs.select(
+        expl = sigs.select(
             F.col(self.id_col),
-            *[F.struct(*[F.col(f"m{band * r + j}") for j in range(r)]).alias(f"band{band}")
-              for band in range(self.bands)],
             *[F.col(f"m{i}") for i in range(self.num_perm)],
+            F.posexplode(F.array(*[
+                F.struct(*[
+                    F.col(f"m{band * r + j}").alias(f"x{j}") for j in range(r)
+                ])
+                for band in range(self.bands)
+            ])).alias("_bi", "_bv"),
         )
-        pairs = None
-        for band in range(self.bands):
-            left = bands.alias("L")
-            right = bands.alias("R")
-            p = (
-                left.join(
-                    right,
-                    on=[
-                        F.col(f"L.band{band}") == F.col(f"R.band{band}"),
-                        F.col(f"L.{self.id_col}") < F.col(f"R.{self.id_col}"),
-                    ],
-                )
-                .select(
-                    F.col(f"L.{self.id_col}").alias("a"),
-                    F.col(f"R.{self.id_col}").alias("b"),
-                    *[
-                        (F.col(f"L.m{i}") == F.col(f"R.m{i}")).cast("int").alias(f"eq{i}")
-                        for i in range(self.num_perm)
-                    ],
-                )
-            )
-            pairs = p if pairs is None else pairs.unionByName(p)
+        left, right = expl.alias("L"), expl.alias("R")
+        pairs = left.join(
+            right,
+            on=[
+                F.col("L._bi") == F.col("R._bi"),
+                F.col("L._bv") == F.col("R._bv"),
+                F.col(f"L.{self.id_col}") < F.col(f"R.{self.id_col}"),
+            ],
+        ).select(
+            F.col(f"L.{self.id_col}").alias("a"),
+            F.col(f"R.{self.id_col}").alias("b"),
+            *[
+                (F.col(f"L.m{i}") == F.col(f"R.m{i}")).cast("int").alias(f"eq{i}")
+                for i in range(self.num_perm)
+            ],
+        )
         eq_sum = sum(F.col(f"eq{i}") for i in range(self.num_perm))
         return (
             pairs.dropDuplicates(["a", "b"])
