@@ -54,12 +54,14 @@ _EMBDED = dict(threshold=0.3)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); Spark 4 refuses it unless
-        # read as int64 nanos. The data has no sub-microsecond components,
-        # so integer nanos == DuckDB's epoch_ns() exactly.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # events.ts has shipped as TIMESTAMP(NANOS)-as-long (r1 data) and as
+    # timestamp[us] (r2 data); sources.load_table pins it to int64 nanos
+    # so every query/oracle below keeps doing integer nanos arithmetic.
+    # The data has no sub-microsecond components, so nanos == µs * 1000
+    # exactly, and DuckDB's epoch_us/epoch_ns on the timestamp agree.
+    from systems_spark.sources import load_table
+
+    return load_table(spark, sf_dir, name)
 
 
 def _dec(col, p=18, s=6):

@@ -34,6 +34,38 @@ def read_parquet(spark: SparkSession, path: str, columns: Optional[Iterable[str]
     return df.select(*columns) if columns else df
 
 
+def normalize_epoch_nanos(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Pin an event-time column to the engine contract: int64
+    nanoseconds-since-epoch, naive-UTC.
+
+    Upstream files have shipped the column as TIMESTAMP(NANOS)-read-as-long
+    in one generation and plain ``timestamp[us]`` (NTZ) in another; every
+    downstream operator and DuckDB oracle does integer arithmetic on nanos
+    (``epoch_ns(ts) == ts``), so the loader absorbs the physical type here
+    instead of each of the ~10 consumers guessing. Timestamp inputs are
+    interpreted naive-UTC — the same reading DuckDB's ``epoch_us(ts)``
+    applies to an unadjusted parquet timestamp — by forcing the session
+    timezone before the NTZ→LTZ cast, so the value is tz-independent."""
+    field = next((f for f in df.schema.fields if f.name == col), None)
+    if field is None:
+        return df
+    t = field.dataType.typeName()
+    if t in ("timestamp", "timestamp_ntz"):
+        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.withColumn(
+            col,
+            (F.unix_micros(F.col(col).cast("timestamp")) * F.lit(1000)).cast("long"),
+        )
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver-generated testdata table under the repo's schema
+    contract (events.ts → int64 nanos regardless of file type)."""
+    df = read_parquet(spark, f"{sf_dir}/{name}.parquet")
+    return normalize_epoch_nanos(df) if name == "events" else df
+
+
 def read_csv(spark: SparkSession, path: str, schema=None, header: bool = True,
              **options) -> DataFrame:
     """CSV with explicit schema (headerless files supported, reference

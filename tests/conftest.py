@@ -45,4 +45,6 @@ def duck():
 
 @pytest.fixture(scope="session")
 def tables(spark):
-    return {t: spark.read.parquet(f"{SF_DIR}/{t}.parquet") for t in TABLES}
+    from systems_spark.sources import load_table
+
+    return {t: load_table(spark, SF_DIR, t) for t in TABLES}
