@@ -15,6 +15,8 @@ from systems_spark.operators.predict import (
     PredictForest,
     PredictImplicit,
     predict_model_from_signature,
+    predict_tensorflow,
+    predict_torchscript,
     schema_from_signature,
 )
 from systems_spark.operators.multimodal import MediaFeatureExtract, FrameSample
@@ -55,4 +57,6 @@ __all__ = [
     "ntile_expr",
     "schema_from_signature",
     "predict_model_from_signature",
+    "predict_tensorflow",
+    "predict_torchscript",
 ]

@@ -86,13 +86,15 @@ class GlobalRank(Operator):
 
     def __init__(self, order_cols: Sequence[str], group_cols: Sequence[str] = (),
                  rank_col: str = "rank", total_col: str = "grp_total",
-                 num_partitions: Optional[int] = None, sample_seed: int = 42):
+                 num_partitions: Optional[int] = None, sample_seed: int = 42,
+                 max_layout_rows: int = 1_000_000):
         self.order_cols = list(order_cols)
         self.group_cols = list(group_cols)
         self.rank_col = rank_col
         self.total_col = total_col
         self.num_partitions = num_partitions
         self.sample_seed = int(sample_seed)
+        self.max_layout_rows = int(max_layout_rows)
         self.requires = tuple(self.group_cols + self.order_cols)
         #: populated by transform(): {group tuple: total rows} — lets
         #: callers (exact_quantiles) reuse the counts without another job
@@ -153,11 +155,26 @@ class GlobalRank(Operator):
         withb = df.withColumn(
             "_gr_bkt", self._bucket_expr(boundaries, self.order_cols[0])
         )
+        # LIMIT bound+1 caps what reaches the driver: the layout is
+        # n_buckets × #groups rows, and nothing else stops a caller passing
+        # a high-cardinality group_cols and OOMing the driver. The limit
+        # costs nothing when under the bound and turns the overflow case
+        # into a loud error instead of a dead driver.
         counts = (
             withb.groupBy("_gr_bkt", *self.group_cols)
             .agg(F.count(F.lit(1)).alias("_n"))
+            .limit(self.max_layout_rows + 1)
             .collect()
         )
+        if len(counts) > self.max_layout_rows:
+            raise ValueError(
+                f"GlobalRank layout exceeds max_layout_rows="
+                f"{self.max_layout_rows} (bucket, group) combinations — "
+                f"group_cols={self.group_cols} is high-cardinality. "
+                "GlobalRank targets a global order or a few HUGE groups; "
+                "for many small groups use Window.partitionBy(*group_cols) "
+                "(already scale-safe), or raise max_layout_rows explicitly."
+            )
         offsets: dict = {}
         totals: dict = {}
         sizes: dict = {}
@@ -235,6 +252,7 @@ class GlobalRank(Operator):
             "order_cols": self.order_cols, "group_cols": self.group_cols,
             "rank_col": self.rank_col, "total_col": self.total_col,
             "num_partitions": self.num_partitions, "sample_seed": self.sample_seed,
+            "max_layout_rows": self.max_layout_rows,
         }
 
 

@@ -60,6 +60,35 @@ def _fake_features(payload: bytes, dim: int) -> list:
     return out
 
 
+#: rows drawn to estimate the mean payload size; per-partition limit keeps the
+#: sampling job from scanning one giant split end-to-end
+_BYTE_BUDGET_SAMPLE_ROWS = 2048
+
+
+def _repartition_by_byte_budget(df: DataFrame, payload_col: str,
+                                target_batch_bytes: int) -> DataFrame:
+    """Repartition so each task holds ~``target_batch_bytes`` of payload.
+
+    Media payloads are megabytes, so row-count partitioning over- or
+    under-fills executor memory by orders of magnitude. Estimate the mean
+    payload size from a bounded sample, multiply by the exact row count, and
+    repartition to ``ceil(total_bytes / budget)``. Costs two small jobs
+    (LIMITed length scan + count) — negligible next to the decode work the
+    partitioning protects."""
+    import math
+
+    sample = (df.select(F.length(F.col(payload_col)).alias("_len"))
+              .where(F.col(payload_col).isNotNull())
+              .limit(_BYTE_BUDGET_SAMPLE_ROWS)
+              .agg(F.avg("_len").alias("avg"), F.count("_len").alias("n"))
+              .first())
+    if not sample or not sample["n"]:
+        return df
+    total_bytes = float(sample["avg"]) * df.count()
+    n_parts = max(1, math.ceil(total_bytes / float(target_batch_bytes)))
+    return df.repartition(n_parts)
+
+
 class MediaFeatureExtract(Operator):
     """binary payload column → fixed-dim float feature vector.
 
@@ -86,9 +115,8 @@ class MediaFeatureExtract(Operator):
         out_col = self.output_col  # closures must not capture self (pickling)
 
         if self.target_batch_bytes:
-            # byte-budget partitioning: estimate rows-per-task from a sample
-            df = df.repartition(
-                max(df.rdd.getNumPartitions(), 8)
+            df = _repartition_by_byte_budget(
+                df, self.payload_col, self.target_batch_bytes
             )
 
         def extract(batches):

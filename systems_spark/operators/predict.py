@@ -138,6 +138,118 @@ def predict_model_from_signature(loader: Callable, predict_fn: Callable,
     )
 
 
+def _read_tf_signature(path: str, signature_name: str) -> dict:
+    """Read ``{"inputs": specs, "outputs": specs}`` from a SavedModel's
+    serving signature. Import-gated: only called when the caller did not
+    supply a signature explicitly."""
+    try:
+        import tensorflow as tf  # noqa: F401 - import-gated heavy dep
+    except ImportError as exc:  # pragma: no cover - TF absent in container
+        raise ImportError(
+            "tensorflow is not installed; pass signature={'inputs': {...}, "
+            "'outputs': {...}} explicitly (dtype/shape dicts or "
+            "tf.TensorSpec-like objects)"
+        ) from exc
+    sig = tf.saved_model.load(path).signatures[signature_name]
+    return {
+        "inputs": dict(sig.structured_input_signature[1]),
+        "outputs": dict(sig.structured_outputs),
+    }
+
+
+def predict_tensorflow(path: str, signature: Optional[dict] = None,
+                       passthrough: Optional[Iterable[str]] = None,
+                       signature_name: str = "serving_default") -> PredictModel:
+    """Reference ``PredictTensorflow(model_or_path)`` ergonomics
+    (merlin/systems/dag/ops/tensorflow.py:31-52): input/output schemas,
+    the per-executor loader, and the batch scorer are ALL derived from the
+    SavedModel serving signature — the user supplies only the path.
+    Ragged ``col__values``/``col__offsets`` pairs in the signature become
+    single list columns (tensorflow.py:138-170).
+
+    Without tensorflow installed, pass ``signature={"inputs": specs,
+    "outputs": specs}`` (dicts with ``dtype``/``shape``, or
+    ``tf.TensorSpec`` duck types) — schema derivation and operator wiring
+    are then fully testable; only executor-side scoring needs TF."""
+    if signature is None:
+        signature = _read_tf_signature(path, signature_name)
+
+    def loader():  # runs on executors: one SavedModel load per task stream
+        import tensorflow as tf
+
+        return tf.saved_model.load(path).signatures[signature_name]
+
+    def predict_fn(model, pdf):
+        import numpy as np
+        import pandas as pd
+        import tensorflow as tf
+
+        feeds = {}
+        for c in pdf.columns:
+            col = pdf[c].to_numpy()
+            if len(col) and isinstance(col[0], (list, np.ndarray)):
+                col = np.stack([np.asarray(v) for v in col])
+            feeds[c] = tf.convert_to_tensor(col)
+        outs = model(**feeds)
+        data = {}
+        for name, t in outs.items():
+            a = np.asarray(t)
+            data[name] = list(a) if a.ndim > 1 else a
+        return pd.DataFrame(data)
+
+    return predict_model_from_signature(
+        loader, predict_fn, signature["inputs"], signature["outputs"],
+        passthrough=passthrough,
+    )
+
+
+def predict_torchscript(path: str, input_signature, output_signature,
+                        passthrough: Optional[Iterable[str]] = None
+                        ) -> PredictModel:
+    """Reference ``PredictPyTorch(model_or_path, input_schema,
+    output_schema)`` ergonomics (merlin/systems/dag/ops/pytorch.py:27-119):
+    explicit in/out signatures (TorchScript carries no named signature),
+    loader = ``torch.jit.load`` once per executor task stream, and the
+    output matrix is split into named columns by index (pytorch.py:97-115).
+
+    Import-gated: constructing the operator never imports torch; only the
+    executor-side loader/scorer do."""
+    in_schema = schema_from_signature(input_signature)
+    out_schema = schema_from_signature(output_signature)
+    in_cols = list(in_schema.column_names)
+    out_names = list(out_schema.column_names)
+
+    def loader():
+        import torch
+
+        m = torch.jit.load(path)
+        m.eval()
+        return m
+
+    def predict_fn(model, pdf):
+        import numpy as np
+        import pandas as pd
+
+        x = pdf[in_cols].to_numpy(dtype="float32")
+        try:
+            import torch
+
+            with torch.no_grad():
+                y = model(torch.from_numpy(x))
+        except ImportError:
+            # duck-typed model (tests / torch-free scoring shims) — the
+            # matrix-in / matrix-out contract is identical
+            y = model(x)
+        a = y.numpy() if hasattr(y, "numpy") else np.asarray(y)
+        a = a.reshape(len(pdf), -1)  # column i → out_names[i]
+        return pd.DataFrame({n: a[:, i] for i, n in enumerate(out_names)})
+
+    return PredictModel(
+        loader, predict_fn, in_cols, out_schema.to_struct_type(),
+        passthrough=passthrough,
+    )
+
+
 class PredictModel(Operator):
     """Generic Arrow-batched scorer for any Python model.
 
@@ -474,8 +586,23 @@ class PredictImplicit(Operator):
         self.requires = (user_col,)
 
     def transform(self, df: DataFrame) -> DataFrame:
+        # ALS ids are 32-bit; a 64-bit user id must fail loudly, not wrap.
+        # The check lives INSIDE the value expression (when/otherwise +
+        # raise_error) so column pruning can never optimize it away.
+        uc = F.col(self.user_col)
+        # try_cast: overflow → NULL → otherwise-branch raises OUR error
+        # (under ANSI a plain cast would throw a generic CAST_OVERFLOW;
+        # with ANSI off it would silently wrap — both wrong here)
+        fits_int32 = uc.try_cast("int").cast("long") == uc.cast("long")
+        checked = F.when(uc.isNull() | fits_int32, uc.try_cast("int")).otherwise(
+            F.raise_error(F.concat(
+                F.lit("PredictImplicit: user id "), uc.cast("string"),
+                F.lit(" overflows int32 — ALS requires 32-bit ids; "
+                      "remap (e.g. Categorify) before scoring"),
+            ))
+        )
         users = df.select(
-            F.col(self.user_col).cast("int").alias(self.als_model.getUserCol())
+            checked.alias(self.als_model.getUserCol())
         ).distinct()
         recs = self.als_model.recommendForUserSubset(users, self.n)
         item_col = self.als_model.getItemCol()

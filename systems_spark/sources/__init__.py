@@ -39,23 +39,54 @@ def normalize_epoch_nanos(df: DataFrame, col: str = "ts") -> DataFrame:
     nanoseconds-since-epoch, naive-UTC.
 
     Upstream files have shipped the column as TIMESTAMP(NANOS)-read-as-long
-    in one generation and plain ``timestamp[us]`` (NTZ) in another; every
-    downstream operator and DuckDB oracle does integer arithmetic on nanos
-    (``epoch_ns(ts) == ts``), so the loader absorbs the physical type here
-    instead of each of the ~10 consumers guessing. Timestamp inputs are
-    interpreted naive-UTC — the same reading DuckDB's ``epoch_us(ts)``
-    applies to an unadjusted parquet timestamp — by forcing the session
-    timezone before the NTZ→LTZ cast, so the value is tz-independent."""
+    in one generation (with sub-microsecond components DuckDB drops — hence
+    the ``ts // 1000`` truncation in oracle SQL) and plain ``timestamp[us]``
+    (NTZ, whole microseconds) in another; every downstream operator and
+    DuckDB oracle does integer arithmetic on nanos (``epoch_ns(ts) == ts``),
+    so the loader absorbs the physical type here instead of each of the ~10
+    consumers guessing. NTZ timestamps are interpreted naive-UTC — the same
+    reading DuckDB's ``epoch_us(ts)`` applies to an unadjusted parquet
+    timestamp — by pinning the session timezone around the NTZ→LTZ cast
+    (analysis captures it; the conf is then restored, so loading this table
+    does not leak a timezone change into unrelated queries). Plain
+    ``timestamp`` (LTZ) input needs no conf: ``unix_micros`` on LTZ is
+    tz-independent.
+
+    A long-typed ``col`` is asserted to already be epoch NANOS (~1e18 for
+    1990–2100 data): a future generation shipping int64 *micros* would
+    otherwise be silently misread 1000× off."""
     field = next((f for f in df.schema.fields if f.name == col), None)
     if field is None:
         return df
     t = field.dataType.typeName()
-    if t in ("timestamp", "timestamp_ntz"):
-        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+    if t == "timestamp_ntz":
+        conf = df.sparkSession.conf
+        prev = conf.get("spark.sql.session.timeZone")
+        conf.set("spark.sql.session.timeZone", "UTC")
+        try:
+            df = df.withColumn(
+                col,
+                (F.unix_micros(F.col(col).cast("timestamp")) * F.lit(1000)).cast("long"),
+            )
+        finally:
+            conf.set("spark.sql.session.timeZone", prev)
+    elif t == "timestamp":
         df = df.withColumn(
             col,
-            (F.unix_micros(F.col(col).cast("timestamp")) * F.lit(1000)).cast("long"),
+            (F.unix_micros(F.col(col)) * F.lit(1000)).cast("long"),
         )
+    elif t in ("long", "bigint"):
+        # cheap magnitude guard: one LIMIT-1 job on a pruned single-column
+        # scan. Epoch-nanos for any 1990–2100 timestamp is ~6e17..4.2e18;
+        # micros would be ~1e15 — fail loudly instead of corrupting every
+        # event-time computation by 1000x.
+        row = df.select(col).where(F.col(col).isNotNull()).first()
+        if row is not None and abs(row[0]) < 10**16:
+            raise ValueError(
+                f"column {col!r} is int64 but its magnitude ({row[0]}) is not "
+                "epoch-nanoseconds (expected ~1e18 for 1990-2100 data); "
+                "upstream physical type changed — fix the loader contract"
+            )
     return df
 
 

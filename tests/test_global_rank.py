@@ -128,3 +128,21 @@ def test_empty_input(spark):
     out = GlobalRank(["v"], group_cols=["g"])(df)
     assert out.count() == 0
     assert exact_quantiles(df, "v", [0.5], group_cols=["g"]).count() == 0
+
+
+def test_high_cardinality_group_guard(spark):
+    """group_cols with ~unique keys would collect n_buckets x #groups rows
+    to the driver — the guard raises with the Window.partitionBy pointer
+    instead of OOMing (the LIMIT caps what reaches the driver)."""
+    import pytest
+
+    df = spark.range(500).select(
+        F.col("id").alias("g"), (F.col("id") % 7).alias("v")
+    )
+    with pytest.raises(ValueError, match="Window.partitionBy"):
+        GlobalRank(["v"], group_cols=["g"], max_layout_rows=100)(df).count()
+    # few huge groups (the intended regime) still works under the same bound
+    ok = spark.range(500).select((F.col("id") % 3).alias("g"),
+                                 (F.col("id") % 7).alias("v"))
+    assert GlobalRank(["v"], group_cols=["g"], max_layout_rows=100,
+                      num_partitions=8)(ok).count() == 500

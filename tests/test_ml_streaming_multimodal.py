@@ -296,6 +296,107 @@ def test_media_feature_extract_plumbing(spark):
     assert got[1] != got[2] and got[3] is not None
 
 
+def test_media_byte_budget_partitioning(spark):
+    """target_batch_bytes is a REAL knob: partition count = ceil(total
+    payload bytes / budget), so bigger payloads → more partitions at the
+    same row count."""
+    small = spark.createDataFrame(
+        [(i, b"x" * 100) for i in range(64)], "id long, payload binary"
+    )
+    big = spark.createDataFrame(
+        [(i, b"x" * 10_000) for i in range(64)], "id long, payload binary"
+    )
+    budget = 64_000  # bytes per task
+    op = MediaFeatureExtract("payload", dim=4, target_batch_bytes=budget)
+    # small: 64*100 = 6.4 KB → 1 partition; big: 640 KB → 10 partitions
+    n_small = op.transform(small).rdd.getNumPartitions()
+    n_big = op.transform(big).rdd.getNumPartitions()
+    assert n_small == 1
+    assert n_big == 10
+    # results identical regardless of partitioning
+    got = {r.id: r.features for r in op(big).collect()}
+    base = {r.id: r.features
+            for r in MediaFeatureExtract("payload", dim=4)(big).collect()}
+    assert got == base
+
+
+def test_predict_implicit_id_overflow_raises(spark, tables):
+    """A 64-bit user id must raise, not silently wrap to int32
+    (ALS ids are 32-bit)."""
+    from pyspark.ml.recommendation import ALS
+
+    ev = tables["events"]
+    inter = ev.select(
+        F.col("user_id").cast("int").alias("user"),
+        F.pmod(F.col("event_id"), F.lit(50)).cast("int").alias("item"),
+    ).groupBy("user", "item").agg(F.count(F.lit(1)).cast("float").alias("rating"))
+    model = ALS(rank=2, maxIter=1, seed=1, userCol="user", itemCol="item",
+                ratingCol="rating").fit(inter)
+    bad = spark.createDataFrame([(2**40,)], "user_id long")
+    with pytest.raises(Exception, match="overflows int32"):
+        PredictImplicit(model, num_to_recommend=3)(bad).collect()
+
+
+def test_predict_tensorflow_torchscript_constructors(spark):
+    """Reference-constructor-surface parity (tensorflow.py:31-52,
+    pytorch.py:27-119): schemas derived from signatures, import-gated
+    loaders — testable without the frameworks installed."""
+    from systems_spark.operators import predict_tensorflow, predict_torchscript
+
+    sig = {
+        "inputs": {
+            "f0": {"dtype": "float32", "shape": (None,)},
+            "emb__values": {"dtype": "float32", "shape": (None,)},
+            "emb__offsets": {"dtype": "int32", "shape": (None,)},
+        },
+        "outputs": {"score": {"dtype": "float32", "shape": (None,)}},
+    }
+    tf_op = predict_tensorflow("/nonexistent/saved_model", signature=sig)
+    assert tf_op.input_cols == ["f0", "emb"]
+    assert [f.name for f in tf_op.output_schema.fields] == ["score"]
+    # executor-side loader is import-gated on tensorflow (absent here)
+    with pytest.raises(ImportError):
+        tf_op.loader()
+    # no signature + no TF → clean ImportError at construct time
+    with pytest.raises(ImportError, match="signature"):
+        predict_tensorflow("/nonexistent/saved_model")
+
+    pt_op = predict_torchscript(
+        "/nonexistent/model.pt",
+        input_signature={"f0": {"dtype": "float32", "shape": (None,)},
+                         "f1": {"dtype": "float32", "shape": (None,)}},
+        output_signature={"y0": {"dtype": "float32", "shape": (None,)},
+                          "y1": {"dtype": "float32", "shape": (None,)}},
+    )
+    assert pt_op.input_cols == ["f0", "f1"]
+    assert [f.name for f in pt_op.output_schema.fields] == ["y0", "y1"]
+    with pytest.raises(ImportError):
+        pt_op.loader()
+    # the predict_fn splits the output matrix by column index
+    # (pytorch.py:97-115) — verify with a duck-typed 'model' (the numpy
+    # fallback path exercises the same reshape/split code torch would)
+    import numpy as np
+    import pandas as pd
+
+    class FakeTensor:
+        def __init__(self, a):
+            self._a = a
+
+        def numpy(self):
+            return self._a
+
+    class FakeModule:
+        def __call__(self, x):
+            a = np.asarray(x)
+            return FakeTensor(np.stack([a[:, 0] * 2, a[:, 1] * -1], axis=1))
+
+    out = pt_op.predict_fn(FakeModule(),
+                           pd.DataFrame({"f0": [1.0, 2.0], "f1": [3.0, 4.0]}))
+    assert list(out.columns) == ["y0", "y1"]
+    assert out["y0"].tolist() == [2.0, 4.0]
+    assert out["y1"].tolist() == [-3.0, -4.0]
+
+
 def test_frame_sample_explodes(spark):
     df = spark.createDataFrame([(1, bytes(range(64)))], "id long, payload binary")
     out = FrameSample("payload", n_frames=4)(df).collect()

@@ -364,3 +364,40 @@ def test_salted_join_equals_plain(spark, tables):
 
     with pytest.raises(ValueError, match="inner/left"):
         salted_join(li, orders, "l_orderkey", how="right")
+
+
+def test_normalize_epoch_nanos_no_tz_leak_and_magnitude_guard(spark, tmp_path):
+    """Loading an NTZ events table must not permanently mutate the session
+    timezone (ADVICE r2), and an int64 ts that is NOT nanos-magnitude must
+    raise instead of being misread 1000x."""
+    import datetime
+
+    from systems_spark.sources import normalize_epoch_nanos
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        p = str(tmp_path / "ntz_events")
+        spark.sql(
+            "select timestamp_ntz'2024-06-01 12:00:00' as ts, 1 as event_id"
+        ).write.mode("overwrite").parquet(p)
+        df = normalize_epoch_nanos(spark.read.parquet(p))
+        # value is the naive-UTC reading regardless of session tz
+        want_ns = int(datetime.datetime(
+            2024, 6, 1, 12, tzinfo=datetime.timezone.utc
+        ).timestamp()) * 10**9
+        assert df.first().ts == want_ns
+        # ...and the session timezone was restored, not left at UTC
+        assert spark.conf.get("spark.sql.session.timeZone") == "America/New_York"
+
+        # long-typed ts at micros magnitude → loud failure
+        micros = spark.createDataFrame(
+            [(want_ns // 1000, 1)], "ts long, event_id int"
+        )
+        with pytest.raises(ValueError, match="nanoseconds"):
+            normalize_epoch_nanos(micros)
+        # nanos magnitude passes through untouched
+        nanos = spark.createDataFrame([(want_ns, 1)], "ts long, event_id int")
+        assert normalize_epoch_nanos(nanos).first().ts == want_ns
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
