@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "multimodal_features",
     "ann_lsh",
     "frame_sample",
+    "dedup_clusters",
+    "streaming_hourly",
 ]
 
 

@@ -3,6 +3,7 @@ from systems_spark.dedup.minhash import MinHashDedup
 from systems_spark.dedup.simhash import SimHashDedup
 from systems_spark.dedup.ngram import NGramJaccardDedup
 from systems_spark.dedup.embedding import EmbeddingDedup
+from systems_spark.dedup.clusters import canonical_documents, connected_components
 
 __all__ = [
     "ExactDedup",
@@ -10,4 +11,6 @@ __all__ = [
     "SimHashDedup",
     "NGramJaccardDedup",
     "EmbeddingDedup",
+    "connected_components",
+    "canonical_documents",
 ]

@@ -1,0 +1,126 @@
+"""Duplicate-cluster resolution: connected components over near-dup pairs.
+
+Pair finders (minhash/simhash/embedding LSH + exact verify) emit EDGES; an
+actual corpus dedup must then pick one survivor per connected component
+(near-duplication is not transitive, but production pipelines treat the
+pair graph's components as dup clusters and keep one canonical document per
+cluster). This is the stage between "found the pairs" and "wrote the
+deduplicated corpus".
+
+Scale design — no driver-side union-find, no recursion over collected
+edges:
+
+- **min-label propagation + pointer jumping**, the classic O(log n)-round
+  MapReduce scheme: each round (1) every node takes the min label over its
+  neighbors' labels (one equi-join + one map-side-combined min agg), then
+  (2) labels jump through themselves (``lbl ← lbl(lbl)``, one self-join),
+  which halves chain depth — so path-shaped clusters converge in
+  O(log diameter) rounds, not O(diameter).
+- each round's result is ``localCheckpoint``-ed: the loop would otherwise
+  build an exponentially deep lineage that re-executes from scratch on
+  every convergence check. On a real cluster with flaky executors, switch
+  to reliable ``checkpoint()`` with a checkpoint dir — same call site.
+- convergence = zero changed labels, detected with a LIMIT-1 existence
+  check (short-circuits; never collects the frame).
+
+The reference has no graph stage (its dedup surface stops at pair scoring)
+— this is engine-side capability for the 100 TB training-data pipeline
+(SURVEY.md §7.2 M7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
+                         node_col: str = "node",
+                         component_col: str = "component",
+                         max_iterations: int = 50) -> DataFrame:
+    """One row per node appearing in ``pairs``: (node, component) where
+    component is the MINIMUM node id in the node's connected component —
+    deterministic, so the component id doubles as the canonical survivor.
+
+    ``max_iterations`` is a diverged-loop guard, not a tuning knob: with
+    pointer jumping, rounds needed ≈ log2(largest cluster diameter) + 2;
+    50 covers any graph that fits on a cluster.
+    """
+    sym = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).union(
+        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    ).distinct()
+    edges = sym.localCheckpoint(eager=False)
+
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+
+    for _ in range(max_iterations):
+        # (1) min over neighbor labels (map-side combined; shuffles only
+        # (node, candidate-label) longs, never payloads)
+        nbr = (
+            edges.join(labels.withColumnRenamed("node", "src"), on="src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lbl").alias("_nbr"))
+        )
+        stepped = (
+            labels.join(nbr, on="node", how="left")
+            .select("node", F.least(F.col("lbl"), F.coalesce("_nbr", "lbl")).alias("lbl"))
+        )
+        # (2) pointer jump: lbl ← lbl(lbl); the component minimum reaches
+        # every member in logarithmic rounds even on chain graphs
+        jumped = (
+            stepped.withColumnRenamed("lbl", "_p")
+            .join(
+                stepped.select(F.col("node").alias("_p"), F.col("lbl").alias("_pl")),
+                on="_p", how="left",
+            )
+            .select("node", F.least(F.col("_p"), F.coalesce("_pl", "_p")).alias("lbl"))
+        )
+        new_labels = jumped.localCheckpoint(eager=False)
+
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations — graph deeper than 2^iterations or labels cycling"
+        )
+
+    return labels.select(
+        F.col("node").alias(node_col), F.col("lbl").alias(component_col)
+    )
+
+
+def canonical_documents(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
+                        id_col: str = "doc_id",
+                        canonical_col: str = "canonical_id",
+                        size_col: str = "cluster_size") -> DataFrame:
+    """Dup-cluster view ready to drive the actual dedup: one row per
+    document that appears in any near-dup pair, with its cluster's
+    canonical id (= min doc id in the component) and the cluster size.
+    The dedup write is then ``docs.join(this, on=id_col, how='left')``
+    keeping rows where canonical is null (never duplicated) or equal to
+    the own id (cluster survivor)."""
+    comp = connected_components(pairs, a_col=a_col, b_col=b_col)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias(size_col))
+    return (
+        comp.join(sizes, on="component")
+        .select(
+            F.col("node").alias(id_col),
+            F.col("component").alias(canonical_col),
+            size_col,
+        )
+    )

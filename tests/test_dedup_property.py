@@ -98,3 +98,54 @@ def test_exact_dedup_equals_python_grouping(spark, docs):
 
     groups = {r.kept_id: r.group_size for r in op.duplicate_groups(df).collect()}
     assert groups == {min(v): len(v) for v in want.values() if len(v) > 1}
+
+
+def _uf_components(n_nodes_edges):
+    """Reference union-find: {node: min id in its component}."""
+    edges = n_nodes_edges
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 40)).filter(lambda e: e[0] != e[1]),
+    min_size=1, max_size=60,
+))
+def test_connected_components_matches_union_find(spark, edges):
+    from systems_spark.dedup import connected_components
+
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r.node: r.component
+           for r in connected_components(df).collect()}
+    assert got == _uf_components(edges)
+
+
+def test_connected_components_chain_converges_fast(spark):
+    """A 64-node path graph needs O(log n) rounds with pointer jumping —
+    max_iterations=10 would fail a one-hop-per-round propagation (which
+    needs 63) but must succeed here."""
+    from systems_spark.dedup import canonical_documents, connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "a long, b long"
+    )
+    got = {r.node: r.component
+           for r in connected_components(chain, max_iterations=10).collect()}
+    assert got == {i: 0 for i in range(64)}
+
+    cd = canonical_documents(chain).collect()
+    assert all(r.canonical_id == 0 and r.cluster_size == 64 for r in cd)
+    assert sorted(r.doc_id for r in cd) == list(range(64))
