@@ -19,7 +19,7 @@ from systems_spark.operators.predict import (
     predict_torchscript,
     schema_from_signature,
 )
-from systems_spark.operators.multimodal import MediaFeatureExtract, FrameSample
+from systems_spark.operators.multimodal import MediaFeatureExtract, MediaResize, FrameSample
 from systems_spark.operators.sessionize import Sessionize
 from systems_spark.operators.range_join import RangeJoin
 from systems_spark.operators.branch import BranchConcat, Subgraph
@@ -38,6 +38,7 @@ __all__ = [
     "PredictForest",
     "PredictImplicit",
     "MediaFeatureExtract",
+    "MediaResize",
     "FrameSample",
     "Operator",
     "LambdaOp",

@@ -155,6 +155,75 @@ class MediaFeatureExtract(Operator):
                 "use_real_codec": self.use_real_codec}
 
 
+class MediaResize(Operator):
+    """Resize a media payload to a target (width, height), updating the
+    typed metadata struct alongside the payload.
+
+    Real kernel would be PIL/ffmpeg scaling (absent from this container —
+    honestly stubbed): the deterministic fake emits a payload whose length
+    is proportional to the target pixel count (every ``stride``-th byte of
+    the source, cycled), so downstream size/partitioning behavior is
+    realistic. The Spark-side contract is the real thing: Arrow-batched
+    ``mapInPandas``, payload + metadata struct updated together, schema
+    preserved for downstream ops (FrameSample / MediaFeatureExtract compose
+    after it)."""
+
+    def __init__(self, payload_col: str = "payload", meta_col: Optional[str] = "media_meta",
+                 width: int = 224, height: int = 224,
+                 bytes_per_pixel: int = 3, use_real_codec: bool = False):
+        self.payload_col = payload_col
+        self.meta_col = meta_col
+        self.width = int(width)
+        self.height = int(height)
+        self.bytes_per_pixel = int(bytes_per_pixel)
+        self.use_real_codec = use_real_codec
+        self.requires = (payload_col,) if meta_col is None else (payload_col, meta_col)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        result_schema = T.StructType(list(df.schema.fields))
+        payload_col, meta_col = self.payload_col, self.meta_col
+        w, h, bpp = self.width, self.height, self.bytes_per_pixel
+        use_real = self.use_real_codec
+        out_cols = [f.name for f in result_schema.fields]
+
+        def resize(batches):
+            target = w * h * bpp
+
+            def fake_resize(p):
+                p = p or b""
+                if not p:
+                    return b""
+                # cycle source bytes to the target length — deterministic,
+                # size-faithful stand-in for a real pixel resample
+                reps = target // len(p) + 1
+                return (p * reps)[:target]
+
+            for pdf in batches:
+                if use_real:
+                    raise NotImplementedError(
+                        "image codecs not installed in this environment"
+                    )
+                pdf = pdf.copy()
+                pdf[payload_col] = [fake_resize(p) for p in pdf[payload_col]]
+                if meta_col is not None and meta_col in pdf.columns:
+                    pdf[meta_col] = [
+                        {**(m or {}), "width": w, "height": h}
+                        for m in pdf[meta_col]
+                    ]
+                yield pdf[out_cols]
+
+        return df.mapInPandas(resize, schema=result_schema)
+
+    def compute_output_schema(self, input_schema):
+        return input_schema
+
+    def get_params(self):
+        return {"payload_col": self.payload_col, "meta_col": self.meta_col,
+                "width": self.width, "height": self.height,
+                "bytes_per_pixel": self.bytes_per_pixel,
+                "use_real_codec": self.use_real_codec}
+
+
 class FrameSample(Operator):
     """video payload → N sampled frame payloads (exploded rows).
 

@@ -405,3 +405,34 @@ def test_frame_sample_explodes(spark):
     assert all(isinstance(r.frame, (bytes, bytearray)) for r in out)
     # frames partition the payload deterministically
     assert b"".join(r.frame for r in sorted(out, key=lambda r: r.frame_idx)) == bytes(range(64))
+
+
+def test_media_resize_composes_with_extract(spark):
+    """Resize updates payload AND metadata struct together; downstream
+    media ops (feature extract) compose after it on the resized bytes."""
+    from systems_spark.operators.multimodal import MediaResize
+
+    rows = [(1, b"\x01\x02\x03" * 50, {"media_type": "image", "width": 640,
+                                       "height": 480, "duration_ms": None,
+                                       "codec": "raw"}),
+            (2, b"", {"media_type": "image", "width": 0, "height": 0,
+                      "duration_ms": None, "codec": "raw"})]
+    df = spark.createDataFrame(
+        rows,
+        "id long, payload binary, media_meta struct<media_type:string,"
+        "width:int,height:int,duration_ms:bigint,codec:string>",
+    )
+    op = MediaResize("payload", "media_meta", width=8, height=4, bytes_per_pixel=3)
+    out = {r.id: r for r in op(df).collect()}
+    # payload length = target pixel bytes; empty stays empty
+    assert len(out[1].payload) == 8 * 4 * 3
+    assert len(out[2].payload) == 0
+    # metadata struct updated in lockstep, other fields preserved
+    assert (out[1].media_meta.width, out[1].media_meta.height) == (8, 4)
+    assert out[1].media_meta.media_type == "image"
+    # deterministic and composable with feature extraction
+    resized = op(df)
+    feats = MediaFeatureExtract("payload", dim=4)(resized)
+    got = {r.id: r.features for r in feats.collect()}
+    got2 = {r.id: r.features for r in MediaFeatureExtract("payload", dim=4)(op(df)).collect()}
+    assert got == got2 and len(got[1]) == 4
