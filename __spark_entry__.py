@@ -1915,9 +1915,18 @@ def q_four_stage_recs(spark, sf_dir):
                    topk=20, metric="ip")
     cands = ann(users).select("request_id", F.col("ann_id").alias("item_id"), "ann_score")
 
-    # stage 3: filter already-seen items (anti-join on the user's history)
+    # stage 3: filter already-seen items (anti-join on the user's history).
+    # The seen-set is pruned to the request universe BEFORE the big join:
+    # the anti-join only ever matches request_ids in the candidate set, but
+    # Catalyst cannot infer that through an anti-join, so without the
+    # explicit broadcast semi-join the FULL lineitem x orders history would
+    # be built (at 100 TB: the whole interaction log) to serve 50 requests.
+    requests = users.select("request_id")
+    orders_f = orders.join(
+        F.broadcast(requests), orders.o_custkey == requests.request_id, "semi"
+    )
     seen = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li.join(F.broadcast(orders_f), li.l_orderkey == orders_f.o_orderkey)
         .select(
             F.col("o_custkey").alias("request_id"),
             F.pmod(F.col("l_partkey"), F.lit(500)).cast("long").alias("item_id"),
