@@ -436,3 +436,23 @@ def test_media_resize_composes_with_extract(spark):
     got = {r.id: r.features for r in feats.collect()}
     got2 = {r.id: r.features for r in MediaFeatureExtract("payload", dim=4)(op(df)).collect()}
     assert got == got2 and len(got[1]) == 4
+
+
+def test_media_resize_pipeline_roundtrip(spark, tmp_path):
+    """MediaResize persists through the generic plan JSON path (get_params)
+    and reloads to an identical transform."""
+    from systems_spark.operators.multimodal import MediaResize
+
+    df = spark.createDataFrame(
+        [(i, bytes([i]) * (10 + i)) for i in range(20)],
+        "id long, payload binary",
+    )
+    pipe = Pipeline([MediaResize("payload", meta_col=None, width=4, height=2,
+                                 bytes_per_pixel=1)])
+    d = str(tmp_path / "resize_pipe")
+    pipe.save(d)
+    loaded = Pipeline.load(d)
+    want = sorted((r.id, bytes(r.payload)) for r in pipe.transform(df).collect())
+    got = sorted((r.id, bytes(r.payload)) for r in loaded.transform(df).collect())
+    assert got == want
+    assert all(len(p) == 8 for _, p in got)
