@@ -113,6 +113,16 @@ def main() -> None:
         samples = []
         failed = None
         for _ in range(RUNS):
+            # drain accumulated garbage OUTSIDE the timed window: the
+            # dominant run-to-run variance is a multi-second stop-the-world
+            # landing inside one random query per pass (r2 regression
+            # diagnosis, NOTES_r3.md) — this cannot remove JIT/codegen
+            # first-run cost, but keeps prior queries' garbage from being
+            # charged to this one
+            try:
+                spark._jvm.System.gc()
+            except Exception:  # noqa: BLE001 - stabilizer only, never fatal
+                pass
             t0 = time.perf_counter()
             try:
                 fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
