@@ -187,57 +187,54 @@ class GlobalRank(Operator):
         return withb, offsets, totals, sizes, n_buckets
 
     def transform(self, df: DataFrame) -> DataFrame:
+        """Entirely JVM-side since r3 (previously an Arrow kernel pushed
+        every row's full width through Python): the tiny (bucket, group)
+        layout broadcasts back as a join, and rank = offset + row_number
+        over a window partitioned by (bucket, group) — a distribution the
+        bucket hash-repartition ALREADY satisfies (partitioning keys are a
+        subset of the window keys), so the window adds a sort but NO second
+        exchange. One wide shuffle total, whole-stage codegen end to end."""
+        from pyspark.sql import Window
+
         withb, offsets, totals, _sizes, n_buckets = self.bucket_counts(df)
-
-        sort_keys = ["_gr_bkt"] + self.group_cols + self.order_cols
-        ranged = withb.repartition(n_buckets, F.col("_gr_bkt")).sortWithinPartitions(
-            *sort_keys
-        )
-
+        spark = df.sparkSession
         group_cols = list(self.group_cols)
-        rank_col, total_col = self.rank_col, self.total_col
-        out_schema = StructType(
-            [f for f in withb.schema.fields if f.name != "_gr_bkt"]
-            + [StructField(rank_col, LongType(), False),
-               StructField(total_col, LongType(), False)]
+
+        layout_rows = [
+            (int(bkt), *grp, int(off), int(totals[grp]))
+            for (bkt, grp), off in offsets.items()
+        ]
+        layout_schema = StructType(
+            [StructField("_gr_bkt", LongType(), False)]
+            + [StructField(c, df.schema[c].dataType, True) for c in group_cols]
+            + [StructField("_gr_off", LongType(), False),
+               StructField("_gr_tot", LongType(), False)]
         )
-        run_cols = ["_gr_bkt"] + group_cols  # rank-run key inside a partition
+        layout = spark.createDataFrame(layout_rows, schema=layout_schema)
 
-        def add_ranks(batches):
-            import numpy as np
+        ranged = withb.withColumn("_gr_bkt", F.col("_gr_bkt").cast("long")).repartition(
+            n_buckets, F.col("_gr_bkt")
+        )
+        # eqNullSafe on group keys: NULL is a real group for groupBy and
+        # must keep matching its layout row through the join
+        cond = ranged["_gr_bkt"] == layout["_gr_bkt"]
+        for c in group_cols:
+            cond = cond & ranged[c].eqNullSafe(layout[c])
+        joined = ranged.join(F.broadcast(layout), on=cond).drop(layout["_gr_bkt"])
+        for c in group_cols:
+            joined = joined.drop(layout[c])
 
-            consumed: dict = {}  # (bucket, group tuple) -> rows ranked so far
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                local = pdf.groupby(run_cols, sort=False, dropna=False).cumcount()
-                bkts = pdf["_gr_bkt"].tolist()
-                grp_keys = (
-                    list(zip(*(pdf[c] for c in group_cols)))
-                    if group_cols
-                    else [()] * len(pdf)
-                )
-                start = np.fromiter(
-                    (
-                        offsets.get((b, g), 0)
-                        + consumed.get((b, g), 0)
-                        for b, g in zip(bkts, grp_keys)
-                    ),
-                    dtype=np.int64,
-                    count=len(pdf),
-                )
-                tot = np.fromiter(
-                    (totals.get(g, 0) for g in grp_keys),
-                    dtype=np.int64,
-                    count=len(pdf),
-                )
-                pdf[rank_col] = start + local.to_numpy(dtype=np.int64) + 1
-                pdf[total_col] = tot
-                for (b, g), n in _run_sizes(bkts, grp_keys):
-                    consumed[(b, g)] = consumed.get((b, g), 0) + n
-                yield pdf.drop(columns=["_gr_bkt"])
-
-        return ranged.mapInPandas(add_ranks, schema=out_schema)
+        w = Window.partitionBy("_gr_bkt", *group_cols).orderBy(
+            *[F.col(c).asc_nulls_first() for c in self.order_cols]
+        )
+        out_cols = [c for c in withb.columns if c != "_gr_bkt"]
+        return (
+            joined.withColumn(
+                self.rank_col, (F.col("_gr_off") + F.row_number().over(w)).cast("long")
+            )
+            .withColumn(self.total_col, F.col("_gr_tot"))
+            .select(*out_cols, self.rank_col, self.total_col)
+        )
 
     def with_ntile(self, df: DataFrame, k: int, ntile_col: str = "bucket") -> DataFrame:
         """Exact distributed ``ntile(k)`` — same answer as the single-task
@@ -254,15 +251,6 @@ class GlobalRank(Operator):
             "num_partitions": self.num_partitions, "sample_seed": self.sample_seed,
             "max_layout_rows": self.max_layout_rows,
         }
-
-
-def _run_sizes(bkts, grp_keys):
-    """Sizes of each (bucket, group) combination in a batch (order-free —
-    consumed counts are keyed by value, not by run position)."""
-    sizes: dict = {}
-    for b, g in zip(bkts, grp_keys):
-        sizes[(b, g)] = sizes.get((b, g), 0) + 1
-    return sizes.items()
 
 
 def exact_quantiles(df: DataFrame, value_col: str, ps: Iterable[float],
