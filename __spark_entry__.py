@@ -1995,12 +1995,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Ordered so the HIGHEST-VALUE 50 queries come first: the r1 driver
-    checked exactly the first 50 declared entries, leaving ann_lsh/ann_pq/
-    implicit/forest ungraded (VERDICT.md). Positions 51+ are deliberately
-    redundant relational shapes that were already graded green in
-    CORRECTNESS_r01 and were demoted (not retired) to make window room for
-    the ANN strategies, the scale-variant twins, and the multimodal query."""
+    """Ordered so the HIGHEST-VALUE 50 queries come first: the driver
+    grades exactly the first 50 declared entries. The first-50 names are
+    kept stable round-over-round so CORRECTNESS/BENCH diffs stay
+    meaningful (single sanctioned r3 swap: exact dedup_embedding out,
+    frame_sample in — VERDICT r2 item 7). Positions 51+ are previously
+    graded demoted duplicates plus r3 additions (dedup_clusters,
+    streaming_hourly), all still oracle-checked by test_oracle_parity."""
     return {
         # core relational (20)
         "pricing_summary": q_pricing_summary,

@@ -401,3 +401,24 @@ def test_normalize_epoch_nanos_no_tz_leak_and_magnitude_guard(spark, tmp_path):
         assert normalize_epoch_nanos(nanos).first().ts == want_ns
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_global_rank_plan_is_jvm_side(spark, tables):
+    """GlobalRank's r3 plan contract: the rank append is relational — ONE
+    wide exchange (the bucket repartition; the window's (bucket, group)
+    clustering is satisfied by it, adding only a sort), a broadcast of the
+    tiny layout, and NO Python boundary in the data path."""
+    from systems_spark.operators import GlobalRank
+    from systems_spark.plans import formatted_plan
+
+    df = tables["orders"].select("o_orderkey", "o_custkey", "o_totalprice")
+    out = GlobalRank(["o_totalprice"], group_cols=["o_custkey"],
+                     num_partitions=8)(df)
+    plan = formatted_plan(out)
+    import re
+    wide = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert wide == 1, f"expected exactly 1 wide exchange, plan had {wide}"
+    assert "BroadcastExchange" in plan
+    # the only Python in the plan is the tiny layout createDataFrame scan,
+    # never a MapInPandas/ArrowEvalPython over the data path
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
