@@ -1214,6 +1214,80 @@ FROM d
 """
 
 
+def q_corpus_curation(spark, sf_dir):
+    """END-TO-END training-corpus curation — the composition a 100 TB data
+    pipeline actually runs, as ONE declarative plan: (1) near-dup cluster
+    resolution keeps one canonical survivor per LSH-verified dup cluster,
+    (2) a quality gate drops low-scoring documents, (3) the surviving
+    corpus is profiled per predicted language (docs, tokens, total
+    quality). Every stage is an already-graded operator (dedup_clusters,
+    text_stats lanes); this query grades their composition."""
+    from systems_spark.functions.fence import fence_columns
+
+    docs = _t(spark, sf_dir, "documents")
+    mh = MinHashDedup(**_MINHASH)
+    sigs = mh.signatures(docs).where(F.col("m0") != 2147483647)
+    cands = mh.candidate_pairs(sigs).select("a", "b")
+    verified = NGramJaccardDedup(shingle_k=3).verify_pairs(docs, cands)
+    pairs = verified.where(
+        F.col("inter") * 10 >= 4 * (F.col("size_a") + F.col("size_b") - F.col("inter"))
+    ).select("a", "b")
+    # non-canonical cluster members are the dropped duplicates
+    losers = (
+        canonical_documents(pairs)
+        .where(F.col("doc_id") != F.col("canonical_id"))
+        .select("doc_id")
+    )
+    survivors = docs.join(F.broadcast(losers), on="doc_id", how="left_anti")
+
+    t = F.col("text")
+    staged = fence_columns(
+        survivors.select("doc_id", t),
+        _toks=TX.tokens(t),
+        _toks_lower=TX.tokens(F.lower(t)),
+    )
+    per_doc = staged.select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        TX.lang_id_from_tokens(F.col("_toks_lower")).alias("pred_lang"),
+        TX.quality_score_from_tokens(t, F.col("_toks"), F.col("_toks_lower")).alias("quality"),
+    )
+    return (
+        per_doc.where(F.col("quality") >= 0.2)
+        .groupBy("pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            _dsum(_dec("quality", 18, 6)).alias("total_quality"),
+        )
+    )
+
+
+def _sql_corpus_curation() -> str:
+    clusters = _sql_dedup_clusters()
+    return f"""
+WITH clusters AS ({clusters}),
+losers AS (SELECT doc_id FROM clusters WHERE doc_id <> canonical_id),
+surv AS (
+  SELECT d.doc_id, d.text FROM documents d
+  LEFT JOIN losers l ON d.doc_id = l.doc_id
+  WHERE l.doc_id IS NULL
+),
+per_doc AS (
+  SELECT doc_id,
+         ({TX.token_count_sql('text')})::BIGINT AS n_tokens,
+         {TX.lang_id_sql('text')} AS pred_lang,
+         {TX.quality_score_sql('text')} AS quality
+  FROM surv
+)
+SELECT pred_lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+       round(sum(quality::DECIMAL(18,6)), 4)::DOUBLE AS total_quality
+FROM per_doc
+WHERE quality >= 0.2
+GROUP BY pred_lang
+"""
+
+
 def q_streaming_hourly(spark, sf_dir):
     """The streaming runtime made driver-gradeable: events replayed as a
     bounded file stream (availableNow trigger), watermarked event-time
@@ -2069,6 +2143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graded window name-stable per VERDICT r2 item 10) ---
         "dedup_clusters": q_dedup_clusters,
         "streaming_hourly": q_streaming_hourly,
+        "corpus_curation": q_corpus_curation,
         "events_rollup": q_events_rollup,
         "cube_revenue": q_cube_revenue,
         "monthly_revenue": q_monthly_revenue,
@@ -2180,4 +2255,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq": _SQL_ANN_PQ,
         "dedup_clusters": _sql_dedup_clusters(),
         "streaming_hourly": _SQL_STREAMING_HOURLY,
+        "corpus_curation": _sql_corpus_curation(),
     }

@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "frame_sample",
     "dedup_clusters",
     "streaming_hourly",
+    "corpus_curation",
 ]
 
 
