@@ -37,7 +37,8 @@ from pyspark.sql import functions as F
 def connected_components(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
                          node_col: str = "node",
                          component_col: str = "component",
-                         max_iterations: int = 50) -> DataFrame:
+                         max_iterations: int = 50,
+                         checkpoint: str = "local") -> DataFrame:
     """One row per node appearing in ``pairs``: (node, component) where
     component is the MINIMUM node id in the node's connected component —
     deterministic, so the component id doubles as the canonical survivor.
@@ -45,18 +46,33 @@ def connected_components(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
     ``max_iterations`` is a diverged-loop guard, not a tuning knob: with
     pointer jumping, rounds needed ≈ log2(largest cluster diameter) + 2;
     50 covers any graph that fits on a cluster.
+
+    ``checkpoint``: ``'local'`` (default) truncates lineage via executor
+    block storage — fast, but a lost executor forces a full recompute of
+    that partition's lineage, which after N rounds no longer exists.
+    ``'reliable'`` writes round results to the Spark checkpoint dir
+    (``spark.sparkContext.setCheckpointDir(...)`` must be set) — the right
+    mode for long multi-round runs on real clusters where executor loss is
+    routine.
     """
+    if checkpoint not in ("local", "reliable"):
+        raise ValueError("checkpoint must be 'local' or 'reliable'")
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if checkpoint == "reliable":
+            return df.checkpoint(eager=False)
+        return df.localCheckpoint(eager=False)
+
     sym = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).union(
         pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     ).distinct()
-    edges = sym.localCheckpoint(eager=False)
+    edges = _ckpt(sym)
 
-    labels = (
+    labels = _ckpt(
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("lbl", F.col("node"))
-        .localCheckpoint(eager=False)
     )
 
     for _ in range(max_iterations):
@@ -81,7 +97,7 @@ def connected_components(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
             )
             .select("node", F.least(F.col("_p"), F.coalesce("_pl", "_p")).alias("lbl"))
         )
-        new_labels = jumped.localCheckpoint(eager=False)
+        new_labels = _ckpt(jumped)
 
         changed = (
             new_labels.alias("n")

@@ -149,3 +149,18 @@ def test_connected_components_chain_converges_fast(spark):
     cd = canonical_documents(chain).collect()
     assert all(r.canonical_id == 0 and r.cluster_size == 64 for r in cd)
     assert sorted(r.doc_id for r in cd) == list(range(64))
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """'reliable' mode checkpoints rounds to the Spark checkpoint dir —
+    same answer, survives executor loss on a real cluster."""
+    from systems_spark.dedup import connected_components
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    edges = [(1, 2), (2, 3), (10, 11)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r.node: r.component
+           for r in connected_components(df, checkpoint="reliable").collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    with pytest.raises(ValueError, match="local.*reliable|'local' or 'reliable'"):
+        connected_components(df, checkpoint="bogus")
