@@ -1356,6 +1356,63 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_streaming_ingest_dedup(spark, sf_dir):
+    """Incremental corpus ingestion with a stream-static ANTI join — the
+    ingest-time guard of a continuously-growing corpus: arriving documents
+    (file stream) are dropped when their content hash already exists in
+    the static known-corpus hash table (here: every doc_id % 7 == 0 doc),
+    the shape `stream_dedup` + a historical store compose to. Real
+    StreamingQuery (append mode, availableNow); result hash-matched
+    against the batch anti-join oracle."""
+    import hashlib
+    import uuid
+
+    from systems_spark.sources import read_parquet
+
+    path = f"{sf_dir}/documents.parquet"
+    raw_schema = read_parquet(spark, path).schema
+    link_dir = os.path.join(
+        "/tmp", "systems_spark_stream_docs",
+        hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
+    )
+    os.makedirs(link_dir, exist_ok=True)
+    link = os.path.join(link_dir, "documents.parquet")
+    if not os.path.islink(link):
+        os.symlink(os.path.abspath(path), link)
+
+    content_hash = F.md5(F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8"))
+    known = (
+        read_parquet(spark, path)
+        .where(F.col("doc_id") % 7 == 0)
+        .select(content_hash.alias("content_hash"))
+        .distinct()
+    )
+    stream = (
+        spark.readStream.schema(raw_schema).parquet(link_dir)
+        .select("doc_id", content_hash.alias("content_hash"))
+        .join(known, on="content_hash", how="left_anti")
+    )
+    name = "stream_ingest_" + uuid.uuid4().hex[:12]
+    q = (stream.writeStream.outputMode("append").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming_ingest_dedup did not finish within 300s")
+    return spark.table(name).select("doc_id", "content_hash")
+
+
+_SQL_STREAMING_INGEST_DEDUP = """
+WITH known AS (
+  SELECT DISTINCT md5(coalesce(text, '')) AS content_hash
+  FROM documents WHERE doc_id % 7 = 0
+)
+SELECT d.doc_id, md5(coalesce(d.text, '')) AS content_hash
+FROM documents d
+LEFT JOIN known k ON md5(coalesce(d.text, '')) = k.content_hash
+WHERE k.content_hash IS NULL
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Duplicate-CLUSTER resolution — the stage after pair finding that an
     actual corpus dedup needs: connected components over the LSH-verified
@@ -2144,6 +2201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "streaming_hourly": q_streaming_hourly,
         "corpus_curation": q_corpus_curation,
+        "streaming_ingest_dedup": q_streaming_ingest_dedup,
         "events_rollup": q_events_rollup,
         "cube_revenue": q_cube_revenue,
         "monthly_revenue": q_monthly_revenue,
@@ -2256,4 +2314,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _sql_dedup_clusters(),
         "streaming_hourly": _SQL_STREAMING_HOURLY,
         "corpus_curation": _sql_corpus_curation(),
+        "streaming_ingest_dedup": _SQL_STREAMING_INGEST_DEDUP,
     }

@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "streaming_hourly",
     "corpus_curation",
+    "streaming_ingest_dedup",
 ]
 
 
