@@ -23,7 +23,7 @@ from systems_spark.operators.multimodal import MediaFeatureExtract, MediaResize,
 from systems_spark.operators.sessionize import Sessionize
 from systems_spark.operators.range_join import RangeJoin
 from systems_spark.operators.branch import BranchConcat, Subgraph
-from systems_spark.operators.global_rank import GlobalRank, exact_quantiles, ntile_expr
+from systems_spark.operators.global_rank import GlobalRank, exact_quantiles, grouped_rank, ntile_expr
 
 __all__ = [
     "Sessionize",
@@ -55,6 +55,7 @@ __all__ = [
     "Categorify",
     "GlobalRank",
     "exact_quantiles",
+    "grouped_rank",
     "ntile_expr",
     "schema_from_signature",
     "predict_model_from_signature",

@@ -172,8 +172,9 @@ class GlobalRank(Operator):
                 f"{self.max_layout_rows} (bucket, group) combinations — "
                 f"group_cols={self.group_cols} is high-cardinality. "
                 "GlobalRank targets a global order or a few HUGE groups; "
-                "for many small groups use Window.partitionBy(*group_cols) "
-                "(already scale-safe), or raise max_layout_rows explicitly."
+                "for many small groups use grouped_rank / "
+                "Window.partitionBy(*group_cols) (already scale-safe), or "
+                "raise max_layout_rows explicitly."
             )
         offsets: dict = {}
         totals: dict = {}
@@ -251,6 +252,32 @@ class GlobalRank(Operator):
             "num_partitions": self.num_partitions, "sample_seed": self.sample_seed,
             "max_layout_rows": self.max_layout_rows,
         }
+
+
+def grouped_rank(df: DataFrame, order_cols: Sequence[str],
+                 group_cols: Sequence[str], rank_col: str = "rank",
+                 total_col: str = "grp_total") -> DataFrame:
+    """The MANY-SMALL-GROUPS twin of :class:`GlobalRank`: a plain
+    per-group window rank + group count. Scale-safe exactly when no single
+    group outgrows one task — the opposite regime from GlobalRank (global
+    order / few huge groups), whose high-cardinality guard points here.
+    Same output contract (1-based rank ascending nulls-first, group row
+    count) so callers can swap between the two as the data shape dictates."""
+    from pyspark.sql import Window
+
+    if not group_cols:
+        raise ValueError(
+            "grouped_rank needs group_cols — for a global order use "
+            "GlobalRank (a global window is a single-task stage)"
+        )
+    w = Window.partitionBy(*group_cols).orderBy(
+        *[F.col(c).asc_nulls_first() for c in order_cols]
+    )
+    wt = Window.partitionBy(*group_cols)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w).cast("long"))
+        .withColumn(total_col, F.count(F.lit(1)).over(wt).cast("long"))
+    )
 
 
 def exact_quantiles(df: DataFrame, value_col: str, ps: Iterable[float],

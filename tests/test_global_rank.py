@@ -146,3 +146,23 @@ def test_high_cardinality_group_guard(spark):
                                  (F.col("id") % 7).alias("v"))
     assert GlobalRank(["v"], group_cols=["g"], max_layout_rows=100,
                       num_partitions=8)(ok).count() == 500
+
+
+def test_grouped_rank_matches_global_rank(spark, tables):
+    """The many-small-groups twin produces the same (rank, total) contract
+    as GlobalRank on the same frame."""
+    from systems_spark.operators import grouped_rank
+
+    c = tables["customer"].select("c_custkey", "c_nationkey", "c_acctbal").limit(500)
+    a = sorted(
+        (r.c_custkey, r.rank, r.grp_total)
+        for r in GlobalRank(["c_acctbal", "c_custkey"], group_cols=["c_nationkey"],
+                            num_partitions=6)(c).collect()
+    )
+    b = sorted(
+        (r.c_custkey, r.rank, r.grp_total)
+        for r in grouped_rank(c, ["c_acctbal", "c_custkey"], ["c_nationkey"]).collect()
+    )
+    assert a == b
+    with pytest.raises(ValueError, match="group_cols"):
+        grouped_rank(c, ["c_acctbal"], [])
