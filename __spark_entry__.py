@@ -1356,6 +1356,36 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_profile_table(spark, sf_dir):
+    """One-pass data profiling (functions/profile.py): per-column row /
+    null / exact-distinct counts for the orders table in a single scan +
+    single aggregation (Expand-based multi-distinct — no per-column jobs).
+    The drift-detection / join-key-cardinality primitive of a 100 TB
+    pipeline, oracle-checked exactly."""
+    from systems_spark.functions.profile import profile_table
+
+    orders = _t(spark, sf_dir, "orders")
+    return profile_table(
+        orders, ["o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
+    )
+
+
+_SQL_PROFILE_TABLE = """
+SELECT 'o_custkey' AS "column", count(*) AS n_rows,
+       count(*) - count(o_custkey) AS n_null,
+       count(DISTINCT o_custkey) AS n_distinct FROM orders
+UNION ALL
+SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+       count(DISTINCT o_orderstatus) FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+       count(DISTINCT o_orderpriority) FROM orders
+UNION ALL
+SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+       count(DISTINCT o_orderdate) FROM orders
+"""
+
+
 def q_streaming_ingest_dedup(spark, sf_dir):
     """Incremental corpus ingestion with a stream-static ANTI join — the
     ingest-time guard of a continuously-growing corpus: arriving documents
@@ -2202,6 +2232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hourly": q_streaming_hourly,
         "corpus_curation": q_corpus_curation,
         "streaming_ingest_dedup": q_streaming_ingest_dedup,
+        "profile_table": q_profile_table,
         "events_rollup": q_events_rollup,
         "cube_revenue": q_cube_revenue,
         "monthly_revenue": q_monthly_revenue,
@@ -2315,4 +2346,5 @@ def oracle_sql() -> dict[str, str]:
         "streaming_hourly": _SQL_STREAMING_HOURLY,
         "corpus_curation": _sql_corpus_curation(),
         "streaming_ingest_dedup": _SQL_STREAMING_INGEST_DEDUP,
+        "profile_table": _SQL_PROFILE_TABLE,
     }

@@ -424,3 +424,24 @@ def test_asof_join_exact(spark):
                       right_cols=["v"], strict=True)
     got2 = {r.id: r.v for r in strict(left).collect()}
     assert got2 == {1: "a", 2: "c", 3: None}  # strict: equal-ts row excluded
+
+
+def test_profile_table_one_pass(spark):
+    """profile_table: exact counts, NULL handling, and the one-job shape
+    (single aggregation, no per-column actions)."""
+    from systems_spark.functions.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, "b"), (None, "b")],
+        "k int, v string",
+    )
+    got = {r.column: (r.n_rows, r.n_null, r.n_distinct)
+           for r in profile_table(df, ["k", "v"]).collect()}
+    assert got == {"k": (5, 1, 4), "v": (5, 1, 2)}
+    # approximate mode keeps the same schema/shape
+    approx = {r.column: r.n_rows
+              for r in profile_table(df, ["k", "v"], exact=False).collect()}
+    assert approx == {"k": 5, "v": 5}
+    import pytest as _pt
+    with _pt.raises(ValueError, match="at least one column"):
+        profile_table(df, [])
