@@ -31,7 +31,8 @@ from systems_spark.operators.base import Operator
 
 class Categorify(Operator):
     def __init__(self, columns, out_suffix: str = "", freq_threshold: int = 0,
-                 encode_type: str = "per-col", code_strategy: str = "window"):
+                 encode_type: str = "per-col", code_strategy: str = "window",
+                 max_size: int = 0, num_buckets: int = 0):
         """``encode_type="per-col"`` (default): independent vocab per column.
         ``encode_type="joint"``: one shared vocab over the union of all
         columns' values (NVTabular joint encoding — e.g. two item-id
@@ -43,27 +44,50 @@ class Categorify(Operator):
         right for true categorical vocabularies (bounded size).
         ``"distributed"`` ranks via GlobalRank (operators/global_rank.py) —
         identical codes, no single-task stage; use when "categorifying" an
-        id-like column whose vocabulary is itself huge."""
+        id-like column whose vocabulary is itself huge.
+
+        ``max_size``: cap the encoded vocabulary at ``max_size`` codes
+        INCLUDING the reserved 0 (null/OOV) slot — i.e. keep the
+        ``max_size - 1`` most-frequent values, everything rarer maps to 0
+        (the NVTabular ``Categorify(max_size=...)`` convention; it bounds
+        embedding-table rows regardless of data cardinality).
+
+        ``num_buckets`` > 0: STATELESS hash-bucket encoding instead of a
+        fitted vocabulary — ``code = 1 + portable_hash(col_name|value) %
+        num_buckets``, null → 0 (NVTabular's hashing mode for unbounded
+        id spaces: no fit pass, no vocab artifact, collisions by design).
+        Mutually exclusive with the fitted knobs."""
         if encode_type not in ("per-col", "joint"):
             raise ValueError(f"encode_type must be per-col|joint, got {encode_type}")
         if code_strategy not in ("window", "distributed"):
             raise ValueError(
                 f"code_strategy must be window|distributed, got {code_strategy}"
             )
+        if num_buckets and (freq_threshold or max_size):
+            raise ValueError(
+                "num_buckets (stateless hashing) excludes freq_threshold/"
+                "max_size (fitted-vocabulary knobs)"
+            )
+        if max_size and max_size < 2:
+            raise ValueError("max_size must be >= 2 (one code + the OOV slot)")
         self.columns = [columns] if isinstance(columns, str) else list(columns)
         self.out_suffix = out_suffix
         self.freq_threshold = int(freq_threshold)
         self.encode_type = encode_type
         self.code_strategy = code_strategy
+        self.max_size = int(max_size)
+        self.num_buckets = int(num_buckets)
         self.vocabs = {}  # col -> DataFrame(value, code)
         self.requires = tuple(self.columns)
 
     @classmethod
     def _rank_codes(cls, counts: DataFrame, partition_cols=(),
-                    code_strategy: str = "window") -> DataFrame:
+                    code_strategy: str = "window",
+                    max_size: int = 0) -> DataFrame:
         """codes 1..N by (frequency DESC, value ASC) within each partition
         group — via a window (small vocabs) or GlobalRank (huge vocabs,
-        same codes, no single-task stage)."""
+        same codes, no single-task stage). ``max_size`` keeps only codes
+        ``<= max_size - 1`` (slot 0 is OOV)."""
         keep = [*partition_cols, "value"]
         if code_strategy == "distributed":
             from systems_spark.operators.global_rank import GlobalRank
@@ -71,15 +95,20 @@ class Categorify(Operator):
             neg = counts.withColumn("_negcnt", -F.col("cnt"))
             gr = GlobalRank(["_negcnt", "value"],
                             group_cols=list(partition_cols), rank_col="code")
-            return gr(neg).select(*keep, "code")
-        w = Window.partitionBy(*partition_cols).orderBy(
-            F.col("cnt").desc(), F.col("value").asc()
-        )
-        return counts.select(*keep, F.row_number().over(w).alias("code"))
+            out = gr(neg).select(*keep, "code")
+        else:
+            w = Window.partitionBy(*partition_cols).orderBy(
+                F.col("cnt").desc(), F.col("value").asc()
+            )
+            out = counts.select(*keep, F.row_number().over(w).alias("code"))
+        if max_size:
+            out = out.where(F.col("code") <= max_size - 1)
+        return out
 
     @classmethod
     def build_vocab(cls, df: DataFrame, column: str, freq_threshold: int = 0,
-                    code_strategy: str = "window") -> DataFrame:
+                    code_strategy: str = "window",
+                    max_size: int = 0) -> DataFrame:
         counts = (
             df.where(F.col(column).isNotNull())
             .groupBy(F.col(column).alias("value"))
@@ -87,7 +116,7 @@ class Categorify(Operator):
         )
         if freq_threshold > 0:
             counts = counts.where(F.col("cnt") >= freq_threshold)
-        return cls._rank_codes(counts, (), code_strategy)
+        return cls._rank_codes(counts, (), code_strategy, max_size)
 
     def fit(self, df: DataFrame) -> "Categorify":
         """Single-job fit: columns sharing a dtype are counted in ONE pass
@@ -95,6 +124,8 @@ class Categorify(Operator):
         of one full table scan per column. At 100 TB the difference is
         N scans vs 1 — the explode multiplies rows but partial aggregation
         collapses them map-side, so the shuffle stays vocab-sized."""
+        if self.num_buckets:
+            return self  # stateless hashing: nothing to fit
         dtypes = dict(df.dtypes)
         groups: dict[str, list[str]] = {}
         for c in self.columns:
@@ -111,7 +142,9 @@ class Categorify(Operator):
             counts = kv.groupBy("value").agg(F.count(F.lit(1)).alias("cnt"))
             if self.freq_threshold > 0:
                 counts = counts.where(F.col("cnt") >= self.freq_threshold)
-            vocab = self._rank_codes(counts, (), self.code_strategy).persist()
+            vocab = self._rank_codes(
+                counts, (), self.code_strategy, self.max_size
+            ).persist()
             self._persisted.append(vocab)
             for c in cols:
                 self.vocabs[c] = vocab
@@ -120,7 +153,8 @@ class Categorify(Operator):
         for dt, cols in groups.items():
             if len(cols) == 1:
                 self.vocabs[cols[0]] = self.build_vocab(
-                    df, cols[0], self.freq_threshold, self.code_strategy
+                    df, cols[0], self.freq_threshold, self.code_strategy,
+                    self.max_size,
                 )
                 continue
             kv = self._stacked(df, cols)
@@ -130,7 +164,7 @@ class Categorify(Operator):
             if self.freq_threshold > 0:
                 counts = counts.where(F.col("cnt") >= self.freq_threshold)
             coded = self._rank_codes(
-                counts, ("_col",), self.code_strategy
+                counts, ("_col",), self.code_strategy, self.max_size
             ).persist()  # persisted: each column's transform reuses ONE job
             self._persisted.append(coded)
             for c in cols:
@@ -154,6 +188,21 @@ class Categorify(Operator):
         )
 
     def transform(self, df: DataFrame) -> DataFrame:
+        if self.num_buckets:
+            from systems_spark.functions.hashing import hash64
+
+            out = df
+            for c in self.columns:
+                # salt with the column name: two columns sharing a value
+                # must not share a bucket stream (independent hash spaces)
+                h = hash64(F.concat(F.lit(c + "|"), F.col(c).cast("string")))
+                out = out.withColumn(
+                    f"{c}{self.out_suffix}",
+                    F.when(F.col(c).isNull(), F.lit(0))
+                    .otherwise(F.pmod(h, F.lit(self.num_buckets)) + 1)
+                    .cast("long"),
+                )
+            return out
         if set(self.vocabs) != set(self.columns):
             raise RuntimeError("Categorify.transform called before fit")
         out = df
@@ -175,6 +224,8 @@ class Categorify(Operator):
 
     # cardinality feeds embedding sizes (workflow/__init__.py:46-57)
     def cardinality(self, column: str) -> int:
+        if self.num_buckets:
+            return self.num_buckets
         return self.vocabs[column].count()
 
     def unpersist(self) -> "Categorify":
@@ -200,12 +251,16 @@ class Categorify(Operator):
         return {"columns": self.columns, "out_suffix": self.out_suffix,
                 "freq_threshold": self.freq_threshold,
                 "encode_type": self.encode_type,
-                "code_strategy": self.code_strategy}
+                "code_strategy": self.code_strategy,
+                "max_size": self.max_size,
+                "num_buckets": self.num_buckets}
 
     def save_artifacts(self, path: str) -> None:
         for c, v in self.vocabs.items():
             v.write.mode("overwrite").parquet(f"{path}/vocab_{c}.parquet")
 
     def load_artifacts(self, path: str, spark=None) -> None:
+        if self.num_buckets:
+            return  # stateless: no vocab artifacts
         for c in self.columns:
             self.vocabs[c] = spark.read.parquet(f"{path}/vocab_{c}.parquet")

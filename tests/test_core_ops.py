@@ -445,3 +445,36 @@ def test_profile_table_one_pass(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="at least one column"):
         profile_table(df, [])
+
+
+def test_categorify_max_size_and_num_buckets(spark):
+    """NVTabular-parity knobs: max_size caps the vocab (rarer values -> OOV
+    code 0, slot 0 counts toward the cap); num_buckets hashes statelessly
+    into 1..num_buckets with null -> 0, no fit pass, per-column independent
+    hash spaces."""
+    from systems_spark.operators import Categorify
+
+    rows = ([("a",)] * 5 + [("b",)] * 4 + [("c",)] * 3 + [("d",)] * 2
+            + [("e",)] * 1 + [(None,)])
+    df = spark.createDataFrame(rows, "v string")
+
+    out = Categorify(["v"], out_suffix="_code", max_size=3).fit(df)(df)
+    got = {(r.v): r.v_code for r in out.collect()}
+    assert got["a"] == 1 and got["b"] == 2          # top-2 kept (3 - OOV slot)
+    assert got["c"] == got["d"] == got["e"] == 0    # capped -> OOV
+    assert got[None] == 0
+    assert Categorify(["v"], max_size=3).fit(df).cardinality("v") == 2
+
+    hashed_op = Categorify(["v"], out_suffix="_code", num_buckets=4)
+    hashed = {r.v: r.v_code for r in hashed_op.fit(df)(df).collect()}
+    assert hashed[None] == 0
+    assert all(1 <= c <= 4 for v, c in hashed.items() if v is not None)
+    # deterministic re-run
+    assert hashed == {r.v: r.v_code for r in hashed_op(df).collect()}
+    assert hashed_op.cardinality("v") == 4
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="excludes"):
+        Categorify(["v"], num_buckets=4, max_size=3)
+    with _pt.raises(ValueError, match="max_size"):
+        Categorify(["v"], max_size=1)
