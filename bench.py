@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "streaming_hourly",
     "corpus_curation",
     "streaming_ingest_dedup",
+    "profile_table",
 ]
 
 
