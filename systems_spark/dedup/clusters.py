@@ -75,6 +75,7 @@ def connected_components(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
         .withColumn("lbl", F.col("node"))
     )
 
+    prev_sum = None  # label-sum from the previous round (monotone invariant)
     for _ in range(max_iterations):
         # (1) min over neighbor labels (map-side combined; shuffles only
         # (node, candidate-label) longs, never payloads)
@@ -99,16 +100,19 @@ def connected_components(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
         )
         new_labels = _ckpt(jumped)
 
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
+        # Convergence via the label-sum invariant: every step takes a
+        # least(...) of the old label, so per-node labels are monotonically
+        # non-increasing and the total strictly decreases until fixpoint.
+        # One decimal-exact aggregate per round replaces a join + count
+        # (decimal(38,0): an int64 sum of billions of int64 ids would
+        # overflow).
+        cur_sum = new_labels.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
