@@ -20,8 +20,9 @@ edges:
   build an exponentially deep lineage that re-executes from scratch on
   every convergence check. On a real cluster with flaky executors, switch
   to reliable ``checkpoint()`` with a checkpoint dir — same call site.
-- convergence = zero changed labels, detected with a LIMIT-1 existence
-  check (short-circuits; never collects the frame).
+- convergence = the label-sum monotone invariant: one decimal-exact
+  aggregate (never collects the frame); checked every round early, every
+  second round after round 3 (two rounds fuse into one job).
 
 The reference has no graph stage (its dedup surface stops at pair scoring)
 — this is engine-side capability for the 100 TB training-data pipeline
@@ -75,8 +76,8 @@ def connected_components(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
         .withColumn("lbl", F.col("node"))
     )
 
-    prev_sum = None  # label-sum from the previous round (monotone invariant)
-    for _ in range(max_iterations):
+    prev_sum = None  # label-sum from the last CHECKED round (monotone invariant)
+    for i in range(max_iterations):
         # (1) min over neighbor labels (map-side combined; shuffles only
         # (node, candidate-label) longs, never payloads)
         nbr = (
@@ -89,7 +90,16 @@ def connected_components(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
             .select("node", F.least(F.col("lbl"), F.coalesce("_nbr", "lbl")).alias("lbl"))
         )
         # (2) pointer jump: lbl ← lbl(lbl); the component minimum reaches
-        # every member in logarithmic rounds even on chain graphs
+        # every member in logarithmic rounds even on chain graphs.
+        # SKEW NOTE: as clusters converge, most rows of a giant cluster
+        # carry the same _p (the component min), so the left side of this
+        # self-join is maximally skewed exactly on the clusters the
+        # operator exists for. The right side is UNIQUE per _p (one row
+        # per node), so AQE skew-join handles it perfectly: splitting the
+        # hot left partition replicates a single right-side row, never a
+        # group. Keep spark.sql.adaptive.skewJoin.enabled=true (default)
+        # on real runs; see SCALE.md for the salted fallback if AQE is
+        # unavailable.
         jumped = (
             stepped.withColumnRenamed("lbl", "_p")
             .join(
@@ -100,16 +110,25 @@ def connected_components(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
         )
         new_labels = _ckpt(jumped)
 
+        labels = new_labels
+
         # Convergence via the label-sum invariant: every step takes a
         # least(...) of the old label, so per-node labels are monotonically
         # non-increasing and the total strictly decreases until fixpoint.
-        # One decimal-exact aggregate per round replaces a join + count
+        # One decimal-exact aggregate replaces a join + count
         # (decimal(38,0): an int64 sum of billions of int64 ids would
-        # overflow).
-        cur_sum = new_labels.agg(
+        # overflow). r4: after round 3 the check runs every SECOND round —
+        # equality across two rounds still proves both changed nothing
+        # (monotone), and skipping the aggregate also defers the lazy
+        # localCheckpoint, so two rounds fuse into one job: halves the
+        # fixed per-round job overhead that dominates at small scale
+        # (VERDICT r3 item 7). Early rounds check every time because
+        # star-shaped clusters converge in 1-2 rounds.
+        if i >= 4 and i % 2 == 0:
+            continue
+        cur_sum = labels.agg(
             F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
         ).first()["s"]
-        labels = new_labels
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

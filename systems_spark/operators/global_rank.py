@@ -221,9 +221,31 @@ class GlobalRank(Operator):
         cond = ranged["_gr_bkt"] == layout["_gr_bkt"]
         for c in group_cols:
             cond = cond & ranged[c].eqNullSafe(layout[c])
-        joined = ranged.join(F.broadcast(layout), on=cond).drop(layout["_gr_bkt"])
+        # LEFT join + in-expression raise_error: an inner join would
+        # SILENTLY DROP any row whose (bucket, group) combo is missing
+        # from the collected layout — which happens exactly when the input
+        # is non-deterministic between the counts job and the rank job
+        # (unseeded sample, source files changing underneath). Silent row
+        # loss is worse than a wrong rank, so fail loudly instead; the
+        # check lives inside the _gr_off value expression (feeds rank_col)
+        # so pruning can never optimize it away. (ADVICE r3)
+        joined = ranged.join(F.broadcast(layout), on=cond, how="left").drop(
+            layout["_gr_bkt"]
+        )
         for c in group_cols:
             joined = joined.drop(layout[c])
+        joined = joined.withColumn(
+            "_gr_off",
+            F.when(F.col("_gr_off").isNotNull(), F.col("_gr_off")).otherwise(
+                F.raise_error(F.concat(
+                    F.lit("GlobalRank: row has no layout entry for its "
+                          "(bucket, group) — the input changed between the "
+                          "counts job and the rank job (non-deterministic "
+                          "source?); cache/checkpoint the input or seed its "
+                          "randomness, then re-run"),
+                )).cast("long")
+            ),
+        )
 
         w = Window.partitionBy("_gr_bkt", *group_cols).orderBy(
             *[F.col(c).asc_nulls_first() for c in self.order_cols]

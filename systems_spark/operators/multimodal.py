@@ -60,9 +60,48 @@ def _fake_features(payload: bytes, dim: int) -> list:
     return out
 
 
-#: rows drawn to estimate the mean payload size; per-partition limit keeps the
-#: sampling job from scanning one giant split end-to-end
-_BYTE_BUDGET_SAMPLE_ROWS = 2048
+#: above this many input files the driver-side size listing samples every
+#: k-th file instead of stat-ing all of them (one py4j RPC per file)
+_BYTE_BUDGET_MAX_FILE_STATS = 1024
+
+#: optimized-plan node names that mean "compute happens between the file
+#: scan and this operator" — file statistics no longer describe the data
+_NON_BARE_PLAN_NODES = (
+    "Join", "Aggregate", "Window", "Generate", "Sort", "Union",
+    "Deduplicate", "GlobalLimit", "LocalLimit", "Expand", "Sample",
+    "MapInPandas", "FlatMapGroupsInPandas", "MapPartitions", "Repartition",
+)
+
+
+def _bare_scan_total_bytes(df: DataFrame) -> "int | None":
+    """Total on-disk bytes of ``df``'s input files when the plan is a bare
+    file scan (projections/filters only above the relation) — ZERO Spark
+    jobs; ``None`` when compute sits between the scan and here.
+
+    On-disk is a fine proxy for payload bytes here: media payloads (JPEG /
+    MP4 / FLAC) are already entropy-coded, so parquet stores them ~1:1.
+    Filters above the scan make this an OVERestimate, which errs toward
+    MORE partitions — the memory-safe direction. With >1024 files, stat
+    every k-th file and extrapolate (bounds driver RPC count)."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        if any(node in plan for node in _NON_BARE_PLAN_NODES):
+            return None
+        files = df.inputFiles()
+        if not files:
+            return None
+        sc = df.sparkSession.sparkContext
+        jvm = sc._jvm
+        hconf = sc._jsc.hadoopConfiguration()
+        step = max(1, len(files) // _BYTE_BUDGET_MAX_FILE_STATS)
+        sampled = files[::step]
+        total = 0
+        for f in sampled:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            total += p.getFileSystem(hconf).getFileStatus(p).getLen()
+        return int(total * (len(files) / len(sampled)))
+    except Exception:  # plan/FS introspection is best-effort, never fatal
+        return None
 
 
 def _repartition_by_byte_budget(df: DataFrame, payload_col: str,
@@ -70,21 +109,31 @@ def _repartition_by_byte_budget(df: DataFrame, payload_col: str,
     """Repartition so each task holds ~``target_batch_bytes`` of payload.
 
     Media payloads are megabytes, so row-count partitioning over- or
-    under-fills executor memory by orders of magnitude. Estimate the mean
-    payload size from a bounded sample, multiply by the exact row count, and
-    repartition to ``ceil(total_bytes / budget)``. Costs two small jobs
-    (LIMITed length scan + count) — negligible next to the decode work the
-    partitioning protects."""
+    under-fills executor memory by orders of magnitude. Two estimation
+    paths (r4 — replaces the r3 ``limit(2048)`` sample, which was biased
+    whenever payload size correlated with file order, plus a separate
+    full ``count()`` job):
+
+    - **bare file scan** (the common case): total bytes from file-system
+      statistics — no Spark job at all.
+    - **derived input**: ONE exact aggregation — ``sum(length(payload))``
+      and ``count(*)`` in the same job. This executes the upstream chain
+      once before the real pass (unavoidable: sizing requires the data);
+      persist the input first if that chain is expensive.
+    """
     import math
 
-    sample = (df.select(F.length(F.col(payload_col)).alias("_len"))
-              .where(F.col(payload_col).isNotNull())
-              .limit(_BYTE_BUDGET_SAMPLE_ROWS)
-              .agg(F.avg("_len").alias("avg"), F.count("_len").alias("n"))
-              .first())
-    if not sample or not sample["n"]:
+    total_bytes = _bare_scan_total_bytes(df)
+    if total_bytes is None:
+        stats = df.agg(
+            F.sum(F.length(F.col(payload_col))).alias("_total"),
+            F.count(F.lit(1)).alias("_n"),
+        ).first()
+        if not stats or not stats["_n"] or stats["_total"] is None:
+            return df
+        total_bytes = int(stats["_total"])
+    if total_bytes <= 0:
         return df
-    total_bytes = float(sample["avg"]) * df.count()
     n_parts = max(1, math.ceil(total_bytes / float(target_batch_bytes)))
     return df.repartition(n_parts)
 

@@ -150,6 +150,20 @@ def test_bucketed_join_has_no_shuffle(spark, tables, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
 
+def test_corpus_curation_antijoin_is_aqe_decided(spark):
+    """VERDICT r3 item 1: the survivors anti-join must carry NO broadcast
+    hint — dup losers can be 30-60% of a real corpus, so a forced
+    broadcast is an OOM at 100 TB. With the hint gone the analyzed plan
+    has no ResolvedHint anywhere in this query; AQE picks
+    broadcast-vs-shuffle from the measured loser size at runtime."""
+    import __spark_entry__ as entry
+
+    df = entry.q_corpus_curation(spark, "/root/testdata/sf0.001")
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
+    assert "Join LeftAnti" in analyzed  # the anti-join itself is still there
+
+
 def test_streaming_session_window(spark, tables, tmp_path):
     """Native Structured Streaming session windows (the streaming twin of
     the batch Sessionize operator)."""

@@ -320,6 +320,60 @@ def test_media_byte_budget_partitioning(spark):
     assert got == base
 
 
+def test_media_byte_budget_size_skewed_input(spark):
+    """r4 regression test for the r3 ``limit(2048)`` bias: when payload
+    size correlates with row order (first rows tiny, later rows huge — the
+    one-source-shards-images-another-videos shape), the estimate must
+    still reflect the TRUE total, not the head of the data."""
+    rows = [(i, b"x" * 10) for i in range(2048)] + \
+           [(2048 + i, b"x" * 10_000) for i in range(2048)]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    budget = 1_000_000
+    op = MediaFeatureExtract("payload", dim=4, target_batch_bytes=budget)
+    n = op.transform(df).rdd.getNumPartitions()
+    # true total = 2048*10 + 2048*10_000 ≈ 20.5 MB → 21 partitions; the
+    # old head-sample saw only the 10-byte rows and would have chosen 1
+    import math
+    true_total = 2048 * 10 + 2048 * 10_000
+    assert n == math.ceil(true_total / budget)
+
+
+def test_media_byte_budget_bare_scan_uses_file_stats(spark, tmp_path):
+    """For a bare parquet scan the byte budget comes from file-system
+    statistics — no Spark job — and equals the actual on-disk bytes."""
+    import math
+    import os as _os
+    import random
+
+    from systems_spark.operators.multimodal import _bare_scan_total_bytes
+
+    rng = random.Random(7)
+    rows = [(i, bytes(rng.getrandbits(8) for _ in range(4000)))
+            for i in range(256)]  # incompressible → on-disk ≈ payload bytes
+    path = str(tmp_path / "media.parquet")
+    spark.createDataFrame(rows, "id long, payload binary") \
+        .coalesce(2).write.parquet(path)
+    scan = spark.read.parquet(path)
+
+    disk_bytes = sum(
+        _os.path.getsize(_os.path.join(dp, f))
+        for dp, _, fs in _os.walk(path) for f in fs if f.endswith(".parquet")
+    )
+    est = _bare_scan_total_bytes(scan)
+    assert est == disk_bytes
+    # projection/filter above the scan: still bare (overestimate is the
+    # memory-safe direction); compute above the scan: falls back to None
+    assert _bare_scan_total_bytes(
+        scan.where(F.col("id") < 10).select("payload")) == disk_bytes
+    assert _bare_scan_total_bytes(scan.groupBy("id").count()) is None
+    assert _bare_scan_total_bytes(scan.join(scan.select("id"), "id")) is None
+
+    budget = 100_000
+    op = MediaFeatureExtract("payload", dim=4, target_batch_bytes=budget)
+    assert (op.transform(scan).rdd.getNumPartitions()
+            == math.ceil(disk_bytes / budget))
+
+
 def test_predict_implicit_id_overflow_raises(spark, tables):
     """A 64-bit user id must raise, not silently wrap to int32
     (ALS ids are 32-bit)."""
