@@ -119,6 +119,32 @@ def schema_from_signature(signature) -> "Schema":
     return Schema(cols)
 
 
+def ragged_to_values_offsets(rows):
+    """List-of-arrays → (concatenated values, int32 cumulative offsets of
+    length batch+1 starting at 0) — the reference's ragged tensor wire
+    format (merlin/systems/triton/conversions.py:183-189). Pure NumPy so
+    the split is unit-testable without TF installed."""
+    import numpy as np
+
+    arrs = [np.asarray(v) for v in rows]
+    values = (np.concatenate(arrs) if arrs
+              else np.array([], dtype="float32"))
+    offsets = np.zeros(len(arrs) + 1, dtype="int32")
+    if arrs:
+        np.cumsum([len(a) for a in arrs], out=offsets[1:])
+    return values, offsets
+
+
+def values_offsets_to_ragged(values, offsets):
+    """Inverse of :func:`ragged_to_values_offsets`: slice the values
+    tensor back into one array per row."""
+    import numpy as np
+
+    off = np.asarray(offsets).reshape(-1)
+    vals = np.asarray(values)
+    return [vals[off[i]:off[i + 1]] for i in range(len(off) - 1)]
+
+
 def predict_model_from_signature(loader: Callable, predict_fn: Callable,
                                  input_signature, output_signature,
                                  passthrough: Optional[Iterable[str]] = None
@@ -174,6 +200,11 @@ def predict_tensorflow(path: str, signature: Optional[dict] = None,
     if signature is None:
         signature = _read_tf_signature(path, signature_name)
 
+    in_ragged = {n[: -len("__values")] for n in signature["inputs"]
+                 if n.endswith("__values")}
+    out_ragged = {n[: -len("__values")] for n in signature["outputs"]
+                  if n.endswith("__values")}
+
     def loader():  # runs on executors: one SavedModel load per task stream
         import tensorflow as tf
 
@@ -187,13 +218,28 @@ def predict_tensorflow(path: str, signature: Optional[dict] = None,
         feeds = {}
         for c in pdf.columns:
             col = pdf[c].to_numpy()
-            if len(col) and isinstance(col[0], (list, np.ndarray)):
-                col = np.stack([np.asarray(v) for v in col])
-            feeds[c] = tf.convert_to_tensor(col)
-        outs = model(**feeds)
+            if c in in_ragged:
+                # the schema collapsed `c__values`/`c__offsets` into ONE
+                # list column, so the scorer splits it back into the two
+                # tensors the SavedModel actually declares — feeding the
+                # base name, as the pre-r4 scorer did, cannot work
+                # against a real ragged SavedModel (ADVICE r3)
+                values, offsets = ragged_to_values_offsets(col)
+                feeds[f"{c}__values"] = tf.convert_to_tensor(values)
+                feeds[f"{c}__offsets"] = tf.convert_to_tensor(offsets)
+            elif len(col) and isinstance(col[0], (list, np.ndarray)):
+                feeds[c] = tf.convert_to_tensor(
+                    np.stack([np.asarray(v) for v in col])
+                )
+            else:
+                feeds[c] = tf.convert_to_tensor(col)
+        outs = {name: np.asarray(t) for name, t in model(**feeds).items()}
         data = {}
-        for name, t in outs.items():
-            a = np.asarray(t)
+        for base in out_ragged:  # reassemble ragged outputs → list column
+            data[base] = values_offsets_to_ragged(
+                outs.pop(f"{base}__values"), outs.pop(f"{base}__offsets")
+            )
+        for name, a in outs.items():
             data[name] = list(a) if a.ndim > 1 else a
         return pd.DataFrame(data)
 

@@ -374,6 +374,127 @@ def test_media_byte_budget_bare_scan_uses_file_stats(spark, tmp_path):
             == math.ceil(disk_bytes / budget))
 
 
+def test_implicit_recommend_matches_numpy_factor_scoring(spark, tables):
+    """ADVICE r3 (medium): the graded implicit_recommend oracle is a
+    pinned regression snapshot (generated from the query itself), so this
+    test supplies the INDEPENDENT correctness leg: rebuild the same
+    pinned-layout ALS fit, then score every (user, item) pair in NumPy
+    straight from the fitted factor matrices and check that MLlib's
+    recommendForUserSubset returns exactly the top-k of that score
+    matrix, in order."""
+    import numpy as np
+    from pyspark.ml.recommendation import ALS
+
+    ev = tables["events"]
+    inter = (
+        ev.select(
+            F.col("user_id").cast("int").alias("user"),
+            F.pmod(F.col("event_id"), F.lit(200)).cast("int").alias("item"),
+        )
+        .groupBy("user", "item")
+        .agg(F.count(F.lit(1)).cast("float").alias("rating"))
+        .repartition(1)
+        .sortWithinPartitions("user", "item")
+    )
+    als = ALS(rank=8, maxIter=5, seed=42, implicitPrefs=True,
+              userCol="user", itemCol="item", ratingCol="rating",
+              numUserBlocks=1, numItemBlocks=1, coldStartStrategy="drop")
+    model = als.fit(inter)
+
+    uf = {r.id: np.array(r.features, dtype=np.float32)
+          for r in model.userFactors.collect()}
+    itf = {r.id: np.array(r.features, dtype=np.float32)
+           for r in model.itemFactors.collect()}
+    users = sorted(uf)[:20]
+    k = 5
+    got = {
+        r.user: [(c.item, c.rating) for c in r.recommendations]
+        for r in model.recommendForUserSubset(
+            inter.select("user").distinct().orderBy("user").limit(20), k
+        ).collect()
+    }
+    assert sorted(got) == users
+    item_ids = sorted(itf)
+    idx = {i: j for j, i in enumerate(item_ids)}
+    V = np.stack([itf[i] for i in item_ids])
+    # MLlib's fused float32 dot can differ from NumPy's by ~1 ulp, which
+    # can swap genuinely tied neighbors — so assert top-k VALIDITY within
+    # a float tolerance, not identical tie order: every returned score
+    # matches the factor recomputation, the returned list is
+    # non-increasing, and no unreturned item beats the returned minimum.
+    tol = 1e-5
+    for u in users:
+        scores = V @ uf[u]  # float32, mirroring MLlib's BLAS dot
+        sel = np.array([idx[i] for i, _ in got[u]])
+        for (item, rating) in got[u]:
+            np.testing.assert_allclose(rating, float(scores[idx[item]]),
+                                       rtol=1e-5)
+        sel_scores = scores[sel]
+        assert all(sel_scores[i] >= sel_scores[i + 1] - tol
+                   for i in range(k - 1)), (u, sel_scores)
+        rest = np.delete(scores, sel)
+        assert float(sel_scores.min()) >= float(rest.max()) - tol, (
+            u, float(sel_scores.min()), float(rest.max()))
+
+
+def test_predict_forest_matches_python_tree_traversal(spark, tables):
+    """ADVICE r3 (medium), forest leg: walk each fitted tree's structure
+    (public Node API: split featureIndex/threshold, leaf prediction) in
+    pure Python and combine per-tree probability vectors in NumPy —
+    independent of MLlib's predict path — then check (a) per-tree
+    traversal reproduces each tree's own predictions and (b) the NumPy
+    probability-sum argmax reproduces the forest's predictions, hence the
+    graded histogram."""
+    import numpy as np
+    from pyspark.ml.classification import RandomForestClassifier
+    from pyspark.ml.feature import VectorAssembler
+
+    li = tables["lineitem"]
+    data = li.select(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        (F.col("l_returnflag") == "R").cast("double").alias("label"),
+    ).repartition(8, "l_quantity", "l_extendedprice").sortWithinPartitions(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax", "label"
+    )
+    assembled = VectorAssembler(
+        inputCols=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        outputCol="features",
+    ).transform(data)
+    model = RandomForestClassifier(numTrees=8, maxDepth=4, seed=42).fit(assembled)
+
+    def read_tree(jnode):
+        if jnode.getClass().getSimpleName() == "LeafNode":
+            return ("leaf", float(jnode.prediction()))
+        split = jnode.split()
+        assert split.getClass().getSimpleName() == "ContinuousSplit"
+        return ("split", split.featureIndex(), split.threshold(),
+                read_tree(jnode.leftChild()), read_tree(jnode.rightChild()))
+
+    def walk(tree, x):
+        while tree[0] == "split":
+            _, fi, thr, left, right = tree
+            tree = left if x[fi] <= thr else right
+        return tree[1]
+
+    trees = [read_tree(t._java_obj.rootNode()) for t in model.trees]
+
+    rows = assembled.limit(300).collect()
+    X = [list(r.features) for r in rows]
+    # (a) per-tree: pure-Python traversal == the tree's own transform
+    per_tree_probs = []
+    for py_tree, jtree in zip(trees, model.trees):
+        preds = jtree.transform(assembled.limit(300)).select(
+            "prediction", "probability").collect()
+        for x, p in zip(X, preds):
+            assert walk(py_tree, x) == p.prediction, (x, py_tree)
+        per_tree_probs.append(np.array([list(p.probability) for p in preds]))
+    # (b) forest = argmax of summed per-tree probability vectors
+    combined = np.sum(per_tree_probs, axis=0)
+    forest_preds = [r.prediction for r in
+                    model.transform(assembled.limit(300)).select("prediction").collect()]
+    np.testing.assert_array_equal(np.argmax(combined, axis=1), forest_preds)
+
+
 def test_predict_implicit_id_overflow_raises(spark, tables):
     """A 64-bit user id must raise, not silently wrap to int32
     (ALS ids are 32-bit)."""
