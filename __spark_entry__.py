@@ -1394,6 +1394,32 @@ SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
 """
 
 
+def q_grouped_rank(spark, sf_dir):
+    """Many-small-groups rank (operators/global_rank.py:grouped_rank):
+    the plain per-group window twin that GlobalRank's `max_layout_rows`
+    driver-OOM guard points to — scale-safe exactly when no single group
+    outgrows one task. Deterministic tie-break on c_custkey."""
+    from systems_spark.operators.global_rank import grouped_rank
+
+    cust = _t(spark, sf_dir, "customer")
+    return grouped_rank(
+        cust.select("c_custkey", "c_nationkey",
+                    _dec("c_acctbal", 18, 2).alias("c_acctbal")),
+        order_cols=["c_acctbal", "c_custkey"],
+        group_cols=["c_nationkey"],
+    )
+
+
+_SQL_GROUPED_RANK = """
+SELECT c_custkey, c_nationkey, c_acctbal::DECIMAL(18,2) AS c_acctbal,
+       ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                          ORDER BY c_acctbal::DECIMAL(18,2), c_custkey
+                         )::BIGINT AS rank,
+       COUNT(*) OVER (PARTITION BY c_nationkey)::BIGINT AS grp_total
+FROM customer
+"""
+
+
 def q_streaming_ingest_dedup(spark, sf_dir):
     """Incremental corpus ingestion with a stream-static ANTI join — the
     ingest-time guard of a continuously-growing corpus: arriving documents
@@ -2244,6 +2270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": q_corpus_curation,
         "streaming_ingest_dedup": q_streaming_ingest_dedup,
         "profile_table": q_profile_table,
+        "grouped_rank": q_grouped_rank,
         "events_rollup": q_events_rollup,
         "cube_revenue": q_cube_revenue,
         "monthly_revenue": q_monthly_revenue,
@@ -2358,4 +2385,5 @@ def oracle_sql() -> dict[str, str]:
         "corpus_curation": _sql_corpus_curation(),
         "streaming_ingest_dedup": _SQL_STREAMING_INGEST_DEDUP,
         "profile_table": _SQL_PROFILE_TABLE,
+        "grouped_rank": _SQL_GROUPED_RANK,
     }
