@@ -39,7 +39,8 @@ def connected_components(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
                          node_col: str = "node",
                          component_col: str = "component",
                          max_iterations: int = 50,
-                         checkpoint: str = "local") -> DataFrame:
+                         checkpoint: str = "local",
+                         salt: int = 0) -> DataFrame:
     """One row per node appearing in ``pairs``: (node, component) where
     component is the MINIMUM node id in the node's connected component —
     deterministic, so the component id doubles as the canonical survivor.
@@ -55,9 +56,20 @@ def connected_components(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
     (``spark.sparkContext.setCheckpointDir(...)`` must be set) — the right
     mode for long multi-round runs on real clusters where executor loss is
     routine.
+
+    ``salt``: >1 spreads the pointer-jump self-join's hot key (the
+    component min, which most rows of a converged giant cluster carry)
+    across ``salt`` shuffle partitions: the left side salts by
+    ``hash(node) % salt``, the right side replicates each (node, label)
+    row ``salt`` ways. Same answer, ``salt``× right-side traffic. Leave 0
+    (off) when AQE skew-join is enabled — the right side is unique per
+    key, so AQE's split-and-replicate is already lossless and cheaper;
+    this is the explicit fallback for AQE-off clusters with ≫10M-member
+    clusters.
     """
     if checkpoint not in ("local", "reliable"):
         raise ValueError("checkpoint must be 'local' or 'reliable'")
+    salt = int(salt)
 
     def _ckpt(df: DataFrame) -> DataFrame:
         if checkpoint == "reliable":
@@ -100,12 +112,20 @@ def connected_components(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
         # group. Keep spark.sql.adaptive.skewJoin.enabled=true (default)
         # on real runs; see SCALE.md for the salted fallback if AQE is
         # unavailable.
-        jumped = (
-            stepped.withColumnRenamed("lbl", "_p")
-            .join(
-                stepped.select(F.col("node").alias("_p"), F.col("lbl").alias("_pl")),
-                on="_p", how="left",
+        lookup = stepped.select(F.col("node").alias("_p"), F.col("lbl").alias("_pl"))
+        if salt > 1:
+            left = stepped.withColumnRenamed("lbl", "_p").withColumn(
+                "_salt", F.pmod(F.xxhash64("node"), F.lit(salt)).cast("int")
             )
+            lookup = lookup.withColumn(
+                "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+            )
+            join_on = ["_p", "_salt"]
+        else:
+            left = stepped.withColumnRenamed("lbl", "_p")
+            join_on = ["_p"]
+        jumped = (
+            left.join(lookup, on=join_on, how="left")
             .select("node", F.least(F.col("_p"), F.coalesce("_pl", "_p")).alias("lbl"))
         )
         new_labels = _ckpt(jumped)

@@ -185,6 +185,26 @@ def test_connected_components_giant_skewed_cluster(spark):
     }
 
 
+def test_connected_components_salted_jump_same_answer(spark):
+    """salt>1 spreads the pointer-jump hot key (AQE-off fallback) and must
+    be answer-identical to the unsalted path on skewed and multi-cluster
+    graphs."""
+    from pyspark.sql import functions as F
+
+    from systems_spark.dedup import connected_components
+
+    star = spark.range(1, 5000).select(F.lit(0).alias("a"), F.col("id").alias("b"))
+    chain = spark.range(99).select(
+        (F.col("id") + 100_000).alias("a"), (F.col("id") + 100_001).alias("b")
+    )
+    edges = star.union(chain)
+    plain = {r.node: r.component for r in connected_components(edges).collect()}
+    salted = {r.node: r.component
+              for r in connected_components(edges, salt=8).collect()}
+    assert salted == plain
+    assert set(plain.values()) == {0, 100_000}
+
+
 def test_connected_components_reliable_checkpoint(spark, tmp_path):
     """'reliable' mode checkpoints rounds to the Spark checkpoint dir —
     same answer, survives executor loss on a real cluster."""
