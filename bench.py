@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "corpus_curation",
     "streaming_ingest_dedup",
     "profile_table",
+    "grouped_rank",
 ]
 
 
