@@ -247,6 +247,49 @@ def test_broadcast_vs_smj_detection(spark, tables):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
+def test_bucketed_join_needs_no_shuffle(spark, tables):
+    """The `write_bucketed_table` scale claim, proven in the plan: two
+    tables bucketed on the join key with the same bucket count sort-merge
+    join with ZERO Exchange — the bucketing output partitioning satisfies
+    the join's distribution requirement at planning time. The identical
+    join over plain parquet shuffles both sides."""
+    from systems_spark.sources import write_bucketed_table
+
+    import shutil
+
+    orders = tables["orders"].select("o_orderkey", "o_custkey", "o_totalprice")
+    li = tables["lineitem"].select("l_orderkey", "l_quantity")
+    for t in ("b_orders", "b_lineitem"):  # clear any stale location
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(
+            os.path.join(spark.conf.get("spark.sql.warehouse.dir")
+                         .removeprefix("file:"), t),
+            ignore_errors=True)
+    write_bucketed_table(orders, "b_orders", "o_orderkey", 4)
+    write_bucketed_table(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem",
+        "o_orderkey", 4)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bo, bl = spark.table("b_orders"), spark.table("b_lineitem")
+        joined = bo.join(bl, "o_orderkey")
+        assert has_sort_merge_join(joined)
+        assert count_exchanges(joined) == 0  # co-located: no shuffle at all
+        # same join over the unbucketed frames shuffles both sides
+        plain = orders.join(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey")
+        assert count_exchanges(plain) >= 2
+        # and the bucketed join is not just pretty — it computes the join
+        assert joined.count() == plain.count()
+        # groupBy on the bucket column also rides the bucketing: no shuffle
+        agg = bo.groupBy("o_orderkey").agg(F.sum("o_totalprice").alias("s"))
+        assert count_exchanges(agg) == 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
 def test_partition_pruning_on_partitioned_write(spark, tmp_path, tables):
     """Hive-partitioned writes enable partition pruning: a filter on the
     partition column appears as PartitionFilters and non-matching
