@@ -1477,6 +1477,98 @@ WHERE k.content_hash IS NULL
 """
 
 
+def q_streaming_sessions(spark, sf_dir):
+    """STREAMING gap-based sessionization — the streaming twin of the batch
+    `sessionize` query, on Spark's native session windows: events replayed
+    as a bounded file stream (availableNow), watermarked
+    `session_window(ts, '30 minutes')` aggregation (sessions merge while
+    consecutive events are < gap apart; state store holds open sessions,
+    sharded by user), memory sink materialized for the oracle hash.
+
+    The reference has no streaming surface at all (SURVEY.md §2.2
+    "Streaming ops: none"); this is new engine capability: at 100 TB/day
+    the same plan runs unbounded with the watermark closing sessions and
+    evicting their state — the thing the batch lag/running-sum sessionizer
+    fundamentally cannot do incrementally.
+
+    value is summed as decimal(18,6) so the aggregate is order-independent
+    and hash-exact vs DuckDB (double addition is not associative)."""
+    import hashlib
+    import uuid
+
+    from systems_spark.sources import read_parquet
+
+    path = f"{sf_dir}/events.parquet"
+    raw_schema = read_parquet(spark, path).schema
+    link_dir = os.path.join(
+        "/tmp", "systems_spark_stream",
+        hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
+    )
+    os.makedirs(link_dir, exist_ok=True)
+    link = os.path.join(link_dir, "events.parquet")
+    if not os.path.islink(link):
+        os.symlink(os.path.abspath(path), link)
+    stream = spark.readStream.schema(raw_schema).parquet(link_dir)
+    conf = spark.conf
+    prev_tz = conf.get("spark.sql.session.timeZone")
+    conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        ts_type = raw_schema["ts"].dataType.typeName()
+        if ts_type in ("timestamp", "timestamp_ntz"):
+            ts_ts = F.col("ts").cast("timestamp")
+        else:  # int64 nanos generation — exact integer truncation to µs
+            ts_ts = F.timestamp_micros(F.expr("ts div 1000"))
+        agg = (
+            stream.withColumn("ts_ts", ts_ts)
+            .withWatermark("ts_ts", "1 minute")
+            .groupBy(F.session_window(F.col("ts_ts"), "30 minutes"),
+                     F.col("user_id"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"))
+        )
+        name = "stream_sessions_" + uuid.uuid4().hex[:12]
+        q = (agg.writeStream.outputMode("complete").format("memory")
+             .queryName(name).trigger(availableNow=True).start())
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("streaming_sessions did not finish within 300s")
+    finally:
+        conf.set("spark.sql.session.timeZone", prev_tz)
+    return spark.table(name).select(
+        "user_id",
+        F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+        F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+        "n_events",
+        "sum_value",
+    )
+
+
+# session end = last event + gap (Spark session_window.end semantics);
+# new session iff the inter-event gap is >= 30 min (windows merge on
+# STRICT overlap).
+_SQL_STREAMING_SESSIONS = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+), flagged AS (
+  SELECT user_id, ts_us, value,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC)
+), sessions AS (
+  SELECT user_id, ts_us, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us ASC
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, min(ts_us) AS session_start_us,
+       max(ts_us) + 1800000000 AS session_end_us,
+       count(*) AS n_events,
+       sum(value::DECIMAL(18,6)) AS sum_value
+FROM sessions GROUP BY user_id, sid
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Duplicate-CLUSTER resolution — the stage after pair finding that an
     actual corpus dedup needs: connected components over the LSH-verified
@@ -2280,6 +2372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "balance_deciles": q_balance_deciles,
         "value_quantiles": q_value_quantiles,
         "order_rank_stats": q_order_rank_stats,
+        "streaming_sessions": q_streaming_sessions,
     }
 
 
@@ -2386,4 +2479,5 @@ def oracle_sql() -> dict[str, str]:
         "streaming_ingest_dedup": _SQL_STREAMING_INGEST_DEDUP,
         "profile_table": _SQL_PROFILE_TABLE,
         "grouped_rank": _SQL_GROUPED_RANK,
+        "streaming_sessions": _SQL_STREAMING_SESSIONS,
     }

@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "streaming_ingest_dedup",
     "profile_table",
     "grouped_rank",
+    "streaming_sessions",
 ]
 
 
