@@ -177,13 +177,14 @@ class QueryANN(Operator):
                  dim: Optional[int] = None, broadcast: bool = True,
                  n_cells: int = 32, nprobe: int = 8,
                  pq_m: int = 8, pq_k: int = 16, rerank: int = 50,
-                 pq_train_iters: int = 0):
+                 pq_train_iters: int = 0, ivf_train_iters: int = 0):
         self.n_cells = int(n_cells)
         self.nprobe = int(nprobe)
         self.pq_m = int(pq_m)
         self.pq_k = int(pq_k)
         self.rerank = int(rerank)
         self.pq_train_iters = int(pq_train_iters)
+        self.ivf_train_iters = int(ivf_train_iters)
         self.items_df = items_df
         self.item_id_col = item_id_col
         self.item_vec_col = item_vec_col
@@ -425,20 +426,14 @@ class QueryANN(Operator):
         """
         n_cells, nprobe = self.n_cells, self.nprobe
         items = self._items()
-        cents = F.broadcast(
-            items.orderBy(F.col("_ann_id").asc()).limit(n_cells).select(
-                F.col("_ann_id").alias("_cent_id"), F.col("_ann_vec").alias("_cent_vec")
-            )
+        cents = items.orderBy(F.col("_ann_id").asc()).limit(n_cells).select(
+            F.col("_ann_id").alias("_cent_id"), F.col("_ann_vec").alias("_cent_vec")
         )
-        cell_w = Window.partitionBy("_ann_id").orderBy(
-            F.col("_cdot").desc(), F.col("_cent_id").asc()
-        )
-        item_cells = (
-            items.crossJoin(cents)
-            .withColumn("_cdot", _score(self.metric, F.col("_ann_vec"), F.col("_cent_vec")))
-            .withColumn("_crn", F.row_number().over(cell_w))
-            .where(F.col("_crn") == 1)
-            .select("_ann_id", "_ann_vec", F.col("_cent_id").alias("_cell"))
+        if self.ivf_train_iters > 0:
+            cents = self._ivf_train(items, cents)
+        cents = F.broadcast(cents)
+        item_cells = self._ivf_cells(items, cents).select(
+            "_ann_id", "_ann_vec", "_cell"
         )
         probe_w = Window.partitionBy(self.query_id_col).orderBy(
             F.col("_cdot").desc(), F.col("_cent_id").asc()
@@ -455,6 +450,66 @@ class QueryANN(Operator):
             "ann_score", _score(self.metric, F.col(self.query_vec_col), F.col("_ann_vec"))
         ).drop("_cell")
         return self._rank_topk(joined)
+
+    def _ivf_cells(self, items, cents):
+        """Inverted-list assignment: each item's best coarse cell by the
+        index metric (ties to the lower centroid id). Kept separate so
+        tests and index diagnostics (FAISS's invlist-size counterpart)
+        can inspect cell balance — the thing that bounds per-probe scan
+        cost at scale."""
+        cell_w = Window.partitionBy("_ann_id").orderBy(
+            F.col("_cdot").desc(), F.col("_cent_id").asc()
+        )
+        return (
+            items.crossJoin(cents)
+            .withColumn("_cdot", _score(self.metric, F.col("_ann_vec"),
+                                        F.col("_cent_vec")))
+            .withColumn("_crn", F.row_number().over(cell_w))
+            .where(F.col("_crn") == 1)
+            .select("_ann_id", "_ann_vec", F.col("_cent_id").alias("_cell"),
+                    "_cdot")
+        )
+
+    def _ivf_train(self, items, cents):
+        """Lloyd iterations for the coarse quantizer (``ivf_train_iters``) —
+        the k-means training FAISS's IVF does at index-build time
+        (reference faiss.py builds `IVF32,Flat`, whose `train()` runs
+        k-means): assign every item to its best current centroid, recompute
+        each centroid as the element-wise mean of its members, empty cells
+        keep their previous centroid.
+
+        Scale shape per iteration: assignment is a map-side pass against
+        the broadcast centroid set (N×K dots, no shuffle of vectors); the
+        mean is ONE narrow shuffle of (cell, pos) partial sums — the
+        vectors themselves never shuffle. Disabled by default for the same
+        reason as ``pq_train_iters``: distributed float means are
+        run-order sensitive at the ulp level, so the untrained lowest-id
+        seeding stays bit-deterministic for the oracle; training is the
+        recall lever for clustered real-world corpora (seeds are then all
+        drawn from wherever the low ids happen to sit)."""
+        for _ in range(self.ivf_train_iters):
+            assigned = self._ivf_cells(items, F.broadcast(cents)).select(
+                F.col("_cell").alias("_cent_id"), "_ann_vec"
+            )
+            means = (
+                assigned.select(
+                    "_cent_id", F.posexplode("_ann_vec").alias("_pos", "_val")
+                )
+                .groupBy("_cent_id", "_pos")
+                .agg(F.avg(F.col("_val").cast("double")).alias("_avg"))
+                .groupBy("_cent_id")
+                .agg(F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_avg"))),
+                    lambda s: s["_avg"].cast("float"),
+                ).alias("_new"))
+            )
+            cents = (
+                cents.join(means, on="_cent_id", how="left")
+                .select("_cent_id",
+                        F.coalesce(F.col("_new"), F.col("_cent_vec"))
+                        .alias("_cent_vec"))
+            )
+        return cents
 
     def _transform_lsh(self, df: DataFrame) -> DataFrame:
         if self.dim is None:
@@ -492,7 +547,8 @@ class QueryANN(Operator):
                 "n_tables": self.n_tables, "n_planes": self.n_planes, "dim": self.dim,
                 "broadcast": self.broadcast, "n_cells": self.n_cells,
                 "nprobe": self.nprobe, "pq_m": self.pq_m, "pq_k": self.pq_k,
-                "rerank": self.rerank, "pq_train_iters": self.pq_train_iters}
+                "rerank": self.rerank, "pq_train_iters": self.pq_train_iters,
+                "ivf_train_iters": self.ivf_train_iters}
 
     def save_artifacts(self, path: str) -> None:
         self.items_df.write.mode("overwrite").parquet(f"{path}/items.parquet")

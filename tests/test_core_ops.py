@@ -408,6 +408,77 @@ def test_ann_pq_trained_codebook(spark, tables):
         assert sorted(ranks) == [1, 2, 3, 4, 5]
 
 
+def test_ann_ivf_trained_centroids_beat_degenerate_seeds(spark):
+    """k-means-trained IVF (ivf_train_iters>0) on adversarially-seeded
+    clustered data: all low ids sit in ONE cluster, so the untrained
+    lowest-id seeding puts every coarse cell in the same region —
+    inverted lists collapse (unbounded per-probe scan cost) and
+    quantization error is huge. Lloyd training must restore balanced
+    cells and near-perfect quantization, and the trained operator must
+    still produce a full ranked result. (Recall alone cannot show the
+    difference: queries and items rank cells with the same score, so
+    they agree even on degenerate centroids.)"""
+    import math
+    import random
+
+    rnd = random.Random(7)
+    dim, n_clusters, per = 16, 8, 40
+    centers = []
+    for c in range(n_clusters):
+        v = [rnd.gauss(0, 1) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        centers.append([8.0 * x / n for x in v])
+    rows = []
+    for c in range(n_clusters):
+        for i in range(per):
+            # ids 0..39 all in cluster 0, 40..79 in cluster 1, ...
+            vid = c * per + i
+            vec = [centers[c][d] + rnd.gauss(0, 0.1) for d in range(dim)]
+            rows.append((vid, [float(x) for x in vec]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = spark.createDataFrame(
+        [(c, [float(x) for x in centers[c]]) for c in range(n_clusters)],
+        "request_id long, qvec array<float>",
+    )
+    kw = dict(item_id_col="vec_id", query_vec_col="qvec",
+              query_id_col="request_id", topk=5, metric="cosine")
+    ivf_kw = dict(strategy="ivf", n_cells=8, nprobe=2, **kw)
+    op = QueryANN(emb, ivf_train_iters=4, **ivf_kw)
+
+    def cell_stats(cents):
+        cells = op._ivf_cells(op._items(), F.broadcast(cents)).collect()
+        sizes = {}
+        for r in cells:
+            sizes[r._cell] = sizes.get(r._cell, 0) + 1
+        avg_cos = sum(r._cdot for r in cells) / len(cells)
+        return sizes, avg_cos
+
+    items = op._items()
+    seeds = items.orderBy(F.col("_ann_id").asc()).limit(8).select(
+        F.col("_ann_id").alias("_cent_id"), F.col("_ann_vec").alias("_cent_vec"))
+    raw_sizes, raw_cos = cell_stats(seeds)
+    tr_sizes, tr_cos = cell_stats(op._ivf_train(items, seeds))
+
+    # untrained: every seed sits in cluster 0, so items of the other 7
+    # clusters pile onto whichever same-region seed their noise favors —
+    # inverted lists collapse and the assigned centroid barely resembles
+    # the member (per-probe scan cost at scale is max cell size)
+    assert max(raw_sizes.values()) >= 2 * per, raw_sizes
+    assert raw_cos < 0.5, raw_cos
+    # trained: Lloyd spreads the centroids onto the true cluster means —
+    # balanced cells and near-perfect quantization
+    assert max(tr_sizes.values()) <= 1.2 * per, tr_sizes
+    assert tr_cos > 0.95, tr_cos
+
+    # and the trained operator still produces a full valid ranked result
+    by_q = {}
+    for r in op(q).collect():
+        by_q.setdefault(r.request_id, []).append(r.ann_rank)
+    assert len(by_q) == n_clusters
+    for ranks in by_q.values():
+        assert sorted(ranks) == [1, 2, 3, 4, 5]
+
+
 def test_asof_join_exact(spark):
     """Left row matches the latest right row at-or-before its ts, per key."""
     left = spark.createDataFrame(
