@@ -1544,15 +1544,18 @@ def q_streaming_sessions(spark, sf_dir):
 
 
 # session end = last event + gap (Spark session_window.end semantics);
-# new session iff the inter-event gap is >= 30 min (windows merge on
-# STRICT overlap).
+# new session iff the inter-event gap EXCEEDS 30 min — session_window
+# merges an event landing exactly on the previous session's end
+# (boundary pinned in test_sessionize_closed_left_matches_session_window
+# _boundary; real event data almost never hits it, but the oracle must
+# encode the true convention).
 _SQL_STREAMING_SESSIONS = """
 WITH e AS (
   SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
 ), flagged AS (
   SELECT user_id, ts_us, value,
          CASE WHEN lag(ts_us) OVER w IS NULL
-                   OR ts_us - lag(ts_us) OVER w >= 1800000000
+                   OR ts_us - lag(ts_us) OVER w > 1800000000
               THEN 1 ELSE 0 END AS new_s
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC)
 ), sessions AS (

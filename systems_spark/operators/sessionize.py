@@ -23,23 +23,37 @@ from systems_spark.operators.base import Operator
 
 class Sessionize(Operator):
     def __init__(self, user_col: str, ts_col: str, gap, order_cols=(),
-                 session_col: str = "session_id"):
+                 session_col: str = "session_id", closed: str = "right"):
         """``gap`` in the same unit as ``ts_col`` (e.g. ns for int64-nanos).
-        ``order_cols`` break ordering ties deterministically (e.g. event_id)."""
+        ``order_cols`` break ordering ties deterministically (e.g. event_id).
+
+        ``closed`` fixes the boundary convention for an inter-event gap
+        EXACTLY equal to ``gap``: ``"right"`` (default) keeps it in the
+        same session (split on diff > gap) — empirically the convention of
+        Structured Streaming's ``session_window``, which merges an event
+        landing exactly on the previous session's end (pinned in
+        test_sessionize_closed_left_matches_session_window_boundary), so
+        batch backfills with the default agree event-for-event with the
+        streaming twin. ``"left"`` splits at the boundary (split on
+        diff >= gap), the end-exclusive convention some SQL sessionization
+        definitions use."""
+        if closed not in ("right", "left"):
+            raise ValueError("closed must be 'right' or 'left'")
         self.user_col = user_col
         self.ts_col = ts_col
         self.gap = gap
         self.order_cols = list(order_cols)
         self.session_col = session_col
+        self.closed = closed
         self.requires = (user_col, ts_col)
 
     def transform(self, df: DataFrame) -> DataFrame:
         order = [F.col(self.ts_col).asc()] + [F.col(c).asc() for c in self.order_cols]
         w = Window.partitionBy(self.user_col).orderBy(*order)
         prev_ts = F.lag(self.ts_col).over(w)
-        new_session = F.when(
-            prev_ts.isNull() | ((F.col(self.ts_col) - prev_ts) > self.gap), 1
-        ).otherwise(0)
+        diff = F.col(self.ts_col) - prev_ts
+        split = diff >= self.gap if self.closed == "left" else diff > self.gap
+        new_session = F.when(prev_ts.isNull() | split, 1).otherwise(0)
         running = Window.partitionBy(self.user_col).orderBy(*order).rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
@@ -54,4 +68,5 @@ class Sessionize(Operator):
 
     def get_params(self):
         return {"user_col": self.user_col, "ts_col": self.ts_col, "gap": self.gap,
-                "order_cols": self.order_cols, "session_col": self.session_col}
+                "order_cols": self.order_cols, "session_col": self.session_col,
+                "closed": self.closed}

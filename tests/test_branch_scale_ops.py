@@ -186,3 +186,45 @@ def test_streaming_session_window(spark, tables, tmp_path):
     want = (static.groupBy(F.session_window("ts_ts", "30 minutes"), "user_id")
             .count().count())
     assert got == want and got > 0
+
+
+def test_sessionize_closed_left_matches_session_window_boundary(spark):
+    """Boundary-convention pin: native session_window MERGES an event
+    whose gap to the previous event is exactly the session gap — the same
+    convention as Sessionize's default closed='right' (split on diff >
+    gap), so batch backfills agree with the streaming twin out of the
+    box. closed='left' gives the end-exclusive alternative (split on
+    diff >= gap). Hand-built data where the conventions disagree; this
+    pin also guards the streaming_sessions oracle, whose real event data
+    never lands exactly on a boundary."""
+    from systems_spark.operators.sessionize import Sessionize
+
+    gap_us = 1800 * 1_000_000
+    base = 1_700_000_000 * 1_000_000
+    # gaps of exactly gap, gap-1, gap+1 → right (and native): 2 sessions,
+    # left: 3 sessions
+    ts = [base, base + gap_us, base + 2 * gap_us - 1, base + 3 * gap_us]
+    df = spark.createDataFrame(
+        [(1, i, t) for i, t in enumerate(ts)], "user_id long, eid long, ts_us long"
+    ).withColumn("ts_ts", F.timestamp_micros(F.col("ts_us")))
+
+    def sessions(closed):
+        out = Sessionize("user_id", "ts_us", gap_us, order_cols=["eid"],
+                         closed=closed)(df)
+        return (out.groupBy("session_id")
+                .agg(F.min("ts_us").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect())
+
+    left = {(r.s, r.n) for r in sessions("left")}
+    right = {(r.s, r.n) for r in sessions("right")}
+    native = {
+        (r.s, r.n) for r in
+        df.groupBy(F.session_window("ts_ts", "30 minutes"))
+        .agg(F.min("ts_us").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert right == native == {(ts[0], 3), (ts[3], 1)}
+    assert left == {(ts[0], 1), (ts[1], 2), (ts[3], 1)}
+
+    with pytest.raises(ValueError, match="closed"):
+        Sessionize("user_id", "ts_us", gap_us, closed="both")
