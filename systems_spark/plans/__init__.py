@@ -64,6 +64,41 @@ def assert_no_cartesian(df: DataFrame) -> None:
         raise AssertionError("plan contains a CartesianProduct:\n" + plan)
 
 
+def configure_for_scale(spark, total_cores: int,
+                        max_partition_bytes: int = 128 * 1024 * 1024,
+                        shuffle_partitions_per_core: int = 2) -> dict:
+    """Apply SCALE.md's global posture as session config and return what
+    was set (so launch scripts can log it).
+
+    - AQE + partition coalescing + skew-join splitting on: runtime
+      re-planning is the safety net every static choice below leans on.
+    - ``spark.sql.shuffle.partitions`` = ``per_core × total_cores``
+      (floor 64): oversubscribe so AQE coalesces down instead of tasks
+      spilling up. For 1000 executors × 8 cores that's 16k initial
+      partitions.
+    - ``spark.sql.files.maxPartitionBytes`` bounds scan-task input; size
+      it DOWN (e.g. 32 MB) for tables with multimodal binary payloads so
+      a task's decoded batch fits executor memory — the operator-level
+      ``target_batch_bytes`` repartition complements, not replaces, this.
+
+    Deliberately NOT here: executor memory/core counts (cluster-manager
+    territory) and anything per-query — this is the once-per-session
+    baseline."""
+    if total_cores < 1:
+        raise ValueError("total_cores must be >= 1")
+    applied = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.shuffle.partitions":
+            str(max(64, shuffle_partitions_per_core * total_cores)),
+        "spark.sql.files.maxPartitionBytes": str(int(max_partition_bytes)),
+    }
+    for k, v in applied.items():
+        spark.conf.set(k, v)
+    return applied
+
+
 def salted_group_count(df: DataFrame, key_col: str, n_salts: int = 16,
                        count_col: str = "n") -> DataFrame:
     """Skew-safe distributed count: two-stage aggregation with a salt.

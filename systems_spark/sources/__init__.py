@@ -156,6 +156,31 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
     w.parquet(path)
 
 
+def write_sorted_parquet(df: DataFrame, path: str, sort_cols,
+                         n_files: Optional[int] = None,
+                         mode: str = "overwrite") -> None:
+    """Range-clustered sorted parquet: ``repartitionByRange(sort_cols)``
+    then ``sortWithinPartitions`` before writing.
+
+    Each output file then covers a (nearly) disjoint ``sort_cols`` range,
+    so the parquet footer min/max statistics let later filtered scans skip
+    whole files and row groups instead of reading and discarding — the
+    data-layout lever for the 100 TB case where most queries carry a
+    selective predicate on one hot column (time, tenant, user). An
+    unsorted write spreads every key range across every file and the same
+    stats prune nothing. Disjointness is asserted from real footers in
+    test_sorted_write_layout_enables_stats_pruning.
+
+    ``n_files`` pins the number of range partitions (default: current
+    ``spark.sql.shuffle.partitions``); the range exchange samples the sort
+    key to build balanced bounds, so skewed keys still yield even files."""
+    sort_cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+    cols = [F.col(c) for c in sort_cols]
+    part = (df.repartitionByRange(n_files, *cols) if n_files
+            else df.repartitionByRange(*cols))
+    part.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
+
+
 def write_bucketed_table(df: DataFrame, table_name: str, bucket_col: str,
                          n_buckets: int, mode: str = "overwrite") -> None:
     """Bucketed managed table: joins/aggs on ``bucket_col`` against other

@@ -290,6 +290,83 @@ def test_bucketed_join_needs_no_shuffle(spark, tables):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_sorted_write_layout_enables_stats_pruning(spark, tmp_path, tables):
+    """write_sorted_parquet range-clusters the data: per-file min/max
+    footer statistics for the sort column are (nearly) disjoint, so a
+    selective filter touches one file instead of all of them. The same
+    data written unsorted overlaps on every file — the stats prune
+    nothing. Verified from the real parquet footers via pyarrow."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from systems_spark.sources import write_sorted_parquet
+
+    ev = tables["events"].select("event_id", "user_id", "value")
+    sorted_path, plain_path = str(tmp_path / "sorted"), str(tmp_path / "plain")
+    write_sorted_parquet(ev, sorted_path, "user_id", n_files=4)
+    ev.repartition(4).write.parquet(plain_path)
+
+    def file_ranges(path):
+        out = []
+        for f in sorted(glob.glob(f"{path}/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            lo = min(md.row_group(i).column(1).statistics.min
+                     for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(1).statistics.max
+                     for i in range(md.num_row_groups))
+            out.append((lo, hi))
+        return sorted(out)
+
+    srt, plain = file_ranges(sorted_path), file_ranges(plain_path)
+    assert len(srt) == 4
+    # sorted layout: ranges are disjoint (each file owns its key slice)
+    for (_, hi), (lo, _) in zip(srt, srt[1:]):
+        assert hi <= lo, srt
+    # unsorted layout: every file spans (almost) the whole key domain
+    overlapping = sum(
+        1 for (_, hi), (lo, _) in zip(plain, plain[1:]) if hi > lo
+    )
+    assert overlapping == len(plain) - 1, plain
+    # a point predicate can only match one file's range in the sorted
+    # layout; in the plain layout it falls inside every file's range
+    probe = srt[1][0]
+    assert sum(1 for lo, hi in srt if lo <= probe <= hi) <= 2
+    assert sum(1 for lo, hi in plain if lo <= probe <= hi) == len(plain)
+    # and the sorted copy is the same data
+    assert spark.read.parquet(sorted_path).count() == ev.count()
+
+
+def test_configure_for_scale_applies_posture(spark):
+    """configure_for_scale codifies SCALE.md's global posture; settings
+    land in the session and the applied dict reports them."""
+    from systems_spark.plans import configure_for_scale
+
+    before = {
+        "spark.sql.shuffle.partitions":
+            spark.conf.get("spark.sql.shuffle.partitions"),
+        "spark.sql.files.maxPartitionBytes":
+            spark.conf.get("spark.sql.files.maxPartitionBytes"),
+    }
+    try:
+        applied = configure_for_scale(spark, total_cores=8000,
+                                      max_partition_bytes=32 * 1024 * 1024)
+        assert applied["spark.sql.shuffle.partitions"] == "16000"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "16000"
+        assert spark.conf.get("spark.sql.files.maxPartitionBytes") == \
+            str(32 * 1024 * 1024)
+        assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+        # floor keeps small sessions sane
+        assert configure_for_scale(spark, total_cores=4)[
+            "spark.sql.shuffle.partitions"] == "64"
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="total_cores"):
+            configure_for_scale(spark, total_cores=0)
+    finally:
+        for k, v in before.items():
+            spark.conf.set(k, v)
+
+
 def test_partition_pruning_on_partitioned_write(spark, tmp_path, tables):
     """Hive-partitioned writes enable partition pruning: a filter on the
     partition column appears as PartitionFilters and non-matching
