@@ -409,3 +409,32 @@ def exact_quantiles(df: DataFrame, value_col: str, ps: Iterable[float],
             for p in ps
         ]
     )
+
+
+def approx_quantiles(df: DataFrame, value_col: str, ps: Iterable[float],
+                     group_cols: Sequence[str] = (),
+                     accuracy: int = 10000) -> DataFrame:
+    """Sketch-based quantiles (``percentile_approx``, Greenwald–Khanna):
+    ONE map-side-combined aggregation whose shuffled state is the
+    O(accuracy) sketch per group — no bucket pass, no row movement at all
+    beyond sketch merges. Rank error ≤ n/accuracy (default 1e-4·n).
+
+    The 100 TB default when a bounded rank error is acceptable (monitoring,
+    banding, skew diagnosis); ``exact_quantiles`` stays the path when a
+    downstream contract needs the exact interpolated statistic. Returns
+    the same shape as ``exact_quantiles`` (one row per group, one double
+    ``p<digits>`` column per p) so callers can swap between them, except
+    that the sketch returns an OBSERVED value (no interpolation between
+    order statistics)."""
+    ps = list(ps)
+    df = df.select(*group_cols, value_col).where(F.col(value_col).isNotNull())
+
+    def label(p: float) -> str:
+        return "p" + f"{p:g}".replace("0.", "").replace(".", "_")
+
+    aggs = [
+        F.percentile_approx(F.col(value_col).cast("double"), p, accuracy)
+        .alias(label(p))
+        for p in ps
+    ]
+    return df.groupBy(*group_cols).agg(*aggs) if group_cols else df.agg(*aggs)

@@ -106,6 +106,46 @@ def test_quantiles_match_percentile(spark):
     assert got == want
 
 
+def test_approx_quantiles_within_rank_error(spark):
+    """approx_quantiles (GK sketch, one aggregation) lands within its
+    advertised rank-error envelope of the exact statistic: with
+    accuracy=A the returned value's true rank is within n/A of p·n, so
+    it must lie between the exact (p±2/A) quantiles. Also: plan shape is
+    a single aggregation — no bucket pass, no semi-join, no window."""
+    from systems_spark.operators.global_rank import approx_quantiles
+
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 4).cast("string").alias("g"),
+        (F.pmod(F.col("id") * 48271, F.lit(100003)) / 10.0).alias("v"),
+    )
+    acc = 1000
+    ps = [0.25, 0.5, 0.9]
+    eps = 2.0 / acc
+    lo = exact_quantiles(df, "v", [max(p - eps, 0.0) for p in ps],
+                         group_cols=["g"])
+    hi = exact_quantiles(df, "v", [min(p + eps, 1.0) for p in ps],
+                         group_cols=["g"])
+    approx = approx_quantiles(df, "v", ps, group_cols=["g"], accuracy=acc)
+
+    def label(p):
+        return "p" + f"{p:g}".replace("0.", "").replace(".", "_")
+
+    lo_m = {r.g: r for r in lo.collect()}
+    hi_m = {r.g: r for r in hi.collect()}
+    for r in approx.collect():
+        for p in ps:
+            v = r[label(p)]
+            assert lo_m[r.g][label(max(p - eps, 0.0))] <= v <= \
+                hi_m[r.g][label(min(p + eps, 1.0))], (r.g, p, v)
+
+    # one aggregation, no window/join stages
+    from systems_spark.plans import formatted_plan
+    plan = formatted_plan(approx)
+    assert "Window" not in plan and "Join" not in plan
+    # groupless form returns a single global row
+    assert approx_quantiles(df, "v", [0.5]).count() == 1
+
+
 def test_string_order_key_fallback(spark, tables):
     """Non-numeric first order key uses the seeded-sample bucketing path;
     ranks must still be an exact permutation matching the window."""
