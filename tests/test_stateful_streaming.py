@@ -129,6 +129,78 @@ def test_streaming_sessionizer_matches_batch_twin(spark, tmp_path):
     assert stream_sessions == batch_sessions
 
 
+def test_windowed_rollup_append_drops_late_data(spark, tmp_path):
+    """The production append path of windowed_rollup, across checkpointed
+    restarts: (1) a window whose end the watermark has passed is emitted
+    to the sink exactly once; (2) an event arriving AFTER the watermark
+    passed its window is dropped — it neither updates the finalized
+    window nor re-emits it; (3) a still-open window flushes once a later
+    run's watermark passes it. This is the semantics the complete-mode
+    graded queries can't show (complete re-emits everything and drops
+    nothing)."""
+    from systems_spark.streaming import windowed_rollup
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    os.makedirs(src, exist_ok=True)
+    base = 1_700_000_000
+
+    def run_batch(name, rows):
+        # FileStreamSource scans the directory FLAT — stage the batch and
+        # move its part files in under unique names
+        import glob
+        import shutil
+
+        stage = str(tmp_path / f"stage_{name}")
+        _events(spark, rows).coalesce(1).write.parquet(stage)
+        for i, f in enumerate(glob.glob(os.path.join(stage, "*.parquet"))):
+            shutil.move(f, os.path.join(src, f"{name}_{i}.parquet"))
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+        agg = windowed_rollup(stream, "ts", "user", "1 minute",
+                              watermark="5 seconds")
+        q = (agg.writeStream.outputMode("append").format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+
+    def sink():
+        got = {}
+        try:
+            rows = spark.read.parquet(out).collect()
+        except Exception:  # no data files yet — nothing emitted
+            return got
+        for r in rows:
+            key = (r.user, int(r.window.start.timestamp()))
+            got[key] = got.get(key, 0) + r.n
+        return got
+
+    def wstart(t):  # tumbling windows align to epoch multiples of 60s
+        return t - t % 60
+
+    w1, w2, w3 = wstart(base + 1), wstart(base + 600), wstart(base + 700)
+
+    # run 1: two events in w1; the event at +600 pushes the watermark to
+    # +595, finalizing w1 (availableNow runs a follow-up batch, so the
+    # emission lands within the run)
+    run_batch("b1", [("a", base + 1, 1.0), ("a", base + 10, 1.0),
+                     ("a", base + 600, 1.0)])
+    assert sink() == {("a", w1): 2}
+
+    # run 2: resumes from the checkpoint with watermark 595; the LATE
+    # event for w1 (+20 ≪ watermark) must be dropped at the stateful
+    # operator — the finalized window is neither updated nor re-emitted
+    run_batch("b2", [("a", base + 20, 1.0), ("a", base + 700, 1.0)])
+    got = sink()
+    assert got[("a", w1)] == 2, got
+
+    # run 3: one more advancing event (watermark → 795); by now w2 and
+    # w3 (ends < 795) have each flushed EXACTLY once, w1 is still exactly
+    # once (no re-emission), and run 3's own +800 window is still open
+    run_batch("b3", [("a", base + 800, 1.0)])
+    assert sink() == {("a", w1): 2, ("a", w2): 1, ("a", w3): 1}
+
+
 def test_running_aggregator_transform_with_state(spark, tmp_path):
     """transformWithStateInPandas processor: per-key running totals
     accumulate ACROSS micro-batches; final totals match the static agg.
