@@ -197,6 +197,7 @@ class QueryANN(Operator):
         self.n_planes = int(n_planes)
         self.dim = dim
         self.broadcast = broadcast
+        self._centroids = None  # set by train(); persisted with artifacts
         self.requires = (query_id_col, query_vec_col)
 
     # ------------------------------------------------------------------
@@ -426,12 +427,16 @@ class QueryANN(Operator):
         """
         n_cells, nprobe = self.n_cells, self.nprobe
         items = self._items()
-        cents = items.orderBy(F.col("_ann_id").asc()).limit(n_cells).select(
-            F.col("_ann_id").alias("_cent_id"), F.col("_ann_vec").alias("_cent_vec")
-        )
-        if self.ivf_train_iters > 0:
-            cents = self._ivf_train(items, cents)
-        cents = F.broadcast(cents)
+        if self._centroids is not None:
+            cents = F.broadcast(self._centroids)
+        else:
+            cents = items.orderBy(F.col("_ann_id").asc()).limit(n_cells).select(
+                F.col("_ann_id").alias("_cent_id"),
+                F.col("_ann_vec").alias("_cent_vec")
+            )
+            if self.ivf_train_iters > 0:
+                cents = self._ivf_train(items, cents)
+            cents = F.broadcast(cents)
         item_cells = self._ivf_cells(items, cents).select(
             "_ann_id", "_ann_vec", "_cell"
         )
@@ -550,11 +555,40 @@ class QueryANN(Operator):
                 "rerank": self.rerank, "pq_train_iters": self.pq_train_iters,
                 "ivf_train_iters": self.ivf_train_iters}
 
+    def train(self) -> "QueryANN":
+        """Materialize the IVF coarse quantizer once (FAISS's
+        ``index.train()``): runs ``ivf_train_iters`` Lloyd rounds and pins
+        the resulting centroids, so subsequent ``transform`` calls (every
+        serving micro-batch) reuse them instead of re-paying training
+        lazily per call. The trained centroids ship with the operator's
+        artifacts — the index, not just the raw vectors, is what persists
+        (faiss.py:59-78 ``read_index``/``write_index`` semantics).
+        No-op unless ``strategy='ivf'`` with ``ivf_train_iters > 0``."""
+        if self.strategy == "ivf" and self.ivf_train_iters > 0:
+            items = self._items()
+            seeds = items.orderBy(F.col("_ann_id").asc()).limit(
+                self.n_cells).select(
+                F.col("_ann_id").alias("_cent_id"),
+                F.col("_ann_vec").alias("_cent_vec"))
+            # eager local checkpoint: cuts the ivf_train_iters-deep
+            # iterative lineage AND computes training exactly once
+            self._centroids = self._ivf_train(items, seeds).localCheckpoint()
+        return self
+
     def save_artifacts(self, path: str) -> None:
         self.items_df.write.mode("overwrite").parquet(f"{path}/items.parquet")
+        if self._centroids is not None:
+            self._centroids.write.mode("overwrite").parquet(
+                f"{path}/centroids.parquet")
 
     def load_artifacts(self, path: str, spark=None) -> None:
         self.items_df = spark.read.parquet(f"{path}/items.parquet")
+        import os
+
+        cpath = f"{path}/centroids.parquet"
+        self._centroids = (
+            spark.read.parquet(cpath) if os.path.exists(cpath) else None
+        )
 
 
 def build_ann_index(items_df: DataFrame, **kwargs) -> QueryANN:

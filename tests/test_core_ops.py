@@ -479,6 +479,50 @@ def test_ann_ivf_trained_centroids_beat_degenerate_seeds(spark):
         assert sorted(ranks) == [1, 2, 3, 4, 5]
 
 
+def test_ann_ivf_train_once_persists_with_artifacts(spark, tmp_path):
+    """train() materializes the coarse quantizer once (FAISS index.train);
+    the trained centroids persist through save/load_artifacts (the INDEX
+    is the artifact, not just the vectors) and the restored operator
+    answers identically without retraining."""
+    import random
+
+    rnd = random.Random(3)
+    emb = spark.createDataFrame(
+        [(i, [float(rnd.gauss(0, 1)) for _ in range(8)]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.limit(5).select(F.col("vec_id").alias("request_id"),
+                            F.col("embedding").alias("qvec"))
+    op = QueryANN(emb, item_id_col="vec_id", query_vec_col="qvec",
+                  query_id_col="request_id", topk=3, metric="ip",
+                  strategy="ivf", n_cells=4, nprobe=2,
+                  ivf_train_iters=2).train()
+    assert op._centroids is not None
+    want = sorted((r.request_id, r.ann_rank, r.ann_id) for r in op(q).collect())
+
+    path = str(tmp_path / "ivf_idx")
+    op.save_artifacts(path)
+    import os
+    assert os.path.exists(f"{path}/centroids.parquet")
+
+    op2 = QueryANN(None, item_id_col="vec_id", query_vec_col="qvec",
+                   query_id_col="request_id", topk=3, metric="ip",
+                   strategy="ivf", n_cells=4, nprobe=2, ivf_train_iters=2)
+    op2.load_artifacts(path, spark=spark)
+    got = sorted((r.request_id, r.ann_rank, r.ann_id) for r in op2(q).collect())
+    assert got == want
+
+    # an untrained index round-trips without a centroid artifact
+    plain = QueryANN(emb, item_id_col="vec_id", query_vec_col="qvec",
+                     query_id_col="request_id", strategy="ivf").train()
+    assert plain._centroids is None
+    p2 = str(tmp_path / "plain_idx")
+    plain.save_artifacts(p2)
+    assert not os.path.exists(f"{p2}/centroids.parquet")
+    plain.load_artifacts(p2, spark=spark)
+    assert plain._centroids is None
+
+
 def test_asof_join_exact(spark):
     """Left row matches the latest right row at-or-before its ts, per key."""
     left = spark.createDataFrame(
