@@ -197,7 +197,9 @@ class QueryANN(Operator):
         self.n_planes = int(n_planes)
         self.dim = dim
         self.broadcast = broadcast
-        self._centroids = None  # set by train(); persisted with artifacts
+        # set by train(); persisted with artifacts
+        self._centroids = None   # ivf coarse quantizer
+        self._codebook = None    # pq subspace codebook
         self.requires = (query_id_col, query_vec_col)
 
     # ------------------------------------------------------------------
@@ -281,7 +283,29 @@ class QueryANN(Operator):
                 F.lit(0.0), lambda acc, v: acc + v,
             )
 
-        # codebook rows: (_m, _k, _cvec) — K lowest-id items' sub-vectors
+        codebook = F.broadcast(
+            self._codebook if self._codebook is not None
+            else self._pq_codebook(items)
+        )
+
+        return self._pq_scan(df, items, codebook, M, subvec, subdot, rerank)
+
+    def _pq_codebook(self, items):
+        """Build the (_m, _k, _cvec) codebook: K lowest-id items'
+        sub-vectors as seeds, optionally Lloyd-refined
+        (``pq_train_iters``)."""
+        M, K = self.pq_m, self.pq_k
+        sub = self.dim // M
+
+        def subvec(vec, m):
+            return F.slice(vec, m * sub + 1, sub)
+
+        def subdot(a, b):
+            return F.aggregate(
+                F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                F.lit(0.0), lambda acc, v: acc + v,
+            )
+
         seeds = items.orderBy(F.col("_ann_id").asc()).limit(K).select(
             F.row_number().over(Window.orderBy(F.col("_ann_id").asc())).alias("_k"),
             F.col("_ann_vec").alias("_svec"),
@@ -297,9 +321,7 @@ class QueryANN(Operator):
         )
         if self.pq_train_iters > 0:
             codebook = self._pq_refine(items, codebook, M, sub, subvec, subdot)
-        codebook = F.broadcast(codebook)
-
-        return self._pq_scan(df, items, codebook, M, subvec, subdot, rerank)
+        return codebook
 
     def _pq_refine(self, items, codebook, M, sub, subvec, subdot):
         """Lloyd iterations per subspace (``pq_train_iters``): assign each
@@ -563,16 +585,19 @@ class QueryANN(Operator):
         lazily per call. The trained centroids ship with the operator's
         artifacts — the index, not just the raw vectors, is what persists
         (faiss.py:59-78 ``read_index``/``write_index`` semantics).
-        No-op unless ``strategy='ivf'`` with ``ivf_train_iters > 0``."""
+        No-op unless the strategy has trained state to pin
+        (``ivf``/``pq`` with ``*_train_iters > 0``)."""
         if self.strategy == "ivf" and self.ivf_train_iters > 0:
             items = self._items()
             seeds = items.orderBy(F.col("_ann_id").asc()).limit(
                 self.n_cells).select(
                 F.col("_ann_id").alias("_cent_id"),
                 F.col("_ann_vec").alias("_cent_vec"))
-            # eager local checkpoint: cuts the ivf_train_iters-deep
-            # iterative lineage AND computes training exactly once
+            # eager local checkpoint: cuts the train_iters-deep iterative
+            # lineage AND computes training exactly once
             self._centroids = self._ivf_train(items, seeds).localCheckpoint()
+        if self.strategy == "pq" and self.pq_train_iters > 0:
+            self._codebook = self._pq_codebook(self._items()).localCheckpoint()
         return self
 
     def save_artifacts(self, path: str) -> None:
@@ -580,6 +605,9 @@ class QueryANN(Operator):
         if self._centroids is not None:
             self._centroids.write.mode("overwrite").parquet(
                 f"{path}/centroids.parquet")
+        if self._codebook is not None:
+            self._codebook.write.mode("overwrite").parquet(
+                f"{path}/codebook.parquet")
 
     def load_artifacts(self, path: str, spark=None) -> None:
         self.items_df = spark.read.parquet(f"{path}/items.parquet")
@@ -588,6 +616,10 @@ class QueryANN(Operator):
         cpath = f"{path}/centroids.parquet"
         self._centroids = (
             spark.read.parquet(cpath) if os.path.exists(cpath) else None
+        )
+        bpath = f"{path}/codebook.parquet"
+        self._codebook = (
+            spark.read.parquet(bpath) if os.path.exists(bpath) else None
         )
 
 

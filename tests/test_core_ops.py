@@ -522,6 +522,26 @@ def test_ann_ivf_train_once_persists_with_artifacts(spark, tmp_path):
     plain.load_artifacts(p2, spark=spark)
     assert plain._centroids is None
 
+    # pq: the refined codebook persists the same way
+    pq = QueryANN(emb, item_id_col="vec_id", query_vec_col="qvec",
+                  query_id_col="request_id", topk=3, metric="ip",
+                  strategy="pq", dim=8, pq_m=2, pq_k=8, rerank=10,
+                  pq_train_iters=2).train()
+    assert pq._codebook is not None
+    want_pq = sorted((r.request_id, r.ann_rank, r.ann_id)
+                     for r in pq(q).collect())
+    p3 = str(tmp_path / "pq_idx")
+    pq.save_artifacts(p3)
+    assert os.path.exists(f"{p3}/codebook.parquet")
+    pq2 = QueryANN(None, item_id_col="vec_id", query_vec_col="qvec",
+                   query_id_col="request_id", topk=3, metric="ip",
+                   strategy="pq", dim=8, pq_m=2, pq_k=8, rerank=10,
+                   pq_train_iters=2)
+    pq2.load_artifacts(p3, spark=spark)
+    got_pq = sorted((r.request_id, r.ann_rank, r.ann_id)
+                    for r in pq2(q).collect())
+    assert got_pq == want_pq
+
 
 def test_asof_join_exact(spark):
     """Left row matches the latest right row at-or-before its ts, per key."""
