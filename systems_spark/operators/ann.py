@@ -45,6 +45,19 @@ def _score(metric: str, q, it):
     raise ValueError(f"unknown metric {metric!r}")
 
 
+def _pq_subvec(vec, m: int, sub: int):
+    """Subspace ``m``'s slice of a vector (1-based F.slice)."""
+    return F.slice(vec, m * sub + 1, sub)
+
+
+def _subdot(a, b):
+    """Exact dot product of two float arrays via the IEEE left fold."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+
+
 def _plane_component(table: int, p: int, d: int, salt: str) -> float:
     """r[t,p,d] = 2·U(salt|t|p|d) − 1 computed in PYTHON with the exact
     integer/IEEE steps of functions/hashing.unit_uniform — the Spark
@@ -266,22 +279,14 @@ class QueryANN(Operator):
         query×item scan moves only code arrays; vectors are fetched for
         rerank by an equi-join on the top candidates.
         """
-        if self.dim is None:
-            raise ValueError("pq strategy requires dim=")
-        M, K, rerank = self.pq_m, self.pq_k, max(self.rerank, self.topk)
-        if self.dim % M:
-            raise ValueError(f"dim={self.dim} not divisible by pq_m={M}")
-        sub = self.dim // M
+        M, _, sub = self._pq_dims()
+        rerank = max(self.rerank, self.topk)
         items = self._items()
 
         def subvec(vec, m):
-            return F.slice(vec, m * sub + 1, sub)
+            return _pq_subvec(vec, m, sub)
 
-        def subdot(a, b):
-            return F.aggregate(
-                F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-                F.lit(0.0), lambda acc, v: acc + v,
-            )
+        subdot = _subdot
 
         codebook = F.broadcast(
             self._codebook if self._codebook is not None
@@ -290,21 +295,26 @@ class QueryANN(Operator):
 
         return self._pq_scan(df, items, codebook, M, subvec, subdot, rerank)
 
+    def _pq_dims(self):
+        """Validate the PQ configuration once for every entry point
+        (transform AND train) and return (M, K, sub)."""
+        if self.dim is None:
+            raise ValueError("pq strategy requires dim=")
+        M = self.pq_m
+        if self.dim % M:
+            raise ValueError(f"dim={self.dim} not divisible by pq_m={M}")
+        return M, self.pq_k, self.dim // M
+
     def _pq_codebook(self, items):
         """Build the (_m, _k, _cvec) codebook: K lowest-id items'
         sub-vectors as seeds, optionally Lloyd-refined
         (``pq_train_iters``)."""
-        M, K = self.pq_m, self.pq_k
-        sub = self.dim // M
+        M, K, sub = self._pq_dims()
 
         def subvec(vec, m):
-            return F.slice(vec, m * sub + 1, sub)
+            return _pq_subvec(vec, m, sub)
 
-        def subdot(a, b):
-            return F.aggregate(
-                F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-                F.lit(0.0), lambda acc, v: acc + v,
-            )
+        subdot = _subdot
 
         seeds = items.orderBy(F.col("_ann_id").asc()).limit(K).select(
             F.row_number().over(Window.orderBy(F.col("_ann_id").asc())).alias("_k"),
@@ -600,27 +610,42 @@ class QueryANN(Operator):
             self._codebook = self._pq_codebook(self._items()).localCheckpoint()
         return self
 
+    @staticmethod
+    def _artifact_fs(spark, path: str):
+        """Hadoop FileSystem handle for ``path`` — existence checks and
+        deletes must go through the same filesystem layer the parquet
+        writes use, or non-local artifact paths (hdfs://, s3a://) would
+        silently misbehave."""
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return fs, hpath
+
     def save_artifacts(self, path: str) -> None:
+        spark = self.items_df.sparkSession
         self.items_df.write.mode("overwrite").parquet(f"{path}/items.parquet")
-        if self._centroids is not None:
-            self._centroids.write.mode("overwrite").parquet(
-                f"{path}/centroids.parquet")
-        if self._codebook is not None:
-            self._codebook.write.mode("overwrite").parquet(
-                f"{path}/codebook.parquet")
+        for name, state in (("centroids", self._centroids),
+                            ("codebook", self._codebook)):
+            sub = f"{path}/{name}.parquet"
+            if state is not None:
+                state.write.mode("overwrite").parquet(sub)
+            else:
+                # delete any stale trained artifact from a previous save —
+                # load_artifacts trusts whatever file exists, so leaving an
+                # old centroid/codebook set behind would silently pair it
+                # with the NEW item set
+                fs, hpath = self._artifact_fs(spark, sub)
+                if fs.exists(hpath):
+                    fs.delete(hpath, True)
 
     def load_artifacts(self, path: str, spark=None) -> None:
         self.items_df = spark.read.parquet(f"{path}/items.parquet")
-        import os
-
-        cpath = f"{path}/centroids.parquet"
-        self._centroids = (
-            spark.read.parquet(cpath) if os.path.exists(cpath) else None
-        )
-        bpath = f"{path}/codebook.parquet"
-        self._codebook = (
-            spark.read.parquet(bpath) if os.path.exists(bpath) else None
-        )
+        for attr, name in (("_centroids", "centroids"),
+                           ("_codebook", "codebook")):
+            sub = f"{path}/{name}.parquet"
+            fs, hpath = self._artifact_fs(spark, sub)
+            setattr(self, attr,
+                    spark.read.parquet(sub) if fs.exists(hpath) else None)
 
 
 def build_ann_index(items_df: DataFrame, **kwargs) -> QueryANN:

@@ -302,6 +302,17 @@ def grouped_rank(df: DataFrame, order_cols: Sequence[str],
     )
 
 
+def _p_label(p: float) -> str:
+    """Column name for quantile ``p``: 0.5 → p5, 0.95 → p95, 0.05 → p05.
+    The bare digit-strip collides at the endpoints (0.1 and 1.0 would
+    both yield 'p1'), so p=0 → p0 and p=1 → p100 explicitly."""
+    if p == 0:
+        return "p0"
+    if p == 1:
+        return "p100"
+    return "p" + f"{p:g}".replace("0.", "").replace(".", "_")
+
+
 def exact_quantiles(df: DataFrame, value_col: str, ps: Iterable[float],
                     group_cols: Sequence[str] = (),
                     num_partitions: Optional[int] = None) -> DataFrame:
@@ -400,12 +411,9 @@ def exact_quantiles(df: DataFrame, value_col: str, ps: Iterable[float],
         )
     )
 
-    def label(p: float) -> str:
-        return "p" + f"{p:g}".replace("0.", "").replace(".", "_")
-
     return agg.groupBy(*group_cols).agg(
         *[
-            F.max(F.when(F.col("_gq_p") == p, F.col("_q"))).alias(label(p))
+            F.max(F.when(F.col("_gq_p") == p, F.col("_q"))).alias(_p_label(p))
             for p in ps
         ]
     )
@@ -429,12 +437,9 @@ def approx_quantiles(df: DataFrame, value_col: str, ps: Iterable[float],
     ps = list(ps)
     df = df.select(*group_cols, value_col).where(F.col(value_col).isNotNull())
 
-    def label(p: float) -> str:
-        return "p" + f"{p:g}".replace("0.", "").replace(".", "_")
-
     aggs = [
         F.percentile_approx(F.col(value_col).cast("double"), p, accuracy)
-        .alias(label(p))
+        .alias(_p_label(p))
         for p in ps
     ]
     return df.groupBy(*group_cols).agg(*aggs) if group_cols else df.agg(*aggs)

@@ -176,7 +176,7 @@ def write_sorted_parquet(df: DataFrame, path: str, sort_cols,
     key to build balanced bounds, so skewed keys still yield even files."""
     sort_cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
     cols = [F.col(c) for c in sort_cols]
-    part = (df.repartitionByRange(n_files, *cols) if n_files
+    part = (df.repartitionByRange(n_files, *cols) if n_files is not None
             else df.repartitionByRange(*cols))
     part.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
 

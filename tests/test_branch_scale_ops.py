@@ -1,5 +1,6 @@
-"""Tests: branch concat, sessionize, range join, strict lookup, bucketed
-zero-shuffle joins, native streaming session windows."""
+"""Tests: branch concat, sessionize, range join, strict lookup, native
+streaming session windows. (Bucketed zero-shuffle joins moved to
+test_sources_plans.py::test_bucketed_join_needs_no_shuffle.)"""
 
 import os
 import sys
@@ -18,7 +19,6 @@ from systems_spark.operators import (
     Sessionize,
 )
 from systems_spark.operators.branch import BranchConcat, Subgraph
-from systems_spark.plans import count_exchanges, formatted_plan
 
 
 def test_branch_concat_column_union(spark):
@@ -119,35 +119,6 @@ def test_strict_feature_lookup_raises_on_empty(spark, tables):
         op(empty)
     # non-strict passes through
     assert QueryFeatureTable(part, "p_partkey", features=["p_brand"])(empty).count() == 0
-
-
-def test_bucketed_join_has_no_shuffle(spark, tables, tmp_path):
-    """write_bucketed_table: co-bucketed tables join without Exchange —
-    the 100 TB repeated-join lever."""
-    import shutil
-
-    from systems_spark.sources import write_bucketed_table
-
-    spark.sql("DROP TABLE IF EXISTS b_orders")
-    spark.sql("DROP TABLE IF EXISTS b_lineitem")
-    # warehouse dir outlives the in-memory catalog: stale locations from a
-    # previous session make saveAsTable fail LOCATION_ALREADY_EXISTS
-    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    for t in ("b_orders", "b_lineitem"):
-        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
-    write_bucketed_table(tables["orders"].select("o_orderkey", "o_totalprice"),
-                         "b_orders", "o_orderkey", 8)
-    write_bucketed_table(
-        tables["lineitem"].select(F.col("l_orderkey").alias("o_orderkey"), "l_quantity"),
-        "b_lineitem", "o_orderkey", 8)
-    joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        plan = formatted_plan(joined)
-        assert "Exchange" not in plan, plan
-        assert joined.count() > 0
-    finally:
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
 
 def test_corpus_curation_antijoin_is_aqe_decided(spark):

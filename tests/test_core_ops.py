@@ -542,6 +542,23 @@ def test_ann_ivf_train_once_persists_with_artifacts(spark, tmp_path):
                     for r in pq2(q).collect())
     assert got_pq == want_pq
 
+    # saving an UNTRAINED operator over a previously-trained artifact path
+    # must delete the stale trained state — not silently pair old
+    # centroids with new items on the next load
+    plain.save_artifacts(path)
+    assert not os.path.exists(f"{path}/centroids.parquet")
+    op3 = QueryANN(None, item_id_col="vec_id", query_vec_col="qvec",
+                   query_id_col="request_id", strategy="ivf")
+    op3.load_artifacts(path, spark=spark)
+    assert op3._centroids is None
+
+    # train() validates the pq config up front, like transform does
+    bad = QueryANN(emb, item_id_col="vec_id", query_vec_col="qvec",
+                   query_id_col="request_id", strategy="pq",
+                   pq_train_iters=1)
+    with pytest.raises(ValueError, match="requires dim"):
+        bad.train()
+
 
 def test_asof_join_exact(spark):
     """Left row matches the latest right row at-or-before its ts, per key."""

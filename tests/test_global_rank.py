@@ -112,7 +112,8 @@ def test_approx_quantiles_within_rank_error(spark):
     accuracy=A the returned value's true rank is within n/A of p·n, so
     it must lie between the exact (p±2/A) quantiles. Also: plan shape is
     a single aggregation — no bucket pass, no semi-join, no window."""
-    from systems_spark.operators.global_rank import approx_quantiles
+    from systems_spark.operators import approx_quantiles
+    from systems_spark.operators.global_rank import _p_label
 
     df = spark.range(0, 20000).select(
         (F.col("id") % 4).cast("string").alias("g"),
@@ -127,9 +128,7 @@ def test_approx_quantiles_within_rank_error(spark):
                          group_cols=["g"])
     approx = approx_quantiles(df, "v", ps, group_cols=["g"], accuracy=acc)
 
-    def label(p):
-        return "p" + f"{p:g}".replace("0.", "").replace(".", "_")
-
+    label = _p_label
     lo_m = {r.g: r for r in lo.collect()}
     hi_m = {r.g: r for r in hi.collect()}
     for r in approx.collect():
@@ -144,6 +143,9 @@ def test_approx_quantiles_within_rank_error(spark):
     assert "Window" not in plan and "Join" not in plan
     # groupless form returns a single global row
     assert approx_quantiles(df, "v", [0.5]).count() == 1
+    # endpoint labels must not collide: 0.1 → p1, 1.0 → p100, 0.0 → p0
+    cols = approx_quantiles(df, "v", [0.0, 0.1, 1.0]).columns
+    assert cols == ["p0", "p1", "p100"], cols
 
 
 def test_string_order_key_fallback(spark, tables):
