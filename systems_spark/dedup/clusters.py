@@ -163,6 +163,68 @@ def connected_components(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
     )
 
 
+def incremental_components(labels: DataFrame, new_pairs: DataFrame,
+                           a_col: str = "a", b_col: str = "b",
+                           node_col: str = "node",
+                           component_col: str = "component",
+                           **cc_kwargs) -> DataFrame:
+    """Update a connected-components labeling with NEW edges without
+    re-resolving the whole graph — the maintenance shape of a
+    continuously-growing corpus (`streaming_ingest_dedup` admits new
+    documents; the pair finder emits edges touching them; this folds
+    those edges into the standing cluster labels).
+
+    ``labels``: (node, component) from a previous
+    ``connected_components``/``incremental_components`` run.
+    ``new_pairs``: newly discovered edges — may connect old nodes, new
+    nodes, or bridge existing clusters.
+
+    Plan, in three joins + one bounded CC:
+
+    1. Components TOUCHED by any new edge = distinct labels of the new
+       edges' endpoints (broadcast-friendly: proportional to the batch,
+       not the corpus).
+    2. Rebuild the touched subgraph as STAR edges (node — old component)
+       — each old cluster collapses to diameter 2, so the re-run
+       converges in ~2 pointer-jump rounds regardless of how the cluster
+       originally formed — plus the new edges.
+    3. ``connected_components`` on that subgraph only; untouched rows
+       pass through by anti-join, so the full-corpus label set is never
+       re-shuffled through the iterative stage.
+
+    Correctness: a new edge can only change labels of components it
+    touches (transitively THROUGH other new edges — all of which are in
+    the subgraph by construction, since every endpoint's component is
+    touched). Component ids remain the component-min node id, so a
+    bridge between two old clusters relabels both to the smaller min —
+    exactly what a full recompute yields
+    (``test_incremental_components_matches_full_recompute``).
+    """
+    edges = new_pairs.select(F.col(a_col).alias("_a"), F.col(b_col).alias("_b"))
+    lbl = labels.select(F.col(node_col).alias("_n"), F.col(component_col).alias("_c"))
+    endpoints = (edges.select(F.col("_a").alias("_n"))
+                 .unionByName(edges.select(F.col("_b").alias("_n")))
+                 .distinct())
+    touched = (lbl.join(endpoints, on="_n", how="semi")
+               .select("_c").distinct())
+    # star edges of every touched component (node — old component id)
+    star = (lbl.join(F.broadcast(touched), on="_c", how="semi")
+            .select(F.col("_n").alias(a_col), F.col("_c").alias(b_col)))
+    sub = star.unionByName(
+        edges.select(F.col("_a").alias(a_col), F.col("_b").alias(b_col)))
+    resolved = connected_components(
+        sub, a_col=a_col, b_col=b_col,
+        node_col=node_col, component_col=component_col, **cc_kwargs)
+    # old components double as subgraph NODES (star endpoints); a
+    # component id is always a member node, so its row is already present
+    # as a node row — no synthetic ids leak out
+    untouched = (
+        lbl.join(F.broadcast(touched), on="_c", how="anti")
+        .select(F.col("_n").alias(node_col), F.col("_c").alias(component_col))
+    )
+    return resolved.unionByName(untouched)
+
+
 def canonical_documents(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
                         id_col: str = "doc_id",
                         canonical_col: str = "canonical_id",

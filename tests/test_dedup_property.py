@@ -185,6 +185,50 @@ def test_connected_components_giant_skewed_cluster(spark):
     }
 
 
+@settings(max_examples=10, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+    min_size=2, max_size=40,
+), st.integers(1, 39))
+def test_incremental_components_matches_full_recompute(spark, edges, split):
+    """Folding a batch of new edges into standing labels must equal a
+    full recompute over all edges — including bridges that merge old
+    clusters and brand-new nodes unseen by the base run."""
+    from systems_spark.dedup import connected_components, incremental_components
+
+    split = min(split, len(edges) - 1)
+    base, delta = edges[:split], edges[split:]
+    base_df = spark.createDataFrame(base, "a long, b long")
+    delta_df = spark.createDataFrame(delta, "a long, b long")
+    labels = connected_components(base_df)
+    got = {r.node: r.component
+           for r in incremental_components(labels, delta_df).collect()}
+    assert got == _uf_components(edges)
+
+
+def test_incremental_components_bridge_and_untouched(spark):
+    """Directed scenario: an untouched cluster keeps its label via the
+    anti-join pass-through; a bridge edge merges two old clusters to the
+    smaller min; a batch-internal edge creates a brand-new cluster."""
+    from systems_spark.dedup import connected_components, incremental_components
+
+    base = spark.createDataFrame(
+        [(0, 1), (1, 2),      # cluster A (min 0)
+         (10, 11),            # cluster B (min 10)
+         (20, 21), (21, 22)], # cluster C (min 20) — untouched
+        "a long, b long")
+    labels = connected_components(base)
+    delta = spark.createDataFrame(
+        [(2, 10),             # bridge A—B → all relabel to 0
+         (30, 31)],           # brand-new cluster (min 30)
+        "a long, b long")
+    got = {r.node: r.component
+           for r in incremental_components(labels, delta).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 10: 0, 11: 0,
+                   20: 20, 21: 20, 22: 20,
+                   30: 30, 31: 30}
+
+
 def test_connected_components_salted_jump_same_answer(spark):
     """salt>1 spreads the pointer-jump hot key (AQE-off fallback) and must
     be answer-identical to the unsalted path on skewed and multi-cluster
