@@ -173,6 +173,62 @@ class Categorify(Operator):
                 )
         return self
 
+    def fit_update(self, df: DataFrame) -> "Categorify":
+        """APPEND-ONLY vocabulary update for category drift: values the
+        fitted vocab has never seen get fresh codes ``max_code+1..``
+        (ranked frequency DESC, value ASC within the new batch); existing
+        codes NEVER change — the contract an already-trained embedding
+        table depends on (row *i* must keep meaning value *v*; a refit
+        would reshuffle every code as frequencies shift). NVTabular has no
+        incremental story — this is engine-side capability for pipelines
+        whose id spaces grow daily.
+
+        ``freq_threshold`` is applied to the NEW batch's counts alone.
+        Not available with ``num_buckets`` (stateless hashing needs no
+        update — that's its point) or ``max_size`` (a global
+        most-frequent-K cap is unsatisfiable append-only).
+
+        One tiny driver read per column (the current max code, a scalar);
+        the unseen-value count + rank is vocab-sized, like fit."""
+        if self.num_buckets:
+            raise ValueError("num_buckets (stateless hashing) needs no "
+                             "fit_update — every value already has a code")
+        if self.max_size:
+            raise ValueError("max_size cannot be honored append-only: the "
+                             "cap is a global most-frequent-K statement; "
+                             "refit instead")
+        if set(self.vocabs) != set(self.columns):
+            raise RuntimeError("Categorify.fit_update called before fit")
+
+        def unseen_ranked(counts: DataFrame, vocab: DataFrame) -> DataFrame:
+            if self.freq_threshold > 0:
+                counts = counts.where(F.col("cnt") >= self.freq_threshold)
+            fresh = counts.join(vocab.select("value"), on="value", how="anti")
+            ranked = self._rank_codes(fresh, (), self.code_strategy)
+            base = vocab.agg(F.max("code")).first()[0] or 0
+            return vocab.select("value", "code").unionByName(
+                ranked.select("value", (F.col("code") + base).alias("code"))
+            )
+
+        if self.encode_type == "joint":
+            kv = self._stacked(df, self.columns)
+            counts = kv.groupBy("value").agg(F.count(F.lit(1)).alias("cnt"))
+            vocab = unseen_ranked(counts, self.vocabs[self.columns[0]]).persist()
+            self._persisted = getattr(self, "_persisted", [])
+            self._persisted.append(vocab)
+            for c in self.columns:
+                self.vocabs[c] = vocab
+            return self
+
+        for c in self.columns:
+            counts = (
+                df.where(F.col(c).isNotNull())
+                .groupBy(F.col(c).alias("value"))
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            self.vocabs[c] = unseen_ranked(counts, self.vocabs[c])
+        return self
+
     @staticmethod
     def _stacked(df: DataFrame, cols: list[str]) -> DataFrame:
         """(col_name, value) pairs for all ``cols`` in one projection —

@@ -192,6 +192,53 @@ def test_categorify_code_order(spark):
     assert cat.cardinality("x") == 3
 
 
+def test_categorify_fit_update_append_only(spark):
+    """fit_update: unseen values get NEW codes after the current max
+    (freq desc, value asc within the new batch); existing codes never
+    move — the embedding-table row contract. Stateless/capped modes
+    refuse the update."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [("b",), ("b",), ("a",), ("c",), ("c",), ("c",)], "x string"
+    )
+    cat = Categorify(["x"], out_suffix="_c").fit(df)
+    before = {r.value: r.code for r in cat.vocabs["x"].collect()}
+    assert before == {"c": 1, "b": 2, "a": 3}
+
+    # new batch: 'e' (x2) and 'd' (x1) unseen; 'a' now hugely frequent —
+    # but its code MUST NOT move
+    newb = spark.createDataFrame(
+        [("a",)] * 10 + [("e",), ("e",), ("d",), (None,)], "x string"
+    )
+    cat.fit_update(newb)
+    after = {r.value: r.code for r in cat.vocabs["x"].collect()}
+    assert after == {"c": 1, "b": 2, "a": 3, "e": 4, "d": 5}
+    assert cat.cardinality("x") == 5
+
+    out = {r.x: r.x_c for r in
+           cat(newb).select("x", "x_c").distinct().collect()}
+    assert out == {"a": 3, "e": 4, "d": 5, None: 0}
+
+    # a second update keeps appending
+    cat.fit_update(spark.createDataFrame([("f",)], "x string"))
+    assert {r.value: r.code for r in cat.vocabs["x"].collect()}["f"] == 6
+
+    with _pytest.raises(RuntimeError, match="before fit"):
+        Categorify(["x"]).fit_update(newb)
+    with _pytest.raises(ValueError, match="num_buckets"):
+        Categorify(["x"], num_buckets=8).fit_update(newb)
+    with _pytest.raises(ValueError, match="max_size"):
+        Categorify(["x"], max_size=3).fit(df).fit_update(newb)
+
+    # joint mode: the shared code space appends once for all columns
+    jdf = spark.createDataFrame([("a", "b"), ("b", "a")], "u string, v string")
+    j = Categorify(["u", "v"], encode_type="joint").fit(jdf)
+    j.fit_update(spark.createDataFrame([("z", "a")], "u string, v string"))
+    jv = {r.value: r.code for r in j.vocabs["u"].collect()}
+    assert jv["z"] == max(jv.values()) and j.vocabs["u"] is j.vocabs["v"]
+
+
 def test_categorify_multicol_single_pass_parity(spark, tables):
     """Multi-column fit (one exploded agg) must produce byte-identical
     vocabs to the per-column build_vocab path."""
