@@ -106,6 +106,7 @@ def main() -> None:
     queries = entrymod.queries()
     timings = {}
     runs_raw = {}
+    exchanges = {}
     total = 0.0
     for name in BENCH_QUERIES:
         fn = queries[name]
@@ -130,8 +131,21 @@ def main() -> None:
                 pass
             t0 = time.perf_counter()
             try:
-                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                df = fn(spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
                 samples.append(round(time.perf_counter() - t0, 3))
+                if name not in exchanges:
+                    # static shuffle count of the returned plan — the
+                    # plan-quality number the timings should correlate
+                    # with. (Streaming queries return their materialized
+                    # memory-sink table, so their row reads 0 — the
+                    # stream's own exchanges happen inside fn.)
+                    from systems_spark.plans import count_exchanges
+
+                    try:
+                        exchanges[name] = count_exchanges(df)
+                    except Exception:  # noqa: BLE001 - observability only
+                        exchanges[name] = None
             except Exception as exc:  # noqa: BLE001 - record, keep benching
                 failed = exc
                 print(f"# {name} FAILED after "
@@ -156,7 +170,8 @@ def main() -> None:
                            "bench_runs.json")
     try:
         with open(sidecar, "w") as fh:
-            json.dump({"sf": sf, "runs_per_query": RUNS, "runs": runs_raw}, fh)
+            json.dump({"sf": sf, "runs_per_query": RUNS, "runs": runs_raw,
+                       "exchanges": exchanges}, fh)
     except OSError as exc:
         print(f"# sidecar write failed: {exc}", file=sys.stderr)
     spark.stop()
