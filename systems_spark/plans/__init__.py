@@ -25,8 +25,15 @@ def formatted_plan(df: DataFrame) -> str:
 
 
 def count_exchanges(df: DataFrame) -> int:
-    """Shuffle count — the number that matters most at scale."""
-    return len(re.findall(r"\bExchange\b", formatted_plan(df)))
+    """Number of Exchange NODES in the plan — the shuffle count that
+    matters most at scale. Formatted explain prints every node twice
+    (tree line + numbered details section), so count only the numbered
+    detail headers; a plain-explain fallback counts tree lines."""
+    plan = formatted_plan(df)
+    nodes = re.findall(r"\(\d+\) Exchange\b", plan)
+    if nodes:
+        return len(nodes)
+    return len(re.findall(r"\bExchange\b", plan))
 
 
 def has_broadcast_join(df: DataFrame) -> bool:
