@@ -130,6 +130,47 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite",
     df.write.mode(mode).option("compression", compression).json(path)
 
 
+def read_with_quarantine(spark: SparkSession, path: str, schema,
+                         format: str = "json",
+                         corrupt_col: str = "_corrupt_record",
+                         **options):
+    """Schema-enforced CSV/JSON ingest that SPLITS malformed rows out
+    instead of failing the job (FAILFAST: one bad line kills a 100 TB
+    read) or silently nulling them (PERMISSIVE default: corruption
+    becomes missing data nobody notices).
+
+    Returns ``(good, bad)``: ``good`` carries the declared schema with the
+    corrupt-record column dropped; ``bad`` has the raw offending text in
+    ``corrupt_col`` for quarantine/replay. One scan feeds both branches —
+    at scale write ``bad`` first (it is usually tiny), then ``good``.
+
+    Note: Spark requires the corrupt column to be part of the declared
+    schema for PERMISSIVE capture, and caching/counting the raw frame
+    before the split is what makes the two branches consistent views of
+    one read."""
+    from pyspark.sql.types import StringType, StructType
+
+    if format not in ("json", "csv"):
+        raise ValueError("read_with_quarantine supports json/csv")
+    if not isinstance(schema, StructType):
+        raise ValueError("explicit StructType schema required — quarantine "
+                         "is meaningless under schema inference")
+    if corrupt_col not in schema.fieldNames():
+        schema = schema.add(corrupt_col, StringType(), True)
+    reader = (spark.read.schema(schema)
+              .option("mode", "PERMISSIVE")
+              .option("columnNameOfCorruptRecord", corrupt_col)
+              .options(**options))
+    raw = reader.json(path) if format == "json" else reader.csv(path)
+    # one materialization both branches share: Spark forbids filtering on
+    # the corrupt column alone over the raw scan (SPARK-26224) and two
+    # separate scans could disagree if files change between them
+    raw = raw.cache()
+    good = raw.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = raw.where(F.col(corrupt_col).isNotNull())
+    return good, bad
+
+
 def read_orc(spark: SparkSession, path: str,
              columns: Optional[Iterable[str]] = None) -> DataFrame:
     """ORC scan — same pushdown/pruning properties as parquet."""

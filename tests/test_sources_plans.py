@@ -69,6 +69,45 @@ def test_write_parquet_partitioned(spark, tmp_path, tables):
     assert back.count() == 5
 
 
+def test_read_with_quarantine_splits_malformed(spark, tmp_path):
+    """Malformed lines land in the bad branch with their raw text; good
+    rows carry the declared schema; nothing is silently nulled or
+    dropped. CSV and JSON variants."""
+    from systems_spark.sources import read_with_quarantine
+
+    jp = str(tmp_path / "in.json")
+    with open(jp, "w") as f:
+        f.write('{"id": 1, "v": "a"}\n'
+                'THIS IS NOT JSON\n'
+                '{"id": 2, "v": "b"}\n'
+                '{"id": "not-a-number", "v": "c"}\n')
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("v", T.StringType())])
+    good, bad = read_with_quarantine(spark, jp, schema, format="json")
+    assert good.columns == ["id", "v"]
+    assert sorted((r.id, r.v) for r in good.collect()) == [(1, "a"), (2, "b")]
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 2
+    raw = {r._corrupt_record for r in bad_rows}
+    assert any("NOT JSON" in t for t in raw)
+    assert any("not-a-number" in t for t in raw)
+
+    cp = str(tmp_path / "in.csv")
+    with open(cp, "w") as f:
+        f.write("1,a\nnope,b,extra,columns\n3,c\n")
+    csv_schema = T.StructType([T.StructField("id", T.LongType()),
+                               T.StructField("v", T.StringType())])
+    good_c, bad_c = read_with_quarantine(spark, cp, csv_schema, format="csv",
+                                         header="false")
+    assert sorted((r.id, r.v) for r in good_c.collect()) == [(1, "a"), (3, "c")]
+    assert bad_c.count() == 1
+
+    with pytest.raises(ValueError, match="StructType"):
+        read_with_quarantine(spark, jp, None, format="json")
+    with pytest.raises(ValueError, match="json/csv"):
+        read_with_quarantine(spark, jp, schema, format="parquet")
+
+
 def test_feature_table_latest_and_asof(spark, tmp_path):
     rows = [(1, 10, "v1"), (1, 20, "v2"), (2, 15, "w1")]
     df = spark.createDataFrame(rows, "entity long, event_time long, val string")
