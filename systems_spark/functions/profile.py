@@ -59,3 +59,68 @@ def profile_table(df: DataFrame, columns: Sequence[str],
         F.col("n_null").cast("long"),
         F.col("n_distinct").cast("long"),
     )
+
+
+def profile_diff(old: DataFrame, new: DataFrame,
+                 null_ratio_threshold: float = 0.01,
+                 distinct_ratio_threshold: float = 0.10) -> DataFrame:
+    """Drift report between two ``profile_table`` outputs (yesterday's
+    partition vs today's): per column, the old/new counts, the null-ratio
+    delta, the distinct-cardinality ratio, and a ``drifted`` flag when
+    either moves past its threshold — the cheap gate that catches a
+    broken upstream join (nulls spike) or an id-space change (cardinality
+    jump) before a 100 TB training run consumes the data.
+
+    Columns present in only one profile appear with the other side's
+    counts null and ``drifted = true`` (schema drift IS drift). Both
+    inputs are tiny (one row per column), so the join is trivial."""
+    o = old.select(F.col("column"),
+                   F.col("n_rows").alias("old_rows"),
+                   F.col("n_null").alias("old_null"),
+                   F.col("n_distinct").alias("old_distinct"))
+    n = new.select(F.col("column"),
+                   F.col("n_rows").alias("new_rows"),
+                   F.col("n_null").alias("new_null"),
+                   F.col("n_distinct").alias("new_distinct"))
+    j = o.join(n, on="column", how="full")
+    null_ratio = lambda nl, nr: (F.col(nl) / F.greatest(F.col(nr), F.lit(1)))  # noqa: E731
+    d_null = null_ratio("new_null", "new_rows") - null_ratio("old_null", "old_rows")
+    r_dist = F.col("new_distinct") / F.greatest(F.col("old_distinct"), F.lit(1))
+    missing = F.col("old_rows").isNull() | F.col("new_rows").isNull()
+    return j.select(
+        "column", "old_rows", "new_rows", "old_null", "new_null",
+        "old_distinct", "new_distinct",
+        F.round(d_null, 6).alias("null_ratio_delta"),
+        F.round(r_dist, 6).alias("distinct_ratio"),
+        (missing
+         | (F.abs(d_null) > null_ratio_threshold)
+         | (F.abs(r_dist - 1.0) > distinct_ratio_threshold)
+         ).alias("drifted"),
+    )
+
+
+def skew_report(df: DataFrame, col: str, top_n: int = 10) -> DataFrame:
+    """Hot-key diagnosis for a join/groupBy key: the ``top_n`` heaviest
+    values with their row counts, share of the table, and the ratio to a
+    perfectly uniform key (share × distinct-count). Ratios ≫ 1 mean the
+    shuffle partition holding that key does that many times the average
+    task's work — the number that decides between plain shuffle, AQE
+    skew-split, and explicit salting (``plans.salted_join``).
+
+    One aggregation over (key) + one tiny top-n sort; NULL keys are
+    reported as a row (NULL joins nothing but still lands in one
+    partition of an aggregation)."""
+    counts = df.groupBy(F.col(col).alias("value")).agg(
+        F.count(F.lit(1)).alias("n"))
+    stats = counts.agg(F.sum("n").alias("_t"),
+                       F.count(F.lit(1)).alias("_d")).first()
+    total, distinct = (stats._t or 0), (stats._d or 1)
+    return (
+        counts.orderBy(F.col("n").desc(), F.col("value").asc()).limit(top_n)
+        .select(
+            "value", "n",
+            F.round(F.col("n") / F.lit(max(total, 1)), 6).alias("share"),
+            F.round(F.col("n") * F.lit(distinct) / F.lit(max(total, 1)), 2)
+            .alias("x_uniform"),
+        )
+    )

@@ -625,6 +625,43 @@ def test_asof_join_exact(spark):
     assert got2 == {1: "a", 2: "c", 3: None}  # strict: equal-ts row excluded
 
 
+def test_profile_diff_and_skew_report(spark):
+    """profile_diff flags null spikes, cardinality jumps, and schema
+    drift; skew_report ranks hot keys with their uniform-key ratio."""
+    from systems_spark.functions.profile import (
+        profile_diff,
+        profile_table,
+        skew_report,
+    )
+
+    old = spark.createDataFrame(
+        [(i, "x", i) for i in range(100)], "k int, v string, stable int")
+    # today: k nulls spike to 20%, v cardinality jumps 1 → 50, stable stays
+    new = spark.createDataFrame(
+        [(None if i < 20 else i, f"s{i % 50}", i) for i in range(100)],
+        "k int, v string, stable int")
+    d = {r.column: r for r in profile_diff(
+        profile_table(old, ["k", "v", "stable"]),
+        profile_table(new, ["k", "v", "stable"])).collect()}
+    assert d["k"].drifted and d["k"].null_ratio_delta == 0.2
+    assert d["v"].drifted and d["v"].distinct_ratio == 50.0
+    assert not d["stable"].drifted
+
+    # schema drift: column only on one side → drifted with null other side
+    d2 = {r.column: r for r in profile_diff(
+        profile_table(old, ["k"]), profile_table(new, ["k", "v"])).collect()}
+    assert d2["v"].drifted and d2["v"].old_rows is None
+
+    # skew: one key holds half the table
+    sk = spark.createDataFrame(
+        [(7,)] * 50 + [(i,) for i in range(50)], "key int")
+    top = skew_report(sk, "key", top_n=3).collect()
+    assert top[0].value == 7 and top[0].n == 51
+    assert abs(top[0].share - 0.51) < 1e-6
+    # 50 distinct keys; a uniform key would hold 2% — key 7 is ~25x that
+    assert top[0].x_uniform > 20
+
+
 def test_profile_table_one_pass(spark):
     """profile_table: exact counts, NULL handling, and the one-job shape
     (single aggregation, no per-column actions)."""
