@@ -1364,6 +1364,56 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_profile_drift(spark, sf_dir):
+    """Drift gate (functions/profile.py:profile_diff): profile the even-
+    and odd-keyed halves of orders as yesterday/today and report
+    null-ratio delta, distinct-cardinality ratio, and the drifted flag
+    per column — the check a 100 TB pipeline runs before consuming a new
+    partition. Two one-scan profiles + a tiny full join."""
+    from systems_spark.functions.profile import profile_diff, profile_table
+
+    orders = _t(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderpriority"]
+    old = profile_table(orders.where(F.col("o_orderkey") % 2 == 0), cols)
+    new = profile_table(orders.where(F.col("o_orderkey") % 2 == 1), cols)
+    return profile_diff(old, new)
+
+
+_SQL_PROFILE_DRIFT = """
+WITH old_p AS (
+  SELECT 'o_custkey' AS "column", count(*) AS old_rows,
+         count(*) - count(o_custkey) AS old_null,
+         count(DISTINCT o_custkey) AS old_distinct
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+         count(DISTINCT o_orderpriority)
+  FROM orders WHERE o_orderkey % 2 = 0
+), new_p AS (
+  SELECT 'o_custkey' AS "column", count(*) AS new_rows,
+         count(*) - count(o_custkey) AS new_null,
+         count(DISTINCT o_custkey) AS new_distinct
+  FROM orders WHERE o_orderkey % 2 = 1
+  UNION ALL
+  SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+         count(DISTINCT o_orderpriority)
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT o."column", old_rows, new_rows, old_null, new_null,
+       old_distinct, new_distinct,
+       round(new_null::DOUBLE / greatest(new_rows, 1)
+             - old_null::DOUBLE / greatest(old_rows, 1), 6)
+         AS null_ratio_delta,
+       round(new_distinct::DOUBLE / greatest(old_distinct, 1), 6)
+         AS distinct_ratio,
+       (abs(new_null::DOUBLE / greatest(new_rows, 1)
+            - old_null::DOUBLE / greatest(old_rows, 1)) > 0.01
+        OR abs(new_distinct::DOUBLE / greatest(old_distinct, 1) - 1.0) > 0.10)
+         AS drifted
+FROM old_p o JOIN new_p n ON o."column" = n."column"
+"""
+
+
 def q_profile_table(spark, sf_dir):
     """One-pass data profiling (functions/profile.py): per-column row /
     null / exact-distinct counts for the orders table in a single scan +
@@ -2376,6 +2426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_quantiles": q_value_quantiles,
         "order_rank_stats": q_order_rank_stats,
         "streaming_sessions": q_streaming_sessions,
+        "profile_drift": q_profile_drift,
     }
 
 
@@ -2483,4 +2534,5 @@ def oracle_sql() -> dict[str, str]:
         "profile_table": _SQL_PROFILE_TABLE,
         "grouped_rank": _SQL_GROUPED_RANK,
         "streaming_sessions": _SQL_STREAMING_SESSIONS,
+        "profile_drift": _SQL_PROFILE_DRIFT,
     }
