@@ -29,6 +29,7 @@ from systems_spark.dedup import (
     NGramJaccardDedup,
     SimHashDedup,
     canonical_documents,
+    connected_components,
 )
 from systems_spark.functions import text as TX
 from systems_spark.functions.hashing import hash64, hash64_sql, unit_uniform_sql
@@ -1641,6 +1642,39 @@ def q_dedup_clusters(spark, sf_dir):
     return canonical_documents(pairs)
 
 
+def q_dedup_clusters_incremental(spark, sf_dir):
+    """Corpus-GROWTH cluster maintenance (dedup/clusters.py:
+    incremental_components): the verified near-dup pairs are split into a
+    'standing' half and an 'arriving' half (deterministic (a+b) parity —
+    guarantees bridges between the two); the standing half is resolved
+    with connected_components, then the arriving edges are FOLDED IN —
+    only touched clusters re-enter the iterative stage (star-collapsed to
+    diameter 2), everything else passes through an anti-join. The final
+    labeling must equal the full recompute, so the oracle is the same
+    recursive CTE that grades dedup_clusters."""
+    from systems_spark.dedup import incremental_components
+
+    docs = _t(spark, sf_dir, "documents")
+    mh = MinHashDedup(**_MINHASH)
+    sigs = mh.signatures(docs).where(F.col("m0") != 2147483647)
+    cands = mh.candidate_pairs(sigs).select("a", "b")
+    ng = NGramJaccardDedup(shingle_k=3)
+    verified = ng.verify_pairs(docs, cands)
+    pairs = verified.where(
+        F.col("inter") * 10 >= 4 * (F.col("size_a") + F.col("size_b") - F.col("inter"))
+    ).select("a", "b")
+    base = pairs.where((F.col("a") + F.col("b")) % 2 == 0)
+    delta = pairs.where((F.col("a") + F.col("b")) % 2 == 1)
+    labels = connected_components(base)
+    updated = incremental_components(labels, delta)
+    sizes = updated.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (updated.join(sizes, on="component")
+            .select(F.col("node").alias("doc_id"),
+                    F.col("component").alias("canonical_id"),
+                    "cluster_size"))
+
+
 def _sql_dedup_clusters() -> str:
     verified = _sql_dedup_verified()
     return f"""
@@ -2427,6 +2461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_rank_stats": q_order_rank_stats,
         "streaming_sessions": q_streaming_sessions,
         "profile_drift": q_profile_drift,
+        "dedup_clusters_incremental": q_dedup_clusters_incremental,
     }
 
 
@@ -2535,4 +2570,5 @@ def oracle_sql() -> dict[str, str]:
         "grouped_rank": _SQL_GROUPED_RANK,
         "streaming_sessions": _SQL_STREAMING_SESSIONS,
         "profile_drift": _SQL_PROFILE_DRIFT,
+        "dedup_clusters_incremental": _sql_dedup_clusters(),
     }
