@@ -42,6 +42,17 @@ def _score(metric: str, q, it):
         return dot_product(q, it)
     if metric == "cosine":
         return cosine_similarity(q, it)
+    if metric == "l2":
+        # NEGATIVE squared euclidean distance: monotone in true L2, so
+        # every descending-score rank below is an ascending-distance rank
+        # (FAISS METRIC_L2 also ranks by squared distance — faiss.py:194
+        # exposes the metric= knob next to the INNER_PRODUCT default)
+        return -F.aggregate(
+            F.zip_with(q, it, lambda x, y:
+                       (x.cast("double") - y.cast("double"))
+                       * (x.cast("double") - y.cast("double"))),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
     raise ValueError(f"unknown metric {metric!r}")
 
 
@@ -56,6 +67,16 @@ def _subdot(a, b):
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0), lambda acc, v: acc + v,
     )
+
+
+def _sub_score(metric: str, a, b):
+    """Per-subspace PQ score, ADDITIVE across subspaces (the property ADC
+    needs): inner product for ip/cosine (cosine's norm is restored by the
+    exact rerank), negative squared distance for l2 — summing subspace
+    values yields -||q - approx||², classic L2 ADC."""
+    if metric == "l2":
+        return _score("l2", a, b)
+    return _subdot(a, b)
 
 
 def _plane_component(table: int, p: int, d: int, salt: str) -> float:
@@ -286,7 +307,8 @@ class QueryANN(Operator):
         def subvec(vec, m):
             return _pq_subvec(vec, m, sub)
 
-        subdot = _subdot
+        def subdot(a, b):
+            return _sub_score(self.metric, a, b)
 
         codebook = F.broadcast(
             self._codebook if self._codebook is not None
@@ -314,7 +336,8 @@ class QueryANN(Operator):
         def subvec(vec, m):
             return _pq_subvec(vec, m, sub)
 
-        subdot = _subdot
+        def subdot(a, b):
+            return _sub_score(self.metric, a, b)
 
         seeds = items.orderBy(F.col("_ann_id").asc()).limit(K).select(
             F.row_number().over(Window.orderBy(F.col("_ann_id").asc())).alias("_k"),
@@ -551,6 +574,11 @@ class QueryANN(Operator):
     def _transform_lsh(self, df: DataFrame) -> DataFrame:
         if self.dim is None:
             raise ValueError("lsh strategy requires dim=")
+        if self.metric == "l2":
+            raise ValueError(
+                "hyperplane LSH buckets by ANGLE — it cannot retrieve for "
+                "l2 (magnitude matters); normalize vectors and use cosine, "
+                "or use the ivf/pq strategies, which are metric-aware")
         # ONE equi-join on the (table, signature) composite key: both sides
         # posexplode their n_tables signatures (the Generate is also a
         # ProjectCollapsing fence, so each signature is computed once per

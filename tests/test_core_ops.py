@@ -526,6 +526,52 @@ def test_ann_ivf_trained_centroids_beat_degenerate_seeds(spark):
         assert sorted(ranks) == [1, 2, 3, 4, 5]
 
 
+def test_ann_l2_metric_all_strategies(spark):
+    """metric='l2' (FAISS METRIC_L2 parity — the reference exposes
+    metric= next to its INNER_PRODUCT default, faiss.py:194): exact
+    ranking equals a NumPy squared-distance brute force; self is top-1
+    with score 0; pq's ADC sums per-subspace squared distances (additive,
+    so the approx stage targets the right ordering) and ivf assigns by
+    nearest cell; hyperplane LSH refuses l2 (angle-only)."""
+    import random
+
+    import numpy as np
+
+    rnd = random.Random(11)
+    vecs = [[rnd.gauss(0, 1) * (1 + i % 3) for _ in range(8)]
+            for i in range(120)]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    q = emb.limit(6).select(F.col("vec_id").alias("request_id"),
+                            F.col("embedding").alias("qvec"))
+    kw = dict(item_id_col="vec_id", query_vec_col="qvec",
+              query_id_col="request_id", topk=5, metric="l2")
+
+    exact = QueryANN(emb, **kw)
+    got = {}
+    for r in exact(q).collect():
+        got.setdefault(r.request_id, []).append((r.ann_rank, r.ann_id, r.ann_score))
+    arr = np.array(vecs, dtype=np.float32).astype(np.float64)
+    for qid, rows in got.items():
+        d2 = ((arr - arr[qid]) ** 2).sum(axis=1)
+        order = sorted(range(len(vecs)), key=lambda i: (d2[i], i))[:5]
+        rows.sort()
+        assert [i for _, i, _ in rows] == order, qid
+        assert rows[0][1] == qid and abs(rows[0][2]) < 1e-6  # self, dist 0
+
+    for strat, extra in (("ivf", dict(n_cells=8, nprobe=3)),
+                         ("pq", dict(pq_m=2, pq_k=16, rerank=30))):
+        op = QueryANN(emb, strategy=strat, dim=8, **{**kw, **extra})
+        rows = op(q).collect()
+        top1 = {r.request_id: r.ann_id for r in rows if r.ann_rank == 1}
+        # self survives any l2 shortlist (distance 0) and reranks to #1
+        assert top1 == {i: i for i in range(6)}, (strat, top1)
+
+    with pytest.raises(ValueError, match="ANGLE"):
+        QueryANN(emb, strategy="lsh", dim=8, **{**kw, "metric": "l2"})(q)
+
+
 def test_ann_ivf_train_once_persists_with_artifacts(spark, tmp_path):
     """train() materializes the coarse quantizer once (FAISS index.train);
     the trained centroids persist through save/load_artifacts (the INDEX
