@@ -108,7 +108,17 @@ def main() -> None:
     runs_raw = {}
     exchanges = {}
     total = 0.0
-    for name in BENCH_QUERIES:
+    # dev loop: SPARK_GRAFT_BENCH_ONLY="dedup_verified,ann_ivf" restricts
+    # the pass to named queries (comma-separated; unknown names rejected)
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    bench_set = BENCH_QUERIES
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        unknown = sorted(set(names) - set(queries))
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY unknown queries: {unknown}")
+        bench_set = names
+    for name in bench_set:
         fn = queries[name]
         # min over RUNS executions = steady-state query cost. Measured
         # run-to-run variance on local[32] is dominated by multi-second
