@@ -228,6 +228,17 @@ def test_incremental_components_bridge_and_untouched(spark):
                    20: 20, 21: 20, 22: 20,
                    30: 30, 31: 30}
 
+    # boundary shapes: empty delta passes labels through untouched;
+    # empty labels (first run) degrade to a plain full resolve
+    empty_edges = spark.createDataFrame([], "a long, b long")
+    pass_through = {(r.node, r.component) for r in
+                    incremental_components(labels, empty_edges).collect()}
+    assert pass_through == {(r.node, r.component) for r in labels.collect()}
+    empty_labels = spark.createDataFrame([], "node long, component long")
+    first_run = {r.node: r.component for r in
+                 incremental_components(empty_labels, base).collect()}
+    assert first_run == {r.node: r.component for r in labels.collect()}
+
 
 def test_connected_components_salted_jump_same_answer(spark):
     """salt>1 spreads the pointer-jump hot key (AQE-off fallback) and must
