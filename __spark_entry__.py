@@ -1623,6 +1623,22 @@ FROM sessions GROUP BY user_id, sid
 """
 
 
+def _verified_dedup_pairs(spark, sf_dir):
+    """The canonical verified near-dup pair pipeline shared by the cluster
+    queries (and mirrored by the recursive-CTE oracle): minhash banding
+    candidates → exact n-gram Jaccard verify at threshold 0.4. One
+    definition so the graded queries can never drift apart."""
+    docs = _t(spark, sf_dir, "documents")
+    mh = MinHashDedup(**_MINHASH)
+    sigs = mh.signatures(docs).where(F.col("m0") != 2147483647)
+    cands = mh.candidate_pairs(sigs).select("a", "b")
+    ng = NGramJaccardDedup(shingle_k=3)
+    verified = ng.verify_pairs(docs, cands)
+    return verified.where(
+        F.col("inter") * 10 >= 4 * (F.col("size_a") + F.col("size_b") - F.col("inter"))
+    ).select("a", "b")
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Duplicate-CLUSTER resolution — the stage after pair finding that an
     actual corpus dedup needs: connected components over the LSH-verified
@@ -1630,16 +1646,7 @@ def q_dedup_clusters(spark, sf_dir):
     jumping, O(log diameter) rounds, no driver-side union-find), one
     canonical survivor (min doc_id) per cluster. Oracle: DuckDB recursive
     CTE computing the same min-reachable-id."""
-    docs = _t(spark, sf_dir, "documents")
-    mh = MinHashDedup(**_MINHASH)
-    sigs = mh.signatures(docs).where(F.col("m0") != 2147483647)
-    cands = mh.candidate_pairs(sigs).select("a", "b")
-    ng = NGramJaccardDedup(shingle_k=3)
-    verified = ng.verify_pairs(docs, cands)
-    pairs = verified.where(
-        F.col("inter") * 10 >= 4 * (F.col("size_a") + F.col("size_b") - F.col("inter"))
-    ).select("a", "b")
-    return canonical_documents(pairs)
+    return canonical_documents(_verified_dedup_pairs(spark, sf_dir))
 
 
 def q_dedup_clusters_incremental(spark, sf_dir):
@@ -1652,27 +1659,13 @@ def q_dedup_clusters_incremental(spark, sf_dir):
     diameter 2), everything else passes through an anti-join. The final
     labeling must equal the full recompute, so the oracle is the same
     recursive CTE that grades dedup_clusters."""
-    from systems_spark.dedup import incremental_components
+    from systems_spark.dedup import canonical_from_labels, incremental_components
 
-    docs = _t(spark, sf_dir, "documents")
-    mh = MinHashDedup(**_MINHASH)
-    sigs = mh.signatures(docs).where(F.col("m0") != 2147483647)
-    cands = mh.candidate_pairs(sigs).select("a", "b")
-    ng = NGramJaccardDedup(shingle_k=3)
-    verified = ng.verify_pairs(docs, cands)
-    pairs = verified.where(
-        F.col("inter") * 10 >= 4 * (F.col("size_a") + F.col("size_b") - F.col("inter"))
-    ).select("a", "b")
+    pairs = _verified_dedup_pairs(spark, sf_dir)
     base = pairs.where((F.col("a") + F.col("b")) % 2 == 0)
     delta = pairs.where((F.col("a") + F.col("b")) % 2 == 1)
     labels = connected_components(base)
-    updated = incremental_components(labels, delta)
-    sizes = updated.groupBy("component").agg(
-        F.count(F.lit(1)).alias("cluster_size"))
-    return (updated.join(sizes, on="component")
-            .select(F.col("node").alias("doc_id"),
-                    F.col("component").alias("canonical_id"),
-                    "cluster_size"))
+    return canonical_from_labels(incremental_components(labels, delta))
 
 
 def _sql_dedup_clusters() -> str:

@@ -3,7 +3,7 @@ from systems_spark.dedup.minhash import MinHashDedup
 from systems_spark.dedup.simhash import SimHashDedup
 from systems_spark.dedup.ngram import NGramJaccardDedup
 from systems_spark.dedup.embedding import EmbeddingDedup
-from systems_spark.dedup.clusters import canonical_documents, connected_components, incremental_components
+from systems_spark.dedup.clusters import canonical_documents, canonical_from_labels, connected_components, incremental_components
 
 __all__ = [
     "ExactDedup",
@@ -14,4 +14,5 @@ __all__ = [
     "connected_components",
     "canonical_documents",
     "incremental_components",
+    "canonical_from_labels",
 ]

@@ -236,12 +236,26 @@ def canonical_documents(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
     keeping rows where canonical is null (never duplicated) or equal to
     the own id (cluster survivor)."""
     comp = connected_components(pairs, a_col=a_col, b_col=b_col)
-    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias(size_col))
+    return canonical_from_labels(comp, id_col=id_col,
+                                 canonical_col=canonical_col,
+                                 size_col=size_col)
+
+
+def canonical_from_labels(labels: DataFrame, node_col: str = "node",
+                          component_col: str = "component",
+                          id_col: str = "doc_id",
+                          canonical_col: str = "canonical_id",
+                          size_col: str = "cluster_size") -> DataFrame:
+    """The ``canonical_documents`` view from an EXISTING (node, component)
+    labeling — e.g. one maintained by ``incremental_components`` — without
+    re-running the resolve."""
+    sizes = labels.groupBy(component_col).agg(
+        F.count(F.lit(1)).alias(size_col))
     return (
-        comp.join(sizes, on="component")
+        labels.join(sizes, on=component_col)
         .select(
-            F.col("node").alias(id_col),
-            F.col("component").alias(canonical_col),
+            F.col(node_col).alias(id_col),
+            F.col(component_col).alias(canonical_col),
             size_col,
         )
     )

@@ -107,20 +107,27 @@ def skew_report(df: DataFrame, col: str, top_n: int = 10) -> DataFrame:
     task's work — the number that decides between plain shuffle, AQE
     skew-split, and explicit salting (``plans.salted_join``).
 
-    One aggregation over (key) + one tiny top-n sort; NULL keys are
-    reported as a row (NULL joins nothing but still lands in one
-    partition of an aggregation)."""
+    Lazy, one plan: the totals ride a broadcast crossJoin of the same
+    key aggregation, so Catalyst reuses the aggregation exchange
+    (ReusedExchange) instead of scanning the table twice — and nothing
+    executes until the caller does. NULL keys are reported as a row
+    (NULL joins nothing but still lands in one partition of an
+    aggregation)."""
     counts = df.groupBy(F.col(col).alias("value")).agg(
         F.count(F.lit(1)).alias("n"))
     stats = counts.agg(F.sum("n").alias("_t"),
-                       F.count(F.lit(1)).alias("_d")).first()
-    total, distinct = (stats._t or 0), (stats._d or 1)
+                       F.count(F.lit(1)).alias("_d"))
     return (
         counts.orderBy(F.col("n").desc(), F.col("value").asc()).limit(top_n)
+        .crossJoin(F.broadcast(stats))
+        # re-sort: the join does not preserve the pre-limit order
+        .orderBy(F.col("n").desc(), F.col("value").asc())
         .select(
             "value", "n",
-            F.round(F.col("n") / F.lit(max(total, 1)), 6).alias("share"),
-            F.round(F.col("n") * F.lit(distinct) / F.lit(max(total, 1)), 2)
+            F.round(F.col("n") / F.greatest(F.col("_t"), F.lit(1)), 6)
+            .alias("share"),
+            F.round(F.col("n") * F.greatest(F.col("_d"), F.lit(1))
+                    / F.greatest(F.col("_t"), F.lit(1)), 2)
             .alias("x_uniform"),
         )
     )

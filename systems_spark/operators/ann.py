@@ -26,6 +26,8 @@ Metrics: ``ip`` (inner product, the reference default) or ``cosine``.
 
 from __future__ import annotations
 
+import functools
+
 import math
 from typing import Optional
 
@@ -307,8 +309,7 @@ class QueryANN(Operator):
         def subvec(vec, m):
             return _pq_subvec(vec, m, sub)
 
-        def subdot(a, b):
-            return _sub_score(self.metric, a, b)
+        subdot = functools.partial(_sub_score, self.metric)
 
         codebook = F.broadcast(
             self._codebook if self._codebook is not None
@@ -336,8 +337,7 @@ class QueryANN(Operator):
         def subvec(vec, m):
             return _pq_subvec(vec, m, sub)
 
-        def subdot(a, b):
-            return _sub_score(self.metric, a, b)
+        subdot = functools.partial(_sub_score, self.metric)
 
         seeds = items.orderBy(F.col("_ann_id").asc()).limit(K).select(
             F.row_number().over(Window.orderBy(F.col("_ann_id").asc())).alias("_k"),

@@ -220,13 +220,20 @@ class Categorify(Operator):
                 self.vocabs[c] = vocab
             return self
 
+        self._persisted = getattr(self, "_persisted", [])
         for c in self.columns:
             counts = (
                 df.where(F.col(c).isNotNull())
                 .groupBy(F.col(c).alias("value"))
                 .agg(F.count(F.lit(1)).alias("cnt"))
             )
-            self.vocabs[c] = unseen_ranked(counts, self.vocabs[c])
+            # persist like fit does: without it, daily updates chain an
+            # unbounded union lineage and every later action (max-code
+            # read, transform broadcast, save) recomputes all prior
+            # batches — which must then still exist unchanged
+            updated = unseen_ranked(counts, self.vocabs[c]).persist()
+            self._persisted.append(updated)
+            self.vocabs[c] = updated
         return self
 
     @staticmethod

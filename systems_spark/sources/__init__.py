@@ -139,16 +139,22 @@ def read_with_quarantine(spark: SparkSession, path: str, schema,
     read) or silently nulling them (PERMISSIVE default: corruption
     becomes missing data nobody notices).
 
-    Returns ``(good, bad)``: ``good`` carries the declared schema with the
-    corrupt-record column dropped; ``bad`` has the raw offending text in
-    ``corrupt_col`` for quarantine/replay. One scan feeds both branches —
-    at scale write ``bad`` first (it is usually tiny), then ``good``.
+    Returns ``(good, bad, raw)``: ``good`` carries the declared schema
+    with the corrupt-record column dropped; ``bad`` has the raw offending
+    text in ``corrupt_col`` for quarantine/replay; ``raw`` is the shared
+    CACHED frame both branches derive from — call ``raw.unpersist()``
+    once both branches are consumed, or a session quarantine-reading many
+    partitions accumulates every raw read in executor storage. One scan
+    feeds both branches — at scale write ``bad`` first (it is usually
+    tiny), then ``good``, then unpersist.
 
     Note: Spark requires the corrupt column to be part of the declared
-    schema for PERMISSIVE capture, and caching/counting the raw frame
-    before the split is what makes the two branches consistent views of
-    one read."""
-    from pyspark.sql.types import StringType, StructType
+    schema for PERMISSIVE capture (added on a COPY — the caller's schema
+    object is not mutated), and caching the raw frame before the split is
+    what makes the two branches consistent views of one read
+    (SPARK-26224 also forbids filtering the corrupt column over the bare
+    scan)."""
+    from pyspark.sql.types import StringType, StructField, StructType
 
     if format not in ("json", "csv"):
         raise ValueError("read_with_quarantine supports json/csv")
@@ -156,19 +162,17 @@ def read_with_quarantine(spark: SparkSession, path: str, schema,
         raise ValueError("explicit StructType schema required — quarantine "
                          "is meaningless under schema inference")
     if corrupt_col not in schema.fieldNames():
-        schema = schema.add(corrupt_col, StringType(), True)
+        schema = StructType(
+            list(schema.fields) + [StructField(corrupt_col, StringType(), True)]
+        )
     reader = (spark.read.schema(schema)
               .option("mode", "PERMISSIVE")
               .option("columnNameOfCorruptRecord", corrupt_col)
               .options(**options))
-    raw = reader.json(path) if format == "json" else reader.csv(path)
-    # one materialization both branches share: Spark forbids filtering on
-    # the corrupt column alone over the raw scan (SPARK-26224) and two
-    # separate scans could disagree if files change between them
-    raw = raw.cache()
+    raw = (reader.json(path) if format == "json" else reader.csv(path)).cache()
     good = raw.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
     bad = raw.where(F.col(corrupt_col).isNotNull())
-    return good, bad
+    return good, bad, raw
 
 
 def read_orc(spark: SparkSession, path: str,

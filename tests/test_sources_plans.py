@@ -83,24 +83,27 @@ def test_read_with_quarantine_splits_malformed(spark, tmp_path):
                 '{"id": "not-a-number", "v": "c"}\n')
     schema = T.StructType([T.StructField("id", T.LongType()),
                            T.StructField("v", T.StringType())])
-    good, bad = read_with_quarantine(spark, jp, schema, format="json")
+    good, bad, raw = read_with_quarantine(spark, jp, schema, format="json")
+    assert "_corrupt_record" not in schema.fieldNames()  # caller schema untouched
     assert good.columns == ["id", "v"]
     assert sorted((r.id, r.v) for r in good.collect()) == [(1, "a"), (2, "b")]
     bad_rows = bad.collect()
     assert len(bad_rows) == 2
-    raw = {r._corrupt_record for r in bad_rows}
-    assert any("NOT JSON" in t for t in raw)
-    assert any("not-a-number" in t for t in raw)
+    texts = {r._corrupt_record for r in bad_rows}
+    assert any("NOT JSON" in t for t in texts)
+    assert any("not-a-number" in t for t in texts)
 
     cp = str(tmp_path / "in.csv")
     with open(cp, "w") as f:
         f.write("1,a\nnope,b,extra,columns\n3,c\n")
     csv_schema = T.StructType([T.StructField("id", T.LongType()),
                                T.StructField("v", T.StringType())])
-    good_c, bad_c = read_with_quarantine(spark, cp, csv_schema, format="csv",
-                                         header="false")
+    good_c, bad_c, raw_c = read_with_quarantine(spark, cp, csv_schema,
+                                              format="csv", header="false")
     assert sorted((r.id, r.v) for r in good_c.collect()) == [(1, "a"), (3, "c")]
     assert bad_c.count() == 1
+    raw.unpersist()
+    raw_c.unpersist()
 
     with pytest.raises(ValueError, match="StructType"):
         read_with_quarantine(spark, jp, None, format="json")

@@ -7,7 +7,7 @@ The number that matters is the LAST ratio (sf0.01 → sf0.1, a 10× data
 step once fixed overheads stop dominating): a scan-bound plan should
 show ≈10× time at 10× data (linear), an aggregation/join plan whose
 shuffle carries keys-not-rows should show well UNDER 10×, and anything
-超-linear is a plan that will not survive the next 100×.
+super-linear is a plan that will not survive the next 100×.
 
 Usage: python tools/scaling_probe.py [query ...]
 Defaults to a spread across operator families. One JSON line per query:
@@ -59,11 +59,16 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
+    # honor bench.py's dataset-location convention: SPARK_GRAFT_SF_DIR
+    # points at one sf dir; its parent is the base for all three
+    base = os.path.dirname(
+        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1").rstrip("/")
+    )
     for name in names:
         fn = queries[name]
         secs = {}
         for sf in SFS:
-            sf_dir = f"/root/testdata/sf{sf}"
+            sf_dir = os.path.join(base, f"sf{sf}")
             best = None
             for _ in range(2):  # min-of-2: strip first-run JIT noise
                 try:
