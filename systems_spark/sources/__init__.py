@@ -226,6 +226,63 @@ def write_sorted_parquet(df: DataFrame, path: str, sort_cols,
     part.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
 
 
+def zorder_key(df: DataFrame, cols, bits: int = 16) -> "tuple[DataFrame, str]":
+    """Append a Z-order (Morton) key over numeric ``cols``: each column is
+    min-max scaled to a ``bits``-bit integer (one tiny stats job), then the
+    bits are interleaved JVM-side. Rows close in the multi-dimensional
+    space get close keys, so range-sorting by the key gives every output
+    file a small bounding BOX in all dimensions at once — which is what
+    lexicographic multi-column sort cannot do (its second column's range
+    spans the whole domain in every file; a filter on it prunes nothing).
+
+    Returns ``(df_with_key, key_col_name)``. NULLs scale to 0 (first
+    files). The stats job is one aggregation; the key itself is pure
+    bit arithmetic inside whole-stage codegen."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    if not 1 <= bits * len(cols) <= 63:
+        raise ValueError("bits * len(cols) must fit a long (1..63)")
+    stats = df.agg(*[F.min(c).alias(f"_mn_{c}") for c in cols],
+                   *[F.max(c).alias(f"_mx_{c}") for c in cols]).first()
+    key = F.lit(0).cast("long")
+    top = (1 << bits) - 1
+    for j, c in enumerate(cols):
+        mn = float(stats[f"_mn_{c}"] or 0.0)
+        mx = float(stats[f"_mx_{c}"] or 0.0)
+        span = (mx - mn) or 1.0
+        q = F.least(
+            F.lit(top).cast("long"),
+            F.greatest(
+                F.lit(0).cast("long"),
+                ((F.col(c).cast("double") - F.lit(mn)) / F.lit(span)
+                 * F.lit(float(top))).cast("long"),
+            ),
+        )
+        q = F.coalesce(q, F.lit(0).cast("long"))
+        for i in range(bits):  # bit i of col j → position i*len(cols)+j
+            key = key + F.shiftleft(
+                F.shiftright(q, i).bitwiseAND(F.lit(1)),
+                i * len(cols) + j,
+            ).cast("long")
+    name = "_zorder_" + "_".join(cols)
+    return df.withColumn(name, key), name
+
+
+def write_zordered_parquet(df: DataFrame, path: str, cols,
+                           n_files: Optional[int] = None, bits: int = 16,
+                           mode: str = "overwrite") -> None:
+    """Z-order-clustered parquet: range-partition + sort by the Morton key
+    of ``cols``, so parquet min/max footer stats give EVERY listed column
+    partial file-skipping power — the multi-predicate layout lever
+    (Delta/Iceberg ``OPTIMIZE ZORDER BY`` counterpart). Use
+    ``write_sorted_parquet`` instead when queries filter one dominant
+    column: pure range layout prunes that single column harder."""
+    keyed, kname = zorder_key(df, cols, bits)
+    key_cols = [F.col(kname)]
+    part = (keyed.repartitionByRange(n_files, *key_cols) if n_files is not None
+            else keyed.repartitionByRange(*key_cols))
+    part.sortWithinPartitions(kname).drop(kname).write.mode(mode).parquet(path)
+
+
 def write_bucketed_table(df: DataFrame, table_name: str, bucket_col: str,
                          n_buckets: int, mode: str = "overwrite") -> None:
     """Bucketed managed table: joins/aggs on ``bucket_col`` against other

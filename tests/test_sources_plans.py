@@ -379,6 +379,64 @@ def test_sorted_write_layout_enables_stats_pruning(spark, tmp_path, tables):
     assert spark.read.parquet(sorted_path).count() == ev.count()
 
 
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Z-order vs lexicographic two-column sort, measured from real
+    parquet footers: lexicographic (a, b) gives b the full domain in
+    every file (a narrow b-predicate overlaps ~all files); the Morton
+    layout gives every file a bounding box in BOTH dimensions, so the
+    same predicate prunes most files — while a-pruning stays effective
+    in both layouts."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from systems_spark.sources import write_sorted_parquet, write_zordered_parquet
+
+    n = 65536  # full 256x256 grid: genuinely independent dimensions
+    df = spark.range(n).select(
+        ((F.col("id") % 256) * 256).alias("a"),
+        ((F.col("id") / 256).cast("long") * 256).alias("b"),
+    )
+    zp, lp = str(tmp_path / "zord"), str(tmp_path / "lex")
+    write_zordered_parquet(df, zp, ["a", "b"], n_files=16)
+    write_sorted_parquet(df, lp, ["a", "b"], n_files=16)
+
+    def ranges(path, col_idx):
+        out = []
+        for f in sorted(glob.glob(f"{path}/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            lo = min(md.row_group(i).column(col_idx).statistics.min
+                     for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(col_idx).statistics.max
+                     for i in range(md.num_row_groups))
+            out.append((lo, hi))
+        return out
+
+    def overlapping(path, col_idx, lo, hi):
+        return sum(1 for fl, fh in ranges(path, col_idx)
+                   if fh >= lo and fl <= hi)
+
+    # ~5% band inside ONE Morton block row ([16384, 32768) at 16 files =
+    # a 4x4 block grid): the ideal overlap is the 4 blocks of that row
+    # plus range-boundary slop — straddling a row boundary would add the
+    # neighboring row's 4 blocks, still far under lexicographic's 16
+    band = (20000, 23000)
+    z_b = overlapping(zp, 1, *band)
+    lex_b = overlapping(lp, 1, *band)
+    assert lex_b >= 15, lex_b   # lexicographic: b prunes nothing
+    assert z_b <= 7 and z_b < lex_b, (z_b, lex_b)
+    # the a dimension prunes in both layouts
+    assert overlapping(zp, 0, *band) <= 8
+    assert overlapping(lp, 0, *band) <= 2  # pure range: hardest a-pruning
+    # same data, key column not persisted
+    back = spark.read.parquet(zp)
+    assert back.columns == ["a", "b"] and back.count() == n
+
+    from systems_spark.sources import zorder_key
+    with pytest.raises(ValueError, match="fit a long"):
+        zorder_key(df, ["a", "b"], bits=32)
+
+
 def test_configure_for_scale_applies_posture(spark):
     """configure_for_scale codifies SCALE.md's global posture; settings
     land in the session and the applied dict reports them."""
