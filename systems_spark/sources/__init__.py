@@ -283,6 +283,40 @@ def write_zordered_parquet(df: DataFrame, path: str, cols,
     part.sortWithinPartitions(kname).drop(kname).write.mode(mode).parquet(path)
 
 
+def compact_parquet(spark: SparkSession, src: str, dest: str,
+                    target_file_bytes: int = 128 * 1024 * 1024,
+                    mode: str = "error") -> int:
+    """Compact a small-file parquet directory (the classic streaming-sink
+    problem: availableNow/micro-batch appends write a file per batch, and
+    a month of hourly batches means listing+opening thousands of tiny
+    files on every read) into ``ceil(total_bytes / target_file_bytes)``
+    files at ``dest``. Returns the output file count.
+
+    Shuffle-free: the width reduction uses ``coalesce`` (a narrow
+    repartition that concatenates input splits), so the only cost is one
+    read+write pass. Total bytes come from filesystem statistics — zero
+    Spark jobs before the copy. ``dest`` must differ from ``src``
+    (atomic-swap rename is the caller's move; compacting in place would
+    delete inputs mid-read on failure)."""
+    import math
+    import os
+
+    if os.path.abspath(src) == os.path.abspath(dest):
+        raise ValueError("dest must differ from src — swap after the copy "
+                         "(in-place compaction deletes inputs mid-read on "
+                         "failure)")
+    if target_file_bytes < 1:
+        raise ValueError("target_file_bytes must be positive")
+    total = 0
+    for root, _dirs, files in os.walk(src):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    spark.read.parquet(src).coalesce(n_files).write.mode(mode).parquet(dest)
+    return n_files
+
+
 def write_bucketed_table(df: DataFrame, table_name: str, bucket_col: str,
                          n_buckets: int, mode: str = "overwrite") -> None:
     """Bucketed managed table: joins/aggs on ``bucket_col`` against other

@@ -379,6 +379,36 @@ def test_sorted_write_layout_enables_stats_pruning(spark, tmp_path, tables):
     assert spark.read.parquet(sorted_path).count() == ev.count()
 
 
+def test_compact_parquet_small_files(spark, tmp_path):
+    """Many tiny files in, few files out, identical data, no shuffle in
+    the copy plan (coalesce is a narrow repartition)."""
+    import glob
+
+    from systems_spark.sources import compact_parquet
+
+    src, dest = str(tmp_path / "frag"), str(tmp_path / "compact")
+    df = spark.range(5000).select(F.col("id"), (F.col("id") % 7).alias("g"))
+    df.repartition(40).write.parquet(src)  # 40 tiny files (a month of batches)
+    n_in = len(glob.glob(f"{src}/*.parquet"))
+    assert n_in >= 40
+
+    total = sum(os.path.getsize(f) for f in glob.glob(f"{src}/*.parquet"))
+    n_out = compact_parquet(spark, src, dest,
+                            target_file_bytes=max(total // 3, 1))
+    files_out = glob.glob(f"{dest}/*.parquet")
+    assert len(files_out) == n_out <= 4
+    # identical data
+    assert sorted(map(tuple, spark.read.parquet(dest).collect())) == \
+        sorted(map(tuple, df.collect()))
+    # the copy plan is shuffle-free
+    assert count_exchanges(spark.read.parquet(src).coalesce(n_out)) == 0
+
+    with pytest.raises(ValueError, match="differ from src"):
+        compact_parquet(spark, src, src)
+    with pytest.raises(ValueError, match="positive"):
+        compact_parquet(spark, src, dest + "2", target_file_bytes=0)
+
+
 def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     """Z-order vs lexicographic two-column sort, measured from real
     parquet footers: lexicographic (a, b) gives b the full domain in
