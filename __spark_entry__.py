@@ -2353,6 +2353,202 @@ QUALIFY sample_rank <= 5
 
 
 # ===========================================================================
+# Corpus-curation lanes (r4 session 3): PII scrub, decontamination,
+# repetition filters, mixture resampling, sequence packing
+# ===========================================================================
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrub over documents: per-category match counts + md5 of the
+    redacted text. The synthetic corpus carries no organic PII, so each doc
+    is augmented IN-PLAN with deterministic email/URL/IP/phone strings
+    derived from doc_id — the same augmentation the oracle applies — making
+    the redaction lanes do real work under grading. Pure JVM regex
+    (functions/pii.py), no shuffle at all."""
+    from systems_spark.functions import pii
+
+    docs = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), sid, F.lit("@mail.example.com"),
+        F.lit(" via http://ex.example/u/"), sid,
+        F.lit(" from 10.1.2."), (F.col("doc_id") % 250).cast("string"),
+        F.lit(" tel +1 555 01"), (F.col("doc_id") % 90 + 10).cast("string"),
+    )
+    counts = pii.pii_counts(aug)
+    return docs.select(
+        "doc_id",
+        counts["url"].alias("n_url"),
+        counts["email"].alias("n_email"),
+        counts["ipv4"].alias("n_ip"),
+        counts["phone"].alias("n_phone"),
+        F.md5(pii.redact(aug)).alias("redacted_md5"),
+    )
+
+
+def _sql_pii_redact() -> str:
+    from systems_spark.functions import pii
+
+    aug = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@mail.example.com' || ' via http://ex.example/u/'"
+        " || CAST(doc_id AS VARCHAR) || ' from 10.1.2.'"
+        " || CAST(doc_id % 250 AS VARCHAR) || ' tel +1 555 01'"
+        " || CAST(doc_id % 90 + 10 AS VARCHAR)"
+    )
+    c = pii.pii_counts_sql(aug)
+    return f"""
+SELECT doc_id,
+       {c['url']} AS n_url,
+       {c['email']} AS n_email,
+       {c['ipv4']} AS n_ip,
+       {c['phone']} AS n_phone,
+       md5({pii.redact_sql(aug)}) AS redacted_md5
+FROM documents
+"""
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: every 37th document plays the held-out
+    eval set; flag corpus docs whose distinct 3-shingle overlap with the
+    eval shingle set reaches 20%. Broadcast eval hashes; one per-doc count
+    aggregation is the only exchange (dedup/decontaminate.py)."""
+    from systems_spark.dedup.decontaminate import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    return decontaminate(docs, bench, k=3, threshold=0.2)
+
+
+_SQL_DECONTAMINATE = f"""
+WITH doc_sh AS (
+  SELECT doc_id, {hash64_sql('s')} AS sh_hash
+  FROM (SELECT doc_id, unnest(list_distinct({TX.word_shingles_sql('text', 3)})) AS s
+        FROM documents)
+), bench_sh AS (
+  SELECT DISTINCT sh_hash FROM doc_sh WHERE doc_id % 37 = 0
+), per_doc AS (
+  SELECT d.doc_id, COUNT(*) AS n_sh, COUNT(b.sh_hash) AS n_ov
+  FROM doc_sh d LEFT JOIN bench_sh b USING (sh_hash)
+  GROUP BY d.doc_id
+)
+SELECT doc_id,
+       COALESCE(n_sh, 0)::BIGINT AS n_shingles,
+       COALESCE(n_ov, 0)::BIGINT AS n_overlap,
+       COALESCE(n_ov, 0)::DOUBLE / GREATEST(COALESCE(n_sh, 0), 1)::DOUBLE
+         AS overlap_frac,
+       (COALESCE(n_ov, 0)::DOUBLE / GREATEST(COALESCE(n_sh, 0), 1)::DOUBLE
+         >= 0.2) AS contaminated
+FROM documents LEFT JOIN per_doc USING (doc_id)
+"""
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals per document over word bigrams:
+    top-bigram fraction, duplicate-bigram fraction, repetitive flag
+    (operators/repetition.py). One (doc_id, ngram) aggregation with
+    map-side combine — repeated n-grams collapse before the shuffle."""
+    from systems_spark.operators.repetition import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"), k=2)
+
+
+_SQL_REPETITION_STATS = f"""
+WITH grams AS (
+  SELECT doc_id, unnest({TX.word_shingles_sql('text', 2)}) AS g FROM documents
+), per_gram AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g
+), per_doc AS (
+  SELECT doc_id, SUM(c)::BIGINT AS n_ngrams,
+         COALESCE(MAX(c) FILTER (WHERE c > 1), 0)::BIGINT AS top,
+         COALESCE(SUM(c) FILTER (WHERE c > 1), 0)::BIGINT AS dup
+  FROM per_gram GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(n_ngrams, 0)::BIGINT AS n_ngrams,
+       COALESCE(top, 0)::DOUBLE / GREATEST(COALESCE(n_ngrams, 0), 1)::DOUBLE
+         AS top_frac,
+       COALESCE(dup, 0)::DOUBLE / GREATEST(COALESCE(n_ngrams, 0), 1)::DOUBLE
+         AS dup_frac,
+       (COALESCE(top, 0)::DOUBLE / GREATEST(COALESCE(n_ngrams, 0), 1)::DOUBLE
+          > 0.18
+        OR COALESCE(dup, 0)::DOUBLE / GREATEST(COALESCE(n_ngrams, 0), 1)::DOUBLE
+          > 0.60) AS repetitive
+FROM documents d LEFT JOIN per_doc USING (doc_id)
+"""
+
+
+_MIXTURE = dict(
+    key_col="doc_id",
+    group_col="source",
+    weights={"src0": 0.5, "src1": 0.25, "src2": 0.25},
+    salt="mix",
+)
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Domain-mixture resampling: keep src0/src1/src2 at 50/25/25 target
+    weights (the corpus is uniform, so src0 keeps everything and the others
+    downsample around it). Rates are derived IN-PLAN from one tiny group
+    count — no driver collect (operators/sampler.py MixtureSampler)."""
+    from systems_spark.operators.sampler import MixtureSampler
+
+    docs = _t(spark, sf_dir, "documents")
+    sampled = MixtureSampler(**_MIXTURE)(docs)
+    return sampled.select("doc_id", "source", "lang")
+
+
+def _sql_mixture_sample() -> str:
+    from systems_spark.operators.sampler import MixtureSampler
+
+    return MixtureSampler(**_MIXTURE).sql("documents", "doc_id, source, lang")
+
+
+_PACK_BUDGET, _PACK_SHARDS = 256, 8
+
+
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style sequence-packing layout: stripe documents into 8 shards by
+    portable hash, pack each shard's token stream into 256-token sequences
+    (operators/packing.py). One hash-partitioned window — parallelism =
+    n_shards, no global sort."""
+    from systems_spark.functions.fence import fence_columns
+    from systems_spark.operators.packing import SequencePacker
+
+    docs = _t(spark, sf_dir, "documents")
+    staged = fence_columns(
+        docs.select("doc_id", "text"),
+        n_tokens=TX.token_count(F.col("text")).cast("long"),
+    ).select("doc_id", "n_tokens")
+    packer = SequencePacker("doc_id", "n_tokens", _PACK_BUDGET,
+                            n_shards=_PACK_SHARDS)
+    return packer(staged)
+
+
+_SQL_PACK_SEQUENCES = f"""
+WITH d AS (
+  SELECT doc_id, ({TX.token_count_sql('text')})::BIGINT AS n_tokens,
+         CAST(({hash64_sql("'pack' || CAST(doc_id AS VARCHAR)")})
+              % {_PACK_SHARDS} AS INT) AS shard
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens, shard,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+)
+SELECT doc_id, n_tokens, shard,
+       ((cum - n_tokens) // {_PACK_BUDGET})::BIGINT AS seq_in_shard,
+       ((cum - n_tokens) % {_PACK_BUDGET})::BIGINT AS begin_offset,
+       (CASE WHEN n_tokens <= 0 THEN 0
+             ELSE ((cum - 1) // {_PACK_BUDGET})
+                  - ((cum - n_tokens) // {_PACK_BUDGET}) + 1
+        END)::BIGINT AS n_seqs
+FROM c
+"""
+
+
+# ===========================================================================
 # Driver contract
 # ===========================================================================
 
@@ -2455,6 +2651,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions": q_streaming_sessions,
         "profile_drift": q_profile_drift,
         "dedup_clusters_incremental": q_dedup_clusters_incremental,
+        # --- r4 session-3 corpus-curation lanes (locally oracle-checked
+        # via test_oracle_parity; appended after 50 per the name-stable
+        # window rule) ---
+        "pii_redact": q_pii_redact,
+        "decontaminate": q_decontaminate,
+        "repetition_stats": q_repetition_stats,
+        "mixture_sample": q_mixture_sample,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -2564,4 +2768,9 @@ def oracle_sql() -> dict[str, str]:
         "streaming_sessions": _SQL_STREAMING_SESSIONS,
         "profile_drift": _SQL_PROFILE_DRIFT,
         "dedup_clusters_incremental": _sql_dedup_clusters(),
+        "pii_redact": _sql_pii_redact(),
+        "decontaminate": _SQL_DECONTAMINATE,
+        "repetition_stats": _SQL_REPETITION_STATS,
+        "mixture_sample": _sql_mixture_sample(),
+        "pack_sequences": _SQL_PACK_SEQUENCES,
     }

@@ -71,6 +71,12 @@ BENCH_QUERIES = [
     "profile_table",
     "grouped_rank",
     "streaming_sessions",
+    # r4 session-3 corpus-curation lanes
+    "pii_redact",
+    "decontaminate",
+    "repetition_stats",
+    "mixture_sample",
+    "pack_sequences",
 ]
 
 

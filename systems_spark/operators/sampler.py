@@ -109,3 +109,95 @@ class HashSampler(Operator):
                 "stratify_col": self.stratify_col, "fractions": self.fractions,
                 "split_col": self.split_col, "splits": self.splits,
                 "salt": self.salt}
+
+
+class MixtureSampler(Operator):
+    """Resample a corpus to a target group mixture (domain reweighting).
+
+    Training mixes are specified as weights over a group column ("40% web,
+    30% code, 30% books"); the observed corpus has whatever proportions it
+    has. This operator downsamples each group deterministically so the kept
+    rows follow the target weights while retaining as much data as possible:
+    the group with the scarcest supply relative to its weight is kept whole
+    (rate 1.0) and every other group's keep-rate scales down around it —
+
+        scale  = min over groups of (count_g / weight_g)
+        rate_g = weight_g * scale / count_g          (<= 1.0 by scale-min)
+        keep   = unit_uniform(salt || key) <= rate_g
+
+    100 TB shape: ONE tiny aggregation (group counts — map-side combined,
+    #groups rows) joined back as a broadcast, then a pure hash predicate;
+    no driver collect, no second pass over the data, retry-idempotent
+    (functions/hashing.py determinism). Rates are computed IN-PLAN with
+    IEEE double arithmetic, so Spark and the DuckDB oracle derive
+    bit-identical rates from the same counts — the sampled set matches
+    row-for-row. Groups absent from ``weights`` are dropped (weight 0).
+    """
+
+    def __init__(self, key_col: str, group_col: str, weights: Mapping,
+                 salt: str = "mix"):
+        if not weights:
+            raise ValueError("weights must be non-empty")
+        if any(w <= 0 for w in weights.values()):
+            raise ValueError("weights must be strictly positive")
+        self.key_col = key_col
+        self.group_col = group_col
+        self.weights = dict(weights)
+        self.salt = salt
+        self.requires = (key_col, group_col)
+
+    def _weight_case(self) -> Column:
+        expr = None
+        for value, w in sorted(self.weights.items(), key=repr):
+            cond = F.col(self.group_col) == F.lit(value)
+            expr = F.when(cond, F.lit(float(w))) if expr is None else \
+                expr.when(cond, F.lit(float(w)))
+        return expr  # no otherwise → NULL for unlisted groups (dropped)
+
+    def _weight_case_sql(self) -> str:
+        whens = " ".join(
+            f"WHEN {self.group_col} = '{v}' THEN {float(w)!r}"
+            for v, w in sorted(self.weights.items(), key=repr)
+        )
+        return f"CASE {whens} END"
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        in_mix = df.where(self._weight_case().isNotNull())
+        counts = in_mix.groupBy(self.group_col).agg(
+            F.count(F.lit(1)).cast("double").alias("_cnt")
+        ).withColumn("_w", self._weight_case())
+        scale = counts.agg(F.min(F.col("_cnt") / F.col("_w")).alias("_scale"))
+        rates = counts.crossJoin(F.broadcast(scale)).select(
+            self.group_col,
+            (F.col("_w") * F.col("_scale") / F.col("_cnt")).alias("_rate"),
+        )
+        u = unit_uniform(F.col(self.key_col), self.salt)
+        return (
+            in_mix.join(F.broadcast(rates), self.group_col)
+            .where(u <= F.col("_rate"))
+            .drop("_rate")
+        )
+
+    # -- oracle twin -------------------------------------------------------
+    def sql(self, table: str, select_cols: str) -> str:
+        """DuckDB query selecting ``select_cols`` of the sampled rows."""
+        w = self._weight_case_sql()
+        u = unit_uniform_sql(self.key_col, self.salt)
+        return f"""
+WITH in_mix AS (
+  SELECT *, ({w}) AS _w FROM {table} WHERE ({w}) IS NOT NULL
+), counts AS (
+  SELECT {self.group_col}, _w, COUNT(*)::DOUBLE AS _cnt
+  FROM in_mix GROUP BY {self.group_col}, _w
+), rates AS (
+  SELECT {self.group_col}, _w * (SELECT MIN(_cnt / _w) FROM counts) / _cnt AS _rate
+  FROM counts
+)
+SELECT {select_cols}
+FROM in_mix JOIN rates USING ({self.group_col})
+WHERE ({u}) <= _rate
+"""
+
+    def get_params(self):
+        return {"key_col": self.key_col, "group_col": self.group_col,
+                "weights": self.weights, "salt": self.salt}
