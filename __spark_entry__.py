@@ -2548,6 +2548,54 @@ FROM c
 """
 
 
+_BP_SEG, _BP_MAXFREQ = 8, 2
+
+
+def q_boilerplate_removal(spark, sf_dir):
+    """CCNet-style boilerplate scrub: chop docs into 8-word segments, count
+    each segment's corpus-wide frequency by 8-byte hash (map-side combine;
+    only hashes shuffle for the count), drop segments occurring > 2 times,
+    reassemble surviving text in original order
+    (operators/boilerplate.py)."""
+    from systems_spark.operators.boilerplate import remove_boilerplate
+
+    return remove_boilerplate(
+        _t(spark, sf_dir, "documents"),
+        seg_words=_BP_SEG, max_freq=_BP_MAXFREQ,
+    )
+
+
+_SQL_BOILERPLATE = f"""
+WITH staged AS (
+  SELECT doc_id, {TX.tokens_sql('text')} AS tk FROM documents
+), segs AS (
+  SELECT doc_id, u.pos AS pos, u.seg AS seg, {hash64_sql('u.seg')} AS h
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(tk) + 1, {_BP_SEG}),
+                  i -> struct_pack(pos := i,
+                       seg := array_to_string(tk[i:i+{_BP_SEG - 1}], ' ')))) AS u
+    FROM staged
+  )
+), freq AS (
+  SELECT h, COUNT(*) AS f FROM segs GROUP BY h
+), per_doc AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_segments,
+         COALESCE(COUNT(*) FILTER (WHERE f <= {_BP_MAXFREQ}), 0)::BIGINT
+           AS n_kept,
+         COALESCE(string_agg(seg, ' ' ORDER BY pos)
+                  FILTER (WHERE f <= {_BP_MAXFREQ}), '') AS clean_text
+  FROM segs JOIN freq USING (h)
+  GROUP BY doc_id
+)
+SELECT doc_id,
+       COALESCE(n_segments, 0)::BIGINT AS n_segments,
+       COALESCE(n_kept, 0)::BIGINT AS n_kept,
+       COALESCE(clean_text, '') AS clean_text
+FROM documents LEFT JOIN per_doc USING (doc_id)
+"""
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -2659,6 +2707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "mixture_sample": q_mixture_sample,
         "pack_sequences": q_pack_sequences,
+        "boilerplate_removal": q_boilerplate_removal,
     }
 
 
@@ -2773,4 +2822,5 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _SQL_REPETITION_STATS,
         "mixture_sample": _sql_mixture_sample(),
         "pack_sequences": _SQL_PACK_SEQUENCES,
+        "boilerplate_removal": _SQL_BOILERPLATE,
     }

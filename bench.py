@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "repetition_stats",
     "mixture_sample",
     "pack_sequences",
+    "boilerplate_removal",
 ]
 
 

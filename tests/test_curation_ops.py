@@ -177,3 +177,40 @@ def test_sequence_packer_validates_params(spark):
         SequencePacker("id", "n", 0)
     with pytest.raises(ValueError):
         SequencePacker("id", "n", 10, n_shards=0)
+
+
+# -- boilerplate removal ----------------------------------------------------
+
+def test_remove_boilerplate_drops_corpus_wide_repeats(spark):
+    from systems_spark.operators.boilerplate import remove_boilerplate
+
+    footer = "all rights reserved contact us terms of service"  # 8 words
+    docs = _docs(spark, [
+        (1, "unique prose about graphs and joins here now " + footer),
+        (2, "different unique sentence with other words entirely too " + footer),
+        (3, "third document body totally distinct content words also " + footer),
+        (4, ""),  # empty doc must survive with empty clean_text
+    ])
+    out = {r["doc_id"]: r for r in
+           remove_boilerplate(docs, seg_words=8, max_freq=2).collect()}
+    # each doc = 2 segments: its unique 8 words + the shared footer (3x > 2)
+    for i in (1, 2, 3):
+        assert out[i]["n_segments"] == 2 and out[i]["n_kept"] == 1
+        assert footer not in out[i]["clean_text"]
+    assert out[1]["clean_text"] == "unique prose about graphs and joins here now"
+    assert out[4]["n_segments"] == 0 and out[4]["clean_text"] == ""
+
+
+def test_remove_boilerplate_preserves_segment_order(spark):
+    from systems_spark.operators.boilerplate import remove_boilerplate
+
+    # 3 segments of 2 words; middle one repeats in another doc 2 more times
+    docs = _docs(spark, [
+        (1, "aa bb XX YY cc dd"),
+        (2, "XX YY"),
+        (3, "XX YY"),
+    ])
+    out = {r["doc_id"]: r for r in
+           remove_boilerplate(docs, seg_words=2, max_freq=2).collect()}
+    assert out[1]["clean_text"] == "aa bb cc dd"  # order kept, middle gone
+    assert out[2]["clean_text"] == "" and out[2]["n_kept"] == 0
