@@ -2367,14 +2367,7 @@ def q_pii_redact(spark, sf_dir):
     from systems_spark.functions import pii
 
     docs = _t(spark, sf_dir, "documents")
-    sid = F.col("doc_id").cast("string")
-    aug = F.concat(
-        F.col("text"),
-        F.lit(" contact user"), sid, F.lit("@mail.example.com"),
-        F.lit(" via http://ex.example/u/"), sid,
-        F.lit(" from 10.1.2."), (F.col("doc_id") % 250).cast("string"),
-        F.lit(" tel +1 555 01"), (F.col("doc_id") % 90 + 10).cast("string"),
-    )
+    aug = _pii_augmented(F.col("text"))
     counts = pii.pii_counts(aug)
     return docs.select(
         "doc_id",
@@ -2386,16 +2379,19 @@ def q_pii_redact(spark, sf_dir):
     )
 
 
+_PII_AUG_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.com' || ' via http://ex.example/u/'"
+    " || CAST(doc_id AS VARCHAR) || ' from 10.1.2.'"
+    " || CAST(doc_id % 250 AS VARCHAR) || ' tel +1 555 01'"
+    " || CAST(doc_id % 90 + 10 AS VARCHAR)"
+)
+
+
 def _sql_pii_redact() -> str:
     from systems_spark.functions import pii
 
-    aug = (
-        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
-        " || '@mail.example.com' || ' via http://ex.example/u/'"
-        " || CAST(doc_id AS VARCHAR) || ' from 10.1.2.'"
-        " || CAST(doc_id % 250 AS VARCHAR) || ' tel +1 555 01'"
-        " || CAST(doc_id % 90 + 10 AS VARCHAR)"
-    )
+    aug = _PII_AUG_SQL
     c = pii.pii_counts_sql(aug)
     return f"""
 SELECT doc_id,
@@ -2565,9 +2561,12 @@ def q_boilerplate_removal(spark, sf_dir):
     )
 
 
-_SQL_BOILERPLATE = f"""
+def _sql_boilerplate(table: str = "documents", text: str = "text") -> str:
+    """Boilerplate-scrub oracle, parameterized so the e2e pipeline can run
+    it over a derived CTE instead of the raw documents table."""
+    return f"""
 WITH staged AS (
-  SELECT doc_id, {TX.tokens_sql('text')} AS tk FROM documents
+  SELECT doc_id, {TX.tokens_sql(text)} AS tk FROM {table}
 ), segs AS (
   SELECT doc_id, u.pos AS pos, u.seg AS seg, {hash64_sql('u.seg')} AS h
   FROM (
@@ -2592,7 +2591,184 @@ SELECT doc_id,
        COALESCE(n_segments, 0)::BIGINT AS n_segments,
        COALESCE(n_kept, 0)::BIGINT AS n_kept,
        COALESCE(clean_text, '') AS clean_text
-FROM documents LEFT JOIN per_doc USING (doc_id)
+FROM {table} LEFT JOIN per_doc USING (doc_id)
+"""
+
+
+# -- end-to-end curation pipeline ------------------------------------------
+# One declarative plan composing every curation lane: PII redaction →
+# boilerplate scrub → quality gate → eval-set decontamination → exact
+# dedup → domain-mixture resampling → sequence packing. The point: a
+# training-data team runs the WHOLE corpus-prep pass as a single Spark
+# job (Catalyst sees everything; no materialization between stages), and
+# the DuckDB oracle replays the identical chain as one CTE pipeline.
+
+_PIPE_MIN_TOKENS = 20
+_PIPE_MIN_QUALITY = 0.1
+_PIPE_DECON_THRESHOLD = 0.5
+_PIPE_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+_PIPE_BUDGET, _PIPE_SHARDS = 128, 4
+
+
+def _pii_augmented(col_text):
+    """The deterministic in-plan PII augmentation shared by q_pii_redact
+    and the e2e pipeline (Spark side)."""
+    sid = F.col("doc_id").cast("string")
+    return F.concat(
+        col_text,
+        F.lit(" contact user"), sid, F.lit("@mail.example.com"),
+        F.lit(" via http://ex.example/u/"), sid,
+        F.lit(" from 10.1.2."), (F.col("doc_id") % 250).cast("string"),
+        F.lit(" tel +1 555 01"), (F.col("doc_id") % 90 + 10).cast("string"),
+    )
+
+
+def q_curation_pipeline(spark, sf_dir):
+    """The full corpus-prep pass, one plan end to end. Stage shapes are the
+    individual operators' (see their SCALE.md rows); nothing materializes
+    in between, so Catalyst prunes columns across stage boundaries —
+    e.g. clean_text is dropped right after the last stage that reads it."""
+    from systems_spark.dedup.decontaminate import decontaminate
+    from systems_spark.functions import pii
+    from systems_spark.operators.boilerplate import remove_boilerplate
+    from systems_spark.operators.packing import SequencePacker
+    from systems_spark.operators.sampler import MixtureSampler
+
+    docs = _t(spark, sf_dir, "documents")
+    red = docs.select(
+        "doc_id", "source", "lang",
+        pii.redact(_pii_augmented(F.col("text"))).alias("rtext"),
+    )
+    clean = remove_boilerplate(red, text_col="rtext",
+                               seg_words=_BP_SEG, max_freq=_BP_MAXFREQ)
+    staged = clean.join(red.select("doc_id", "source", "lang"), "doc_id")
+
+    qual = (
+        staged
+        .withColumn("n_tokens", TX.token_count(F.col("clean_text")).cast("long"))
+        .withColumn("quality", TX.quality_score(F.col("clean_text")))
+        .where((F.col("n_tokens") >= _PIPE_MIN_TOKENS)
+               & (F.col("quality") >= _PIPE_MIN_QUALITY))
+    )
+
+    eval_docs = qual.where(F.col("doc_id") % 37 == 0)
+    corpus = qual.where(F.col("doc_id") % 37 != 0)
+    flags = decontaminate(corpus, eval_docs, text_col="clean_text",
+                          k=3, threshold=_PIPE_DECON_THRESHOLD)
+    kept = corpus.join(
+        flags.where(~F.col("contaminated")).select("doc_id"), "doc_id"
+    )
+
+    wmin = Window.partitionBy(hash64(F.col("clean_text")))
+    deduped = (
+        kept.withColumn("_minid", F.min("doc_id").over(wmin))
+        .where(F.col("doc_id") == F.col("_minid"))
+        .drop("_minid")
+    )
+
+    mixed = MixtureSampler("doc_id", "source", _PIPE_WEIGHTS, salt="pipe")(deduped)
+    packed = SequencePacker("doc_id", "n_tokens", _PIPE_BUDGET,
+                            n_shards=_PIPE_SHARDS)(
+        mixed.select("doc_id", "source", "lang", "n_tokens")
+    )
+    return packed.select("doc_id", "source", "lang", "n_tokens",
+                         "shard", "seq_in_shard", "begin_offset", "n_seqs")
+
+
+def _sql_curation_pipeline() -> str:
+    from systems_spark.functions import pii
+    from systems_spark.operators.sampler import MixtureSampler
+
+    mix = MixtureSampler("doc_id", "source", _PIPE_WEIGHTS, salt="pipe")
+    w_case = mix._weight_case_sql()
+    u_mix = unit_uniform_sql("doc_id", "pipe")
+    sh3 = TX.word_shingles_sql("clean_text", 3)
+    return f"""
+WITH red AS (
+  SELECT doc_id, source, lang, {pii.redact_sql(_PII_AUG_SQL)} AS rtext
+  FROM documents
+), bp_staged AS (
+  SELECT doc_id, {TX.tokens_sql('rtext')} AS tk FROM red
+), bp_segs AS (
+  SELECT doc_id, u.pos AS pos, u.seg AS seg, {hash64_sql('u.seg')} AS h
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(tk) + 1, {_BP_SEG}),
+                  i -> struct_pack(pos := i,
+                       seg := array_to_string(tk[i:i+{_BP_SEG - 1}], ' ')))) AS u
+    FROM bp_staged
+  )
+), bp_freq AS (
+  SELECT h, COUNT(*) AS f FROM bp_segs GROUP BY h
+), bp_per_doc AS (
+  SELECT doc_id,
+         COALESCE(string_agg(seg, ' ' ORDER BY pos)
+                  FILTER (WHERE f <= {_BP_MAXFREQ}), '') AS clean_text
+  FROM bp_segs JOIN bp_freq USING (h)
+  GROUP BY doc_id
+), clean AS (
+  SELECT r.doc_id, r.source, r.lang, COALESCE(p.clean_text, '') AS clean_text
+  FROM red r LEFT JOIN bp_per_doc p USING (doc_id)
+), qual AS (
+  SELECT * FROM (
+    SELECT doc_id, source, lang, clean_text,
+           ({TX.token_count_sql('clean_text')})::BIGINT AS n_tokens,
+           {TX.quality_score_sql('clean_text')} AS quality
+    FROM clean
+  ) WHERE n_tokens >= {_PIPE_MIN_TOKENS} AND quality >= {_PIPE_MIN_QUALITY!r}
+), corpus AS (
+  SELECT * FROM qual WHERE doc_id % 37 <> 0
+), eval_docs AS (
+  SELECT * FROM qual WHERE doc_id % 37 = 0
+), doc_sh AS (
+  SELECT doc_id, {hash64_sql('s')} AS sh_hash
+  FROM (SELECT doc_id, unnest(list_distinct({sh3})) AS s FROM corpus)
+), bench_sh AS (
+  SELECT DISTINCT {hash64_sql('s')} AS sh_hash
+  FROM (SELECT unnest(list_distinct({sh3})) AS s FROM eval_docs)
+), overlap AS (
+  SELECT d.doc_id, COUNT(*) AS n_sh, COUNT(b.sh_hash) AS n_ov
+  FROM doc_sh d LEFT JOIN bench_sh b USING (sh_hash)
+  GROUP BY d.doc_id
+), kept AS (
+  SELECT c.* FROM corpus c LEFT JOIN overlap o USING (doc_id)
+  WHERE COALESCE(o.n_ov, 0)::DOUBLE / GREATEST(COALESCE(o.n_sh, 0), 1)::DOUBLE
+        < {_PIPE_DECON_THRESHOLD!r}
+), deduped AS (
+  SELECT * FROM (
+    SELECT k.*, MIN(doc_id) OVER (PARTITION BY {hash64_sql('clean_text')})
+           AS _minid
+    FROM kept k
+  ) WHERE doc_id = _minid
+), in_mix AS (
+  SELECT *, ({w_case}) AS _w FROM deduped WHERE ({w_case}) IS NOT NULL
+), mix_counts AS (
+  SELECT source, _w, COUNT(*)::DOUBLE AS _cnt FROM in_mix GROUP BY source, _w
+), mix_rates AS (
+  SELECT source, _w * (SELECT MIN(_cnt / _w) FROM mix_counts) / _cnt AS _rate
+  FROM mix_counts
+), mixed AS (
+  SELECT doc_id, source, lang, n_tokens
+  FROM in_mix JOIN mix_rates USING (source)
+  WHERE ({u_mix}) <= _rate
+), sharded AS (
+  SELECT doc_id, source, lang, n_tokens,
+         CAST(({hash64_sql("'pack' || CAST(doc_id AS VARCHAR)")})
+              % {_PIPE_SHARDS} AS INT) AS shard
+  FROM mixed
+), packed AS (
+  SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ASC
+                                ROWS UNBOUNDED PRECEDING) AS cum
+  FROM sharded
+)
+SELECT doc_id, source, lang, n_tokens, shard,
+       ((cum - n_tokens) // {_PIPE_BUDGET})::BIGINT AS seq_in_shard,
+       ((cum - n_tokens) % {_PIPE_BUDGET})::BIGINT AS begin_offset,
+       (CASE WHEN n_tokens <= 0 THEN 0
+             ELSE ((cum - 1) // {_PIPE_BUDGET})
+                  - ((cum - n_tokens) // {_PIPE_BUDGET}) + 1
+        END)::BIGINT AS n_seqs
+FROM packed
 """
 
 
@@ -2708,6 +2884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "pack_sequences": q_pack_sequences,
         "boilerplate_removal": q_boilerplate_removal,
+        "curation_pipeline": q_curation_pipeline,
     }
 
 
@@ -2822,5 +2999,6 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _SQL_REPETITION_STATS,
         "mixture_sample": _sql_mixture_sample(),
         "pack_sequences": _SQL_PACK_SEQUENCES,
-        "boilerplate_removal": _SQL_BOILERPLATE,
+        "boilerplate_removal": _sql_boilerplate(),
+        "curation_pipeline": _sql_curation_pipeline(),
     }

@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "mixture_sample",
     "pack_sequences",
     "boilerplate_removal",
+    "curation_pipeline",
 ]
 
 
