@@ -27,6 +27,7 @@ from systems_spark.dedup import (
     ExactDedup,
     MinHashDedup,
     NGramJaccardDedup,
+    SemanticDedup,
     SimHashDedup,
     canonical_documents,
     connected_components,
@@ -2776,6 +2777,20 @@ FROM packed
 # Driver contract
 # ===========================================================================
 
+_SEMDEDUP = dict(n_clusters=16, threshold=0.3, keep="low_centroid_sim")
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (dedup/semantic.py): k-means cells over
+    the embedding column (deterministic lowest-id seeds), in-cell pairwise
+    cosine prune keeping the least-prototypical member (Abbas et al. 2023).
+    One broadcast assignment pass + one equi-join on the int cell key — the
+    cluster-bounded alternative to the global LSH bucketing of
+    ``dedup_embedding_lsh``. Threshold 0.3 matches the corpus's near-dup
+    band (same as the embedding-dedup lanes)."""
+    return SemanticDedup(**_SEMDEDUP).transform(_t(spark, sf_dir, "embeddings"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_four_stage_recs(spark, SF_SMOKE)
@@ -2885,6 +2900,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "boilerplate_removal": q_boilerplate_removal,
         "curation_pipeline": q_curation_pipeline,
+        # --- r4 session-4 additions ---
+        "semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -3001,4 +3018,5 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _SQL_PACK_SEQUENCES,
         "boilerplate_removal": _sql_boilerplate(),
         "curation_pipeline": _sql_curation_pipeline(),
+        "semantic_dedup": SemanticDedup(**_SEMDEDUP).oracle_sql("embeddings"),
     }

@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "pack_sequences",
     "boilerplate_removal",
     "curation_pipeline",
+    "semantic_dedup",
 ]
 
 

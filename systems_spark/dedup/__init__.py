@@ -3,6 +3,7 @@ from systems_spark.dedup.minhash import MinHashDedup
 from systems_spark.dedup.simhash import SimHashDedup
 from systems_spark.dedup.ngram import NGramJaccardDedup
 from systems_spark.dedup.embedding import EmbeddingDedup
+from systems_spark.dedup.semantic import SemanticDedup
 from systems_spark.dedup.clusters import canonical_documents, canonical_from_labels, connected_components, incremental_components
 
 __all__ = [
@@ -11,6 +12,7 @@ __all__ = [
     "SimHashDedup",
     "NGramJaccardDedup",
     "EmbeddingDedup",
+    "SemanticDedup",
     "connected_components",
     "canonical_documents",
     "incremental_components",
