@@ -2777,6 +2777,46 @@ FROM packed
 # Driver contract
 # ===========================================================================
 
+_NB_THETA = 0.25  # teacher threshold ≈ corpus median quality_score
+_NB_SALT = "nbsplit"
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Quality-classifier lane (operators/classifier.py): heuristic teacher
+    labels (quality_score >= median split) on a deterministic hash half of
+    the corpus train a multinomial Naive Bayes in-plan; every document is
+    then scored and routed. The GPT-3/CCNet corpus-filtering stage as one
+    declarative plan — training is two count aggregations, scoring one
+    explode + broadcast weight join + one integer-sum shuffle, all
+    oracle-replicable (integer micros quantization, no float reductions)."""
+    from systems_spark.functions.hashing import unit_uniform
+    from systems_spark.operators import NaiveBayesTextClassifier
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.select(
+        "doc_id", "text",
+        F.when(TX.quality_score(F.col("text")) >= _NB_THETA, "hq")
+        .otherwise("lq").alias("label"),
+    )
+    train = labeled.where(unit_uniform(F.col("doc_id"), _NB_SALT) < 0.5)
+    nb = NaiveBayesTextClassifier(classes=("hq", "lq")).fit(train)
+    return nb.transform(docs.select("doc_id", "text")).select(
+        "doc_id", "score_hq", "score_lq", "pred_label")
+
+
+def _sql_quality_classifier() -> str:
+    from systems_spark.functions.hashing import unit_uniform_sql
+    from systems_spark.operators import NaiveBayesTextClassifier
+
+    q = TX.quality_score_sql("text")
+    train = (f"SELECT doc_id AS id, text, "
+             f"CASE WHEN {q} >= {_NB_THETA} THEN 'hq' ELSE 'lq' END AS label "
+             f"FROM documents WHERE {unit_uniform_sql('doc_id', _NB_SALT)} < 0.5")
+    apply = "SELECT doc_id AS id, text FROM documents"
+    return NaiveBayesTextClassifier(classes=("hq", "lq")).oracle_sql(
+        train, apply, out_cols="id AS doc_id")
+
+
 _SEMDEDUP = dict(n_clusters=16, threshold=0.3, keep="low_centroid_sim")
 
 
@@ -2902,6 +2942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         # --- r4 session-4 additions ---
         "semantic_dedup": q_semantic_dedup,
+        "quality_classifier": q_quality_classifier,
     }
 
 
@@ -3019,4 +3060,5 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_removal": _sql_boilerplate(),
         "curation_pipeline": _sql_curation_pipeline(),
         "semantic_dedup": SemanticDedup(**_SEMDEDUP).oracle_sql("embeddings"),
+        "quality_classifier": _sql_quality_classifier(),
     }

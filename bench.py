@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "boilerplate_removal",
     "curation_pipeline",
     "semantic_dedup",
+    "quality_classifier",
 ]
 
 

@@ -23,9 +23,11 @@ from systems_spark.operators.multimodal import MediaFeatureExtract, MediaResize,
 from systems_spark.operators.sessionize import Sessionize
 from systems_spark.operators.range_join import RangeJoin
 from systems_spark.operators.branch import BranchConcat, Subgraph
+from systems_spark.operators.classifier import NaiveBayesTextClassifier
 from systems_spark.operators.global_rank import GlobalRank, approx_quantiles, exact_quantiles, grouped_rank, ntile_expr
 
 __all__ = [
+    "NaiveBayesTextClassifier",
     "Sessionize",
     "RangeJoin",
     "BranchConcat",
