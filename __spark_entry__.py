@@ -2817,6 +2817,32 @@ def _sql_quality_classifier() -> str:
         train, apply, out_cols="id AS doc_id")
 
 
+_VOCAB_SIZE = 512
+
+
+def q_tokenize_encode(spark, sf_dir):
+    """Vocabulary tokenizer lane (operators/tokenizer.py): fit a top-512
+    frequency vocabulary over the corpus (one map-side-combined token
+    count), then encode every document as order-preserving token ids
+    (0 = OOV) — the text-to-tensor hop before sequence packing. Join
+    strategy (the 100 TB path): text never shuffles, only (doc, pos, id)
+    ints."""
+    from systems_spark.operators.tokenizer import VocabTokenizer
+
+    docs = _t(spark, sf_dir, "documents")
+    tk = VocabTokenizer(vocab_size=_VOCAB_SIZE).fit(docs)
+    return tk.transform(docs.select("doc_id", "text")).select(
+        "doc_id", "n_tokens", "input_ids")
+
+
+def _sql_tokenize_encode() -> str:
+    from systems_spark.operators.tokenizer import VocabTokenizer
+
+    return VocabTokenizer(vocab_size=_VOCAB_SIZE).oracle_sql(
+        "SELECT text FROM documents",
+        "SELECT doc_id AS id, text FROM documents")
+
+
 _SEMDEDUP = dict(n_clusters=16, threshold=0.3, keep="low_centroid_sim")
 
 
@@ -2943,6 +2969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r4 session-4 additions ---
         "semantic_dedup": q_semantic_dedup,
         "quality_classifier": q_quality_classifier,
+        "tokenize_encode": q_tokenize_encode,
     }
 
 
@@ -3061,4 +3088,5 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": _sql_curation_pipeline(),
         "semantic_dedup": SemanticDedup(**_SEMDEDUP).oracle_sql("embeddings"),
         "quality_classifier": _sql_quality_classifier(),
+        "tokenize_encode": _sql_tokenize_encode(),
     }

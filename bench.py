@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "curation_pipeline",
     "semantic_dedup",
     "quality_classifier",
+    "tokenize_encode",
 ]
 
 
