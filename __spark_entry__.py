@@ -2857,6 +2857,32 @@ def q_semantic_dedup(spark, sf_dir):
     return SemanticDedup(**_SEMDEDUP).transform(_t(spark, sf_dir, "embeddings"))
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality filter (operators/lm_perplexity.py): fit an
+    add-one-smoothed bigram LM on the corpus (two map-side-combined gram
+    counts; shuffle bounded by distinct-gram cardinality), then score every
+    document's total and mean per-bigram negative log-likelihood in integer
+    micros — the unsupervised perplexity gate of a curation pipeline
+    (supervised twin: quality_classifier). Text never shuffles: the scoring
+    join carries only (doc_id, gram-hash, weight) longs."""
+    from systems_spark.operators.lm_perplexity import BigramLM
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = BigramLM().fit(docs)
+    return lm.transform(docs.select("doc_id", "text")).select(
+        "doc_id", "n_bigrams", "nll_micros", "ppl_micros")
+
+
+def _sql_lm_perplexity() -> str:
+    from systems_spark.operators.lm_perplexity import BigramLM
+
+    inner = BigramLM().oracle_sql(
+        "SELECT doc_id AS id, text FROM documents",
+        "SELECT doc_id AS id, text FROM documents")
+    return (f"SELECT id AS doc_id, n_bigrams, nll_micros, ppl_micros "
+            f"FROM ({inner})")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_four_stage_recs(spark, SF_SMOKE)
@@ -2970,6 +2996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "quality_classifier": q_quality_classifier,
         "tokenize_encode": q_tokenize_encode,
+        "lm_perplexity": q_lm_perplexity,
     }
 
 
@@ -3089,4 +3116,5 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": SemanticDedup(**_SEMDEDUP).oracle_sql("embeddings"),
         "quality_classifier": _sql_quality_classifier(),
         "tokenize_encode": _sql_tokenize_encode(),
+        "lm_perplexity": _sql_lm_perplexity(),
     }

@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "quality_classifier",
     "tokenize_encode",
+    "lm_perplexity",
 ]
 
 

@@ -1,0 +1,192 @@
+"""Bigram language-model perplexity scorer — the CCNet "LM filter" lane.
+
+CCNet (Wenzek et al., 2020) and most LLM-corpus pipelines since score every
+document with a small language model trained on a trusted reference corpus
+and drop/bucket documents by perplexity: out-of-distribution text (boiler-
+plate, gibberish, wrong-language spill) scores high. The reference system
+has no corpus-LM counterpart (its model ops serve pre-trained TF/Torch
+models — see operators/predict.py); this operator covers the unsupervised
+half of the quality-filter stage, complementing the supervised
+:class:`~systems_spark.operators.classifier.NaiveBayesTextClassifier`.
+
+Model: add-one-smoothed bigram LM with unigram backoff —
+
+    P(w2 | w1) = (c(w1 w2) + 1) / (c(w1) + V)
+
+where ``c`` are reference-corpus counts and ``V`` the reference vocabulary
+size. A document's score is its total / mean per-bigram negative
+log-likelihood; ``exp(mean_nll)`` is the classical perplexity, and the
+integer mean is monotone in it, so thresholding on the micros value IS
+thresholding on perplexity.
+
+Determinism contract (same as the NB classifier, classifier.py): every
+log-probability is quantized to integer micros (``round(ln(p) * 1e6)`` as
+BIGINT) at model-build time; document scores are integer SUMS — exact and
+order-independent under any shuffle/AQE/retry schedule, and DuckDB agrees
+bit-for-bit (Java ``Math.log`` vs DuckDB ``ln`` last-ulp drift is ~9 orders
+of magnitude below the micros quantum; measured 0 flips — see
+classifier.py's contract note).
+
+100 TB shape
+------------
+- fit: TWO map-side-combined count aggregations (unigrams, bigrams) — the
+  shuffle carries ``(hash64, count)`` longs bounded by *distinct-gram*
+  cardinality, never corpus bytes.
+- transform: explode bigrams → equi-join the weight tables on the 60-bit
+  portable gram hash → ONE integer-sum groupBy(doc). Document text never
+  shuffles; the join sides carry only ``(doc_id, hash, weight)`` longs.
+- The bigram weight table grows with distinct corpus bigrams (can be ~1e9
+  at web scale): it stays a *shuffle* join by default; pass
+  ``broadcast=True`` only when the reference corpus is small (the common
+  CCNet case — Wikipedia-sized reference, web-sized target).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from systems_spark.functions import text as TX
+from systems_spark.functions.hashing import hash64, hash64_sql
+from systems_spark.operators.base import Operator
+
+
+class BigramLM(Operator):
+    """``fit`` on a reference corpus (id, text); ``transform`` appends
+    ``n_bigrams``, ``nll_micros`` (total), ``ppl_micros`` (mean per-bigram
+    negative-log-likelihood micros; NULL when the doc has < 2 tokens).
+    """
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 scale: int = 1_000_000, broadcast: bool = False):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.scale = int(scale)
+        self.broadcast = bool(broadcast)
+        self._bigram_w = None   # (h2, w)      w = micros ln P(w2|w1), observed bigrams
+        self._unigram_w = None  # (h1, dflt1)  backoff for seen-context unseen-bigram
+        self._global_w = None   # (gdflt)      backoff for unseen context: ln(1/V)
+        self.requires = (text_col, id_col)
+
+    # -- gram expansion (shared by fit and transform) ----------------------
+
+    def _grams(self, df: DataFrame, id_expr):
+        """(id, h2, h1) per bigram occurrence: h2 hashes the full bigram,
+        h1 its context word. Tokens staged into a real column first (HOF
+        lambdas don't CSE — see word_shingles_from_tokens)."""
+        staged = df.select(id_expr.alias("_lm_id"),
+                           TX.tokens(F.col(self.text_col)).alias("_tk"))
+        bg = staged.select(
+            "_lm_id",
+            F.explode(TX.word_shingles_from_tokens(F.col("_tk"), 2)).alias("_bg"),
+        )
+        return bg.select(
+            "_lm_id",
+            hash64(F.col("_bg")).alias("h2"),
+            hash64(F.split_part(F.col("_bg"), F.lit(" "), F.lit(1))).alias("h1"),
+        )
+
+    # -- fit ---------------------------------------------------------------
+
+    def fit(self, df: DataFrame) -> "BigramLM":
+        toks = df.select(TX.tokens(F.col(self.text_col)).alias("_tk"))
+        uni = (toks.select(F.explode(F.col("_tk")).alias("_t"))
+               .select(hash64(F.col("_t")).alias("h1"))
+               .groupBy("h1").agg(F.count(F.lit(1)).alias("c1")))
+        vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+        big = (self._grams(df, F.lit(0))
+               .groupBy("h2", "h1").agg(F.count(F.lit(1)).alias("c12")))
+
+        def micros(x):
+            return F.round(F.log(x) * self.scale).cast("long")
+
+        # observed bigrams: join their context count; everything downstream
+        # of the two count aggs touches only distinct-gram-sized tables
+        self._bigram_w = (
+            big.join(uni, on="h1")
+            .crossJoin(F.broadcast(vocab))
+            .select("h2", micros((F.col("c12") + 1) / (F.col("c1") + F.col("v"))).alias("w"))
+        )
+        self._unigram_w = (
+            uni.crossJoin(F.broadcast(vocab))
+            .select("h1", micros(F.lit(1.0) / (F.col("c1") + F.col("v"))).alias("dflt1"))
+        )
+        self._global_w = vocab.select(micros(F.lit(1.0) / F.col("v")).alias("gdflt"))
+        return self
+
+    # -- transform ---------------------------------------------------------
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        if self._bigram_w is None:
+            raise ValueError("fit() before transform()")
+        bw = F.broadcast(self._bigram_w) if self.broadcast else self._bigram_w
+        uw = F.broadcast(self._unigram_w) if self.broadcast else self._unigram_w
+        contrib = (
+            self._grams(df, F.col(self.id_col))
+            .join(bw, on="h2", how="left")
+            .join(uw, on="h1", how="left")
+            .crossJoin(F.broadcast(self._global_w))
+            .select("_lm_id",
+                    (-F.coalesce(F.col("w"), F.col("dflt1"), F.col("gdflt"))).alias("_nll"))
+        )
+        scores = contrib.groupBy("_lm_id").agg(
+            F.count(F.lit(1)).alias("_n"), F.sum("_nll").alias("_tot"))
+        did = F.col(self.id_col)
+        return (
+            df.join(scores, did == F.col("_lm_id"), "left").drop("_lm_id")
+            .withColumn("n_bigrams", F.coalesce(F.col("_n"), F.lit(0)))
+            .withColumn("nll_micros", F.coalesce(F.col("_tot"), F.lit(0)))
+            # integer mean: div truncates toward zero == DuckDB // floor for
+            # the non-negative values here; NULL when no bigrams
+            .withColumn("ppl_micros", F.expr("nll_micros div _n"))
+            .drop("_n", "_tot")
+        )
+
+    # -- oracle ------------------------------------------------------------
+
+    def oracle_sql(self, corpus_sql: str, apply_sql: str) -> str:
+        """DuckDB twin: ``corpus_sql`` yields (id, text) to fit on;
+        ``apply_sql`` yields (id, text) to score. Same tokenizer, hashes,
+        micros quantization and integer arithmetic as the Spark plan."""
+        S = self.scale
+        bg2 = TX.word_shingles_sql("text", 2)
+        h = hash64_sql
+        return f"""
+WITH corpus AS ({corpus_sql}),
+uni AS (
+  SELECT {h("t")} AS h1, count(*) AS c1
+  FROM (SELECT unnest({TX.tokens_sql('text')}) AS t FROM corpus) GROUP BY 1
+),
+vocab AS (SELECT count(*) AS v FROM uni),
+big AS (
+  SELECT {h("bg")} AS h2, {h("split_part(bg, ' ', 1)")} AS h1, count(*) AS c12
+  FROM (SELECT unnest({bg2}) AS bg FROM corpus) GROUP BY 1, 2
+),
+bigram_w AS (
+  SELECT b.h2, round(ln((b.c12 + 1)::DOUBLE / (u.c1 + vocab.v)::DOUBLE) * {S})::BIGINT AS w
+  FROM big b JOIN uni u USING (h1), vocab
+),
+unigram_w AS (
+  SELECT u.h1, round(ln(1.0 / (u.c1 + vocab.v)::DOUBLE) * {S})::BIGINT AS dflt1
+  FROM uni u, vocab
+),
+gw AS (SELECT round(ln(1.0 / v::DOUBLE) * {S})::BIGINT AS gdflt FROM vocab),
+apply AS ({apply_sql}),
+doc_bg AS (
+  SELECT id, {h("bg")} AS h2, {h("split_part(bg, ' ', 1)")} AS h1
+  FROM (SELECT id, unnest({bg2}) AS bg FROM apply)
+),
+contrib AS (
+  SELECT d.id, -coalesce(bw.w, uw.dflt1, gw.gdflt) AS _nll
+  FROM doc_bg d
+  LEFT JOIN bigram_w bw USING (h2)
+  LEFT JOIN unigram_w uw USING (h1)
+  CROSS JOIN gw
+),
+scores AS (SELECT id, count(*) AS _n, sum(_nll) AS _tot FROM contrib GROUP BY 1)
+SELECT a.id, a.text,
+       coalesce(s._n, 0) AS n_bigrams,
+       coalesce(s._tot, 0) AS nll_micros,
+       s._tot // s._n AS ppl_micros
+FROM apply a LEFT JOIN scores s USING (id)
+"""
