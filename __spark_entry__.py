@@ -2883,6 +2883,38 @@ def _sql_lm_perplexity() -> str:
             f"FROM ({inner})")
 
 
+_CHUNKER = dict(chunk_tokens=64, overlap=16)
+
+
+def q_chunk_documents(spark, sf_dir):
+    """RAG/long-context chunking (operators/chunker.py): split every
+    document into 64-token windows overlapping by 16 — pure integer layout
+    arithmetic + per-row JVM explode, ZERO shuffles (the whole op fuses
+    into the scan stage). Chunk text is the space-join of the window's
+    tokens (whitespace-canonical), so the layout is a pure function of
+    the corpus."""
+    from pyspark.sql import functions as F
+
+    from systems_spark.operators.chunker import DocumentChunker
+
+    docs = _t(spark, sf_dir, "documents")
+    out = DocumentChunker(**_CHUNKER).transform(docs.select("doc_id", "text"))
+    return out.select("doc_id",
+                      F.col("chunk_id").cast("long").alias("chunk_id"),
+                      F.col("token_start").cast("long").alias("token_start"),
+                      F.col("n_tokens").cast("long").alias("n_tokens"),
+                      "chunk_text")
+
+
+def _sql_chunk_documents() -> str:
+    from systems_spark.operators.chunker import DocumentChunker
+
+    inner = DocumentChunker(**_CHUNKER).oracle_sql(
+        "SELECT doc_id AS id, text FROM documents")
+    return (f"SELECT id AS doc_id, chunk_id, token_start, n_tokens, chunk_text "
+            f"FROM ({inner})")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_four_stage_recs(spark, SF_SMOKE)
@@ -2997,6 +3029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "tokenize_encode": q_tokenize_encode,
         "lm_perplexity": q_lm_perplexity,
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -3117,4 +3150,5 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": _sql_quality_classifier(),
         "tokenize_encode": _sql_tokenize_encode(),
         "lm_perplexity": _sql_lm_perplexity(),
+        "chunk_documents": _sql_chunk_documents(),
     }

@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "quality_classifier",
     "tokenize_encode",
     "lm_perplexity",
+    "chunk_documents",
 ]
 
 
