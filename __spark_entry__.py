@@ -2915,6 +2915,26 @@ def _sql_chunk_documents() -> str:
             f"FROM ({inner})")
 
 
+def q_ann_recall(spark, sf_dir):
+    """Retrieval-quality evaluation (functions/ranking.py): per-query
+    recall@5 and MRR of the LSH index against exact inner-product ground
+    truth — the monitoring loop an ANN deployment runs after every index
+    rebuild. Integer-micros metrics (no float reduction), so even this
+    evaluation of an 'approximate' path is oracle-exact: the oracle
+    composes the full SQL twins of BOTH retrieval pipelines."""
+    from systems_spark.functions.ranking import ranking_metrics
+
+    pred = q_ann_lsh(spark, sf_dir)
+    truth = q_ann_topk(spark, sf_dir)
+    return ranking_metrics(pred, truth).orderBy("query_id")
+
+
+def _sql_ann_recall() -> str:
+    from systems_spark.functions.ranking import ranking_metrics_sql
+
+    return ranking_metrics_sql(_sql_ann_lsh(), _SQL_ANN_TOPK)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_four_stage_recs(spark, SF_SMOKE)
@@ -3030,6 +3050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_encode": q_tokenize_encode,
         "lm_perplexity": q_lm_perplexity,
         "chunk_documents": q_chunk_documents,
+        "ann_recall": q_ann_recall,
     }
 
 
@@ -3151,4 +3172,5 @@ def oracle_sql() -> dict[str, str]:
         "tokenize_encode": _sql_tokenize_encode(),
         "lm_perplexity": _sql_lm_perplexity(),
         "chunk_documents": _sql_chunk_documents(),
+        "ann_recall": _sql_ann_recall(),
     }

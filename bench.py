@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "tokenize_encode",
     "lm_perplexity",
     "chunk_documents",
+    "ann_recall",
 ]
 
 

@@ -1,0 +1,82 @@
+"""Retrieval-quality metrics: recall@k and MRR over ranked predictions.
+
+The evaluation loop an ANN deployment needs: compare an approximate
+retriever's ranked output (e.g. the LSH/IVF/PQ strategies of
+``operators/ann.py``) against exact ground truth, per query and in
+aggregate — recall collapse after an index rebuild should page someone,
+not surface in downstream training three weeks later.
+
+Determinism contract: all metrics are integer micros computed with
+integer division (``1_000_000 * hits div n_truth``; MRR as
+``1_000_000 div first_hit_rank``), so results are exact, order-independent
+and replicable bit-for-bit in the SQL oracle — no float reduction anywhere.
+
+100 TB shape: one equi-join of two (query, item, rank) tables on
+(query, item) + one per-query count aggregation — narrow rows only, both
+sides already tiny relative to the corpora they index. The roll-up is a
+single map-side-combined aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_M = 1_000_000
+
+
+def ranking_metrics(pred: DataFrame, truth: DataFrame,
+                    query_col: str = "query_id", item_col: str = "item_id",
+                    rank_col: str = "ann_rank") -> DataFrame:
+    """Per-query metrics: ``n_truth``, ``n_hits``, ``recall_micros``
+    (= 1e6·hits/|truth|, integer div), ``mrr_micros`` (= 1e6/rank of the
+    first relevant prediction; 0 when nothing relevant was retrieved).
+
+    Every query present in ``truth`` gets a row — a retriever that returns
+    nothing for a query scores 0, not absent."""
+    q, i, r = query_col, item_col, rank_col
+    truth_q = truth.groupBy(q).agg(F.count(F.lit(1)).alias("n_truth"))
+    hits = (pred.join(truth.select(q, i), on=[q, i])
+            .groupBy(q).agg(F.count(F.lit(1)).alias("n_hits"),
+                            F.min(r).alias("_first")))
+    return (truth_q.join(hits, on=q, how="left")
+            .select(q, "n_truth",
+                    F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+                    F.expr(f"coalesce(n_hits, 0) * {_M} div n_truth")
+                     .alias("recall_micros"),
+                    F.coalesce(F.expr(f"{_M} div _first"), F.lit(0))
+                     .alias("mrr_micros")))
+
+
+def summarize_ranking(per_query: DataFrame,
+                      query_col: str = "query_id") -> DataFrame:
+    """Corpus roll-up of :func:`ranking_metrics` output: query count, mean
+    recall/MRR micros (integer mean of integer per-query values)."""
+    return per_query.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.expr("sum(recall_micros) div count(1)").alias("mean_recall_micros"),
+        F.expr("sum(mrr_micros) div count(1)").alias("mean_mrr_micros"))
+
+
+def ranking_metrics_sql(pred_sql: str, truth_sql: str,
+                        query_col: str = "query_id",
+                        item_col: str = "item_id",
+                        rank_col: str = "ann_rank") -> str:
+    """DuckDB twin of :func:`ranking_metrics`: ``pred_sql``/``truth_sql``
+    are full SELECTs yielding (query, item, rank) shapes."""
+    q, i, r = query_col, item_col, rank_col
+    return f"""
+WITH pred AS ({pred_sql}),
+truth AS ({truth_sql}),
+truth_q AS (SELECT {q}, count(*) AS n_truth FROM truth GROUP BY 1),
+hits AS (
+  SELECT p.{q}, count(*) AS n_hits, min(p.{r}) AS _first
+  FROM pred p JOIN truth t USING ({q}, {i})
+  GROUP BY 1
+)
+SELECT tq.{q}, tq.n_truth,
+       coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_hits, 0) * {_M} // tq.n_truth AS recall_micros,
+       coalesce({_M} // h._first, 0) AS mrr_micros
+FROM truth_q tq LEFT JOIN hits h USING ({q})
+"""
