@@ -2915,6 +2915,51 @@ def _sql_chunk_documents() -> str:
             f"FROM ({inner})")
 
 
+def q_dsir_resample(spark, sf_dir):
+    """DSIR-style importance resampling (Xie et al. 2023): fit one BigramLM
+    on the TARGET domain (lang='en') and one on the raw corpus, score every
+    document by the integer log-likelihood ratio
+    ``weight = nll_corpus - nll_target`` (positive = more target-like than
+    corpus-typical), select on the natural ``weight > 0`` cut. Pure
+    composition of two lm_perplexity lanes + one join — no global sort
+    (use global_rank for an exact top-fraction variant). All integer
+    arithmetic, so the importance weights are oracle-exact."""
+    from pyspark.sql import functions as F
+
+    from systems_spark.operators.lm_perplexity import BigramLM
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "text", "lang")
+    target = BigramLM().fit(docs.where(F.col("lang") == "en"))
+    corpus = BigramLM().fit(docs)
+    a = target.transform(scored.select("doc_id", "text")).select(
+        "doc_id", F.col("nll_micros").alias("_nll_t"))
+    b = corpus.transform(scored.select("doc_id", "text")).select(
+        "doc_id", F.col("nll_micros").alias("_nll_c"))
+    return (scored.select("doc_id", "lang").join(a, "doc_id").join(b, "doc_id")
+            .select("doc_id", "lang",
+                    (F.col("_nll_c") - F.col("_nll_t")).alias("weight_micros"))
+            .withColumn("selected", F.col("weight_micros") > 0))
+
+
+def _sql_dsir_resample() -> str:
+    from systems_spark.operators.lm_perplexity import BigramLM
+
+    tgt = BigramLM().oracle_sql(
+        "SELECT doc_id AS id, text FROM documents WHERE lang = 'en'",
+        "SELECT doc_id AS id, text FROM documents")
+    cor = BigramLM().oracle_sql(
+        "SELECT doc_id AS id, text FROM documents",
+        "SELECT doc_id AS id, text FROM documents")
+    return f"""
+WITH t AS (SELECT id, nll_micros AS nll_t FROM ({tgt})),
+c AS (SELECT id, nll_micros AS nll_c FROM ({cor}))
+SELECT d.doc_id, d.lang, c.nll_c - t.nll_t AS weight_micros,
+       (c.nll_c - t.nll_t) > 0 AS selected
+FROM documents d JOIN t ON t.id = d.doc_id JOIN c ON c.id = d.doc_id
+"""
+
+
 def q_ann_recall(spark, sf_dir):
     """Retrieval-quality evaluation (functions/ranking.py): per-query
     recall@5 and MRR of the LSH index against exact inner-product ground
@@ -3051,6 +3096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "chunk_documents": q_chunk_documents,
         "ann_recall": q_ann_recall,
+        "dsir_resample": q_dsir_resample,
     }
 
 
@@ -3173,4 +3219,5 @@ def oracle_sql() -> dict[str, str]:
         "lm_perplexity": _sql_lm_perplexity(),
         "chunk_documents": _sql_chunk_documents(),
         "ann_recall": _sql_ann_recall(),
+        "dsir_resample": _sql_dsir_resample(),
     }

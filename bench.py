@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "lm_perplexity",
     "chunk_documents",
     "ann_recall",
+    "dsir_resample",
 ]
 
 
