@@ -25,8 +25,23 @@ from systems_spark.operators.range_join import RangeJoin
 from systems_spark.operators.branch import BranchConcat, Subgraph
 from systems_spark.operators.classifier import NaiveBayesTextClassifier
 from systems_spark.operators.global_rank import GlobalRank, approx_quantiles, exact_quantiles, grouped_rank, ntile_expr
+from systems_spark.operators.sampler import HashSampler, MixtureSampler
+from systems_spark.operators.repetition import repetition_stats
+from systems_spark.operators.boilerplate import remove_boilerplate
+from systems_spark.operators.packing import SequencePacker
+from systems_spark.operators.tokenizer import VocabTokenizer
+from systems_spark.operators.chunker import DocumentChunker
+from systems_spark.operators.lm_perplexity import BigramLM
 
 __all__ = [
+    "HashSampler",
+    "MixtureSampler",
+    "repetition_stats",
+    "remove_boilerplate",
+    "SequencePacker",
+    "VocabTokenizer",
+    "DocumentChunker",
+    "BigramLM",
     "NaiveBayesTextClassifier",
     "Sessionize",
     "RangeJoin",

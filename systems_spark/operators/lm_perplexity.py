@@ -142,6 +142,23 @@ class BigramLM(Operator):
             .drop("_n", "_tot")
         )
 
+    # -- persistence (fit once, score many) --------------------------------
+
+    def save_artifacts(self, path: str) -> None:
+        """Materialize the fitted weight tables — scoring a new batch then
+        costs zero re-fits (the production shape: the reference-corpus LM
+        is built once and reused across ingest runs)."""
+        if self._bigram_w is None:
+            raise ValueError("fit() before save_artifacts()")
+        self._bigram_w.write.mode("overwrite").parquet(f"{path}/bigram_w.parquet")
+        self._unigram_w.write.mode("overwrite").parquet(f"{path}/unigram_w.parquet")
+        self._global_w.write.mode("overwrite").parquet(f"{path}/global_w.parquet")
+
+    def load_artifacts(self, path: str, spark=None) -> None:
+        self._bigram_w = spark.read.parquet(f"{path}/bigram_w.parquet")
+        self._unigram_w = spark.read.parquet(f"{path}/unigram_w.parquet")
+        self._global_w = spark.read.parquet(f"{path}/global_w.parquet")
+
     # -- oracle ------------------------------------------------------------
 
     def oracle_sql(self, corpus_sql: str, apply_sql: str) -> str:

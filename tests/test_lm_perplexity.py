@@ -107,6 +107,15 @@ def test_partition_invariance(spark):
         assert _collect(lm, corpus.repartition(n)) == base
 
 
+def test_save_load_roundtrip(spark, tmp_path):
+    lm, corpus = _fit(spark)
+    base = _collect(lm, corpus)
+    lm.save_artifacts(str(tmp_path))
+    fresh = BigramLM()
+    fresh.load_artifacts(str(tmp_path), spark=spark)
+    assert _collect(fresh, corpus) == base
+
+
 def test_broadcast_strategy_identical(spark):
     df = spark.createDataFrame(CORPUS, "doc_id long, text string")
     a = _collect(BigramLM(broadcast=False).fit(df), df)
