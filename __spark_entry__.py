@@ -2960,6 +2960,46 @@ FROM documents d JOIN t ON t.id = d.doc_id JOIN c ON c.id = d.doc_id
 """
 
 
+def q_source_overlap(spark, sf_dir):
+    """Cross-source contamination audit: for every pair of corpus sources,
+    the number of distinct 3-word shingles present in BOTH — the matrix a
+    curation team reads before trusting per-source mixture weights (two
+    'independent' crawls sharing half their shingles are one source).
+    Shape: distinct (source, shingle-hash) pairs — narrow longs — then a
+    self-equi-join on the hash; per-pair counts map-side combine. Documents
+    never shuffle."""
+    from systems_spark.functions.hashing import hash64
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = (docs.select(
+            F.col("source"),
+            F.explode(TX.word_shingles(F.col("text"), 3)).alias("_s"))
+          .select("source", hash64(F.col("_s")).alias("h"))
+          .distinct())
+    a, b = sh.alias("a"), sh.alias("b")
+    return (a.join(b, (F.col("a.h") == F.col("b.h"))
+                   & (F.col("a.source") < F.col("b.source")))
+            .groupBy(F.col("a.source").alias("source_a"),
+                     F.col("b.source").alias("source_b"))
+            .agg(F.count(F.lit(1)).alias("shared_shingles")))
+
+
+def _sql_source_overlap() -> str:
+    from systems_spark.functions.hashing import hash64_sql
+
+    sh3 = TX.word_shingles_sql("text", 3)
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT source, {hash64_sql('s')} AS h
+  FROM (SELECT source, unnest({sh3}) AS s FROM documents)
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       count(*) AS shared_shingles
+FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
 def q_ann_recall(spark, sf_dir):
     """Retrieval-quality evaluation (functions/ranking.py): per-query
     recall@5 and MRR of the LSH index against exact inner-product ground
@@ -3097,6 +3137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "ann_recall": q_ann_recall,
         "dsir_resample": q_dsir_resample,
+        "source_overlap": q_source_overlap,
     }
 
 
@@ -3220,4 +3261,5 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _sql_chunk_documents(),
         "ann_recall": _sql_ann_recall(),
         "dsir_resample": _sql_dsir_resample(),
+        "source_overlap": _sql_source_overlap(),
     }

@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "chunk_documents",
     "ann_recall",
     "dsir_resample",
+    "source_overlap",
 ]
 
 
