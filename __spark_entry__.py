@@ -2960,27 +2960,44 @@ FROM documents d JOIN t ON t.id = d.doc_id JOIN c ON c.id = d.doc_id
 """
 
 
+_OVERLAP_MAX_SOURCES = 8
+
+
 def q_source_overlap(spark, sf_dir):
     """Cross-source contamination audit: for every pair of corpus sources,
     the number of distinct 3-word shingles present in BOTH — the matrix a
     curation team reads before trusting per-source mixture weights (two
     'independent' crawls sharing half their shingles are one source).
-    Shape: distinct (source, shingle-hash) pairs — narrow longs — then a
-    self-equi-join on the hash; per-pair counts map-side combine. Documents
-    never shuffle."""
+
+    Only shingles present in 2..max_sources sources enter the pair join:
+    singletons can't form a pair (dropping them shrinks the join input by
+    the largest population), and a shingle present in MOST sources is
+    generic background language, not contamination signal — and is exactly
+    the row whose pair fan-out is quadratic (m sources → m(m-1)/2 pairs).
+    Shape: NO self-join — ONE groupBy(hash) with a collect_set(source)
+    partial agg (the shuffle carries (hash64, source) pairs once), then
+    the ≤ C(max_sources, 2) pairs per shingle are enumerated IN-ROW from
+    the sorted source set and count-aggregated. Documents never shuffle,
+    and no operator's fan-out exceeds the band bound."""
     from systems_spark.functions.hashing import hash64
 
     docs = _t(spark, sf_dir, "documents")
-    sh = (docs.select(
-            F.col("source"),
-            F.explode(TX.word_shingles(F.col("text"), 3)).alias("_s"))
-          .select("source", hash64(F.col("_s")).alias("h"))
-          .distinct())
-    a, b = sh.alias("a"), sh.alias("b")
-    return (a.join(b, (F.col("a.h") == F.col("b.h"))
-                   & (F.col("a.source") < F.col("b.source")))
-            .groupBy(F.col("a.source").alias("source_a"),
-                     F.col("b.source").alias("source_b"))
+    staged = docs.select("source", TX.tokens(F.col("text")).alias("_tk"))
+    grp = (staged.select(
+             F.col("source"),
+             F.explode(TX.word_shingles_from_tokens(F.col("_tk"), 3)).alias("_s"))
+           .select("source", hash64(F.col("_s")).alias("h"))
+           .groupBy("h")
+           .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+           .where((F.size("ss") >= 2)
+                  & (F.size("ss") <= _OVERLAP_MAX_SOURCES)))
+    pairs = grp.select(F.explode(F.expr(
+        "flatten(transform(sequence(1, size(ss) - 1), i -> "
+        "transform(sequence(i + 1, size(ss)), j -> "
+        "struct(element_at(ss, i) AS a, element_at(ss, j) AS b))))"
+    )).alias("_p"))
+    return (pairs.groupBy(F.col("_p.a").alias("source_a"),
+                          F.col("_p.b").alias("source_b"))
             .agg(F.count(F.lit(1)).alias("shared_shingles")))
 
 
@@ -2989,14 +3006,20 @@ def _sql_source_overlap() -> str:
 
     sh3 = TX.word_shingles_sql("text", 3)
     return f"""
-WITH sh AS (
-  SELECT DISTINCT source, {hash64_sql('s')} AS h
+WITH grp AS (
+  SELECT {hash64_sql('s')} AS h, list_sort(list(DISTINCT source)) AS ss
   FROM (SELECT source, unnest({sh3}) AS s FROM documents)
+  GROUP BY 1
+  HAVING count(DISTINCT source) BETWEEN 2 AND {_OVERLAP_MAX_SOURCES}
+),
+pairs AS (
+  SELECT unnest(flatten(list_transform(range(1, len(ss)), i ->
+           list_transform(range(i + 1, len(ss) + 1), j ->
+             struct_pack(a := ss[i], b := ss[j]))))) AS p
+  FROM grp
 )
-SELECT a.source AS source_a, b.source AS source_b,
-       count(*) AS shared_shingles
-FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
-GROUP BY 1, 2
+SELECT p.a AS source_a, p.b AS source_b, count(*) AS shared_shingles
+FROM pairs GROUP BY 1, 2
 """
 
 
