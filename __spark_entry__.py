@@ -2929,16 +2929,14 @@ def q_dsir_resample(spark, sf_dir):
     from systems_spark.operators.lm_perplexity import BigramLM
 
     docs = _t(spark, sf_dir, "documents")
-    scored = docs.select("doc_id", "text", "lang")
     target = BigramLM().fit(docs.where(F.col("lang") == "en"))
     corpus = BigramLM().fit(docs)
-    a = target.transform(scored.select("doc_id", "text")).select(
-        "doc_id", F.col("nll_micros").alias("_nll_t"))
-    b = corpus.transform(scored.select("doc_id", "text")).select(
-        "doc_id", F.col("nll_micros").alias("_nll_c"))
-    return (scored.select("doc_id", "lang").join(a, "doc_id").join(b, "doc_id")
+    scores = BigramLM.score_many({"t": target, "c": corpus},
+                                 docs.select("doc_id", "text"))
+    return (docs.select("doc_id", "lang").join(scores, "doc_id")
             .select("doc_id", "lang",
-                    (F.col("_nll_c") - F.col("_nll_t")).alias("weight_micros"))
+                    (F.col("nll_micros_c") - F.col("nll_micros_t"))
+                    .alias("weight_micros"))
             .withColumn("selected", F.col("weight_micros") > 0))
 
 

@@ -142,6 +142,50 @@ class BigramLM(Operator):
             .drop("_n", "_tot")
         )
 
+    # -- multi-model scoring (one gram pass) -------------------------------
+
+    @staticmethod
+    def score_many(models: dict, df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+        """Score ``df`` against SEVERAL fitted LMs in ONE gram explosion
+        and ONE aggregation: returns (id, nll_micros_<name> per model).
+
+        The likelihood-ratio shape (DSIR: target LM vs corpus LM) scores
+        every document under two models; scoring them independently pays
+        the tokenize+explode+groupBy twice and joins the results back by
+        id — this fuses the shared subtree, so each extra model costs only
+        its two weight joins."""
+        if not models:
+            raise ValueError("need at least one fitted model")
+        ops = list(models.values())
+        for m in ops:
+            if m._bigram_w is None:
+                raise ValueError("fit() every model before score_many()")
+        grams = ops[0]._grams(
+            df.select(F.col(id_col), F.col(text_col)), F.col(id_col))
+        nll_cols = []
+        for name, m in models.items():
+            bw = m._bigram_w.select(F.col("h2"), F.col("w").alias(f"_w_{name}"))
+            uw = m._unigram_w.select(F.col("h1"), F.col("dflt1").alias(f"_d_{name}"))
+            gw = m._global_w.select(F.col("gdflt").alias(f"_g_{name}"))
+            if m.broadcast:
+                bw, uw = F.broadcast(bw), F.broadcast(uw)
+            grams = (grams.join(bw, on="h2", how="left")
+                     .join(uw, on="h1", how="left")
+                     .crossJoin(F.broadcast(gw)))
+            nll_cols.append(
+                (-F.coalesce(F.col(f"_w_{name}"), F.col(f"_d_{name}"),
+                             F.col(f"_g_{name}"))).alias(f"_nll_{name}"))
+        contrib = grams.select("_lm_id", *nll_cols)
+        scores = contrib.groupBy("_lm_id").agg(
+            *[F.sum(f"_nll_{n}").alias(f"_tot_{n}") for n in models])
+        did = F.col(id_col)
+        out = df.select(id_col).join(scores, did == F.col("_lm_id"), "left").drop("_lm_id")
+        for n in models:
+            out = out.withColumn(f"nll_micros_{n}",
+                                 F.coalesce(F.col(f"_tot_{n}"), F.lit(0)))
+        return out.select(id_col, *[f"nll_micros_{n}" for n in models])
+
     # -- persistence (fit once, score many) --------------------------------
 
     def save_artifacts(self, path: str) -> None:

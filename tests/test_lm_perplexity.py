@@ -116,6 +116,17 @@ def test_save_load_roundtrip(spark, tmp_path):
     assert _collect(fresh, corpus) == base
 
 
+def test_score_many_matches_independent_transforms(spark):
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    target = BigramLM().fit(df.where("doc_id < 3"))
+    corpus = BigramLM().fit(df)
+    fused = {r.doc_id: (r.nll_micros_t, r.nll_micros_c)
+             for r in BigramLM.score_many({"t": target, "c": corpus}, df).collect()}
+    t = {r.doc_id: r.nll_micros for r in target.transform(df).collect()}
+    c = {r.doc_id: r.nll_micros for r in corpus.transform(df).collect()}
+    assert fused == {k: (t[k], c[k]) for k in t}
+
+
 def test_broadcast_strategy_identical(spark):
     df = spark.createDataFrame(CORPUS, "doc_id long, text string")
     a = _collect(BigramLM(broadcast=False).fit(df), df)
