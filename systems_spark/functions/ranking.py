@@ -33,10 +33,15 @@ def ranking_metrics(pred: DataFrame, truth: DataFrame,
     first relevant prediction; 0 when nothing relevant was retrieved).
 
     Every query present in ``truth`` gets a row — a retriever that returns
-    nothing for a query scores 0, not absent."""
+    nothing for a query scores 0, not absent. Duplicate (query, item) rows
+    on either side are collapsed first (a multi-probe retriever can emit
+    the same candidate from several tables; counting it twice would report
+    recall > 100% and mask a broken index behind a passing gate)."""
     q, i, r = query_col, item_col, rank_col
+    pred = pred.groupBy(q, i).agg(F.min(r).alias(r))
+    truth = truth.select(q, i).distinct()
     truth_q = truth.groupBy(q).agg(F.count(F.lit(1)).alias("n_truth"))
-    hits = (pred.join(truth.select(q, i), on=[q, i])
+    hits = (pred.join(truth, on=[q, i])
             .groupBy(q).agg(F.count(F.lit(1)).alias("n_hits"),
                             F.min(r).alias("_first")))
     return (truth_q.join(hits, on=q, how="left")
@@ -66,8 +71,10 @@ def ranking_metrics_sql(pred_sql: str, truth_sql: str,
     are full SELECTs yielding (query, item, rank) shapes."""
     q, i, r = query_col, item_col, rank_col
     return f"""
-WITH pred AS ({pred_sql}),
-truth AS ({truth_sql}),
+WITH pred0 AS ({pred_sql}),
+truth0 AS ({truth_sql}),
+pred AS (SELECT {q}, {i}, min({r}) AS {r} FROM pred0 GROUP BY 1, 2),
+truth AS (SELECT DISTINCT {q}, {i} FROM truth0),
 truth_q AS (SELECT {q}, count(*) AS n_truth FROM truth GROUP BY 1),
 hits AS (
   SELECT p.{q}, count(*) AS n_hits, min(p.{r}) AS _first

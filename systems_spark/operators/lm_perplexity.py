@@ -161,8 +161,10 @@ class BigramLM(Operator):
         for m in ops:
             if m._bigram_w is None:
                 raise ValueError("fit() every model before score_many()")
-        grams = ops[0]._grams(
-            df.select(F.col(id_col), F.col(text_col)), F.col(id_col))
+        # _grams tokenizes ops[0].text_col — align df's text column to it
+        work = df.select(F.col(id_col),
+                         F.col(text_col).alias(ops[0].text_col))
+        grams = ops[0]._grams(work, F.col(id_col))
         nll_cols = []
         for name, m in models.items():
             bw = m._bigram_w.select(F.col("h2"), F.col("w").alias(f"_w_{name}"))
@@ -199,6 +201,8 @@ class BigramLM(Operator):
         self._global_w.write.mode("overwrite").parquet(f"{path}/global_w.parquet")
 
     def load_artifacts(self, path: str, spark=None) -> None:
+        if spark is None:  # keyword kept for Pipeline's load convention
+            raise ValueError("load_artifacts requires a SparkSession")
         self._bigram_w = spark.read.parquet(f"{path}/bigram_w.parquet")
         self._unigram_w = spark.read.parquet(f"{path}/unigram_w.parquet")
         self._global_w = spark.read.parquet(f"{path}/global_w.parquet")

@@ -385,7 +385,12 @@ def _content_summary(df: DataFrame, shard_col: Optional[str] = None):
                      F.coalesce(F.sum(h), F.lit(0).cast("decimal(38,0)")).alias("sum")
                      ).collect()[0]
         return int(row["rows"]), str(row["sum"]), None
-    per = (df.groupBy(F.col(shard_col).cast("string").alias("_shard"))
+    # NULL shard values land in Hive's default partition dir; use that
+    # name as the manifest key so keys are always strings (a None key
+    # breaks sorting and JSON round-tripping)
+    shard_key = F.coalesce(F.col(shard_col).cast("string"),
+                           F.lit("__HIVE_DEFAULT_PARTITION__"))
+    per = (df.groupBy(shard_key.alias("_shard"))
            .agg(F.count(F.lit(1)).alias("rows"), F.sum(h).alias("sum"))
            .collect())
     shards = {r["_shard"]: {"rows": int(r["rows"]), "checksum": str(r["sum"])}
@@ -421,13 +426,10 @@ def write_manifest_parquet(df: DataFrame, path: str, mode: str = "overwrite",
     import json
     import os
 
-    w = df.write.mode(mode)
-    if shard_col is not None:
-        if n_shards is not None:
-            df = df.repartition(n_shards, F.col(shard_col))
-            w = df.write.mode(mode)
-        w = w.partitionBy(shard_col)
-    w.parquet(path)
+    if shard_col is not None and n_shards is not None:
+        df = df.repartition(n_shards, F.col(shard_col))
+    write_parquet(df, path, mode=mode,
+                  partition_by=[shard_col] if shard_col else None)
 
     spark = df.sparkSession
     written = spark.read.parquet(path)

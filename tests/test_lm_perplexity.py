@@ -127,6 +127,17 @@ def test_score_many_matches_independent_transforms(spark):
     assert fused == {k: (t[k], c[k]) for k in t}
 
 
+def test_score_many_custom_text_col(spark):
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    lm = BigramLM().fit(df)
+    renamed = df.withColumnRenamed("text", "body")
+    got = {r.doc_id: r.nll_micros_m
+           for r in BigramLM.score_many({"m": lm}, renamed,
+                                        text_col="body").collect()}
+    ref = {r.doc_id: r.nll_micros for r in lm.transform(df).collect()}
+    assert got == ref
+
+
 def test_broadcast_strategy_identical(spark):
     df = spark.createDataFrame(CORPUS, "doc_id long, text string")
     a = _collect(BigramLM(broadcast=False).fit(df), df)

@@ -77,6 +77,18 @@ def test_sharded_export_carries_per_shard_summaries(spark, data, tmp_path):
         assert json.load(fh) == m
 
 
+def test_null_shard_values_survive(spark, tmp_path):
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", None if i % 5 == 0 else i % 3) for i in range(60)],
+        "doc_id long, text string, shard long")
+    p = str(tmp_path / "nullshard")
+    m = write_manifest_parquet(df, p, shard_col="shard")
+    assert "__HIVE_DEFAULT_PARTITION__" in m["shards"]
+    assert m["shards"]["__HIVE_DEFAULT_PARTITION__"]["rows"] == 12
+    assert verify_manifest(spark, p)["ok"]
+
+
 def test_missing_shard_is_named(spark, data, tmp_path):
     p = str(tmp_path / "sharded")
     write_manifest_parquet(data, p, shard_col="shard", n_shards=4)

@@ -40,6 +40,19 @@ def test_query_missing_from_pred_scores_zero(spark):
     assert 2 in got and got[2].recall_micros == 0 and got[2].mrr_micros == 0
 
 
+def test_duplicate_rows_cannot_inflate_recall(spark):
+    # a multi-probe retriever emitting the same candidate from several
+    # tables must not report recall > 100%
+    truth = spark.createDataFrame([(1, 1, 1), (1, 1, 1)],
+                                  "query_id long, item_id long, ann_rank long")
+    pred = spark.createDataFrame([(1, 1, 2), (1, 1, 3), (1, 9, 1)],
+                                 "query_id long, item_id long, ann_rank long")
+    got = ranking_metrics(pred, truth).collect()[0]
+    assert (got.n_truth, got.n_hits) == (1, 1)
+    assert got.recall_micros == M
+    assert got.mrr_micros == M // 2  # first DISTINCT hit rank
+
+
 def test_summary_rollup_is_integer_mean(spark):
     pred, truth = _frames(spark)
     per_q = ranking_metrics(pred, truth)
