@@ -846,6 +846,38 @@ HAVING count(*) >= 2
 """
 
 
+_PAGERANK = dict(rounds=6, damping_micros=850_000)
+
+
+def q_pagerank_parts(spark, sf_dir):
+    """PageRank over the part co-occurrence graph (operators/pagerank.py):
+    symmetrized ≥2-co-count edges from lineitem baskets, 6 rounds of
+    integer-micros power iteration — importance priors for retrieval /
+    curation. Every round shuffles only (node, long) pairs + the edge
+    list; ranks are integer-exact, so even an ITERATIVE graph algorithm
+    is oracle-checked bit-for-bit (same contract as dedup_clusters)."""
+    from systems_spark.operators.pagerank import pagerank
+
+    pairs = q_part_cooccurrence(spark, sf_dir).select("part_a", "part_b")
+    edges = pairs.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst")).union(
+        pairs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst")))
+    return (pagerank(edges, **_PAGERANK)
+            .select(F.col("node").alias("part_id"), "rank_micros"))
+
+
+def _sql_pagerank_parts() -> str:
+    from systems_spark.operators.pagerank import pagerank_sql
+
+    edges = f"""
+WITH pairs AS ({_SQL_COOCCURRENCE})
+SELECT part_a AS src, part_b AS dst FROM pairs
+UNION ALL
+SELECT part_b AS src, part_a AS dst FROM pairs
+"""
+    inner = pagerank_sql(edges, **_PAGERANK)
+    return f"SELECT node AS part_id, rank_micros FROM ({inner})"
+
+
 _SAMPLER = dict(key_col="event_id", stratify_col="event_type",
                 fractions={"view": 0.1, "purchase": 1.0}, fraction=0.5)
 _SPLITS = [("train", 0.8), ("valid", 0.1), ("test", 0.1)]
@@ -3159,6 +3191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "dsir_resample": q_dsir_resample,
         "source_overlap": q_source_overlap,
+        "pagerank_parts": q_pagerank_parts,
     }
 
 
@@ -3283,4 +3316,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall": _sql_ann_recall(),
         "dsir_resample": _sql_dsir_resample(),
         "source_overlap": _sql_source_overlap(),
+        "pagerank_parts": _sql_pagerank_parts(),
     }

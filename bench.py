@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "ann_recall",
     "dsir_resample",
     "source_overlap",
+    "pagerank_parts",
 ]
 
 

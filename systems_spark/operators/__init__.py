@@ -32,8 +32,10 @@ from systems_spark.operators.packing import SequencePacker
 from systems_spark.operators.tokenizer import VocabTokenizer
 from systems_spark.operators.chunker import DocumentChunker
 from systems_spark.operators.lm_perplexity import BigramLM
+from systems_spark.operators.pagerank import pagerank
 
 __all__ = [
+    "pagerank",
     "HashSampler",
     "MixtureSampler",
     "repetition_stats",

@@ -1,0 +1,102 @@
+"""PageRank over an edge table — iterative graph analytics beyond the
+connected-components resolver (dedup/clusters.py).
+
+Corpus/graph use cases: importance ranking over item co-occurrence or
+citation/link graphs (seed selection for crawling, quality priors for
+curation, item popularity smoothing for retrieval). The reference has no
+graph operator at all; this extends the repo's iterative-graph surface in
+the same Spark-first shape as connected components: a fixed number of
+join + aggregate rounds, each shuffling only (node, value) longs.
+
+Determinism contract — integer PageRank
+---------------------------------------
+Classical PageRank is float power iteration: a distributed float sum's
+value depends on reduction order, so it cannot be oracle-checked exactly.
+Here every rank is an integer in MICROS of probability mass (r0 = 1e6 per
+node, i.e. total mass = 1e6·N) and one round is
+
+    contrib(e)  = r(src) div out_deg(src)          -- integer division
+    r'(v)       = (1e6 - d) + (d * Σ contrib) div 1e6
+
+with ``d`` the damping in micros (850_000 = 0.85). All sums are integer
+sums (exact, order-independent); the two divisions are integral (positive
+operands: Spark ``div`` truncation == DuckDB ``//`` floor); the damped
+product runs in decimal(38,0)/HUGEINT so ``d · Σ`` cannot overflow int64
+even at 1e9 nodes. Rounding mass loss (< 1 micro per edge per round) is
+a deterministic function of the graph — identical in both engines — so
+the oracle comparison is EXACT, and ranks are retry/partition-invariant.
+
+100 TB shape: each round is one equi-join of ranks against edges on src
+(shuffle: (node, long) pairs + the edge list) and one map-side-combined
+sum by dst. ``checkpoint_every`` truncates the growing lineage with
+``localCheckpoint`` exactly like the CC resolver; at real scale pass the
+same knob a few rounds apart. Skew: a celebrity node's in-edges all land
+on one reducer key — AQE skew-split handles the join side; the sum is
+map-side combined (see SCALE.md's pointer-jump row for the same
+pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_M = 1_000_000
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             rounds: int = 8, damping_micros: int = 850_000,
+             checkpoint_every: int = 0) -> DataFrame:
+    """Integer-micros PageRank; returns (node, rank_micros) for every node
+    appearing in ``edges`` (either endpoint). Nodes with no OUT-edges keep
+    contributing nothing (their mass evaporates — the standard
+    non-teleporting dangling treatment, identical in the oracle)."""
+    if not (0 < damping_micros < _M):
+        raise ValueError("damping_micros must be in (0, 1e6)")
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    nodes = (e.select(F.col("_src").alias("node"))
+             .union(e.select(F.col("_dst").alias("node"))).distinct())
+    deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    base = _M - damping_micros
+    ranks = nodes.withColumn("rank_micros", F.lit(_M).cast("long"))
+    for i in range(rounds):
+        contrib = (e.join(ranks.withColumnRenamed("node", "_src"), on="_src")
+                   .join(deg, on="_src")
+                   .select(F.col("_dst").alias("node"),
+                           F.expr("rank_micros div _deg").alias("_c")))
+        sums = contrib.groupBy("node").agg(F.sum("_c").alias("_s"))
+        ranks = (nodes.join(sums, on="node", how="left")
+                 .select("node", F.expr(
+                     f"cast({base} + (cast({damping_micros} as decimal(38,0))"
+                     f" * coalesce(_s, 0)) div {_M} as bigint)"
+                 ).alias("rank_micros")))
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < rounds:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks
+
+
+def pagerank_sql(edges_sql: str, src: str = "src", dst: str = "dst",
+                 rounds: int = 8, damping_micros: int = 850_000) -> str:
+    """DuckDB twin of :func:`pagerank`: one CTE per round, same integer
+    arithmetic (HUGEINT product mirrors the decimal(38,0) widening)."""
+    base = _M - damping_micros
+    ctes = [f"e AS (SELECT {src} AS _src, {dst} AS _dst FROM ({edges_sql}))",
+            "nodes AS (SELECT _src AS node FROM e UNION SELECT _dst FROM e)",
+            "deg AS (SELECT _src, count(*) AS _deg FROM e GROUP BY 1)",
+            f"r0 AS (SELECT node, {_M}::BIGINT AS rank_micros FROM nodes)"]
+    for i in range(rounds):
+        ctes.append(f"""s{i} AS (
+  SELECT e._dst AS node, sum(r.rank_micros // d._deg) AS _s
+  FROM e JOIN r{i} r ON r.node = e._src JOIN deg d ON d._src = e._src
+  GROUP BY 1
+)""")
+        ctes.append(f"""r{i + 1} AS (
+  SELECT n.node,
+         ({base} + ({damping_micros}::HUGEINT * coalesce(s._s, 0)) // {_M})::BIGINT
+           AS rank_micros
+  FROM nodes n LEFT JOIN s{i} s ON s.node = n.node
+)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, rank_micros FROM r{rounds}")
