@@ -46,24 +46,34 @@ _M = 1_000_000
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              rounds: int = 8, damping_micros: int = 850_000,
-             checkpoint_every: int = 0) -> DataFrame:
+             checkpoint_every: int = 0, cache_edges: bool = True) -> DataFrame:
     """Integer-micros PageRank; returns (node, rank_micros) for every node
     appearing in ``edges`` (either endpoint). Nodes with no OUT-edges keep
     contributing nothing (their mass evaporates — the standard
-    non-teleporting dangling treatment, identical in the oracle)."""
+    non-teleporting dangling treatment, identical in the oracle).
+
+    ``cache_edges`` (default on) materializes the (src, dst, out-degree)
+    table once via lazy localCheckpoint: an operator that reads its edges
+    ``rounds`` times must not re-derive them ``rounds`` times — with a
+    derived edge table (e.g. a co-occurrence self-join) the upstream plan
+    would otherwise re-execute every round."""
     if not (0 < damping_micros < _M):
         raise ValueError("damping_micros must be in (0, 1e6)")
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
     e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
-    nodes = (e.select(F.col("_src").alias("node"))
-             .union(e.select(F.col("_dst").alias("node"))).distinct())
     deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    ed = e.join(deg, on="_src")  # (src, dst, out-degree), one join, reused
+    if cache_edges:
+        ed = ed.localCheckpoint(eager=False)
+    nodes = (ed.select(F.col("_src").alias("node"))
+             .union(ed.select(F.col("_dst").alias("node"))).distinct())
+    if cache_edges:
+        nodes = nodes.localCheckpoint(eager=False)
     base = _M - damping_micros
     ranks = nodes.withColumn("rank_micros", F.lit(_M).cast("long"))
     for i in range(rounds):
-        contrib = (e.join(ranks.withColumnRenamed("node", "_src"), on="_src")
-                   .join(deg, on="_src")
+        contrib = (ed.join(ranks.withColumnRenamed("node", "_src"), on="_src")
                    .select(F.col("_dst").alias("node"),
                            F.expr("rank_micros div _deg").alias("_c")))
         sums = contrib.groupBy("node").agg(F.sum("_c").alias("_s"))

@@ -67,6 +67,14 @@ def test_checkpointing_preserves_values(spark):
     assert a == b
 
 
+def test_uncached_edges_identical(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    a = {r.node: r.rank_micros for r in pagerank(df, rounds=5).collect()}
+    b = {r.node: r.rank_micros
+         for r in pagerank(df, rounds=5, cache_edges=False).collect()}
+    assert a == b
+
+
 def test_validation(spark):
     df = spark.createDataFrame(EDGES, "src long, dst long")
     with pytest.raises(ValueError):
