@@ -878,6 +878,29 @@ SELECT part_b AS src, part_a AS dst FROM pairs
     return f"SELECT node AS part_id, rank_micros FROM ({inner})"
 
 
+def q_part_triangles(spark, sf_dir):
+    """Triangle counts over the part co-occurrence graph
+    (operators/triangles.py): per-node triangle participation = the local
+    clustering signal (near-clique basket neighborhoods). Degree-ordered
+    orientation bounds wedge fan-out by O(sqrt(m)) regardless of degree
+    skew; 3 joins + 1 count agg on (long, long) pairs, integer-exact."""
+    from systems_spark.operators.triangles import triangle_count
+
+    pairs = q_part_cooccurrence(spark, sf_dir).select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
+    return (triangle_count(pairs)
+            .select(F.col("node").alias("part_id"), "n_triangles"))
+
+
+def _sql_part_triangles() -> str:
+    from systems_spark.operators.triangles import triangle_count_sql
+
+    edges = (f"WITH pairs AS ({_SQL_COOCCURRENCE}) "
+             f"SELECT part_a AS src, part_b AS dst FROM pairs")
+    inner = triangle_count_sql(edges)
+    return f"SELECT node AS part_id, n_triangles FROM ({inner})"
+
+
 _SAMPLER = dict(key_col="event_id", stratify_col="event_type",
                 fractions={"view": 0.1, "purchase": 1.0}, fraction=0.5)
 _SPLITS = [("train", 0.8), ("valid", 0.1), ("test", 0.1)]
@@ -3192,6 +3215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resample": q_dsir_resample,
         "source_overlap": q_source_overlap,
         "pagerank_parts": q_pagerank_parts,
+        "part_triangles": q_part_triangles,
     }
 
 
@@ -3317,4 +3341,5 @@ def oracle_sql() -> dict[str, str]:
         "dsir_resample": _sql_dsir_resample(),
         "source_overlap": _sql_source_overlap(),
         "pagerank_parts": _sql_pagerank_parts(),
+        "part_triangles": _sql_part_triangles(),
     }

@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "dsir_resample",
     "source_overlap",
     "pagerank_parts",
+    "part_triangles",
 ]
 
 

@@ -33,9 +33,11 @@ from systems_spark.operators.tokenizer import VocabTokenizer
 from systems_spark.operators.chunker import DocumentChunker
 from systems_spark.operators.lm_perplexity import BigramLM
 from systems_spark.operators.pagerank import pagerank
+from systems_spark.operators.triangles import triangle_count
 
 __all__ = [
     "pagerank",
+    "triangle_count",
     "HashSampler",
     "MixtureSampler",
     "repetition_stats",
