@@ -138,6 +138,51 @@ def test_score_many_custom_text_col(spark):
     assert got == ref
 
 
+def test_random_corpora_match_python_lm(spark):
+    from hypothesis import given, settings, strategies as st
+
+    WORD = st.text(alphabet="abc", min_size=1, max_size=2)
+    DOC = st.lists(WORD, min_size=0, max_size=10).map(" ".join)
+
+    @settings(max_examples=5, deadline=None)
+    @given(docs=st.lists(DOC, min_size=1, max_size=8))
+    def inner(docs):
+        import math
+        rows = [(i, d) for i, d in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        lm = BigramLM().fit(df)
+        got = _collect(lm, df)
+        # independent python LM over the same random corpus
+        toks = [t for _, d in rows for t in d.split()]
+        if not toks:
+            assert all(v == (0, 0, None) for v in got.values())
+            return
+        uni, big = {}, {}
+        for t in toks:
+            uni[t] = uni.get(t, 0) + 1
+        for _, d in rows:
+            ts = d.split()
+            for a, b in zip(ts, ts[1:]):
+                big[(a, b)] = big.get((a, b), 0) + 1
+        V = len(uni)
+
+        def w(a, b):
+            if (a, b) in big:
+                p = (big[(a, b)] + 1) / (uni[a] + V)
+            else:
+                p = 1.0 / (uni[a] + V)
+            return round(math.log(p) * 1_000_000)
+
+        for i, d in rows:
+            ts = d.split()
+            pairs = list(zip(ts, ts[1:]))
+            nll = -sum(w(a, b) for a, b in pairs)
+            n = len(pairs)
+            assert got[i] == (n, nll, nll // n if n else None), (d, got[i])
+
+    inner()
+
+
 def test_broadcast_strategy_identical(spark):
     df = spark.createDataFrame(CORPUS, "doc_id long, text string")
     a = _collect(BigramLM(broadcast=False).fit(df), df)
