@@ -878,6 +878,33 @@ SELECT part_b AS src, part_a AS dst FROM pairs
     return f"SELECT node AS part_id, rank_micros FROM ({inner})"
 
 
+_BM25_QUERIES = [(1, "hash join merge"), (2, "window agg batch stream"),
+                 (3, "slow scan filter"), (4, "customer order line"),
+                 (5, "vector data column")]
+
+
+def q_bm25_search(spark, sf_dir):
+    """BM25 lexical search (operators/bm25.py) — the sparse retrieval twin
+    of the ANN lanes: corpus-fit idf in integer micros + an all-integer tf
+    saturation factor, so even Okapi scoring is oracle-exact. Postings are
+    (doc, term-hash, tf) longs; query terms broadcast; one window for
+    top-10 per query."""
+    from systems_spark.operators.bm25 import BM25
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(_BM25_QUERIES, "query_id long, query_text string")
+    return BM25().fit(docs).search(queries, topk=10)
+
+
+def _sql_bm25_search() -> str:
+    from systems_spark.operators.bm25 import BM25
+
+    values = ",".join(f"({i},'{t}')" for i, t in _BM25_QUERIES)
+    qsql = f"SELECT * FROM (VALUES {values}) AS q(query_id, query_text)"
+    return BM25().oracle_sql("SELECT doc_id AS id, text FROM documents",
+                             qsql, topk=10)
+
+
 def q_part_triangles(spark, sf_dir):
     """Triangle counts over the part co-occurrence graph
     (operators/triangles.py): per-node triangle participation = the local
@@ -3216,6 +3243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "pagerank_parts": q_pagerank_parts,
         "part_triangles": q_part_triangles,
+        "bm25_search": q_bm25_search,
     }
 
 
@@ -3342,4 +3370,5 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap": _sql_source_overlap(),
         "pagerank_parts": _sql_pagerank_parts(),
         "part_triangles": _sql_part_triangles(),
+        "bm25_search": _sql_bm25_search(),
     }

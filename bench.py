@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "source_overlap",
     "pagerank_parts",
     "part_triangles",
+    "bm25_search",
 ]
 
 

@@ -32,12 +32,14 @@ from systems_spark.operators.packing import SequencePacker
 from systems_spark.operators.tokenizer import VocabTokenizer
 from systems_spark.operators.chunker import DocumentChunker
 from systems_spark.operators.lm_perplexity import BigramLM
+from systems_spark.operators.bm25 import BM25
 from systems_spark.operators.pagerank import pagerank
 from systems_spark.operators.triangles import triangle_count
 
 __all__ = [
     "pagerank",
     "triangle_count",
+    "BM25",
     "HashSampler",
     "MixtureSampler",
     "repetition_stats",

@@ -1,0 +1,167 @@
+"""BM25 lexical search — the sparse half of the retrieval surface.
+
+The repo's ANN family (operators/ann.py) covers dense-vector retrieval;
+this operator covers the classic lexical ranking every search/RAG stack
+pairs with it: Okapi BM25 with the +1 idf variant,
+
+    idf(t)      = ln((N - df(t) + 0.5) / (df(t) + 0.5) + 1)
+    score(D, q) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·|D|/avgdl))
+
+Determinism contract — integer BM25
+-----------------------------------
+Distributed float sums are order-dependent, so the scoring pipeline is
+integer end-to-end (the BigramLM/classifier micros discipline extended to
+BM25's tf saturation):
+
+- idf is quantized to micros at FIT time (``round(ln(·)·1e6)`` — the ln
+  cross-engine parity is the measured contract in classifier.py);
+- ``avgdl`` is the integer ``total_tokens div N``;
+- the tf factor is computed entirely in int64 micros:
+  ``ratio = dl·1e6 div avgdl``, ``norm = 1e6 - b + b·ratio div 1e6``,
+  ``denom = tf·1e6 + k1·norm div 1e6``, ``factor = tf·(1e6+k1)·1e6 div
+  denom`` — every division positive-integral (Spark ``div`` == DuckDB
+  ``//``);
+- a hit contributes ``idf·factor div 1e6``; a document's score is the
+  integer SUM of its hits — exact under any shuffle/retry schedule, and
+  bit-for-bit replicable in the SQL oracle.
+
+100 TB shape: fit is two map-side-combined aggregations (per-doc length;
+per-term document frequency — the shuffle carries (hash64, count) longs).
+Search explodes the query terms (tiny), broadcast-joins them against the
+posting rows (term-hash equi-join against the corpus' (doc, term, tf)
+aggregate), and takes top-k per query with one window. Document text
+never shuffles; postings are (doc_id, hash, tf) longs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from systems_spark.functions import text as TX
+from systems_spark.functions.hashing import hash64, hash64_sql
+from systems_spark.operators.base import Operator
+
+_M = 1_000_000
+
+
+class BM25(Operator):
+    """``fit`` builds the index statistics over (id, text); ``search``
+    ranks documents for a queries frame (query_id, query_text)."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 k1_micros: int = 1_200_000, b_micros: int = 750_000):
+        if not (0 <= b_micros <= _M):
+            raise ValueError("b_micros in [0, 1e6]")
+        if k1_micros < 0:
+            raise ValueError("k1_micros must be >= 0")
+        self.text_col = text_col
+        self.id_col = id_col
+        self.k1 = int(k1_micros)
+        self.b = int(b_micros)
+        self._postings = None  # (doc, h, tf, dl)
+        self._idf = None       # (h, idf_micros)
+        self._avgdl = None     # 1-row (avgdl)
+        self.requires = (text_col, id_col)
+
+    def fit(self, df: DataFrame) -> "BM25":
+        tok = (df.select(F.col(self.id_col).alias("_doc"),
+                         TX.tokens(F.col(self.text_col)).alias("_tk"))
+               .select("_doc", F.size("_tk").alias("dl"),
+                       F.explode("_tk").alias("_t"))
+               .select("_doc", "dl", hash64(F.col("_t")).alias("h")))
+        self._postings = (tok.groupBy("_doc", "h", "dl")
+                          .agg(F.count(F.lit(1)).alias("tf")))
+        docs = self._postings.select("_doc", "dl").distinct()
+        stats = docs.agg(F.count(F.lit(1)).alias("n"),
+                         F.expr("sum(dl) div count(1)").alias("avgdl"))
+        dfreq = self._postings.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+        self._idf = (dfreq.crossJoin(F.broadcast(stats.select("n")))
+                     .select("h", F.round(F.log(
+                         (F.col("n") - F.col("_df") + 0.5)
+                         / (F.col("_df") + 0.5) + 1.0) * _M)
+                         .cast("long").alias("idf_micros")))
+        self._avgdl = stats.select("avgdl")
+        return self
+
+    def search(self, queries: DataFrame, query_id_col: str = "query_id",
+               query_text_col: str = "query_text", topk: int = 10) -> DataFrame:
+        """(query_id, doc, rank, score_micros): top-k docs per query by
+        integer BM25 score; ties break toward the smaller doc id."""
+        if self._postings is None:
+            raise ValueError("fit() before search()")
+        k1, b = self.k1, self.b
+        qt = (queries.select(F.col(query_id_col).alias("_q"),
+                             TX.tokens(F.col(query_text_col)).alias("_tk"))
+              .select("_q", F.explode(F.array_distinct("_tk")).alias("_t"))
+              .select("_q", hash64(F.col("_t")).alias("h")))
+        hits = (self._postings
+                .join(F.broadcast(qt), on="h")
+                .join(F.broadcast(self._idf), on="h")
+                .crossJoin(F.broadcast(self._avgdl)))
+        # the tf-factor numerator is widened to decimal(38,0) (mirrors the
+        # oracle's HUGEINT) so a pathological tf cannot overflow int64;
+        # everything else stays within int64 bounds by construction
+        contrib = hits.select(
+            "_q", "_doc",
+            F.expr(f"""
+              cast((idf_micros * (
+                 (cast(tf as decimal(38,0)) * {_M + k1} * {_M}) div
+                 (cast(tf as decimal(38,0)) * {_M} + ({k1} * ({_M} - {b} + ({b} * ((dl * {_M}) div avgdl)) div {_M})) div {_M})
+              )) div {_M} as bigint)""").alias("_c"))
+        scored = contrib.groupBy("_q", "_doc").agg(F.sum("_c").alias("score_micros"))
+        w = Window.partitionBy("_q").orderBy(F.col("score_micros").desc(),
+                                             F.col("_doc").asc())
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= topk)
+                .select(F.col("_q").alias(query_id_col),
+                        F.col("_doc").alias(self.id_col),
+                        F.col("rank").cast("long").alias("rank"),
+                        "score_micros"))
+
+    def oracle_sql(self, corpus_sql: str, queries_sql: str,
+                   topk: int = 10) -> str:
+        """DuckDB twin: ``corpus_sql`` yields (id, text), ``queries_sql``
+        yields (query_id, query_text). Same hashes, micros quantization,
+        and integral divisions as the Spark plan."""
+        k1, b = self.k1, self.b
+        toks = TX.tokens_sql("text")
+        qtoks = TX.tokens_sql("query_text")
+        h = hash64_sql
+        return f"""
+WITH corpus AS ({corpus_sql}),
+tok AS (
+  SELECT id AS _doc, len({toks}) AS dl, {h("t")} AS h
+  FROM (SELECT id, text, unnest({toks}) AS t FROM corpus)
+),
+postings AS (SELECT _doc, h, dl, count(*) AS tf FROM tok GROUP BY 1, 2, 3),
+docs AS (SELECT DISTINCT _doc, dl FROM postings),
+stats AS (SELECT count(*) AS n, sum(dl) // count(*) AS avgdl FROM docs),
+dfreq AS (SELECT h, count(*) AS _df FROM postings GROUP BY 1),
+idf AS (
+  SELECT h, round(ln((stats.n - _df + 0.5) / (_df + 0.5) + 1.0) * {_M})::BIGINT
+           AS idf_micros
+  FROM dfreq, stats
+),
+q AS ({queries_sql}),
+qt AS (
+  SELECT query_id AS _q, {h("t")} AS h
+  FROM (SELECT query_id, unnest(list_distinct({qtoks})) AS t FROM q)
+),
+contrib AS (
+  SELECT qt._q, p._doc,
+         (i.idf_micros * (
+            (p.tf::HUGEINT * {_M + k1} * {_M}) //
+            (p.tf::HUGEINT * {_M} + ({k1}::HUGEINT * ({_M} - {b} + ({b}::HUGEINT * ((p.dl * {_M}) // s.avgdl)) // {_M})) // {_M})
+         )) // {_M} AS _c
+  FROM postings p JOIN qt ON qt.h = p.h
+  JOIN idf i ON i.h = p.h CROSS JOIN stats s
+),
+scored AS (SELECT _q, _doc, sum(_c)::BIGINT AS score_micros
+           FROM contrib GROUP BY 1, 2)
+SELECT _q AS query_id, _doc AS doc_id,
+       row_number() OVER (PARTITION BY _q ORDER BY score_micros DESC, _doc ASC)::BIGINT AS rank,
+       score_micros
+FROM scored
+QUALIFY rank <= {topk}
+"""

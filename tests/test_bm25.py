@@ -1,0 +1,91 @@
+"""BM25 semantics on hand-built corpora: integer scoring verified against
+an independent pure-Python implementation of the same quantization."""
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from systems_spark.operators.bm25 import BM25
+
+M = 1_000_000
+K1, B = 1_200_000, 750_000
+
+CORPUS = [
+    (1, "hash join fast"),
+    (2, "hash hash hash table scan"),
+    (3, "merge join sort join"),
+    (4, "scan filter scan filter scan"),
+    (5, "window"),
+]
+
+
+def _python_bm25(corpus, query_terms):
+    docs = {i: t.split() for i, t in corpus}
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) // n
+    scores = {}
+    for d, toks in docs.items():
+        dl = len(toks)
+        s = 0
+        for t in set(query_terms):
+            tf = toks.count(t)
+            if tf == 0:
+                continue
+            df = sum(1 for ts in docs.values() if t in ts)
+            idf = round(math.log((n - df + 0.5) / (df + 0.5) + 1.0) * M)
+            ratio = (dl * M) // avgdl
+            norm = M - B + (B * ratio) // M
+            denom = tf * M + (K1 * norm) // M
+            factor = (tf * (M + K1) * M) // denom
+            s += (idf * factor) // M
+        if s:
+            scores[d] = s
+    return scores
+
+
+def _search(spark, corpus, qtext, topk=10):
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    qs = spark.createDataFrame([(1, qtext)], "query_id long, query_text string")
+    bm = BM25().fit(docs)
+    return {r.doc_id: (r.rank, r.score_micros)
+            for r in bm.search(qs, topk=topk).collect()}
+
+
+def test_scores_match_independent_python_bm25(spark):
+    for q in ("hash join", "scan", "window merge", "absent terms only"):
+        got = _search(spark, CORPUS, q)
+        ref = _python_bm25(CORPUS, q.split())
+        assert {d: s for d, (_, s) in got.items()} == ref, q
+        # ranks follow (score desc, doc_id asc)
+        order = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert [d for d, _ in order] == [
+            d for d, (r, _) in sorted(got.items(), key=lambda kv: kv[1][0])]
+
+
+def test_rare_term_outweighs_common(spark):
+    # 'window' appears in 1 doc, 'scan' in 2: doc 5 should top a
+    # window-query; repeated-tf saturates (doc 2 ≠ 3x doc 1 for 'hash')
+    got = _search(spark, CORPUS, "window")
+    assert min(got, key=lambda d: got[d][0]) == 5
+    hash_scores = {d: s for d, (_, s) in _search(spark, CORPUS, "hash").items()}
+    assert hash_scores[2] < 3 * hash_scores[1]
+
+
+def test_duplicate_query_terms_count_once(spark):
+    a = _search(spark, CORPUS, "hash join")
+    b = _search(spark, CORPUS, "hash hash join join")
+    assert a == b
+
+
+def test_partition_invariance(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    qs = spark.createDataFrame([(1, "hash scan join")],
+                               "query_id long, query_text string")
+    base = {(r.query_id, r.doc_id): (r.rank, r.score_micros)
+            for r in BM25().fit(docs).search(qs).collect()}
+    for n in (1, 7):
+        got = {(r.query_id, r.doc_id): (r.rank, r.score_micros)
+               for r in BM25().fit(docs.repartition(n)).search(qs).collect()}
+        assert got == base
