@@ -905,6 +905,62 @@ def _sql_bm25_search() -> str:
                              qsql, topk=10)
 
 
+_HYBRID_QIDS = (1, 2, 3, 4, 5)
+
+
+def q_hybrid_search(spark, sf_dir):
+    """Hybrid retrieval (functions/ranking.py rrf_fuse): doc-as-query
+    "more like this" — BM25 over the document's own text (sparse) fused
+    with exact inner-product over its embedding (dense) by reciprocal-rank
+    fusion. RRF contributions are 1e6 div (60 + rank), so the fused
+    ranking is integer-exact end-to-end across BOTH retrieval pipelines
+    and the fusion."""
+    from systems_spark.functions.ranking import rrf_fuse
+    from systems_spark.operators.bm25 import BM25
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qids = list(_HYBRID_QIDS)
+    sq = (docs.where(F.col("doc_id").isin(qids))
+          .select(F.col("doc_id").alias("query_id"),
+                  F.col("text").alias("query_text")))
+    sparse = (BM25().fit(docs).search(sq, topk=10)
+              .select("query_id", "doc_id", "rank"))
+    dq = (emb.where(F.col("vec_id").isin(qids))
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("qvec")))
+    op = QueryANN(emb, item_id_col="vec_id", item_vec_col="embedding",
+                  query_vec_col="qvec", query_id_col="query_id", topk=10,
+                  metric="ip")
+    dense = op(dq).select("query_id", F.col("ann_id").alias("doc_id"),
+                          F.col("ann_rank").cast("long").alias("rank"))
+    return rrf_fuse([sparse, dense], topk=10)
+
+
+def _sql_hybrid_search() -> str:
+    from systems_spark.functions.ranking import rrf_fuse_sql
+    from systems_spark.operators.bm25 import BM25
+
+    ids = ", ".join(str(i) for i in _HYBRID_QIDS)
+    sparse = BM25().oracle_sql(
+        "SELECT doc_id AS id, text FROM documents",
+        f"SELECT doc_id AS query_id, text AS query_text FROM documents "
+        f"WHERE doc_id IN ({ids})", topk=10)
+    dense = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, i.vec_id AS doc_id,
+         list_inner_product(q.embedding::DOUBLE[], i.embedding::DOUBLE[]) AS dot
+  FROM (SELECT * FROM embeddings WHERE vec_id IN ({ids})) q
+  CROSS JOIN embeddings i
+)
+SELECT query_id, doc_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, doc_id ASC)::BIGINT AS rank
+FROM scored
+QUALIFY rank <= 10
+"""
+    return rrf_fuse_sql([sparse, dense], topk=10)
+
+
 def q_part_triangles(spark, sf_dir):
     """Triangle counts over the part co-occurrence graph
     (operators/triangles.py): per-node triangle participation = the local
@@ -3244,6 +3300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_parts": q_pagerank_parts,
         "part_triangles": q_part_triangles,
         "bm25_search": q_bm25_search,
+        "hybrid_search": q_hybrid_search,
     }
 
 
@@ -3371,4 +3428,5 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_parts": _sql_pagerank_parts(),
         "part_triangles": _sql_part_triangles(),
         "bm25_search": _sql_bm25_search(),
+        "hybrid_search": _sql_hybrid_search(),
     }

@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "pagerank_parts",
     "part_triangles",
     "bm25_search",
+    "hybrid_search",
 ]
 
 

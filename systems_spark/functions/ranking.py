@@ -63,6 +63,53 @@ def summarize_ranking(per_query: DataFrame,
         F.expr("sum(mrr_micros) div count(1)").alias("mean_mrr_micros"))
 
 
+def rrf_fuse(rankings, query_col: str = "query_id", item_col: str = "doc_id",
+             rank_col: str = "rank", k: int = 60, topk: int = 10) -> DataFrame:
+    """Reciprocal-rank fusion of several ranked lists (Cormack et al.):
+    fused score = Σ_lists 1e6 div (k + rank) — integer by construction, so
+    hybrid sparse+dense retrieval stays oracle-exact. Returns the top-k
+    per query by (fused score desc, item asc).
+
+    Scale shape: a union of already-tiny top-k tables + one integer-sum
+    groupBy + one per-query window; nothing here touches the corpora the
+    input rankers indexed."""
+    if not rankings:
+        raise ValueError("need at least one ranking")
+    q, i, r = query_col, item_col, rank_col
+    contribs = None
+    for df in rankings:
+        c = df.select(q, i, F.expr(f"{_M} div ({k} + {r})").alias("_c"))
+        contribs = c if contribs is None else contribs.unionByName(c)
+    fused = contribs.groupBy(q, i).agg(F.sum("_c").alias("rrf_micros"))
+    from pyspark.sql import Window
+    w = Window.partitionBy(q).orderBy(F.col("rrf_micros").desc(),
+                                      F.col(i).asc())
+    return (fused.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= topk)
+            .select(q, i, F.col("rank").cast("long").alias("rank"),
+                    "rrf_micros"))
+
+
+def rrf_fuse_sql(ranking_sqls, query_col: str = "query_id",
+                 item_col: str = "doc_id", rank_col: str = "rank",
+                 k: int = 60, topk: int = 10) -> str:
+    """DuckDB twin of :func:`rrf_fuse` over full-SELECT ranking strings."""
+    q, i, r = query_col, item_col, rank_col
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {q}, {i}, {_M} // ({k} + {r}) AS _c FROM ({s})"
+        for s in ranking_sqls)
+    return f"""
+WITH contribs AS ({unions}),
+fused AS (SELECT {q}, {i}, sum(_c)::BIGINT AS rrf_micros
+          FROM contribs GROUP BY 1, 2)
+SELECT {q}, {i},
+       row_number() OVER (PARTITION BY {q} ORDER BY rrf_micros DESC, {i} ASC)::BIGINT AS rank,
+       rrf_micros
+FROM fused
+QUALIFY rank <= {topk}
+"""
+
+
 def ranking_metrics_sql(pred_sql: str, truth_sql: str,
                         query_col: str = "query_id",
                         item_col: str = "item_id",
