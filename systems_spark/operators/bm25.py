@@ -119,6 +119,25 @@ class BM25(Operator):
                         F.col("rank").cast("long").alias("rank"),
                         "score_micros"))
 
+    # -- persistence (index once, serve many) ------------------------------
+
+    def save_artifacts(self, path: str) -> None:
+        """Materialize the index — postings, idf, avgdl — so serving a new
+        query batch costs zero re-indexing (the inverted index IS these
+        three tables)."""
+        if self._postings is None:
+            raise ValueError("fit() before save_artifacts()")
+        self._postings.write.mode("overwrite").parquet(f"{path}/postings.parquet")
+        self._idf.write.mode("overwrite").parquet(f"{path}/idf.parquet")
+        self._avgdl.write.mode("overwrite").parquet(f"{path}/avgdl.parquet")
+
+    def load_artifacts(self, path: str, spark=None) -> None:
+        if spark is None:  # keyword kept for Pipeline's load convention
+            raise ValueError("load_artifacts requires a SparkSession")
+        self._postings = spark.read.parquet(f"{path}/postings.parquet")
+        self._idf = spark.read.parquet(f"{path}/idf.parquet")
+        self._avgdl = spark.read.parquet(f"{path}/avgdl.parquet")
+
     def oracle_sql(self, corpus_sql: str, queries_sql: str,
                    topk: int = 10) -> str:
         """DuckDB twin: ``corpus_sql`` yields (id, text), ``queries_sql``

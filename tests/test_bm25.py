@@ -79,6 +79,21 @@ def test_duplicate_query_terms_count_once(spark):
     assert a == b
 
 
+def test_save_load_roundtrip(spark, tmp_path):
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    qs = spark.createDataFrame([(1, "hash scan join")],
+                               "query_id long, query_text string")
+    bm = BM25().fit(docs)
+    base = {(r.query_id, r.doc_id): (r.rank, r.score_micros)
+            for r in bm.search(qs).collect()}
+    bm.save_artifacts(str(tmp_path))
+    fresh = BM25()
+    fresh.load_artifacts(str(tmp_path), spark=spark)
+    got = {(r.query_id, r.doc_id): (r.rank, r.score_micros)
+           for r in fresh.search(qs).collect()}
+    assert got == base
+
+
 def test_partition_invariance(spark):
     docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
     qs = spark.createDataFrame([(1, "hash scan join")],
