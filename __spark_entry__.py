@@ -984,6 +984,31 @@ def _sql_part_triangles() -> str:
     return f"SELECT node AS part_id, n_triangles FROM ({inner})"
 
 
+def q_target_encode(spark, sf_dir):
+    """Target encoding (operators/target_encode.py) — the NVTabular
+    fit-time companion of Categorify: m-estimate-smoothed mean of
+    l_extendedprice per l_returnflag / l_linestatus, integer-micros
+    arithmetic end-to-end. Fit shuffles only (category, sum, count);
+    encode is a broadcast join per column."""
+    from systems_spark.operators.target_encode import TargetEncode
+
+    li = _t(spark, sf_dir, "lineitem")
+    te = TargetEncode(["l_returnflag", "l_linestatus"],
+                      target_col="l_extendedprice", smoothing=20).fit(li)
+    combos = li.select("l_returnflag", "l_linestatus").distinct()
+    return te.transform(combos)
+
+
+def _sql_target_encode() -> str:
+    from systems_spark.operators.target_encode import TargetEncode
+
+    te = TargetEncode(["l_returnflag", "l_linestatus"],
+                      target_col="l_extendedprice", smoothing=20)
+    return te.oracle_sql(
+        "SELECT l_returnflag, l_linestatus, l_extendedprice FROM lineitem",
+        "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")
+
+
 _SAMPLER = dict(key_col="event_id", stratify_col="event_type",
                 fractions={"view": 0.1, "purchase": 1.0}, fraction=0.5)
 _SPLITS = [("train", 0.8), ("valid", 0.1), ("test", 0.1)]
@@ -3301,6 +3326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_triangles": q_part_triangles,
         "bm25_search": q_bm25_search,
         "hybrid_search": q_hybrid_search,
+        "target_encode": q_target_encode,
     }
 
 
@@ -3429,4 +3455,5 @@ def oracle_sql() -> dict[str, str]:
         "part_triangles": _sql_part_triangles(),
         "bm25_search": _sql_bm25_search(),
         "hybrid_search": _sql_hybrid_search(),
+        "target_encode": _sql_target_encode(),
     }

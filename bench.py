@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "part_triangles",
     "bm25_search",
     "hybrid_search",
+    "target_encode",
 ]
 
 

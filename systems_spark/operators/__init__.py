@@ -33,6 +33,7 @@ from systems_spark.operators.tokenizer import VocabTokenizer
 from systems_spark.operators.chunker import DocumentChunker
 from systems_spark.operators.lm_perplexity import BigramLM
 from systems_spark.operators.bm25 import BM25
+from systems_spark.operators.target_encode import TargetEncode
 from systems_spark.operators.pagerank import pagerank
 from systems_spark.operators.triangles import triangle_count
 
@@ -40,6 +41,7 @@ __all__ = [
     "pagerank",
     "triangle_count",
     "BM25",
+    "TargetEncode",
     "HashSampler",
     "MixtureSampler",
     "repetition_stats",
