@@ -1009,6 +1009,29 @@ def _sql_target_encode() -> str:
         "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")
 
 
+def q_negative_samples(spark, sf_dir):
+    """Negative sampling for recommender training (operators/negatives.py):
+    4 deterministic hash-derived negatives per observed (user, item)
+    interaction — the (user, pos, neg) triples BPR/contrastive objectives
+    train on, with a +1-mod-N shift bounding positive leakage at zero.
+    Item index broadcasts; interactions never shuffle."""
+    from systems_spark.operators.negatives import sample_negatives
+
+    ev = _t(spark, sf_dir, "events")
+    inter = ev.select(
+        F.col("user_id").alias("user"),
+        F.pmod(F.col("event_id"), F.lit(200)).alias("item")).distinct()
+    return sample_negatives(inter, inter.select("item"), k=4)
+
+
+def _sql_negative_samples() -> str:
+    from systems_spark.operators.negatives import sample_negatives_sql
+
+    inter = ("SELECT DISTINCT user_id AS \"user\", event_id % 200 AS item "
+             "FROM events")
+    return sample_negatives_sql(inter, inter, k=4)
+
+
 _SAMPLER = dict(key_col="event_id", stratify_col="event_type",
                 fractions={"view": 0.1, "purchase": 1.0}, fraction=0.5)
 _SPLITS = [("train", 0.8), ("valid", 0.1), ("test", 0.1)]
@@ -3327,6 +3350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "hybrid_search": q_hybrid_search,
         "target_encode": q_target_encode,
+        "negative_samples": q_negative_samples,
     }
 
 
@@ -3456,4 +3480,5 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _sql_bm25_search(),
         "hybrid_search": _sql_hybrid_search(),
         "target_encode": _sql_target_encode(),
+        "negative_samples": _sql_negative_samples(),
     }

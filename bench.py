@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "bm25_search",
     "hybrid_search",
     "target_encode",
+    "negative_samples",
 ]
 
 

@@ -34,6 +34,7 @@ from systems_spark.operators.chunker import DocumentChunker
 from systems_spark.operators.lm_perplexity import BigramLM
 from systems_spark.operators.bm25 import BM25
 from systems_spark.operators.target_encode import TargetEncode
+from systems_spark.operators.negatives import sample_negatives
 from systems_spark.operators.pagerank import pagerank
 from systems_spark.operators.triangles import triangle_count
 
@@ -42,6 +43,7 @@ __all__ = [
     "triangle_count",
     "BM25",
     "TargetEncode",
+    "sample_negatives",
     "HashSampler",
     "MixtureSampler",
     "repetition_stats",

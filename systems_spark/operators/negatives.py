@@ -1,0 +1,110 @@
+"""Deterministic negative sampling for recommender / contrastive training.
+
+The training-data hop between interaction logs and an NN trainer: for
+every observed (user, item) positive, emit ``k`` negative items the user
+did NOT interact with — the (user, pos, neg) triples that BPR-style,
+sampled-softmax, and contrastive objectives consume. The reference's
+`PredictImplicit` serves an already-trained factor model; this operator
+covers the dataset-construction stage such models train on.
+
+Determinism contract: negatives are a pure function of
+(user, positive, slot) via the portable md5 hash —
+``idx = hash64(user|pos|slot|salt) mod N`` indexes a rank-ordered item
+table. A sampled index that collides with its own positive is shifted by
++1 (mod N) — a deterministic, oracle-replicable rejection step that
+bounds positive-leakage at exactly zero rather than 1/N. Retries and
+engines agree bit-for-bit; re-running the export against a grown item
+catalog changes N and therefore resamples, which is the correct semantic
+(the negative space IS the catalog).
+
+NOTE this is sampling WITHOUT the user's full history filter: a negative
+may collide with a DIFFERENT positive of the same user (probability
+~|user history|/N). That is the standard trade (uniform negatives) —
+filtering against full history needs an anti-join per slot; compose with
+``FilterCandidates`` when exactness matters more than the extra shuffle.
+
+100 TB shape: the item index is (idx, item) longs — broadcast; the
+explode is ``k`` integer rows per interaction with no shuffle until the
+(tiny) index join. Interactions never shuffle at all when the index is
+broadcast: the whole export fuses into the interaction scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from systems_spark.functions.hashing import hash64, hash64_sql
+
+
+def sample_negatives(interactions: DataFrame, items: DataFrame,
+                     user_col: str = "user", item_col: str = "item",
+                     k: int = 4, salt: str = "neg") -> DataFrame:
+    """(user, pos_item, slot, neg_item) with ``k`` slots per interaction."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = Window.orderBy(F.col(item_col).asc())
+    index = (items.select(item_col).distinct()
+             .select((F.row_number().over(w) - 1).alias("_idx"),
+                     F.col(item_col).alias("_neg")))
+    n = index.count()
+    if n < 2:
+        raise ValueError("need at least 2 distinct items")
+    slots = (interactions.select(F.col(user_col).alias("user"),
+                                 F.col(item_col).alias("pos_item"))
+             .select("user", "pos_item",
+                     F.explode(F.sequence(F.lit(1), F.lit(k))).alias("slot")))
+    h = hash64(F.concat_ws("|", F.lit(salt), F.col("user").cast("string"),
+                           F.col("pos_item").cast("string"),
+                           F.col("slot").cast("string")))
+    drawn = slots.withColumn("_idx", h % n)
+    # deterministic +1 (mod N) shift when the draw hits its own positive;
+    # LEFT join: a positive outside the item catalog just keeps its draw
+    pos_idx = index.select(F.col("_neg").alias("pos_item"),
+                           F.col("_idx").alias("_pos_idx"))
+    shifted = (drawn.join(F.broadcast(pos_idx), on="pos_item", how="left")
+               .withColumn("_idx2", F.when(F.col("_idx") == F.col("_pos_idx"),
+                                           (F.col("_idx") + 1) % n)
+                           .otherwise(F.col("_idx")))
+               .join(F.broadcast(index.withColumnRenamed("_idx", "_idx2")),
+                     on="_idx2")
+               .select("user", "pos_item",
+                       F.col("slot").cast("long").alias("slot"),
+                       F.col("_neg").alias("neg_item")))
+    return shifted
+
+
+def sample_negatives_sql(interactions_sql: str, items_sql: str,
+                         user_col: str = "user", item_col: str = "item",
+                         k: int = 4, salt: str = "neg") -> str:
+    """DuckDB twin of :func:`sample_negatives` — same hash, modulus, and
+    +1 collision shift."""
+    h = hash64_sql(
+        f"'{salt}' || '|' || CAST(s.user AS VARCHAR) || '|' || "
+        f"CAST(s.pos_item AS VARCHAR) || '|' || CAST(s.slot AS VARCHAR)")
+    return f"""
+WITH inter AS ({interactions_sql}),
+it AS ({items_sql}),
+idx AS (
+  SELECT row_number() OVER (ORDER BY {item_col} ASC) - 1 AS _idx,
+         {item_col} AS _neg
+  FROM (SELECT DISTINCT {item_col} FROM it)
+),
+n AS (SELECT count(*) AS n FROM idx),
+slots AS (
+  SELECT {user_col} AS user, {item_col} AS pos_item, unnest(range(1, {k} + 1)) AS slot
+  FROM inter
+),
+drawn AS (
+  SELECT s.user, s.pos_item, s.slot, ({h}) % (SELECT n FROM n) AS _idx
+  FROM slots s
+),
+shifted AS (
+  SELECT d.user, d.pos_item, d.slot,
+         CASE WHEN d._idx = p._idx THEN (d._idx + 1) % (SELECT n FROM n)
+              ELSE d._idx END AS _idx2
+  FROM drawn d LEFT JOIN idx p ON p._neg = d.pos_item
+)
+SELECT s.user, s.pos_item, s.slot::BIGINT AS slot, i._neg AS neg_item
+FROM shifted s JOIN idx i ON i._idx = s._idx2
+"""

@@ -1,0 +1,61 @@
+"""Negative-sampling semantics on hand-built interaction tables."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from systems_spark.operators.negatives import sample_negatives
+
+
+def _frames(spark):
+    inter = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (3, 12)], "user long, item long")
+    items = spark.createDataFrame([(i,) for i in range(10, 15)], "item long")
+    return inter, items
+
+
+def test_shape_and_determinism(spark):
+    inter, items = _frames(spark)
+    a = sorted(map(tuple, sample_negatives(inter, items, k=3).collect()))
+    b = sorted(map(tuple, sample_negatives(inter, items, k=3).collect()))
+    assert a == b and len(a) == 4 * 3
+    # every (user, pos) has exactly slots 1..3
+    from collections import Counter
+    c = Counter((u, p) for u, p, _, _ in a)
+    assert set(c.values()) == {3}
+
+
+def test_negative_never_equals_its_positive(spark):
+    inter, items = _frames(spark)
+    rows = sample_negatives(inter, items, k=8).collect()
+    assert all(r.neg_item != r.pos_item for r in rows)
+    assert all(10 <= r.neg_item <= 14 for r in rows)
+
+
+def test_different_salt_changes_draws(spark):
+    inter, items = _frames(spark)
+    a = sorted(map(tuple, sample_negatives(inter, items, k=4, salt="a").collect()))
+    b = sorted(map(tuple, sample_negatives(inter, items, k=4, salt="b").collect()))
+    assert a != b
+
+
+def test_positive_outside_catalog_kept(spark):
+    inter = spark.createDataFrame([(1, 999)], "user long, item long")
+    items = spark.createDataFrame([(i,) for i in range(5)], "item long")
+    rows = sample_negatives(inter, items, k=2).collect()
+    assert len(rows) == 2 and all(0 <= r.neg_item <= 4 for r in rows)
+
+
+def test_partition_invariance_and_validation(spark):
+    inter, items = _frames(spark)
+    base = sorted(map(tuple, sample_negatives(inter, items, k=2).collect()))
+    got = sorted(map(tuple, sample_negatives(
+        inter.repartition(5), items.repartition(3), k=2).collect()))
+    assert got == base
+    with pytest.raises(ValueError):
+        sample_negatives(inter, items, k=0)
+    with pytest.raises(ValueError):
+        sample_negatives(inter, items.limit(1), k=2)
