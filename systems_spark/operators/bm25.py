@@ -95,19 +95,23 @@ class BM25(Operator):
                              TX.tokens(F.col(query_text_col)).alias("_tk"))
               .select("_q", F.explode(F.array_distinct("_tk")).alias("_t"))
               .select("_q", hash64(F.col("_t")).alias("h")))
+        # restrict idf to the query's terms BEFORE broadcasting: _idf is
+        # vocabulary-sized (billions of rows at web scale) — only the
+        # few-row query-term slice ships to executors
+        q_idf = self._idf.join(F.broadcast(qt), on="h")
         hits = (self._postings
-                .join(F.broadcast(qt), on="h")
-                .join(F.broadcast(self._idf), on="h")
+                .join(F.broadcast(q_idf), on="h")
                 .crossJoin(F.broadcast(self._avgdl)))
         # the tf-factor numerator is widened to decimal(38,0) (mirrors the
         # oracle's HUGEINT) so a pathological tf cannot overflow int64;
-        # everything else stays within int64 bounds by construction
+        # dl is an int32 from size() — widen before the 1e6 multiply or a
+        # >=2148-token document wraps negative
         contrib = hits.select(
             "_q", "_doc",
             F.expr(f"""
               cast((idf_micros * (
                  (cast(tf as decimal(38,0)) * {_M + k1} * {_M}) div
-                 (cast(tf as decimal(38,0)) * {_M} + ({k1} * ({_M} - {b} + ({b} * ((dl * {_M}) div avgdl)) div {_M})) div {_M})
+                 (cast(tf as decimal(38,0)) * {_M} + ({k1} * ({_M} - {b} + ({b} * ((cast(dl as bigint) * {_M}) div avgdl)) div {_M})) div {_M})
               )) div {_M} as bigint)""").alias("_c"))
         scored = contrib.groupBy("_q", "_doc").agg(F.sum("_c").alias("score_micros"))
         w = Window.partitionBy("_q").orderBy(F.col("score_micros").desc(),

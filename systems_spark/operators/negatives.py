@@ -54,8 +54,14 @@ def sample_negatives(interactions: DataFrame, items: DataFrame,
                                  F.col(item_col).alias("pos_item"))
              .select("user", "pos_item",
                      F.explode(F.sequence(F.lit(1), F.lit(k))).alias("slot")))
-    h = hash64(F.concat_ws("|", F.lit(salt), F.col("user").cast("string"),
-                           F.col("pos_item").cast("string"),
+    # explicit coalesce on every hashed field: Spark's concat_ws SKIPS
+    # nulls while SQL || NULLS the whole string — without the sentinel a
+    # NULL user would hash differently in the two engines (and collide
+    # with a user whose fields happen to concatenate the same way)
+    def _s(col):
+        return F.coalesce(F.col(col).cast("string"), F.lit("␀"))
+
+    h = hash64(F.concat_ws("|", F.lit(salt), _s("user"), _s("pos_item"),
                            F.col("slot").cast("string")))
     drawn = slots.withColumn("_idx", h % n)
     # deterministic +1 (mod N) shift when the draw hits its own positive;
@@ -80,8 +86,8 @@ def sample_negatives_sql(interactions_sql: str, items_sql: str,
     """DuckDB twin of :func:`sample_negatives` — same hash, modulus, and
     +1 collision shift."""
     h = hash64_sql(
-        f"'{salt}' || '|' || CAST(s.user AS VARCHAR) || '|' || "
-        f"CAST(s.pos_item AS VARCHAR) || '|' || CAST(s.slot AS VARCHAR)")
+        f"'{salt}' || '|' || coalesce(CAST(s.user AS VARCHAR), '␀') || '|' || "
+        f"coalesce(CAST(s.pos_item AS VARCHAR), '␀') || '|' || CAST(s.slot AS VARCHAR)")
     return f"""
 WITH inter AS ({interactions_sql}),
 it AS ({items_sql}),

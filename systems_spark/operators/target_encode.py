@@ -59,18 +59,21 @@ class TargetEncode(Operator):
     def fit(self, df: DataFrame) -> "TargetEncode":
         t = F.round(F.col(self.target_col) * _M).cast("long")
         base = df.select(*self.columns, t.alias("_t"))
+        # count(_t), not count(*): a NULL target must not enter the
+        # denominator (it would deflate the mean toward 0 instead of
+        # shrinking the category toward the prior)
         glob = base.agg(
-            F.expr("sum(_t) div count(1)").alias("prior_micros"))
+            F.expr("sum(_t) div count(_t)").alias("prior_micros"))
         self._prior = glob
         self._stats = {}
         for c in self.columns:
             agg = (base.groupBy(F.col(c).alias("_cat"))
                    .agg(F.sum("_t").alias("_sum"),
-                        F.count(F.lit(1)).alias("_n")))
+                        F.count(F.col("_t")).alias("_n")))
             self._stats[c] = (
                 agg.crossJoin(F.broadcast(glob))
                 .select("_cat", F.expr(
-                    f"(_sum + {self.m} * prior_micros) div (_n + {self.m})"
+                    f"(coalesce(_sum, 0) + {self.m} * prior_micros) div (_n + {self.m})"
                 ).alias("_te")))
         return self
 
@@ -99,7 +102,7 @@ class TargetEncode(Operator):
         for c in self.columns:
             cats.append(
                 f"s_{c} AS (SELECT {c} AS _cat, "
-                f"(sum(_t) + {m} * (SELECT prior_micros FROM gp)) // (count(*) + {m}) AS _te "
+                f"(coalesce(sum(_t), 0) + {m} * (SELECT prior_micros FROM gp)) // (count(_t) + {m}) AS _te "
                 f"FROM base GROUP BY 1)")
             joins.append(f"LEFT JOIN s_{c} ON s_{c}._cat = a.{c}")
             tes.append(
@@ -107,7 +110,7 @@ class TargetEncode(Operator):
         return f"""
 WITH fit AS ({fit_sql}),
 base AS (SELECT *, round({self.target_col} * {_M})::BIGINT AS _t FROM fit),
-gp AS (SELECT sum(_t) // count(*) AS prior_micros FROM base),
+gp AS (SELECT sum(_t) // count(_t) AS prior_micros FROM base),
 {",".join(cats)},
 apply AS ({apply_sql})
 SELECT a.*, {", ".join(tes)}

@@ -67,8 +67,11 @@ def triangle_count(edges: DataFrame, src: str = "src",
                  F.col("e2.v").alias("w")))
     tri = w.join(o.select(F.col("u").alias("v"), F.col("v").alias("w")),
                  on=["v", "w"])
-    nodes = (o.select(F.col("u").alias("node"))
-             .union(o.select(F.col("v").alias("node"))).distinct())
+    # node universe from the RAW edges (contract: every node reports a
+    # row) — a node whose only edges are self-loops still appears with 0
+    nodes = (edges.select(F.col(src).alias("node"))
+             .union(edges.select(F.col(dst).alias("node")))
+             .where(F.col("node").isNotNull()).distinct())
     per = (tri.select(F.col("u").alias("node"))
            .union(tri.select(F.col("v").alias("node")))
            .union(tri.select(F.col("w").alias("node")))
@@ -104,7 +107,10 @@ tri AS (
   FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.v <> e2.v
   JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v
 ),
-nodes AS (SELECT u AS node FROM o UNION SELECT v FROM o),
+nodes AS (
+  SELECT node FROM (SELECT {src} AS node FROM raw UNION SELECT {dst} FROM raw)
+  WHERE node IS NOT NULL
+),
 per AS (
   SELECT node, count(*) AS n_triangles
   FROM (SELECT u AS node FROM tri UNION ALL SELECT v FROM tri

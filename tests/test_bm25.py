@@ -79,6 +79,16 @@ def test_duplicate_query_terms_count_once(spark):
     assert a == b
 
 
+def test_long_document_does_not_overflow(spark):
+    # dl >= 2148 overflowed int32 in (dl * 1e6) before the bigint widening
+    long_doc = " ".join(["filler"] * 3000) + " hash"
+    corpus = CORPUS + [(9, long_doc)]
+    got = _search(spark, corpus, "hash")
+    ref = _python_bm25(corpus, ["hash"])
+    assert {d: s for d, (_, s) in got.items()} == ref
+    assert all(s > 0 for _, s in got.values())
+
+
 def test_save_load_roundtrip(spark, tmp_path):
     docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
     qs = spark.createDataFrame([(1, "hash scan join")],

@@ -49,6 +49,19 @@ def test_positive_outside_catalog_kept(spark):
     assert len(rows) == 2 and all(0 <= r.neg_item <= 4 for r in rows)
 
 
+def test_null_user_rows_survive_with_distinct_draws(spark):
+    inter = spark.createDataFrame([(None, 10), (None, 11), (7, 10)],
+                                  "user long, item long")
+    items = spark.createDataFrame([(i,) for i in range(10, 20)], "item long")
+    rows = sample_negatives(inter, items, k=3).collect()
+    assert len(rows) == 9  # NULL-user interactions are kept
+    null_draws = sorted(r.neg_item for r in rows
+                        if r.user is None and r.pos_item == 10)
+    anon_draws = sorted(r.neg_item for r in rows
+                        if r.user == 7 and r.pos_item == 10)
+    assert null_draws != anon_draws  # sentinel hashes differently from id 7
+
+
 def test_partition_invariance_and_validation(spark):
     inter, items = _frames(spark)
     base = sorted(map(tuple, sample_negatives(inter, items, k=2).collect()))

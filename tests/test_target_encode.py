@@ -62,6 +62,17 @@ def test_unseen_category_gets_prior(spark):
     assert got.cat_te == prior
 
 
+def test_null_targets_shrink_toward_prior_not_zero(spark):
+    rows = [("a", 10.0), ("a", None), ("b", 30.0)]
+    df = spark.createDataFrame(rows, "cat string, y double")
+    te = TargetEncode(["cat"], target_col="y", smoothing=0).fit(df)
+    got = {r.cat: r.cat_te
+           for r in te.transform(df.select("cat").distinct()).collect()}
+    # the NULL row must not enter a's denominator: mean stays 10, not 5
+    assert got["a"] == 10 * M
+    assert got["b"] == 30 * M
+
+
 def test_partition_invariance(spark):
     df = spark.createDataFrame(ROWS * 10, "cat string, y double")
     base = {r.cat: r.cat_te

@@ -13,7 +13,7 @@ from systems_spark.operators.triangles import triangle_count
 
 def _brute(edges):
     und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
-    nodes = sorted({n for e in und for n in e})
+    nodes = sorted({n for e in edges for n in e})
     adj = {n: set() for n in nodes}
     for a, b in und:
         adj[a].add(b)
@@ -43,6 +43,11 @@ def test_k4_and_star(spark):
 def test_duplicate_reversed_and_self_edges_collapse(spark):
     tri = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3)]
     assert _spark(spark, tri) == {1: 1, 2: 1, 3: 1}
+
+
+def test_self_loop_only_node_reports_zero(spark):
+    got = _spark(spark, [(1, 2), (2, 3), (3, 1), (4, 4)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 0}
 
 
 @settings(max_examples=6, deadline=None)
