@@ -1032,6 +1032,31 @@ def _sql_negative_samples() -> str:
     return sample_negatives_sql(inter, inter, k=4)
 
 
+def q_kcore_parts(spark, sf_dir):
+    """k-core decomposition (operators/kcore.py): the 3-core of the part
+    co-occurrence graph — iterative peeling until every surviving part
+    keeps ≥3 surviving neighbors (dense-subgraph extraction; on a
+    similarity graph this isolates template/spam farms). Driver-loop
+    convergence with ONE count action per round; raises rather than
+    returning an unconverged core. Oracle: 24 unrolled peel levels —
+    idempotent once converged, so equality is exact."""
+    from systems_spark.operators.kcore import kcore
+
+    pairs = q_part_cooccurrence(spark, sf_dir).select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
+    return (kcore(pairs, k=3, max_rounds=24)
+            .select(F.col("node").alias("part_id"), "core_deg"))
+
+
+def _sql_kcore_parts() -> str:
+    from systems_spark.operators.kcore import kcore_sql
+
+    edges = (f"WITH pairs AS ({_SQL_COOCCURRENCE}) "
+             f"SELECT part_a AS src, part_b AS dst FROM pairs")
+    inner = kcore_sql(edges, k=3, rounds=24)
+    return f"SELECT node AS part_id, core_deg FROM ({inner})"
+
+
 _SAMPLER = dict(key_col="event_id", stratify_col="event_type",
                 fractions={"view": 0.1, "purchase": 1.0}, fraction=0.5)
 _SPLITS = [("train", 0.8), ("valid", 0.1), ("test", 0.1)]
@@ -3351,6 +3376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": q_hybrid_search,
         "target_encode": q_target_encode,
         "negative_samples": q_negative_samples,
+        "kcore_parts": q_kcore_parts,
     }
 
 
@@ -3481,4 +3507,5 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_search": _sql_hybrid_search(),
         "target_encode": _sql_target_encode(),
         "negative_samples": _sql_negative_samples(),
+        "kcore_parts": _sql_kcore_parts(),
     }

@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "hybrid_search",
     "target_encode",
     "negative_samples",
+    "kcore_parts",
 ]
 
 

@@ -37,10 +37,12 @@ from systems_spark.operators.target_encode import TargetEncode
 from systems_spark.operators.negatives import sample_negatives
 from systems_spark.operators.pagerank import pagerank
 from systems_spark.operators.triangles import triangle_count
+from systems_spark.operators.kcore import kcore
 
 __all__ = [
     "pagerank",
     "triangle_count",
+    "kcore",
     "BM25",
     "TargetEncode",
     "sample_negatives",
