@@ -126,6 +126,14 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 - warmup must stay best-effort
             print(f"# warmup {t} failed: {exc}", file=sys.stderr)
 
+    # shared graph fixture (VERDICT r4 item 8): the four graph lanes all
+    # derive the same co-occurrence edge list from lineitem baskets —
+    # memoize it once (eager localCheckpoint) so their bench numbers
+    # measure pagerank/triangles/kcore/the co-count matrix itself, not
+    # four repetitions of the basket self-join. The first lane to touch
+    # the fixture pays its one-time materialization.
+    entrymod.enable_cooccurrence_cache(True)
+
     queries = entrymod.queries()
     timings = {}
     runs_raw = {}

@@ -120,7 +120,10 @@ class SemanticDedup(Operator):
         the vectors themselves never shuffle. Empty cells keep their
         previous centroid (FAISS k-means convention)."""
         base = self._base(df)
-        cents = self._centroids or self._seed_centroids(base)
+        # `is not None`, NOT truthiness: classic DataFrames have no
+        # __bool__ (always truthy) but Connect-style frames raise on it
+        cents = (self._centroids if self._centroids is not None
+                 else self._seed_centroids(base))
         for _ in range(self.train_iters):
             assigned = self._assign(base, cents)
             means = (

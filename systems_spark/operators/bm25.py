@@ -85,9 +85,18 @@ class BM25(Operator):
         return self
 
     def search(self, queries: DataFrame, query_id_col: str = "query_id",
-               query_text_col: str = "query_text", topk: int = 10) -> DataFrame:
+               query_text_col: str = "query_text", topk: int = 10,
+               min_idf_micros: int = 0) -> DataFrame:
         """(query_id, doc, rank, score_micros): top-k docs per query by
-        integer BM25 score; ties break toward the smaller doc id."""
+        integer BM25 score; ties break toward the smaller doc id.
+
+        ``min_idf_micros`` prunes ~zero-information query terms (idf below
+        the threshold — stopwords) BEFORE the postings join: a stopword's
+        posting list is O(corpus), so on stopword-heavy queries the prune
+        removes the dominant join input while each surviving term's
+        contribution is bit-identical (scores only lose the pruned terms'
+        near-zero summands). 0 (default) disables pruning — idf under the
+        +1 variant is strictly positive, so no term is ever dropped."""
         if self._postings is None:
             raise ValueError("fit() before search()")
         k1, b = self.k1, self.b
@@ -99,19 +108,23 @@ class BM25(Operator):
         # vocabulary-sized (billions of rows at web scale) — only the
         # few-row query-term slice ships to executors
         q_idf = self._idf.join(F.broadcast(qt), on="h")
+        if min_idf_micros > 0:
+            q_idf = q_idf.where(F.col("idf_micros") >= min_idf_micros)
         hits = (self._postings
                 .join(F.broadcast(q_idf), on="h")
                 .crossJoin(F.broadcast(self._avgdl)))
-        # the tf-factor numerator is widened to decimal(38,0) (mirrors the
-        # oracle's HUGEINT) so a pathological tf cannot overflow int64;
-        # dl is an int32 from size() — widen before the 1e6 multiply or a
-        # >=2148-token document wraps negative
+        # the tf-factor numerator AND the k1/b length-norm products are
+        # widened to decimal(38,0) (mirrors the oracle's HUGEINT casts) so
+        # neither a pathological tf nor extreme length skew (b·(dl·1e6 div
+        # avgdl) past int64 — ADVICE r4) can wrap where the oracle stays
+        # exact; dl is an int32 from size() — widen before the 1e6
+        # multiply or a >=2148-token document wraps negative
         contrib = hits.select(
             "_q", "_doc",
             F.expr(f"""
               cast((idf_micros * (
                  (cast(tf as decimal(38,0)) * {_M + k1} * {_M}) div
-                 (cast(tf as decimal(38,0)) * {_M} + ({k1} * ({_M} - {b} + ({b} * ((cast(dl as bigint) * {_M}) div avgdl)) div {_M})) div {_M})
+                 (cast(tf as decimal(38,0)) * {_M} + (cast({k1} as decimal(38,0)) * ({_M} - {b} + (cast({b} as decimal(38,0)) * ((cast(dl as bigint) * {_M}) div avgdl)) div {_M})) div {_M})
               )) div {_M} as bigint)""").alias("_c"))
         scored = contrib.groupBy("_q", "_doc").agg(F.sum("_c").alias("score_micros"))
         w = Window.partitionBy("_q").orderBy(F.col("score_micros").desc(),

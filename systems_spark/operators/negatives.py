@@ -26,15 +26,24 @@ filtering against full history needs an anti-join per slot; compose with
 100 TB shape: the item index is (idx, item) longs — broadcast; the
 explode is ``k`` integer rows per interaction with no shuffle until the
 (tiny) index join. Interactions never shuffle at all when the index is
-broadcast: the whole export fuses into the interaction scan.
+broadcast: the whole export fuses into the interaction scan. The index
+itself is built with the :class:`~systems_spark.operators.global_rank.
+GlobalRank` bucket machinery (VERDICT r4 item 2) — a global
+``row_number()`` window would funnel the whole distinct catalog through
+ONE task; GlobalRank computes the identical (idx → item) mapping with a
+deterministic bucket column, a tiny layout aggregation, and a window
+partitioned per bucket, so no single-partition stage exists anywhere in
+the plan. The catalog count falls out of the layout for free (no extra
+``count()`` job).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from systems_spark.functions.hashing import hash64, hash64_sql
+from systems_spark.operators.global_rank import GlobalRank
 
 
 def sample_negatives(interactions: DataFrame, items: DataFrame,
@@ -43,11 +52,19 @@ def sample_negatives(interactions: DataFrame, items: DataFrame,
     """(user, pos_item, slot, neg_item) with ``k`` slots per interaction."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    w = Window.orderBy(F.col(item_col).asc())
-    index = (items.select(item_col).distinct()
-             .select((F.row_number().over(w) - 1).alias("_idx"),
-                     F.col(item_col).alias("_neg")))
-    n = index.count()
+    # scalable exact index: 1-based GlobalRank over the distinct catalog,
+    # ascending nulls-first — the same order (and therefore the same
+    # idx → item mapping) as `row_number() OVER (ORDER BY item ASC)`,
+    # without the single-task sort. localCheckpoint: the index is joined
+    # twice below and feeds a broadcast — materialize the rank job once
+    # instead of re-running bucket layout + window per consumer.
+    gr = GlobalRank([item_col], rank_col="_rk", total_col="_tot")
+    index = (gr(items.select(item_col).distinct())
+             .select((F.col("_rk") - 1).alias("_idx"),
+                     F.col(item_col).alias("_neg"))
+             .localCheckpoint(eager=False))
+    # catalog size comes from the layout GlobalRank already collected
+    n = sum(gr.group_totals_.values())
     if n < 2:
         raise ValueError("need at least 2 distinct items")
     slots = (interactions.select(F.col(user_col).alias("user"),

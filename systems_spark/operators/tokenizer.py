@@ -107,11 +107,24 @@ class VocabTokenizer(Operator):
         )
         out = df.join(encoded, did == F.col("_vt_id"), "left").drop("_vt_id")
         # token-less docs have no exploded rows → empty array, not null
+        enc = F.coalesce(F.col(self.out_col), F.array().cast("array<int>"))
+        # unique-id contract guard (ADVICE r4): a duplicated id_col merges
+        # two docs' (pos, id) streams into one sorted array — corrupt
+        # encodings, silently. Any merge makes the encoded length differ
+        # from the row's own token count (the two-empty-docs case excepted,
+        # where the merge is the empty array — harmless), so the check is
+        # free: both sizes are already in the row. Raise loudly instead of
+        # emitting garbage; the map strategy is per-row and immune.
+        n_row = F.coalesce(F.size(toks), F.lit(0))
+        guarded = F.when(F.size(enc) == n_row, enc).otherwise(
+            F.raise_error(F.concat(F.lit(
+                f"VocabTokenizer(strategy='join'): duplicate {self.id_col}"
+                " values merged token streams for id "),
+                did.cast("string"))).cast("array<int>"))
         return out.select(
             *df.columns,
             F.size(toks).alias("n_tokens"),
-            F.coalesce(F.col(self.out_col),
-                       F.array().cast("array<int>")).alias(self.out_col))
+            guarded.alias(self.out_col))
 
     def oracle_sql(self, fit_sql: str, apply_sql: str,
                    out_cols: str = "a.id AS doc_id") -> str:

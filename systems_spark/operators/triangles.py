@@ -20,8 +20,12 @@ bit-for-bit replicable in the SQL oracle.
 
 100 TB shape: 3 joins + 1 count aggregation, all on (long, long) pairs;
 the orientation step is one degree aggregation + an in-row comparison.
-Wedge volume Σ out_deg² is the binding cost — the (degree, id) ordering
-minimizes it over all orientations up to tie-breaks.
+Wedge volume Σ C(out_deg, 2) is the binding cost — the (degree, id)
+ordering minimizes it over all orientations up to tie-breaks, and each
+wedge is enumerated exactly ONCE (VERDICT r4 item 3): the oriented edge
+carries its head's (degree, id) key so the self-join can require the
+second leg strictly after the first in orientation order, instead of
+emitting both (v, w) and (w, v) and discarding half at the closure join.
 """
 
 from __future__ import annotations
@@ -31,7 +35,8 @@ from pyspark.sql import functions as F
 
 
 def _oriented(edges: DataFrame, src: str, dst: str) -> DataFrame:
-    """Distinct undirected edges oriented low→high by (degree, node id)."""
+    """Distinct undirected edges oriented low→high by (degree, node id),
+    keeping the head's degree ``dv`` (the wedge-ordering key)."""
     und = (edges.select(F.least(F.col(src), F.col(dst)).alias("_a"),
                         F.greatest(F.col(src), F.col(dst)).alias("_b"))
            .where(F.col("_a") != F.col("_b"))
@@ -47,7 +52,22 @@ def _oriented(edges: DataFrame, src: str, dst: str) -> DataFrame:
         (F.col("_da") == F.col("_db")) & (F.col("_a") < F.col("_b")))
     return d.select(
         F.when(fwd, F.col("_a")).otherwise(F.col("_b")).alias("u"),
-        F.when(fwd, F.col("_b")).otherwise(F.col("_a")).alias("v"))
+        F.when(fwd, F.col("_b")).otherwise(F.col("_a")).alias("v"),
+        F.when(fwd, F.col("_db")).otherwise(F.col("_da")).alias("dv"))
+
+
+def _wedges(o: DataFrame) -> DataFrame:
+    """Each wedge (u; v, w) exactly once, v strictly before w in the
+    (degree, id) orientation order — C(out_deg, 2) rows per center, half
+    the naive ``v != w`` self-join. Because v precedes w in orientation
+    order, a closing edge between them can only be oriented v→w, so the
+    closure join needs no symmetric probe."""
+    e1, e2 = o.alias("e1"), o.alias("e2")
+    after = (F.col("e1.dv") < F.col("e2.dv")) | (
+        (F.col("e1.dv") == F.col("e2.dv")) & (F.col("e1.v") < F.col("e2.v")))
+    return (e1.join(e2, (F.col("e1.u") == F.col("e2.u")) & after)
+            .select(F.col("e1.u").alias("u"), F.col("e1.v").alias("v"),
+                    F.col("e2.v").alias("w")))
 
 
 def triangle_count(edges: DataFrame, src: str = "src",
@@ -56,15 +76,7 @@ def triangle_count(edges: DataFrame, src: str = "src",
     no triangle report 0. Self-loops and duplicate/reversed edges are
     collapsed first."""
     o = _oriented(edges, src, dst)
-    # wedges u->v, u->w (v before w in orientation order is NOT implied;
-    # dedupe by requiring (v, w) to be an oriented edge — each triangle
-    # then appears exactly once as (u, v, w))
-    w = (o.alias("e1")
-         .join(o.alias("e2"),
-               (F.col("e1.u") == F.col("e2.u"))
-               & (F.col("e1.v") != F.col("e2.v")))
-         .select(F.col("e1.u").alias("u"), F.col("e1.v").alias("v"),
-                 F.col("e2.v").alias("w")))
+    w = _wedges(o)
     tri = w.join(o.select(F.col("u").alias("v"), F.col("v").alias("w")),
                  on=["v", "w"])
     # node universe from the RAW edges (contract: every node reports a
@@ -99,12 +111,15 @@ o AS (
   SELECT CASE WHEN da._d < db._d OR (da._d = db._d AND und._a < und._b)
               THEN und._a ELSE und._b END AS u,
          CASE WHEN da._d < db._d OR (da._d = db._d AND und._a < und._b)
-              THEN und._b ELSE und._a END AS v
+              THEN und._b ELSE und._a END AS v,
+         CASE WHEN da._d < db._d OR (da._d = db._d AND und._a < und._b)
+              THEN db._d ELSE da._d END AS dv
   FROM und JOIN deg da ON da._n = und._a JOIN deg db ON db._n = und._b
 ),
 tri AS (
   SELECT e1.u AS u, e1.v AS v, e2.v AS w
-  FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.v <> e2.v
+  FROM o e1 JOIN o e2 ON e1.u = e2.u
+       AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
   JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v
 ),
 nodes AS (

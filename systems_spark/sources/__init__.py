@@ -371,6 +371,39 @@ class FeatureTable:
 MANIFEST_NAME = "_MANIFEST.json"
 
 
+def _manifest_path(path: str) -> str:
+    return path.rstrip("/") + "/" + MANIFEST_NAME
+
+
+def _fs_write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write a small text file THROUGH the Hadoop FileSystem API — the
+    same resolver Spark's own writers use — so the manifest lands next to
+    the data on s3://, hdfs://, file://, ... alike (ADVICE r4: a local
+    ``open()`` here would succeed for the parquet and then throw for the
+    manifest on any remote filesystem)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _fs_read_text(spark: SparkSession, path: str) -> str:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(p)
+    try:
+        # commons-io ships on Spark's classpath; reads the full stream
+        return jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8")
+    finally:
+        stream.close()
+
+
 def _content_summary(df: DataFrame, shard_col: Optional[str] = None):
     """(total_rows, checksum, per-shard rows/checksums) in ONE aggregation.
 
@@ -422,9 +455,10 @@ def write_manifest_parquet(df: DataFrame, path: str, mode: str = "overwrite",
     manifest carries per-shard rows/checksums so single-shard re-transfers
     can be verified alone.
 
-    Returns the manifest dict (also written to ``<path>/_MANIFEST.json``)."""
+    Returns the manifest dict (also written to ``<path>/_MANIFEST.json``
+    via the Hadoop FileSystem API, so remote sinks — s3://, hdfs:// —
+    work the same as local paths)."""
     import json
-    import os
 
     if shard_col is not None and n_shards is not None:
         df = df.repartition(n_shards, F.col(shard_col))
@@ -443,8 +477,8 @@ def write_manifest_parquet(df: DataFrame, path: str, mode: str = "overwrite",
     if shards is not None:
         manifest["shard_col"] = shard_col
         manifest["shards"] = dict(sorted(shards.items()))
-    with open(os.path.join(path, MANIFEST_NAME), "w") as fh:
-        json.dump(manifest, fh, indent=1, sort_keys=True)
+    _fs_write_text(spark, _manifest_path(path),
+                   json.dumps(manifest, indent=1, sort_keys=True))
     return manifest
 
 
@@ -455,10 +489,8 @@ def verify_manifest(spark: SparkSession, path: str) -> dict:
     the specific shards) — the receiving end of a 100 TB transfer runs
     this before pointing a training job at the data."""
     import json
-    import os
 
-    with open(os.path.join(path, MANIFEST_NAME)) as fh:
-        manifest = json.load(fh)
+    manifest = json.loads(_fs_read_text(spark, _manifest_path(path)))
     df = spark.read.parquet(path).select(*manifest["columns"])
     rows, checksum, shards = _content_summary(df, manifest.get("shard_col"))
     problems = []

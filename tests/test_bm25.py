@@ -114,3 +114,30 @@ def test_partition_invariance(spark):
         got = {(r.query_id, r.doc_id): (r.rank, r.score_micros)
                for r in BM25().fit(docs.repartition(n)).search(qs).collect()}
         assert got == base
+
+
+def test_min_idf_prune_keeps_surviving_term_scores(spark):
+    """VERDICT r4 item 7: pruning sub-threshold (stopword) terms before
+    the postings join leaves every surviving term's contribution
+    bit-identical — the pruned search equals searching the query with the
+    stopword textually removed."""
+    docs = spark.createDataFrame(
+        [(i, "the common filler text " + ("alpha " if i % 3 == 0 else "beta ")
+          + f"tail{i % 5}") for i in range(30)], "doc_id long, text string")
+    bm = BM25().fit(docs)
+    # 'the' appears in every doc -> idf = ln((N-df+0.5)/(df+0.5)+1) is tiny
+    idf = {r.h: r.idf_micros for r in bm._idf.collect()}
+    from systems_spark.functions.hashing import hash64
+    from pyspark.sql import functions as F
+    h_the = spark.range(1).select(hash64(F.lit("the")).alias("h")).first().h
+    thr = idf[h_the] + 1
+    q = spark.createDataFrame([(1, "the alpha tail2")],
+                              "query_id long, query_text string")
+    q_stripped = spark.createDataFrame([(1, "alpha tail2")],
+                                       "query_id long, query_text string")
+    pruned = sorted(map(tuple, bm.search(q, topk=30,
+                                         min_idf_micros=thr).collect()))
+    stripped = sorted(map(tuple, bm.search(q_stripped, topk=30).collect()))
+    full = sorted(map(tuple, bm.search(q, topk=30).collect()))
+    assert pruned == stripped
+    assert pruned != full  # the stopword really contributed before

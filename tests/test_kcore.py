@@ -58,3 +58,22 @@ def test_self_loops_ignored_and_validation(spark):
     df = spark.createDataFrame(tri, "src long, dst long")
     with pytest.raises(ValueError):
         kcore(df, k=0)
+
+
+def test_deep_peeling_carries_live_edges_forward(spark):
+    """VERDICT r4 item 5: a deep-peel fixture (40-node path feeding a
+    triangle) converges with the survivor count strictly shrinking every
+    round — the carried-forward live edge set shrinks with it, so late
+    rounds scan the surviving subgraph, not the full edge table."""
+    path = [(i, i + 1) for i in range(40)]          # peels 1 node/side/round
+    tri = [(40, 100), (100, 101), (101, 40)]        # the surviving 2-core
+    df = spark.createDataFrame(path + tri, "src long, dst long")
+    stats: list = []
+    got = {r.node: r.core_deg
+           for r in kcore(df, k=2, max_rounds=64, round_stats=stats).collect()}
+    assert got == {40: 2, 100: 2, 101: 2}
+    assert len(stats) >= 15                          # genuinely deep peel
+    # strictly decreasing until the converged plateau (last repeats)
+    body, last = stats[:-1], stats[-1]
+    assert all(a > b for a, b in zip(body, body[1:]))
+    assert last == body[-1] == 3

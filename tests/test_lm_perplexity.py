@@ -188,3 +188,23 @@ def test_broadcast_strategy_identical(spark):
     a = _collect(BigramLM(broadcast=False).fit(df), df)
     b = _collect(BigramLM(broadcast=True).fit(df), df)
     assert a == b
+
+
+def test_default_transform_plan_has_no_broadcast_hint(spark):
+    """VERDICT r4 item 4: the bigram weight table is vocab-scale — the
+    DEFAULT plan must carry no broadcast hint on it (AQE decides at
+    runtime); broadcast=True stays the explicit small-reference-LM
+    opt-in."""
+    df = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2}") for i in range(6)],
+        "doc_id long, text string")
+    lm = BigramLM().fit(df)
+    analyzed = lm.transform(df)._jdf.queryExecution().analyzed().toString()
+    # sanctioned hints: the three 1-row broadcasts (vocab inside each of
+    # the two fit-time weight plans + the global-backoff crossJoin); the
+    # two vocab-scale weight-table joins (h2/h1) must add NO hint
+    default_hints = analyzed.count("ResolvedHint")
+    assert default_hints <= 3, analyzed
+    hinted = BigramLM(broadcast=True).fit(df)
+    analyzed_b = hinted.transform(df)._jdf.queryExecution().analyzed().toString()
+    assert analyzed_b.count("ResolvedHint") == default_hints + 2, analyzed_b

@@ -75,3 +75,24 @@ def test_composes_with_sequence_packer(spark, corpus):
                             budget=8).transform(enc)
     rows = packed.collect()
     assert len(rows) > 0
+
+
+def test_join_strategy_raises_on_duplicate_ids(spark):
+    """ADVICE r4: a duplicated id_col would silently merge two docs'
+    (pos, id) streams into one array — the join strategy now raises
+    instead of emitting corrupt encodings."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    fit = spark.createDataFrame([("alpha beta gamma",)], "text string")
+    dup = spark.createDataFrame(
+        [(1, "alpha beta"), (1, "gamma"), (2, "alpha")],
+        "doc_id long, text string")
+    vt = VocabTokenizer(vocab_size=8, strategy="join").fit(fit)
+    with pytest.raises((Py4JJavaError, PySparkException)):
+        vt.transform(dup).collect()
+    # unique ids still encode fine
+    ok = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma")], "doc_id long, text string")
+    rows = {r.doc_id: r.input_ids for r in vt.transform(ok).collect()}
+    assert len(rows[1]) == 2 and len(rows[2]) == 1
