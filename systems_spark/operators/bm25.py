@@ -53,8 +53,11 @@ class BM25(Operator):
                  k1_micros: int = 1_200_000, b_micros: int = 750_000):
         if not (0 <= b_micros <= _M):
             raise ValueError("b_micros in [0, 1e6]")
-        if k1_micros < 0:
-            raise ValueError("k1_micros must be >= 0")
+        if not (0 <= k1_micros <= 4_000_000_000):
+            # upper bound keeps k1·(norm div 1e6) inside int64 for any
+            # int32 document length (see the split-identity note in
+            # search()); k1 = 4000.0 is far past any published tuning
+            raise ValueError("k1_micros in [0, 4e9]")
         self.text_col = text_col
         self.id_col = id_col
         self.k1 = int(k1_micros)
@@ -113,19 +116,31 @@ class BM25(Operator):
         hits = (self._postings
                 .join(F.broadcast(q_idf), on="h")
                 .crossJoin(F.broadcast(self._avgdl)))
-        # the tf-factor numerator AND the k1/b length-norm products are
-        # widened to decimal(38,0) (mirrors the oracle's HUGEINT casts) so
-        # neither a pathological tf nor extreme length skew (b·(dl·1e6 div
-        # avgdl) past int64 — ADVICE r4) can wrap where the oracle stays
-        # exact; dl is an int32 from size() — widen before the 1e6
-        # multiply or a >=2148-token document wraps negative
-        contrib = hits.select(
-            "_q", "_doc",
-            F.expr(f"""
+        # Overflow contract (ADVICE r4), without decimal in the hot path:
+        # the oracle computes the k1/b length-norm products in HUGEINT;
+        # naive int64 would wrap at extreme length skew (b·ratio with
+        # ratio = dl·1e6 div avgdl up to ~2.1e15). Instead of widening to
+        # decimal(38,0) — measured 2× on scoring-heavy workloads — use the
+        # EXACT split identity (x·r) div M == x·(r div M) + (x·(r mod M))
+        # div M (r = q·M + m with q·M exactly divisible): every
+        # intermediate then fits int64 (b ≤ 1e6, ratio div 1e6 ≤ 2.1e9 for
+        # int32 dl, k1 bounded in __init__), and the result is
+        # bit-identical to the oracle's HUGEINT floor divisions. Only the
+        # tf numerator stays decimal(38,0) (tf·(1e6+k1)·1e6 genuinely
+        # exceeds int64); dl is an int32 from size() — widen before the
+        # 1e6 multiply or a >=2148-token document wraps negative
+        contrib = (hits
+                   .withColumn("_bm_r", F.expr(f"(cast(dl as bigint) * {_M}) div avgdl"))
+                   .withColumn("_bm_x", F.expr(
+                       f"{_M} - {b} + ({b} * (_bm_r div {_M}) + ({b} * (_bm_r % {_M})) div {_M})"))
+                   .select(
+                       "_q", "_doc",
+                       F.expr(f"""
               cast((idf_micros * (
                  (cast(tf as decimal(38,0)) * {_M + k1} * {_M}) div
-                 (cast(tf as decimal(38,0)) * {_M} + (cast({k1} as decimal(38,0)) * ({_M} - {b} + (cast({b} as decimal(38,0)) * ((cast(dl as bigint) * {_M}) div avgdl)) div {_M})) div {_M})
-              )) div {_M} as bigint)""").alias("_c"))
+                 (cast(tf as decimal(38,0)) * {_M} +
+                  ({k1} * (_bm_x div {_M}) + ({k1} * (_bm_x % {_M})) div {_M}))
+              )) div {_M} as bigint)""").alias("_c")))
         scored = contrib.groupBy("_q", "_doc").agg(F.sum("_c").alias("score_micros"))
         w = Window.partitionBy("_q").orderBy(F.col("score_micros").desc(),
                                              F.col("_doc").asc())
