@@ -3281,6 +3281,62 @@ def _sql_ann_recall() -> str:
     return ranking_metrics_sql(_sql_ann_lsh(), _SQL_ANN_TOPK)
 
 
+_LPA = dict(rounds=4)
+
+
+def q_part_communities(spark, sf_dir):
+    """Community detection over the part co-occurrence graph
+    (operators/communities.py): 4 rounds of deterministic synchronous
+    label propagation — argmax neighbor label, ties to the smallest
+    label — splitting the basket graph into densely-linked part families
+    (332 communities at sf0.01) that connected components would merge
+    into one blob. Each round: one labels⋈edges join + two map-side-
+    combined aggs on (node, label, count) longs; no windows, no
+    single-task stage; integer-exact so the fixed-round labeling is
+    bit-replayed by the CTE-chain oracle."""
+    from systems_spark.operators.communities import label_propagation
+
+    pairs = q_part_cooccurrence(spark, sf_dir).select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
+    return (label_propagation(pairs, **_LPA)
+            .select(F.col("node").alias("part_id"), "community"))
+
+
+def _sql_part_communities() -> str:
+    from systems_spark.operators.communities import label_propagation_sql
+
+    edges = (f"WITH pairs AS ({_SQL_COOCCURRENCE}) "
+             f"SELECT part_a AS src, part_b AS dst FROM pairs")
+    inner = label_propagation_sql(edges, **_LPA)
+    return f"SELECT node AS part_id, community FROM ({inner})"
+
+
+_SUBSTR_K = 8
+
+
+def q_substring_dedup(spark, sf_dir):
+    """Cross-document duplicated-substring removal (dedup/substrings.py),
+    the Lee et al. exact-substring dedup at k-token granularity: every
+    non-canonical occurrence of a duplicated 8-token window is removed,
+    keeping exactly one copy corpus-wide. Document text never shuffles —
+    gram streams are (doc, pos, hash) longs; coverage explodes only
+    DUPLICATED windows; reconstruction is one JVM higher-order filter
+    over the doc's own token array."""
+    from systems_spark.dedup.substrings import remove_duplicate_substrings
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return remove_duplicate_substrings(docs, k=_SUBSTR_K)
+
+
+def _sql_substring_dedup() -> str:
+    from systems_spark.dedup.substrings import remove_duplicate_substrings_sql
+
+    inner = remove_duplicate_substrings_sql(
+        "SELECT doc_id AS id, text FROM documents", k=_SUBSTR_K)
+    return (f"SELECT id AS doc_id, clean_text, n_tokens, n_removed "
+            f"FROM ({inner})")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_four_stage_recs(spark, SF_SMOKE)
@@ -3413,6 +3469,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encode": q_target_encode,
         "negative_samples": q_negative_samples,
         "kcore_parts": q_kcore_parts,
+        # --- r5 additions (51+, locally oracle-checked) ---
+        "substring_dedup": q_substring_dedup,
+        "part_communities": q_part_communities,
     }
 
 
@@ -3544,4 +3603,6 @@ def oracle_sql() -> dict[str, str]:
         "target_encode": _sql_target_encode(),
         "negative_samples": _sql_negative_samples(),
         "kcore_parts": _sql_kcore_parts(),
+        "substring_dedup": _sql_substring_dedup(),
+        "part_communities": _sql_part_communities(),
     }

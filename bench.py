@@ -94,6 +94,9 @@ BENCH_QUERIES = [
     "target_encode",
     "negative_samples",
     "kcore_parts",
+    # r5 additions
+    "substring_dedup",
+    "part_communities",
 ]
 
 
@@ -126,11 +129,11 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 - warmup must stay best-effort
             print(f"# warmup {t} failed: {exc}", file=sys.stderr)
 
-    # shared graph fixture (VERDICT r4 item 8): the four graph lanes all
+    # shared graph fixture (VERDICT r4 item 8): the five graph lanes all
     # derive the same co-occurrence edge list from lineitem baskets —
     # memoize it once (eager localCheckpoint) so their bench numbers
-    # measure pagerank/triangles/kcore/the co-count matrix itself, not
-    # four repetitions of the basket self-join. The first lane to touch
+    # measure pagerank/triangles/kcore/communities/the co-count matrix
+    # itself, not five repetitions of the basket self-join. The first lane to touch
     # the fixture pays its one-time materialization.
     entrymod.enable_cooccurrence_cache(True)
 

@@ -5,6 +5,7 @@ from systems_spark.dedup.ngram import NGramJaccardDedup
 from systems_spark.dedup.embedding import EmbeddingDedup
 from systems_spark.dedup.semantic import SemanticDedup
 from systems_spark.dedup.clusters import canonical_documents, canonical_from_labels, connected_components, incremental_components
+from systems_spark.dedup.substrings import remove_duplicate_substrings
 
 __all__ = [
     "ExactDedup",
@@ -17,4 +18,5 @@ __all__ = [
     "canonical_documents",
     "incremental_components",
     "canonical_from_labels",
+    "remove_duplicate_substrings",
 ]

@@ -1,0 +1,164 @@
+"""Cross-document duplicated-substring removal — exact substring dedup.
+
+Document-level dedup (exact / MinHash / SimHash / semantic, this package)
+drops whole near-duplicate documents; it cannot touch the OTHER large
+duplication mode in web corpora: long verbatim substrings repeated across
+otherwise-distinct pages (licence blocks, navigation chrome, quoted
+articles, templated product blurbs). Lee et al., "Deduplicating Training
+Data Makes Language Models Better" (ACL 2022), showed removing every
+substring that appears more than once in the corpus (suffix-array dedup,
+min length ~50 tokens) measurably improves LMs. This operator is the
+Spark-first equivalent at k-token granularity:
+
+    a token is removed iff it is covered by some k-token window whose
+    k-gram occurs elsewhere in the corpus (any other (doc, pos),
+    including the same document), and that window is NOT the gram's
+    canonical first occurrence (global min (doc_id, pos)).
+
+Exactly one copy of every duplicated k-gram survives (the canonical
+occurrence), mirroring the reference-paper policy of keeping one
+instance. Runs of overlapping duplicated windows merge naturally —
+coverage is per-token — so a 400-token boilerplate block repeated on
+10k pages collapses to its single canonical copy without any explicit
+span-merging pass.
+
+Determinism contract: the canonical occurrence is the lexicographic min
+of (doc_id, position) per gram hash — a pure integer aggregate, so the
+output is a bit-stable function of the corpus and the DuckDB twin
+replays it exactly (grams use the portable 60-bit md5 hash).
+
+Output ``clean_text`` is whitespace-canonical (tokens re-joined with
+single spaces) — the same canonicalization every text lane in this repo
+applies before hashing, so the cleaned corpus feeds directly into the
+downstream dedup/tokenize stages.
+
+100 TB shape
+------------
+- gram stream: (doc_id, pos, hash64) longs — document text itself NEVER
+  shuffles; the two wide moves are the gram-count aggregation (map-side
+  combined; shuffle bounded by distinct-gram cardinality) and the
+  occurrence⋈duplicated-gram equi-join on the hash (AQE decides
+  broadcast-vs-shuffle from the measured duplicated-gram table size —
+  no hint, it is corpus-dependent).
+- coverage: flagged windows explode to k (doc, pos) ints each —
+  proportional to DUPLICATED text volume, not corpus volume; collected
+  per doc as one int array (bounded by the doc's own token count).
+- reconstruction: a single JVM higher-order filter over the doc's token
+  array against its covered-position array — no Python, no per-token
+  rows, fuses into the scan of the original documents.
+- the gram subtree feeds both the count aggregation and the occurrence
+  join, so the tokenize+hash scan runs twice; persist the input (or
+  localCheckpoint upstream) when the corpus scan dominates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from systems_spark.functions import text as TX
+from systems_spark.functions.hashing import hash64, hash64_sql
+
+
+def remove_duplicate_substrings(docs: DataFrame, k: int = 8,
+                                text_col: str = "text",
+                                id_col: str = "doc_id") -> DataFrame:
+    """(id, clean_text, n_tokens, n_removed) — ``clean_text`` is the
+    whitespace-canonical document with every non-canonical duplicated
+    k-token window removed; ``n_removed`` counts removed token
+    positions. Documents shorter than ``k`` tokens pass through (no
+    window fits)."""
+    if k < 2:
+        raise ValueError("k must be >= 2 (a 1-gram dedup would remove "
+                         "every repeated word)")
+    did = F.col(id_col)
+    staged = docs.select(did.alias("_sd_id"),
+                         TX.tokens(F.col(text_col)).alias("_tk"))
+    grams = (staged.select(
+        "_sd_id",
+        F.posexplode(TX.word_shingles_from_tokens(F.col("_tk"), k))
+        .alias("_q", "_g"))
+        .select("_sd_id", "_q", hash64(F.col("_g")).alias("_h")))
+    stats = grams.groupBy("_h").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.min(F.struct(F.col("_sd_id").alias("_d"),
+                       F.col("_q").alias("_fq"))).alias("_first"))
+    dup = stats.where(F.col("_cnt") >= 2).select("_h", "_first")
+    flagged = (grams.join(dup, on="_h")
+               .where(~((F.col("_sd_id") == F.col("_first._d"))
+                        & (F.col("_q") == F.col("_first._fq"))))
+               .select("_sd_id", "_q"))
+    covered = flagged.select(
+        "_sd_id", F.explode(F.sequence(F.col("_q"),
+                                       F.col("_q") + (k - 1))).alias("_p"))
+    cov = covered.groupBy("_sd_id").agg(
+        F.array_sort(F.collect_set("_p")).alias("_cov"))
+
+    base = (staged.join(cov, on="_sd_id", how="left")
+            .withColumn("_cov", F.coalesce(
+                F.col("_cov"), F.array().cast("array<int>"))))
+    indexed = F.transform(
+        F.col("_tk"), lambda t, i: F.struct(t.alias("t"), i.alias("i")))
+    kept = F.filter(indexed,
+                    lambda s: ~F.array_contains(F.col("_cov"), s["i"]))
+    return base.select(
+        F.col("_sd_id").alias(id_col),
+        F.array_join(F.transform(kept, lambda s: s["t"]), " ")
+        .alias("clean_text"),
+        F.size("_tk").cast("long").alias("n_tokens"),
+        F.size("_cov").cast("long").alias("n_removed"))
+
+
+def remove_duplicate_substrings_sql(docs_sql: str, k: int = 8) -> str:
+    """DuckDB twin of :func:`remove_duplicate_substrings` — ``docs_sql``
+    yields (id, text); same tokenizer, gram hash, canonical-min rule,
+    coverage explosion, and single-space reassembly."""
+    toks = TX.tokens_sql("text")
+    h = hash64_sql("g")
+    return f"""
+WITH docs AS ({docs_sql}),
+tk AS (SELECT id, {toks} AS tk FROM docs),
+g0 AS (
+  SELECT id, u.q AS q, u.g AS g FROM (
+    SELECT id, unnest(list_transform(range(1, len(tk) - {k - 1} + 1),
+              i -> struct_pack(q := i - 1,
+                               g := array_to_string(tk[i:i+{k - 1}], ' ')))) AS u
+    FROM tk)
+),
+grams AS (SELECT id, q, {h} AS h FROM g0),
+stats AS (
+  SELECT h, count(*) AS cnt,
+         min(struct_pack(d := id, fq := q)) AS first
+  FROM grams GROUP BY 1
+),
+dup AS (SELECT h, first FROM stats WHERE cnt >= 2),
+flagged AS (
+  SELECT g.id, g.q
+  FROM grams g JOIN dup d ON d.h = g.h
+  WHERE NOT (g.id = (d.first).d AND g.q = (d.first).fq)
+),
+covered AS (SELECT id, unnest(range(q, q + {k})) AS p FROM flagged),
+cov AS (SELECT id, list(DISTINCT p ORDER BY p) AS cov FROM covered GROUP BY 1),
+kept AS (
+  SELECT t.id, t.tk,
+         list_transform(
+           list_filter(list_transform(t.tk,
+                         (x, i) -> struct_pack(t := x, i := i - 1)),
+                       s -> NOT list_contains(coalesce(c.cov,
+                                  CAST([] AS BIGINT[])), s.i)),
+           s -> s.t) AS kt,
+         c.cov AS cov
+  FROM tk t LEFT JOIN cov c ON c.id = t.id
+),
+out AS (
+  -- array_to_string([]) is NULL in DuckDB but Spark's array_join is '':
+  -- restore '' for the fully-removed (empty-but-not-null) case
+  SELECT id,
+         CASE WHEN kt IS NULL THEN NULL
+              ELSE coalesce(array_to_string(kt, ' '), '') END AS clean_text,
+         len(tk)::BIGINT AS n_tokens,
+         coalesce(len(cov), 0)::BIGINT AS n_removed
+  FROM kept
+)
+SELECT id, clean_text, n_tokens, n_removed FROM out
+"""

@@ -38,11 +38,13 @@ from systems_spark.operators.negatives import sample_negatives
 from systems_spark.operators.pagerank import pagerank
 from systems_spark.operators.triangles import triangle_count
 from systems_spark.operators.kcore import kcore
+from systems_spark.operators.communities import label_propagation
 
 __all__ = [
     "pagerank",
     "triangle_count",
     "kcore",
+    "label_propagation",
     "BM25",
     "TargetEncode",
     "sample_negatives",

@@ -1,0 +1,78 @@
+"""Cross-document duplicated-substring removal (dedup/substrings.py)."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from systems_spark.dedup.substrings import remove_duplicate_substrings
+
+BLOCK = "all rights reserved contact us about privacy terms of service"  # 10 tokens
+
+
+def _run(spark, rows, k=8):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {r.doc_id: r for r in
+            remove_duplicate_substrings(df, k=k).collect()}
+
+
+def test_cross_doc_block_kept_once(spark):
+    rows = [(1, f"unique opening one {BLOCK}"),
+            (2, f"different story here {BLOCK}"),
+            (3, f"third page text {BLOCK}"),
+            (4, "no shared content whatsoever in this one at all")]
+    got = _run(spark, rows, k=8)
+    # canonical = global min (doc_id, pos): doc 1 keeps the block
+    assert got[1].clean_text == f"unique opening one {BLOCK}"
+    assert got[1].n_removed == 0
+    # every other occurrence is removed wholly (coverage unions overlaps)
+    assert got[2].clean_text == "different story here"
+    assert got[3].clean_text == "third page text"
+    assert got[2].n_removed == 10 and got[3].n_removed == 10
+    assert got[4].n_removed == 0
+
+
+def test_within_doc_repeat_removed(spark):
+    text = f"{BLOCK} middle words now {BLOCK}"
+    got = _run(spark, [(7, text)], k=8)
+    assert got[7].clean_text == f"{BLOCK} middle words now"
+    assert got[7].n_removed == 10
+
+
+def test_short_doc_passes_through_ws_canonical(spark):
+    got = _run(spark, [(1, "  too   short\tdoc "), (2, "too short doc")], k=8)
+    # < k tokens: no window fits, even though the docs duplicate each other
+    assert got[1].clean_text == "too short doc"
+    assert got[1].n_removed == 0 and got[2].n_removed == 0
+
+
+def test_overlapping_windows_merge(spark):
+    # 12-token shared span: 5 overlapping 8-gram windows, one covered run
+    span = "a b c d e f g h i j k l"
+    got = _run(spark, [(1, f"x {span}"), (2, f"y {span} z")], k=8)
+    assert got[1].n_removed == 0
+    assert got[2].clean_text == "y z"
+    assert got[2].n_removed == 12
+
+
+def test_validation_and_empty_result(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        remove_duplicate_substrings(df, k=1)
+    got = _run(spark, [(1, BLOCK), (2, BLOCK)], k=8)
+    # doc 2 is removed entirely -> empty string, not NULL
+    assert got[2].clean_text == "" and got[2].n_removed == 10
+    assert got[1].clean_text == BLOCK
+
+
+def test_partition_invariance(spark):
+    rows = [(i, f"filler {i} " + (BLOCK if i % 3 == 0 else "solo words only"))
+            for i in range(1, 30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, remove_duplicate_substrings(df, k=8).collect()))
+    b = sorted(map(tuple,
+                   remove_duplicate_substrings(df.repartition(7), k=8)
+                   .collect()))
+    assert a == b
