@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     # r5 additions
     "substring_dedup",
     "part_communities",
+    "ppl_buckets",
 ]
 
 
