@@ -832,6 +832,11 @@ def enable_cooccurrence_cache(on: bool = True) -> None:
     global _COOC_CACHE_ENABLED
     _COOC_CACHE_ENABLED = bool(on)
     if not on:
+        # NOTE the checkpointed blocks stay materialized in the session's
+        # block manager after clear() — localCheckpoint offers no public
+        # unpersist handle. Acceptable for the intended bench lifecycle
+        # (one enable per short-lived session); a long-lived session
+        # toggling repeatedly would accumulate pinned edge-list copies.
         _COOC_CACHE.clear()
 
 

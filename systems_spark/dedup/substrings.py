@@ -15,12 +15,20 @@ Spark-first equivalent at k-token granularity:
     including the same document), and that window is NOT the gram's
     canonical first occurrence (global min (doc_id, pos)).
 
-Exactly one copy of every duplicated k-gram survives (the canonical
-occurrence), mirroring the reference-paper policy of keeping one
-instance. Runs of overlapping duplicated windows merge naturally —
-coverage is per-token — so a 400-token boilerplate block repeated on
-10k pages collapses to its single canonical copy without any explicit
-span-merging pass.
+Every duplicated k-gram's CANONICAL occurrence survives intact: tokens
+inside a canonical window are PROTECTED — removal is (covered by some
+flagged window) MINUS (covered by some canonical window). Without the
+protection set, two overlapping duplicated grams with different
+canonical documents could each flag the other's canonical window and
+remove every copy of a gram from the corpus (caught in review by
+construction: docs 'b..i' / 'a b..i' / 'a b..h' at k=8 mutilated the
+middle document to 'a'). Non-canonical occurrences may keep boundary
+fragments where they overlap a protected window — inherent to
+token-level cutting, and the safe direction (keep a few duplicated
+boundary tokens rather than destroy canonical text). Runs of
+overlapping duplicated windows merge naturally — coverage is per-token
+— so a 400-token boilerplate block repeated on 10k pages collapses to
+its single canonical copy without any explicit span-merging pass.
 
 Determinism contract: the canonical occurrence is the lexicographic min
 of (doc_id, position) per gram hash — a pure integer aggregate, so the
@@ -41,8 +49,10 @@ downstream dedup/tokenize stages.
   broadcast-vs-shuffle from the measured duplicated-gram table size —
   no hint, it is corpus-dependent).
 - coverage: flagged windows explode to k (doc, pos) ints each —
-  proportional to DUPLICATED text volume, not corpus volume; collected
-  per doc as one int array (bounded by the doc's own token count).
+  proportional to DUPLICATED text volume, not corpus volume; the
+  protection set explodes one window per DISTINCT duplicated gram
+  (smaller still); their anti-join is on (doc, pos) ints; collected per
+  doc as one int array (bounded by the doc's own token count).
 - reconstruction: a single JVM higher-order filter over the doc's token
   array against its covered-position array — no Python, no per-token
   rows, fuses into the scan of the original documents.
@@ -91,7 +101,14 @@ def remove_duplicate_substrings(docs: DataFrame, k: int = 8,
     covered = flagged.select(
         "_sd_id", F.explode(F.sequence(F.col("_q"),
                                        F.col("_q") + (k - 1))).alias("_p"))
-    cov = covered.groupBy("_sd_id").agg(
+    # protection set: tokens inside any CANONICAL window of a duplicated
+    # gram survive — see the module invariant note
+    protected = dup.select(
+        F.col("_first._d").alias("_sd_id"),
+        F.explode(F.sequence(F.col("_first._fq"),
+                             F.col("_first._fq") + (k - 1))).alias("_p"))
+    removal = covered.join(protected, on=["_sd_id", "_p"], how="left_anti")
+    cov = removal.groupBy("_sd_id").agg(
         F.array_sort(F.collect_set("_p")).alias("_cov"))
 
     base = (staged.join(cov, on="_sd_id", how="left")
@@ -138,7 +155,12 @@ flagged AS (
   WHERE NOT (g.id = (d.first).d AND g.q = (d.first).fq)
 ),
 covered AS (SELECT id, unnest(range(q, q + {k})) AS p FROM flagged),
-cov AS (SELECT id, list(DISTINCT p ORDER BY p) AS cov FROM covered GROUP BY 1),
+protected AS (
+  SELECT (first).d AS id, unnest(range((first).fq, (first).fq + {k})) AS p
+  FROM dup
+),
+removal AS (SELECT id, p FROM covered EXCEPT SELECT id, p FROM protected),
+cov AS (SELECT id, list(DISTINCT p ORDER BY p) AS cov FROM removal GROUP BY 1),
 kept AS (
   SELECT t.id, t.tk,
          list_transform(

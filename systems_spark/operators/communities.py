@@ -41,6 +41,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from systems_spark.operators.graph import symmetrize
+
 
 def label_propagation(edges: DataFrame, src: str = "src", dst: str = "dst",
                       rounds: int = 4, checkpoint_every: int = 4,
@@ -49,11 +51,7 @@ def label_propagation(edges: DataFrame, src: str = "src", dst: str = "dst",
     updates; ``community`` is the propagated label (a node id)."""
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    und = (e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-           .where(F.col("a") != F.col("b"))
-           .distinct()
-           .localCheckpoint(eager=False))
+    und = symmetrize(edges, src, dst).localCheckpoint(eager=False)
     nodes = und.select(F.col("a").alias("node")).union(
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
@@ -77,10 +75,15 @@ def label_propagation(edges: DataFrame, src: str = "src", dst: str = "dst",
                         on="node")
                   .select("node", F.coalesce(F.col("_new"), F.col("_own"))
                           .alias("community")))
+        checkpointed = False
         if checkpoint_every and (r + 1) % checkpoint_every == 0 and r + 1 < rounds:
             labels = labels.localCheckpoint(eager=False)
+            checkpointed = True
         if stop_when_stable and r + 1 < rounds:
-            labels = labels.localCheckpoint(eager=False)
+            # one checkpoint per round: skip if the cadence branch above
+            # already pinned this labeling (review r5)
+            if not checkpointed:
+                labels = labels.localCheckpoint(eager=False)
             changed = (labels.join(
                 prev.select("node", F.col("community").alias("_p")),
                 on="node")

@@ -38,13 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-def _und(edges: DataFrame, src: str, dst: str) -> DataFrame:
-    """Symmetrized distinct edges, self-loops dropped."""
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    return (e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-            .where(F.col("a") != F.col("b"))
-            .distinct())
+from systems_spark.operators.graph import symmetrize as _und
 
 
 def kcore(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",

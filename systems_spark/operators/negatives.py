@@ -52,14 +52,19 @@ def sample_negatives(interactions: DataFrame, items: DataFrame,
     """(user, pos_item, slot, neg_item) with ``k`` slots per interaction."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    # scalable exact index: 1-based GlobalRank over the distinct catalog,
-    # ascending nulls-first — the same order (and therefore the same
-    # idx → item mapping) as `row_number() OVER (ORDER BY item ASC)`,
-    # without the single-task sort. localCheckpoint: the index is joined
-    # twice below and feeds a broadcast — materialize the rank job once
-    # instead of re-running bucket layout + window per consumer.
+    # scalable exact index: 1-based GlobalRank over the distinct non-NULL
+    # catalog, ascending — the same (idx → item) mapping as
+    # `row_number() OVER (ORDER BY item ASC)` over non-NULL items,
+    # without the single-task sort. NULL items are EXCLUDED in both
+    # engines (review r5): a NULL "item" is not a usable negative, and
+    # Spark's nulls-first vs DuckDB's nulls-last default would otherwise
+    # shift every index and break the bit-for-bit contract.
+    # localCheckpoint: the index is joined twice below and feeds a
+    # broadcast — materialize the rank job once instead of re-running
+    # bucket layout + window per consumer.
     gr = GlobalRank([item_col], rank_col="_rk", total_col="_tot")
-    index = (gr(items.select(item_col).distinct())
+    index = (gr(items.select(item_col)
+                .where(F.col(item_col).isNotNull()).distinct())
              .select((F.col("_rk") - 1).alias("_idx"),
                      F.col(item_col).alias("_neg"))
              .localCheckpoint(eager=False))
@@ -111,7 +116,7 @@ it AS ({items_sql}),
 idx AS (
   SELECT row_number() OVER (ORDER BY {item_col} ASC) - 1 AS _idx,
          {item_col} AS _neg
-  FROM (SELECT DISTINCT {item_col} FROM it)
+  FROM (SELECT DISTINCT {item_col} FROM it WHERE {item_col} IS NOT NULL)
 ),
 n AS (SELECT count(*) AS n FROM idx),
 slots AS (

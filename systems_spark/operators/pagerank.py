@@ -76,6 +76,8 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         raise ValueError("rounds must be >= 1")
     if tol_micros is not None and tol_micros < 0:
         raise ValueError("tol_micros must be >= 0")
+    if tol_micros is not None and check_every < 1:
+        raise ValueError("check_every must be >= 1 when tol_micros is set")
     e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
     deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
     ed = e.join(deg, on="_src")  # (src, dst, out-degree), one join, reused

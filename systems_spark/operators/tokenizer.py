@@ -115,7 +115,11 @@ class VocabTokenizer(Operator):
         # where the merge is the empty array — harmless), so the check is
         # free: both sizes are already in the row. Raise loudly instead of
         # emitting garbage; the map strategy is per-row and immune.
-        n_row = F.coalesce(F.size(toks), F.lit(0))
+        # size() of the COALESCED array, not coalesce(size(), 0): with
+        # spark.sql.ansi.enabled=false, size(NULL) is -1 (not NULL), so
+        # the latter yields -1 for NULL-text rows and the guard would
+        # spuriously raise (review r5)
+        n_row = F.size(F.coalesce(toks, F.array().cast("array<string>")))
         guarded = F.when(F.size(enc) == n_row, enc).otherwise(
             F.raise_error(F.concat(F.lit(
                 f"VocabTokenizer(strategy='join'): duplicate {self.id_col}"

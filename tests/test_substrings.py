@@ -76,3 +76,40 @@ def test_partition_invariance(spark):
                    remove_duplicate_substrings(df.repartition(7), k=8)
                    .collect()))
     assert a == b
+
+
+def test_canonical_windows_are_protected(spark):
+    """Review r5 regression: overlapping duplicated grams with DIFFERENT
+    canonical docs must not erase every copy of a gram — tokens inside a
+    canonical window survive."""
+    rows = [(0, "b c d e f g h i"),
+            (1, "a b c d e f g h i"),
+            (2, "a b c d e f g h")]
+    got = _run(spark, rows, k=8)
+    # doc0 holds the canonical 'b..i' window: untouched
+    assert got[0].clean_text == "b c d e f g h i" and got[0].n_removed == 0
+    # doc1 holds the canonical 'a..h' window (protected); only 'i' — part
+    # of the non-canonical 'b..i' occurrence outside the protection — goes
+    assert got[1].clean_text == "a b c d e f g h" and got[1].n_removed == 1
+    # doc2's single window is non-canonical: removed wholly
+    assert got[2].clean_text == "" and got[2].n_removed == 8
+    # the invariant itself: every duplicated gram survives somewhere
+    texts = " | ".join(r.clean_text for r in got.values())
+    assert "a b c d e f g h" in texts and "b c d e f g h i" in texts
+
+
+def test_parity_with_duckdb_on_protection_case(spark):
+    import duckdb
+
+    from systems_spark.dedup.substrings import remove_duplicate_substrings_sql
+
+    rows = [(0, "b c d e f g h i"), (1, "a b c d e f g h i"),
+            (2, "a b c d e f g h"), (3, BLOCK), (4, BLOCK),
+            (5, f"x {BLOCK} y")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(map(tuple, remove_duplicate_substrings(df, k=8).collect()))
+    vals = ",".join(f"({i}, '{t}')" for i, t in rows)
+    want = sorted(map(tuple, duckdb.connect().execute(
+        remove_duplicate_substrings_sql(
+            f"SELECT * FROM (VALUES {vals}) t(id, text)", k=8)).fetchall()))
+    assert got == want
