@@ -3286,6 +3286,39 @@ def _sql_ann_recall() -> str:
     return ranking_metrics_sql(_sql_ann_lsh(), _SQL_ANN_TOPK)
 
 
+def q_pagerank_weighted(spark, sf_dir):
+    """Edge-weighted PageRank over the part co-occurrence graph: a
+    source's mass splits proportionally to the co-occurrence count
+    (n_cooccur) instead of uniformly — frequently-bought-together edges
+    carry more importance. Same integer-micros contract as
+    pagerank_parts (rank·w products widened to decimal(38,0)/HUGEINT);
+    rows with non-positive weight drop in both engines."""
+    from systems_spark.operators.pagerank import pagerank
+
+    pairs = q_part_cooccurrence(spark, sf_dir)
+    edges = pairs.select(F.col("part_a").alias("src"),
+                         F.col("part_b").alias("dst"),
+                         F.col("n_cooccur").alias("w")).union(
+        pairs.select(F.col("part_b").alias("src"),
+                     F.col("part_a").alias("dst"),
+                     F.col("n_cooccur").alias("w")))
+    return (pagerank(edges, weight_col="w", **_PAGERANK)
+            .select(F.col("node").alias("part_id"), "rank_micros"))
+
+
+def _sql_pagerank_weighted() -> str:
+    from systems_spark.operators.pagerank import pagerank_sql
+
+    edges = f"""
+WITH pairs AS ({_SQL_COOCCURRENCE})
+SELECT part_a AS src, part_b AS dst, n_cooccur AS w FROM pairs
+UNION ALL
+SELECT part_b AS src, part_a AS dst, n_cooccur AS w FROM pairs
+"""
+    inner = pagerank_sql(edges, weight_col="w", **_PAGERANK)
+    return f"SELECT node AS part_id, rank_micros FROM ({inner})"
+
+
 def q_ppl_buckets(spark, sf_dir):
     """CCNet's defining composition (Wenzek et al., 2020): fit a small LM
     on a trusted reference slice (the English documents), score the WHOLE
@@ -3536,6 +3569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": q_substring_dedup,
         "part_communities": q_part_communities,
         "ppl_buckets": q_ppl_buckets,
+        "pagerank_weighted": q_pagerank_weighted,
     }
 
 
@@ -3670,4 +3704,5 @@ def oracle_sql() -> dict[str, str]:
         "substring_dedup": _sql_substring_dedup(),
         "part_communities": _sql_part_communities(),
         "ppl_buckets": _sql_ppl_buckets(),
+        "pagerank_weighted": _sql_pagerank_weighted(),
     }

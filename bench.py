@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "substring_dedup",
     "part_communities",
     "ppl_buckets",
+    "pagerank_weighted",
 ]
 
 

@@ -102,3 +102,35 @@ def test_tol_early_stop_validation(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         pagerank(edges, tol_micros=-1)
+
+
+def test_weighted_equal_weights_matches_unweighted(spark):
+    """w/Σw is scale-invariant: all-equal weights reproduce the
+    unweighted ranks bit-for-bit."""
+    ring = [(i, (i + 1) % 5, 7) for i in range(5)] + [(0, 3, 7)]
+    ew = spark.createDataFrame(ring, "src long, dst long, w long")
+    unw = {r.node: r.rank_micros
+           for r in pagerank(ew, rounds=6).collect()}
+    wtd = {r.node: r.rank_micros
+           for r in pagerank(ew, rounds=6, weight_col="w").collect()}
+    assert wtd == unw
+
+
+def test_weighted_mass_follows_heavy_edge(spark):
+    # node 0 sends 9/10 of its mass to 1, 1/10 to 2
+    edges = spark.createDataFrame(
+        [(0, 1, 9), (0, 2, 1), (1, 0, 1), (2, 0, 1)],
+        "src long, dst long, w long")
+    got = {r.node: r.rank_micros
+           for r in pagerank(edges, rounds=8, weight_col="w").collect()}
+    assert got[1] > got[2]
+
+
+def test_weighted_drops_nonpositive_weights(spark):
+    edges = spark.createDataFrame(
+        [(0, 1, 5), (0, 2, 0), (0, 3, -2), (1, 0, 1)],
+        "src long, dst long, w long")
+    got = {r.node: r.rank_micros
+           for r in pagerank(edges, rounds=4, weight_col="w").collect()}
+    # nodes 2 and 3 only appear via dropped edges -> absent entirely
+    assert set(got) == {0, 1}

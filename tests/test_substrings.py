@@ -113,3 +113,47 @@ def test_parity_with_duckdb_on_protection_case(spark):
         remove_duplicate_substrings_sql(
             f"SELECT * FROM (VALUES {vals}) t(id, text)", k=8)).fetchall()))
     assert got == want
+
+
+def _brute(rows, k):
+    """Reference implementation of the protected-canonical semantics."""
+    toks = {i: t.split() for i, t in rows}
+    occ = {}
+    for i, tk in sorted(toks.items()):
+        for q in range(len(tk) - k + 1):
+            occ.setdefault(tuple(tk[q:q + k]), []).append((i, q))
+    covered, protected = set(), set()
+    for g, sites in occ.items():
+        if len(sites) < 2:
+            continue
+        first = min(sites)
+        for p in range(k):
+            protected.add((first[0], first[1] + p))
+        for (d, q) in sites:
+            if (d, q) == first:
+                continue
+            for p in range(k):
+                covered.add((d, q + p))
+    out = {}
+    for i, tk in toks.items():
+        rm = {p for (d, p) in (covered - protected) if d == i}
+        kept = [t for p, t in enumerate(tk) if p not in rm]
+        out[i] = (" ".join(kept), len(tk), len(rm))
+    return out
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_words = st.sampled_from(list("abcdef"))
+
+
+@settings(max_examples=8, deadline=None)
+@given(docs=st.lists(st.lists(_words, min_size=0, max_size=12),
+                     min_size=1, max_size=6),
+       k=st.integers(2, 4))
+def test_matches_bruteforce(spark, docs, k):
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    got = {r.doc_id: (r.clean_text, r.n_tokens, r.n_removed)
+           for r in _run(spark, rows, k=k).values()}
+    assert got == _brute(rows, k)
