@@ -3286,6 +3286,31 @@ def _sql_ann_recall() -> str:
     return ranking_metrics_sql(_sql_ann_lsh(), _SQL_ANN_TOPK)
 
 
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_funnel_conversion(spark, sf_dir):
+    """Funnel analysis (operators/funnel.py): how many users complete
+    view → click → purchase in strict (ts, event_id) order — the classic
+    product-analytics sequence query. One (user)-keyed join + min-struct
+    agg per step; no windows, no single-task stage; integer event keys
+    make the count bit-replayable."""
+    from systems_spark.operators.funnel import funnel_summary
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.expr("ts div 1000").alias("ts_us"), "event_id")
+    return funnel_summary(ev, _FUNNEL_STEPS)
+
+
+def _sql_funnel_conversion() -> str:
+    from systems_spark.operators.funnel import funnel_summary_sql
+
+    return funnel_summary_sql(
+        "SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id "
+        "FROM events", _FUNNEL_STEPS)
+
+
 def q_pagerank_weighted(spark, sf_dir):
     """Edge-weighted PageRank over the part co-occurrence graph: a
     source's mass splits proportionally to the co-occurrence count
@@ -3570,6 +3595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_communities": q_part_communities,
         "ppl_buckets": q_ppl_buckets,
         "pagerank_weighted": q_pagerank_weighted,
+        "funnel_conversion": q_funnel_conversion,
     }
 
 
@@ -3705,4 +3731,5 @@ def oracle_sql() -> dict[str, str]:
         "part_communities": _sql_part_communities(),
         "ppl_buckets": _sql_ppl_buckets(),
         "pagerank_weighted": _sql_pagerank_weighted(),
+        "funnel_conversion": _sql_funnel_conversion(),
     }

@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "part_communities",
     "ppl_buckets",
     "pagerank_weighted",
+    "funnel_conversion",
 ]
 
 

@@ -1,0 +1,105 @@
+"""Funnel analysis — ordered event-sequence matching over an event log.
+
+The classic product-analytics query (view → click → purchase): for each
+user, find the first occurrence of step 1, then the first occurrence of
+step 2 strictly AFTER it, and so on — per-user earliest completion of
+each funnel prefix. The reference has no event-sequence operator; this
+extends the engine's behavioral-analytics surface next to Sessionize
+(gap sessions) and the as-of join (point-in-time alignment).
+
+Determinism contract: event order is the lexicographic (event_time,
+event_id) pair — integer µs + a unique id — so "strictly after" is a
+total order and ties cannot make two engines disagree; every step
+completion is a ``min(struct(ts, id))`` aggregate, exact and
+shuffle-order-invariant, replayed bit-for-bit by the SQL twin.
+
+100 TB shape: one pass per funnel step — a (user)-keyed equi-join of
+the event scan against the previous step's per-user key and one
+map-side-combined min-struct aggregation; shuffles carry (user, ts, id)
+longs only, no windows, no single-task stage. Steps chain on the same
+join key, so consecutive shuffles reuse the user partitioning.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(events: DataFrame, steps: Sequence[str],
+           user_col: str = "user_id", type_col: str = "event_type",
+           ts_col: str = "ts_us", id_col: str = "event_id") -> DataFrame:
+    """Per-user earliest funnel completions: one row per (user, step)
+    the user reached, with the completing event's ``ts`` and ``id``.
+    ``steps`` are event-type values in funnel order; step ``i`` matches
+    only events strictly after (ts, id) of the user's step ``i-1``."""
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    ev = events.select(F.col(user_col).alias("_u"),
+                       F.col(type_col).alias("_t"),
+                       F.struct(F.col(ts_col).cast("long").alias("t"),
+                                F.col(id_col).cast("long").alias("i"))
+                       .alias("_k"))
+    per_step = []
+    prev = None
+    for n, step in enumerate(steps, start=1):
+        cand = ev.where(F.col("_t") == step)
+        if prev is not None:
+            cand = (cand.join(prev.select("_u", F.col("_k").alias("_pk")),
+                              on="_u")
+                    .where(F.col("_k") > F.col("_pk"))
+                    .select("_u", "_t", "_k"))
+        cur = cand.groupBy("_u").agg(F.min("_k").alias("_k"))
+        per_step.append(cur.select(
+            F.col("_u").alias(user_col),
+            F.lit(n).cast("long").alias("step"),
+            F.lit(step).alias("step_name"),
+            F.col("_k.t").alias(ts_col),
+            F.col("_k.i").alias(id_col)))
+        prev = cur
+    out = per_step[0]
+    for frame in per_step[1:]:
+        out = out.unionByName(frame)
+    return out
+
+
+def funnel_summary(events: DataFrame, steps: Sequence[str], **kw) -> DataFrame:
+    """(step, step_name, users): how many users reached each step."""
+    user_col = kw.get("user_col", "user_id")
+    return (funnel(events, steps, **kw)
+            .groupBy("step", "step_name")
+            .agg(F.count(F.lit(1)).alias("users")))
+
+
+def funnel_summary_sql(events_sql: str, steps: Sequence[str],
+                       user_col: str = "user_id",
+                       type_col: str = "event_type",
+                       ts_expr: str = "ts_us",
+                       id_col: str = "event_id") -> str:
+    """DuckDB twin of :func:`funnel_summary` — same (ts, id) total order
+    and min-struct step chaining. ``events_sql`` must yield
+    (user_col, type_col, ts column named by ``ts_expr``, id_col)."""
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    k = f"struct_pack(t := e.{ts_expr}, i := e.{id_col})"
+    ctes = [f"e AS ({events_sql})"]
+    for n, step in enumerate(steps, start=1):
+        if n == 1:
+            ctes.append(
+                f"s1 AS (SELECT e.{user_col} AS u, min({k}) AS k "
+                f"FROM e WHERE e.{type_col} = '{step}' GROUP BY 1)")
+        else:
+            ctes.append(f"""s{n} AS (
+  SELECT e.{user_col} AS u, min({k}) AS k
+  FROM e JOIN s{n - 1} p ON p.u = e.{user_col}
+  WHERE e.{type_col} = '{step}' AND {k} > p.k
+  GROUP BY 1
+)""")
+    selects = [
+        f"SELECT {n}::BIGINT AS step, '{step}' AS step_name, "
+        f"count(*)::BIGINT AS users FROM s{n}"
+        for n, step in enumerate(steps, start=1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
