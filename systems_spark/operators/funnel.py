@@ -30,13 +30,29 @@ from pyspark.sql import functions as F
 
 def funnel(events: DataFrame, steps: Sequence[str],
            user_col: str = "user_id", type_col: str = "event_type",
-           ts_col: str = "ts_us", id_col: str = "event_id") -> DataFrame:
+           ts_col: str = "ts_us", id_col: str = "event_id",
+           within_us: "int | None" = None) -> DataFrame:
     """Per-user earliest funnel completions: one row per (user, step)
     the user reached, with the completing event's ``ts`` and ``id``.
     ``steps`` are event-type values in funnel order; step ``i`` matches
-    only events strictly after (ts, id) of the user's step ``i-1``."""
+    only events strictly after (ts, id) of the user's step ``i-1`` —
+    and, when ``within_us`` is set, at most that many µs later (the
+    standard windowed funnel: 'purchased within 7 days of clicking').
+
+    Semantics are GREEDY first-completion (the streaming-friendly
+    convention): each step anchors on the user's EARLIEST valid event,
+    and later steps window off that anchor. With ``within_us`` set this
+    can miss alternative chains — e.g. view@0, clicks@1 and @9,
+    purchase@15, window 10: greedy anchors click@1 and the purchase
+    falls outside (1, 11], though the click@9 chain would qualify.
+    Deciding "does ANY satisfying chain exist" is a per-user
+    backtracking search, not a join — use the unwindowed mode (greedy
+    IS complete there: every event after the earliest anchor is also
+    after it) when chain existence is the question."""
     if len(steps) < 2:
         raise ValueError("a funnel needs at least 2 steps")
+    if within_us is not None and within_us < 1:
+        raise ValueError("within_us must be >= 1")
     ev = events.select(F.col(user_col).alias("_u"),
                        F.col(type_col).alias("_t"),
                        F.struct(F.col(ts_col).cast("long").alias("t"),
@@ -47,9 +63,12 @@ def funnel(events: DataFrame, steps: Sequence[str],
     for n, step in enumerate(steps, start=1):
         cand = ev.where(F.col("_t") == step)
         if prev is not None:
+            after = F.col("_k") > F.col("_pk")
+            if within_us is not None:
+                after = after & (F.col("_k.t") <= F.col("_pk.t") + within_us)
             cand = (cand.join(prev.select("_u", F.col("_k").alias("_pk")),
                               on="_u")
-                    .where(F.col("_k") > F.col("_pk"))
+                    .where(after)
                     .select("_u", "_t", "_k"))
         cur = cand.groupBy("_u").agg(F.min("_k").alias("_k"))
         per_step.append(cur.select(
@@ -77,13 +96,18 @@ def funnel_summary_sql(events_sql: str, steps: Sequence[str],
                        user_col: str = "user_id",
                        type_col: str = "event_type",
                        ts_expr: str = "ts_us",
-                       id_col: str = "event_id") -> str:
+                       id_col: str = "event_id",
+                       within_us: "int | None" = None) -> str:
     """DuckDB twin of :func:`funnel_summary` — same (ts, id) total order
     and min-struct step chaining. ``events_sql`` must yield
     (user_col, type_col, ts column named by ``ts_expr``, id_col)."""
     if len(steps) < 2:
         raise ValueError("a funnel needs at least 2 steps")
+    if within_us is not None and within_us < 1:
+        raise ValueError("within_us must be >= 1")
     k = f"struct_pack(t := e.{ts_expr}, i := e.{id_col})"
+    win = (f" AND e.{ts_expr} <= (p.k).t + {within_us}"
+           if within_us is not None else "")
     ctes = [f"e AS ({events_sql})"]
     for n, step in enumerate(steps, start=1):
         if n == 1:
@@ -94,7 +118,7 @@ def funnel_summary_sql(events_sql: str, steps: Sequence[str],
             ctes.append(f"""s{n} AS (
   SELECT e.{user_col} AS u, min({k}) AS k
   FROM e JOIN s{n - 1} p ON p.u = e.{user_col}
-  WHERE e.{type_col} = '{step}' AND {k} > p.k
+  WHERE e.{type_col} = '{step}' AND {k} > p.k{win}
   GROUP BY 1
 )""")
     selects = [

@@ -51,3 +51,36 @@ def test_earliest_completion_is_picked(spark):
 def test_validation(spark):
     with pytest.raises(ValueError):
         funnel(_ev(spark, [(1, "view", 1, 1)]), ("view",))
+
+
+def test_windowed_funnel(spark):
+    rows = [(1, "view", 0, 1), (1, "click", 5, 2), (1, "purchase", 100, 3),
+            (2, "view", 0, 4), (2, "click", 5, 5), (2, "purchase", 10, 6)]
+    got = {(r.step, r.step_name): r.users
+           for r in funnel_summary(_ev(spark, rows),
+                                   ("view", "click", "purchase"),
+                                   within_us=20).collect()}
+    # u1's purchase is 95us after the click anchor -> outside the window
+    assert got == {(1, "view"): 2, (2, "click"): 2, (3, "purchase"): 1}
+
+
+def test_windowed_funnel_matches_oracle(spark):
+    import duckdb
+
+    from systems_spark.operators.funnel import funnel_summary_sql
+
+    rows = [(u, t, ts, i) for i, (u, t, ts) in enumerate([
+        (1, "view", 0), (1, "click", 1), (1, "click", 9), (1, "purchase", 15),
+        (2, "view", 0), (2, "click", 3), (2, "purchase", 10),
+    ])]
+    got = sorted(map(tuple, funnel_summary(
+        _ev(spark, rows), ("view", "click", "purchase"),
+        within_us=10).collect()))
+    vals = ",".join(f"({u},'{t}',{ts},{i})" for u, t, ts, i in rows)
+    want = sorted(map(tuple, duckdb.connect().execute(funnel_summary_sql(
+        f"SELECT * FROM (VALUES {vals}) "
+        f"t(user_id, event_type, ts_us, event_id)",
+        ("view", "click", "purchase"), within_us=10)).fetchall()))
+    assert got == want
+    # greedy semantics pinned: u1 anchors click@1, purchase@15 missed
+    assert (3, "purchase", 1) in got
