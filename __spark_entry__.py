@@ -3286,6 +3286,38 @@ def _sql_ann_recall() -> str:
     return ranking_metrics_sql(_sql_ann_lsh(), _SQL_ANN_TOPK)
 
 
+_WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+def q_user_retention(spark, sf_dir):
+    """Cohort retention — the other half of the behavioral-analytics
+    pair (funnel_conversion): users grouped by first-activity week
+    (cohort), counted per week-offset they return in. Two map-side-
+    combined aggregations on (user, week) longs — the distinct-activity
+    agg and the cohort roll-up — plus one broadcast-sized cohort join;
+    all integer µs arithmetic, no windows."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"(ts div 1000) div {_WEEK_US}").alias("week"))
+    active = ev.distinct()
+    cohort = active.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (active.join(cohort, on="user_id")
+            .groupBy("cohort_week",
+                     (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+            .agg(F.count(F.lit(1)).alias("users")))
+
+
+_SQL_USER_RETENTION = f"""
+WITH act AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_WEEK_US} AS week FROM events
+),
+coh AS (SELECT user_id, min(week) AS cohort_week FROM act GROUP BY 1)
+SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+       count(*) AS users
+FROM act a JOIN coh c ON c.user_id = a.user_id
+GROUP BY 1, 2
+"""
+
+
 _FUNNEL_STEPS = ("view", "click", "purchase")
 
 
@@ -3596,6 +3628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_buckets": q_ppl_buckets,
         "pagerank_weighted": q_pagerank_weighted,
         "funnel_conversion": q_funnel_conversion,
+        "user_retention": q_user_retention,
     }
 
 
@@ -3732,4 +3765,5 @@ def oracle_sql() -> dict[str, str]:
         "ppl_buckets": _sql_ppl_buckets(),
         "pagerank_weighted": _sql_pagerank_weighted(),
         "funnel_conversion": _sql_funnel_conversion(),
+        "user_retention": _SQL_USER_RETENTION,
     }

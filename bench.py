@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "ppl_buckets",
     "pagerank_weighted",
     "funnel_conversion",
+    "user_retention",
 ]
 
 
