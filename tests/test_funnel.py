@@ -84,3 +84,24 @@ def test_windowed_funnel_matches_oracle(spark):
     assert got == want
     # greedy semantics pinned: u1 anchors click@1, purchase@15 missed
     assert (3, "purchase", 1) in got
+
+
+def test_column_pruning_reaches_scan(spark):
+    """Plan quality: the funnel's step-1 scan needs only (user, type) —
+    Catalyst prunes the unused min-key — and no stage reads more than
+    the four funnel columns; user_retention reads only (ts, user_id);
+    substring_dedup only (doc_id, text)."""
+    import re
+
+    import __spark_entry__ as entry
+
+    def schemas(name):
+        df = entry.queries()[name](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return set(re.findall(r"ReadSchema: (\S+)", plan))
+
+    assert schemas("substring_dedup") == {"struct<doc_id:bigint,text:string>"}
+    assert schemas("user_retention") == {"struct<ts:timestamp_ntz,user_id:bigint>"}
+    fu = schemas("funnel_conversion")
+    assert "struct<user_id:bigint,event_type:string>" in fu  # pruned step 1
+    assert all("props" not in s and "value" not in s for s in fu)
