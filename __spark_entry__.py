@@ -3292,15 +3292,22 @@ _WEEK_US = 7 * 24 * 3600 * 1_000_000
 def q_user_retention(spark, sf_dir):
     """Cohort retention — the other half of the behavioral-analytics
     pair (funnel_conversion): users grouped by first-activity week
-    (cohort), counted per week-offset they return in. Two map-side-
-    combined aggregations on (user, week) longs — the distinct-activity
-    agg and the cohort roll-up — plus one broadcast-sized cohort join;
-    all integer µs arithmetic, no windows."""
+    (cohort), counted per week-offset they return in. ONE wide shuffle:
+    the distinct (user, week) activity hashes by user once, the cohort
+    week is a min-window over that same partitioning (per-user groups
+    are weeks-sized — the many-small-groups regime where a plain window
+    is scale-safe), and the final roll-up is map-side combined. A
+    cohort-table join would be a SECOND user-keyed shuffle of a
+    distinct-user-sized table — at 100 TB that table is billions of
+    rows, nothing broadcastable."""
+    from pyspark.sql import Window
+
     ev = _t(spark, sf_dir, "events").select(
         "user_id", F.expr(f"(ts div 1000) div {_WEEK_US}").alias("week"))
     active = ev.distinct()
-    cohort = active.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
-    return (active.join(cohort, on="user_id")
+    w = Window.partitionBy("user_id")
+    return (active
+            .withColumn("cohort_week", F.min("week").over(w))
             .groupBy("cohort_week",
                      (F.col("week") - F.col("cohort_week")).alias("week_offset"))
             .agg(F.count(F.lit(1)).alias("users")))

@@ -31,7 +31,8 @@ from pyspark.sql import functions as F
 def funnel(events: DataFrame, steps: Sequence[str],
            user_col: str = "user_id", type_col: str = "event_type",
            ts_col: str = "ts_us", id_col: str = "event_id",
-           within_us: "int | None" = None) -> DataFrame:
+           within_us: "int | None" = None,
+           cache_steps: bool = True) -> DataFrame:
     """Per-user earliest funnel completions: one row per (user, step)
     the user reached, with the completing event's ``ts`` and ``id``.
     ``steps`` are event-type values in funnel order; step ``i`` matches
@@ -48,7 +49,15 @@ def funnel(events: DataFrame, steps: Sequence[str],
     Deciding "does ANY satisfying chain exist" is a per-user
     backtracking search, not a join — use the unwindowed mode (greedy
     IS complete there: every event after the earliest anchor is also
-    after it) when chain existence is the question."""
+    after it) when chain existence is the question.
+
+    ``cache_steps`` (default on, review r5) pins each step's per-user
+    frame with a lazy localCheckpoint: the frame feeds BOTH the next
+    step's join and its own output branch of the final union, and
+    without the pin each union branch re-executes the step's whole
+    prefix chain (Catalyst prunes the branches differently, so exchange
+    reuse cannot dedupe them) — the event scan would run ~2× per step.
+    Same knob family as pagerank's ``cache_edges``."""
     if len(steps) < 2:
         raise ValueError("a funnel needs at least 2 steps")
     if within_us is not None and within_us < 1:
@@ -71,6 +80,8 @@ def funnel(events: DataFrame, steps: Sequence[str],
                     .where(after)
                     .select("_u", "_t", "_k"))
         cur = cand.groupBy("_u").agg(F.min("_k").alias("_k"))
+        if cache_steps:
+            cur = cur.localCheckpoint(eager=False)
         per_step.append(cur.select(
             F.col("_u").alias(user_col),
             F.lit(n).cast("long").alias("step"),
@@ -95,18 +106,20 @@ def funnel_summary(events: DataFrame, steps: Sequence[str], **kw) -> DataFrame:
 def funnel_summary_sql(events_sql: str, steps: Sequence[str],
                        user_col: str = "user_id",
                        type_col: str = "event_type",
-                       ts_expr: str = "ts_us",
+                       ts_col: str = "ts_us",
                        id_col: str = "event_id",
                        within_us: "int | None" = None) -> str:
     """DuckDB twin of :func:`funnel_summary` — same (ts, id) total order
     and min-struct step chaining. ``events_sql`` must yield
-    (user_col, type_col, ts column named by ``ts_expr``, id_col)."""
+    (user_col, type_col, ts_col, id_col); ``ts_col`` is a COLUMN NAME
+    (it is referenced as ``e.<ts_col>``) — alias any expression like
+    epoch_us(ts) inside ``events_sql`` first."""
     if len(steps) < 2:
         raise ValueError("a funnel needs at least 2 steps")
     if within_us is not None and within_us < 1:
         raise ValueError("within_us must be >= 1")
-    k = f"struct_pack(t := e.{ts_expr}, i := e.{id_col})"
-    win = (f" AND e.{ts_expr} <= (p.k).t + {within_us}"
+    k = f"struct_pack(t := e.{ts_col}, i := e.{id_col})"
+    win = (f" AND e.{ts_col} <= (p.k).t + {within_us}"
            if within_us is not None else "")
     ctes = [f"e AS ({events_sql})"]
     for n, step in enumerate(steps, start=1):

@@ -73,14 +73,19 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     schedule — the oracle-replay mode the graded query uses.
 
     ``weight_col`` (r5) selects edge-weighted PageRank: a source's mass
-    splits proportionally to integer edge weights —
+    splits proportionally to INTEGER edge weights —
     ``contrib = rank · w div Σw(src)`` — instead of uniformly. Rows with
     NULL or non-positive weight are DROPPED (both engines): they carry no
-    mass and would poison Σw. The rank·w product runs in decimal(38,0)
-    (mirrored HUGEINT in the oracle) since rank ≤ 1e6·N times a large
-    weight exceeds int64; the unweighted path keeps its pure-int64 fast
-    path. All-equal weights reproduce the unweighted ranks bit-for-bit
-    (tested) — the split w/Σw is scale-invariant."""
+    mass and would poison Σw. Non-integral weights RAISE in both engines
+    (an in-expression value==cast check) rather than silently diverging —
+    Spark's cast truncates where DuckDB's rounds, so 1.7 would split mass
+    differently per engine if allowed through. Both the rank·w product
+    AND Σw run in decimal(38,0) (mirrored HUGEINT in the oracle): rank ≤
+    1e6·N times a large weight exceeds int64, and a wrapped Σw would
+    corrupt every split silently where the oracle errors loudly. The
+    unweighted path keeps its pure-int64 fast path. All-equal weights
+    reproduce the unweighted ranks bit-for-bit (tested) — the split w/Σw
+    is scale-invariant."""
     if not (0 < damping_micros < _M):
         raise ValueError("damping_micros must be in (0, 1e6)")
     if rounds < 1:
@@ -94,10 +99,20 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
         contrib_expr = "rank_micros div _deg"
     else:
-        e = (edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"),
-                          F.col(weight_col).cast("long").alias("_w"))
-             .where(F.col("_w") > 0))
-        deg = e.groupBy("_src").agg(F.sum("_w").alias("_deg"))
+        w_raw = F.col(weight_col)
+        # integral-weight contract enforced in-expression: value == cast
+        # (same check, same raise, in the SQL twin)
+        w_ok = F.when(w_raw.cast("long").cast(edges.schema[weight_col].dataType)
+                      .eqNullSafe(w_raw), w_raw.cast("long")).otherwise(
+            F.raise_error(F.lit(
+                "pagerank: weight_col must hold integral values — Spark "
+                "truncates a fractional cast where the oracle rounds, so "
+                "they are rejected instead of silently diverging")).cast("long"))
+        e = (edges.where(w_raw > 0)
+             .select(F.col(src).alias("_src"), F.col(dst).alias("_dst"),
+                     w_ok.alias("_w")))
+        deg = e.groupBy("_src").agg(
+            F.sum(F.col("_w").cast("decimal(38,0)")).alias("_deg"))
         contrib_expr = ("cast((cast(rank_micros as decimal(38,0)) * _w)"
                         " div _deg as bigint)")
     ed = e.join(deg, on="_src")  # (src, dst[, w], out-degree), reused
@@ -148,10 +163,16 @@ def pagerank_sql(edges_sql: str, src: str = "src", dst: str = "dst",
         deg_cte = "deg AS (SELECT _src, count(*) AS _deg FROM e GROUP BY 1)"
         contrib = "r.rank_micros // d._deg"
     else:
+        # same integral-weight check and same raw-value filter order as
+        # the Spark side; sum(_w) stays HUGEINT (no ::BIGINT) so Σw can
+        # never wrap where Spark's decimal(38,0) sum stays exact
         e_cte = (f"e AS (SELECT {src} AS _src, {dst} AS _dst, "
-                 f"{weight_col}::BIGINT AS _w FROM ({edges_sql}) "
-                 f"WHERE {weight_col} > 0)")
-        deg_cte = "deg AS (SELECT _src, sum(_w)::BIGINT AS _deg FROM e GROUP BY 1)"
+                 f"CASE WHEN {weight_col}::BIGINT = {weight_col} "
+                 f"THEN {weight_col}::BIGINT "
+                 f"ELSE error('pagerank: weight_col must hold integral "
+                 f"values') END AS _w "
+                 f"FROM ({edges_sql}) WHERE {weight_col} > 0)")
+        deg_cte = "deg AS (SELECT _src, sum(_w) AS _deg FROM e GROUP BY 1)"
         contrib = "((r.rank_micros::HUGEINT * e._w) // d._deg)::BIGINT"
     ctes = [e_cte,
             "nodes AS (SELECT _src AS node FROM e UNION SELECT _dst FROM e)",

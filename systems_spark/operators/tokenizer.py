@@ -41,6 +41,14 @@ from systems_spark.functions import text as TX
 from systems_spark.operators.base import Operator
 
 
+
+def _ntokens(toks):
+    """NULL-text token count that matches the oracle's len() under BOTH
+    ANSI settings: legacy size(NULL) is -1 (not NULL), which would leak a
+    nonsense count into n_tokens where DuckDB emits NULL (review r5)."""
+    return F.when(toks.isNotNull(), F.size(toks)).otherwise(F.lit(None))
+
+
 class VocabTokenizer(Operator):
     def __init__(self, text_col: str = "text", id_col: str = "doc_id",
                  vocab_size: int = 1024, strategy: str = "join",
@@ -91,7 +99,7 @@ class VocabTokenizer(Operator):
             ids = F.transform(toks, lambda t: F.coalesce(
                 F.try_element_at(m, t), F.lit(0)).cast("int"))
             return df.select(*df.columns,
-                             F.size(toks).alias("n_tokens"),
+                             _ntokens(toks).alias("n_tokens"),
                              ids.alias(self.out_col))
         exploded = df.select(
             did.alias("_vt_id"),
@@ -127,7 +135,7 @@ class VocabTokenizer(Operator):
                 did.cast("string"))).cast("array<int>"))
         return out.select(
             *df.columns,
-            F.size(toks).alias("n_tokens"),
+            _ntokens(toks).alias("n_tokens"),
             guarded.alias(self.out_col))
 
     def oracle_sql(self, fit_sql: str, apply_sql: str,
