@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from systems_spark.streaming.stateful import (  # noqa: F401
     RunningAggregator,
+    StreamingFunnel,
     StreamingSessionizer,
     decode_kafka_json,
     kafka_source_options,

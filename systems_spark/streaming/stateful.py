@@ -151,6 +151,125 @@ class StreamingSessionizer:
         )
 
 
+class StreamingFunnel:
+    """Streaming funnel — a per-user STATE MACHINE advancing through the
+    ordered ``steps`` as matching events arrive (the streaming twin of
+    ``operators/funnel.py``).
+
+    State per user: (step index reached, anchor ts µs, anchor event id).
+    Each micro-batch processes the user's events in (ts, id) order and
+    advances the machine greedily — exactly the batch operator's greedy
+    first-completion semantics — emitting one (user, step, step_name,
+    ts_us, event_id) row per completion, in append mode.
+
+    Ordering caveat (inherent to streaming): the machine consumes events
+    in (batch, ts, id) order. An event that arrives in a LATER micro-batch
+    with an EARLIER timestamp than an already-consumed anchor cannot
+    retroactively produce the earlier chain the batch operator would find;
+    state stays consistent (anchors only move forward), the completion
+    just anchors later. On an in-order replay — or any single-batch
+    ``availableNow`` drain — the output equals the batch operator's
+    bit-for-bit (parity-tested).
+
+    State size: THREE longs per user seen — no event history — and users
+    who finish the funnel free their state immediately.
+    """
+
+    def __init__(self, steps, user_col: str = "user_id",
+                 type_col: str = "event_type", ts_col: str = "ts_ts",
+                 id_col: str = "event_id", watermark: str = "10 seconds",
+                 within_us: "int | None" = None):
+        if len(steps) < 2:
+            raise ValueError("a funnel needs at least 2 steps")
+        if within_us is not None and within_us < 1:
+            raise ValueError("within_us must be >= 1")
+        self.steps = tuple(steps)
+        self.user_col = user_col
+        self.type_col = type_col
+        self.ts_col = ts_col
+        self.id_col = id_col
+        self.watermark = watermark
+        self.within_us = within_us
+
+    def output_schema(self, key_type) -> StructType:
+        return StructType([
+            StructField(self.user_col, key_type),
+            StructField("step", LongType()),
+            StructField("step_name", StringType()),
+            StructField("ts_us", LongType()),
+            StructField(self.id_col, LongType()),
+        ])
+
+    @property
+    def state_schema(self) -> StructType:
+        return StructType([
+            StructField("cur_step", LongType()),
+            StructField("anchor_ts_us", LongType()),
+            StructField("anchor_id", LongType()),
+        ])
+
+    def __call__(self, stream_df: DataFrame) -> DataFrame:
+        steps = self.steps
+        type_col, ts_col, id_col = self.type_col, self.ts_col, self.id_col
+        user_col = self.user_col
+        within_us = self.within_us
+        n_steps = len(steps)
+
+        def advance(key, pdfs, state: GroupState):
+            out = []
+            if state.hasTimedOut:  # no timeouts configured; defensive
+                yield pd.DataFrame(
+                    out, columns=[user_col, "step", "step_name", "ts_us",
+                                  id_col])
+                return
+            if state.exists:
+                cur, a_t, a_i = state.get
+            else:
+                cur, a_t, a_i = 0, -1, -1
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            ts_us = (
+                rows[ts_col].astype("int64") // 1000
+                if rows[ts_col].dtype.kind == "i"
+                else rows[ts_col].astype("datetime64[us]").astype("int64")
+            )
+            rows = rows.assign(_t=ts_us).sort_values(["_t", id_col])
+            for t, i, typ in zip(rows["_t"].to_numpy(),
+                                 rows[id_col].to_numpy(),
+                                 rows[type_col].to_numpy()):
+                if cur >= n_steps:
+                    break
+                if typ != steps[cur]:
+                    continue
+                if cur > 0:
+                    if (t, i) <= (a_t, a_i):
+                        continue
+                    if within_us is not None and t > a_t + within_us:
+                        continue
+                cur += 1
+                a_t, a_i = int(t), int(i)
+                out.append((key[0], cur, steps[cur - 1], a_t, a_i))
+            if cur >= n_steps:
+                state.remove()  # funnel complete: free the state
+            else:
+                state.update((int(cur), int(a_t), int(a_i)))
+            yield pd.DataFrame(
+                out, columns=[user_col, "step", "step_name", "ts_us",
+                              id_col])
+
+        key_type = stream_df.schema[self.user_col].dataType
+        with_wm = stream_df.withWatermark(ts_col, self.watermark)
+        return (
+            with_wm.groupBy(self.user_col)
+            .applyInPandasWithState(
+                advance,
+                outputStructType=self.output_schema(key_type),
+                stateStructType=self.state_schema,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+
+
 class RunningAggregator:
     """Per-key running (count, sum) over a stream via the Spark 4
     ``transformWithStateInPandas`` StatefulProcessor API — the successor to

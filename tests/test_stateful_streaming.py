@@ -351,3 +351,92 @@ def test_decode_kafka_json(spark):
     ])
     row = decode_kafka_json(wire, payload).collect()[0]
     assert (row.kafka_key, row.user, row.value, row.offset) == ("k1", "a", 2.5, 42)
+
+
+FUNNEL_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("ts", TimestampType()),
+    StructField("event_id", LongType()),
+])
+
+
+def _funnel_events(spark, rows):
+    import datetime
+
+    return spark.createDataFrame(
+        [(u, t, datetime.datetime.utcfromtimestamp(ts), i)
+         for u, t, ts, i in rows],
+        FUNNEL_SCHEMA,
+    )
+
+
+def test_streaming_funnel_state_machine_multi_batch(spark, tmp_path):
+    """The per-user state machine carries the reached step ACROSS
+    micro-batches and frees state on completion."""
+    from systems_spark.streaming import StreamingFunnel
+
+    src = str(tmp_path / "fsrc")
+    os.makedirs(src)
+    base = 1_700_000_000
+    batch1 = [(1, "view", base + 0, 1), (1, "click", base + 10, 2),
+              (2, "click", base + 0, 3)]          # click before view: no-op
+    batch2 = [(1, "purchase", base + 20, 4),       # completes u1
+              (2, "view", base + 10, 5), (2, "click", base + 20, 6)]
+    for i, rows in enumerate([batch1, batch2]):
+        p = f"{src}/f{i}.parquet"
+        _funnel_events(spark, rows).coalesce(1).write.mode("overwrite").parquet(p)
+        t = time.time() + i * 10
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+
+    stream = (spark.readStream.schema(FUNNEL_SCHEMA)
+              .option("maxFilesPerTrigger", "1").parquet(src + "/*"))
+    op = StreamingFunnel(("view", "click", "purchase"), ts_col="ts",
+                         watermark="1 second")
+    q = (op(stream).writeStream.outputMode("append").format("memory")
+         .queryName("sfunnel").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.user_id, r.step, r.step_name, r.ts_us, r.event_id)
+           for r in spark.sql("SELECT * FROM sfunnel").collect()}
+    us = 1_000_000
+    assert got == {
+        (1, 1, "view", (base + 0) * us, 1),
+        (1, 2, "click", (base + 10) * us, 2),
+        (1, 3, "purchase", (base + 20) * us, 4),
+        (2, 1, "view", (base + 10) * us, 5),
+        (2, 2, "click", (base + 20) * us, 6),
+    }
+
+
+def test_streaming_funnel_matches_batch_twin(spark, tmp_path):
+    """An in-order drain must reproduce the batch funnel bit-for-bit."""
+    from systems_spark.operators.funnel import funnel
+    from systems_spark.streaming import StreamingFunnel
+
+    base = 1_700_000_000
+    rows = []
+    eid = 0
+    for u in range(1, 9):
+        for t, typ in ((0, "view"), (5, "click"), (9, "view"),
+                       (12, "purchase") if u % 2 else (12, "error")):
+            rows.append((u, typ, base + t + u, eid)); eid += 1
+    static = _funnel_events(spark, rows)
+
+    batch = {(r.user_id, r.step, r.step_name, r.ts_us, r.event_id)
+             for r in funnel(
+                 static.withColumn("ts_us", F.col("ts").cast("long") * 1_000_000),
+                 ("view", "click", "purchase")).collect()}
+
+    src = str(tmp_path / "fsrc2")
+    static.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(FUNNEL_SCHEMA).parquet(src)
+    op = StreamingFunnel(("view", "click", "purchase"), ts_col="ts",
+                         watermark="1 second")
+    q = (op(stream).writeStream.outputMode("append").format("memory")
+         .queryName("sfunnel2").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.user_id, r.step, r.step_name, r.ts_us, r.event_id)
+           for r in spark.sql("SELECT * FROM sfunnel2").collect()}
+    assert got == batch and len(got) > 0
