@@ -106,13 +106,13 @@ class StreamingSessionizer:
                     start = last = None
                     n, total = 0, 0.0
                 rows = pd.concat(list(pdfs), ignore_index=True)
-                # event-time order within the batch; µs integers end-to-end
-                ts_us = (
-                    rows[ts_col].astype("int64") // 1000
-                    if rows[ts_col].dtype.kind == "i"
-                    else rows[ts_col].astype("datetime64[us]").astype("int64")
-                )
-                rows = rows.assign(_ts_us=ts_us).sort_values("_ts_us")
+                # event-time order within the batch; µs integers end-to-end.
+                # _ss_ts_us precomputed JVM-side (unix_micros): true epoch
+                # µs regardless of spark.sql.session.timeZone — a pandas
+                # datetime64 conversion here would bake the session-tz
+                # offset into the emitted session bounds (review r5)
+                rows = rows.rename(columns={"_ss_ts_us": "_ts_us"}) \
+                           .sort_values("_ts_us")
                 vals = (
                     rows[value_col].astype(float)
                     if value_col is not None
@@ -138,7 +138,9 @@ class StreamingSessionizer:
             )
 
         key_type = stream_df.schema[key_col].dataType
-        with_wm = stream_df.withWatermark(ts_col, self.watermark)
+        with_wm = (stream_df
+                   .withColumn("_ss_ts_us", F.unix_micros(F.col(ts_col)))
+                   .withWatermark(ts_col, self.watermark))
         return (
             with_wm.groupBy(key_col)
             .applyInPandasWithState(
@@ -171,8 +173,19 @@ class StreamingFunnel:
     ``availableNow`` drain — the output equals the batch operator's
     bit-for-bit (parity-tested).
 
-    State size: THREE longs per user seen — no event history — and users
-    who finish the funnel free their state immediately.
+    State lifecycle (review r5): THREE longs per user who made ANY
+    progress — users whose events never match step 1 store nothing, and
+    a COMPLETED user keeps a terminal tombstone (removing it would let a
+    later batch restart the funnel and emit duplicate chains the batch
+    twin never produces). With ``within_us`` set, mid-funnel state whose
+    window the watermark has passed is reclaimed via event-time timeout —
+    such an anchor can never advance; a reclaimed user may start a FRESH
+    chain from later events (reset semantics — the batch greedy operator
+    instead stays anchored forever; windowed multi-batch replays are
+    therefore not bit-comparable, single-batch drains are). Without
+    ``within_us``, mid-funnel state persists indefinitely — a user may
+    legitimately convert months later; bound it operationally with the
+    state-store TTL if the key space is unbounded.
     """
 
     def __init__(self, steps, user_col: str = "user_id",
@@ -210,30 +223,36 @@ class StreamingFunnel:
 
     def __call__(self, stream_df: DataFrame) -> DataFrame:
         steps = self.steps
-        type_col, ts_col, id_col = self.type_col, self.ts_col, self.id_col
+        type_col, id_col = self.type_col, self.id_col
         user_col = self.user_col
         within_us = self.within_us
         n_steps = len(steps)
 
         def advance(key, pdfs, state: GroupState):
+            cols = [user_col, "step", "step_name", "ts_us", id_col]
             out = []
-            if state.hasTimedOut:  # no timeouts configured; defensive
-                yield pd.DataFrame(
-                    out, columns=[user_col, "step", "step_name", "ts_us",
-                                  id_col])
+            if state.hasTimedOut:
+                # only armed when within_us is set and the watermark
+                # passed anchor + window: the user can never advance from
+                # this anchor — reclaim the state (a fresh chain may
+                # restart later; see the reset-semantics docstring note)
+                state.remove()
+                yield pd.DataFrame(out, columns=cols)
                 return
             if state.exists:
                 cur, a_t, a_i = state.get
             else:
                 cur, a_t, a_i = 0, -1, -1
+            if cur >= n_steps:  # terminal tombstone: blocks re-entry
+                yield pd.DataFrame(out, columns=cols)
+                return
             rows = pd.concat(list(pdfs), ignore_index=True)
-            ts_us = (
-                rows[ts_col].astype("int64") // 1000
-                if rows[ts_col].dtype.kind == "i"
-                else rows[ts_col].astype("datetime64[us]").astype("int64")
-            )
-            rows = rows.assign(_t=ts_us).sort_values(["_t", id_col])
-            for t, i, typ in zip(rows["_t"].to_numpy(),
+            # _ts_us precomputed JVM-side (unix_micros): true epoch µs
+            # regardless of spark.sql.session.timeZone — converting the
+            # tz-naive pandas timestamps here would bake the session
+            # offset into ts_us (review r5)
+            rows = rows.sort_values(["_ts_us", id_col])
+            for t, i, typ in zip(rows["_ts_us"].to_numpy(),
                                  rows[id_col].to_numpy(),
                                  rows[type_col].to_numpy()):
                 if cur >= n_steps:
@@ -248,16 +267,24 @@ class StreamingFunnel:
                 cur += 1
                 a_t, a_i = int(t), int(i)
                 out.append((key[0], cur, steps[cur - 1], a_t, a_i))
-            if cur >= n_steps:
-                state.remove()  # funnel complete: free the state
+            if cur == 0 and not state.exists:
+                pass  # zero progress: storing (0, -1, -1) would grow the
+                #       state store by every user ever seen (review r5)
             else:
+                # completed users keep a terminal tombstone — removing it
+                # would let the next batch restart the funnel and emit
+                # duplicate chains the batch twin never produces
                 state.update((int(cur), int(a_t), int(a_i)))
-            yield pd.DataFrame(
-                out, columns=[user_col, "step", "step_name", "ts_us",
-                              id_col])
+                if within_us is not None and 0 < cur < n_steps:
+                    # window expired ⇒ no event can ever advance this
+                    # anchor: let the watermark reclaim the state
+                    state.setTimeoutTimestamp((a_t + within_us) // 1000 + 1)
+            yield pd.DataFrame(out, columns=cols)
 
         key_type = stream_df.schema[self.user_col].dataType
-        with_wm = stream_df.withWatermark(ts_col, self.watermark)
+        with_wm = (stream_df
+                   .withColumn("_ts_us", F.unix_micros(F.col(self.ts_col)))
+                   .withWatermark(self.ts_col, self.watermark))
         return (
             with_wm.groupBy(self.user_col)
             .applyInPandasWithState(
@@ -265,7 +292,9 @@ class StreamingFunnel:
                 outputStructType=self.output_schema(key_type),
                 stateStructType=self.state_schema,
                 outputMode="append",
-                timeoutConf=GroupStateTimeout.NoTimeout,
+                timeoutConf=(GroupStateTimeout.EventTimeTimeout
+                             if within_us is not None
+                             else GroupStateTimeout.NoTimeout),
             )
         )
 

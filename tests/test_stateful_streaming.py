@@ -440,3 +440,34 @@ def test_streaming_funnel_matches_batch_twin(spark, tmp_path):
     got = {(r.user_id, r.step, r.step_name, r.ts_us, r.event_id)
            for r in spark.sql("SELECT * FROM sfunnel2").collect()}
     assert got == batch and len(got) > 0
+
+
+def test_streaming_funnel_no_reentry_after_completion(spark, tmp_path):
+    """Review r5: a completed user keeps a terminal tombstone — a second
+    full chain in a later batch must NOT emit duplicate completions."""
+    from systems_spark.streaming import StreamingFunnel
+
+    src = str(tmp_path / "fsrc3")
+    os.makedirs(src)
+    base = 1_700_000_000
+    batch1 = [(1, "view", base + 0, 1), (1, "click", base + 1, 2),
+              (1, "purchase", base + 2, 3)]
+    batch2 = [(1, "view", base + 10, 4), (1, "click", base + 11, 5),
+              (1, "purchase", base + 12, 6)]
+    for i, rows in enumerate([batch1, batch2]):
+        p = f"{src}/f{i}.parquet"
+        _funnel_events(spark, rows).coalesce(1).write.mode("overwrite").parquet(p)
+        t = time.time() + i * 10
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+    stream = (spark.readStream.schema(FUNNEL_SCHEMA)
+              .option("maxFilesPerTrigger", "1").parquet(src + "/*"))
+    op = StreamingFunnel(("view", "click", "purchase"), ts_col="ts",
+                         watermark="1 second")
+    q = (op(stream).writeStream.outputMode("append").format("memory")
+         .queryName("sfunnel3").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sfunnel3").collect()
+    assert len(rows) == 3  # exactly one chain, no re-entry duplicates
+    assert sorted(r.step for r in rows) == [1, 2, 3]
