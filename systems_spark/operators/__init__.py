@@ -39,12 +39,15 @@ from systems_spark.operators.pagerank import pagerank
 from systems_spark.operators.triangles import triangle_count
 from systems_spark.operators.kcore import kcore
 from systems_spark.operators.communities import label_propagation
+from systems_spark.operators.funnel import funnel, funnel_summary
 
 __all__ = [
     "pagerank",
     "triangle_count",
     "kcore",
     "label_propagation",
+    "funnel",
+    "funnel_summary",
     "BM25",
     "TargetEncode",
     "sample_negatives",
