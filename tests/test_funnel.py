@@ -118,3 +118,45 @@ def test_column_pruning_reaches_scan(spark):
     fu = set(re.findall(r"ReadSchema: (\S+)", plan))
     assert fu  # scans visible without the checkpoint pins
     assert all("props" not in s and "value" not in s for s in fu)
+
+
+def _brute_funnel(rows, steps, within=None):
+    """Greedy first-completion reference."""
+    by_user = {}
+    for u, typ, ts, i in rows:
+        by_user.setdefault(u, []).append((ts, i, typ))
+    out = set()
+    for u, evs in by_user.items():
+        evs.sort()
+        cur, a = 0, (-1, -1)
+        for ts, i, typ in evs:
+            if cur >= len(steps) or typ != steps[cur]:
+                continue
+            if cur > 0:
+                if (ts, i) <= a:
+                    continue
+                if within is not None and ts > a[0] + within:
+                    continue
+            cur += 1
+            a = (ts, i)
+            out.add((u, cur, steps[cur - 1], ts, i))
+    return out
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_etypes = st.sampled_from(["view", "click", "purchase", "error"])
+
+
+@settings(max_examples=8, deadline=None)
+@given(evs=st.lists(st.tuples(st.integers(1, 4), _etypes,
+                              st.integers(0, 20)),
+                    min_size=1, max_size=40),
+       within=st.sampled_from([None, 3, 8]))
+def test_funnel_matches_bruteforce(spark, evs, within):
+    rows = [(u, t, ts, i) for i, (u, t, ts) in enumerate(evs)]
+    got = {(r.user_id, r.step, r.step_name, r.ts_us, r.event_id)
+           for r in funnel(_ev(spark, rows), ("view", "click", "purchase"),
+                           within_us=within).collect()}
+    assert got == _brute_funnel(rows, ("view", "click", "purchase"), within)
