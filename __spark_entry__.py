@@ -3471,6 +3471,30 @@ def _sql_part_communities() -> str:
     return f"SELECT node AS part_id, community FROM ({inner})"
 
 
+_WINNOW = dict(k=4, w=4, min_shared=2)
+
+
+def q_winnow_overlap(spark, sf_dir):
+    """Winnowing fingerprints (dedup/winnow.py, the MOSS algorithm):
+    document pairs sharing ≥2 selected k-gram fingerprints — verbatim-run
+    overlap candidates (quotes, clones, licence blocks), position-robust
+    by the winnowing guarantee (any shared run ≥ w+k−1 tokens shares a
+    print). Fingerprint extraction is fully in-row (zero shuffles); the
+    pair stage is a bucketed (doc, print)-long equi-join like the LSH
+    banding lanes."""
+    from systems_spark.dedup.winnow import winnow_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnow_pairs(docs, **_WINNOW)
+
+
+def _sql_winnow_overlap() -> str:
+    from systems_spark.dedup.winnow import winnow_pairs_sql
+
+    return winnow_pairs_sql("SELECT doc_id AS id, text FROM documents",
+                            **_WINNOW)
+
+
 _SUBSTR_K = 8
 
 
@@ -3636,6 +3660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_weighted": q_pagerank_weighted,
         "funnel_conversion": q_funnel_conversion,
         "user_retention": q_user_retention,
+        "winnow_overlap": q_winnow_overlap,
     }
 
 
@@ -3773,4 +3798,5 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_weighted": _sql_pagerank_weighted(),
         "funnel_conversion": _sql_funnel_conversion(),
         "user_retention": _SQL_USER_RETENTION,
+        "winnow_overlap": _sql_winnow_overlap(),
     }

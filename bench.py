@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "pagerank_weighted",
     "funnel_conversion",
     "user_retention",
+    "winnow_overlap",
 ]
 
 

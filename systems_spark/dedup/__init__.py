@@ -6,6 +6,7 @@ from systems_spark.dedup.embedding import EmbeddingDedup
 from systems_spark.dedup.semantic import SemanticDedup
 from systems_spark.dedup.clusters import canonical_documents, canonical_from_labels, connected_components, incremental_components
 from systems_spark.dedup.substrings import remove_duplicate_substrings
+from systems_spark.dedup.winnow import winnow_pairs
 
 __all__ = [
     "ExactDedup",
@@ -19,4 +20,5 @@ __all__ = [
     "incremental_components",
     "canonical_from_labels",
     "remove_duplicate_substrings",
+    "winnow_pairs",
 ]
