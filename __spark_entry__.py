@@ -3286,6 +3286,74 @@ def _sql_ann_recall() -> str:
     return ranking_metrics_sql(_sql_ann_lsh(), _SQL_ANN_TOPK)
 
 
+_TRAIL_US = 3600 * 1_000_000  # 1 hour
+
+
+def q_trailing_features(spark, sf_dir):
+    """Point-in-time trailing-window features — the feature-engineering
+    staple for leakage-free training data: for every event, the count
+    and exact decimal sum of the SAME user's events in the trailing hour
+    INCLUDING the current row (range frame on integer µs — frame
+    membership is a pure function of timestamps, so ties are handled
+    identically in both engines and no ordering ambiguity exists).
+    Per-user range windows are the many-small-groups regime (scale-safe);
+    value sums in decimal(18,6) because distributed double addition is
+    not associative."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.expr("ts div 1000").alias("ts_us"),
+        F.col("value").cast("decimal(18,6)").alias("v"))
+    w = (Window.partitionBy("user_id").orderBy("ts_us")
+         .rangeBetween(-(_TRAIL_US - 1), 0))
+    return ev.select(
+        "event_id", "user_id", "ts_us",
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+        F.round(F.sum("v").over(w), 4).cast("double").alias("val_trailing_1h"))
+
+
+_SQL_TRAILING_FEATURES = f"""
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       count(*) OVER w AS n_trailing_1h,
+       round(sum(value::DECIMAL(18,6)) OVER w, 4)::DOUBLE AS val_trailing_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {_TRAIL_US - 1} PRECEDING AND CURRENT ROW)
+"""
+
+
+_SEQ_N = 20
+
+
+def q_user_sequences(spark, sf_dir):
+    """Per-user ordered interaction sequences — the SASRec/BERT4Rec
+    training export: each user's most recent ``N`` event ids, most
+    recent first, deterministic under the (ts, event_id) total order.
+    One groupBy(user) with an in-row sort+slice of (ts, id) structs —
+    per-user state bounded by the user's own history, text/props never
+    touched (column pruning reaches the scan)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 1000").alias("ts_us"), "event_id")
+    seq = (ev.groupBy("user_id")
+           .agg(F.slice(
+               F.reverse(F.array_sort(F.collect_list(
+                   F.struct(F.col("ts_us").alias("t"),
+                            F.col("event_id").alias("i"))))),
+               1, _SEQ_N).alias("_recent")))
+    return seq.select(
+        "user_id",
+        F.transform(F.col("_recent"), lambda s: s["i"]).alias("recent_ids"),
+        F.size("_recent").cast("long").alias("seq_len"))
+
+
+_SQL_USER_SEQUENCES = f"""
+SELECT user_id,
+       (list(event_id ORDER BY epoch_us(ts) DESC, event_id DESC))[1:{_SEQ_N}]
+         AS recent_ids,
+       least(count(*), {_SEQ_N})::BIGINT AS seq_len
+FROM events
+GROUP BY 1
+"""
+
+
 _WEEK_US = 7 * 24 * 3600 * 1_000_000
 
 
@@ -3661,6 +3729,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": q_funnel_conversion,
         "user_retention": q_user_retention,
         "winnow_overlap": q_winnow_overlap,
+        "trailing_features": q_trailing_features,
+        "user_sequences": q_user_sequences,
     }
 
 
@@ -3799,4 +3869,6 @@ def oracle_sql() -> dict[str, str]:
         "funnel_conversion": _sql_funnel_conversion(),
         "user_retention": _SQL_USER_RETENTION,
         "winnow_overlap": _sql_winnow_overlap(),
+        "trailing_features": _SQL_TRAILING_FEATURES,
+        "user_sequences": _SQL_USER_SEQUENCES,
     }

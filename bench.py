@@ -102,6 +102,8 @@ BENCH_QUERIES = [
     "funnel_conversion",
     "user_retention",
     "winnow_overlap",
+    "trailing_features",
+    "user_sequences",
 ]
 
 
