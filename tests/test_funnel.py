@@ -132,11 +132,10 @@ def _brute_funnel(rows, steps, within=None):
         for ts, i, typ in evs:
             if cur >= len(steps) or typ != steps[cur]:
                 continue
-            if cur > 0:
-                if (ts, i) <= a:
-                    continue
-                if within is not None and ts > a[0] + within:
-                    continue
+            # events scan in ascending (ts, i) order, so "strictly after
+            # the anchor" holds by construction; only the window needs a check
+            if cur > 0 and within is not None and ts > a[0] + within:
+                continue
             cur += 1
             a = (ts, i)
             out.add((u, cur, steps[cur - 1], ts, i))

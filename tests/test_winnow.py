@@ -34,8 +34,7 @@ def test_short_docs_and_validation(spark):
     # < k+w-1 tokens: no full window, no fingerprints, no pairs
     rows = [(1, "tiny doc"), (2, "tiny doc")]
     assert _pairs(spark, rows, k=4, w=4, min_shared=1) == {}
-    df = __import__("pyspark").sql.SparkSession.active().createDataFrame(
-        rows, "doc_id long, text string")
+    df = spark.createDataFrame(rows, "doc_id long, text string")
     with pytest.raises(ValueError):
         winnow_pairs(df, k=0)
     with pytest.raises(ValueError):
