@@ -845,7 +845,10 @@ def q_part_cooccurrence(spark, sf_dir):
     ≥ 2 times corpus-wide (the PMI/item2vec co-count matrix). Within-order
     self-join — fanout bounded by basket size, shuffled on the order key."""
     if _COOC_CACHE_ENABLED:
-        key = (id(spark), sf_dir)
+        # applicationId, not id(spark): a GC'd session's address can be
+        # reused by a new one, which would hand back a DataFrame bound
+        # to the dead session (ADVICE r5)
+        key = (spark.sparkContext.applicationId, sf_dir)
         if key not in _COOC_CACHE:
             _COOC_CACHE[key] = _part_cooccurrence_plan(
                 spark, sf_dir).localCheckpoint(eager=True)
@@ -3327,17 +3330,25 @@ def q_user_sequences(spark, sf_dir):
     """Per-user ordered interaction sequences — the SASRec/BERT4Rec
     training export: each user's most recent ``N`` event ids, most
     recent first, deterministic under the (ts, event_id) total order.
-    One groupBy(user) with an in-row sort+slice of (ts, id) structs —
-    per-user state bounded by the user's own history, text/props never
-    touched (column pruning reaches the scan)."""
+
+    Scale shape (VERDICT r5 item 2): a ``row_number() <= N`` pre-rank
+    over the per-user (ts DESC, id DESC) window bounds what reaches the
+    aggregation — the collect_list buffer holds ≤ N structs per user
+    REGARDLESS of skew (a bot user with 10⁸ events contributes N rows,
+    not a multi-GB single buffer). Per-user windows are the
+    many-small-groups safe regime; the window and the groupBy share the
+    user-hash partitioning so the pre-rank adds no extra shuffle.
+    Text/props never touched (column pruning reaches the scan)."""
     ev = _t(spark, sf_dir, "events").select(
         "user_id", F.expr("ts div 1000").alias("ts_us"), "event_id")
-    seq = (ev.groupBy("user_id")
-           .agg(F.slice(
-               F.reverse(F.array_sort(F.collect_list(
-                   F.struct(F.col("ts_us").alias("t"),
-                            F.col("event_id").alias("i"))))),
-               1, _SEQ_N).alias("_recent")))
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("ts_us").desc(), F.col("event_id").desc()))
+    top = (ev.withColumn("_rn", F.row_number().over(w))
+           .where(F.col("_rn") <= _SEQ_N))
+    seq = (top.groupBy("user_id")
+           .agg(F.reverse(F.array_sort(F.collect_list(
+               F.struct(F.col("ts_us").alias("t"),
+                        F.col("event_id").alias("i"))))).alias("_recent")))
     return seq.select(
         "user_id",
         F.transform(F.col("_recent"), lambda s: s["i"]).alias("recent_ids"),

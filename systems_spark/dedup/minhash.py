@@ -54,9 +54,12 @@ def permutation_constants(num_perm: int, seed: int = 7) -> list:
 class MinHashDedup(Operator):
     def __init__(self, content_col: str = "text", id_col: str = "doc_id",
                  num_perm: int = 16, bands: int = 4, shingle_k: int = 3,
-                 threshold: float = 0.5, seed: int = 7):
+                 threshold: float = 0.5, seed: int = 7,
+                 max_bucket_size: "int | None" = None):
         if num_perm % bands:
             raise ValueError("num_perm must be divisible by bands")
+        if max_bucket_size is not None and max_bucket_size < 2:
+            raise ValueError("max_bucket_size must be >= 2")
         self.content_col = content_col
         self.id_col = id_col
         self.num_perm = num_perm
@@ -65,6 +68,7 @@ class MinHashDedup(Operator):
         self.shingle_k = shingle_k
         self.threshold = threshold
         self.seed = seed
+        self.max_bucket_size = max_bucket_size
         self.requires = (content_col, id_col)
 
     # -- signature ---------------------------------------------------------
@@ -126,7 +130,21 @@ GROUP BY a.{self.id_col}
         shuffle stage instead of one join per band, and the identical
         signature-aggregation subplans under L/R become a ReusedExchange
         under AQE (the per-band loop re-executed the signature build on
-        both sides of every join)."""
+        both sides of every join).
+
+        ``max_bucket_size`` (skew cap, VERDICT r5 item 4): a true
+        near-dup family of C documents lands in the SAME band bucket and
+        emits C²/2 pairs per matching band — a 1M-copy boilerplate
+        family is a 5×10¹¹-row join output before dropDuplicates. With
+        the cap set, band buckets holding more than N docs are dropped
+        from both sides BEFORE the pair join. This TRADES RECALL for a
+        bounded worst case: members of an over-full bucket may still
+        pair through their other bands, but a family detected by no
+        small-enough bucket is missed — appropriate when the production
+        path resolves clusters anyway (dedup_verified → dedup_clusters
+        needs any spanning subset of pairs, not all C²/2 of them). The
+        hot-bucket set is small by construction (≤ fp rows / N), so it
+        broadcasts; survivors anti-join against it. ``None`` = exact."""
         r = self.rows_per_band
         expl = sigs.select(
             F.col(self.id_col),
@@ -138,6 +156,12 @@ GROUP BY a.{self.id_col}
                 for band in range(self.bands)
             ])).alias("_bi", "_bv"),
         )
+        if self.max_bucket_size is not None:
+            hot = (expl.groupBy("_bi", "_bv")
+                   .agg(F.count(F.lit(1)).alias("_n"))
+                   .where(F.col("_n") > int(self.max_bucket_size))
+                   .select("_bi", "_bv"))
+            expl = expl.join(F.broadcast(hot), on=["_bi", "_bv"], how="anti")
         left, right = expl.alias("L"), expl.alias("R")
         pairs = left.join(
             right,
@@ -195,4 +219,4 @@ WHERE ({eq_sum}) >= {min_eq}
         return {"content_col": self.content_col, "id_col": self.id_col,
                 "num_perm": self.num_perm, "bands": self.bands,
                 "shingle_k": self.shingle_k, "threshold": self.threshold,
-                "seed": self.seed}
+                "seed": self.seed, "max_bucket_size": self.max_bucket_size}

@@ -122,7 +122,10 @@ def remove_duplicate_substrings(docs: DataFrame, k: int = 8,
         F.col("_sd_id").alias(id_col),
         F.array_join(F.transform(kept, lambda s: s["t"]), " ")
         .alias("clean_text"),
-        F.size("_tk").cast("long").alias("n_tokens"),
+        # NULL-guarded: legacy (non-ANSI) size(NULL) is -1, but the
+        # DuckDB twin yields NULL for a NULL-text doc (ADVICE r5)
+        F.when(F.col("_tk").isNotNull(), F.size("_tk"))
+        .cast("long").alias("n_tokens"),
         F.size("_cov").cast("long").alias("n_removed"))
 
 

@@ -60,27 +60,55 @@ def winnow_from_hashes(hashes_col: Column, w: int) -> Column:
             .otherwise(F.array().cast("array<bigint>"))
 
 
-def winnow_pairs(docs: DataFrame, k: int = 4, w: int = 4,
-                 min_shared: int = 2, text_col: str = "text",
-                 id_col: str = "doc_id") -> DataFrame:
-    """(doc_a, doc_b, n_shared) for every ordered pair (a < b) of
-    documents sharing ≥ ``min_shared`` distinct winnowing fingerprints.
-    Guarantee: documents sharing a verbatim run of ≥ w + k − 1 tokens
-    share at least one fingerprint (set ``min_shared=1`` to surface
-    single-run overlaps)."""
+def winnow_fingerprints(docs: DataFrame, k: int = 4, w: int = 4,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """(_wn_id, _fp): one row per (doc, DISTINCT fingerprint). Entirely
+    in-row extraction — zero shuffles, fuses into the scan."""
     if k < 1 or w < 1:
         raise ValueError("k and w must be >= 1")
-    if min_shared < 1:
-        raise ValueError("min_shared must be >= 1")
     # two staging hops: tokens, then gram hashes, each materialized as a
     # real column before the next HOF consumes it (no-CSE discipline)
     staged = docs.select(F.col(id_col).alias("_wn_id"),
                          TX.tokens(F.col(text_col)).alias("_tk"))
     hashed = staged.select(
         "_wn_id", gram_hashes_expr(F.col("_tk"), k).alias("_hs"))
-    fps = hashed.select(
+    return hashed.select(
         "_wn_id",
         F.explode(winnow_from_hashes(F.col("_hs"), w)).alias("_fp"))
+
+
+def winnow_pairs(docs: DataFrame, k: int = 4, w: int = 4,
+                 min_shared: int = 2, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 max_doc_freq: "int | None" = None) -> DataFrame:
+    """(doc_a, doc_b, n_shared) for every ordered pair (a < b) of
+    documents sharing ≥ ``min_shared`` distinct winnowing fingerprints.
+    Guarantee: documents sharing a verbatim run of ≥ w + k − 1 tokens
+    share at least one fingerprint (set ``min_shared=1`` to surface
+    single-run overlaps).
+
+    ``max_doc_freq`` (skew cap, VERDICT r5 item 1): drop fingerprints
+    held by MORE than this many documents from both sides of the pair
+    join — a licence block or nav-chrome run shared by 100k documents
+    would otherwise emit ~C²/2 pairs from a single fingerprint value. An
+    over-shared fingerprint is boilerplate, the least informative pair
+    evidence, so the recall loss is bounded and targeted (same knob
+    family as simhash's ``max_bucket_size``). The dropped set is small
+    by construction (≤ total fp rows / max_doc_freq), so it broadcasts;
+    survivors anti-join against it — the survivor set itself is
+    corpus-sized and must NOT be the broadcast side. ``None`` = exact."""
+    if min_shared < 1:
+        raise ValueError("min_shared must be >= 1")
+    if max_doc_freq is not None and max_doc_freq < 1:
+        raise ValueError("max_doc_freq must be >= 1")
+    fps = winnow_fingerprints(docs, k, w, text_col, id_col)
+    if max_doc_freq is not None:
+        # fingerprints are per-doc DISTINCT, so count(*) == doc frequency
+        hot = (fps.groupBy("_fp").agg(F.count(F.lit(1)).alias("_df"))
+               .where(F.col("_df") > max_doc_freq)
+               .select("_fp"))
+        fps = fps.join(F.broadcast(hot), on="_fp", how="anti")
     pairs = (fps.alias("L")
              .join(fps.alias("R"),
                    (F.col("L._fp") == F.col("R._fp"))
@@ -93,20 +121,29 @@ def winnow_pairs(docs: DataFrame, k: int = 4, w: int = 4,
 
 
 def winnow_pairs_sql(docs_sql: str, k: int = 4, w: int = 4,
-                     min_shared: int = 2) -> str:
+                     min_shared: int = 2,
+                     max_doc_freq: "int | None" = None) -> str:
     """DuckDB twin of :func:`winnow_pairs` — ``docs_sql`` yields
-    (id, text); same tokenizer, gram hash, window minima and pair
-    counting."""
-    toks = TX.tokens_sql("text")
+    (id, text); same tokenizer, gram hash, window minima, hot-fingerprint
+    cap, and pair counting."""
+    if max_doc_freq is not None and max_doc_freq < 1:
+        raise ValueError("max_doc_freq must be >= 1")
     grams = TX.word_shingles_sql("text", k)
     h = hash64_sql("g")
+    cap = ("" if max_doc_freq is None else f""",
+fp AS (
+  SELECT * FROM fp0
+  WHERE fp NOT IN (SELECT fp FROM fp0
+                   GROUP BY 1 HAVING count(*) > {max_doc_freq})
+)""")
+    fp_name = "fp0" if max_doc_freq is not None else "fp"
     return f"""
 WITH docs AS ({docs_sql}),
 hashes AS (
   SELECT id, list_transform({grams}, g -> {h}) AS hs
   FROM docs
 ),
-fp AS (
+{fp_name} AS (
   SELECT DISTINCT id, fp FROM (
     SELECT id, unnest(
       CASE WHEN len(hs) >= {w}
@@ -114,7 +151,7 @@ fp AS (
                     j -> list_min(hs[j:j+{w - 1}])))
            ELSE CAST([] AS BIGINT[]) END) AS fp
     FROM hashes)
-)
+){cap}
 SELECT l.id AS doc_a, r.id AS doc_b, count(*) AS n_shared
 FROM fp l JOIN fp r ON r.fp = l.fp AND l.id < r.id
 GROUP BY 1, 2

@@ -32,7 +32,7 @@ def funnel(events: DataFrame, steps: Sequence[str],
            user_col: str = "user_id", type_col: str = "event_type",
            ts_col: str = "ts_us", id_col: str = "event_id",
            within_us: "int | None" = None,
-           cache_steps: bool = True) -> DataFrame:
+           cache_steps: bool = True, mode: str = "greedy") -> DataFrame:
     """Per-user earliest funnel completions: one row per (user, step)
     the user reached, with the completing event's ``ts`` and ``id``.
     ``steps`` are event-type values in funnel order; step ``i`` matches
@@ -40,16 +40,26 @@ def funnel(events: DataFrame, steps: Sequence[str],
     and, when ``within_us`` is set, at most that many µs later (the
     standard windowed funnel: 'purchased within 7 days of clicking').
 
-    Semantics are GREEDY first-completion (the streaming-friendly
-    convention): each step anchors on the user's EARLIEST valid event,
-    and later steps window off that anchor. With ``within_us`` set this
-    can miss alternative chains — e.g. view@0, clicks@1 and @9,
-    purchase@15, window 10: greedy anchors click@1 and the purchase
-    falls outside (1, 11], though the click@9 chain would qualify.
-    Deciding "does ANY satisfying chain exist" is a per-user
-    backtracking search, not a join — use the unwindowed mode (greedy
-    IS complete there: every event after the earliest anchor is also
-    after it) when chain existence is the question.
+    ``mode='greedy'`` (default) is GREEDY first-completion (the
+    streaming-friendly convention): each step anchors on the user's
+    EARLIEST valid event, and later steps window off that anchor. With
+    ``within_us`` set this can miss alternative chains — e.g. view@0,
+    clicks@1 and @9, purchase@15, window 10: greedy anchors click@1 and
+    the purchase falls outside (1, 11], though the click@9 chain would
+    qualify.
+
+    ``mode='exists'`` (VERDICT r5 item 7) answers "does ANY satisfying
+    chain exist": a row for (user, step n) iff SOME chain e₁<…<eₙ of the
+    right types with every consecutive gap ≤ ``within_us`` exists; the
+    reported event is the EARLIEST event that can complete such a chain.
+    That decision is per-user sequential, not a join, so it runs as an
+    ``applyInPandas`` over user groups — state is a linear scan with
+    O(n_steps) live values per user (for feasibility of an event at step
+    s it suffices to check the LATEST step-(s−1) chain completion seen
+    so far: completions are discovered in ascending (ts, id) order, so
+    the latest one maximizes the window check). Without ``within_us``
+    the two modes coincide (earliest-subsequence greediness is complete
+    when no window can expire), which is property-tested.
 
     ``cache_steps`` (default on, review r5) pins each step's per-user
     frame with a lazy localCheckpoint: the frame feeds BOTH the next
@@ -62,6 +72,11 @@ def funnel(events: DataFrame, steps: Sequence[str],
         raise ValueError("a funnel needs at least 2 steps")
     if within_us is not None and within_us < 1:
         raise ValueError("within_us must be >= 1")
+    if mode not in ("greedy", "exists"):
+        raise ValueError("mode must be 'greedy' or 'exists'")
+    if mode == "exists":
+        return _funnel_exists(events, steps, user_col, type_col,
+                              ts_col, id_col, within_us)
     ev = events.select(F.col(user_col).alias("_u"),
                        F.col(type_col).alias("_t"),
                        F.struct(F.col(ts_col).cast("long").alias("t"),
@@ -95,9 +110,63 @@ def funnel(events: DataFrame, steps: Sequence[str],
     return out
 
 
+def _funnel_exists(events: DataFrame, steps: Sequence[str], user_col: str,
+                   type_col: str, ts_col: str, id_col: str,
+                   within_us: "int | None") -> DataFrame:
+    """Chain-existence funnel: per-user linear DP via applyInPandas.
+
+    For each user, events are scanned once in ascending (ts, id) order;
+    ``last[s]`` holds the latest event known to complete a step-(s+1)
+    chain. An event of type ``steps[s]`` completes a chain iff s == 0 or
+    ``last[s-1]`` exists, precedes it, and (windowed) falls within
+    ``within_us`` — checking only the latest completion is sufficient
+    because it maximizes the window's lower bound. The first event to
+    complete each prefix is emitted (= the min final event over ALL
+    valid chains: any valid chain's predecessor has been recorded into
+    ``last`` by the time the final event is scanned)."""
+    import pandas as pd
+
+    n_steps = len(steps)
+    step_idx = {s: i for i, s in enumerate(steps)}
+    steps_t = tuple(steps)
+    out_schema = (f"{user_col} long, step long, step_name string, "
+                  f"{ts_col} long, {id_col} long")
+
+    def per_user(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        u = pdf[user_col].iloc[0]
+        sub = pdf.sort_values([ts_col, id_col])
+        last = [None] * n_steps   # latest (ts, id) completing prefix s+1
+        first = [None] * n_steps  # earliest completion per prefix
+        for t, i, typ in zip(sub[ts_col].to_numpy(),
+                             sub[id_col].to_numpy(),
+                             sub[type_col].to_numpy()):
+            s = step_idx.get(typ)
+            if s is None:
+                continue
+            if s > 0:
+                p = last[s - 1]
+                if p is None or (t, i) <= p:
+                    continue
+                if within_us is not None and t > p[0] + within_us:
+                    continue
+            last[s] = (int(t), int(i))
+            if first[s] is None:
+                first[s] = (int(t), int(i))
+        rows = [(int(u), s + 1, steps_t[s], first[s][0], first[s][1])
+                for s in range(n_steps) if first[s] is not None]
+        return pd.DataFrame(
+            rows, columns=[user_col, "step", "step_name", ts_col, id_col])
+
+    ev = events.select(F.col(user_col), F.col(type_col),
+                       F.col(ts_col).cast("long").alias(ts_col),
+                       F.col(id_col).cast("long").alias(id_col))
+    return ev.groupBy(user_col).applyInPandas(per_user, schema=out_schema)
+
+
 def funnel_summary(events: DataFrame, steps: Sequence[str], **kw) -> DataFrame:
-    """(step, step_name, users): how many users reached each step."""
-    user_col = kw.get("user_col", "user_id")
+    """(step, step_name, users): how many users reached each step.
+    (funnel already emits one row per user per reached step, so a plain
+    count per step is the per-step user count.)"""
     return (funnel(events, steps, **kw)
             .groupBy("step", "step_name")
             .agg(F.count(F.lit(1)).alias("users")))
@@ -118,6 +187,10 @@ def funnel_summary_sql(events_sql: str, steps: Sequence[str],
         raise ValueError("a funnel needs at least 2 steps")
     if within_us is not None and within_us < 1:
         raise ValueError("within_us must be >= 1")
+    # step names are interpolated as SQL string literals — escape
+    # apostrophes so a value like "add'l info" cannot break the SQL
+    # (ADVICE r5)
+    steps = [s.replace("'", "''") for s in steps]
     k = f"struct_pack(t := e.{ts_col}, i := e.{id_col})"
     win = (f" AND e.{ts_col} <= (p.k).t + {within_us}"
            if within_us is not None else "")

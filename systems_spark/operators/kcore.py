@@ -59,8 +59,17 @@ def kcore(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
         deg = live.groupBy("a").agg(F.count(F.lit(1)).alias("_deg"))
         survivors = deg.where(F.col("_deg") >= k)
         if n_alive is None:
-            n_alive = live.select("a").distinct().count()
-        n_surv = survivors.count()  # the ONE action per round
+            # round 0: |alive| == |deg| (deg groups by node), so ONE
+            # combined aggregate action yields both counts — the old
+            # separate distinct().count() executed the first round's
+            # plan twice (VERDICT r5 item 5)
+            row = deg.agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.sum((F.col("_deg") >= k).cast("long")).alias("_s")).first()
+            n_alive = row._n
+            n_surv = int(row._s or 0)
+        else:
+            n_surv = survivors.count()  # the ONE action per round
         if round_stats is not None:
             round_stats.append(n_surv)
         if n_surv == n_alive:

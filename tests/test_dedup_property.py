@@ -78,6 +78,37 @@ def test_minhash_identical_docs_always_pair(spark, docs):
         assert (i, 1000 + i) in pairs, f"identical pair missing for {d!r}"
 
 
+def test_minhash_max_bucket_size_caps_hot_buckets(spark):
+    """VERDICT r5 item 4: a C-doc identical family fills every band
+    bucket with C members; with max_bucket_size < C those buckets are
+    dropped from both sides — zero family pairs — while a 2-doc genuine
+    pair (bucket size 2) survives untouched. Cap off = exact (default):
+    a generous cap reproduces the uncapped output bit-for-bit."""
+    family = [(i, "the same boilerplate text repeated wholesale everywhere")
+              for i in range(20)]
+    pair = [(100, "a rare duplicated document body"),
+            (101, "a rare duplicated document body")]
+    df = spark.createDataFrame(family + pair, "doc_id long, text string")
+
+    base = {(r.a, r.b) for r in MinHashDedup(
+        threshold=0.9, content_col="text", id_col="doc_id")(df).collect()}
+    assert (100, 101) in base and len(base) == 190 + 1  # C(20,2) + 1
+
+    capped = {(r.a, r.b) for r in MinHashDedup(
+        threshold=0.9, content_col="text", id_col="doc_id",
+        max_bucket_size=10)(df).collect()}
+    assert capped == {(100, 101)}
+
+    generous = {(r.a, r.b) for r in MinHashDedup(
+        threshold=0.9, content_col="text", id_col="doc_id",
+        max_bucket_size=1000)(df).collect()}
+    assert generous == base
+
+    import pytest
+    with pytest.raises(ValueError):
+        MinHashDedup(max_bucket_size=1)
+
+
 @settings(max_examples=6, deadline=None)
 @given(docs=CORPUS)
 def test_exact_dedup_equals_python_grouping(spark, docs):

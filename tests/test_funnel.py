@@ -159,3 +159,105 @@ def test_funnel_matches_bruteforce(spark, evs, within):
            for r in funnel(_ev(spark, rows), ("view", "click", "purchase"),
                            within_us=within).collect()}
     assert got == _brute_funnel(rows, ("view", "click", "purchase"), within)
+
+
+# --- mode='exists' (VERDICT r5 item 7) -----------------------------------
+
+
+def _brute_exists(rows, steps, within=None):
+    """Independent reference: EXHAUSTIVE chain enumeration (recursive,
+    no DP shortcuts) — for each user and prefix length n, the min final
+    (ts, id) over every chain e1<...<en of the right types with all
+    consecutive gaps <= within."""
+    by_user = {}
+    for u, typ, ts, i in rows:
+        by_user.setdefault(u, []).append((ts, i, typ))
+    out = set()
+    for u, evs in by_user.items():
+        for n in range(1, len(steps) + 1):
+            best = None
+
+            def rec(step, prev):
+                nonlocal best
+                for ts, i, typ in evs:
+                    if typ != steps[step]:
+                        continue
+                    if prev is not None:
+                        if (ts, i) <= prev:
+                            continue
+                        if within is not None and ts > prev[0] + within:
+                            continue
+                    if step == n - 1:
+                        if best is None or (ts, i) < best:
+                            best = (ts, i)
+                    else:
+                        rec(step + 1, (ts, i))
+
+            rec(0, None)
+            if best is not None:
+                out.add((u, n, steps[n - 1], best[0], best[1]))
+    return out
+
+
+def test_exists_finds_chain_greedy_misses(spark):
+    """The docstring's own example: view@0, clicks@1 and @9, purchase@15,
+    window 10 — greedy anchors click@1 and misses; exists finds the
+    click@9 chain."""
+    rows = [(1, "view", 0, 1), (1, "click", 1, 2), (1, "click", 9, 3),
+            (1, "purchase", 15, 4)]
+    greedy = {r.step for r in funnel(
+        _ev(spark, rows), ("view", "click", "purchase"),
+        within_us=10).collect()}
+    exists = {(r.step, r.ts_us, r.event_id) for r in funnel(
+        _ev(spark, rows), ("view", "click", "purchase"),
+        within_us=10, mode="exists").collect()}
+    assert greedy == {1, 2}
+    assert exists == {(1, 0, 1), (2, 1, 2), (3, 15, 4)}
+
+
+@settings(max_examples=8, deadline=None)
+@given(evs=st.lists(st.tuples(st.integers(1, 3), _etypes,
+                              st.integers(0, 20)),
+                    min_size=1, max_size=24),
+       within=st.sampled_from([None, 3, 8]))
+def test_exists_matches_exhaustive_bruteforce(spark, evs, within):
+    rows = [(u, t, ts, i) for i, (u, t, ts) in enumerate(evs)]
+    got = {(r.user_id, r.step, r.step_name, r.ts_us, r.event_id)
+           for r in funnel(_ev(spark, rows), ("view", "click", "purchase"),
+                           within_us=within, mode="exists").collect()}
+    assert got == _brute_exists(rows, ("view", "click", "purchase"), within)
+
+
+@settings(max_examples=6, deadline=None)
+@given(evs=st.lists(st.tuples(st.integers(1, 3), _etypes,
+                              st.integers(0, 20)),
+                    min_size=1, max_size=30))
+def test_exists_equals_greedy_when_unwindowed(spark, evs):
+    """Without a window, earliest-subsequence greediness is complete:
+    the two modes agree row-for-row."""
+    rows = [(u, t, ts, i) for i, (u, t, ts) in enumerate(evs)]
+    key = lambda r: (r.user_id, r.step, r.step_name, r.ts_us, r.event_id)
+    g = {key(r) for r in funnel(
+        _ev(spark, rows), ("view", "click", "purchase")).collect()}
+    e = {key(r) for r in funnel(
+        _ev(spark, rows), ("view", "click", "purchase"),
+        mode="exists").collect()}
+    assert g == e
+
+
+def test_mode_validation_and_sql_escaping(spark):
+    import duckdb
+
+    from systems_spark.operators.funnel import funnel_summary_sql
+
+    with pytest.raises(ValueError):
+        funnel(_ev(spark, [(1, "view", 1, 1)]), ("view", "click"),
+               mode="bogus")
+    # a step name with an apostrophe must produce valid, correct SQL
+    rows = [(1, "add'l", 0, 1), (1, "buy", 5, 2)]
+    vals = ",".join(f"({u},'{t.replace(chr(39), chr(39) * 2)}',{ts},{i})"
+                    for u, t, ts, i in rows)
+    got = duckdb.connect().execute(funnel_summary_sql(
+        f"SELECT * FROM (VALUES {vals}) t(user_id, event_type, ts_us, event_id)",
+        ("add'l", "buy"))).fetchall()
+    assert sorted(got) == [(1, "add'l", 1), (2, "buy", 1)]

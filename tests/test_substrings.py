@@ -115,6 +115,26 @@ def test_parity_with_duckdb_on_protection_case(spark):
     assert got == want
 
 
+def test_null_text_doc_matches_duckdb(spark):
+    """ADVICE r5: n_tokens for a NULL-text doc must be NULL (as DuckDB
+    yields), not the legacy size(NULL) = -1."""
+    import duckdb
+
+    from systems_spark.dedup.substrings import remove_duplicate_substrings_sql
+
+    rows = [(0, BLOCK), (1, BLOCK), (2, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(map(tuple, remove_duplicate_substrings(df, k=8).collect()))
+    vals = ",".join(
+        f"({i}, " + ("NULL" if t is None else f"'{t}'") + ")" for i, t in rows)
+    want = sorted(map(tuple, duckdb.connect().execute(
+        remove_duplicate_substrings_sql(
+            f"SELECT * FROM (VALUES {vals}) t(id, text)", k=8)).fetchall()))
+    assert got == want
+    by_id = {r[0]: r for r in got}
+    assert by_id[2][2] is None  # n_tokens NULL, not -1
+
+
 def _brute(rows, k):
     """Reference implementation of the protected-canonical semantics."""
     toks = {i: t.split() for i, t in rows}

@@ -7,7 +7,11 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from systems_spark.dedup.winnow import winnow_pairs, winnow_pairs_sql
+from systems_spark.dedup.winnow import (
+    winnow_fingerprints,
+    winnow_pairs,
+    winnow_pairs_sql,
+)
 
 RUN = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
 
@@ -55,3 +59,73 @@ def test_matches_duckdb(spark):
         f"SELECT * FROM (VALUES {vals}) t(id, text)",
         k=4, w=4, min_shared=1)).fetchall()))
     assert got == want and len(got) >= 3
+
+
+# --- max_doc_freq hot-fingerprint cap (VERDICT r5 item 1) ----------------
+
+BOILER = ("standard licence header shared by every single document verbatim "
+          "all rights reserved no warranty of any kind express or implied")
+CAP_ROWS = (
+    # 12 IDENTICAL boilerplate docs: every fingerprint they produce has
+    # doc-freq 12 (identical text → identical window minima) ...
+    [(i, BOILER) for i in range(1, 13)]
+    # ... plus one genuine pair sharing a RARE run (doc freq 2 <= cap)
+    + [(100, f"{RUN} own tail"), (101, f"other lead {RUN}")]
+)
+
+
+def test_capped_equals_uncapped_minus_dropped_fingerprints(spark):
+    """The defining property of the cap: pair counts from the surviving
+    fingerprints ONLY — recomputed brute-force from the fingerprint
+    table — equal the capped operator's output exactly."""
+    from collections import Counter
+
+    df = spark.createDataFrame(CAP_ROWS, "doc_id long, text string")
+    cap = 5
+    fps = winnow_fingerprints(df, k=4, w=4).collect()
+    freq = Counter(r._fp for r in fps)
+    surviving = [(r._wn_id, r._fp) for r in fps if freq[r._fp] <= cap]
+    want = Counter()
+    by_fp = {}
+    for doc, fp in surviving:
+        by_fp.setdefault(fp, []).append(doc)
+    for docs in by_fp.values():
+        for a in docs:
+            for b in docs:
+                if a < b:
+                    want[(a, b)] += 1
+    want = {p: n for p, n in want.items() if n >= 1}
+    got = _pairs(spark, CAP_ROWS, k=4, w=4, min_shared=1, max_doc_freq=cap)
+    assert got == want
+
+
+def test_skew_fixture_bounded_pair_output(spark):
+    """1 hot run × many docs: uncapped output is quadratic (C(n,2) pairs
+    from the boilerplate alone); capped output contains NO boilerplate
+    pair yet keeps the genuine rare-run pair."""
+    got = _pairs(spark, CAP_ROWS, k=4, w=4, min_shared=1, max_doc_freq=5)
+    assert (100, 101) in got
+    assert all(a >= 100 for a, b in got)  # every boilerplate pair dropped
+    uncapped = _pairs(spark, CAP_ROWS, k=4, w=4, min_shared=1)
+    assert len(uncapped) >= 66  # C(12,2) boilerplate pairs present
+
+
+def test_capped_matches_duckdb(spark):
+    import duckdb
+
+    df = spark.createDataFrame(CAP_ROWS, "doc_id long, text string")
+    got = sorted(map(tuple, winnow_pairs(
+        df, k=4, w=4, min_shared=1, max_doc_freq=5).collect()))
+    vals = ",".join(f"({i}, '{t}')" for i, t in CAP_ROWS)
+    want = sorted(map(tuple, duckdb.connect().execute(winnow_pairs_sql(
+        f"SELECT * FROM (VALUES {vals}) t(id, text)",
+        k=4, w=4, min_shared=1, max_doc_freq=5)).fetchall()))
+    assert got == want and (100, 101) in {(a, b) for a, b, _ in got}
+
+
+def test_max_doc_freq_validation(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        winnow_pairs(df, max_doc_freq=0)
+    with pytest.raises(ValueError):
+        winnow_pairs_sql("SELECT 1 AS id, 'x' AS text", max_doc_freq=0)
