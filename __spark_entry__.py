@@ -3567,6 +3567,46 @@ def q_winnow_overlap(spark, sf_dir):
     return winnow_pairs(docs, **_WINNOW)
 
 
+def q_winnow_families(spark, sf_dir):
+    """Winnow pairs → cluster resolution (VERDICT r5 item 9): verbatim-run
+    overlap FAMILIES rather than pairs — connected components over the
+    fingerprint-overlap graph, one canonical (min doc_id) per quote/clone
+    family with its size. Pure composition of two already-oracled stages
+    (dedup/winnow.py pair join + dedup/clusters.py min-label propagation
+    with pointer jumping); the oracle reuses the winnow CTE chain inside
+    the same recursive min-reachable-id CTE that grades dedup_clusters."""
+    from systems_spark.dedup.winnow import winnow_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = winnow_pairs(docs, **_WINNOW)
+    return canonical_documents(pairs, a_col="doc_a", b_col="doc_b")
+
+
+def _sql_winnow_families() -> str:
+    from systems_spark.dedup.winnow import winnow_pairs_sql
+
+    inner = winnow_pairs_sql("SELECT doc_id AS id, text FROM documents",
+                             **_WINNOW)
+    return f"""
+WITH RECURSIVE
+wpairs AS ({inner}),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM wpairs
+          UNION SELECT doc_b, doc_a FROM wpairs),
+reach AS (
+  SELECT src AS node, dst AS lbl FROM edges
+  UNION
+  SELECT e.src AS node, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+),
+comp AS (
+  SELECT node, least(node, min(lbl)) AS canonical_id
+  FROM reach GROUP BY node
+)
+SELECT node AS doc_id, canonical_id,
+       count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+FROM comp
+"""
+
+
 def _sql_winnow_overlap() -> str:
     from systems_spark.dedup.winnow import winnow_pairs_sql
 
@@ -3673,7 +3713,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "frame_sample": q_frame_sample,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
-        "minhash_signatures": q_minhash_signatures,
+        # r6 sanctioned swap (VERDICT r5 item 3): substring_dedup (exact
+        # substring dedup, Lee et al. ACL 2022 — bit-exact at sf0.001 AND
+        # sf0.01 since r5) takes minhash_signatures' slot; the signatures
+        # lane is subsumed by the graded dedup_minhash, which consumes
+        # the same signatures, and keeps its oracle check at 51+.
+        "substring_dedup": q_substring_dedup,
         "text_stats": q_text_stats,
         "multimodal_features": q_multimodal_features,
         # model ops — position 48-50 (all three VALUES/SQL-oracled as of r3)
@@ -3733,7 +3778,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_samples": q_negative_samples,
         "kcore_parts": q_kcore_parts,
         # --- r5 additions (51+, locally oracle-checked) ---
-        "substring_dedup": q_substring_dedup,
+        # minhash_signatures: graded green r4-r5, demoted 51+ in the r6
+        # swap; its oracle check continues via test_oracle_parity
+        "minhash_signatures": q_minhash_signatures,
         "part_communities": q_part_communities,
         "ppl_buckets": q_ppl_buckets,
         "pagerank_weighted": q_pagerank_weighted,
@@ -3742,6 +3789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_overlap": q_winnow_overlap,
         "trailing_features": q_trailing_features,
         "user_sequences": q_user_sequences,
+        # --- r6 additions (51+, locally oracle-checked) ---
+        "winnow_families": q_winnow_families,
     }
 
 
@@ -3880,6 +3929,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_conversion": _sql_funnel_conversion(),
         "user_retention": _SQL_USER_RETENTION,
         "winnow_overlap": _sql_winnow_overlap(),
+        "winnow_families": _sql_winnow_families(),
         "trailing_features": _SQL_TRAILING_FEATURES,
         "user_sequences": _SQL_USER_SEQUENCES,
     }

@@ -104,6 +104,8 @@ BENCH_QUERIES = [
     "winnow_overlap",
     "trailing_features",
     "user_sequences",
+    # r6 additions
+    "winnow_families",
 ]
 
 

@@ -183,19 +183,31 @@ class StreamingFunnel:
     chain from later events (reset semantics — the batch greedy operator
     instead stays anchored forever; windowed multi-batch replays are
     therefore not bit-comparable, single-batch drains are). Without
-    ``within_us``, mid-funnel state persists indefinitely — a user may
-    legitimately convert months later; bound it operationally with the
-    state-store TTL if the key space is unbounded.
+    ``within_us``, mid-funnel state would persist indefinitely — a user
+    may legitimately convert months later; ``state_ttl_us`` (VERDICT r5
+    item 8) bounds that operationally with the SAME event-time timeout
+    machinery: mid-funnel state whose anchor is ``state_ttl_us`` behind
+    the watermark is reclaimed (an expired user's later events may start
+    a fresh chain — the same reset semantics as window expiry).
+    COMPLETED users' terminal tombstones are exempt from the TTL: they
+    are what prevents a restart from emitting duplicate chains, so
+    expiring them would break batch parity for completed chains; three
+    longs per CONVERTED user is the deliberate floor of this operator's
+    state. When both knobs are set, whichever deadline is earlier arms
+    the timeout.
     """
 
     def __init__(self, steps, user_col: str = "user_id",
                  type_col: str = "event_type", ts_col: str = "ts_ts",
                  id_col: str = "event_id", watermark: str = "10 seconds",
-                 within_us: "int | None" = None):
+                 within_us: "int | None" = None,
+                 state_ttl_us: "int | None" = None):
         if len(steps) < 2:
             raise ValueError("a funnel needs at least 2 steps")
         if within_us is not None and within_us < 1:
             raise ValueError("within_us must be >= 1")
+        if state_ttl_us is not None and state_ttl_us < 1:
+            raise ValueError("state_ttl_us must be >= 1")
         self.steps = tuple(steps)
         self.user_col = user_col
         self.type_col = type_col
@@ -203,6 +215,7 @@ class StreamingFunnel:
         self.id_col = id_col
         self.watermark = watermark
         self.within_us = within_us
+        self.state_ttl_us = state_ttl_us
 
     def output_schema(self, key_type) -> StructType:
         return StructType([
@@ -228,14 +241,17 @@ class StreamingFunnel:
         within_us = self.within_us
         n_steps = len(steps)
 
+        state_ttl_us = self.state_ttl_us
+
         def advance(key, pdfs, state: GroupState):
             cols = [user_col, "step", "step_name", "ts_us", id_col]
             out = []
             if state.hasTimedOut:
-                # only armed when within_us is set and the watermark
-                # passed anchor + window: the user can never advance from
-                # this anchor — reclaim the state (a fresh chain may
-                # restart later; see the reset-semantics docstring note)
+                # armed only on MID-funnel state: either the within_us
+                # window expired (the anchor can never advance) or the
+                # state_ttl_us idle bound passed — reclaim the state (a
+                # fresh chain may restart later; see the reset-semantics
+                # docstring note)
                 state.remove()
                 yield pd.DataFrame(out, columns=cols)
                 return
@@ -275,16 +291,21 @@ class StreamingFunnel:
                 # would let the next batch restart the funnel and emit
                 # duplicate chains the batch twin never produces
                 state.update((int(cur), int(a_t), int(a_i)))
-                if within_us is not None and 0 < cur < n_steps:
-                    # window expired ⇒ no event can ever advance this
-                    # anchor: let the watermark reclaim the state
-                    state.setTimeoutTimestamp((a_t + within_us) // 1000 + 1)
+                if 0 < cur < n_steps:
+                    # mid-funnel only: window expiry means no event can
+                    # ever advance this anchor; the idle TTL bounds
+                    # abandoned funnels. Earliest deadline arms.
+                    deadlines = [a_t + d for d in (within_us, state_ttl_us)
+                                 if d is not None]
+                    if deadlines:
+                        state.setTimeoutTimestamp(min(deadlines) // 1000 + 1)
             yield pd.DataFrame(out, columns=cols)
 
         key_type = stream_df.schema[self.user_col].dataType
         with_wm = (stream_df
                    .withColumn("_ts_us", F.unix_micros(F.col(self.ts_col)))
                    .withWatermark(self.ts_col, self.watermark))
+        use_timeout = within_us is not None or self.state_ttl_us is not None
         return (
             with_wm.groupBy(self.user_col)
             .applyInPandasWithState(
@@ -293,7 +314,7 @@ class StreamingFunnel:
                 stateStructType=self.state_schema,
                 outputMode="append",
                 timeoutConf=(GroupStateTimeout.EventTimeTimeout
-                             if within_us is not None
+                             if use_timeout
                              else GroupStateTimeout.NoTimeout),
             )
         )

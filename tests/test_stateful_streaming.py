@@ -471,3 +471,64 @@ def test_streaming_funnel_no_reentry_after_completion(spark, tmp_path):
     rows = spark.sql("SELECT * FROM sfunnel3").collect()
     assert len(rows) == 3  # exactly one chain, no re-entry duplicates
     assert sorted(r.step for r in rows) == [1, 2, 3]
+
+
+def test_streaming_funnel_state_ttl_expires_abandoned_funnels(spark, tmp_path):
+    """VERDICT r5 item 8: without within_us, state_ttl_us reclaims
+    MID-funnel state via the event-time timeout once the watermark
+    passes anchor + TTL — the expired user restarts a FRESH chain
+    (step-1 row re-emitted), while a COMPLETED user's tombstone is
+    exempt and still blocks duplicate chains."""
+    from systems_spark.streaming import StreamingFunnel
+
+    src = str(tmp_path / "fsrc4")
+    os.makedirs(src)
+    base = 1_700_000_000
+    batches = [
+        # b1: u1 stalls mid-funnel at step 1; u2 completes
+        [(1, "view", base + 0, 1),
+         (2, "view", base + 0, 10), (2, "click", base + 1, 11),
+         (2, "purchase", base + 2, 12)],
+        # b2: unrelated u3 pushes the watermark far past u1's TTL
+        [(3, "view", base + 100, 20)],
+        # b3: no u1/u2 data -> u1's timed-out state is reclaimed here
+        [(3, "click", base + 101, 21)],
+        # b4: u1 full fresh chain (must emit steps 1,2,3 anew);
+        #     u2 second full chain (must emit NOTHING: tombstone)
+        [(1, "view", base + 110, 2), (1, "click", base + 111, 3),
+         (1, "purchase", base + 112, 4),
+         (2, "view", base + 110, 13), (2, "click", base + 111, 14),
+         (2, "purchase", base + 112, 15)],
+    ]
+    for i, rows in enumerate(batches):
+        p = f"{src}/f{i}.parquet"
+        _funnel_events(spark, rows).coalesce(1).write.mode("overwrite").parquet(p)
+        t = time.time() + i * 10
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+    stream = (spark.readStream.schema(FUNNEL_SCHEMA)
+              .option("maxFilesPerTrigger", "1").parquet(src + "/*"))
+    op = StreamingFunnel(("view", "click", "purchase"), ts_col="ts",
+                         watermark="1 second",
+                         state_ttl_us=10 * 1_000_000)
+    q = (op(stream).writeStream.outputMode("append").format("memory")
+         .queryName("sfunnel4").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.user_id, r.step, r.event_id)
+           for r in spark.sql("SELECT * FROM sfunnel4").collect()}
+    us = 1_000_000
+    assert got == {
+        (1, 1, 1),                       # b1 mid-funnel progress
+        (1, 1, 2), (1, 2, 3), (1, 3, 4),  # fresh chain after expiry
+        (2, 1, 10), (2, 2, 11), (2, 3, 12),  # completed once, only once
+        (3, 1, 20), (3, 2, 21),
+    }
+
+
+def test_streaming_funnel_ttl_validation(spark):
+    from systems_spark.streaming import StreamingFunnel
+
+    import pytest
+    with pytest.raises(ValueError):
+        StreamingFunnel(("view", "click"), state_ttl_us=0)
