@@ -3607,6 +3607,167 @@ FROM comp
 """
 
 
+_HLL_P = 8  # 256 registers, ~6.5% std error
+
+
+def q_hll_user_counts(spark, sf_dir):
+    """Portable HyperLogLog (functions/sketches.py): approximate
+    distinct users per event type from a MERGEABLE register table —
+    unlike approx_count_distinct, the registers are plain rows that
+    persist and merge across days/sources by max. ONE hash aggregation
+    shuffling (type, bucket, rank); at most 2^p rows per group survive
+    the map-side combine regardless of input size. The integer-scaled
+    harmonic sum makes even this ESTIMATOR bit-replayable in DuckDB."""
+    from systems_spark.functions.sketches import hll_distinct
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    return hll_distinct(ev, "user_id", ["event_type"], p=_HLL_P,
+                        out_col="approx_users")
+
+
+def _sql_hll_user_counts() -> str:
+    from systems_spark.functions.sketches import hll_distinct_sql
+
+    return hll_distinct_sql("SELECT event_type, user_id FROM events",
+                            "user_id", ["event_type"], p=_HLL_P,
+                            out_col="approx_users")
+
+
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over each user's event
+    stream: (from_type → to_type) counts and integer-micros row
+    probabilities — the next-event prior a sequential recommender
+    bootstraps from. One per-user lag window (many-small-groups safe),
+    then the transition table is |types|² rows — the probability window
+    runs on that tiny aggregate, not on events."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.expr("ts div 1000").alias("ts_us"), "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = (ev.withColumn("_prev", F.lag("event_type").over(w))
+           .where(F.col("_prev").isNotNull()))
+    counts = seq.groupBy(F.col("_prev").alias("from_type"),
+                         F.col("event_type").alias("to_type")) \
+                .agg(F.count(F.lit(1)).alias("n"))
+    wt = Window.partitionBy("from_type")
+    return (counts.withColumn("_tot", F.sum("n").over(wt))
+            .select("from_type", "to_type", "n",
+                    F.expr("CAST((n * 1000000) DIV _tot AS BIGINT)")
+                    .alias("prob_micros")))
+
+
+_SQL_EVENT_TRANSITIONS = """
+WITH seq AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS prev
+  FROM events
+),
+c AS (
+  SELECT prev AS from_type, event_type AS to_type, count(*) AS n
+  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       ((n * 1000000) // sum(n) OVER (PARTITION BY from_type))::BIGINT
+         AS prob_micros
+FROM c
+"""
+
+
+_ATTR_LOOKBACK_US = 7 * 24 * 3600 * 1_000_000
+
+
+def q_last_touch_attribution(spark, sf_dir):
+    """Last-touch attribution: each purchase event credited to the SAME
+    user's most recent preceding non-purchase event within a 7-day
+    lookback (NULL columns = organic purchase). One per-user window pass
+    (many-small-groups): a running last(ignorenulls) over the (ts, id)
+    total order carries the latest touch to every row; the lookback is
+    applied AFTER — if the latest touch is stale, no touch qualifies, so
+    the post-filter is exact. The oracle is the independent join-max
+    formulation (max touch struct within the window per purchase), so
+    two different algorithms must agree bit-for-bit."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.expr("ts div 1000").alias("ts_us"), "event_id")
+    w = (Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    touch = F.when(F.col("event_type") != "purchase",
+                   F.struct("ts_us", "event_id", "event_type"))
+    pur = (ev.withColumn("_lt", F.last(touch, ignorenulls=True).over(w))
+           .where(F.col("event_type") == "purchase"))
+    valid = F.when(
+        F.col("_lt").isNotNull()
+        & (F.col("_lt.ts_us") >= F.col("ts_us") - _ATTR_LOOKBACK_US),
+        F.col("_lt"))
+    return pur.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts_us").alias("purchase_ts_us"),
+        valid["event_id"].alias("touch_id"),
+        valid["event_type"].alias("touch_type"),
+        valid["ts_us"].alias("touch_ts_us"))
+
+
+_SQL_LAST_TOUCH = f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events
+),
+pur AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+touch AS (SELECT * FROM ev WHERE event_type <> 'purchase'),
+best AS (
+  SELECT p.event_id AS purchase_id,
+         max(struct_pack(t := t.ts_us, i := t.event_id,
+                         ty := t.event_type)) AS lt
+  FROM pur p JOIN touch t ON t.user_id = p.user_id
+   AND (t.ts_us, t.event_id) < (p.ts_us, p.event_id)
+   AND t.ts_us >= p.ts_us - {_ATTR_LOOKBACK_US}
+  GROUP BY 1
+)
+SELECT p.event_id AS purchase_id, p.user_id, p.ts_us AS purchase_ts_us,
+       (b.lt).i AS touch_id, (b.lt).ty AS touch_type, (b.lt).t AS touch_ts_us
+FROM pur p LEFT JOIN best b ON b.purchase_id = p.event_id
+"""
+
+
+_CTX_N = 10
+
+
+def q_next_item_examples(spark, sf_dir):
+    """Sliding-window training-example export — the SASRec/GRU4Rec
+    sample generator: for every event (the TARGET), the same user's ≤ N
+    immediately-preceding event ids, most recent first (the CONTEXT);
+    first events (empty context) are dropped. The ROWS frame bounds the
+    per-row window buffer at N structs — same bounded-state discipline
+    as user_sequences — and the per-user window is the many-small-groups
+    safe regime."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 1000").alias("ts_us"), "event_id")
+    w = (Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+         .rowsBetween(-_CTX_N, -1))
+    ex = ev.withColumn("_ctx", F.reverse(F.collect_list("event_id").over(w)))
+    return (ex.where(F.size("_ctx") > 0)
+            .select("user_id",
+                    F.col("event_id").alias("target_id"),
+                    F.col("ts_us").alias("target_ts_us"),
+                    F.col("_ctx").alias("context_ids"),
+                    F.size("_ctx").cast("long").alias("ctx_len")))
+
+
+_SQL_NEXT_ITEM_EXAMPLES = f"""
+WITH ex AS (
+  SELECT user_id, event_id AS target_id, epoch_us(ts) AS target_ts_us,
+         list_reverse(list(event_id) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+           ROWS BETWEEN {_CTX_N} PRECEDING AND 1 PRECEDING)) AS context_ids
+  FROM events
+)
+SELECT user_id, target_id, target_ts_us, context_ids,
+       len(context_ids)::BIGINT AS ctx_len
+FROM ex WHERE len(context_ids) > 0
+"""
+
+
 def _sql_winnow_overlap() -> str:
     from systems_spark.dedup.winnow import winnow_pairs_sql
 
@@ -3791,6 +3952,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sequences": q_user_sequences,
         # --- r6 additions (51+, locally oracle-checked) ---
         "winnow_families": q_winnow_families,
+        "hll_user_counts": q_hll_user_counts,
+        "event_transitions": q_event_transitions,
+        "last_touch_attribution": q_last_touch_attribution,
+        "next_item_examples": q_next_item_examples,
     }
 
 
@@ -3930,6 +4095,10 @@ def oracle_sql() -> dict[str, str]:
         "user_retention": _SQL_USER_RETENTION,
         "winnow_overlap": _sql_winnow_overlap(),
         "winnow_families": _sql_winnow_families(),
+        "hll_user_counts": _sql_hll_user_counts(),
+        "event_transitions": _SQL_EVENT_TRANSITIONS,
+        "last_touch_attribution": _SQL_LAST_TOUCH,
+        "next_item_examples": _SQL_NEXT_ITEM_EXAMPLES,
         "trailing_features": _SQL_TRAILING_FEATURES,
         "user_sequences": _SQL_USER_SEQUENCES,
     }

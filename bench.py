@@ -106,6 +106,10 @@ BENCH_QUERIES = [
     "user_sequences",
     # r6 additions
     "winnow_families",
+    "hll_user_counts",
+    "event_transitions",
+    "last_touch_attribution",
+    "next_item_examples",
 ]
 
 

@@ -1,0 +1,197 @@
+"""Portable mergeable sketches — HyperLogLog with a bit-exact SQL twin.
+
+Flajolet, Fusy, Gandouet, Meunier, "HyperLogLog: the analysis of a
+near-optimal cardinality estimation algorithm" (AofA 2007). Spark has
+``approx_count_distinct`` (a JVM HLL++), but its register state is
+opaque: it cannot be persisted as a table, merged across days/sources,
+or replayed by an independent engine. At 100 TB the profile you
+actually operate is INCREMENTAL — per-partition register tables that
+merge by ``max`` — so this module keeps the registers as plain rows:
+
+    registers:  (group..., bucket, register)   -- m = 2^p rows max per group
+    merge:      union → groupBy(group, bucket).agg(max(register))
+    estimate:   one map-side-combined aggregation over the registers
+
+Everything derives from the portable 60-bit md5 hash
+(functions/hashing.py), so the whole sketch — bucket assignment, rank
+(leading-zero count), register maxima, and the integer-scaled harmonic
+sum — is reproducible bit-for-bit in DuckDB. The estimator's harmonic
+sum is computed as an INTEGER (``sum(2^(R - register))`` with R the
+max rank; ≤ m·2^R ≤ 2^61, exact in int64 in both engines), so the only
+floating-point steps are one division and the small-range ``ln`` — both
+rounded before output, like every transcendental in this repo.
+
+100 TB shape: building registers is ONE hash aggregation shuffling
+(group, bucket, rank) rows — at most m per group survive the map-side
+combine, regardless of input rows; the estimate aggregates m rows per
+group. No distinct, no wide state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from systems_spark.functions.hashing import hash64, hash64_sql
+
+HASH_BITS = 60  # hash64 yields 15 hex chars = 60 bits
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _check_p(p: int) -> None:
+    if not 4 <= p <= 14:
+        raise ValueError("p must be in [4, 14]")
+
+
+def hll_registers(df: DataFrame, key_col: str, group_cols: "list[str]",
+                  p: int = 8) -> DataFrame:
+    """(group..., bucket, register): the HLL register table for the
+    distinct count of ``key_col`` per group. bucket = low ``p`` hash
+    bits; register = max over keys of the rank (leading-zero count + 1)
+    of the remaining ``60 - p`` bits. Only touched buckets appear
+    (absent bucket ≡ register 0)."""
+    _check_p(p)
+    m = 1 << p
+    w_bits = HASH_BITS - p
+    h = hash64(F.col(key_col))
+    bucket = (h % m).alias("bucket")
+    w = F.shiftright(h, p)
+    # rank: for w > 0, (w_bits - bit_length(w)) leading zeros + 1; the
+    # bit length of a positive int is the length of its base-2 string
+    # (conv() emits no leading zeros). w == 0 → all-zero suffix → rank
+    # w_bits + 1.
+    rank = F.when(w > 0, F.lit(w_bits + 1) - F.length(F.conv(w, 10, 2))) \
+            .otherwise(F.lit(w_bits + 1))
+    return (df.select(*group_cols, bucket, rank.alias("_rank"))
+            .groupBy(*group_cols, "bucket")
+            .agg(F.max("_rank").cast("long").alias("register")))
+
+
+def hll_registers_sql(source_sql: str, key_expr: str,
+                      group_exprs: "list[str]", p: int = 8) -> str:
+    """DuckDB twin of :func:`hll_registers`. ``group_exprs`` are
+    SELECT-able expressions (aliased columns ok)."""
+    _check_p(p)
+    m = 1 << p
+    w_bits = HASH_BITS - p
+    h = hash64_sql(key_expr)
+    gsel = ", ".join(group_exprs)
+    gby = ", ".join(str(i + 1) for i in range(len(group_exprs)))
+    return f"""
+SELECT {gsel}, ({h}) % {m} AS bucket,
+       max(CASE WHEN (({h}) >> {p}) > 0
+                THEN {w_bits + 1} - length(ltrim(bin(({h}) >> {p}), '0'))
+                ELSE {w_bits + 1} END)::BIGINT AS register
+FROM ({source_sql})
+GROUP BY {gby}, bucket
+"""
+
+
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Merge register tables (identical schemas): union → max per
+    (group..., bucket). The mergeability that makes the sketch usable
+    incrementally — per-day/per-source sketches combine without
+    touching raw data."""
+    if not register_tables:
+        raise ValueError("need at least one register table")
+    out = register_tables[0]
+    for t in register_tables[1:]:
+        out = out.unionByName(t)
+    keys = [c for c in out.columns if c != "register"]
+    return out.groupBy(*keys).agg(F.max("register").alias("register"))
+
+
+def hll_estimate(registers: DataFrame, group_cols: "list[str]",
+                 p: int = 8, out_col: str = "approx_distinct") -> DataFrame:
+    """Per-group HLL estimate from a register table.
+
+    Integer-scaled harmonic sum: with R = max rank = 60 - p + 1,
+    ``s_int = Σ_buckets 2^(R - register)`` (absent buckets contribute
+    2^R each) is EXACT in int64; raw estimate = α·m²·2^R / s_int is one
+    double division of exact integers. Small-range correction (raw ≤
+    2.5m with empty buckets): linear counting m·ln(m/zeros). No
+    large-range correction — the 60-bit hash space makes collision
+    correction irrelevant below ~2^55 distinct keys. Output rounded to
+    4 decimals (the repo's transcendental-output contract); the exact
+    integers (``n_buckets_used``, ``s_int``) are emitted alongside so
+    the oracle comparison is anchored on integers."""
+    _check_p(p)
+    m = 1 << p
+    r = HASH_BITS - p + 1
+    a_const = _alpha(m) * m * m * float(1 << r)  # exact: α·m²·2^R
+    used = F.count(F.lit(1))
+    # shiftleft's shift operand must be an expression, not a python int,
+    # so go through F.expr (the pyspark wrapper only accepts int)
+    s_present = F.sum(F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST({r} - register AS INT))"))
+    agg = registers.groupBy(*group_cols).agg(
+        used.cast("long").alias("n_buckets_used"),
+        s_present.cast("long").alias("_s_present"))
+    zeros = F.lit(m) - F.col("n_buckets_used")
+    s_int = (F.col("_s_present")
+             + zeros * F.lit(1 << r).cast("long")).alias("s_int")
+    withs = agg.select(*group_cols, "n_buckets_used", s_int)
+    raw = F.lit(a_const) / F.col("s_int").cast("double")
+    zeros2 = F.lit(m) - F.col("n_buckets_used")
+    est = F.when((raw <= 2.5 * m) & (zeros2 > 0),
+                 F.lit(float(m)) * F.log(F.lit(float(m)) /
+                                         zeros2.cast("double"))) \
+           .otherwise(raw)
+    return withs.select(*group_cols, "n_buckets_used", "s_int",
+                        F.round(est, 4).alias(out_col))
+
+
+def hll_estimate_sql(registers_sql: str, group_exprs: "list[str]",
+                     p: int = 8, out_col: str = "approx_distinct") -> str:
+    """DuckDB twin of :func:`hll_estimate` — ``registers_sql`` yields
+    (group..., bucket, register)."""
+    _check_p(p)
+    m = 1 << p
+    r = HASH_BITS - p + 1
+    a_const = _alpha(m) * m * m * float(1 << r)
+    gsel = ", ".join(group_exprs)
+    gby = ", ".join(str(i + 1) for i in range(len(group_exprs)))
+    return f"""
+WITH regs AS ({registers_sql}),
+agg AS (
+  SELECT {gsel}, count(*)::BIGINT AS n_buckets_used,
+         (sum((1::BIGINT << ({r} - register))::BIGINT)
+          + ({m} - count(*)) * (1::BIGINT << {r}))::BIGINT AS s_int
+  FROM regs GROUP BY {gby}
+)
+SELECT {gsel}, n_buckets_used, s_int,
+       round(CASE WHEN ({a_const!r} / s_int::DOUBLE) <= {2.5 * m}
+                   AND {m} - n_buckets_used > 0
+                  THEN {float(m)!r} * ln({float(m)!r} /
+                                         ({m} - n_buckets_used)::DOUBLE)
+                  ELSE {a_const!r} / s_int::DOUBLE END, 4)::DOUBLE
+         AS {out_col}
+FROM agg
+"""
+
+
+def hll_distinct(df: DataFrame, key_col: str, group_cols: "list[str]",
+                 p: int = 8, out_col: str = "approx_distinct") -> DataFrame:
+    """registers → estimate in one call (the non-incremental path)."""
+    return hll_estimate(hll_registers(df, key_col, group_cols, p),
+                        group_cols, p, out_col)
+
+
+def hll_distinct_sql(source_sql: str, key_expr: str,
+                     group_exprs: "list[str]", p: int = 8,
+                     out_col: str = "approx_distinct") -> str:
+    # the register CTE aliases group exprs to their output names, so the
+    # estimate layer selects them as plain identifiers
+    names = [e.split(" AS ")[-1].strip() for e in group_exprs]
+    return hll_estimate_sql(
+        hll_registers_sql(source_sql, key_expr, group_exprs, p),
+        names, p, out_col)
