@@ -3674,6 +3674,95 @@ FROM c
 """
 
 
+_CMS = dict(depth=4, width=4096)
+
+
+def q_cms_part_counts(spark, sf_dir):
+    """Count-Min sketch (functions/sketches.py): part-demand frequency
+    estimates from a d×w counter table vs the exact counts, for the
+    p_size=50 part slice. Demonstrates the one-sided bound (est ≥ exact,
+    tight at this width) and the mergeable-counter shape: the sketch is
+    ≤ d·w rows after the map-side combine NO MATTER how large lineitem
+    is, and lookups broadcast it — the heavy-hitter monitor you can
+    afford on a 100 TB fact table."""
+    from systems_spark.functions.sketches import cms_counters, cms_lookup
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    ctr = cms_counters(li, "l_partkey", **_CMS)
+    keys = (_t(spark, sf_dir, "part").where(F.col("p_size") == 50)
+            .select(F.col("p_partkey").alias("l_partkey")))
+    est = cms_lookup(ctr, keys, "l_partkey", **_CMS)
+    exact = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("exact_n"))
+    return (est.join(exact, on="l_partkey", how="left")
+            .select(F.col("l_partkey").alias("part_id"),
+                    F.coalesce(F.col("exact_n"), F.lit(0)).cast("long")
+                    .alias("exact_n"),
+                    "est_n"))
+
+
+def _sql_cms_part_counts() -> str:
+    from systems_spark.functions.sketches import (
+        cms_counters_sql,
+        cms_lookup_sql,
+    )
+
+    ctr = cms_counters_sql("SELECT l_partkey FROM lineitem", "l_partkey",
+                           **_CMS)
+    look = cms_lookup_sql(
+        ctr, "SELECT p_partkey AS l_partkey FROM part WHERE p_size = 50",
+        "l_partkey", **_CMS)
+    return f"""
+WITH est AS ({look}),
+exact AS (SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY 1)
+SELECT e.l_partkey AS part_id,
+       coalesce(x.n, 0)::BIGINT AS exact_n, e.est_n
+FROM est e LEFT JOIN exact x ON x.l_partkey = e.l_partkey
+"""
+
+
+_DAY_US = 24 * 3600 * 1_000_000
+
+
+def q_rfm_features(spark, sf_dir):
+    """RFM (recency / frequency / monetary) per purchasing user — the
+    classic CRM feature triple: days since last purchase (vs the corpus'
+    latest purchase), purchase count, exact decimal spend. One
+    user-keyed aggregation over the purchase slice + a 1-row broadcast
+    for the corpus anchor; decimal(18,6) sums because distributed
+    double addition is not associative."""
+    pur = (_t(spark, sf_dir, "events")
+           .where(F.col("event_type") == "purchase")
+           .select("user_id", F.expr("ts div 1000").alias("ts_us"),
+                   F.col("value").cast("decimal(18,6)").alias("v")))
+    anchor = pur.agg(F.max("ts_us").alias("_anchor"))
+    per_user = pur.groupBy("user_id").agg(
+        F.max("ts_us").alias("_last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum("v").alias("_spend"))
+    return (per_user.crossJoin(F.broadcast(anchor))
+            .select("user_id",
+                    F.expr(f"CAST((_anchor - _last) DIV {_DAY_US} AS BIGINT)")
+                    .alias("recency_days"),
+                    "frequency",
+                    F.round(F.col("_spend"), 4).cast("double")
+                    .alias("monetary")))
+
+
+_SQL_RFM_FEATURES = f"""
+WITH pur AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value::DECIMAL(18,6) AS v
+  FROM events WHERE event_type = 'purchase'
+),
+anchor AS (SELECT max(ts_us) AS a FROM pur)
+SELECT user_id,
+       ((anchor.a - max(ts_us)) // {_DAY_US})::BIGINT AS recency_days,
+       count(*)::BIGINT AS frequency,
+       round(sum(v), 4)::DOUBLE AS monetary
+FROM pur CROSS JOIN anchor
+GROUP BY user_id, anchor.a
+"""
+
+
 _ATTR_LOOKBACK_US = 7 * 24 * 3600 * 1_000_000
 
 
@@ -3956,6 +4045,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "last_touch_attribution": q_last_touch_attribution,
         "next_item_examples": q_next_item_examples,
+        "cms_part_counts": q_cms_part_counts,
+        "rfm_features": q_rfm_features,
     }
 
 
@@ -4099,6 +4190,8 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": _SQL_EVENT_TRANSITIONS,
         "last_touch_attribution": _SQL_LAST_TOUCH,
         "next_item_examples": _SQL_NEXT_ITEM_EXAMPLES,
+        "cms_part_counts": _sql_cms_part_counts(),
+        "rfm_features": _SQL_RFM_FEATURES,
         "trailing_features": _SQL_TRAILING_FEATURES,
         "user_sequences": _SQL_USER_SEQUENCES,
     }

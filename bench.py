@@ -110,6 +110,8 @@ BENCH_QUERIES = [
     "event_transitions",
     "last_touch_attribution",
     "next_item_examples",
+    "cms_part_counts",
+    "rfm_features",
 ]
 
 

@@ -186,6 +186,113 @@ def hll_distinct(df: DataFrame, key_col: str, group_cols: "list[str]",
                         group_cols, p, out_col)
 
 
+# --- Count-Min sketch ----------------------------------------------------
+# Cormode & Muthukrishnan, "An improved data stream summary: the
+# count-min sketch and its applications" (J. Algorithms 2005). The
+# frequency twin of HLL: d×w integer counters answer "how often did key
+# k appear" with one-sided error (NEVER an underestimate; overestimate
+# ≤ 2N/w with prob ≥ 1 − 2^−d). Counters are plain rows that merge by
+# SUM — per-day sketches combine without raw data, like HLL registers.
+# Row hashes are the salted portable md5 hash, so counters and lookups
+# replay bit-for-bit in DuckDB.
+
+
+def _check_cms(depth: int, width: int) -> None:
+    if not 1 <= depth <= 8:
+        raise ValueError("depth must be in [1, 8]")
+    if width < 2 or width & (width - 1):
+        raise ValueError("width must be a power of two >= 2")
+
+
+def _cms_bucket(key, row: int, width: int):
+    return hash64(F.concat(F.lit(f"cms{row}:"), key.cast("string"))) % width
+
+
+def _cms_bucket_sql(key_expr: str, row: int, width: int) -> str:
+    salted = f"'cms{row}:' || CAST({key_expr} AS VARCHAR)"
+    return f"({hash64_sql(salted)}) % {width}"
+
+
+def cms_counters(df: DataFrame, key_col: str, depth: int = 4,
+                 width: int = 4096) -> DataFrame:
+    """(row, bucket, n): the d×w counter table for the frequency of
+    ``key_col`` values. ONE aggregation shuffling ≤ d·w rows after the
+    map-side combine, regardless of input size. Merge sketches by
+    union → groupBy(row, bucket).sum(n)."""
+    _check_cms(depth, width)
+    key = F.col(key_col)
+    pairs = df.select(F.posexplode(F.array(*[
+        _cms_bucket(key, r, width) for r in range(depth)
+    ])).alias("row", "bucket"))
+    return (pairs.groupBy("row", "bucket")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def cms_counters_sql(source_sql: str, key_expr: str, depth: int = 4,
+                     width: int = 4096) -> str:
+    """DuckDB twin of :func:`cms_counters`."""
+    _check_cms(depth, width)
+    rows = " UNION ALL ".join(
+        f"SELECT {r} AS row, {_cms_bucket_sql(key_expr, r, width)}"
+        f" AS bucket FROM src"
+        for r in range(depth))
+    return f"""
+WITH src AS ({source_sql}),
+pairs AS ({rows})
+SELECT row, bucket, count(*)::BIGINT AS n
+FROM pairs GROUP BY 1, 2
+"""
+
+
+def cms_merge(*counter_tables: DataFrame) -> DataFrame:
+    """Merge counter tables: union → sum per (row, bucket)."""
+    if not counter_tables:
+        raise ValueError("need at least one counter table")
+    out = counter_tables[0]
+    for t in counter_tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("row", "bucket").agg(F.sum("n").alias("n"))
+
+
+def cms_lookup(counters: DataFrame, keys: DataFrame, key_col: str,
+               depth: int = 4, width: int = 4096,
+               out_col: str = "est_n") -> DataFrame:
+    """Estimated frequency for every row of ``keys``: min over the d
+    rows of the counter each key hashes to (absent counter ≡ 0). The
+    counter table is ≤ d·w rows, so it broadcasts; keys never
+    shuffle."""
+    _check_cms(depth, width)
+    key = F.col(key_col)
+    probes = keys.select(key_col, F.posexplode(F.array(*[
+        _cms_bucket(key, r, width) for r in range(depth)
+    ])).alias("row", "bucket"))
+    joined = probes.join(F.broadcast(counters), on=["row", "bucket"],
+                         how="left")
+    return (joined.groupBy(key_col)
+            .agg(F.min(F.coalesce(F.col("n"), F.lit(0)))
+                 .cast("long").alias(out_col)))
+
+
+def cms_lookup_sql(counters_sql: str, keys_sql: str, key_col: str,
+                   depth: int = 4, width: int = 4096,
+                   out_col: str = "est_n") -> str:
+    """DuckDB twin of :func:`cms_lookup` — ``keys_sql`` yields
+    (``key_col``)."""
+    _check_cms(depth, width)
+    probes = " UNION ALL ".join(
+        f"SELECT {key_col}, {r} AS row, "
+        f"{_cms_bucket_sql(key_col, r, width)} AS bucket FROM keys"
+        for r in range(depth))
+    return f"""
+WITH counters AS ({counters_sql}),
+keys AS ({keys_sql}),
+probes AS ({probes})
+SELECT p.{key_col}, min(coalesce(c.n, 0))::BIGINT AS {out_col}
+FROM probes p LEFT JOIN counters c ON c.row = p.row AND c.bucket = p.bucket
+GROUP BY 1
+"""
+
+
 def hll_distinct_sql(source_sql: str, key_expr: str,
                      group_exprs: "list[str]", p: int = 8,
                      out_col: str = "approx_distinct") -> str:

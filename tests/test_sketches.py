@@ -91,3 +91,84 @@ def test_p_validation(spark):
         hll_registers(_df(spark, [("a", 1)]), "key", ["grp"], p=3)
     with pytest.raises(ValueError):
         hll_distinct_sql("SELECT 1", "key", ["grp"], p=15)
+
+
+# --- Count-Min sketch ----------------------------------------------------
+
+from systems_spark.functions.sketches import (  # noqa: E402
+    cms_counters,
+    cms_counters_sql,
+    cms_lookup,
+    cms_lookup_sql,
+    cms_merge,
+)
+
+
+def _keys(spark, ids):
+    return spark.createDataFrame([(k,) for k in ids], "key long")
+
+
+def test_cms_never_underestimates_and_is_tight_when_wide(spark):
+    """One-sided error: est >= exact for every key; with width >> keys,
+    collisions are rare and most estimates are exact."""
+    import collections
+
+    rows = [("x", k % 50) for k in range(500)]  # key k appears 10 times
+    exact = collections.Counter(k for _, k in rows)
+    df = _df(spark, rows)
+    ctr = cms_counters(df, "key", depth=4, width=4096)
+    est = {r.key: r.est_n for r in cms_lookup(
+        ctr, _keys(spark, range(50)), "key", depth=4, width=4096).collect()}
+    assert all(est[k] >= exact[k] for k in exact)
+    assert sum(est[k] == exact[k] for k in exact) >= 45  # mostly exact
+
+
+def test_cms_merge_equals_whole(spark):
+    rows = [("x", k % 20) for k in range(200)]
+    half1, half2 = rows[:100], rows[100:]
+    whole = cms_counters(_df(spark, rows), "key", depth=3, width=256)
+    merged = cms_merge(
+        cms_counters(_df(spark, half1), "key", depth=3, width=256),
+        cms_counters(_df(spark, half2), "key", depth=3, width=256))
+    k = _keys(spark, range(20))
+    a = {r.key: r.est_n for r in cms_lookup(
+        whole, k, "key", depth=3, width=256).collect()}
+    b = {r.key: r.est_n for r in cms_lookup(
+        merged, k, "key", depth=3, width=256).collect()}
+    assert a == b
+
+
+def test_cms_absent_key_estimates_small(spark):
+    rows = [("x", k % 10) for k in range(100)]
+    ctr = cms_counters(_df(spark, rows), "key", depth=4, width=4096)
+    est = {r.key: r.est_n for r in cms_lookup(
+        ctr, _keys(spark, [999_999]), "key", depth=4, width=4096).collect()}
+    assert est[999_999] == 0  # wide sketch, no collisions
+
+
+def test_cms_matches_duckdb_bit_for_bit(spark):
+    import duckdb
+
+    rows = [("x", k % 17) for k in range(300)]
+    ctr = cms_counters(_df(spark, rows), "key", depth=4, width=512)
+    got = sorted(
+        (r.key, r.est_n) for r in cms_lookup(
+            ctr, _keys(spark, range(25)), "key",
+            depth=4, width=512).collect())
+    vals = ",".join(f"({k})" for _, k in rows)
+    kvals = ",".join(f"({k})" for k in range(25))
+    csql = cms_counters_sql(
+        f"SELECT * FROM (VALUES {vals}) t(key)", "key", depth=4, width=512)
+    want = sorted(map(tuple, duckdb.connect().execute(cms_lookup_sql(
+        csql, f"SELECT * FROM (VALUES {kvals}) t(key)", "key",
+        depth=4, width=512)).fetchall()))
+    assert got == want
+
+
+def test_cms_validation(spark):
+    with pytest.raises(ValueError):
+        cms_counters(_df(spark, [("a", 1)]), "key", depth=0)
+    with pytest.raises(ValueError):
+        cms_counters(_df(spark, [("a", 1)]), "key", width=1000)  # not 2^k
+    with pytest.raises(ValueError):
+        cms_lookup_sql("SELECT 1", "SELECT 1", "key", depth=9)
