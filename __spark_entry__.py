@@ -1542,6 +1542,23 @@ GROUP BY pred_lang
 """
 
 
+def _stream_link_dir(sf_dir: str, table: str = "events") -> str:
+    """FileStreamSource requires a DIRECTORY source; the testdata table
+    is a single file. Stream from a tmp dir holding a symlink to it —
+    no data copied, idempotent per sf_dir."""
+    import hashlib
+
+    link_dir = os.path.join(
+        "/tmp", "systems_spark_stream",
+        hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
+    )
+    os.makedirs(link_dir, exist_ok=True)
+    link = os.path.join(link_dir, f"{table}.parquet")
+    if not os.path.islink(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/{table}.parquet"), link)
+    return link_dir
+
+
 def q_streaming_hourly(spark, sf_dir):
     """The streaming runtime made driver-gradeable: events replayed as a
     bounded file stream (availableNow trigger), watermarked event-time
@@ -1554,7 +1571,6 @@ def q_streaming_hourly(spark, sf_dir):
     The event-time cast is built under a pinned-UTC session timezone
     (restored immediately — analysis bakes the zone into the plan), the
     same naive-UTC reading the loader contract and DuckDB's epoch_us use."""
-    import hashlib
     import uuid
 
     from systems_spark.sources import read_parquet
@@ -1562,18 +1578,8 @@ def q_streaming_hourly(spark, sf_dir):
 
     path = f"{sf_dir}/events.parquet"
     raw_schema = read_parquet(spark, path).schema
-    # FileStreamSource requires a DIRECTORY source; the testdata table is a
-    # single file. Stream from a tmp dir holding a symlink to it — no data
-    # copied, idempotent per sf_dir.
-    link_dir = os.path.join(
-        "/tmp", "systems_spark_stream",
-        hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
-    )
-    os.makedirs(link_dir, exist_ok=True)
-    link = os.path.join(link_dir, "events.parquet")
-    if not os.path.islink(link):
-        os.symlink(os.path.abspath(path), link)
-    stream = spark.readStream.schema(raw_schema).parquet(link_dir)
+    stream = spark.readStream.schema(raw_schema).parquet(
+        _stream_link_dir(sf_dir))
     conf = spark.conf
     prev_tz = conf.get("spark.sql.session.timeZone")
     conf.set("spark.sql.session.timeZone", "UTC")
@@ -1793,22 +1799,14 @@ def q_streaming_sessions(spark, sf_dir):
 
     value is summed as decimal(18,6) so the aggregate is order-independent
     and hash-exact vs DuckDB (double addition is not associative)."""
-    import hashlib
     import uuid
 
     from systems_spark.sources import read_parquet
 
     path = f"{sf_dir}/events.parquet"
     raw_schema = read_parquet(spark, path).schema
-    link_dir = os.path.join(
-        "/tmp", "systems_spark_stream",
-        hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
-    )
-    os.makedirs(link_dir, exist_ok=True)
-    link = os.path.join(link_dir, "events.parquet")
-    if not os.path.islink(link):
-        os.symlink(os.path.abspath(path), link)
-    stream = spark.readStream.schema(raw_schema).parquet(link_dir)
+    stream = spark.readStream.schema(raw_schema).parquet(
+        _stream_link_dir(sf_dir))
     conf = spark.conf
     prev_tz = conf.get("spark.sql.session.timeZone")
     conf.set("spark.sql.session.timeZone", "UTC")
@@ -3633,6 +3631,36 @@ def _sql_hll_user_counts() -> str:
                             out_col="approx_users")
 
 
+def q_streaming_hll_users(spark, sf_dir):
+    """The sketch family meets the streaming runtime: HLL registers for
+    distinct users per event type maintained INCREMENTALLY by a real
+    StreamingQuery (streaming/streaming_hll_registers — register state
+    only grows by max, so the state store holds ≤ 2^p longs per group
+    with no watermark needed and replays fold in idempotently); the
+    drained register table feeds the SAME batch estimator, and the
+    result hashes against the SAME DuckDB oracle as the batch lane
+    (hll_user_counts) — one sketch, two runtimes, one oracle."""
+    import uuid
+
+    from systems_spark.functions.sketches import hll_estimate
+    from systems_spark.sources import read_parquet
+    from systems_spark.streaming import streaming_hll_registers
+
+    link_dir = _stream_link_dir(sf_dir)
+    raw_schema = read_parquet(spark, f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(raw_schema).parquet(link_dir)
+    regs = streaming_hll_registers(stream, "user_id", ["event_type"],
+                                   p=_HLL_P)
+    name = "stream_hll_" + uuid.uuid4().hex[:12]
+    q = (regs.writeStream.outputMode("complete").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming_hll_users did not finish within 300s")
+    return hll_estimate(spark.table(name), ["event_type"], p=_HLL_P,
+                        out_col="approx_users")
+
+
 def q_event_transitions(spark, sf_dir):
     """First-order Markov transition matrix over each user's event
     stream: (from_type → to_type) counts and integer-micros row
@@ -4047,6 +4075,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "next_item_examples": q_next_item_examples,
         "cms_part_counts": q_cms_part_counts,
         "rfm_features": q_rfm_features,
+        # sixth real StreamingQuery; same oracle as the batch hll lane
+        "streaming_hll_users": q_streaming_hll_users,
     }
 
 
@@ -4192,6 +4222,7 @@ def oracle_sql() -> dict[str, str]:
         "next_item_examples": _SQL_NEXT_ITEM_EXAMPLES,
         "cms_part_counts": _sql_cms_part_counts(),
         "rfm_features": _SQL_RFM_FEATURES,
+        "streaming_hll_users": _sql_hll_user_counts(),
         "trailing_features": _SQL_TRAILING_FEATURES,
         "user_sequences": _SQL_USER_SEQUENCES,
     }

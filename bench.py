@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "next_item_examples",
     "cms_part_counts",
     "rfm_features",
+    "streaming_hll_users",
 ]
 
 

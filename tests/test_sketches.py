@@ -165,6 +165,50 @@ def test_cms_matches_duckdb_bit_for_bit(spark):
     assert got == want
 
 
+def test_streaming_hll_registers_match_batch(spark, tmp_path):
+    """Incremental register maintenance: a two-batch drain produces the
+    SAME register table as the batch builder over all events, and the
+    same estimate — one sketch, two runtimes. Re-delivering batch 1's
+    keys in batch 2 (at-least-once replay) must not change anything
+    (max is idempotent)."""
+    import os as _os
+    import time as _time
+
+    from systems_spark.functions.sketches import hll_estimate
+    from systems_spark.streaming import streaming_hll_registers
+
+    rows = [("a", k) for k in range(300)] + [("b", k) for k in range(40)]
+    b1 = rows[:170]
+    b2 = rows[170:] + rows[:30]  # replayed duplicates
+    src = str(tmp_path / "hllsrc")
+    _os.makedirs(src)
+    for i, batch in enumerate([b1, b2]):
+        p = f"{src}/b{i}.parquet"
+        _df(spark, batch).coalesce(1).write.mode("overwrite").parquet(p)
+        t = _time.time() + i * 10
+        for root, _, files in _os.walk(p):
+            for f in files:
+                _os.utime(_os.path.join(root, f), (t, t))
+    stream = (spark.readStream.schema("grp string, key long")
+              .option("maxFilesPerTrigger", "1").parquet(src + "/*"))
+    q = (streaming_hll_registers(stream, "key", ["grp"], p=8)
+         .writeStream.outputMode("complete").format("memory")
+         .queryName("hllregs").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.grp, r.bucket): r.register
+           for r in spark.sql("SELECT * FROM hllregs").collect()}
+    want = {(r.grp, r.bucket): r.register
+            for r in hll_registers(_df(spark, rows), "key",
+                                   ["grp"], p=8).collect()}
+    assert got == want
+    est_s = {r.grp: r.approx_distinct for r in hll_estimate(
+        spark.sql("SELECT * FROM hllregs"), ["grp"], p=8).collect()}
+    est_b = {r.grp: r.approx_distinct for r in hll_estimate(
+        hll_registers(_df(spark, rows), "key", ["grp"], p=8),
+        ["grp"], p=8).collect()}
+    assert est_s == est_b
+
+
 def test_cms_validation(spark):
     with pytest.raises(ValueError):
         cms_counters(_df(spark, [("a", 1)]), "key", depth=0)
