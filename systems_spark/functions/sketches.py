@@ -52,17 +52,19 @@ def _check_p(p: int) -> None:
         raise ValueError("p must be in [4, 14]")
 
 
-def hll_bucket_rank(key_col: str, p: int = 8):
-    """(bucket, rank) column pair for one key — the per-row kernel both
-    the batch builder and the streaming register maintainer share.
-    bucket = low ``p`` hash bits; rank = leading-zero count of the
-    remaining ``60 - p`` bits + 1."""
+def hll_bucket_rank(hash_col, p: int = 8):
+    """(bucket, rank) column pair from a MATERIALIZED hash64 column —
+    the per-row kernel the batch builder and the streaming register
+    maintainer share. bucket = low ``p`` hash bits; rank = leading-zero
+    count of the remaining ``60 - p`` bits + 1. Must receive a real
+    column reference (fence the hash first): bucket and rank together
+    reference it 4×, and ProjectCollapsing would re-inline the md5 into
+    each (the functions/fence.py discipline — review r6)."""
     _check_p(p)
     m = 1 << p
     w_bits = HASH_BITS - p
-    h = hash64(F.col(key_col))
-    bucket = h % m
-    w = F.shiftright(h, p)
+    bucket = hash_col % m
+    w = F.shiftright(hash_col, p)
     # rank: for w > 0, (w_bits - bit_length(w)) leading zeros + 1; the
     # bit length of a positive int is the length of its base-2 string
     # (conv() emits no leading zeros). w == 0 → all-zero suffix → rank
@@ -76,10 +78,15 @@ def hll_registers(df: DataFrame, key_col: str, group_cols: "list[str]",
                   p: int = 8) -> DataFrame:
     """(group..., bucket, register): the HLL register table for the
     distinct count of ``key_col`` per group. Only touched buckets appear
-    (absent bucket ≡ register 0)."""
-    bucket, rank = hll_bucket_rank(key_col, p)
-    return (df.select(*group_cols, bucket.alias("bucket"),
-                      rank.alias("_rank"))
+    (absent bucket ≡ register 0). Works on batch AND streaming frames
+    (the fence's Generate and the aggregation are both stream-safe)."""
+    from systems_spark.functions.fence import fence_columns
+
+    hashed = fence_columns(df.select(*group_cols, key_col),
+                           _hh=hash64(F.col(key_col)))
+    bucket, rank = hll_bucket_rank(F.col("_hh"), p)
+    return (hashed.select(*group_cols, bucket.alias("bucket"),
+                          rank.alias("_rank"))
             .groupBy(*group_cols, "bucket")
             .agg(F.max("_rank").cast("long").alias("register")))
 
@@ -246,25 +253,34 @@ def _cms_h12_sql(src: str, key_expr: str, extra_cols: str = "") -> str:
     return _CMS_H12_SQL.format(cols=extra_cols, h=h, src=src)
 
 
-def cms_counters(df: DataFrame, key_col: str, depth: int = 4,
-                 width: int = 4096) -> DataFrame:
-    """(row, bucket, n): the d×w counter table for the frequency of
-    ``key_col`` values. ONE aggregation shuffling ≤ d·w rows after the
-    map-side combine, regardless of input size. Merge sketches by
-    union → groupBy(row, bucket).sum(n). (h1, h2) are FENCED so
-    ProjectCollapsing cannot re-inline the md5 into every probe expr —
-    that would silently restore the d-md5 cost this hashing scheme
-    removes (the functions/fence.py discipline)."""
+def _cms_probes(df: DataFrame, key_col: str, depth: int, width: int,
+                keep_key: bool) -> DataFrame:
+    """The shared (row, bucket) probe stream the counter build AND the
+    lookup derive from — ONE fenced md5 per key, d derived probes; a
+    single definition so build and lookup can never probe different
+    buckets (review r6). The hash is FENCED so ProjectCollapsing cannot
+    re-inline the md5 into every probe expr — that would silently
+    restore the d-md5 cost the double hashing removes."""
     from systems_spark.functions.fence import fence_columns
 
     _check_cms(depth, width)
     hashed = fence_columns(df.select(key_col),
                            _ch=_cms_hash(F.col(key_col)))
     h1, h2 = _cms_h12_from(F.col("_ch"))
-    pairs = hashed.select(F.posexplode(F.array(*[
+    lead = [key_col] if keep_key else []
+    return hashed.select(*lead, F.posexplode(F.array(*[
         (h1 + r * h2) % width for r in range(depth)
     ])).alias("row", "bucket"))
-    return (pairs.groupBy("row", "bucket")
+
+
+def cms_counters(df: DataFrame, key_col: str, depth: int = 4,
+                 width: int = 4096) -> DataFrame:
+    """(row, bucket, n): the d×w counter table for the frequency of
+    ``key_col`` values. ONE aggregation shuffling ≤ d·w rows after the
+    map-side combine, regardless of input size. Merge sketches by
+    union → groupBy(row, bucket).sum(n)."""
+    return (_cms_probes(df, key_col, depth, width, keep_key=False)
+            .groupBy("row", "bucket")
             .agg(F.count(F.lit(1)).alias("n")))
 
 
@@ -302,15 +318,7 @@ def cms_lookup(counters: DataFrame, keys: DataFrame, key_col: str,
     rows of the counter each key hashes to (absent counter ≡ 0). The
     counter table is ≤ d·w rows, so it broadcasts; keys never
     shuffle."""
-    from systems_spark.functions.fence import fence_columns
-
-    _check_cms(depth, width)
-    hashed = fence_columns(keys.select(key_col),
-                           _ch=_cms_hash(F.col(key_col)))
-    h1, h2 = _cms_h12_from(F.col("_ch"))
-    probes = hashed.select(key_col, F.posexplode(F.array(*[
-        (h1 + r * h2) % width for r in range(depth)
-    ])).alias("row", "bucket"))
+    probes = _cms_probes(keys, key_col, depth, width, keep_key=True)
     joined = probes.join(F.broadcast(counters), on=["row", "bucket"],
                          how="left")
     return (joined.groupBy(key_col)
@@ -342,9 +350,20 @@ GROUP BY 1
 def hll_distinct_sql(source_sql: str, key_expr: str,
                      group_exprs: "list[str]", p: int = 8,
                      out_col: str = "approx_distinct") -> str:
+    import re as _re
+
     # the register CTE aliases group exprs to their output names, so the
-    # estimate layer selects them as plain identifiers
-    names = [e.split(" AS ")[-1].strip() for e in group_exprs]
+    # estimate layer selects them as plain identifiers; alias matching is
+    # case-insensitive, and a non-identifier expression WITHOUT an alias
+    # raises here rather than emitting broken SQL (review r6)
+    names = []
+    for e in group_exprs:
+        parts = _re.split(r"\s+as\s+", e, flags=_re.IGNORECASE)
+        name = parts[-1].strip()
+        if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(
+                f"group expression {e!r} needs an 'AS <identifier>' alias")
+        names.append(name)
     return hll_estimate_sql(
         hll_registers_sql(source_sql, key_expr, group_exprs, p),
         names, p, out_col)

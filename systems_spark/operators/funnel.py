@@ -125,12 +125,31 @@ def _funnel_exists(events: DataFrame, steps: Sequence[str], user_col: str,
     valid chains: any valid chain's predecessor has been recorded into
     ``last`` by the time the final event is scanned)."""
     import pandas as pd
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
 
     n_steps = len(steps)
-    step_idx = {s: i for i, s in enumerate(steps)}
     steps_t = tuple(steps)
-    out_schema = (f"{user_col} long, step long, step_name string, "
-                  f"{ts_col} long, {id_col} long")
+    # positions per type, DESCENDING: an event whose type appears at
+    # consecutive positions (e.g. ("view","click","click")) must not
+    # chain with ITSELF — updating last[s] only after the higher
+    # positions were tried keeps every chain strictly increasing
+    positions = {}
+    for i, s in enumerate(steps_t):
+        positions.setdefault(s, []).insert(0, i)
+    # the user column keeps its input type (greedy mode preserves it
+    # too; hardcoding long broke string/uuid user ids — review r6)
+    out_schema = StructType([
+        StructField(user_col, events.schema[user_col].dataType),
+        StructField("step", LongType()),
+        StructField("step_name", StringType()),
+        StructField(ts_col, LongType()),
+        StructField(id_col, LongType()),
+    ])
 
     def per_user(pdf: "pd.DataFrame") -> "pd.DataFrame":
         u = pdf[user_col].iloc[0]
@@ -140,19 +159,17 @@ def _funnel_exists(events: DataFrame, steps: Sequence[str], user_col: str,
         for t, i, typ in zip(sub[ts_col].to_numpy(),
                              sub[id_col].to_numpy(),
                              sub[type_col].to_numpy()):
-            s = step_idx.get(typ)
-            if s is None:
-                continue
-            if s > 0:
-                p = last[s - 1]
-                if p is None or (t, i) <= p:
-                    continue
-                if within_us is not None and t > p[0] + within_us:
-                    continue
-            last[s] = (int(t), int(i))
-            if first[s] is None:
-                first[s] = (int(t), int(i))
-        rows = [(int(u), s + 1, steps_t[s], first[s][0], first[s][1])
+            for s in positions.get(typ, ()):
+                if s > 0:
+                    p = last[s - 1]
+                    if p is None or (t, i) <= p:
+                        continue
+                    if within_us is not None and t > p[0] + within_us:
+                        continue
+                last[s] = (int(t), int(i))
+                if first[s] is None:
+                    first[s] = (int(t), int(i))
+        rows = [(u, s + 1, steps_t[s], first[s][0], first[s][1])
                 for s in range(n_steps) if first[s] is not None]
         return pd.DataFrame(
             rows, columns=[user_col, "step", "step_name", ts_col, id_col])

@@ -144,13 +144,11 @@ def streaming_hll_registers(stream_df: DataFrame, key_col: str, group_cols,
     ``hll_merge`` (functions/sketches.py) as the batch path — one
     sketch, two runtimes. Emit with ``outputMode('update')`` (changed
     registers per batch) or ``'complete'`` (full table)."""
-    from systems_spark.functions.sketches import hll_bucket_rank
+    from systems_spark.functions.sketches import hll_registers
 
     group_cols = ([group_cols] if isinstance(group_cols, str)
                   else list(group_cols))
-    bucket, rank = hll_bucket_rank(key_col, p)
-    return (stream_df
-            .select(*group_cols, bucket.alias("bucket"),
-                    rank.alias("_rank"))
-            .groupBy(*group_cols, "bucket")
-            .agg(F.max("_rank").cast("long").alias("register")))
+    # the batch builder is pure DataFrame ops (fence Generate +
+    # aggregation, both stream-safe) — delegate rather than duplicate,
+    # so the bit-for-bit streaming/batch parity can never drift
+    return hll_registers(stream_df, key_col, group_cols, p)

@@ -294,11 +294,19 @@ class StreamingFunnel:
                 if 0 < cur < n_steps:
                     # mid-funnel only: window expiry means no event can
                     # ever advance this anchor; the idle TTL bounds
-                    # abandoned funnels. Earliest deadline arms.
+                    # abandoned funnels. Earliest deadline arms — clamped
+                    # ABOVE the current watermark: when a non-advancing
+                    # event arrives after the anchor's deadline already
+                    # passed, re-arming with the stale timestamp would
+                    # raise INVALID_TIMEOUT_TIMESTAMP and kill the query
+                    # (review r6); clamping fires the timeout in the
+                    # next batch instead.
                     deadlines = [a_t + d for d in (within_us, state_ttl_us)
                                  if d is not None]
                     if deadlines:
-                        state.setTimeoutTimestamp(min(deadlines) // 1000 + 1)
+                        ts_ms = min(deadlines) // 1000 + 1
+                        wm_ms = state.getCurrentWatermarkMs()
+                        state.setTimeoutTimestamp(max(ts_ms, wm_ms + 1))
             yield pd.DataFrame(out, columns=cols)
 
         key_type = stream_df.schema[self.user_col].dataType

@@ -245,6 +245,33 @@ def test_exists_equals_greedy_when_unwindowed(spark, evs):
     assert g == e
 
 
+def test_exists_with_repeated_step_types(spark):
+    """Review r6: a funnel with the SAME type at consecutive steps
+    (view → click → click) must chain two DISTINCT click events, never
+    one click with itself."""
+    rows = [(1, "view", 0, 1), (1, "click", 1, 2), (1, "click", 2, 3),
+            (2, "view", 0, 4), (2, "click", 1, 5)]  # only ONE click
+    got = {(r.user_id, r.step, r.event_id) for r in funnel(
+        _ev(spark, rows), ("view", "click", "click"),
+        mode="exists").collect()}
+    assert got == {(1, 1, 1), (1, 2, 2), (1, 3, 3),
+                   (2, 1, 4), (2, 2, 5)}
+    # and it still agrees with greedy when unwindowed
+    greedy = {(r.user_id, r.step, r.event_id) for r in funnel(
+        _ev(spark, rows), ("view", "click", "click")).collect()}
+    assert got == greedy
+
+
+def test_exists_preserves_user_column_type(spark):
+    """Review r6: exists mode must not assume a long user column."""
+    rows = [("u-1", "view", 0, 1), ("u-1", "click", 5, 2)]
+    ev = spark.createDataFrame(
+        rows, "user_id string, event_type string, ts_us long, event_id long")
+    got = {(r.user_id, r.step) for r in funnel(
+        ev, ("view", "click"), mode="exists").collect()}
+    assert got == {("u-1", 1), ("u-1", 2)}
+
+
 def test_mode_validation_and_sql_escaping(spark):
     import duckdb
 

@@ -93,6 +93,30 @@ def test_p_validation(spark):
         hll_distinct_sql("SELECT 1", "key", ["grp"], p=15)
 
 
+def test_sql_group_alias_handling(spark):
+    """Review r6: lowercase 'as' aliases resolve; an unaliased
+    non-identifier expression raises instead of emitting broken SQL."""
+    import duckdb
+
+    rows = [("aa", k) for k in range(40)] + [("ab", k) for k in range(5)]
+    vals = ",".join(f"('{g}', {k})" for g, k in rows)
+    got = duckdb.connect().execute(hll_distinct_sql(
+        f"SELECT * FROM (VALUES {vals}) t(grp, key)", "key",
+        ["substr(grp, 1, 1) as g1"], p=8)).fetchall()
+    assert len(got) == 1 and got[0][0] == "a"
+    with pytest.raises(ValueError):
+        hll_distinct_sql("SELECT 1", "key", ["substr(grp, 1, 1)"])
+
+
+def test_hll_plan_has_single_md5(spark):
+    """Review r6: bucket+rank reference the hash 4x — the fence must
+    keep the md5 to ONE evaluation per row (same discipline as CMS)."""
+    plan = hll_registers(
+        _df(spark, [("a", 1)]), "key", ["grp"], p=8) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("md5") == 1
+
+
 # --- Count-Min sketch ----------------------------------------------------
 
 from systems_spark.functions.sketches import (  # noqa: E402

@@ -526,6 +526,47 @@ def test_streaming_funnel_state_ttl_expires_abandoned_funnels(spark, tmp_path):
     }
 
 
+def test_streaming_funnel_stale_rearm_does_not_kill_query(spark, tmp_path):
+    """Review r6: a NON-advancing event arriving after the user's TTL
+    deadline already passed the watermark used to re-arm the timeout
+    with a stale timestamp — INVALID_TIMEOUT_TIMESTAMP, dead query. The
+    clamp re-arms just above the watermark instead; the state then
+    expires in the next data-less batch and the user restarts fresh."""
+    from systems_spark.streaming import StreamingFunnel
+
+    src = str(tmp_path / "fsrc5")
+    os.makedirs(src)
+    base = 1_700_000_000
+    batches = [
+        [(1, "view", base + 0, 1)],             # u1 mid-funnel, ttl 10s
+        [(3, "view", base + 100, 20)],          # watermark -> ~base+99
+        [(1, "error", base + 110, 30)],         # non-advancing, stale re-arm
+        [(3, "click", base + 120, 21)],         # u1 absent -> timeout fires
+        [(1, "view", base + 130, 2), (1, "click", base + 131, 3),
+         (1, "purchase", base + 132, 4)],       # fresh chain must emit 1,2,3
+    ]
+    for i, rows in enumerate(batches):
+        p = f"{src}/f{i}.parquet"
+        _funnel_events(spark, rows).coalesce(1).write.mode("overwrite").parquet(p)
+        t = time.time() + i * 10
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+    stream = (spark.readStream.schema(FUNNEL_SCHEMA)
+              .option("maxFilesPerTrigger", "1").parquet(src + "/*"))
+    op = StreamingFunnel(("view", "click", "purchase"), ts_col="ts",
+                         watermark="1 second", state_ttl_us=10 * 1_000_000)
+    q = (op(stream).writeStream.outputMode("append").format("memory")
+         .queryName("sfunnel5").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert q.exception() is None  # pre-fix: PySparkValueError killed it
+    got = {(r.user_id, r.step, r.event_id)
+           for r in spark.sql("SELECT * FROM sfunnel5").collect()}
+    assert got == {(1, 1, 1),
+                   (1, 1, 2), (1, 2, 3), (1, 3, 4),
+                   (3, 1, 20), (3, 2, 21)}
+
+
 def test_streaming_funnel_ttl_validation(spark):
     from systems_spark.streaming import StreamingFunnel
 
