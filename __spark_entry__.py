@@ -3702,6 +3702,92 @@ FROM c
 """
 
 
+def q_session_stats(spark, sf_dir):
+    """Session-quality roll-up over the gap sessionizer (the
+    engagement dashboard numbers): sessions, bounce sessions
+    (single-event), bounce rate in integer micros, exact mean events
+    per session in micros, and total session-time. Composes the
+    sessionize lane's per-session frame with ONE extra map-side-combined
+    global aggregation — integer arithmetic throughout, so even the
+    'rates' are bit-replayable."""
+    per_session = q_sessionize(spark, sf_dir)
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum((F.col("n_events") == 1).cast("long")).alias("n_bounce"),
+        F.expr("CAST(sum(CAST(n_events = 1 AS BIGINT)) * 1000000 "
+               "DIV count(*) AS BIGINT)").alias("bounce_rate_micros"),
+        F.expr("CAST(sum(n_events) * 1000000 DIV count(*) AS BIGINT)")
+        .alias("mean_events_micros"),
+        F.sum("duration_ms").alias("total_duration_ms"))
+
+
+def _sql_session_stats() -> str:
+    return f"""
+WITH per_session AS ({_SQL_SESSIONIZE})
+SELECT count(*)::BIGINT AS n_sessions,
+       sum((n_events = 1)::BIGINT)::BIGINT AS n_bounce,
+       (sum((n_events = 1)::BIGINT) * 1000000 // count(*))::BIGINT
+         AS bounce_rate_micros,
+       (sum(n_events) * 1000000 // count(*))::BIGINT AS mean_events_micros,
+       sum(duration_ms)::BIGINT AS total_duration_ms
+FROM per_session
+"""
+
+
+# 80% of the time span is train, as the rational 4/5: the numerator
+# keeps (hi-lo)*4 < 2^62 for any plausible span, where a micros-scaled
+# fraction (span * 800000) would overflow int64 on a multi-year corpus
+_SPLIT_NUM, _SPLIT_DEN = 4, 5
+_EMBARGO_US = 3600 * 1_000_000    # 1-hour gap between train and test
+
+
+def q_temporal_split(spark, sf_dir):
+    """Leakage-safe temporal train/test split — the time-series
+    counterpart of the hash split (train_test_split): the cutoff is
+    min + 80% of the corpus time span, train takes ts < cutoff, test
+    takes ts ≥ cutoff + 1h (the EMBARGO — rows whose trailing-window
+    features would straddle the cutoff are excluded entirely, the
+    standard defense against boundary leakage into evaluation).
+    Reported as per-split row counts + time ranges, which PROVE the gap:
+    test.min_ts − train.max_ts > embargo. The span scan is one 1-row
+    aggregate broadcast back; the split itself is a stateless predicate
+    (scales to any size, retry-idempotent, no shuffle)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr("ts div 1000").alias("ts_us"))
+    span = ev.agg(F.min("ts_us").alias("_lo"), F.max("ts_us").alias("_hi"))
+    tagged = (ev.crossJoin(F.broadcast(span))
+              .withColumn("_cut", F.expr(
+                  f"_lo + (_hi - _lo) * {_SPLIT_NUM} DIV {_SPLIT_DEN}"))
+              .withColumn("split", F.when(F.col("ts_us") < F.col("_cut"),
+                                          F.lit("train"))
+                          .when(F.col("ts_us") >= F.col("_cut") + _EMBARGO_US,
+                                F.lit("test"))))
+    return (tagged.where(F.col("split").isNotNull())
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.min("ts_us").alias("min_ts_us"),
+                 F.max("ts_us").alias("max_ts_us")))
+
+
+_SQL_TEMPORAL_SPLIT = f"""
+WITH ev AS (SELECT epoch_us(ts) AS ts_us FROM events),
+span AS (SELECT min(ts_us) AS lo, max(ts_us) AS hi FROM ev),
+tagged AS (
+  SELECT ts_us,
+         CASE WHEN ts_us < lo + (hi - lo) * {_SPLIT_NUM} // {_SPLIT_DEN}
+              THEN 'train'
+              WHEN ts_us >= lo + (hi - lo) * {_SPLIT_NUM} // {_SPLIT_DEN}
+                            + {_EMBARGO_US}
+              THEN 'test' END AS split
+  FROM ev CROSS JOIN span
+)
+SELECT split, count(*)::BIGINT AS n_rows,
+       min(ts_us) AS min_ts_us, max(ts_us) AS max_ts_us
+FROM tagged WHERE split IS NOT NULL
+GROUP BY 1
+"""
+
+
 _CMS = dict(depth=4, width=4096)
 
 
@@ -4077,6 +4163,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_features": q_rfm_features,
         # sixth real StreamingQuery; same oracle as the batch hll lane
         "streaming_hll_users": q_streaming_hll_users,
+        "session_stats": q_session_stats,
+        "temporal_split": q_temporal_split,
     }
 
 
@@ -4223,6 +4311,8 @@ def oracle_sql() -> dict[str, str]:
         "cms_part_counts": _sql_cms_part_counts(),
         "rfm_features": _SQL_RFM_FEATURES,
         "streaming_hll_users": _sql_hll_user_counts(),
+        "session_stats": _sql_session_stats(),
+        "temporal_split": _SQL_TEMPORAL_SPLIT,
         "trailing_features": _SQL_TRAILING_FEATURES,
         "user_sequences": _SQL_USER_SEQUENCES,
     }

@@ -113,6 +113,8 @@ BENCH_QUERIES = [
     "cms_part_counts",
     "rfm_features",
     "streaming_hll_users",
+    "session_stats",
+    "temporal_split",
 ]
 
 

@@ -71,6 +71,16 @@ def test_bounded_equals_unbounded_on_skewed_fixture(spark):
     assert got[3] == ((500,), 1)
 
 
+def test_temporal_split_embargo_gap_holds(spark):
+    """The split's defining guarantee: no test row within the embargo
+    of any train row (train.max + embargo <= test.min)."""
+    rows = entrymod.q_temporal_split(spark, SF).collect()
+    d = {r.split: r for r in rows}
+    assert set(d) == {"train", "test"}
+    assert d["test"].min_ts_us - d["train"].max_ts_us >= entrymod._EMBARGO_US
+    assert d["train"].n_rows > d["test"].n_rows > 0
+
+
 def test_lane_matches_unbounded_reference_at_sf(spark):
     """The shipped lane (parquet input) equals the unbounded reference
     on the real sf0.01 events table."""
