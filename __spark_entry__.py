@@ -3460,6 +3460,102 @@ SELECT part_b AS src, part_a AS dst, n_cooccur AS w FROM pairs
     return f"SELECT node AS part_id, rank_micros FROM ({inner})"
 
 
+_PPR_SEEDS = [1, 2, 3]  # deterministic seed part ids (exist at every sf)
+
+
+def q_ppr_parts(spark, sf_dir):
+    """Personalized PageRank over the part co-occurrence graph — the
+    Pixie-style 'related items' walk: teleport restricted to three seed
+    parts, so rank measures proximity TO THE SEEDS (a per-anchor
+    recommendation prior), not global importance. Same integer-micros
+    contract and per-round shape as pagerank_parts; ranks restrict to
+    graph nodes identically in both engines."""
+    from systems_spark.operators.pagerank import pagerank
+
+    pairs = q_part_cooccurrence(spark, sf_dir).select("part_a", "part_b")
+    edges = pairs.select(F.col("part_a").alias("src"),
+                         F.col("part_b").alias("dst")).union(
+        pairs.select(F.col("part_b").alias("src"),
+                     F.col("part_a").alias("dst")))
+    return (pagerank(edges, personalize=_PPR_SEEDS, **_PAGERANK)
+            .select(F.col("node").alias("part_id"), "rank_micros"))
+
+
+def _sql_ppr_parts() -> str:
+    from systems_spark.operators.pagerank import pagerank_sql
+
+    edges = f"""
+WITH pairs AS ({_SQL_COOCCURRENCE})
+SELECT part_a AS src, part_b AS dst FROM pairs
+UNION ALL
+SELECT part_b AS src, part_a AS dst FROM pairs
+"""
+    inner = pagerank_sql(edges, personalize=_PPR_SEEDS, **_PAGERANK)
+    return f"SELECT node AS part_id, rank_micros FROM ({inner})"
+
+
+_RULE_MIN_SUPPORT = 3
+
+
+def q_association_rules(spark, sf_dir):
+    """Association rules over order baskets (the a-priori staple):
+    directed rules a → b with support (co-orders), confidence
+    (support / orders(a)) and lift (confidence / P(b)), all in integer
+    micros via decimal(38,0) products (support · total · 1e6 overflows
+    int64 at warehouse scale). Basket membership is de-duplicated to
+    DISTINCT (order, part) first so multi-lineitem parts can't inflate
+    support. One basket self-join (bounded by basket size) + one item
+    count + a 1-row broadcast total."""
+    op = (_t(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    pair = (op.alias("L")
+            .join(op.alias("R"), on=[
+                F.col("L.l_orderkey") == F.col("R.l_orderkey"),
+                F.col("L.l_partkey") != F.col("R.l_partkey")])
+            .groupBy(F.col("L.l_partkey").alias("antecedent"),
+                     F.col("R.l_partkey").alias("consequent"))
+            .agg(F.count(F.lit(1)).alias("support"))
+            .where(F.col("support") >= _RULE_MIN_SUPPORT))
+    item = op.groupBy(F.col("l_partkey").alias("_pid")) \
+             .agg(F.count(F.lit(1)).alias("_n"))
+    total = op.select("l_orderkey").distinct() \
+              .agg(F.count(F.lit(1)).alias("_total"))
+    return (pair
+            .join(item.withColumnRenamed("_pid", "antecedent")
+                      .withColumnRenamed("_n", "_na"), on="antecedent")
+            .join(item.withColumnRenamed("_pid", "consequent")
+                      .withColumnRenamed("_n", "_nb"), on="consequent")
+            .crossJoin(F.broadcast(total))
+            .select("antecedent", "consequent", "support",
+                    F.expr("CAST(CAST(support AS DECIMAL(38,0)) * 1000000 "
+                           "DIV _na AS BIGINT)").alias("confidence_micros"),
+                    F.expr("CAST(CAST(support AS DECIMAL(38,0)) * _total "
+                           "* 1000000 DIV (CAST(_na AS DECIMAL(38,0)) * _nb) "
+                           "AS BIGINT)").alias("lift_micros")))
+
+
+_SQL_ASSOCIATION_RULES = f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pair AS (
+  SELECT l.l_partkey AS antecedent, r.l_partkey AS consequent,
+         count(*) AS support
+  FROM op l JOIN op r
+    ON l.l_orderkey = r.l_orderkey AND l.l_partkey <> r.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {_RULE_MIN_SUPPORT}
+),
+item AS (SELECT l_partkey AS pid, count(*) AS n FROM op GROUP BY 1),
+total AS (SELECT count(DISTINCT l_orderkey) AS t FROM op)
+SELECT p.antecedent, p.consequent, p.support,
+       (p.support::HUGEINT * 1000000 // a.n)::BIGINT AS confidence_micros,
+       (p.support::HUGEINT * total.t * 1000000
+          // (a.n::HUGEINT * b.n))::BIGINT AS lift_micros
+FROM pair p
+JOIN item a ON a.pid = p.antecedent
+JOIN item b ON b.pid = p.consequent
+CROSS JOIN total
+"""
+
+
 def q_ppl_buckets(spark, sf_dir):
     """CCNet's defining composition (Wenzek et al., 2020): fit a small LM
     on a trusted reference slice (the English documents), score the WHOLE
@@ -4165,6 +4261,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hll_users": q_streaming_hll_users,
         "session_stats": q_session_stats,
         "temporal_split": q_temporal_split,
+        "ppr_parts": q_ppr_parts,
+        "association_rules": q_association_rules,
     }
 
 
@@ -4313,6 +4411,8 @@ def oracle_sql() -> dict[str, str]:
         "streaming_hll_users": _sql_hll_user_counts(),
         "session_stats": _sql_session_stats(),
         "temporal_split": _SQL_TEMPORAL_SPLIT,
+        "ppr_parts": _sql_ppr_parts(),
+        "association_rules": _SQL_ASSOCIATION_RULES,
         "trailing_features": _SQL_TRAILING_FEATURES,
         "user_sequences": _SQL_USER_SEQUENCES,
     }

@@ -115,6 +115,8 @@ BENCH_QUERIES = [
     "streaming_hll_users",
     "session_stats",
     "temporal_split",
+    "ppr_parts",
+    "association_rules",
 ]
 
 

@@ -49,7 +49,8 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              checkpoint_every: int = 0, cache_edges: bool = True,
              tol_micros: "int | None" = None,
              check_every: int = 2,
-             weight_col: "str | None" = None) -> DataFrame:
+             weight_col: "str | None" = None,
+             personalize: "list | None" = None) -> DataFrame:
     """Integer-micros PageRank; returns (node, rank_micros) for every node
     appearing in ``edges`` (either endpoint). Nodes with no OUT-edges keep
     contributing nothing (their mass evaporates — the standard
@@ -85,11 +86,23 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     corrupt every split silently where the oracle errors loudly. The
     unweighted path keeps its pure-int64 fast path. All-equal weights
     reproduce the unweighted ranks bit-for-bit (tested) — the split w/Σw
-    is scale-invariant."""
+    is scale-invariant.
+
+    ``personalize`` (r6) selects PERSONALIZED PageRank (the Pixie-style
+    recommendation walk): a list of seed node ids — the teleport term
+    lands ONLY on the seeds ((1e6 − d) each; other nodes' base is 0)
+    and the initial mass sits on the seeds, so ranks measure proximity
+    TO THE SEEDS rather than global importance. Seeds absent from the
+    graph contribute nothing, identically in both engines (the rank
+    frame is defined over graph nodes only). Composable with
+    ``weight_col``/``tol_micros``; an empty list raises (all mass would
+    evaporate)."""
     if not (0 < damping_micros < _M):
         raise ValueError("damping_micros must be in (0, 1e6)")
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
+    if personalize is not None and len(personalize) == 0:
+        raise ValueError("personalize needs at least one seed node")
     if tol_micros is not None and tol_micros < 0:
         raise ValueError("tol_micros must be >= 0")
     if tol_micros is not None and check_every < 1:
@@ -123,7 +136,17 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     if cache_edges:
         nodes = nodes.localCheckpoint(eager=False)
     base = _M - damping_micros
-    ranks = nodes.withColumn("rank_micros", F.lit(_M).cast("long"))
+    if personalize is None:
+        base_expr = f"{base}"
+        ranks = nodes.withColumn("rank_micros", F.lit(_M).cast("long"))
+    else:
+        seeds = [int(s) for s in personalize]
+        in_list = ", ".join(str(s) for s in seeds)
+        base_expr = f"(case when node in ({in_list}) then {base} else 0 end)"
+        ranks = nodes.withColumn(
+            "rank_micros",
+            F.when(F.col("node").isin(seeds), F.lit(_M))
+            .otherwise(F.lit(0)).cast("long"))
     for i in range(rounds):
         prev = ranks
         contrib = (ed.join(ranks.withColumnRenamed("node", "_src"), on="_src")
@@ -132,7 +155,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         sums = contrib.groupBy("node").agg(F.sum("_c").alias("_s"))
         ranks = (nodes.join(sums, on="node", how="left")
                  .select("node", F.expr(
-                     f"cast({base} + (cast({damping_micros} as decimal(38,0))"
+                     f"cast({base_expr} + (cast({damping_micros} as decimal(38,0))"
                      f" * coalesce(_s, 0)) div {_M} as bigint)"
                  ).alias("rank_micros")))
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < rounds:
@@ -154,9 +177,12 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
 
 def pagerank_sql(edges_sql: str, src: str = "src", dst: str = "dst",
                  rounds: int = 8, damping_micros: int = 850_000,
-                 weight_col: "str | None" = None) -> str:
+                 weight_col: "str | None" = None,
+                 personalize: "list | None" = None) -> str:
     """DuckDB twin of :func:`pagerank`: one CTE per round, same integer
     arithmetic (HUGEINT product mirrors the decimal(38,0) widening)."""
+    if personalize is not None and len(personalize) == 0:
+        raise ValueError("personalize needs at least one seed node")
     base = _M - damping_micros
     if weight_col is None:
         e_cte = f"e AS (SELECT {src} AS _src, {dst} AS _dst FROM ({edges_sql}))"
@@ -174,10 +200,18 @@ def pagerank_sql(edges_sql: str, src: str = "src", dst: str = "dst",
                  f"FROM ({edges_sql}) WHERE {weight_col} > 0)")
         deg_cte = "deg AS (SELECT _src, sum(_w) AS _deg FROM e GROUP BY 1)"
         contrib = "((r.rank_micros::HUGEINT * e._w) // d._deg)::BIGINT"
+    if personalize is None:
+        base_sql = f"{base}"
+        r0 = f"r0 AS (SELECT node, {_M}::BIGINT AS rank_micros FROM nodes)"
+    else:
+        in_list = ", ".join(str(int(s)) for s in personalize)
+        base_sql = f"(CASE WHEN n.node IN ({in_list}) THEN {base} ELSE 0 END)"
+        r0 = (f"r0 AS (SELECT node, (CASE WHEN node IN ({in_list}) "
+              f"THEN {_M} ELSE 0 END)::BIGINT AS rank_micros FROM nodes)")
     ctes = [e_cte,
             "nodes AS (SELECT _src AS node FROM e UNION SELECT _dst FROM e)",
             deg_cte,
-            f"r0 AS (SELECT node, {_M}::BIGINT AS rank_micros FROM nodes)"]
+            r0]
     for i in range(rounds):
         ctes.append(f"""s{i} AS (
   SELECT e._dst AS node, sum({contrib}) AS _s
@@ -186,7 +220,7 @@ def pagerank_sql(edges_sql: str, src: str = "src", dst: str = "dst",
 )""")
         ctes.append(f"""r{i + 1} AS (
   SELECT n.node,
-         ({base} + ({damping_micros}::HUGEINT * coalesce(s._s, 0)) // {_M})::BIGINT
+         ({base_sql} + ({damping_micros}::HUGEINT * coalesce(s._s, 0)) // {_M})::BIGINT
            AS rank_micros
   FROM nodes n LEFT JOIN s{i} s ON s.node = n.node
 )""")

@@ -134,3 +134,69 @@ def test_weighted_drops_nonpositive_weights(spark):
            for r in pagerank(edges, rounds=4, weight_col="w").collect()}
     # nodes 2 and 3 only appear via dropped edges -> absent entirely
     assert set(got) == {0, 1}
+
+
+# --- personalized PageRank (r6) ------------------------------------------
+
+
+def _python_ppr(edges, rounds, seeds, d=850_000):
+    nodes = sorted({n for e in edges for n in e})
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    seeds = set(seeds)
+    r = {n: (M if n in seeds else 0) for n in nodes}
+    for _ in range(rounds):
+        s = {n: 0 for n in nodes}
+        for a, b in edges:
+            if deg.get(a):
+                s[b] += r[a] // deg[a]
+        r = {n: ((M - d) if n in seeds else 0) + (d * s[n]) // M
+             for n in nodes}
+    return r
+
+
+def test_ppr_matches_independent_python_iteration(spark):
+    for rounds in (1, 4):
+        got = _spark_pagerank(spark, EDGES, rounds=rounds, personalize=[2])
+        assert got == _python_ppr(EDGES, rounds, [2]), rounds
+
+
+def test_ppr_mass_localizes_near_seed(spark):
+    # path graph 1->2->3->4->5 seeded at 1: rank strictly decays with
+    # distance from the seed, and unreachable-from-seed teleport is zero
+    path = [(i, i + 1) for i in range(1, 5)]
+    got = _spark_pagerank(spark, path, rounds=8, personalize=[1])
+    assert got[1] > got[2] > got[3] > got[4] > got[5] >= 0
+
+
+def test_ppr_all_seeds_equals_plain_pagerank(spark):
+    nodes = sorted({n for e in EDGES for n in e})
+    plain = _spark_pagerank(spark, EDGES, rounds=6)
+    ppr = _spark_pagerank(spark, EDGES, rounds=6, personalize=nodes)
+    assert plain == ppr
+
+
+def test_ppr_matches_duckdb(spark):
+    import duckdb
+
+    from systems_spark.operators.pagerank import pagerank_sql
+
+    got = sorted(_spark_pagerank(
+        spark, EDGES, rounds=5, personalize=[2, 4]).items())
+    vals = ",".join(f"({a},{b})" for a, b in EDGES)
+    want = sorted(map(tuple, duckdb.connect().execute(pagerank_sql(
+        f"SELECT * FROM (VALUES {vals}) t(src, dst)",
+        rounds=5, personalize=[2, 4])).fetchall()))
+    assert got == want
+
+
+def test_ppr_validation(spark):
+    import duckdb  # noqa: F401
+
+    from systems_spark.operators.pagerank import pagerank_sql
+
+    with pytest.raises(ValueError):
+        _spark_pagerank(spark, EDGES, personalize=[])
+    with pytest.raises(ValueError):
+        pagerank_sql("SELECT 1 AS src, 2 AS dst", personalize=[])
