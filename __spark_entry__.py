@@ -886,6 +886,29 @@ HAVING count(*) >= 2
 _PAGERANK = dict(rounds=6, damping_micros=850_000)
 
 
+def _sym_part_edges(spark, sf_dir, weighted: bool = False):
+    """Symmetrized part co-occurrence edge list shared by the three
+    PageRank lanes (plain / weighted / personalized) — ONE definition,
+    Python and SQL, so their graphs can never drift (review r6)."""
+    pairs = q_part_cooccurrence(spark, sf_dir)
+    fwd = [F.col("part_a").alias("src"), F.col("part_b").alias("dst")]
+    rev = [F.col("part_b").alias("src"), F.col("part_a").alias("dst")]
+    if weighted:
+        fwd.append(F.col("n_cooccur").alias("w"))
+        rev.append(F.col("n_cooccur").alias("w"))
+    return pairs.select(*fwd).union(pairs.select(*rev))
+
+
+def _sql_sym_part_edges(weighted: bool = False) -> str:
+    w = ", n_cooccur AS w" if weighted else ""
+    return f"""
+WITH pairs AS ({_SQL_COOCCURRENCE})
+SELECT part_a AS src, part_b AS dst{w} FROM pairs
+UNION ALL
+SELECT part_b AS src, part_a AS dst{w} FROM pairs
+"""
+
+
 def q_pagerank_parts(spark, sf_dir):
     """PageRank over the part co-occurrence graph (operators/pagerank.py):
     symmetrized ≥2-co-count edges from lineitem baskets, 6 rounds of
@@ -895,23 +918,14 @@ def q_pagerank_parts(spark, sf_dir):
     is oracle-checked bit-for-bit (same contract as dedup_clusters)."""
     from systems_spark.operators.pagerank import pagerank
 
-    pairs = q_part_cooccurrence(spark, sf_dir).select("part_a", "part_b")
-    edges = pairs.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst")).union(
-        pairs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst")))
-    return (pagerank(edges, **_PAGERANK)
+    return (pagerank(_sym_part_edges(spark, sf_dir), **_PAGERANK)
             .select(F.col("node").alias("part_id"), "rank_micros"))
 
 
 def _sql_pagerank_parts() -> str:
     from systems_spark.operators.pagerank import pagerank_sql
 
-    edges = f"""
-WITH pairs AS ({_SQL_COOCCURRENCE})
-SELECT part_a AS src, part_b AS dst FROM pairs
-UNION ALL
-SELECT part_b AS src, part_a AS dst FROM pairs
-"""
-    inner = pagerank_sql(edges, **_PAGERANK)
+    inner = pagerank_sql(_sql_sym_part_edges(), **_PAGERANK)
     return f"SELECT node AS part_id, rank_micros FROM ({inner})"
 
 
@@ -3436,13 +3450,7 @@ def q_pagerank_weighted(spark, sf_dir):
     rows with non-positive weight drop in both engines."""
     from systems_spark.operators.pagerank import pagerank
 
-    pairs = q_part_cooccurrence(spark, sf_dir)
-    edges = pairs.select(F.col("part_a").alias("src"),
-                         F.col("part_b").alias("dst"),
-                         F.col("n_cooccur").alias("w")).union(
-        pairs.select(F.col("part_b").alias("src"),
-                     F.col("part_a").alias("dst"),
-                     F.col("n_cooccur").alias("w")))
+    edges = _sym_part_edges(spark, sf_dir, weighted=True)
     return (pagerank(edges, weight_col="w", **_PAGERANK)
             .select(F.col("node").alias("part_id"), "rank_micros"))
 
@@ -3450,13 +3458,8 @@ def q_pagerank_weighted(spark, sf_dir):
 def _sql_pagerank_weighted() -> str:
     from systems_spark.operators.pagerank import pagerank_sql
 
-    edges = f"""
-WITH pairs AS ({_SQL_COOCCURRENCE})
-SELECT part_a AS src, part_b AS dst, n_cooccur AS w FROM pairs
-UNION ALL
-SELECT part_b AS src, part_a AS dst, n_cooccur AS w FROM pairs
-"""
-    inner = pagerank_sql(edges, weight_col="w", **_PAGERANK)
+    inner = pagerank_sql(_sql_sym_part_edges(weighted=True),
+                         weight_col="w", **_PAGERANK)
     return f"SELECT node AS part_id, rank_micros FROM ({inner})"
 
 
@@ -3472,11 +3475,7 @@ def q_ppr_parts(spark, sf_dir):
     graph nodes identically in both engines."""
     from systems_spark.operators.pagerank import pagerank
 
-    pairs = q_part_cooccurrence(spark, sf_dir).select("part_a", "part_b")
-    edges = pairs.select(F.col("part_a").alias("src"),
-                         F.col("part_b").alias("dst")).union(
-        pairs.select(F.col("part_b").alias("src"),
-                     F.col("part_a").alias("dst")))
+    edges = _sym_part_edges(spark, sf_dir)
     return (pagerank(edges, personalize=_PPR_SEEDS, **_PAGERANK)
             .select(F.col("node").alias("part_id"), "rank_micros"))
 
@@ -3484,13 +3483,8 @@ def q_ppr_parts(spark, sf_dir):
 def _sql_ppr_parts() -> str:
     from systems_spark.operators.pagerank import pagerank_sql
 
-    edges = f"""
-WITH pairs AS ({_SQL_COOCCURRENCE})
-SELECT part_a AS src, part_b AS dst FROM pairs
-UNION ALL
-SELECT part_b AS src, part_a AS dst FROM pairs
-"""
-    inner = pagerank_sql(edges, personalize=_PPR_SEEDS, **_PAGERANK)
+    inner = pagerank_sql(_sql_sym_part_edges(), personalize=_PPR_SEEDS,
+                         **_PAGERANK)
     return f"SELECT node AS part_id, rank_micros FROM ({inner})"
 
 
@@ -3807,13 +3801,18 @@ def q_session_stats(spark, sf_dir):
     global aggregation — integer arithmetic throughout, so even the
     'rates' are bit-replayable."""
     per_session = q_sessionize(spark, sf_dir)
+    # sums widened to decimal(38,0) BEFORE the ×1e6: the DuckDB twin's
+    # sum() is HUGEINT, so a plain int64 product would wrap silently at
+    # warehouse scale while the oracle stays exact (review r6 — the
+    # same overflow class association_rules widens for)
     return per_session.agg(
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum((F.col("n_events") == 1).cast("long")).alias("n_bounce"),
-        F.expr("CAST(sum(CAST(n_events = 1 AS BIGINT)) * 1000000 "
-               "DIV count(*) AS BIGINT)").alias("bounce_rate_micros"),
-        F.expr("CAST(sum(n_events) * 1000000 DIV count(*) AS BIGINT)")
-        .alias("mean_events_micros"),
+        F.expr("CAST(CAST(sum(CAST(n_events = 1 AS BIGINT)) AS DECIMAL(38,0))"
+               " * 1000000 DIV count(*) AS BIGINT)")
+        .alias("bounce_rate_micros"),
+        F.expr("CAST(CAST(sum(n_events) AS DECIMAL(38,0)) * 1000000 "
+               "DIV count(*) AS BIGINT)").alias("mean_events_micros"),
         F.sum("duration_ms").alias("total_duration_ms"))
 
 

@@ -18,17 +18,21 @@ M = 1_000_000
 EDGES = [(1, 2), (2, 1), (2, 3), (3, 1), (4, 1)]  # 4 -> 1 only; 1<->2<->3 cycle-ish
 
 
-def _python_pagerank(edges, rounds, d=850_000):
+def _python_pagerank(edges, rounds, d=850_000, seeds=None):
+    """One reference implementation for both modes: seeds=None is plain
+    PageRank (≡ every node a seed); a seed list is personalized."""
     nodes = sorted({n for e in edges for n in e})
     deg = {}
     for s, _ in edges:
         deg[s] = deg.get(s, 0) + 1
-    r = {n: M for n in nodes}
+    seeds = set(nodes) if seeds is None else set(seeds)
+    r = {n: (M if n in seeds else 0) for n in nodes}
     for _ in range(rounds):
         s = {n: 0 for n in nodes}
         for a, b in edges:
             s[b] += r[a] // deg[a]
-        r = {n: (M - d) + (d * s[n]) // M for n in nodes}
+        r = {n: ((M - d) if n in seeds else 0) + (d * s[n]) // M
+             for n in nodes}
     return r
 
 
@@ -139,27 +143,10 @@ def test_weighted_drops_nonpositive_weights(spark):
 # --- personalized PageRank (r6) ------------------------------------------
 
 
-def _python_ppr(edges, rounds, seeds, d=850_000):
-    nodes = sorted({n for e in edges for n in e})
-    deg = {}
-    for s, _ in edges:
-        deg[s] = deg.get(s, 0) + 1
-    seeds = set(seeds)
-    r = {n: (M if n in seeds else 0) for n in nodes}
-    for _ in range(rounds):
-        s = {n: 0 for n in nodes}
-        for a, b in edges:
-            if deg.get(a):
-                s[b] += r[a] // deg[a]
-        r = {n: ((M - d) if n in seeds else 0) + (d * s[n]) // M
-             for n in nodes}
-    return r
-
-
 def test_ppr_matches_independent_python_iteration(spark):
     for rounds in (1, 4):
         got = _spark_pagerank(spark, EDGES, rounds=rounds, personalize=[2])
-        assert got == _python_ppr(EDGES, rounds, [2]), rounds
+        assert got == _python_pagerank(EDGES, rounds, seeds=[2]), rounds
 
 
 def test_ppr_mass_localizes_near_seed(spark):
