@@ -233,6 +233,52 @@ def test_streaming_hll_registers_match_batch(spark, tmp_path):
     assert est_s == est_b
 
 
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_CORPUS = st.lists(
+    st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 400)),
+    min_size=1, max_size=120)
+
+
+@settings(max_examples=6, deadline=None)
+@given(rows=_CORPUS, cut=st.integers(0, 119))
+def test_hll_merge_equals_whole_property(spark, rows, cut):
+    """For ANY corpus and ANY split point, merged half-sketches equal
+    the whole-corpus sketch bit-for-bit."""
+    from systems_spark.functions.sketches import hll_estimate, hll_merge
+
+    cut = min(cut, len(rows) - 1)
+    h1, h2 = rows[:cut] or [rows[0]], rows[cut:] or [rows[-1]]
+    whole = hll_registers(_df(spark, rows), "key", ["grp"], p=6)
+    merged = hll_merge(
+        hll_registers(_df(spark, h1), "key", ["grp"], p=6),
+        hll_registers(_df(spark, h2), "key", ["grp"], p=6))
+    # registers built on h1∪h2 vs rows: h1/h2 may not cover rows when a
+    # fallback kicked in — rebuild 'whole' over exactly h1+h2
+    whole = hll_registers(_df(spark, h1 + h2), "key", ["grp"], p=6)
+    w = {r.grp: (r.n_buckets_used, r.s_int, r.approx_distinct)
+         for r in hll_estimate(whole, ["grp"], p=6).collect()}
+    m = {r.grp: (r.n_buckets_used, r.s_int, r.approx_distinct)
+         for r in hll_estimate(merged, ["grp"], p=6).collect()}
+    assert w == m
+
+
+@settings(max_examples=6, deadline=None)
+@given(rows=st.lists(st.integers(0, 60), min_size=1, max_size=150))
+def test_cms_never_underestimates_property(spark, rows):
+    """One-sided error on ANY corpus: est >= exact for every key."""
+    import collections
+
+    exact = collections.Counter(rows)
+    df = _df(spark, [("x", k) for k in rows])
+    ctr = cms_counters(df, "key", depth=3, width=64)  # small → collisions
+    est = {r.key: r.est_n for r in cms_lookup(
+        ctr, _keys(spark, sorted(exact)), "key",
+        depth=3, width=64).collect()}
+    assert all(est[k] >= exact[k] for k in exact)
+
+
 def test_cms_validation(spark):
     with pytest.raises(ValueError):
         cms_counters(_df(spark, [("a", 1)]), "key", depth=0)
