@@ -3488,6 +3488,33 @@ def _sql_ppr_parts() -> str:
     return f"SELECT node AS part_id, rank_micros FROM ({inner})"
 
 
+_HYPERBALL = dict(rounds=3, p=4)
+
+
+def q_part_reachability(spark, sf_dir):
+    """HyperBall (operators/hyperball.py — Boldi–Vigna HyperANF): the
+    per-node neighborhood function over the part co-occurrence graph,
+    estimated with one 2^p-register HLL sketch PER NODE and iterated by
+    register-wise max along edges — reachability profiling / effective
+    diameter at a cost of (node, bucket, register) triples per round
+    where exact per-node BFS is O(V·E). The register algebra derives
+    from the portable md5 hash, so even this approximate iterative
+    graph algorithm is oracle-checked bit-for-bit, every round."""
+    from systems_spark.operators.hyperball import hyperball
+
+    return (hyperball(_sym_part_edges(spark, sf_dir), **_HYPERBALL)
+            .select(F.col("node").alias("part_id"), "hops",
+                    "n_buckets_used", "s_int", "approx_within"))
+
+
+def _sql_part_reachability() -> str:
+    from systems_spark.operators.hyperball import hyperball_sql
+
+    inner = hyperball_sql(_sql_sym_part_edges(), **_HYPERBALL)
+    return (f"SELECT node AS part_id, hops, n_buckets_used, s_int, "
+            f"approx_within FROM ({inner})")
+
+
 _RULE_MIN_SUPPORT = 3
 
 
@@ -4262,6 +4289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_split": q_temporal_split,
         "ppr_parts": q_ppr_parts,
         "association_rules": q_association_rules,
+        "part_reachability": q_part_reachability,
     }
 
 
@@ -4412,6 +4440,7 @@ def oracle_sql() -> dict[str, str]:
         "temporal_split": _SQL_TEMPORAL_SPLIT,
         "ppr_parts": _sql_ppr_parts(),
         "association_rules": _SQL_ASSOCIATION_RULES,
+        "part_reachability": _sql_part_reachability(),
         "trailing_features": _SQL_TRAILING_FEATURES,
         "user_sequences": _SQL_USER_SEQUENCES,
     }

@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "temporal_split",
     "ppr_parts",
     "association_rules",
+    "part_reachability",
 ]
 
 
