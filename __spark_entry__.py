@@ -3441,6 +3441,57 @@ def _sql_funnel_conversion() -> str:
         "FROM events", _FUNNEL_STEPS)
 
 
+def q_funnel_latency(spark, sf_dir):
+    """Time-to-convert distribution — the funnel's OTHER headline
+    number: for every user completing the full view→click→purchase
+    chain, latency = purchase ts − view ts; reported as converter
+    count, integer-exact mean micros, and exact interpolated p50/p90
+    via GlobalRank's order-statistic selection (no task ever holds the
+    latency population). Composes two already-graded machines: the
+    funnel's min-struct chaining and exact_quantiles."""
+    from systems_spark.operators.funnel import funnel
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.expr("ts div 1000").alias("ts_us"), "event_id")
+    per = funnel(ev, _FUNNEL_STEPS)
+    t1 = (per.where(F.col("step") == 1)
+          .select("user_id", F.col("ts_us").alias("_t1")))
+    tN = (per.where(F.col("step") == len(_FUNNEL_STEPS))
+          .select("user_id", F.col("ts_us").alias("_tn")))
+    lat = t1.join(tN, on="user_id").select(
+        (F.col("_tn") - F.col("_t1")).alias("latency_us"))
+    q = exact_quantiles(lat, "latency_us", [0.5, 0.9])
+    stats = lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.expr("CAST(CAST(sum(latency_us) AS DECIMAL(38,0)) DIV count(*) "
+               "AS BIGINT)").alias("mean_latency_us"))
+    return (stats.crossJoin(q)
+            .select("n_converted", "mean_latency_us",
+                    F.round("p5", 6).alias("p50_latency_us"),
+                    F.round("p9", 6).alias("p90_latency_us")))
+
+
+def _sql_funnel_latency() -> str:
+    from systems_spark.operators.funnel import funnel_step_ctes
+
+    ctes, _ = funnel_step_ctes(
+        "SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id "
+        "FROM events", _FUNNEL_STEPS)
+    n = len(_FUNNEL_STEPS)
+    ctes.append(f"""lat AS (
+  SELECT (s{n}.k).t - (s1.k).t AS latency_us
+  FROM s{n} JOIN s1 ON s1.u = s{n}.u
+)""")
+    return ("WITH " + ",\n".join(ctes) + """
+SELECT count(*)::BIGINT AS n_converted,
+       (sum(latency_us)::HUGEINT // count(*))::BIGINT AS mean_latency_us,
+       round(quantile_cont(latency_us, 0.5), 6)::DOUBLE AS p50_latency_us,
+       round(quantile_cont(latency_us, 0.9), 6)::DOUBLE AS p90_latency_us
+FROM lat
+""")
+
+
 def q_pagerank_weighted(spark, sf_dir):
     """Edge-weighted PageRank over the part co-occurrence graph: a
     source's mass splits proportionally to the co-occurrence count
@@ -4290,6 +4341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_parts": q_ppr_parts,
         "association_rules": q_association_rules,
         "part_reachability": q_part_reachability,
+        "funnel_latency": q_funnel_latency,
     }
 
 
@@ -4441,6 +4493,7 @@ def oracle_sql() -> dict[str, str]:
         "ppr_parts": _sql_ppr_parts(),
         "association_rules": _SQL_ASSOCIATION_RULES,
         "part_reachability": _sql_part_reachability(),
+        "funnel_latency": _sql_funnel_latency(),
         "trailing_features": _SQL_TRAILING_FEATURES,
         "user_sequences": _SQL_USER_SEQUENCES,
     }

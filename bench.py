@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "ppr_parts",
     "association_rules",
     "part_reachability",
+    "funnel_latency",
 ]
 
 

@@ -189,17 +189,18 @@ def funnel_summary(events: DataFrame, steps: Sequence[str], **kw) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("users")))
 
 
-def funnel_summary_sql(events_sql: str, steps: Sequence[str],
-                       user_col: str = "user_id",
-                       type_col: str = "event_type",
-                       ts_col: str = "ts_us",
-                       id_col: str = "event_id",
-                       within_us: "int | None" = None) -> str:
-    """DuckDB twin of :func:`funnel_summary` — same (ts, id) total order
-    and min-struct step chaining. ``events_sql`` must yield
-    (user_col, type_col, ts_col, id_col); ``ts_col`` is a COLUMN NAME
-    (it is referenced as ``e.<ts_col>``) — alias any expression like
-    epoch_us(ts) inside ``events_sql`` first."""
+def funnel_step_ctes(events_sql: str, steps: Sequence[str],
+                     user_col: str = "user_id",
+                     type_col: str = "event_type",
+                     ts_col: str = "ts_us",
+                     id_col: str = "event_id",
+                     within_us: "int | None" = None):
+    """The shared greedy-chaining CTE list (``e``, ``s1``..``sN`` with
+    ``sN`` = (u, k struct) per user who reached step N) every
+    funnel-shaped oracle composes — one definition so summary and
+    latency twins can never drift. Returns (ctes, escaped_steps).
+    ``ts_col`` is a COLUMN NAME (referenced as ``e.<ts_col>``) — alias
+    any expression like epoch_us(ts) inside ``events_sql`` first."""
     if len(steps) < 2:
         raise ValueError("a funnel needs at least 2 steps")
     if within_us is not None and within_us < 1:
@@ -224,6 +225,19 @@ def funnel_summary_sql(events_sql: str, steps: Sequence[str],
   WHERE e.{type_col} = '{step}' AND {k} > p.k{win}
   GROUP BY 1
 )""")
+    return ctes, steps
+
+
+def funnel_summary_sql(events_sql: str, steps: Sequence[str],
+                       user_col: str = "user_id",
+                       type_col: str = "event_type",
+                       ts_col: str = "ts_us",
+                       id_col: str = "event_id",
+                       within_us: "int | None" = None) -> str:
+    """DuckDB twin of :func:`funnel_summary` — same (ts, id) total order
+    and min-struct step chaining (see :func:`funnel_step_ctes`)."""
+    ctes, steps = funnel_step_ctes(events_sql, steps, user_col, type_col,
+                                   ts_col, id_col, within_us)
     selects = [
         f"SELECT {n}::BIGINT AS step, '{step}' AS step_name, "
         f"count(*)::BIGINT AS users FROM s{n}"
