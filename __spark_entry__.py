@@ -3566,6 +3566,32 @@ def _sql_part_reachability() -> str:
             f"approx_within FROM ({inner})")
 
 
+_WALKS = dict(length=4, n_walks=2)
+
+
+def q_part_walks(spark, sf_dir):
+    """DeepWalk corpus generation (operators/walks.py): 2 walks of ≤4
+    steps from every node of the part co-occurrence graph — the
+    training sentences for graph embeddings. The 'randomness' is the
+    portable md5 hash of (seed, start, walk, step), so the corpus is a
+    pure function of the graph: retry/partition-invariant (tested) and
+    oracle-checked bit-for-bit — a rand()-driven walker can be
+    neither."""
+    from systems_spark.operators.walks import random_walks
+
+    return (random_walks(_sym_part_edges(spark, sf_dir), **_WALKS)
+            .select(F.col("start").alias("start_part"), "walk", "step",
+                    F.col("node").alias("part_id")))
+
+
+def _sql_part_walks() -> str:
+    from systems_spark.operators.walks import random_walks_sql
+
+    inner = random_walks_sql(_sql_sym_part_edges(), **_WALKS)
+    return (f"SELECT start AS start_part, walk, step, node AS part_id "
+            f"FROM ({inner})")
+
+
 _RULE_MIN_SUPPORT = 3
 
 
@@ -4342,6 +4368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "association_rules": q_association_rules,
         "part_reachability": q_part_reachability,
         "funnel_latency": q_funnel_latency,
+        "part_walks": q_part_walks,
     }
 
 
@@ -4494,6 +4521,7 @@ def oracle_sql() -> dict[str, str]:
         "association_rules": _SQL_ASSOCIATION_RULES,
         "part_reachability": _sql_part_reachability(),
         "funnel_latency": _sql_funnel_latency(),
+        "part_walks": _sql_part_walks(),
         "trailing_features": _SQL_TRAILING_FEATURES,
         "user_sequences": _SQL_USER_SEQUENCES,
     }

@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "association_rules",
     "part_reachability",
     "funnel_latency",
+    "part_walks",
 ]
 
 
