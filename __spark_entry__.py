@@ -3301,6 +3301,26 @@ def _sql_ann_recall() -> str:
     return ranking_metrics_sql(_sql_ann_lsh(), _SQL_ANN_TOPK)
 
 
+def q_ann_ndcg(spark, sf_dir):
+    """NDCG@5 of the LSH index vs exact inner-product truth — the
+    rank-weighted companion of ann_recall (recall counts hits; NDCG
+    rewards putting them EARLY). The log2 discounts are quantized to
+    integer micros at plan-build time (the BM25/LM ln-micros pattern),
+    so the metric is exact integer arithmetic, oracle-replayed with the
+    same embedded literals."""
+    from systems_spark.functions.ranking import ndcg_metrics
+
+    pred = q_ann_lsh(spark, sf_dir)
+    truth = q_ann_topk(spark, sf_dir)
+    return ndcg_metrics(pred, truth, k=5).orderBy("query_id")
+
+
+def _sql_ann_ndcg() -> str:
+    from systems_spark.functions.ranking import ndcg_metrics_sql
+
+    return ndcg_metrics_sql(_sql_ann_lsh(), _SQL_ANN_TOPK, k=5)
+
+
 _TRAIL_US = 3600 * 1_000_000  # 1 hour
 
 
@@ -4369,6 +4389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_reachability": q_part_reachability,
         "funnel_latency": q_funnel_latency,
         "part_walks": q_part_walks,
+        "ann_ndcg": q_ann_ndcg,
     }
 
 
@@ -4522,6 +4543,7 @@ def oracle_sql() -> dict[str, str]:
         "part_reachability": _sql_part_reachability(),
         "funnel_latency": _sql_funnel_latency(),
         "part_walks": _sql_part_walks(),
+        "ann_ndcg": _sql_ann_ndcg(),
         "trailing_features": _SQL_TRAILING_FEATURES,
         "user_sequences": _SQL_USER_SEQUENCES,
     }

@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "part_reachability",
     "funnel_latency",
     "part_walks",
+    "ann_ndcg",
 ]
 
 

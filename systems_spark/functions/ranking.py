@@ -53,6 +53,86 @@ def ranking_metrics(pred: DataFrame, truth: DataFrame,
                      .alias("mrr_micros")))
 
 
+def _ndcg_discounts(k: int):
+    """Per-rank discount micros round(1e6 / log2(rank+1)) for ranks
+    1..k, plus the ideal-DCG prefix sums — computed ONCE in Python and
+    embedded as literals in BOTH plans. This is the BM25/LM ln-micros
+    quantization pattern: the only transcendental (log2) happens at
+    plan-build time, so every engine-side operation is an exact integer
+    sum/division and NDCG replays bit-for-bit."""
+    import math
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    d = [round(_M / math.log2(r + 1)) for r in range(1, k + 1)]
+    prefix, acc = [], 0
+    for x in d:
+        acc += x
+        prefix.append(acc)
+    return d, prefix
+
+
+def ndcg_metrics(pred: DataFrame, truth: DataFrame, k: int = 5,
+                 query_col: str = "query_id", item_col: str = "item_id",
+                 rank_col: str = "ann_rank") -> DataFrame:
+    """Per-query NDCG@k with binary relevance: DCG = Σ over relevant
+    predictions at rank ≤ k of discount(rank); IDCG = the best
+    achievable with min(|truth|, k) relevant items at the top; ndcg =
+    1e6·DCG div IDCG. Every truth query gets a row (empty retrieval
+    scores 0); duplicate (query, item) pairs collapse to their best
+    rank, like :func:`ranking_metrics`."""
+    q, i, r = query_col, item_col, rank_col
+    d, prefix = _ndcg_discounts(k)
+    pred = pred.groupBy(q, i).agg(F.min(r).alias(r))
+    truth = truth.select(q, i).distinct()
+    truth_q = truth.groupBy(q).agg(F.count(F.lit(1)).alias("n_truth"))
+    disc = F.element_at(F.array(*[F.lit(x).cast("long") for x in d]),
+                        F.col(r).cast("int"))
+    dcg = (pred.where(F.col(r) <= k)
+           .join(truth, on=[q, i])
+           .groupBy(q).agg(F.sum(disc).alias("dcg_micros")))
+    idcg = F.element_at(F.array(*[F.lit(x).cast("long") for x in prefix]),
+                        F.least(F.col("n_truth"), F.lit(k)).cast("int"))
+    return (truth_q.join(dcg, on=q, how="left")
+            .select(q, "n_truth",
+                    F.coalesce(F.col("dcg_micros"), F.lit(0)).cast("long")
+                    .alias("dcg_micros"),
+                    idcg.alias("idcg_micros"))
+            .withColumn("ndcg_micros",
+                        F.expr(f"dcg_micros * {_M} div idcg_micros")))
+
+
+def ndcg_metrics_sql(pred_sql: str, truth_sql: str, k: int = 5,
+                     query_col: str = "query_id",
+                     item_col: str = "item_id",
+                     rank_col: str = "ann_rank") -> str:
+    """DuckDB twin of :func:`ndcg_metrics` — same embedded discount
+    literals."""
+    q, i, r = query_col, item_col, rank_col
+    d, prefix = _ndcg_discounts(k)
+    d_lit = "[" + ", ".join(str(x) for x in d) + "]"
+    p_lit = "[" + ", ".join(str(x) for x in prefix) + "]"
+    return f"""
+WITH pred0 AS ({pred_sql}),
+truth0 AS ({truth_sql}),
+pred AS (SELECT {q}, {i}, min({r}) AS {r} FROM pred0 GROUP BY 1, 2),
+truth AS (SELECT DISTINCT {q}, {i} FROM truth0),
+truth_q AS (SELECT {q}, count(*) AS n_truth FROM truth GROUP BY 1),
+dcg AS (
+  SELECT p.{q}, sum(({d_lit})[p.{r}])::BIGINT AS dcg_micros
+  FROM pred p JOIN truth t USING ({q}, {i})
+  WHERE p.{r} <= {k}
+  GROUP BY 1
+)
+SELECT tq.{q}, tq.n_truth,
+       coalesce(d.dcg_micros, 0)::BIGINT AS dcg_micros,
+       (({p_lit})[least(tq.n_truth, {k})])::BIGINT AS idcg_micros,
+       (coalesce(d.dcg_micros, 0) * {_M}
+          // ({p_lit})[least(tq.n_truth, {k})])::BIGINT AS ndcg_micros
+FROM truth_q tq LEFT JOIN dcg d USING ({q})
+"""
+
+
 def summarize_ranking(per_query: DataFrame,
                       query_col: str = "query_id") -> DataFrame:
     """Corpus roll-up of :func:`ranking_metrics` output: query count, mean

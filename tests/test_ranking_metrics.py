@@ -60,3 +60,61 @@ def test_summary_rollup_is_integer_mean(spark):
     vals = {r.query_id: r.recall_micros for r in per_q.collect()}
     assert s.n_queries == 3
     assert s.mean_recall_micros == sum(vals.values()) // 3
+
+
+# --- NDCG@k (r6) ---------------------------------------------------------
+
+
+def test_ndcg_hand_arithmetic(spark):
+    from systems_spark.functions.ranking import _ndcg_discounts, ndcg_metrics
+
+    d, prefix = _ndcg_discounts(5)
+    pred = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),     # q1: rel at ranks 1 and 3
+         (2, 20, 1), (2, 21, 2),                 # q2: perfect (both rel)
+         (3, 31, 4)],                            # q3: single rel at rank 4
+        "query_id long, item_id long, ann_rank long")
+    truth = spark.createDataFrame(
+        [(1, 10), (1, 12), (2, 20), (2, 21), (3, 31), (4, 40)],
+        "query_id long, item_id long")
+    got = {r.query_id: (r.dcg_micros, r.idcg_micros, r.ndcg_micros)
+           for r in ndcg_metrics(pred, truth, k=5).collect()}
+    M = 1_000_000
+    assert got[1] == (d[0] + d[2], prefix[1], (d[0] + d[2]) * M // prefix[1])
+    assert got[2] == (prefix[1], prefix[1], M)          # perfect → exactly 1e6
+    assert got[3] == (d[3], prefix[0], d[3] * M // prefix[0])
+    assert got[4] == (0, prefix[0], 0)                  # nothing retrieved
+
+
+def test_ndcg_truth_larger_than_k_and_rank_beyond_k(spark):
+    from systems_spark.functions.ranking import _ndcg_discounts, ndcg_metrics
+
+    d, prefix = _ndcg_discounts(2)
+    pred = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 3)],  # second hit OUTSIDE k=2: must not count
+        "query_id long, item_id long, ann_rank long")
+    truth = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12)],  # |truth|=3 > k → IDCG = prefix[k]
+        "query_id long, item_id long")
+    r = ndcg_metrics(pred, truth, k=2).collect()[0]
+    assert (r.dcg_micros, r.idcg_micros) == (d[0], prefix[1])
+
+
+def test_ndcg_matches_duckdb(spark):
+    import duckdb
+
+    from systems_spark.functions.ranking import ndcg_metrics, ndcg_metrics_sql
+
+    pred_rows = [(1, 10, 1), (1, 13, 2), (1, 12, 5), (2, 20, 2), (3, 30, 1)]
+    truth_rows = [(1, 10), (1, 12), (1, 14), (2, 20), (2, 21), (4, 40)]
+    pred = spark.createDataFrame(
+        pred_rows, "query_id long, item_id long, ann_rank long")
+    truth = spark.createDataFrame(truth_rows, "query_id long, item_id long")
+    got = sorted(map(tuple, ndcg_metrics(pred, truth, k=5).collect()))
+    pv = ",".join(f"({a},{b},{c})" for a, b, c in pred_rows)
+    tv = ",".join(f"({a},{b})" for a, b in truth_rows)
+    want = sorted(map(tuple, duckdb.connect().execute(ndcg_metrics_sql(
+        f"SELECT * FROM (VALUES {pv}) t(query_id, item_id, ann_rank)",
+        f"SELECT * FROM (VALUES {tv}) t(query_id, item_id)",
+        k=5)).fetchall()))
+    assert got == want
