@@ -3482,9 +3482,11 @@ def q_funnel_latency(spark, sf_dir):
     lat = t1.join(tN, on="user_id").select(
         (F.col("_tn") - F.col("_t1")).alias("latency_us"))
     q = exact_quantiles(lat, "latency_us", [0.5, 0.9])
+    # the SUM widens, not its result: sum-then-cast would wrap int64
+    # first (review r6 round C — the session_stats overflow class)
     stats = lat.agg(
         F.count(F.lit(1)).alias("n_converted"),
-        F.expr("CAST(CAST(sum(latency_us) AS DECIMAL(38,0)) DIV count(*) "
+        F.expr("CAST(sum(CAST(latency_us AS DECIMAL(38,0))) DIV count(*) "
                "AS BIGINT)").alias("mean_latency_us"))
     return (stats.crossJoin(q)
             .select("n_converted", "mean_latency_us",

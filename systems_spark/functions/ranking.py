@@ -86,8 +86,17 @@ def ndcg_metrics(pred: DataFrame, truth: DataFrame, k: int = 5,
     pred = pred.groupBy(q, i).agg(F.min(r).alias(r))
     truth = truth.select(q, i).distinct()
     truth_q = truth.groupBy(q).agg(F.count(F.lit(1)).alias("n_truth"))
-    disc = F.element_at(F.array(*[F.lit(x).cast("long") for x in d]),
-                        F.col(r).cast("int"))
+    # ranks are 1-based BY CONTRACT — enforced in-expression (the
+    # pagerank weight pattern): a 0-based feed would crash Spark's
+    # element_at while the SQL twin silently dropped the best hit, and
+    # negative ranks would silently index from the array end in both
+    # engines (review r6) — all three now raise identically
+    disc = F.when(
+        F.col(r) >= 1,
+        F.element_at(F.array(*[F.lit(x).cast("long") for x in d]),
+                     F.col(r).cast("int"))
+    ).otherwise(F.raise_error(F.lit(
+        "ndcg_metrics: ranks must be >= 1 (1-based)")).cast("long"))
     dcg = (pred.where(F.col(r) <= k)
            .join(truth, on=[q, i])
            .groupBy(q).agg(F.sum(disc).alias("dcg_micros")))
@@ -119,7 +128,10 @@ pred AS (SELECT {q}, {i}, min({r}) AS {r} FROM pred0 GROUP BY 1, 2),
 truth AS (SELECT DISTINCT {q}, {i} FROM truth0),
 truth_q AS (SELECT {q}, count(*) AS n_truth FROM truth GROUP BY 1),
 dcg AS (
-  SELECT p.{q}, sum(({d_lit})[p.{r}])::BIGINT AS dcg_micros
+  SELECT p.{q},
+         sum(CASE WHEN p.{r} >= 1 THEN ({d_lit})[p.{r}]
+                  ELSE error('ndcg_metrics: ranks must be >= 1 (1-based)')
+             END)::BIGINT AS dcg_micros
   FROM pred p JOIN truth t USING ({q}, {i})
   WHERE p.{r} <= {k}
   GROUP BY 1

@@ -45,20 +45,22 @@ from systems_spark.functions.sketches import (
 
 
 def hyperball(edges: DataFrame, rounds: int, p: int = 4,
-              src: str = "src", dst: str = "dst",
-              checkpoint_every: int = 2) -> DataFrame:
+              src: str = "src", dst: str = "dst") -> DataFrame:
     """(node, hops, n_buckets_used, s_int, approx_within) for every node
     of ``edges`` and every t in 1..rounds: the estimated number of nodes
     within t hops (following edge direction; pass a symmetrized edge
     list for undirected balls). hops counts the node itself — N(v, t) ≥ 1.
 
-    Each round's register table is localCheckpoint-pinned before it
-    feeds BOTH the estimate branch and the next round (the pagerank
-    cache discipline — without the pin every round's output would
-    re-execute the whole prefix chain per consumer)."""
+    The edge table is pinned ONCE (a derived edge list — e.g. a
+    co-occurrence self-join — must not re-execute per round; the
+    pagerank ``cache_edges`` discipline), and EVERY round's register
+    table is pinned before it feeds its two consumers (the estimate
+    branch and the next round) — review r6: with a cadenced pin, odd
+    rounds re-executed their union+max-agg once per consumer."""
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
-    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst")) \
+             .localCheckpoint(eager=False)
     nodes = (e.select(F.col("_src").alias("node"))
              .union(e.select(F.col("_dst").alias("node"))).distinct()
              .localCheckpoint(eager=False))
@@ -71,9 +73,8 @@ def hyperball(edges: DataFrame, rounds: int, p: int = 4,
                   .select(F.col("_src").alias("node"), "bucket", "register"))
         regs = (regs.unionByName(pulled)
                 .groupBy("node", "bucket")
-                .agg(F.max("register").alias("register")))
-        if checkpoint_every and (t % checkpoint_every == 0 or t == rounds):
-            regs = regs.localCheckpoint(eager=False)
+                .agg(F.max("register").alias("register"))
+                .localCheckpoint(eager=False))
         est = (hll_estimate(regs, ["node"], p, out_col="approx_within")
                .select("node", F.lit(t).cast("long").alias("hops"),
                        "n_buckets_used", "s_int", "approx_within"))

@@ -70,12 +70,16 @@ def random_walks(edges: DataFrame, length: int, n_walks: int = 1,
         state = (state.join(deg, state["cur"] == deg["_s"])
                  .withColumn("_i", choice)
                  .join(nbr, on=["_s", "_i"])
-                 .select("start", "walk", F.col("_d").alias("cur")))
+                 .select("start", "walk", F.col("_d").alias("cur"))
+                 # pinned BEFORE the append: the frame feeds both its
+                 # output branch of the final union AND the next step's
+                 # join — un-pinned, each union branch re-executes the
+                 # whole join-chain prefix (the funnel cache_steps
+                 # hazard; review r6)
+                 .localCheckpoint(eager=False))
         frames.append(state.select(
             "start", "walk", F.lit(t).cast("long").alias("step"),
             F.col("cur").alias("node")))
-        if t % 3 == 0:
-            state = state.localCheckpoint(eager=False)
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)

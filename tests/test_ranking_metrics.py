@@ -118,3 +118,23 @@ def test_ndcg_matches_duckdb(spark):
         f"SELECT * FROM (VALUES {tv}) t(query_id, item_id)",
         k=5)).fetchall()))
     assert got == want
+
+
+def test_ndcg_rejects_zero_based_ranks(spark):
+    """Review r6: a 0-based rank feed must raise identically in both
+    engines, not crash one and silently drop the best hit in the other."""
+    import duckdb
+    import pytest
+
+    from systems_spark.functions.ranking import ndcg_metrics, ndcg_metrics_sql
+
+    pred = spark.createDataFrame(
+        [(1, 10, 0), (1, 11, 1)],
+        "query_id long, item_id long, ann_rank long")
+    truth = spark.createDataFrame([(1, 10)], "query_id long, item_id long")
+    with pytest.raises(Exception, match="1-based"):
+        ndcg_metrics(pred, truth, k=5).collect()
+    with pytest.raises(Exception, match="1-based"):
+        duckdb.connect().execute(ndcg_metrics_sql(
+            "SELECT 1 AS query_id, 10 AS item_id, 0 AS ann_rank",
+            "SELECT 1 AS query_id, 10 AS item_id", k=5)).fetchall()

@@ -250,12 +250,11 @@ def test_hll_merge_equals_whole_property(spark, rows, cut):
 
     cut = min(cut, len(rows) - 1)
     h1, h2 = rows[:cut] or [rows[0]], rows[cut:] or [rows[-1]]
-    whole = hll_registers(_df(spark, rows), "key", ["grp"], p=6)
     merged = hll_merge(
         hll_registers(_df(spark, h1), "key", ["grp"], p=6),
         hll_registers(_df(spark, h2), "key", ["grp"], p=6))
-    # registers built on h1∪h2 vs rows: h1/h2 may not cover rows when a
-    # fallback kicked in — rebuild 'whole' over exactly h1+h2
+    # compare against exactly h1+h2 (the empty-half fallbacks above can
+    # make h1+h2 differ from rows)
     whole = hll_registers(_df(spark, h1 + h2), "key", ["grp"], p=6)
     w = {r.grp: (r.n_buckets_used, r.s_int, r.approx_distinct)
          for r in hll_estimate(whole, ["grp"], p=6).collect()}
