@@ -3561,6 +3561,41 @@ def _sql_ppr_parts() -> str:
     return f"SELECT node AS part_id, rank_micros FROM ({inner})"
 
 
+_QBINS = 10
+
+
+def q_value_bins(spark, sf_dir):
+    """Fitted quantile binning (operators/binning.py QuantileBin) — the
+    fit/serve split GlobalRank's ntile cannot do: decile edges learned
+    from events.value (exact_quantiles, no single-task stage),
+    quantized to integer micros at fit (HALF_UP — banker's rounding has
+    no SQL twin), then applied as plan-embedded literal comparisons —
+    serve-time binning is a zero-shuffle projection. Here fit and
+    transform run on the same table (training-data prep); the serve
+    path on NEW data is exercised in tests."""
+    from systems_spark.operators import QuantileBin
+
+    ev = _t(spark, sf_dir, "events")
+    op = QuantileBin("value", n_bins=_QBINS).fit(ev)
+    return op.transform(ev).select("event_id", "value_bin")
+
+
+_SQL_VALUE_BINS = f"""
+WITH qs AS (
+  SELECT quantile_cont(value,
+           [{", ".join(str(i / _QBINS) for i in range(1, _QBINS))}]) AS q
+  FROM events
+),
+edges AS (SELECT floor(unnest(q) * 1000000 + 0.5) AS em FROM qs)
+SELECT e.event_id,
+       CASE WHEN any_value(e.value) IS NULL THEN NULL
+            ELSE sum(CASE WHEN e.value * 1000000 > em THEN 1 ELSE 0 END)
+       END::BIGINT AS value_bin
+FROM events e CROSS JOIN edges
+GROUP BY e.event_id
+"""
+
+
 _HYPERBALL = dict(rounds=3, p=4)
 
 
@@ -4392,6 +4427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_latency": q_funnel_latency,
         "part_walks": q_part_walks,
         "ann_ndcg": q_ann_ndcg,
+        "value_bins": q_value_bins,
     }
 
 
@@ -4546,6 +4582,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_latency": _sql_funnel_latency(),
         "part_walks": _sql_part_walks(),
         "ann_ndcg": _sql_ann_ndcg(),
+        "value_bins": _SQL_VALUE_BINS,
         "trailing_features": _SQL_TRAILING_FEATURES,
         "user_sequences": _SQL_USER_SEQUENCES,
     }

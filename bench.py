@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "funnel_latency",
     "part_walks",
     "ann_ndcg",
+    "value_bins",
 ]
 
 

@@ -6,6 +6,7 @@ from systems_spark.operators.unroll_features import UnrollFeatures
 from systems_spark.operators.feature_table import QueryFeatureTable
 from systems_spark.operators.embedding_lookup import EmbeddingLookup
 from systems_spark.operators.padding import Padding
+from systems_spark.operators.binning import QuantileBin
 from systems_spark.operators.categorify import Categorify
 from systems_spark.operators.normalize import Normalize, FillMissing
 from systems_spark.operators.asof import AsofJoin
@@ -87,6 +88,7 @@ __all__ = [
     "EmbeddingLookup",
     "Padding",
     "Categorify",
+    "QuantileBin",
     "GlobalRank",
     "approx_quantiles",
     "exact_quantiles",

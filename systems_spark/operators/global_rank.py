@@ -152,8 +152,18 @@ class GlobalRank(Operator):
             spark.conf.get("spark.sql.shuffle.partitions", "200")
         )
         boundaries = self._boundaries(df, n_buckets)
-        withb = df.withColumn(
-            "_gr_bkt", self._bucket_expr(boundaries, self.order_cols[0])
+        # FENCED, not aliased: _gr_bkt is an ArrayFilter HOF over the
+        # value column, and downstream joins key on it — without the
+        # fence, constraint inference can substitute the HOF expression
+        # into filters that land on the OTHER join side, where the value
+        # attribute doesn't exist (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND,
+        # reproduced on LocalRelation inputs; parquet scans dodged it by
+        # plan shape, review r6). The fence also keeps the HOF from
+        # re-evaluating per consumer, per the repo-wide discipline.
+        from systems_spark.functions.fence import fence_columns
+
+        withb = fence_columns(
+            df, _gr_bkt=self._bucket_expr(boundaries, self.order_cols[0])
         )
         # LIMIT bound+1 caps what reaches the driver: the layout is
         # n_buckets × #groups rows, and nothing else stops a caller passing
