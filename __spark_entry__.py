@@ -3561,6 +3561,53 @@ def _sql_ppr_parts() -> str:
     return f"SELECT node AS part_id, rank_micros FROM ({inner})"
 
 
+_DEDUP_EVAL_THRESHOLD = 0.3  # truth = exact Jaccard at the minhash cut
+
+
+def q_dedup_eval(spark, sf_dir):
+    """Dedup-quality evaluation — the gate a production dedup pipeline
+    runs before trusting its LSH stage: MinHash candidate pairs (the
+    scale path) scored against EXACT n-gram Jaccard ground truth at the
+    same threshold and shingle width. One row: pair counts, true
+    positives, precision/recall in integer micros. Composes two
+    already-oracled machines; the oracle composes their full SQL twins.
+    (The exact side is the documented all-pairs anchor — this lane is
+    about measuring the approximation, not the 100 TB path itself.)"""
+    docs = _t(spark, sf_dir, "documents")
+    pred = MinHashDedup(**_MINHASH).transform(docs).select("a", "b")
+    truth = NGramJaccardDedup(
+        threshold=_DEDUP_EVAL_THRESHOLD, shingle_k=3)(docs).select("a", "b")
+    hit = pred.join(truth, on=["a", "b"], how="semi")
+    return (pred.agg(F.count(F.lit(1)).alias("n_pred"))
+            .crossJoin(truth.agg(F.count(F.lit(1)).alias("n_truth")))
+            .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+            .select("n_pred", "n_truth", "n_hit",
+                    F.expr("CAST(n_hit * 1000000 DIV n_pred AS BIGINT)")
+                    .alias("precision_micros"),
+                    F.expr("CAST(n_hit * 1000000 DIV n_truth AS BIGINT)")
+                    .alias("recall_micros")))
+
+
+def _sql_dedup_eval() -> str:
+    pred = MinHashDedup(**_MINHASH).pairs_oracle_sql()
+    truth = NGramJaccardDedup(
+        threshold=_DEDUP_EVAL_THRESHOLD, shingle_k=3).pairs_oracle_sql()
+    return f"""
+WITH pred AS ({pred}),
+truth AS ({truth}),
+hit AS (SELECT p.a, p.b FROM pred p SEMI JOIN truth t
+        ON t.a = p.a AND t.b = p.b),
+c AS (SELECT (SELECT count(*) FROM pred) AS n_pred,
+             (SELECT count(*) FROM truth) AS n_truth,
+             (SELECT count(*) FROM hit) AS n_hit)
+SELECT n_pred::BIGINT AS n_pred, n_truth::BIGINT AS n_truth,
+       n_hit::BIGINT AS n_hit,
+       (n_hit * 1000000 // n_pred)::BIGINT AS precision_micros,
+       (n_hit * 1000000 // n_truth)::BIGINT AS recall_micros
+FROM c
+"""
+
+
 _QBINS = 10
 
 
@@ -4428,6 +4475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_walks": q_part_walks,
         "ann_ndcg": q_ann_ndcg,
         "value_bins": q_value_bins,
+        "dedup_eval": q_dedup_eval,
     }
 
 
@@ -4583,6 +4631,7 @@ def oracle_sql() -> dict[str, str]:
         "part_walks": _sql_part_walks(),
         "ann_ndcg": _sql_ann_ndcg(),
         "value_bins": _SQL_VALUE_BINS,
+        "dedup_eval": _sql_dedup_eval(),
         "trailing_features": _SQL_TRAILING_FEATURES,
         "user_sequences": _SQL_USER_SEQUENCES,
     }

@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "part_walks",
     "ann_ndcg",
     "value_bins",
+    "dedup_eval",
 ]
 
 
