@@ -3574,18 +3574,24 @@ def q_dedup_eval(spark, sf_dir):
     (The exact side is the documented all-pairs anchor — this lane is
     about measuring the approximation, not the 100 TB path itself.)"""
     docs = _t(spark, sf_dir, "documents")
-    pred = MinHashDedup(**_MINHASH).transform(docs).select("a", "b")
-    truth = NGramJaccardDedup(
+    # both machines feed TWO consumers (the semi-join and their own
+    # count) — pinned so neither pipeline executes twice (review r6)
+    pred = (MinHashDedup(**_MINHASH).transform(docs).select("a", "b")
+            .localCheckpoint(eager=False))
+    truth = (NGramJaccardDedup(
         threshold=_DEDUP_EVAL_THRESHOLD, shingle_k=3)(docs).select("a", "b")
+        .localCheckpoint(eager=False))
     hit = pred.join(truth, on=["a", "b"], how="semi")
+    # nullif guards: a pair-free corpus must yield NULL rates (the
+    # DuckDB // semantics), not an ANSI divide-by-zero crash
     return (pred.agg(F.count(F.lit(1)).alias("n_pred"))
             .crossJoin(truth.agg(F.count(F.lit(1)).alias("n_truth")))
             .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
             .select("n_pred", "n_truth", "n_hit",
-                    F.expr("CAST(n_hit * 1000000 DIV n_pred AS BIGINT)")
-                    .alias("precision_micros"),
-                    F.expr("CAST(n_hit * 1000000 DIV n_truth AS BIGINT)")
-                    .alias("recall_micros")))
+                    F.expr("CAST(n_hit * 1000000 DIV nullif(n_pred, 0) "
+                           "AS BIGINT)").alias("precision_micros"),
+                    F.expr("CAST(n_hit * 1000000 DIV nullif(n_truth, 0) "
+                           "AS BIGINT)").alias("recall_micros")))
 
 
 def _sql_dedup_eval() -> str:
@@ -3602,8 +3608,8 @@ c AS (SELECT (SELECT count(*) FROM pred) AS n_pred,
              (SELECT count(*) FROM hit) AS n_hit)
 SELECT n_pred::BIGINT AS n_pred, n_truth::BIGINT AS n_truth,
        n_hit::BIGINT AS n_hit,
-       (n_hit * 1000000 // n_pred)::BIGINT AS precision_micros,
-       (n_hit * 1000000 // n_truth)::BIGINT AS recall_micros
+       (n_hit * 1000000 // nullif(n_pred, 0))::BIGINT AS precision_micros,
+       (n_hit * 1000000 // nullif(n_truth, 0))::BIGINT AS recall_micros
 FROM c
 """
 
@@ -3636,7 +3642,8 @@ WITH qs AS (
 edges AS (SELECT floor(unnest(q) * 1000000 + 0.5) AS em FROM qs)
 SELECT e.event_id,
        CASE WHEN any_value(e.value) IS NULL THEN NULL
-            ELSE sum(CASE WHEN e.value * 1000000 > em THEN 1 ELSE 0 END)
+            ELSE sum(CASE WHEN floor(e.value * 1000000 + 0.5) > em
+                          THEN 1 ELSE 0 END)
        END::BIGINT AS value_bin
 FROM events e CROSS JOIN edges
 GROUP BY e.event_id

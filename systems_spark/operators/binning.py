@@ -16,10 +16,13 @@ zero-shuffle projection that fuses into the scan.
 
 Determinism contract: edges are quantized to integer MICROS at fit
 (round(edge · 1e6), driver-side Python — the BM25/NDCG plan-time
-quantization pattern); the transform compares ``value · 1e6`` against
-those integer literals, so identical inputs bin identically in every
-engine and every retry. Fitted edges per column are n−1 longs — driver
-state in the Normalize-stats class, persisted as a tiny parquet.
+quantization pattern); the transform quantizes the value side the SAME
+way (floor(v·1e6 + 0.5)) before comparing against those integer
+literals, so identical inputs bin identically in every engine and
+every retry, and a value EQUAL to an edge bins LOW by exact integer
+comparison. Fitted edges per column are n−1 longs — driver state in
+the Normalize-stats class, persisted as a tiny JSON artifact through
+the Hadoop FileSystem API.
 """
 
 from __future__ import annotations
@@ -37,7 +40,9 @@ class QuantileBin(Operator):
         """``columns``: numeric columns to bin; each gets a
         ``<col><out_suffix>`` LongType output 0..n_bins−1 (NULL in →
         NULL out). Values equal to an edge bin LOW (bin = count of
-        edges strictly below value·1e6)."""
+        edge micros strictly below the value's micros — both sides
+        quantized identically, so the tie is an exact integer
+        comparison, not a float one)."""
         if n_bins < 2:
             raise ValueError("n_bins must be >= 2")
         self.columns = [columns] if isinstance(columns, str) else list(columns)
@@ -61,6 +66,13 @@ class QuantileBin(Operator):
             self.edges_micros[c] = [
                 int(math.floor(v * _M + 0.5)) for v in row if v is not None
             ]
+            if not self.edges_micros[c]:
+                # exact_quantiles' global agg returns one all-NULL row
+                # for empty/all-NULL input — a zero-edge fit would bin
+                # everything to 0 silently (review r6)
+                raise ValueError(
+                    f"QuantileBin: cannot fit quantiles for {c!r} — "
+                    "no non-NULL values")
         return self
 
     # -- transform ---------------------------------------------------------
@@ -70,10 +82,11 @@ class QuantileBin(Operator):
         out = df
         for c in self.columns:
             edges = self.edges_micros[c]
-            v = F.col(c).cast("double") * _M
-            bin_expr = sum(
-                (v > F.lit(float(e))).cast("int") for e in edges
-            )
+            # the value is quantized EXACTLY like the edges were at fit
+            # (floor(x·1e6 + 0.5)), so edge ties compare as equal
+            # integers and bin LOW per the documented contract
+            v = F.floor(F.col(c).cast("double") * _M + 0.5)
+            bin_expr = sum((v > F.lit(e)).cast("int") for e in edges)
             out = out.withColumn(
                 c + self.out_suffix,
                 F.when(F.col(c).isNotNull(), bin_expr).cast("long"))
@@ -81,13 +94,24 @@ class QuantileBin(Operator):
 
     def sql_bin_expr(self, col: str) -> str:
         """The transform as a SQL expression over ``col`` — for oracle
-        twins (same embedded integer-micros edge literals)."""
+        twins (same embedded integer-micros edge literals, same value
+        quantization)."""
         edges = self.edges_micros[col]
         terms = " + ".join(
-            f"CASE WHEN {col} * {_M} > {float(e)!r} THEN 1 ELSE 0 END"
+            f"CASE WHEN floor({col} * {_M} + 0.5) > {e} THEN 1 ELSE 0 END"
             for e in edges)
         return (f"CASE WHEN {col} IS NULL THEN NULL "
                 f"ELSE ({terms}) END::BIGINT")
+
+    def compute_output_schema(self, input_schema):
+        from systems_spark.schema import ColumnSchema, Schema
+
+        added = Schema([
+            ColumnSchema(f"{c}{self.out_suffix}", "int64",
+                         tags=frozenset({"CATEGORICAL"}))
+            for c in self.columns
+        ])
+        return input_schema + added
 
     # -- persistence -------------------------------------------------------
     def get_params(self):

@@ -23,8 +23,6 @@ def test_deciles_on_uniform_values(spark):
     df = _vals(spark, [float(x) for x in range(100)])
     op = QuantileBin("v", n_bins=10).fit(df)
     got = {r.id: r.v_bin for r in op.transform(df).collect()}
-    import math
-
     edges = op.edges_micros["v"]
     assert len(edges) == 9
     for i in range(100):
@@ -81,3 +79,24 @@ def test_validation(spark):
     df = _vals(spark, [1.0])
     with pytest.raises(RuntimeError):
         QuantileBin("v").transform(df)
+
+
+def test_fit_on_all_null_column_raises(spark):
+    """Review r6: a zero-edge fit would silently bin everything to 0."""
+    df = spark.createDataFrame([(1, None), (2, None)], "id long, v double")
+    with pytest.raises(ValueError, match="no non-NULL"):
+        QuantileBin("v", n_bins=4).fit(df)
+
+
+def test_value_equal_to_edge_bins_low(spark):
+    """The documented tie rule holds by exact integer comparison even
+    for non-dyadic edge values like 9.9 (review r6: the unquantized
+    float compare binned edge-equal values HIGH)."""
+    xs = [0.0, 9.9, 9.9, 9.9, 20.0, 30.0, 40.0, 50.0]
+    df = _vals(spark, xs)
+    op = QuantileBin("v", n_bins=2).fit(df)
+    [edge] = op.edges_micros["v"]
+    got = {r.id: r.v_bin for r in op.transform(df).collect()}
+    import math
+    for i, x in enumerate(xs):
+        assert got[i] == (1 if math.floor(x * 1e6 + 0.5) > edge else 0)
