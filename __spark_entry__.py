@@ -4314,6 +4314,224 @@ def _sql_substring_dedup() -> str:
             f"FROM ({inner})")
 
 
+# ===========================================================================
+# r6 session-5 additions: item-item kNN, SCD2 history, sketch heavy
+# hitters, HDR quantile sketch, Tukey-fence outliers
+# ===========================================================================
+
+_KNN = dict(k=5, min_cooc=2)
+
+
+def q_item_neighbors(spark, sf_dir):
+    """Item-item kNN (operators/item_knn.py): each part's top-5 neighbors
+    by squared binary cosine (Ochiai) over shared order baskets — the
+    count-based related-items table an item-to-item recommender serves
+    before any embedding exists (Sarwar et al. WWW 2001; the count-based
+    sibling of the ann_topk candidate index). Integer micros throughout;
+    the top-k window partitions by item (many small groups)."""
+    from systems_spark.operators.item_knn import item_knn
+
+    li = _t(spark, sf_dir, "lineitem")
+    return item_knn(li, "l_orderkey", "l_partkey", **_KNN)
+
+
+def _sql_item_neighbors() -> str:
+    from systems_spark.operators.item_knn import item_knn_sql
+
+    return item_knn_sql("SELECT l_orderkey, l_partkey FROM lineitem",
+                        "l_orderkey", "l_partkey", **_KNN)
+
+
+def q_user_state_history(spark, sf_dir):
+    """SCD Type-2 interval build (operators/scd.py): each user's
+    event_type change log collapsed into versioned validity intervals
+    (valid_from/valid_to/is_current) — the warehouse dimension-history
+    shape the as-of join reads back. Two per-user window passes sharing
+    one partitioning; the valid_to lead runs on the aggregated version
+    table."""
+    from systems_spark.operators.scd import scd2_intervals
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.expr("ts div 1000").alias("ts_us"), "event_id")
+    return scd2_intervals(ev, ["user_id"], "event_type", "ts_us",
+                          "event_id")
+
+
+def _sql_user_state_history() -> str:
+    from systems_spark.operators.scd import scd2_intervals_sql
+
+    return scd2_intervals_sql(
+        "SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id"
+        " FROM events",
+        ["user_id"], "event_type", "ts_us", "event_id")
+
+
+_HH = dict(depth=4, width=2048)
+_HH_THRESHOLD = 40
+
+
+def q_heavy_parts(spark, sf_dir):
+    """Heavy hitters via the Count-Min sketch with EXACT verification:
+    candidates = keys whose CMS estimate clears the threshold (one-sided
+    error → no false negatives), then one semi-joined exact count pass
+    keeps the true heavy hitters. The result therefore EQUALS the plain
+    GROUP BY ... HAVING count ≥ T — the oracle runs both the sketch
+    replay (for est_n) and the exact path, so the no-false-negative
+    guarantee is what the hash comparison proves. 100 TB shape: the
+    sketch pass shuffles ≤ d·w counter rows; the exact pass counts only
+    the candidate subset (≤ N/T keys, broadcastable)."""
+    from systems_spark.functions.sketches import cms_counters, cms_lookup
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    counters = cms_counters(li, "l_partkey", **_HH)
+    est = cms_lookup(counters, li.distinct(), "l_partkey", **_HH)
+    cand = est.where(F.col("est_n") >= _HH_THRESHOLD)
+    exact = (
+        li.join(F.broadcast(cand.select("l_partkey")), on="l_partkey",
+                how="semi")
+        .groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= _HH_THRESHOLD))
+    return exact.join(F.broadcast(cand), on="l_partkey")
+
+
+def _sql_heavy_parts() -> str:
+    from systems_spark.functions.sketches import (cms_counters_sql,
+                                                  cms_lookup_sql)
+
+    counters = cms_counters_sql("SELECT l_partkey FROM lineitem",
+                                "l_partkey", **_HH)
+    lookup = cms_lookup_sql(counters,
+                            "SELECT DISTINCT l_partkey FROM lineitem",
+                            "l_partkey", **_HH)
+    return f"""
+WITH est AS ({lookup}),
+exact AS (
+  SELECT l_partkey, count(*)::BIGINT AS n
+  FROM lineitem GROUP BY 1 HAVING count(*) >= {_HH_THRESHOLD}
+)
+SELECT exact.l_partkey, exact.n, est.est_n
+FROM exact JOIN est ON est.l_partkey = exact.l_partkey
+"""
+
+
+_HDR_SB = 5
+_HDR_PS = [0.5, 0.9, 0.99]
+# o_totalprice has ≤ 4 decimal places, so DECIMAL(18,6)·10⁶ has a zero
+# fraction and the BIGINT cast is exact in both engines (Spark
+# truncates, DuckDB rounds — identical on a zero fraction)
+_PRICE_MICROS_SPARK = ("CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000"
+                       " AS BIGINT)")
+_PRICE_MICROS_DUCK = "(o_totalprice::DECIMAL(18,6) * 1000000)::BIGINT"
+
+
+def q_price_quantiles_hdr(spark, sf_dir):
+    """Mergeable HDR-histogram quantiles (functions/sketches.py): p50 /
+    p90 / p99 of order price per priority from a log-scaled bucket table
+    — the sketch-family quantile member next to HLL (distinct) and CMS
+    (frequency). ONE map-side-combined aggregation whose state is ≤
+    ~(64−sb)·2^sb tiny rows per group with a GUARANTEED 2^−sb relative
+    error; contrast value_quantiles_scalable (exact, three jobs) and
+    percentile_approx (opaque non-portable state)."""
+    from systems_spark.functions.sketches import hdr_buckets, hdr_quantiles
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.expr(_PRICE_MICROS_SPARK).alias("price_micros"))
+    b = hdr_buckets(o, "price_micros", ["o_orderpriority"], sb=_HDR_SB)
+    return hdr_quantiles(b, ["o_orderpriority"], _HDR_PS, sb=_HDR_SB)
+
+
+def _sql_price_quantiles_hdr() -> str:
+    from systems_spark.functions.sketches import (hdr_buckets_sql,
+                                                  hdr_quantiles_sql)
+
+    b = hdr_buckets_sql(
+        f"SELECT o_orderpriority, {_PRICE_MICROS_DUCK} AS price_micros"
+        " FROM orders",
+        "price_micros", ["o_orderpriority"], sb=_HDR_SB)
+    return hdr_quantiles_sql(b, ["o_orderpriority"], _HDR_PS, sb=_HDR_SB)
+
+
+_VALUE_MICROS_SPARK = ("CAST(CAST(value AS DECIMAL(18,6)) * 1000000"
+                       " AS BIGINT)")
+_VALUE_MICROS_DUCK = "(value::DECIMAL(18,6) * 1000000)::BIGINT"
+
+
+def q_value_outliers(spark, sf_dir):
+    """Tukey-fence anomaly detection: events whose value falls outside
+    [q1 − 1.5·IQR, q3 + 1.5·IQR] within their event type, flagged
+    'lo'/'hi'. Quartiles are DISCRETE order statistics (rank ceil(n/4) /
+    ceil(3n/4) over the (value, id) total order) via GlobalRank — the
+    few-huge-groups regime at corpus scale — and the 1.5 factor is the
+    rational 3/2 applied to doubled integers, so every comparison is
+    integer-exact (no interpolation, no float boundary drift). The
+    per-type fence frame is 5 rows → broadcast back over the scan."""
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_id", "event_type",
+                  F.expr(_VALUE_MICROS_SPARK).alias("value_micros"))
+          # NULL values carry no quantile information and would rank
+          # NULLS FIRST here vs DuckDB's NULLS LAST (review) — exclude
+          # them from fences AND from flagging, both engines
+          .where(F.col("value_micros").isNotNull()))
+    gr = GlobalRank(["value_micros", "event_id"],
+                    group_cols=["event_type"])
+    ranked = gr.transform(ev)
+    qs = ranked.groupBy("event_type").agg(
+        F.max(F.when(
+            F.col("rank") == F.expr("(grp_total + 3) DIV 4"),
+            F.col("value_micros"))).alias("q1_micros"),
+        F.max(F.when(
+            F.col("rank") == F.expr("(3 * grp_total + 3) DIV 4"),
+            F.col("value_micros"))).alias("q3_micros"))
+    side = (F.when(F.expr("2 * value_micros >"
+                          " 2 * q3_micros + 3 * (q3_micros - q1_micros)"),
+                   F.lit("hi"))
+            .when(F.expr("2 * value_micros <"
+                         " 2 * q1_micros - 3 * (q3_micros - q1_micros)"),
+                  F.lit("lo")))
+    return (ev.join(F.broadcast(qs), on="event_type")
+            .withColumn("side", side)
+            .where(F.col("side").isNotNull())
+            .select("event_id", "event_type", "value_micros", "side",
+                    "q1_micros", "q3_micros"))
+
+
+_SQL_VALUE_OUTLIERS = f"""
+WITH ev AS (
+  SELECT event_id, event_type, {_VALUE_MICROS_DUCK} AS value_micros
+  FROM events
+  WHERE value IS NOT NULL
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY value_micros, event_id) AS r,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+),
+qs AS (
+  SELECT event_type,
+         max(CASE WHEN r = (n + 3) // 4 THEN value_micros END)
+           AS q1_micros,
+         max(CASE WHEN r = (3 * n + 3) // 4 THEN value_micros END)
+           AS q3_micros
+  FROM ranked GROUP BY 1
+),
+flagged AS (
+  SELECT ev.event_id, ev.event_type, ev.value_micros,
+         CASE WHEN 2 * ev.value_micros >
+                   2 * qs.q3_micros + 3 * (qs.q3_micros - qs.q1_micros)
+              THEN 'hi'
+              WHEN 2 * ev.value_micros <
+                   2 * qs.q1_micros - 3 * (qs.q3_micros - qs.q1_micros)
+              THEN 'lo' END AS side,
+         qs.q1_micros, qs.q3_micros
+  FROM ev JOIN qs ON qs.event_type = ev.event_type
+)
+SELECT * FROM flagged WHERE side IS NOT NULL
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_four_stage_recs(spark, SF_SMOKE)
@@ -4483,6 +4701,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ndcg": q_ann_ndcg,
         "value_bins": q_value_bins,
         "dedup_eval": q_dedup_eval,
+        # --- r6 session-5 additions (51+, locally oracle-checked) ---
+        "item_neighbors": q_item_neighbors,
+        "user_state_history": q_user_state_history,
+        "heavy_parts": q_heavy_parts,
+        "price_quantiles_hdr": q_price_quantiles_hdr,
+        "value_outliers": q_value_outliers,
     }
 
 
@@ -4641,4 +4865,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_eval": _sql_dedup_eval(),
         "trailing_features": _SQL_TRAILING_FEATURES,
         "user_sequences": _SQL_USER_SEQUENCES,
+        "item_neighbors": _sql_item_neighbors(),
+        "user_state_history": _sql_user_state_history(),
+        "heavy_parts": _sql_heavy_parts(),
+        "price_quantiles_hdr": _sql_price_quantiles_hdr(),
+        "value_outliers": _SQL_VALUE_OUTLIERS,
     }

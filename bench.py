@@ -123,6 +123,12 @@ BENCH_QUERIES = [
     "ann_ndcg",
     "value_bins",
     "dedup_eval",
+    # r6 session-5 additions
+    "item_neighbors",
+    "user_state_history",
+    "heavy_parts",
+    "price_quantiles_hdr",
+    "value_outliers",
 ]
 
 

@@ -1,0 +1,151 @@
+"""Item-item kNN over binary co-occurrence — the classic item-based CF
+retrieval prior (Sarwar et al., "Item-based collaborative filtering
+recommendation algorithms", WWW 2001).
+
+The reference's retrieval stage consumes a precomputed candidate index
+(reference: merlin/systems/dag/ops/faiss.py queries a trained ANN over
+item embeddings); this operator builds the COUNT-BASED neighbor table
+that recommenders bootstrap from before any embedding exists: for every
+item, the k most similar items by binary cosine (Ochiai coefficient)
+over shared baskets,
+
+    sim(a, b) = cooc(a, b) / sqrt(n_a * n_b)
+
+with ``cooc`` the number of baskets containing both and ``n_i`` the
+number containing item i. The emitted score is the SQUARED cosine in
+integer micros — ``cooc² · 10⁶ div (n_a · n_b)`` — so the whole lane is
+exact integer arithmetic (the repo's micros discipline: no float sqrt,
+no rounding drift between engines); squared cosine is order-preserving
+for ranking, which is all a kNN table needs.
+
+Determinism contract: neighbors rank by (sim² desc, cooc desc,
+neighbor id asc) — a total order, so top-k is unique in both engines.
+
+100 TB shape: the basket incidence is deduped FIRST (distinct
+(basket, item) — one hash aggregation), so the within-basket self-join
+fanout is bounded by distinct basket size, not raw row multiplicity;
+pair counting is one shuffle on the basket key + one on the pair key;
+the per-item count table joins on item keys (AQE broadcasts it when
+small). The top-k window partitions by item — many small groups, never
+a single-task stage. Whale baskets (a crawler "user" touching 10⁶
+items) are the quadratic hazard: ``max_basket_size`` drops baskets
+with more distinct items than the cap BEFORE the self-join (an
+over-wide basket is the least informative co-occurrence evidence —
+the same argument as winnow's ``max_doc_freq`` and simhash's
+``max_bucket_size``). Default off: the oracle contract wants exact
+output, and the driver data has no whales; production at scale sets it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def item_knn(df: DataFrame, basket_col: str, item_col: str, k: int = 5,
+             min_cooc: int = 2,
+             max_basket_size: "int | None" = None,
+             cache_incidence: bool = True) -> DataFrame:
+    """(item, neighbor, cooc, sim2_micros, rank): each item's top-``k``
+    neighbors by squared binary cosine over shared baskets, pairs with
+    fewer than ``min_cooc`` shared baskets pruned before ranking.
+
+    ``cache_incidence`` (default on) pins the deduped incidence with a
+    lazy localCheckpoint: three consumers (self-join L/R + item counts)
+    would otherwise each re-run the scan + distinct (the substring_dedup
+    gram-stream lesson). ``False`` trades re-execution for zero storage
+    at extreme scale."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if min_cooc < 1:
+        raise ValueError("min_cooc must be >= 1")
+    if max_basket_size is not None and max_basket_size < 2:
+        raise ValueError("max_basket_size must be >= 2 (pairs need 2)")
+
+    inc = df.select(F.col(basket_col).alias("_b"),
+                    F.col(item_col).alias("_i")).distinct()
+    if max_basket_size is not None:
+        ok = (inc.groupBy("_b").agg(F.count(F.lit(1)).alias("_sz"))
+              .where(F.col("_sz") <= max_basket_size).select("_b"))
+        inc = inc.join(ok, on="_b", how="semi")
+    if cache_incidence:
+        inc = inc.localCheckpoint(eager=False)
+    counts = inc.groupBy("_i").agg(F.count(F.lit(1)).alias("_n"))
+
+    pairs = (
+        inc.alias("L")
+        .join(inc.alias("R"), on=[
+            F.col("L._b") == F.col("R._b"),
+            F.col("L._i") < F.col("R._i"),
+        ])
+        .groupBy(F.col("L._i").alias("_a"), F.col("R._i").alias("_c"))
+        .agg(F.count(F.lit(1)).alias("cooc"))
+        .where(F.col("cooc") >= min_cooc)
+    )
+    # symmetrize before ranking: every item sees its full neighbor set
+    sym = pairs.select(F.col("_a").alias("item"),
+                       F.col("_c").alias("neighbor"), "cooc") \
+        .unionByName(pairs.select(F.col("_c").alias("item"),
+                                  F.col("_a").alias("neighbor"), "cooc"))
+    scored = (
+        sym.join(counts.select(F.col("_i").alias("item"),
+                               F.col("_n").alias("_na")), on="item")
+        .join(counts.select(F.col("_i").alias("neighbor"),
+                            F.col("_n").alias("_nb")), on="neighbor")
+        # cooc² · 10⁶ overflows int64 past cooc ≈ 3·10⁶ (a plausible
+        # corpus-scale co-count) and n_a · n_b past n ≈ 3·10⁹ baskets,
+        # so BOTH sides widen to decimal(38,0), matching the twin's
+        # HUGEINT (review: an int64 denominator wrapped exactly at the
+        # corpus scale the numerator widening targets)
+        .withColumn("sim2_micros", F.expr(
+            "CAST(CAST(cooc AS DECIMAL(38,0)) * cooc * 1000000"
+            " DIV (CAST(_na AS DECIMAL(38,0)) * _nb) AS BIGINT)"))
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.col("sim2_micros").desc(), F.col("cooc").desc(),
+        F.col("neighbor").asc())
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+            .select("item", "neighbor", "cooc", "sim2_micros", "rank"))
+
+
+def item_knn_sql(source_sql: str, basket_expr: str, item_expr: str,
+                 k: int = 5, min_cooc: int = 2) -> str:
+    """DuckDB twin of :func:`item_knn` (uncapped — the exact contract
+    the default operator computes). ``source_sql`` yields the raw
+    (basket, item) stream."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if min_cooc < 1:
+        raise ValueError("min_cooc must be >= 1")
+    return f"""
+WITH inc AS (
+  SELECT DISTINCT {basket_expr} AS b, {item_expr} AS i FROM ({source_sql})
+),
+cnt AS (SELECT i, count(*)::BIGINT AS n FROM inc GROUP BY 1),
+pairs AS (
+  SELECT L.i AS a, R.i AS c, count(*)::BIGINT AS cooc
+  FROM inc L JOIN inc R ON L.b = R.b AND L.i < R.i
+  GROUP BY 1, 2
+  HAVING count(*) >= {min_cooc}
+),
+sym AS (
+  SELECT a AS item, c AS neighbor, cooc FROM pairs
+  UNION ALL
+  SELECT c AS item, a AS neighbor, cooc FROM pairs
+),
+scored AS (
+  SELECT s.item, s.neighbor, s.cooc,
+         (s.cooc::HUGEINT * s.cooc * 1000000
+          // (ca.n::HUGEINT * cb.n))::BIGINT AS sim2_micros
+  FROM sym s
+  JOIN cnt ca ON ca.i = s.item
+  JOIN cnt cb ON cb.i = s.neighbor
+)
+SELECT item, neighbor, cooc, sim2_micros,
+       row_number() OVER (PARTITION BY item
+                          ORDER BY sim2_micros DESC, cooc DESC,
+                                   neighbor ASC)::BIGINT AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""

@@ -285,3 +285,113 @@ def test_cms_validation(spark):
         cms_counters(_df(spark, [("a", 1)]), "key", width=1000)  # not 2^k
     with pytest.raises(ValueError):
         cms_lookup_sql("SELECT 1", "SELECT 1", "key", depth=9)
+
+
+# --- HDR histogram quantile sketch ---------------------------------------
+
+from systems_spark.functions.sketches import (  # noqa: E402
+    hdr_buckets,
+    hdr_buckets_sql,
+    hdr_merge,
+    hdr_quantiles,
+    hdr_quantiles_sql,
+)
+
+
+def _vdf(spark, vals, grp="a"):
+    return spark.createDataFrame([(grp, v) for v in vals], "grp string, v long")
+
+
+def _true_q(vals, p):
+    """Type-1 discrete quantile, 1-based ceil(p*n) — the contract
+    hdr_quantiles targets."""
+    s = sorted(vals)
+    k = -(-len(s) * int(round(p * 1_000_000)) // 1_000_000)
+    return s[max(k, 1) - 1]
+
+
+def test_hdr_error_bound_and_exact_small_values(spark):
+    """The sketch guarantee: est <= true < est*(1 + 2^-sb); values below
+    2^(sb+1) are bucketed exactly (est == true)."""
+    sb = 5
+    big = [(k * k * 7919 + 13) % 10_000_000 for k in range(400)]
+    small = list(range(60))  # all < 2^(sb+1) = 64 → exact buckets
+    for vals in (big, small):
+        b = hdr_buckets(_vdf(spark, vals), "v", ["grp"], sb=sb)
+        r = hdr_quantiles(b, ["grp"], [0.5, 0.9, 0.99], sb=sb).collect()[0]
+        assert r.n_rows == len(vals)
+        for p, est in ((0.5, r.p5), (0.9, r.p9), (0.99, r.p99)):
+            true = _true_q(vals, p)
+            assert est <= true, (p, est, true)
+            assert true <= est * (1 + 2.0 ** -sb), (p, est, true)
+            if max(vals) < (1 << (sb + 1)):
+                assert est == true, (p, est, true)
+
+
+def test_hdr_merge_equals_whole(spark):
+    """Mergeability: buckets built on two halves and merged give
+    bit-identical quantiles to buckets built on the union."""
+    vals = [(k * 2654435761) % 5_000_000 for k in range(500)]
+    whole = hdr_buckets(_vdf(spark, vals), "v", ["grp"], sb=5)
+    merged = hdr_merge(
+        hdr_buckets(_vdf(spark, vals[::2]), "v", ["grp"], sb=5),
+        hdr_buckets(_vdf(spark, vals[1::2]), "v", ["grp"], sb=5))
+    qw = sorted(map(tuple, hdr_quantiles(whole, ["grp"], [0.5, 0.99],
+                                         sb=5).collect()))
+    qm = sorted(map(tuple, hdr_quantiles(merged, ["grp"], [0.5, 0.99],
+                                         sb=5).collect()))
+    assert qw == qm
+
+
+def test_hdr_matches_duckdb_bit_for_bit(spark):
+    import duckdb
+
+    vals = ([3, 17, 64, 65, 1023, 1024, 123456789, 2**52 + 7]
+            + [(k * 48271) % 900_000 for k in range(200)])
+    got = sorted(map(tuple, hdr_quantiles(
+        hdr_buckets(_vdf(spark, vals), "v", ["grp"], sb=5),
+        ["grp"], [0.5, 0.9, 0.99], sb=5).collect()))
+    rows = ",".join(f"('a', {v})" for v in vals)
+    sql = hdr_quantiles_sql(
+        hdr_buckets_sql(f"SELECT * FROM (VALUES {rows}) t(grp, v)",
+                        "v", ["grp"], sb=5),
+        ["grp"], [0.5, 0.9, 0.99], sb=5)
+    want = sorted(map(tuple, duckdb.connect().execute(sql).fetchall()))
+    assert got == want
+
+
+def test_hdr_bucket_monotone_in_value(spark):
+    """idx must be monotone non-decreasing in v (cumulative counts locate
+    quantiles only if bucketing preserves order) — checked over a dense
+    sweep crossing several band boundaries, plus exactness below 2^sb."""
+    vals = list(range(0, 4096)) + [2**40, 2**40 + 1, 2**59]
+    from pyspark.sql import functions as F
+    from systems_spark.functions.sketches import _hdr_idx_spark
+
+    df = _vdf(spark, vals).select(
+        "v", F.expr(_hdr_idx_spark("v", 4)).alias("idx")).collect()
+    pairs = sorted((r.v, r.idx) for r in df)
+    for (v0, i0), (v1, i1) in zip(pairs, pairs[1:]):
+        assert i0 <= i1, (v0, i0, v1, i1)
+    for v, i in pairs:
+        if v < 16:
+            assert i == v
+
+
+def test_hdr_negative_raises_and_validation(spark):
+    with pytest.raises(Exception, match="negative"):
+        hdr_buckets(_vdf(spark, [5, -1]), "v", ["grp"], sb=5).collect()
+    with pytest.raises(ValueError):
+        hdr_buckets(_vdf(spark, [1]), "v", ["grp"], sb=1)
+    with pytest.raises(ValueError):
+        hdr_quantiles_sql("SELECT 1", ["grp"], [1.5], sb=5)
+    with pytest.raises(ValueError):
+        hdr_merge()
+
+
+def test_hdr_null_values_excluded(spark):
+    rows = [("a", 10), ("a", None), ("a", 20), ("a", 30)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    b = hdr_buckets(df, "v", ["grp"], sb=5)
+    r = hdr_quantiles(b, ["grp"], [0.5], sb=5).collect()[0]
+    assert r.n_rows == 3 and r.p5 == 20
