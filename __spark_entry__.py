@@ -1562,9 +1562,12 @@ def _stream_link_dir(sf_dir: str, table: str = "events") -> str:
     no data copied, idempotent per sf_dir."""
     import hashlib
 
+    # keyed on (sf_dir, table): FileStreamSource reads EVERY file in the
+    # directory, so two tables sharing one dir would cross-read schemas
     link_dir = os.path.join(
         "/tmp", "systems_spark_stream",
-        hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
+        hashlib.md5(f"{os.path.abspath(sf_dir)}:{table}".encode())
+        .hexdigest()[:12],
     )
     os.makedirs(link_dir, exist_ok=True)
     link = os.path.join(link_dir, f"{table}.parquet")
@@ -4532,6 +4535,113 @@ SELECT * FROM flagged WHERE side IS NOT NULL
 """
 
 
+_CF_TOP_N = 3
+
+
+def q_item_cf_recs(spark, sf_dir):
+    """Two-stage item-based CF recommendations (operators/item_knn.py
+    item_cf_recommend): each customer's purchase history scored against
+    the item_neighbors kNN table — score(u,j) = Σ sim²(i,j) over history
+    items i, candidates already bought anti-filtered, top-3 per
+    customer. The count-based twin of the reference's retrieval stage
+    (merlin/systems: QueryFaiss candidates → FilterCandidates): same
+    retrieve-then-filter semantics, expressed as two joins + one
+    map-side-combined aggregation + a per-user window."""
+    from systems_spark.operators.item_knn import (item_cf_recommend,
+                                                  item_knn)
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    neighbors = item_knn(li, "l_orderkey", "l_partkey", **_KNN)
+    hist = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("cust_id"),
+        F.col("l_partkey").alias("part_id"))
+    return item_cf_recommend(hist, neighbors, "cust_id", "part_id",
+                             top_n=_CF_TOP_N)
+
+
+def _sql_item_cf_recs() -> str:
+    from systems_spark.operators.item_knn import (item_cf_recommend_sql,
+                                                  item_knn_sql)
+
+    nbr = item_knn_sql("SELECT l_orderkey, l_partkey FROM lineitem",
+                       "l_orderkey", "l_partkey", **_KNN)
+    hist = ("SELECT o_custkey AS cust_id, l_partkey AS part_id"
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey")
+    return item_cf_recommend_sql(hist, nbr, "cust_id", "part_id",
+                                 top_n=_CF_TOP_N)
+
+
+_BFS_HOPS = 3
+_BFS_SEED_MOD = 500
+
+
+def q_part_distances(spark, sf_dir):
+    """Multi-source BFS (operators/bfs.py): exact minimum hop distance
+    from a seed set of anchor parts (part_id ≡ 0 mod 500) to every part
+    reachable within 3 hops over the symmetrized co-occurrence graph —
+    the exact-distance companion of part_reachability's HyperBall
+    estimates. Driver-paced frontier rounds, one action each; the
+    visited set guarantees first-touch = min distance with no per-walk
+    aggregation."""
+    from systems_spark.operators.bfs import bfs_distances
+
+    edges = _sym_part_edges(spark, sf_dir)
+    seeds = (edges.select(F.col("src").alias("part_id")).distinct()
+             .where(F.col("part_id") % _BFS_SEED_MOD == 0))
+    return bfs_distances(edges, seeds, max_hops=_BFS_HOPS,
+                         node_col="part_id")
+
+
+def _sql_part_distances() -> str:
+    from systems_spark.operators.bfs import bfs_distances_sql
+
+    edges = _sql_sym_part_edges()
+    seeds = (f"SELECT DISTINCT src AS part_id FROM ({edges})"
+             f" WHERE src % {_BFS_SEED_MOD} = 0")
+    return bfs_distances_sql(edges, seeds, max_hops=_BFS_HOPS,
+                             node_col="part_id")
+
+
+def q_streaming_cms_parts(spark, sf_dir):
+    """The frequency sketch meets the streaming runtime: Count-Min
+    counters for part demand maintained by a real StreamingQuery over a
+    replayed lineitem file stream (streaming/streaming_cms_counters —
+    state bounded at d·w counters regardless of key cardinality); the
+    drained counter table feeds the SAME batch lookup and hashes
+    against the SAME oracle as the batch lane (cms_part_counts) — one
+    sketch, two runtimes, one oracle. The engine's seventh real
+    StreamingQuery."""
+    import uuid
+
+    from systems_spark.functions.sketches import cms_lookup
+    from systems_spark.sources import read_parquet
+    from systems_spark.streaming import streaming_cms_counters
+
+    link_dir = _stream_link_dir(sf_dir, table="lineitem")
+    raw_schema = read_parquet(spark, f"{sf_dir}/lineitem.parquet").schema
+    stream = (spark.readStream.schema(raw_schema).parquet(link_dir)
+              .select("l_partkey"))
+    ctr = streaming_cms_counters(stream, "l_partkey", **_CMS)
+    name = "stream_cms_" + uuid.uuid4().hex[:12]
+    q = (ctr.writeStream.outputMode("complete").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming_cms_parts did not finish within 300s")
+    counters = spark.table(name)
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    keys = (_t(spark, sf_dir, "part").where(F.col("p_size") == 50)
+            .select(F.col("p_partkey").alias("l_partkey")))
+    est = cms_lookup(counters, keys, "l_partkey", **_CMS)
+    exact = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("exact_n"))
+    return (est.join(exact, on="l_partkey", how="left")
+            .select(F.col("l_partkey").alias("part_id"),
+                    F.coalesce(F.col("exact_n"), F.lit(0)).cast("long")
+                    .alias("exact_n"),
+                    "est_n"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_four_stage_recs(spark, SF_SMOKE)
@@ -4707,6 +4817,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_parts": q_heavy_parts,
         "price_quantiles_hdr": q_price_quantiles_hdr,
         "value_outliers": q_value_outliers,
+        "item_cf_recs": q_item_cf_recs,
+        "part_distances": q_part_distances,
+        # eighth streaming lane; same oracle as the batch cms lane
+        "streaming_cms_parts": q_streaming_cms_parts,
     }
 
 
@@ -4870,4 +4984,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_parts": _sql_heavy_parts(),
         "price_quantiles_hdr": _sql_price_quantiles_hdr(),
         "value_outliers": _SQL_VALUE_OUTLIERS,
+        "item_cf_recs": _sql_item_cf_recs(),
+        "part_distances": _sql_part_distances(),
+        "streaming_cms_parts": _sql_cms_part_counts(),
     }

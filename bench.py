@@ -129,6 +129,9 @@ BENCH_QUERIES = [
     "heavy_parts",
     "price_quantiles_hdr",
     "value_outliers",
+    "item_cf_recs",
+    "part_distances",
+    "streaming_cms_parts",
 ]
 
 

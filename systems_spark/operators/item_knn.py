@@ -109,6 +109,86 @@ def item_knn(df: DataFrame, basket_col: str, item_col: str, k: int = 5,
             .select("item", "neighbor", "cooc", "sim2_micros", "rank"))
 
 
+def item_cf_recommend(history: DataFrame, neighbors: DataFrame,
+                      user_col: str, item_col: str,
+                      top_n: int = 3) -> DataFrame:
+    """(user, item, score_micros, n_contributors, rec_rank): item-based
+    CF scoring over a precomputed kNN table (the classic
+    two-stage "related items you haven't bought" retrieval):
+
+        score(u, j) = Σ_{i ∈ history(u)} sim²(i, j)
+
+    summed over the user's distinct history items whose neighbor lists
+    contain j, with j already in history(u) anti-filtered out, top-N
+    per user by (score desc, item asc). ``neighbors`` is
+    :func:`item_knn` output (or any (item, neighbor, sim2_micros)
+    frame).
+
+    100 TB shape: history dedups to (user, item) once; the scoring join
+    fans each history row out by at most k neighbors; the score
+    aggregation is map-side combinable on (user, candidate); the
+    anti-join and top-N window both ride the user-hash partitioning
+    (many small groups). Scores sum in decimal(38,0) — a 10⁸-item
+    history × 10⁶-micros sims would wrap int64 silently while the
+    DuckDB twin's HUGEINT stayed exact."""
+    if top_n < 1:
+        raise ValueError("top_n must be >= 1")
+    hist = history.select(F.col(user_col).alias("_u"),
+                          F.col(item_col).alias("_i")).distinct()
+    scored = (
+        hist.join(neighbors.select(F.col("item").alias("_i"),
+                                   F.col("neighbor").alias("_cand"),
+                                   "sim2_micros"), on="_i")
+        .groupBy("_u", "_cand")
+        .agg(F.expr("CAST(sum(CAST(sim2_micros AS DECIMAL(38,0)))"
+                    " AS BIGINT)").alias("score_micros"),
+             F.count(F.lit(1)).alias("n_contributors"))
+        # drop candidates the user already has
+        .join(hist.select("_u", F.col("_i").alias("_cand")),
+              on=["_u", "_cand"], how="anti"))
+    w = Window.partitionBy("_u").orderBy(
+        F.col("score_micros").desc(), F.col("_cand").asc())
+    return (scored.withColumn("rec_rank",
+                              F.row_number().over(w).cast("long"))
+            .where(F.col("rec_rank") <= top_n)
+            .select(F.col("_u").alias(user_col),
+                    F.col("_cand").alias(item_col),
+                    "score_micros", "n_contributors", "rec_rank"))
+
+
+def item_cf_recommend_sql(history_sql: str, neighbors_sql: str,
+                          user_col: str, item_col: str,
+                          top_n: int = 3) -> str:
+    """DuckDB twin of :func:`item_cf_recommend` — ``history_sql`` yields
+    (``user_col``, ``item_col``) raw rows, ``neighbors_sql`` yields
+    (item, neighbor, sim2_micros, ...)."""
+    if top_n < 1:
+        raise ValueError("top_n must be >= 1")
+    return f"""
+WITH hist AS (
+  SELECT DISTINCT {user_col} AS u, {item_col} AS i FROM ({history_sql})
+),
+nbr AS ({neighbors_sql}),
+scored AS (
+  SELECT h.u, n.neighbor AS cand,
+         sum(n.sim2_micros::HUGEINT)::BIGINT AS score_micros,
+         count(*)::BIGINT AS n_contributors
+  FROM hist h JOIN nbr n ON n.item = h.i
+  GROUP BY 1, 2
+),
+fresh AS (
+  SELECT s.* FROM scored s
+  ANTI JOIN hist h ON h.u = s.u AND h.i = s.cand
+)
+SELECT u AS {user_col}, cand AS {item_col}, score_micros, n_contributors,
+       row_number() OVER (PARTITION BY u
+                          ORDER BY score_micros DESC, cand ASC)::BIGINT
+         AS rec_rank
+FROM fresh
+QUALIFY rec_rank <= {top_n}
+"""
+
+
 def item_knn_sql(source_sql: str, basket_expr: str, item_expr: str,
                  k: int = 5, min_cooc: int = 2) -> str:
     """DuckDB twin of :func:`item_knn` (uncapped — the exact contract

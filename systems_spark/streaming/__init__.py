@@ -152,3 +152,23 @@ def streaming_hll_registers(stream_df: DataFrame, key_col: str, group_cols,
     # aggregation, both stream-safe) — delegate rather than duplicate,
     # so the bit-for-bit streaming/batch parity can never drift
     return hll_registers(stream_df, key_col, group_cols, p)
+
+
+def streaming_cms_counters(stream_df: DataFrame, key_col: str,
+                           depth: int = 4, width: int = 4096) -> DataFrame:
+    """Incremental Count-Min counter maintenance over a stream — the
+    live frequency monitor (how often has this key appeared so far)
+    whose state is bounded at d·w counters FOREVER, no matter the key
+    cardinality; the streaming twin of ``streaming_hll_registers``.
+
+    Same delegation discipline: the batch ``cms_counters`` plan (fenced
+    double-hash probes + one aggregation) is stream-safe as-is, so the
+    drained counter table equals the batch build over all rows so far
+    bit-for-bit and feeds the same ``cms_lookup`` / ``cms_merge``. One
+    honesty note vs HLL: counters grow by SUM, not max — replaying an
+    already-counted micro-batch would double-count, so exactly-once
+    here rests on the engine's checkpoint/commit protocol (which
+    Structured Streaming provides), not on the sketch's own algebra."""
+    from systems_spark.functions.sketches import cms_counters
+
+    return cms_counters(stream_df, key_col, depth, width)
