@@ -1559,7 +1559,7 @@ GROUP BY pred_lang
 def _stream_link_dir(sf_dir: str, table: str = "events") -> str:
     """FileStreamSource requires a DIRECTORY source; the testdata table
     is a single file. Stream from a tmp dir holding a symlink to it —
-    no data copied, idempotent per sf_dir."""
+    no data copied, idempotent per (sf_dir, table)."""
     import hashlib
 
     # keyed on (sf_dir, table): FileStreamSource reads EVERY file in the
@@ -4104,6 +4104,25 @@ GROUP BY 1
 _CMS = dict(depth=4, width=4096)
 
 
+def _cms_compare(spark, sf_dir, counters):
+    """est-vs-exact comparison tail shared by the batch and streaming
+    CMS lanes (ONE definition, so the two runtimes that hash against
+    the same oracle can never drift): look up the p_size=50 part slice
+    in ``counters``, left-join the exact lineitem counts."""
+    from systems_spark.functions.sketches import cms_lookup
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    keys = (_t(spark, sf_dir, "part").where(F.col("p_size") == 50)
+            .select(F.col("p_partkey").alias("l_partkey")))
+    est = cms_lookup(counters, keys, "l_partkey", **_CMS)
+    exact = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("exact_n"))
+    return (est.join(exact, on="l_partkey", how="left")
+            .select(F.col("l_partkey").alias("part_id"),
+                    F.coalesce(F.col("exact_n"), F.lit(0)).cast("long")
+                    .alias("exact_n"),
+                    "est_n"))
+
+
 def q_cms_part_counts(spark, sf_dir):
     """Count-Min sketch (functions/sketches.py): part-demand frequency
     estimates from a d×w counter table vs the exact counts, for the
@@ -4112,19 +4131,11 @@ def q_cms_part_counts(spark, sf_dir):
     ≤ d·w rows after the map-side combine NO MATTER how large lineitem
     is, and lookups broadcast it — the heavy-hitter monitor you can
     afford on a 100 TB fact table."""
-    from systems_spark.functions.sketches import cms_counters, cms_lookup
+    from systems_spark.functions.sketches import cms_counters
 
     li = _t(spark, sf_dir, "lineitem").select("l_partkey")
     ctr = cms_counters(li, "l_partkey", **_CMS)
-    keys = (_t(spark, sf_dir, "part").where(F.col("p_size") == 50)
-            .select(F.col("p_partkey").alias("l_partkey")))
-    est = cms_lookup(ctr, keys, "l_partkey", **_CMS)
-    exact = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("exact_n"))
-    return (est.join(exact, on="l_partkey", how="left")
-            .select(F.col("l_partkey").alias("part_id"),
-                    F.coalesce(F.col("exact_n"), F.lit(0)).cast("long")
-                    .alias("exact_n"),
-                    "est_n"))
+    return _cms_compare(spark, sf_dir, ctr)
 
 
 def _sql_cms_part_counts() -> str:
@@ -4547,12 +4558,13 @@ def q_item_cf_recs(spark, sf_dir):
     (merlin/systems: QueryFaiss candidates → FilterCandidates): same
     retrieve-then-filter semantics, expressed as two joins + one
     map-side-combined aggregation + a per-user window."""
-    from systems_spark.operators.item_knn import (item_cf_recommend,
-                                                  item_knn)
+    from systems_spark.operators.item_knn import item_cf_recommend
 
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    neighbors = item_knn(li, "l_orderkey", "l_partkey", **_KNN)
+    # the SAME neighbor table the item_neighbors lane serves — reuse
+    # the lane function so the two can never drift
+    neighbors = q_item_neighbors(spark, sf_dir)
     hist = li.join(o, li.l_orderkey == o.o_orderkey).select(
         F.col("o_custkey").alias("cust_id"),
         F.col("l_partkey").alias("part_id"))
@@ -4561,11 +4573,9 @@ def q_item_cf_recs(spark, sf_dir):
 
 
 def _sql_item_cf_recs() -> str:
-    from systems_spark.operators.item_knn import (item_cf_recommend_sql,
-                                                  item_knn_sql)
+    from systems_spark.operators.item_knn import item_cf_recommend_sql
 
-    nbr = item_knn_sql("SELECT l_orderkey, l_partkey FROM lineitem",
-                       "l_orderkey", "l_partkey", **_KNN)
+    nbr = _sql_item_neighbors()
     hist = ("SELECT o_custkey AS cust_id, l_partkey AS part_id"
             " FROM lineitem JOIN orders ON l_orderkey = o_orderkey")
     return item_cf_recommend_sql(hist, nbr, "cust_id", "part_id",
@@ -4608,13 +4618,11 @@ def q_streaming_cms_parts(spark, sf_dir):
     counters for part demand maintained by a real StreamingQuery over a
     replayed lineitem file stream (streaming/streaming_cms_counters —
     state bounded at d·w counters regardless of key cardinality); the
-    drained counter table feeds the SAME batch lookup and hashes
-    against the SAME oracle as the batch lane (cms_part_counts) — one
-    sketch, two runtimes, one oracle. The engine's seventh real
-    StreamingQuery."""
+    drained counter table feeds the SAME comparison tail
+    (_cms_compare) and hashes against the SAME oracle as the batch
+    lane (cms_part_counts) — one sketch, two runtimes, one oracle."""
     import uuid
 
-    from systems_spark.functions.sketches import cms_lookup
     from systems_spark.sources import read_parquet
     from systems_spark.streaming import streaming_cms_counters
 
@@ -4629,17 +4637,7 @@ def q_streaming_cms_parts(spark, sf_dir):
     if not q.awaitTermination(300):
         q.stop()
         raise RuntimeError("streaming_cms_parts did not finish within 300s")
-    counters = spark.table(name)
-    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
-    keys = (_t(spark, sf_dir, "part").where(F.col("p_size") == 50)
-            .select(F.col("p_partkey").alias("l_partkey")))
-    est = cms_lookup(counters, keys, "l_partkey", **_CMS)
-    exact = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("exact_n"))
-    return (est.join(exact, on="l_partkey", how="left")
-            .select(F.col("l_partkey").alias("part_id"),
-                    F.coalesce(F.col("exact_n"), F.lit(0)).cast("long")
-                    .alias("exact_n"),
-                    "est_n"))
+    return _cms_compare(spark, sf_dir, spark.table(name))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4819,7 +4817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_outliers": q_value_outliers,
         "item_cf_recs": q_item_cf_recs,
         "part_distances": q_part_distances,
-        # eighth streaming lane; same oracle as the batch cms lane
+        # fifth streaming lane in this registry; shares the batch
+        # cms lane's oracle
         "streaming_cms_parts": q_streaming_cms_parts,
     }
 

@@ -12,10 +12,12 @@ joins the frontier against the edge list and anti-joins the already
 -visited set, so each node enters the result EXACTLY once, at its
 first (= minimum) hop — no per-node min aggregation over all walks is
 ever needed. Rounds are driver-paced like pagerank/kcore: one action
-per round (the frontier count doubles as the early-stop probe), and
-both the visited set and the new frontier are pinned per round
-(localCheckpoint) so the plan cannot deepen round-over-round — the
-hyperball per-round-pin lesson.
+per round (the frontier count doubles as the early-stop probe). Only
+each round's NEW frontier is pinned (localCheckpoint); the visited set
+and the result are flat unions over those already-pinned per-hop
+frontiers — a union of checkpointed children cannot deepen, and the
+growing set is never re-materialized (the hyperball per-round-pin
+lesson, minus the redundant re-pin of old rows).
 
 100 TB shape: each round shuffles (node, dist) pairs on the node hash
 — frontier ∪ visited, never the edge payload; the edge list partitions
@@ -38,24 +40,32 @@ def bfs_distances(edges: DataFrame, seeds: DataFrame, max_hops: int,
     at dist 0 (they are trivially reachable)."""
     if max_hops < 0:
         raise ValueError("max_hops must be >= 0")
+    # pinned once: every round's count() is a separate action, and
+    # exchange reuse does not span actions — without the pin each round
+    # would re-run the full edge scan + distinct shuffle (the
+    # pagerank/kcore/hyperball cache_edges discipline)
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")) \
-        .distinct()
+        .distinct().localCheckpoint(eager=False)
     frontier = seeds.select(F.col(node_col).alias("_n")).distinct() \
         .localCheckpoint(eager=True)
-    visited = frontier.withColumn("dist", F.lit(0).cast("long")) \
-        .localCheckpoint(eager=True)
+    # visited = flat union over the per-hop frontiers, each already
+    # pinned — never re-materialized as one growing checkpoint
+    levels = [frontier.withColumn("dist", F.lit(0).cast("long"))]
+    visited_nodes = frontier
     for h in range(1, max_hops + 1):
         nxt = (frontier.join(e, frontier["_n"] == e["_s"])
                .select(F.col("_d").alias("_n")).distinct()
-               .join(visited.select("_n"), on="_n", how="anti")
+               .join(visited_nodes, on="_n", how="anti")
                .localCheckpoint(eager=True))
         if nxt.count() == 0:
             break
-        visited = visited.unionByName(
-            nxt.withColumn("dist", F.lit(h).cast("long"))) \
-            .localCheckpoint(eager=True)
+        levels.append(nxt.withColumn("dist", F.lit(h).cast("long")))
+        visited_nodes = visited_nodes.unionByName(nxt)
         frontier = nxt
-    return visited.select(F.col("_n").alias(node_col), "dist")
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.select(F.col("_n").alias(node_col), "dist")
 
 
 def bfs_distances_sql(edges_sql: str, seeds_sql: str, max_hops: int,

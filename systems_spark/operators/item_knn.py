@@ -128,9 +128,12 @@ def item_cf_recommend(history: DataFrame, neighbors: DataFrame,
     fans each history row out by at most k neighbors; the score
     aggregation is map-side combinable on (user, candidate); the
     anti-join and top-N window both ride the user-hash partitioning
-    (many small groups). Scores sum in decimal(38,0) — a 10⁸-item
-    history × 10⁶-micros sims would wrap int64 silently while the
-    DuckDB twin's HUGEINT stayed exact."""
+    (many small groups). Scores sum in decimal(38,0) so the SUM itself
+    never wraps (a 10⁸-item history × 10⁶-micros sims exceeds int64);
+    the final narrowing cast to bigint is safe to ~9.2×10¹² summed
+    sim²-units per candidate — beyond that Spark's non-ANSI cast yields
+    NULL where the DuckDB twin's ::BIGINT raises, so the honest
+    contract is "exact up to int64 on the TOTAL, loud-ish beyond"."""
     if top_n < 1:
         raise ValueError("top_n must be >= 1")
     hist = history.select(F.col(user_col).alias("_u"),
