@@ -4640,6 +4640,54 @@ def q_streaming_cms_parts(spark, sf_dir):
     return _cms_compare(spark, sf_dir, spark.table(name))
 
 
+_BLOOM = dict(k=4, m_bits=4096)
+
+
+def q_bloom_part_filter(spark, sf_dir):
+    """Bloom filter (functions/sketches.py) — the membership member of
+    the sketch family, and the runtime-filter shape Spark itself uses
+    for semi-join pushdown: build the k-probe bit array over the
+    p_size=50 dim slice's keys (≤ ceil(m/63) int64 words, broadcast),
+    probe every distinct lineitem partkey, report in_bloom vs in_dim
+    per key. Zero false negatives by construction — every dim key
+    answers 1, so pruning a 100 TB fact scan with the filter preserves
+    the join exactly; false positives (in_bloom=1, in_dim=0) are the
+    visible, bounded cost."""
+    from systems_spark.functions.sketches import bloom_bits, bloom_contains
+
+    dim = (_t(spark, sf_dir, "part").where(F.col("p_size") == 50)
+           .select(F.col("p_partkey").alias("part_id")))
+    blm = bloom_bits(dim, "part_id", **_BLOOM)
+    keys = (_t(spark, sf_dir, "lineitem")
+            .select(F.col("l_partkey").alias("part_id")).distinct())
+    probed = bloom_contains(blm, keys, "part_id", out_col="in_bloom",
+                            **_BLOOM)
+    return (probed.join(dim.withColumn("in_dim", F.lit(1)),
+                        on="part_id", how="left")
+            .select("part_id", "in_bloom",
+                    F.coalesce(F.col("in_dim"), F.lit(0)).cast("long")
+                    .alias("in_dim")))
+
+
+def _sql_bloom_part_filter() -> str:
+    from systems_spark.functions.sketches import (bloom_bits_sql,
+                                                  bloom_contains_sql)
+
+    blm = bloom_bits_sql(
+        "SELECT p_partkey AS part_id FROM part WHERE p_size = 50",
+        "part_id", **_BLOOM)
+    look = bloom_contains_sql(
+        blm, "SELECT DISTINCT l_partkey AS part_id FROM lineitem",
+        "part_id", out_col="in_bloom", **_BLOOM)
+    return f"""
+WITH probed AS ({look}),
+dim AS (SELECT p_partkey AS part_id FROM part WHERE p_size = 50)
+SELECT p.part_id, p.in_bloom,
+       CASE WHEN d.part_id IS NULL THEN 0 ELSE 1 END::BIGINT AS in_dim
+FROM probed p LEFT JOIN dim d ON d.part_id = p.part_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_four_stage_recs(spark, SF_SMOKE)
@@ -4820,6 +4868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fifth streaming lane in this registry; shares the batch
         # cms lane's oracle
         "streaming_cms_parts": q_streaming_cms_parts,
+        "bloom_part_filter": q_bloom_part_filter,
     }
 
 
@@ -4986,4 +5035,5 @@ def oracle_sql() -> dict[str, str]:
         "item_cf_recs": _sql_item_cf_recs(),
         "part_distances": _sql_part_distances(),
         "streaming_cms_parts": _sql_cms_part_counts(),
+        "bloom_part_filter": _sql_bloom_part_filter(),
     }

@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "item_cf_recs",
     "part_distances",
     "streaming_cms_parts",
+    "bloom_part_filter",
 ]
 
 

@@ -248,8 +248,9 @@ _CMS_H12_SQL = (
 )
 
 
-def _cms_h12_sql(src: str, key_expr: str, extra_cols: str = "") -> str:
-    h = hash64_sql(f"'cms:' || CAST({key_expr} AS VARCHAR)")
+def _cms_h12_sql(src: str, key_expr: str, extra_cols: str = "",
+                 prefix: str = "cms:") -> str:
+    h = hash64_sql(f"'{prefix}' || CAST({key_expr} AS VARCHAR)")
     return _CMS_H12_SQL.format(cols=extra_cols, h=h, src=src)
 
 
@@ -343,6 +344,142 @@ khashed AS ({_cms_h12_sql('keys', key_col, extra_cols=key_col + ',')}),
 probes AS ({probes})
 SELECT p.{key_col}, min(coalesce(c.n, 0))::BIGINT AS {out_col}
 FROM probes p LEFT JOIN counters c ON c.row = p.row AND c.bucket = p.bucket
+GROUP BY 1
+"""
+
+
+# --- Bloom filter ---------------------------------------------------------
+# Bloom, "Space/time trade-offs in hash coding with allowable errors"
+# (CACM 1970). The membership member of the sketch family (HLL =
+# distinct, CMS = frequency, HDR = quantiles): k probe bits over an
+# m-bit array answer "might key x be in this set" with NO false
+# negatives and a false-positive rate ≈ (1 − e^{−kn/m})^k. The array is
+# plain (word, bits) int64 rows — ≤ ceil(m/63) rows no matter how many
+# keys went in — merging by bitwise OR. This is the runtime-filter /
+# semi-join-pushdown shape at 100 TB: build over the dim side's join
+# keys, broadcast the tiny word table, prune fact rows BEFORE the
+# shuffle (no false negatives = the join result is exactly preserved;
+# false positives only cost shuffle rows, never correctness).
+#
+# Same Kirsch–Mitzenmeyer double hashing as CMS (one fenced md5 per
+# key under a 'bloom:' prefix for family independence; probe r hits
+# bit (h1 + r·h2) mod m, h2 odd so the sequence never collapses on the
+# power-of-two m). WORDS HOLD 63 BITS (word = pos div 63, bit =
+# pos mod 63): bit index 63 would need 1<<63, which DuckDB's BIGINT
+# shift rejects as overflow and Spark wraps negative — 63-bit words
+# keep every word positive and bit-identical in both engines.
+
+
+def _check_bloom(k: int, m_bits: int) -> None:
+    if not 1 <= k <= 8:
+        raise ValueError("k must be in [1, 8]")
+    if m_bits < 64 or m_bits & (m_bits - 1):
+        raise ValueError("m_bits must be a power of two >= 64")
+
+
+def _bloom_hash(key):
+    """The ONE md5 per key the k probe bits derive from."""
+    return hash64(F.concat(F.lit("bloom:"), key.cast("string")))
+
+
+def _bloom_probes(df: DataFrame, key_col: str, k: int, m_bits: int,
+                  keep_key: bool) -> DataFrame:
+    """The shared (word, bit) probe stream the build AND the membership
+    check derive from — one definition so they can never probe
+    different bits (the _cms_probes discipline). Hash FENCED for the
+    same reason: ProjectCollapsing would otherwise re-inline the md5
+    into every probe expression."""
+    from systems_spark.functions.fence import fence_columns
+
+    _check_bloom(k, m_bits)
+    hashed = fence_columns(df.select(key_col),
+                           _bh=_bloom_hash(F.col(key_col)))
+    h1, h2 = _cms_h12_from(F.col("_bh"))
+    lead = [key_col] if keep_key else []
+    pos = F.explode(F.array(*[
+        (h1 + r * h2) % m_bits for r in range(k)
+    ])).alias("_pos")
+    return (hashed.select(*lead, pos)
+            .select(*lead, F.expr("_pos DIV 63").alias("word"),
+                    (F.col("_pos") % 63).cast("int").alias("bit")))
+
+
+def bloom_bits(df: DataFrame, key_col: str, k: int = 4,
+               m_bits: int = 1 << 14) -> DataFrame:
+    """(word, bits): the Bloom filter word table for the set of
+    ``key_col`` values — ≤ ceil(m/63) rows after ONE map-side-combined
+    aggregation, regardless of input size. Absent word ≡ all-zero.
+    Merge filters (same k, m) with :func:`bloom_merge`."""
+    return (_bloom_probes(df, key_col, k, m_bits, keep_key=False)
+            .groupBy("word")
+            .agg(F.bit_or(F.expr(
+                "shiftleft(CAST(1 AS BIGINT), bit)")).alias("bits")))
+
+
+def bloom_bits_sql(source_sql: str, key_expr: str, k: int = 4,
+                   m_bits: int = 1 << 14) -> str:
+    """DuckDB twin of :func:`bloom_bits`."""
+    _check_bloom(k, m_bits)
+    rows = " UNION ALL ".join(
+        f"SELECT (_h1 + {r} * _h2) % {m_bits} AS pos FROM hashed"
+        for r in range(k))
+    return f"""
+WITH src AS ({source_sql}),
+hashed AS ({_cms_h12_sql('src', key_expr, prefix='bloom:')}),
+pos AS ({rows})
+SELECT pos // 63 AS word,
+       bit_or(1::BIGINT << (pos % 63)::INT)::BIGINT AS bits
+FROM pos GROUP BY 1
+"""
+
+
+def bloom_merge(*word_tables: DataFrame) -> DataFrame:
+    """Merge word tables (same k and m_bits): union → OR per word."""
+    if not word_tables:
+        raise ValueError("need at least one word table")
+    out = word_tables[0]
+    for t in word_tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_contains(bloom: DataFrame, keys: DataFrame, key_col: str,
+                   k: int = 4, m_bits: int = 1 << 14,
+                   out_col: str = "maybe_present") -> DataFrame:
+    """(key, maybe_present 0/1) for every row of ``keys``: 1 iff ALL k
+    probe bits are set (the no-false-negative side: every inserted key
+    answers 1). The word table is ≤ ceil(m/63) rows, so it broadcasts;
+    keys never shuffle wide."""
+    probes = _bloom_probes(keys, key_col, k, m_bits, keep_key=True)
+    joined = probes.join(F.broadcast(bloom), on="word", how="left")
+    bit_set = F.expr("(shiftright(coalesce(bits, CAST(0 AS BIGINT)), bit)"
+                     " & CAST(1 AS BIGINT))")
+    return (joined.groupBy(key_col)
+            .agg(F.min(bit_set).cast("long").alias(out_col)))
+
+
+def bloom_contains_sql(bloom_sql: str, keys_sql: str, key_col: str,
+                       k: int = 4, m_bits: int = 1 << 14,
+                       out_col: str = "maybe_present") -> str:
+    """DuckDB twin of :func:`bloom_contains` — ``keys_sql`` yields
+    (``key_col``)."""
+    _check_bloom(k, m_bits)
+    probes = " UNION ALL ".join(
+        f"SELECT {key_col}, (_h1 + {r} * _h2) % {m_bits} AS pos"
+        f" FROM khashed"
+        for r in range(k))
+    return f"""
+WITH blm AS ({bloom_sql}),
+keys AS ({keys_sql}),
+khashed AS ({_cms_h12_sql('keys', key_col, extra_cols=key_col + ',',
+                          prefix='bloom:')}),
+probes AS ({probes}),
+wp AS (SELECT {key_col}, pos // 63 AS word, (pos % 63)::INT AS bit
+       FROM probes)
+SELECT wp.{key_col},
+       min((coalesce(b.bits, 0::BIGINT) >> wp.bit) & 1)::BIGINT
+         AS {out_col}
+FROM wp LEFT JOIN blm b ON b.word = wp.word
 GROUP BY 1
 """
 

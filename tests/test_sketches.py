@@ -395,3 +395,121 @@ def test_hdr_null_values_excluded(spark):
     b = hdr_buckets(df, "v", ["grp"], sb=5)
     r = hdr_quantiles(b, ["grp"], [0.5], sb=5).collect()[0]
     assert r.n_rows == 3 and r.p5 == 20
+
+
+# --- Bloom filter --------------------------------------------------------
+
+
+def _bkeys(spark, names):
+    return spark.createDataFrame([(n,) for n in names], "key string")
+
+
+def test_bloom_no_false_negatives(spark):
+    """EVERY inserted key answers 1 — the guarantee that makes the
+    filter safe as a join pruner (a false negative would silently drop
+    join rows)."""
+    from systems_spark.functions.sketches import bloom_bits, bloom_contains
+
+    ins = [f"k{i}" for i in range(200)]
+    blm = bloom_bits(_bkeys(spark, ins), "key", k=4, m_bits=1 << 12)
+    got = {r.key: r.maybe_present
+           for r in bloom_contains(blm, _bkeys(spark, ins), "key",
+                                   k=4, m_bits=1 << 12).collect()}
+    assert all(got[k] == 1 for k in ins)
+
+
+def test_bloom_false_positive_rate_sane(spark):
+    """Absent keys mostly answer 0 at a comfortable m/n ratio (k=4,
+    n=100, m=4096 → theoretical FP ≈ 0.2%); a saturated tiny filter
+    answers 1 often — both ends sanity-checked."""
+    from systems_spark.functions.sketches import bloom_bits, bloom_contains
+
+    ins = [f"in{i}" for i in range(100)]
+    absent = [f"out{i}" for i in range(300)]
+    blm = bloom_bits(_bkeys(spark, ins), "key", k=4, m_bits=1 << 12)
+    got = [r.maybe_present
+           for r in bloom_contains(blm, _bkeys(spark, absent), "key",
+                                   k=4, m_bits=1 << 12).collect()]
+    assert sum(got) <= 10  # generous: ~0.6 expected
+    tiny = bloom_bits(_bkeys(spark, ins), "key", k=1, m_bits=64)
+    sat = [r.maybe_present
+           for r in bloom_contains(tiny, _bkeys(spark, absent), "key",
+                                   k=1, m_bits=64).collect()]
+    assert sum(sat) > 200  # 64 bits for 100 keys ≈ saturated
+
+
+def test_bloom_merge_equals_whole(spark):
+    """OR-merge of two half filters equals the filter over the union,
+    word-for-word (the mergeability law)."""
+    from systems_spark.functions.sketches import bloom_bits, bloom_merge
+
+    names = [f"k{i}" for i in range(120)]
+    whole = sorted(map(tuple, bloom_bits(
+        _bkeys(spark, names), "key", k=3, m_bits=1 << 10).collect()))
+    a = bloom_bits(_bkeys(spark, names[:60]), "key", k=3, m_bits=1 << 10)
+    b = bloom_bits(_bkeys(spark, names[60:]), "key", k=3, m_bits=1 << 10)
+    merged = sorted(map(tuple, bloom_merge(a, b).collect()))
+    assert merged == whole
+
+
+def test_bloom_matches_duckdb_bit_for_bit(spark):
+    import duckdb
+
+    from systems_spark.functions.sketches import (
+        bloom_bits,
+        bloom_bits_sql,
+        bloom_contains,
+        bloom_contains_sql,
+    )
+
+    ins = [f"k{i}" for i in range(50)]
+    probe = [f"k{i}" for i in range(100)]
+    blm = bloom_bits(_bkeys(spark, ins), "key", k=4, m_bits=1 << 10)
+    got_b = sorted(map(tuple, blm.collect()))
+    got_c = sorted(map(tuple, bloom_contains(
+        blm, _bkeys(spark, probe), "key", k=4, m_bits=1 << 10).collect()))
+    vals = ",".join(f"('{k}')" for k in ins)
+    pvals = ",".join(f"('{k}')" for k in probe)
+    bs = bloom_bits_sql(f"SELECT * FROM (VALUES {vals}) t(key)", "key",
+                        k=4, m_bits=1 << 10)
+    want_b = sorted(duckdb.connect().execute(bs).fetchall())
+    cs = bloom_contains_sql(bs, f"SELECT * FROM (VALUES {pvals}) t(key)",
+                            "key", k=4, m_bits=1 << 10)
+    want_c = sorted(duckdb.connect().execute(cs).fetchall())
+    assert got_b == want_b
+    assert got_c == want_c
+
+
+def test_bloom_words_positive_and_bounded(spark):
+    """63-bit words: every word id < ceil(m/63), every bits value
+    strictly positive (bit 63 never used — the cross-engine overflow
+    fence)."""
+    from systems_spark.functions.sketches import bloom_bits
+
+    rows = bloom_bits(_bkeys(spark, [f"k{i}" for i in range(500)]),
+                      "key", k=8, m_bits=1 << 10).collect()
+    assert all(0 <= r.word <= (1 << 10) // 63 for r in rows)
+    assert all(r.bits > 0 for r in rows)
+
+
+def test_bloom_validation(spark):
+    from systems_spark.functions.sketches import (
+        bloom_bits,
+        bloom_bits_sql,
+        bloom_contains_sql,
+        bloom_merge,
+    )
+
+    df = _bkeys(spark, ["a"])
+    with pytest.raises(ValueError):
+        bloom_bits(df, "key", k=0)
+    with pytest.raises(ValueError):
+        bloom_bits(df, "key", k=9)
+    with pytest.raises(ValueError):
+        bloom_bits(df, "key", k=4, m_bits=100)  # not a power of two
+    with pytest.raises(ValueError):
+        bloom_bits_sql("SELECT 1", "key", k=4, m_bits=32)  # < 64
+    with pytest.raises(ValueError):
+        bloom_contains_sql("SELECT 1", "SELECT 1", "key", k=0)
+    with pytest.raises(ValueError):
+        bloom_merge()
