@@ -4669,6 +4669,38 @@ def q_bloom_part_filter(spark, sf_dir):
                     .alias("in_dim")))
 
 
+_OVERLAP_YEARS = (1995, 2001)
+_OVERLAP_P = 10
+
+
+def q_customer_overlap(spark, sf_dir):
+    """HLL audience overlap (functions/sketches.py hll_overlap):
+    how many customers ordered in BOTH 1995 and 2001, by
+    inclusion–exclusion over mergeable register tables — |A∩B| ≈
+    |A| + |B| − |A∪B| with the union estimated from the MERGED
+    registers (max per bucket), never by re-scanning keys. The
+    cross-day/cross-source audience arithmetic that opaque
+    approx_count_distinct state cannot do: at 100 TB each side is one
+    ≤ 2^p-row register build, persistable and combinable after the
+    fact."""
+    from systems_spark.functions.sketches import hll_overlap
+
+    ya, yb = _OVERLAP_YEARS
+    o = _t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("order_year"), "o_custkey")
+    return hll_overlap(o, "o_custkey", "order_year", ya, yb,
+                       p=_OVERLAP_P)
+
+
+def _sql_customer_overlap() -> str:
+    from systems_spark.functions.sketches import hll_overlap_sql
+
+    ya, yb = _OVERLAP_YEARS
+    return hll_overlap_sql(
+        "SELECT year(o_orderdate) AS order_year, o_custkey FROM orders",
+        "o_custkey", "order_year", ya, yb, p=_OVERLAP_P)
+
+
 def _sql_bloom_part_filter() -> str:
     from systems_spark.functions.sketches import (bloom_bits_sql,
                                                   bloom_contains_sql)
@@ -4869,6 +4901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cms lane's oracle
         "streaming_cms_parts": q_streaming_cms_parts,
         "bloom_part_filter": q_bloom_part_filter,
+        "customer_overlap": q_customer_overlap,
     }
 
 
@@ -5036,4 +5069,5 @@ def oracle_sql() -> dict[str, str]:
         "part_distances": _sql_part_distances(),
         "streaming_cms_parts": _sql_cms_part_counts(),
         "bloom_part_filter": _sql_bloom_part_filter(),
+        "customer_overlap": _sql_customer_overlap(),
     }

@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "part_distances",
     "streaming_cms_parts",
     "bloom_part_filter",
+    "customer_overlap",
 ]
 
 

@@ -348,6 +348,91 @@ GROUP BY 1
 """
 
 
+def _sql_label_literal(v) -> str:
+    if isinstance(v, bool) or not isinstance(v, (int, str)):
+        raise ValueError("labels must be int or str")
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return str(v)
+
+
+def hll_overlap(df: DataFrame, key_col: str, label_col: str,
+                label_a, label_b, p: int = 8) -> DataFrame:
+    """One row (est_a, est_b, est_union, est_overlap): audience overlap
+    between two labeled key sets by inclusion–exclusion over HLL
+    registers — |A∩B| ≈ |A| + |B| − |A∪B|, where the union estimate
+    comes from MERGING the two register tables (max per bucket), never
+    from touching raw keys twice. The sketch-algebra answer to "how
+    many users did both": at 100 TB each side is one register build
+    (≤ 2^p rows), and the union is free — the reason mergeable
+    registers beat ``approx_count_distinct``'s opaque state. Overlap is
+    clamped at 0 (inclusion–exclusion of estimates can go slightly
+    negative); all four outputs are rounded doubles on exact integer
+    anchors, replayed bit-for-bit in DuckDB by
+    :func:`hll_overlap_sql`."""
+    _check_p(p)
+    pair = (df.where(F.col(label_col).isin([label_a, label_b]))
+            .select(F.col(label_col).alias("_lbl"),
+                    F.col(key_col).alias("_k")))
+    regs = hll_registers(pair, "_k", ["_lbl"], p)
+    union_regs = regs.select(F.lit("__union__").alias("_lbl"),
+                             "bucket", "register")
+    merged = hll_merge(regs.select(F.col("_lbl").cast("string"),
+                                   "bucket", "register"), union_regs)
+    est = hll_estimate(merged, ["_lbl"], p)
+    la, lb = str(label_a), str(label_b)
+    piv = est.groupBy().agg(
+        F.max(F.when(F.col("_lbl") == la,
+                     F.col("approx_distinct"))).alias("est_a"),
+        F.max(F.when(F.col("_lbl") == lb,
+                     F.col("approx_distinct"))).alias("est_b"),
+        F.max(F.when(F.col("_lbl") == "__union__",
+                     F.col("approx_distinct"))).alias("est_union"))
+    overlap = F.greatest(
+        F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 4),
+        F.lit(0.0))
+    return piv.select("est_a", "est_b", "est_union",
+                      overlap.alias("est_overlap"))
+
+
+def hll_overlap_sql(source_sql: str, key_expr: str, label_expr: str,
+                    label_a, label_b, p: int = 8) -> str:
+    """DuckDB twin of :func:`hll_overlap`. Labels are compared as
+    strings (the Spark side casts the label column to string so int
+    and str labels behave identically)."""
+    _check_p(p)
+    sa, sb = _sql_label_literal(label_a), _sql_label_literal(label_b)
+    pair = (f"SELECT CAST({label_expr} AS VARCHAR) AS _lbl,"
+            f" {key_expr} AS _k FROM ({source_sql})"
+            f" WHERE CAST({label_expr} AS VARCHAR)"
+            f" IN (CAST({sa} AS VARCHAR), CAST({sb} AS VARCHAR))")
+    regs = hll_registers_sql(pair, "_k", ["_lbl"], p)
+    # the register subquery is inlined (not a shared CTE) because
+    # hll_estimate_sql wraps its input in its own `regs` CTE — an outer
+    # CTE of the same name would self-collide
+    merged = f"""SELECT _lbl, bucket, max(register) AS register FROM (
+  SELECT _lbl, bucket, register FROM ({regs})
+  UNION ALL
+  SELECT '__union__' AS _lbl, bucket, register FROM ({regs})
+) GROUP BY 1, 2"""
+    est = hll_estimate_sql(merged, ["_lbl"], p)
+    qa, qb = str(label_a).replace("'", "''"), str(label_b).replace("'", "''")
+    return f"""
+WITH est AS ({est}),
+piv AS (
+  SELECT max(CASE WHEN _lbl = '{qa}' THEN approx_distinct END) AS est_a,
+         max(CASE WHEN _lbl = '{qb}' THEN approx_distinct END) AS est_b,
+         max(CASE WHEN _lbl = '__union__' THEN approx_distinct END)
+           AS est_union
+  FROM est
+)
+SELECT est_a, est_b, est_union,
+       greatest(round(est_a + est_b - est_union, 4), 0.0)::DOUBLE
+         AS est_overlap
+FROM piv
+"""
+
+
 # --- Bloom filter ---------------------------------------------------------
 # Bloom, "Space/time trade-offs in hash coding with allowable errors"
 # (CACM 1970). The membership member of the sketch family (HLL =

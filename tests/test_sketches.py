@@ -513,3 +513,78 @@ def test_bloom_validation(spark):
         bloom_contains_sql("SELECT 1", "SELECT 1", "key", k=0)
     with pytest.raises(ValueError):
         bloom_merge()
+
+
+# --- HLL overlap (inclusion-exclusion) -----------------------------------
+
+
+def test_hll_overlap_accuracy(spark):
+    """300 ∪ 400 with a 100-key intersection: every estimate within HLL
+    error of truth, overlap non-negative; the union estimate never
+    exceeds est_a + est_b."""
+    from systems_spark.functions.sketches import hll_overlap
+
+    rows = ([("a", k) for k in range(300)]
+            + [("b", k) for k in range(200, 600)])
+    r = hll_overlap(spark.createDataFrame(rows, "lbl string, key long"),
+                    "key", "lbl", "a", "b", p=10).collect()[0]
+    assert abs(r.est_a - 300) / 300 < 0.15
+    assert abs(r.est_b - 400) / 400 < 0.15
+    assert abs(r.est_union - 600) / 600 < 0.15
+    assert r.est_overlap >= 0.0
+    assert r.est_union <= r.est_a + r.est_b
+
+
+def test_hll_overlap_disjoint_and_identical(spark):
+    """Disjoint sets → overlap near 0 (clamped at 0 exactly when
+    inclusion-exclusion dips negative); identical sets → union equals
+    each side bit-for-bit, overlap equals the single-set estimate."""
+    from systems_spark.functions.sketches import hll_overlap
+
+    dis = ([("a", k) for k in range(200)]
+           + [("b", k) for k in range(1000, 1200)])
+    r = hll_overlap(spark.createDataFrame(dis, "lbl string, key long"),
+                    "key", "lbl", "a", "b", p=10).collect()[0]
+    assert r.est_overlap < 0.15 * 200
+    same = ([("a", k) for k in range(150)]
+            + [("b", k) for k in range(150)])
+    r2 = hll_overlap(spark.createDataFrame(same, "lbl string, key long"),
+                     "key", "lbl", "a", "b", p=10).collect()[0]
+    assert r2.est_a == r2.est_b == r2.est_union
+    assert r2.est_overlap == r2.est_a
+
+
+def test_hll_overlap_matches_duckdb_bit_for_bit(spark):
+    import duckdb
+
+    from systems_spark.functions.sketches import hll_overlap, hll_overlap_sql
+
+    rows = ([(1993, k) for k in range(120)]
+            + [(1995, k) for k in range(60, 180)])
+    got = tuple(hll_overlap(
+        spark.createDataFrame(rows, "y int, key long"),
+        "key", "y", 1993, 1995, p=8).collect()[0])
+    vals = ",".join(f"({y}, {k})" for y, k in rows)
+    want = duckdb.connect().execute(hll_overlap_sql(
+        f"SELECT * FROM (VALUES {vals}) t(y, key)", "key", "y",
+        1993, 1995, p=8)).fetchall()[0]
+    assert got == want
+
+
+def test_hll_overlap_label_escaping_and_validation(spark):
+    import duckdb
+
+    from systems_spark.functions.sketches import hll_overlap, hll_overlap_sql
+
+    rows = [("it's", 1), ("it's", 2), ("other", 2)]
+    got = tuple(hll_overlap(
+        spark.createDataFrame(rows, "lbl string, key long"),
+        "key", "lbl", "it's", "other", p=8).collect()[0])
+    vals = ",".join(f"('{l.replace(chr(39), chr(39) * 2)}', {k})"
+                    for l, k in rows)
+    want = duckdb.connect().execute(hll_overlap_sql(
+        f"SELECT * FROM (VALUES {vals}) t(lbl, key)", "key", "lbl",
+        "it's", "other", p=8)).fetchall()[0]
+    assert got == want
+    with pytest.raises(ValueError):
+        hll_overlap_sql("SELECT 1", "key", "lbl", 1.5, "b")
