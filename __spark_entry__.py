@@ -4669,6 +4669,38 @@ def q_bloom_part_filter(spark, sf_dir):
                     .alias("in_dim")))
 
 
+def q_brand_trend(spark, sf_dir):
+    """Per-group OLS trend (operators/trend.py): the least-squares
+    slope of shipped quantity (micros) over ship-week per part brand —
+    'which way is demand moving' as a closed-form fit over five exact
+    sufficient statistics, ONE map-side-combined aggregation per brand,
+    no iteration. Slope/intercept emitted as exact integer millionths
+    (truncating integer division, identical in both engines)."""
+    from systems_spark.operators.trend import ols_trend
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_shipdate")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    src = (li.join(p, li.l_partkey == p.p_partkey)
+           .select(F.col("p_brand").alias("brand"),
+                   F.expr("CAST(datediff(l_shipdate, DATE '1992-01-01')"
+                          " DIV 7 AS BIGINT)").alias("week_idx"),
+                   F.expr("CAST(CAST(l_quantity AS DECIMAL(18,6))"
+                          " * 1000000 AS BIGINT)").alias("qty_micros")))
+    return ols_trend(src, "week_idx", "qty_micros", ["brand"])
+
+
+def _sql_brand_trend() -> str:
+    from systems_spark.operators.trend import ols_trend_sql
+
+    src = ("SELECT p_brand AS brand,"
+           " (datediff('day', DATE '1992-01-01', l_shipdate::DATE)"
+           " // 7)::BIGINT AS week_idx,"
+           " (l_quantity::DECIMAL(18,6) * 1000000)::BIGINT AS qty_micros"
+           " FROM lineitem JOIN part ON l_partkey = p_partkey")
+    return ols_trend_sql(src, "week_idx", "qty_micros", ["brand"])
+
+
 _OVERLAP_YEARS = (1995, 2001)
 _OVERLAP_P = 10
 
@@ -4902,6 +4934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cms_parts": q_streaming_cms_parts,
         "bloom_part_filter": q_bloom_part_filter,
         "customer_overlap": q_customer_overlap,
+        "brand_trend": q_brand_trend,
     }
 
 
@@ -5070,4 +5103,5 @@ def oracle_sql() -> dict[str, str]:
         "streaming_cms_parts": _sql_cms_part_counts(),
         "bloom_part_filter": _sql_bloom_part_filter(),
         "customer_overlap": _sql_customer_overlap(),
+        "brand_trend": _sql_brand_trend(),
     }

@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "streaming_cms_parts",
     "bloom_part_filter",
     "customer_overlap",
+    "brand_trend",
 ]
 
 
