@@ -4669,6 +4669,37 @@ def q_bloom_part_filter(spark, sf_dir):
                     .alias("in_dim")))
 
 
+_SN_WINDOW = 4
+_SN_KEY_SPARK = ("substring(regexp_replace(lower(text), '[^a-z0-9]', ''),"
+                 " 1, 24)")
+_SN_KEY_DUCK = ("substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),"
+                " 1, 24)")
+
+
+def q_sn_candidate_pairs(spark, sf_dir):
+    """Sorted-neighborhood dedup candidates (dedup/
+    sorted_neighborhood.py): documents sorted by a normalized 24-char
+    blocking key (lowercased, non-alphanumerics stripped), each paired
+    with its 3 successors — O(n·w) candidates BY CONSTRUCTION, the
+    blocking family whose worst case needs no hot-bucket cap. Global
+    sort via GlobalRank range bucketing (one wide shuffle, no
+    single-task window); boundary-straddling pairs found by the rank
+    equi-join."""
+    from systems_spark.dedup.sorted_neighborhood import sn_pairs
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_SN_KEY_SPARK).alias("block_key"))
+    return sn_pairs(docs, "block_key", "doc_id", window=_SN_WINDOW)
+
+
+def _sql_sn_candidate_pairs() -> str:
+    from systems_spark.dedup.sorted_neighborhood import sn_pairs_sql
+
+    src = (f"SELECT doc_id, {_SN_KEY_DUCK} AS block_key"
+           f" FROM documents")
+    return sn_pairs_sql(src, "block_key", "doc_id", window=_SN_WINDOW)
+
+
 def q_brand_trend(spark, sf_dir):
     """Per-group OLS trend (operators/trend.py): the least-squares
     slope of shipped quantity (micros) over ship-week per part brand —
@@ -4935,6 +4966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_part_filter": q_bloom_part_filter,
         "customer_overlap": q_customer_overlap,
         "brand_trend": q_brand_trend,
+        "sn_candidate_pairs": q_sn_candidate_pairs,
     }
 
 
@@ -5104,4 +5136,5 @@ def oracle_sql() -> dict[str, str]:
         "bloom_part_filter": _sql_bloom_part_filter(),
         "customer_overlap": _sql_customer_overlap(),
         "brand_trend": _sql_brand_trend(),
+        "sn_candidate_pairs": _sql_sn_candidate_pairs(),
     }

@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "bloom_part_filter",
     "customer_overlap",
     "brand_trend",
+    "sn_candidate_pairs",
 ]
 
 
