@@ -4669,6 +4669,29 @@ def q_bloom_part_filter(spark, sf_dir):
                     .alias("in_dim")))
 
 
+_PMI = dict(min_count=5, top_k=30)
+
+
+def q_collocations(spark, sf_dir):
+    """PMI collocations (operators/collocations.py): the top-30
+    adjacent token pairs by pointwise mutual information (Church &
+    Hanks 1990) with a min-count floor — the phrase-detection pass run
+    before tokenizer/embedding training. Exact counts, decimal-widened
+    products inside one ln, quantized to integer micros by the BM25
+    idf rule; TakeOrdered top-k, no global sort."""
+    from systems_spark.operators.collocations import pmi_collocations
+
+    return pmi_collocations(_t(spark, sf_dir, "documents"), "text",
+                            **_PMI)
+
+
+def _sql_collocations() -> str:
+    from systems_spark.operators.collocations import pmi_collocations_sql
+
+    return pmi_collocations_sql("SELECT text FROM documents", "text",
+                                **_PMI)
+
+
 _SN_WINDOW = 4
 _SN_KEY_SPARK = ("substring(regexp_replace(lower(text), '[^a-z0-9]', ''),"
                  " 1, 24)")
@@ -4967,6 +4990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_overlap": q_customer_overlap,
         "brand_trend": q_brand_trend,
         "sn_candidate_pairs": q_sn_candidate_pairs,
+        "collocations": q_collocations,
     }
 
 
@@ -5137,4 +5161,5 @@ def oracle_sql() -> dict[str, str]:
         "customer_overlap": _sql_customer_overlap(),
         "brand_trend": _sql_brand_trend(),
         "sn_candidate_pairs": _sql_sn_candidate_pairs(),
+        "collocations": _sql_collocations(),
     }

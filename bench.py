@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "customer_overlap",
     "brand_trend",
     "sn_candidate_pairs",
+    "collocations",
 ]
 
 
