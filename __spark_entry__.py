@@ -4723,6 +4723,70 @@ def _sql_sn_candidate_pairs() -> str:
     return sn_pairs_sql(src, "block_key", "doc_id", window=_SN_WINDOW)
 
 
+_SN_KEY2_SPARK = ("substring(reverse(regexp_replace(lower(text),"
+                  " '[^a-z0-9]', '')), 1, 24)")
+_SN_KEY2_DUCK = ("substr(reverse(regexp_replace(lower(text),"
+                 " '[^a-z0-9]', '', 'g')), 1, 24)")
+
+
+def q_sn_families(spark, sf_dir):
+    """Multi-pass sorted-neighborhood → cluster resolution: the classic
+    merge/purge composition. Pass 1 blocks on the normalized 24-char
+    PREFIX, pass 2 on the normalized SUFFIX (reversed-text prefix) —
+    two sort orders so an edit at either end of a document cannot hide
+    it from both passes. Candidates matching on their full block key
+    union into an edge set; connected components (dedup/clusters.py)
+    resolve families, so equal-key runs larger than the window still
+    collapse into ONE family via transitive closure — the property
+    that lets the window stay small (O(n·w)) at 100 TB."""
+    from systems_spark.dedup.sorted_neighborhood import sn_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    p1 = sn_pairs(docs.select(
+        "doc_id", F.expr(_SN_KEY_SPARK).alias("block_key")),
+        "block_key", "doc_id", window=_SN_WINDOW)
+    p2 = sn_pairs(docs.select(
+        "doc_id", F.expr(_SN_KEY2_SPARK).alias("block_key")),
+        "block_key", "doc_id", window=_SN_WINDOW)
+    matched = (p1.unionByName(p2)
+               .where(F.col("key_a") == F.col("key_b"))
+               .select("doc_a", "doc_b").distinct())
+    return canonical_documents(matched, a_col="doc_a", b_col="doc_b")
+
+
+def _sql_sn_families() -> str:
+    from systems_spark.dedup.sorted_neighborhood import sn_pairs_sql
+
+    s1 = sn_pairs_sql(
+        f"SELECT doc_id, {_SN_KEY_DUCK} AS block_key FROM documents",
+        "block_key", "doc_id", window=_SN_WINDOW)
+    s2 = sn_pairs_sql(
+        f"SELECT doc_id, {_SN_KEY2_DUCK} AS block_key FROM documents",
+        "block_key", "doc_id", window=_SN_WINDOW)
+    return f"""
+WITH RECURSIVE
+spairs AS (
+  SELECT doc_a, doc_b FROM ({s1}) WHERE key_a = key_b
+  UNION
+  SELECT doc_a, doc_b FROM ({s2}) WHERE key_a = key_b
+),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM spairs
+          UNION SELECT doc_b, doc_a FROM spairs),
+reach AS (
+  SELECT src AS node, dst AS lbl FROM edges
+  UNION
+  SELECT e.src AS node, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+),
+comp AS (
+  SELECT node, least(node, min(lbl)) AS canonical_id
+  FROM reach GROUP BY node
+)
+SELECT node AS doc_id, canonical_id,
+       count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+FROM comp
+"""
+
+
 def q_brand_trend(spark, sf_dir):
     """Per-group OLS trend (operators/trend.py): the least-squares
     slope of shipped quantity (micros) over ship-week per part brand —
@@ -4991,6 +5055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_trend": q_brand_trend,
         "sn_candidate_pairs": q_sn_candidate_pairs,
         "collocations": q_collocations,
+        "sn_families": q_sn_families,
     }
 
 
@@ -5162,4 +5227,5 @@ def oracle_sql() -> dict[str, str]:
         "brand_trend": _sql_brand_trend(),
         "sn_candidate_pairs": _sql_sn_candidate_pairs(),
         "collocations": _sql_collocations(),
+        "sn_families": _sql_sn_families(),
     }

@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "brand_trend",
     "sn_candidate_pairs",
     "collocations",
+    "sn_families",
 ]
 
 

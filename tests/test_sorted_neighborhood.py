@@ -64,3 +64,20 @@ def test_validation(spark):
         sn_pairs(_docs(spark, [(1, "a")]), "block_key", "doc_id", window=1)
     with pytest.raises(ValueError):
         sn_pairs_sql("SELECT 1", "k", "i", window=0)
+
+
+def test_multipass_families_transitive_closure(spark):
+    """A 6-doc equal-key run with window=3: SN emits only near pairs,
+    but connected components still collapse all six into ONE family —
+    the property that lets the window stay small."""
+    from systems_spark.dedup.clusters import canonical_documents
+    from pyspark.sql import functions as F
+
+    rows = [(i, "dup") for i in range(6)] + [(10, "aaa"), (11, "zzz")]
+    pairs = (sn_pairs(_docs(spark, rows), "block_key", "doc_id", window=3)
+             .where(F.col("key_a") == F.col("key_b"))
+             .select("doc_a", "doc_b"))
+    fams = {r.doc_id: (r.canonical_id, r.cluster_size)
+            for r in canonical_documents(pairs, a_col="doc_a",
+                                         b_col="doc_b").collect()}
+    assert fams == {i: (0, 6) for i in range(6)}
