@@ -1932,13 +1932,17 @@ def q_dedup_clusters_incremental(spark, sf_dir):
     return canonical_from_labels(incremental_components(labels, delta))
 
 
-def _sql_dedup_clusters() -> str:
-    verified = _sql_dedup_verified()
+def _sql_components(pairs_sql: str, a: str = "a", b: str = "b") -> str:
+    """The ONE recursive min-reachable-id connected-components grading
+    construction — shared by the dedup_clusters, winnow_families and
+    sn_families oracles so the three dedup-family compositions can
+    never drift (review r6: this block used to exist in three verbatim
+    copies)."""
     return f"""
 WITH RECURSIVE
-pairs AS (SELECT a, b FROM ({verified})),
-edges AS (SELECT a AS src, b AS dst FROM pairs
-          UNION SELECT b, a FROM pairs),
+pairs AS (SELECT {a} AS pa, {b} AS pb FROM ({pairs_sql})),
+edges AS (SELECT pa AS src, pb AS dst FROM pairs
+          UNION SELECT pb, pa FROM pairs),
 reach AS (
   SELECT src AS node, dst AS lbl FROM edges
   UNION
@@ -1952,6 +1956,10 @@ SELECT node AS doc_id, canonical_id,
        count(*) OVER (PARTITION BY canonical_id) AS cluster_size
 FROM comp
 """
+
+
+def _sql_dedup_clusters() -> str:
+    return _sql_components(_sql_dedup_verified(), a="a", b="b")
 
 
 def q_frame_sample(spark, sf_dir):
@@ -3893,24 +3901,7 @@ def _sql_winnow_families() -> str:
 
     inner = winnow_pairs_sql("SELECT doc_id AS id, text FROM documents",
                              **_WINNOW)
-    return f"""
-WITH RECURSIVE
-wpairs AS ({inner}),
-edges AS (SELECT doc_a AS src, doc_b AS dst FROM wpairs
-          UNION SELECT doc_b, doc_a FROM wpairs),
-reach AS (
-  SELECT src AS node, dst AS lbl FROM edges
-  UNION
-  SELECT e.src AS node, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
-),
-comp AS (
-  SELECT node, least(node, min(lbl)) AS canonical_id
-  FROM reach GROUP BY node
-)
-SELECT node AS doc_id, canonical_id,
-       count(*) OVER (PARTITION BY canonical_id) AS cluster_size
-FROM comp
-"""
+    return _sql_components(inner, a="doc_a", b="doc_b")
 
 
 _HLL_P = 8  # 256 registers, ~6.5% std error
@@ -4763,28 +4754,10 @@ def _sql_sn_families() -> str:
     s2 = sn_pairs_sql(
         f"SELECT doc_id, {_SN_KEY2_DUCK} AS block_key FROM documents",
         "block_key", "doc_id", window=_SN_WINDOW)
-    return f"""
-WITH RECURSIVE
-spairs AS (
-  SELECT doc_a, doc_b FROM ({s1}) WHERE key_a = key_b
-  UNION
-  SELECT doc_a, doc_b FROM ({s2}) WHERE key_a = key_b
-),
-edges AS (SELECT doc_a AS src, doc_b AS dst FROM spairs
-          UNION SELECT doc_b, doc_a FROM spairs),
-reach AS (
-  SELECT src AS node, dst AS lbl FROM edges
-  UNION
-  SELECT e.src AS node, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
-),
-comp AS (
-  SELECT node, least(node, min(lbl)) AS canonical_id
-  FROM reach GROUP BY node
-)
-SELECT node AS doc_id, canonical_id,
-       count(*) OVER (PARTITION BY canonical_id) AS cluster_size
-FROM comp
-"""
+    matched = (f"SELECT doc_a, doc_b FROM ({s1}) WHERE key_a = key_b"
+               f" UNION"
+               f" SELECT doc_a, doc_b FROM ({s2}) WHERE key_a = key_b")
+    return _sql_components(matched, a="doc_a", b="doc_b")
 
 
 def q_brand_trend(spark, sf_dir):

@@ -369,24 +369,35 @@ def hll_overlap(df: DataFrame, key_col: str, label_col: str,
     clamped at 0 (inclusion–exclusion of estimates can go slightly
     negative); all four outputs are rounded doubles on exact integer
     anchors, replayed bit-for-bit in DuckDB by
-    :func:`hll_overlap_sql`."""
+    :func:`hll_overlap_sql`.
+
+    Labels are rewritten to internal tags ('a'/'b'/'u') BEFORE the
+    register build, so label values never meet any sentinel string and
+    no cross-engine string-cast of the label column is needed (an int
+    label against a double column used to pivot to NULL silently —
+    review r6). Labels must be equality-comparable to the column's
+    type in both engines."""
     _check_p(p)
-    pair = (df.where(F.col(label_col).isin([label_a, label_b]))
-            .select(F.col(label_col).alias("_lbl"),
-                    F.col(key_col).alias("_k")))
-    regs = hll_registers(pair, "_k", ["_lbl"], p)
-    union_regs = regs.select(F.lit("__union__").alias("_lbl"),
+    if label_a == label_b:
+        raise ValueError("label_a and label_b must differ")
+    tag = (F.when(F.col(label_col) == F.lit(label_a), F.lit("a"))
+           .when(F.col(label_col) == F.lit(label_b), F.lit("b")))
+    pair = (df.select(tag.alias("_lbl"), F.col(key_col).alias("_k"))
+            .where(F.col("_lbl").isNotNull()))
+    # pinned: two consumers (its own label rows + the union relabel) —
+    # without the pin the register aggregation runs twice
+    regs = hll_registers(pair, "_k", ["_lbl"], p) \
+        .localCheckpoint(eager=False)
+    union_regs = regs.select(F.lit("u").alias("_lbl"),
                              "bucket", "register")
-    merged = hll_merge(regs.select(F.col("_lbl").cast("string"),
-                                   "bucket", "register"), union_regs)
+    merged = hll_merge(regs, union_regs)
     est = hll_estimate(merged, ["_lbl"], p)
-    la, lb = str(label_a), str(label_b)
     piv = est.groupBy().agg(
-        F.max(F.when(F.col("_lbl") == la,
+        F.max(F.when(F.col("_lbl") == "a",
                      F.col("approx_distinct"))).alias("est_a"),
-        F.max(F.when(F.col("_lbl") == lb,
+        F.max(F.when(F.col("_lbl") == "b",
                      F.col("approx_distinct"))).alias("est_b"),
-        F.max(F.when(F.col("_lbl") == "__union__",
+        F.max(F.when(F.col("_lbl") == "u",
                      F.col("approx_distinct"))).alias("est_union"))
     overlap = F.greatest(
         F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 4),
@@ -397,33 +408,35 @@ def hll_overlap(df: DataFrame, key_col: str, label_col: str,
 
 def hll_overlap_sql(source_sql: str, key_expr: str, label_expr: str,
                     label_a, label_b, p: int = 8) -> str:
-    """DuckDB twin of :func:`hll_overlap`. Labels are compared as
-    strings (the Spark side casts the label column to string so int
-    and str labels behave identically)."""
+    """DuckDB twin of :func:`hll_overlap` — the same tag rewrite, so
+    label values are compared against the column with its native type
+    and never meet a sentinel."""
     _check_p(p)
+    if label_a == label_b:
+        raise ValueError("label_a and label_b must differ")
     sa, sb = _sql_label_literal(label_a), _sql_label_literal(label_b)
-    pair = (f"SELECT CAST({label_expr} AS VARCHAR) AS _lbl,"
-            f" {key_expr} AS _k FROM ({source_sql})"
-            f" WHERE CAST({label_expr} AS VARCHAR)"
-            f" IN (CAST({sa} AS VARCHAR), CAST({sb} AS VARCHAR))")
+    pair = (f"SELECT * FROM (SELECT CASE"
+            f" WHEN ({label_expr}) = {sa} THEN 'a'"
+            f" WHEN ({label_expr}) = {sb} THEN 'b' END AS _lbl,"
+            f" {key_expr} AS _k FROM ({source_sql}))"
+            f" WHERE _lbl IS NOT NULL")
     regs = hll_registers_sql(pair, "_k", ["_lbl"], p)
-    # the register subquery is inlined (not a shared CTE) because
-    # hll_estimate_sql wraps its input in its own `regs` CTE — an outer
-    # CTE of the same name would self-collide
-    merged = f"""SELECT _lbl, bucket, max(register) AS register FROM (
-  SELECT _lbl, bucket, register FROM ({regs})
+    # `oregs` computes the register build ONCE; hll_estimate_sql wraps
+    # its input in its own `regs` CTE, which may reference the earlier
+    # outer CTE but must not share its name (self-collision)
+    merged = """SELECT _lbl, bucket, max(register) AS register FROM (
+  SELECT _lbl, bucket, register FROM oregs
   UNION ALL
-  SELECT '__union__' AS _lbl, bucket, register FROM ({regs})
+  SELECT 'u' AS _lbl, bucket, register FROM oregs
 ) GROUP BY 1, 2"""
     est = hll_estimate_sql(merged, ["_lbl"], p)
-    qa, qb = str(label_a).replace("'", "''"), str(label_b).replace("'", "''")
     return f"""
-WITH est AS ({est}),
+WITH oregs AS ({regs}),
+est AS ({est}),
 piv AS (
-  SELECT max(CASE WHEN _lbl = '{qa}' THEN approx_distinct END) AS est_a,
-         max(CASE WHEN _lbl = '{qb}' THEN approx_distinct END) AS est_b,
-         max(CASE WHEN _lbl = '__union__' THEN approx_distinct END)
-           AS est_union
+  SELECT max(CASE WHEN _lbl = 'a' THEN approx_distinct END) AS est_a,
+         max(CASE WHEN _lbl = 'b' THEN approx_distinct END) AS est_b,
+         max(CASE WHEN _lbl = 'u' THEN approx_distinct END) AS est_union
   FROM est
 )
 SELECT est_a, est_b, est_union,
@@ -460,6 +473,11 @@ def _check_bloom(k: int, m_bits: int) -> None:
         raise ValueError("k must be in [1, 8]")
     if m_bits < 64 or m_bits & (m_bits - 1):
         raise ValueError("m_bits must be a power of two >= 64")
+    # probe positions derive from 30-bit h1/h2: a larger m would leave
+    # the upper bits permanently zero, silently doubling the FP rate
+    # instead of halving it (review r6)
+    if m_bits > 1 << 30:
+        raise ValueError("m_bits must be <= 2^30 (30-bit probe hashes)")
 
 
 def _bloom_hash(key):

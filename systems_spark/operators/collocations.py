@@ -54,7 +54,9 @@ def pmi_collocations(docs: DataFrame, text_col: str = "text",
         TX.word_shingles_from_tokens(F.col("_toks"), 2)).alias("g"))
     uni_counts = uni.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
     bi_counts = bi.groupBy("g").agg(F.count(F.lit(1)).alias("n_pair"))
-    tot_uni = uni.agg(F.count(F.lit(1)).alias("n_uni"))
+    # totals from the ALREADY-AGGREGATED count tables — summing the raw
+    # exploded streams again would re-tokenize the whole corpus
+    tot_uni = uni_counts.agg(F.sum("n_w").alias("n_uni"))
     tot_bi = bi_counts.agg(F.sum("n_pair").alias("n_bi"))
     cand = (bi_counts.where(F.col("n_pair") >= min_count)
             .withColumn("w1", F.split(F.col("g"), " ").getItem(0))
@@ -99,7 +101,7 @@ bi AS (
 uni_counts AS (SELECT w, count(*)::BIGINT AS n_w FROM uni GROUP BY 1),
 bi_counts AS (SELECT g, count(*)::BIGINT AS n_pair FROM bi GROUP BY 1),
 tot AS (
-  SELECT (SELECT count(*) FROM uni)::BIGINT AS n_uni,
+  SELECT (SELECT sum(n_w) FROM uni_counts)::BIGINT AS n_uni,
          (SELECT sum(n_pair) FROM bi_counts)::BIGINT AS n_bi
 ),
 cand AS (

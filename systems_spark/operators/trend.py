@@ -74,22 +74,25 @@ def ols_trend(df: DataFrame, x_col: str, y_col: str,
 def ols_trend_sql(source_sql: str, x_expr: str, y_expr: str,
                   group_names: "list[str]") -> str:
     """DuckDB twin of :func:`ols_trend` — ``group_names`` are plain
-    identifiers selectable from ``source_sql``."""
-    gsel = ", ".join(group_names)
-    gby = ", ".join(str(i + 1) for i in range(len(group_names)))
+    identifiers selectable from ``source_sql``; an empty list fits one
+    global line, like the Spark side's global aggregation."""
+    gsel = "".join(g + ", " for g in group_names)
+    gby = (("GROUP BY " + ", ".join(str(i + 1)
+                                    for i in range(len(group_names))))
+           if group_names else "")
     return f"""
 WITH src AS (
-  SELECT {gsel}, ({x_expr})::HUGEINT AS _x, ({y_expr})::HUGEINT AS _y
+  SELECT {gsel}({x_expr})::HUGEINT AS _x, ({y_expr})::HUGEINT AS _y
   FROM ({source_sql})
   WHERE ({x_expr}) IS NOT NULL AND ({y_expr}) IS NOT NULL
 ),
 sums AS (
-  SELECT {gsel}, count(*)::HUGEINT AS n,
+  SELECT {gsel}count(*)::HUGEINT AS n,
          sum(_x) AS sx, sum(_y) AS sy,
          sum(_x * _y) AS sxy, sum(_x * _x) AS sxx
-  FROM src GROUP BY {gby}
+  FROM src {gby}
 )
-SELECT {gsel}, n::BIGINT AS n_points, sx::BIGINT AS sum_x,
+SELECT {gsel}n::BIGINT AS n_points, sx::BIGINT AS sum_x,
        sy::BIGINT AS sum_y,
        ((n * sxy - sx * sy) * {_SCALE}
         // nullif(n * sxx - sx * sx, 0))::BIGINT AS slope_micros,

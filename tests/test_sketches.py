@@ -588,3 +588,38 @@ def test_hll_overlap_label_escaping_and_validation(spark):
     assert got == want
     with pytest.raises(ValueError):
         hll_overlap_sql("SELECT 1", "key", "lbl", 1.5, "b")
+
+
+def test_hll_overlap_double_label_column_and_sentinel_labels(spark):
+    """The review-r6 silent-NULL scenario: int labels against a DOUBLE
+    label column must estimate, not pivot to NULL; and a label equal to
+    an internal tag value ('u') must not collide with the union row."""
+    import duckdb
+
+    from systems_spark.functions.sketches import hll_overlap, hll_overlap_sql
+
+    rows = [(1995.0, k) for k in range(80)] + [(2001.0, k) for k in range(40, 120)]
+    r = hll_overlap(spark.createDataFrame(rows, "y double, key long"),
+                    "key", "y", 1995, 2001, p=8).collect()[0]
+    assert r.est_a is not None and r.est_b is not None
+    assert r.est_overlap > 0
+    srows = [("u", k) for k in range(50)] + [("b", k) for k in range(25, 75)]
+    got = tuple(hll_overlap(
+        spark.createDataFrame(srows, "lbl string, key long"),
+        "key", "lbl", "u", "b", p=8).collect()[0])
+    vals = ",".join(f"('{l}', {k})" for l, k in srows)
+    want = duckdb.connect().execute(hll_overlap_sql(
+        f"SELECT * FROM (VALUES {vals}) t(lbl, key)", "key", "lbl",
+        "u", "b", p=8)).fetchall()[0]
+    assert got == want
+    assert got[0] is not None and abs(got[0] - 50) / 50 < 0.2
+    with pytest.raises(ValueError):
+        hll_overlap(spark.createDataFrame(srows, "lbl string, key long"),
+                    "key", "lbl", "x", "x")
+
+
+def test_bloom_m_bits_capped_at_probe_hash_range(spark):
+    from systems_spark.functions.sketches import bloom_bits
+
+    with pytest.raises(ValueError):
+        bloom_bits(_bkeys(spark, ["a"]), "key", k=2, m_bits=1 << 31)

@@ -74,3 +74,17 @@ def test_single_point_group_is_degenerate(spark):
     r = ols_trend(_df(spark, [("s", 5, 42)]), "x", "y", ["g"]).collect()[0]
     assert (r.n_points, r.slope_micros, r.intercept_micros) \
         == (1, None, None)
+
+
+def test_global_fit_no_groups(spark):
+    """Empty group list = one global line, in BOTH engines (the SQL
+    twin used to emit invalid SQL here)."""
+    import duckdb
+
+    rows = [("g", x, 5 * x - 3) for x in range(6)]
+    got = [tuple(r) for r in ols_trend(_df(spark, rows), "x", "y",
+                                       []).collect()]
+    vals = ",".join(f"({x}, {y})" for _, x, y in rows)
+    want = duckdb.connect().execute(ols_trend_sql(
+        f"SELECT * FROM (VALUES {vals}) t(x, y)", "x", "y", [])).fetchall()
+    assert got == want == [(6, 15, 57, 5_000_000, -3_000_000)]
