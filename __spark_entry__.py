@@ -4660,6 +4660,31 @@ def q_bloom_part_filter(spark, sf_dir):
                     .alias("in_dim")))
 
 
+_SETJOIN_T = 0.5
+
+
+def q_setjoin_pairs(spark, sf_dir):
+    """Prefix-filtered EXACT set-similarity join (dedup/setjoin.py —
+    SSJoin/PPJoin): every document pair with token-set Jaccard ≥ 0.5,
+    none missed, via the lossless prefix filter (candidates must share
+    one of each doc's rarest p = n − ⌈t·n⌉ + 1 tokens under one global
+    frequency order — the skew defense is the algorithm itself: hot
+    tokens sort out of prefixes). The exact-threshold alternative to
+    the LSH dedup members; the oracle is the brute-force all-pairs
+    ground truth, so the losslessness contract is what gets graded."""
+    from systems_spark.dedup.setjoin import jaccard_join
+
+    return jaccard_join(_t(spark, sf_dir, "documents"), "text",
+                        "doc_id", threshold=_SETJOIN_T)
+
+
+def _sql_setjoin_pairs() -> str:
+    from systems_spark.dedup.setjoin import jaccard_join_sql
+
+    return jaccard_join_sql("SELECT doc_id, text FROM documents",
+                            "text", "doc_id", threshold=_SETJOIN_T)
+
+
 _PMI = dict(min_count=5, top_k=30)
 
 
@@ -5029,6 +5054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sn_candidate_pairs": q_sn_candidate_pairs,
         "collocations": q_collocations,
         "sn_families": q_sn_families,
+        "setjoin_pairs": q_setjoin_pairs,
     }
 
 
@@ -5201,4 +5227,5 @@ def oracle_sql() -> dict[str, str]:
         "sn_candidate_pairs": _sql_sn_candidate_pairs(),
         "collocations": _sql_collocations(),
         "sn_families": _sql_sn_families(),
+        "setjoin_pairs": _sql_setjoin_pairs(),
     }

@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "sn_candidate_pairs",
     "collocations",
     "sn_families",
+    "setjoin_pairs",
 ]
 
 
