@@ -4660,29 +4660,32 @@ def q_bloom_part_filter(spark, sf_dir):
                     .alias("in_dim")))
 
 
-_SETJOIN_T = 0.5
+_SETJOIN = dict(threshold=0.5, shingle_k=3)
 
 
 def q_setjoin_pairs(spark, sf_dir):
     """Prefix-filtered EXACT set-similarity join (dedup/setjoin.py —
-    SSJoin/PPJoin): every document pair with token-set Jaccard ≥ 0.5,
-    none missed, via the lossless prefix filter (candidates must share
-    one of each doc's rarest p = n − ⌈t·n⌉ + 1 tokens under one global
-    frequency order — the skew defense is the algorithm itself: hot
-    tokens sort out of prefixes). The exact-threshold alternative to
-    the LSH dedup members; the oracle is the brute-force all-pairs
-    ground truth, so the losslessness contract is what gets graded."""
+    SSJoin/PPJoin): every document pair with 3-shingle-set Jaccard ≥
+    0.5, none missed, via the lossless prefix filter (candidates must
+    share one of each doc's rarest p = n − ⌈t·n⌉ + 1 features under
+    one global frequency order — the skew defense is the algorithm
+    itself: hot features sort out of prefixes). Shingles, not tokens:
+    this corpus draws every document from ~31 words, so token SETS
+    make 71% of all pairs genuine matches (quadratic TRUE output) —
+    the same feature-space reason the LSH members shingle. The oracle
+    is the brute-force all-pairs ground truth, so the losslessness
+    contract is what gets graded."""
     from systems_spark.dedup.setjoin import jaccard_join
 
     return jaccard_join(_t(spark, sf_dir, "documents"), "text",
-                        "doc_id", threshold=_SETJOIN_T)
+                        "doc_id", **_SETJOIN)
 
 
 def _sql_setjoin_pairs() -> str:
     from systems_spark.dedup.setjoin import jaccard_join_sql
 
     return jaccard_join_sql("SELECT doc_id, text FROM documents",
-                            "text", "doc_id", threshold=_SETJOIN_T)
+                            "text", "doc_id", **_SETJOIN)
 
 
 _PMI = dict(min_count=5, top_k=30)

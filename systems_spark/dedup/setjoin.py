@@ -34,6 +34,17 @@ the join key (never a per-pair |A|×|B| cross product — the
 verify_pairs join-order lesson). The DuckDB oracle is the BRUTE-FORCE
 all-pairs ground truth, so the lossless-filter contract itself is what
 gets graded.
+
+Honest worst case: prefix selectivity comes from RARE features. On a
+Zipfian corpus (real text) prefixes are the long tail and candidates
+stay near-linear; on a UNIFORM small-vocabulary corpus no feature is
+rare, candidate volume grows with (docs per feature)², and the filter
+only helps by the prefix fraction (measured on the uniform driver
+corpus: 5.5× per 10× at the sf0.01→0.1 step with 3-shingles — the
+knob is ``shingle_k``: larger k makes features rarer and the filter
+sharper). An exact-threshold join cannot cap candidates without
+breaking its lossless contract — when recall may be traded, that is
+what the LSH members are for.
 """
 
 from __future__ import annotations
@@ -52,19 +63,30 @@ def _check_threshold(threshold: float) -> int:
 
 
 def jaccard_join(docs: DataFrame, content_col: str = "text",
-                 id_col: str = "doc_id",
-                 threshold: float = 0.4) -> DataFrame:
+                 id_col: str = "doc_id", threshold: float = 0.4,
+                 shingle_k: int = 1) -> DataFrame:
     """(a, b, inter, size_a, size_b, jaccard): every unordered pair
-    (a < b) of documents whose DISTINCT-token-set Jaccard is ≥
-    ``threshold`` — exact, via prefix filtering."""
+    (a < b) of documents whose DISTINCT-feature-set Jaccard is ≥
+    ``threshold`` — exact, via prefix filtering. Features are tokens
+    (``shingle_k=1``) or k-word shingles: pick shingles for corpora
+    with small vocabularies — token SETS degenerate when every
+    document draws from the same few words (measured on the driver
+    corpus: 71% of ALL pairs pass t=0.5 on token sets, 256 pairs on
+    3-shingles), and a quadratic TRUE-pair set is quadratic output no
+    matter the algorithm."""
     from systems_spark.functions import text as TX
     from systems_spark.functions.fence import fence_columns
 
     tm = _check_threshold(threshold)
-    toks = (fence_columns(docs.select(id_col, content_col),
-                          _toks=TX.tokens(F.col(content_col)))
+    if shingle_k < 1:
+        raise ValueError("shingle_k must be >= 1")
+    staged = fence_columns(docs.select(id_col, content_col),
+                           _toks=TX.tokens(F.col(content_col)))
+    feats = (F.col("_toks") if shingle_k == 1
+             else TX.word_shingles_from_tokens(F.col("_toks"), shingle_k))
+    toks = (staged
             .select(F.col(id_col).alias("_doc"),
-                    F.explode("_toks").alias("tok"))
+                    F.explode(feats).alias("tok"))
             .distinct())
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_tf"))
     w = Window.partitionBy("_doc").orderBy(F.col("_tf").asc(),
@@ -107,15 +129,18 @@ def jaccard_join(docs: DataFrame, content_col: str = "text",
 
 
 def jaccard_join_sql(source_sql: str, content_expr: str, id_expr: str,
-                     threshold: float = 0.4) -> str:
+                     threshold: float = 0.4, shingle_k: int = 1) -> str:
     """DuckDB twin of :func:`jaccard_join` — deliberately the
-    BRUTE-FORCE all-pairs ground truth (token self-join, no prefix
+    BRUTE-FORCE all-pairs ground truth (feature self-join, no prefix
     filter), so the parity check grades the filter's losslessness, not
     a replay of the same shortcut."""
     from systems_spark.functions import text as TX
 
     tm = _check_threshold(threshold)
-    toks = TX.tokens_sql(content_expr)
+    if shingle_k < 1:
+        raise ValueError("shingle_k must be >= 1")
+    toks = (TX.tokens_sql(content_expr) if shingle_k == 1
+            else TX.word_shingles_sql(content_expr, shingle_k))
     return f"""
 WITH tok AS (
   SELECT DISTINCT {id_expr} AS doc, unnest({toks}) AS tok

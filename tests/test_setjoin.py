@@ -91,3 +91,26 @@ def test_validation(spark):
         jaccard_join(_df(spark, [(1, "a")]), "text", "doc_id", 0.0)
     with pytest.raises(ValueError):
         jaccard_join_sql("SELECT 1", "text", "doc_id", 1.5)
+
+
+def test_shingle_mode_matches_brute_force(spark):
+    """shingle_k=3 feature space: brute-force equality (python) and
+    DuckDB parity; token-mode pairs that only share unordered words do
+    NOT appear (order sensitivity)."""
+    import duckdb
+
+    docs = [(1, "a b c d e f"), (2, "a b c d e f"),  # exact dup
+            (3, "f e d c b a"),                      # same tokens, reversed
+            (4, "a b c d e x"), (5, "q r s t u v")]
+    got = sorted(map(tuple, jaccard_join(
+        _df(spark, docs), "text", "doc_id", 0.5, shingle_k=3).collect()))
+    vals = ",".join(f"({i}, '{t}')" for i, t in docs)
+    want = sorted(map(tuple, duckdb.connect().execute(jaccard_join_sql(
+        f"SELECT * FROM (VALUES {vals}) t(doc_id, text)", "text",
+        "doc_id", 0.5, shingle_k=3)).fetchall()))
+    assert got == want
+    pairs = [(g[0], g[1]) for g in got]
+    assert (1, 2) in pairs        # exact dup: all shingles shared
+    assert (1, 3) not in pairs    # reversed: same tokens, no shingles
+    with pytest.raises(ValueError):
+        jaccard_join(_df(spark, docs), "text", "doc_id", 0.5, shingle_k=0)
