@@ -4820,6 +4820,47 @@ def _sql_brand_trend() -> str:
     return ols_trend_sql(src, "week_idx", "qty_micros", ["brand"])
 
 
+def q_demand_shift(spark, sf_dir):
+    """Mean-shift change-point (operators/changepoint.py): for each
+    part brand's weekly shipped-quantity series, the split maximizing
+    the prefix/suffix mean gap — CUSUM-style localization of WHEN
+    demand level moved (profile_drift says two snapshots differ; this
+    says where in time). Series pre-aggregated to the weekly
+    monitoring grain; the statistic is exact integer arithmetic end to
+    end (decimal prefix sums, one truncating division per split,
+    deterministic earliest-split tie-break)."""
+    from systems_spark.operators.changepoint import mean_shift_point
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_shipdate")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    weekly = (li.join(p, li.l_partkey == p.p_partkey)
+              .select(F.col("p_brand").alias("brand"),
+                      F.expr("CAST(datediff(l_shipdate,"
+                             " DATE '1992-01-01') DIV 7 AS BIGINT)")
+                      .alias("week_idx"),
+                      F.expr("CAST(CAST(l_quantity AS DECIMAL(18,6))"
+                             " * 1000000 AS BIGINT)").alias("qty_micros"))
+              .groupBy("brand", "week_idx")
+              .agg(F.expr("CAST(sum(CAST(qty_micros AS DECIMAL(38,0)))"
+                          " AS BIGINT)").alias("weekly_qty")))
+    return mean_shift_point(weekly, ["brand"], "week_idx", "weekly_qty")
+
+
+def _sql_demand_shift() -> str:
+    from systems_spark.operators.changepoint import mean_shift_point_sql
+
+    weekly = ("SELECT p_brand AS brand,"
+              " (datediff('day', DATE '1992-01-01', l_shipdate::DATE)"
+              " // 7)::BIGINT AS week_idx,"
+              " sum((l_quantity::DECIMAL(18,6) * 1000000)::BIGINT"
+              "     ::HUGEINT)::BIGINT AS weekly_qty"
+              " FROM lineitem JOIN part ON l_partkey = p_partkey"
+              " GROUP BY 1, 2")
+    return mean_shift_point_sql(weekly, ["brand"], "week_idx",
+                                "weekly_qty")
+
+
 _OVERLAP_YEARS = (1995, 2001)
 _OVERLAP_P = 10
 
@@ -5058,6 +5099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "sn_families": q_sn_families,
         "setjoin_pairs": q_setjoin_pairs,
+        "demand_shift": q_demand_shift,
     }
 
 
@@ -5231,4 +5273,5 @@ def oracle_sql() -> dict[str, str]:
         "collocations": _sql_collocations(),
         "sn_families": _sql_sn_families(),
         "setjoin_pairs": _sql_setjoin_pairs(),
+        "demand_shift": _sql_demand_shift(),
     }

@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "collocations",
     "sn_families",
     "setjoin_pairs",
+    "demand_shift",
 ]
 
 
