@@ -4820,6 +4820,46 @@ def _sql_brand_trend() -> str:
     return ols_trend_sql(src, "week_idx", "qty_micros", ["brand"])
 
 
+_CUSUM = dict(target_micros=50_000_000, slack_micros=20_000_000,
+              h_micros=400_000_000)
+
+
+def q_cusum_alerts(spark, sf_dir):
+    """CUSUM chart (operators/cusum.py): two one-sided cumulative
+    deviation statistics per event type over the (ts, id)-ordered
+    value stream — Page's sequential level-shift monitor, the live
+    companion of demand_shift's retrospective locator. The max(0, ·)
+    recursion is window-expressible via the running-minimum identity,
+    so the whole chart is ONE window pass sharing a single per-group
+    sort, exact int64 micros end to end. The lane returns the alert
+    rows (statistic > h); the streaming twin
+    (streaming/stateful.py StreamingCusum) is bit-equal on any
+    in-order replay and parity-tested across a 3-batch split."""
+    from systems_spark.operators.cusum import cusum_chart
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("ts div 1000").alias("ts_us"),
+        "event_id",
+        F.expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)")
+        .alias("value_micros"))
+    chart = cusum_chart(ev, ["event_type"], ["ts_us", "event_id"],
+                        "value_micros", **_CUSUM)
+    return chart.where((F.col("alert_up") + F.col("alert_down")) > 0)
+
+
+def _sql_cusum_alerts() -> str:
+    from systems_spark.operators.cusum import cusum_chart_sql
+
+    src = ("SELECT event_type, epoch_us(ts)::BIGINT AS ts_us, event_id,"
+           " (value::DECIMAL(18,6) * 1000000)::BIGINT AS value_micros"
+           " FROM events")
+    inner = cusum_chart_sql(src, ["event_type"], ["ts_us", "event_id"],
+                            "value_micros", **_CUSUM)
+    return (f"SELECT * FROM ({inner})"
+            f" WHERE alert_up + alert_down > 0")
+
+
 def q_demand_shift(spark, sf_dir):
     """Mean-shift change-point (operators/changepoint.py): for each
     part brand's weekly shipped-quantity series, the split maximizing
@@ -5100,6 +5140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sn_families": q_sn_families,
         "setjoin_pairs": q_setjoin_pairs,
         "demand_shift": q_demand_shift,
+        "cusum_alerts": q_cusum_alerts,
     }
 
 
@@ -5274,4 +5315,5 @@ def oracle_sql() -> dict[str, str]:
         "sn_families": _sql_sn_families(),
         "setjoin_pairs": _sql_setjoin_pairs(),
         "demand_shift": _sql_demand_shift(),
+        "cusum_alerts": _sql_cusum_alerts(),
     }

@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "sn_families",
     "setjoin_pairs",
     "demand_shift",
+    "cusum_alerts",
 ]
 
 

@@ -427,6 +427,100 @@ class RunningAggregator:
         )
 
 
+class StreamingCusum:
+    """Streaming CUSUM monitor — the live twin of
+    ``operators/cusum.py cusum_chart``: per key, the two one-sided
+    statistics S⁺/S⁻ advance over events in (ts, id) order and every
+    monitored row is emitted with its statistics and alert flags.
+
+    State per key: TWO longs (S⁺, S⁻) — bounded forever regardless of
+    event count. CUSUM state is FORWARD-ONLY (each row's statistic
+    depends only on the running pair), so unlike the funnel machine,
+    any in-(ts, id)-order multi-batch replay is bit-equal to the batch
+    chart — parity holds across arbitrary batch splits, not just
+    single-batch drains (tested with a 3-batch split). Out-of-order
+    arrival across batches anchors later, same caveat as every
+    streaming operator here.
+    """
+
+    def __init__(self, key_col: str, ts_col: str, id_col: str,
+                 value_col: str, target_micros: int,
+                 slack_micros: int = 0, h_micros: int = 1,
+                 watermark: str = "10 seconds"):
+        from systems_spark.operators.cusum import _check_cusum
+
+        _check_cusum(slack_micros, h_micros)
+        self.key_col = key_col
+        self.ts_col = ts_col
+        self.id_col = id_col
+        self.value_col = value_col
+        self.target_micros = int(target_micros)
+        self.slack_micros = int(slack_micros)
+        self.h_micros = int(h_micros)
+        self.watermark = watermark
+
+    def output_schema(self, key_type) -> StructType:
+        return StructType([
+            StructField(self.key_col, key_type),
+            StructField("ts_us", LongType()),
+            StructField(self.id_col, LongType()),
+            StructField(self.value_col, LongType()),
+            StructField("s_pos_micros", LongType()),
+            StructField("s_neg_micros", LongType()),
+            StructField("alert_up", LongType()),
+            StructField("alert_down", LongType()),
+        ])
+
+    @property
+    def state_schema(self) -> StructType:
+        return StructType([
+            StructField("s_pos", LongType()),
+            StructField("s_neg", LongType()),
+        ])
+
+    def __call__(self, stream_df: DataFrame) -> DataFrame:
+        key_col, id_col = self.key_col, self.id_col
+        value_col = self.value_col
+        up = self.target_micros + self.slack_micros
+        dn = self.target_micros - self.slack_micros
+        h = self.h_micros
+
+        def monitor(key, pdfs, state: GroupState):
+            cols = [key_col, "ts_us", id_col, value_col,
+                    "s_pos_micros", "s_neg_micros", "alert_up",
+                    "alert_down"]
+            s_pos, s_neg = state.get if state.exists else (0, 0)
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            # _ts_us precomputed JVM-side (unix_micros) — the
+            # session-timezone lesson, same as the sessionizer/funnel
+            rows = rows.sort_values(["_ts_us", id_col])
+            out = []
+            for t, i, v in zip(rows["_ts_us"].to_numpy(),
+                               rows[id_col].to_numpy(),
+                               rows[value_col].to_numpy()):
+                s_pos = max(0, s_pos + (int(v) - up))
+                s_neg = max(0, s_neg + (dn - int(v)))
+                out.append((key[0], int(t), int(i), int(v), s_pos,
+                            s_neg, int(s_pos > h), int(s_neg > h)))
+            state.update((int(s_pos), int(s_neg)))
+            yield pd.DataFrame(out, columns=cols)
+
+        key_type = stream_df.schema[self.key_col].dataType
+        with_wm = (stream_df
+                   .withColumn("_ts_us", F.unix_micros(F.col(self.ts_col)))
+                   .withWatermark(self.ts_col, self.watermark))
+        return (
+            with_wm.groupBy(self.key_col)
+            .applyInPandasWithState(
+                monitor,
+                outputStructType=self.output_schema(key_type),
+                stateStructType=self.state_schema,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+
+
 def kafka_source_options(brokers: str, topics: str, *,
                          starting_offsets: str = "latest",
                          fail_on_data_loss: bool = False,
