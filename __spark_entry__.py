@@ -4884,7 +4884,8 @@ def q_demand_shift(spark, sf_dir):
               .groupBy("brand", "week_idx")
               .agg(F.expr("CAST(sum(CAST(qty_micros AS DECIMAL(38,0)))"
                           " AS BIGINT)").alias("weekly_qty")))
-    return mean_shift_point(weekly, ["brand"], "week_idx", "weekly_qty")
+    return mean_shift_point(weekly, ["brand"], ["week_idx"],
+                            "weekly_qty")
 
 
 def _sql_demand_shift() -> str:
@@ -4897,7 +4898,7 @@ def _sql_demand_shift() -> str:
               "     ::HUGEINT)::BIGINT AS weekly_qty"
               " FROM lineitem JOIN part ON l_partkey = p_partkey"
               " GROUP BY 1, 2")
-    return mean_shift_point_sql(weekly, ["brand"], "week_idx",
+    return mean_shift_point_sql(weekly, ["brand"], ["week_idx"],
                                 "weekly_qty")
 
 

@@ -84,10 +84,15 @@ def jaccard_join(docs: DataFrame, content_col: str = "text",
                            _toks=TX.tokens(F.col(content_col)))
     feats = (F.col("_toks") if shingle_k == 1
              else TX.word_shingles_from_tokens(F.col("_toks"), shingle_k))
+    # pinned: FOUR consumers (freq, ranked, and both verification
+    # sides) — exchange reuse would dedupe only the shuffle write, not
+    # the tokenize/shingle/explode/distinct work (the repo pinning
+    # discipline, review r6)
     toks = (staged
             .select(F.col(id_col).alias("_doc"),
                     F.explode(feats).alias("tok"))
-            .distinct())
+            .distinct()
+            .localCheckpoint(eager=False))
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_tf"))
     w = Window.partitionBy("_doc").orderBy(F.col("_tf").asc(),
                                            F.col("tok").asc())
@@ -95,35 +100,33 @@ def jaccard_join(docs: DataFrame, content_col: str = "text",
               .withColumn("_rn", F.row_number().over(w))
               .withColumn("_n", F.count(F.lit(1)).over(
                   Window.partitionBy("_doc"))))
-    # p = n - ceil(t*n) + 1, all integer
+    # p = n - ceil(t*n) + 1, all integer; pinned for the two pair sides
     prefix = ranked.where(
         F.col("_rn") <= F.col("_n")
-        - F.expr(f"CAST((_n * {tm} + {_M - 1}) DIV {_M} AS INT)") + 1)
+        - F.expr(f"CAST((_n * {tm} + {_M - 1}) DIV {_M} AS INT)") + 1) \
+        .localCheckpoint(eager=False)
     pa = prefix.select(F.col("_doc").alias("a"), "tok",
                        F.col("_n").alias("size_a"))
     pb = prefix.select(F.col("_doc").alias("b"), "tok",
                        F.col("_n").alias("size_b"))
+    # size_a/size_b ride through the distinct (functions of a and b) —
+    # re-deriving them later would cost an extra agg + two joins
     cand = (pa.join(pb, on="tok")
             .where(F.col("a") < F.col("b"))
             # PPJoin length filter: t*size_a <= size_b (a<b is id order,
             # not size order, so apply both directions)
             .where((F.col("size_b") * _M >= F.col("size_a") * tm)
                    & (F.col("size_a") * _M >= F.col("size_b") * tm))
-            .select("a", "b").distinct())
+            .select("a", "b", "size_a", "size_b").distinct())
     # exact verification; token stays in the join key (no per-pair
     # cross product)
     ta = toks.select(F.col("_doc").alias("a"), "tok")
     tb = toks.select(F.col("_doc").alias("b"), "tok")
     inter = (cand.join(ta, on="a").join(tb, on=["b", "tok"])
-             .groupBy("a", "b").agg(F.count(F.lit(1)).alias("inter")))
-    sizes = toks.groupBy("_doc").agg(F.count(F.lit(1)).alias("_sz"))
-    out = (inter
-           .join(sizes.select(F.col("_doc").alias("a"),
-                              F.col("_sz").alias("size_a")), on="a")
-           .join(sizes.select(F.col("_doc").alias("b"),
-                              F.col("_sz").alias("size_b")), on="b"))
+             .groupBy("a", "b", "size_a", "size_b")
+             .agg(F.count(F.lit(1)).alias("inter")))
     union = F.col("size_a") + F.col("size_b") - F.col("inter")
-    return (out.where(F.col("inter") * _M >= union * tm)
+    return (inter.where(F.col("inter") * _M >= union * tm)
             .select("a", "b", "inter", "size_a", "size_b",
                     F.round(F.col("inter") / union, 6).alias("jaccard")))
 

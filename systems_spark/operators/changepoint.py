@@ -35,18 +35,24 @@ _M = 1_000_000
 
 
 def mean_shift_point(df: DataFrame, group_cols: "list[str]",
-                     order_col: str, value_col: str) -> DataFrame:
+                     order_cols: "list[str]", value_col: str) -> DataFrame:
     """(group..., n_points, split_idx, split_at, shift_micros): per
     group, the split AFTER position ``split_idx`` (1-based; prefix =
     the first split_idx points) with the maximal absolute prefix/suffix
     mean gap, in integer millionths of a value unit. ``split_at`` is
-    the ``order_col`` value of the last prefix point. Groups with fewer
-    than 2 points have no valid split and are omitted; NULL values are
-    excluded before ranking. Ties break toward the earliest split."""
-    pruned = (df.select(*group_cols, order_col, value_col)
-              .where(F.col(order_col).isNotNull()
-                     & F.col(value_col).isNotNull()))
-    wo = Window.partitionBy(*group_cols).orderBy(F.col(order_col).asc())
+    the FIRST order column's value at the last prefix point.
+    ``order_cols`` MUST form a total order per group (add a unique
+    tiebreaker like an id column otherwise) — with ties the prefix
+    sums, and therefore the chosen split, would depend on arbitrary
+    rank assignment (review r6; the cusum_chart contract). Groups with
+    fewer than 2 points have no valid split and are omitted; NULL
+    order/value rows are excluded before ranking. Score ties break
+    toward the earliest split."""
+    pruned = df.select(*group_cols, *order_cols, value_col)         .where(F.col(value_col).isNotNull())
+    for c in order_cols:
+        pruned = pruned.where(F.col(c).isNotNull())
+    wo = Window.partitionBy(*group_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols])
     wcum = wo.rowsBetween(Window.unboundedPreceding, 0)
     wall = Window.partitionBy(*group_cols)
     d = F.col(value_col).cast("decimal(38,0)")
@@ -72,34 +78,41 @@ def mean_shift_point(df: DataFrame, group_cols: "list[str]",
             .where(F.col("_r") == 1)
             .select(*group_cols, F.col("_n").alias("n_points"),
                     F.col("_i").alias("split_idx"),
-                    F.col(order_col).alias("split_at"),
+                    F.col(order_cols[0]).alias("split_at"),
                     F.col("_shift").alias("shift_micros")))
 
 
 def mean_shift_point_sql(source_sql: str, group_names: "list[str]",
-                         order_expr: str, value_expr: str) -> str:
+                         order_exprs: "list[str]", value_expr: str) -> str:
     """DuckDB twin of :func:`mean_shift_point` — ``group_names`` are
-    plain identifiers selectable from ``source_sql``."""
+    plain identifiers selectable from ``source_sql``; ``order_exprs``
+    must form a total order per group (same contract)."""
     gsel = "".join(g + ", " for g in group_names)
     part = ("PARTITION BY " + ", ".join(group_names)) if group_names \
         else ""
+    oa = [f"_o{i}" for i in range(len(order_exprs))]
+    osel_src = ", ".join(f"({e}) AS {a}"
+                         for e, a in zip(order_exprs, oa))
+    osel = ", ".join(oa)
+    oby = ", ".join(f"{a} ASC" for a in oa)
+    notnull = " AND ".join(f"({e}) IS NOT NULL" for e in order_exprs)
     return f"""
 WITH src AS (
-  SELECT {gsel}({order_expr}) AS _o, ({value_expr})::HUGEINT AS _v
+  SELECT {gsel}{osel_src}, ({value_expr})::HUGEINT AS _v
   FROM ({source_sql})
-  WHERE ({order_expr}) IS NOT NULL AND ({value_expr}) IS NOT NULL
+  WHERE {notnull} AND ({value_expr}) IS NOT NULL
 ),
 staged AS (
-  SELECT {gsel}_o,
-         row_number() OVER ({part} ORDER BY _o ASC) AS _i,
-         sum(_v) OVER ({part} ORDER BY _o ASC
+  SELECT {gsel}{osel},
+         row_number() OVER ({part} ORDER BY {oby}) AS _i,
+         sum(_v) OVER ({part} ORDER BY {oby}
                        ROWS UNBOUNDED PRECEDING) AS _si,
          count(*) OVER ({part}) AS _n,
          sum(_v) OVER ({part}) AS _sn
   FROM src
 ),
 scored AS (
-  SELECT {gsel}_o, _i, _n,
+  SELECT {gsel}{oa[0]}, _i, _n,
          ((abs(_si * (_n - _i)::HUGEINT - (_sn - _si) * _i::HUGEINT)
            * {_M}) // (_i::HUGEINT * (_n - _i)::HUGEINT))::BIGINT
            AS _shift
@@ -111,6 +124,6 @@ ranked AS (
   FROM scored
 )
 SELECT {gsel}_n::BIGINT AS n_points, _i::BIGINT AS split_idx,
-       _o AS split_at, _shift AS shift_micros
+       {oa[0]} AS split_at, _shift AS shift_micros
 FROM ranked WHERE _r = 1
 """

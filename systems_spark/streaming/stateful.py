@@ -507,6 +507,10 @@ class StreamingCusum:
 
         key_type = stream_df.schema[self.key_col].dataType
         with_wm = (stream_df
+                   # NULL values excluded JVM-side, matching the batch
+                   # chart's contract — a NULL reaching pandas becomes
+                   # NaN and int(v) would kill the query (review r6)
+                   .where(F.col(self.value_col).isNotNull())
                    .withColumn("_ts_us", F.unix_micros(F.col(self.ts_col)))
                    .withWatermark(self.ts_col, self.watermark))
         return (

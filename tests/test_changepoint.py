@@ -21,7 +21,7 @@ def test_obvious_level_shift_found_exactly(spark):
     """10 points at 100 then 10 at 500: split at i=10 with gap exactly
     400 (400_000_000 micros)."""
     rows = [("a", i, 100 if i <= 10 else 500) for i in range(1, 21)]
-    r = mean_shift_point(_df(spark, rows), ["g"], "t", "v").collect()[0]
+    r = mean_shift_point(_df(spark, rows), ["g"], ["t"], "v").collect()[0]
     assert (r.n_points, r.split_idx, r.split_at, r.shift_micros) \
         == (20, 10, 10, 400_000_000)
 
@@ -33,7 +33,7 @@ def test_matches_python_argmax_on_noisy_series(spark):
 
     vals = [((i * 37) % 83) + (300 if i > 28 else 0) for i in range(1, 41)]
     rows = [("g", i, v) for i, v in zip(range(1, 41), vals)]
-    r = mean_shift_point(_df(spark, rows), ["g"], "t", "v").collect()[0]
+    r = mean_shift_point(_df(spark, rows), ["g"], ["t"], "v").collect()[0]
     n, sn = len(vals), sum(vals)
     best = None
     for i in range(1, n):
@@ -67,9 +67,27 @@ def test_matches_duckdb_bit_for_bit(spark):
     rows = [(f"g{i % 3}", i // 3, ((i * 13) % 97)
              + (200 if i > 45 else 0)) for i in range(60)]
     got = sorted(map(tuple, mean_shift_point(
-        _df(spark, rows), ["g"], "t", "v").collect()))
+        _df(spark, rows), ["g"], ["t"], "v").collect()))
     vals = ",".join(f"('{g}', {t}, {v})" for g, t, v in rows)
     want = sorted(map(tuple, duckdb.connect().execute(mean_shift_point_sql(
         f"SELECT * FROM (VALUES {vals}) t(g, t, v)",
-        ["g"], "t", "v")).fetchall()))
+        ["g"], ["t"], "v")).fetchall()))
+    assert got == want
+
+
+def test_order_tiebreaker_contract(spark):
+    """With a duplicate order value, adding a second order column
+    restores the total order and both engines agree; split_at is the
+    FIRST order column's value."""
+    import duckdb
+
+    rows = [("g", 1, 0, 10), ("g", 1, 1, 300), ("g", 2, 2, 10),
+            ("g", 3, 3, 10)]
+    df = spark.createDataFrame(rows, "g string, t long, i long, v long")
+    got = sorted(map(tuple, mean_shift_point(
+        df, ["g"], ["t", "i"], "v").collect()))
+    vals = ",".join(f"('{g}', {t}, {i}, {v})" for g, t, i, v in rows)
+    want = sorted(map(tuple, duckdb.connect().execute(mean_shift_point_sql(
+        f"SELECT * FROM (VALUES {vals}) t(g, t, i, v)",
+        ["g"], ["t", "i"], "v")).fetchall()))
     assert got == want
