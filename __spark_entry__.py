@@ -4820,6 +4820,40 @@ def _sql_brand_trend() -> str:
     return ols_trend_sql(src, "week_idx", "qty_micros", ["brand"])
 
 
+_LINK_TOP = 3
+
+
+def q_link_candidates(spark, sf_dir):
+    """Link prediction (operators/linkpred.py): top-3 Adamic–Adar
+    predicted co-purchase links per part over the co-occurrence graph
+    — non-adjacent pairs scored by Σ 1/ln(deg z) over shared
+    neighbors z, with rare shared neighbors weighted up and hubs
+    toward zero (the per-z weight quantized once to micros, the BM25
+    idf pattern, then exact integer sums). The graph family's edge
+    PREDICTOR next to PageRank's node ranks and LPA's partitions."""
+    from systems_spark.operators.linkpred import link_scores
+
+    scores = link_scores(_sym_part_edges(spark, sf_dir))
+    w = Window.partitionBy("a").orderBy(F.col("aa_micros").desc(),
+                                        F.col("b").asc())
+    return (scores.withColumn("rank",
+                              F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= _LINK_TOP))
+
+
+def _sql_link_candidates() -> str:
+    from systems_spark.operators.linkpred import link_scores_sql
+
+    inner = link_scores_sql(_sql_sym_part_edges())
+    return f"""
+SELECT a, b, common, aa_micros,
+       row_number() OVER (PARTITION BY a
+                          ORDER BY aa_micros DESC, b ASC)::BIGINT AS rank
+FROM ({inner})
+QUALIFY rank <= {_LINK_TOP}
+"""
+
+
 _CUSUM = dict(target_micros=50_000_000, slack_micros=20_000_000,
               h_micros=400_000_000)
 
@@ -5142,6 +5176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setjoin_pairs": q_setjoin_pairs,
         "demand_shift": q_demand_shift,
         "cusum_alerts": q_cusum_alerts,
+        "link_candidates": q_link_candidates,
     }
 
 
@@ -5317,4 +5352,5 @@ def oracle_sql() -> dict[str, str]:
         "setjoin_pairs": _sql_setjoin_pairs(),
         "demand_shift": _sql_demand_shift(),
         "cusum_alerts": _sql_cusum_alerts(),
+        "link_candidates": _sql_link_candidates(),
     }

@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "setjoin_pairs",
     "demand_shift",
     "cusum_alerts",
+    "link_candidates",
 ]
 
 
