@@ -4820,6 +4820,81 @@ def _sql_brand_trend() -> str:
     return ols_trend_sql(src, "week_idx", "qty_micros", ["brand"])
 
 
+_PSI_BINS = 10
+
+
+def q_psi_drift(spark, sf_dir):
+    """Population stability index (functions/profile.py psi_drift):
+    distribution shift of event value between the 'view' segment
+    (baseline) and the 'purchase' segment, over the baseline's FITTED
+    decile edges (QuantileBin — new data bins against the old edges,
+    never re-ranks against itself) with Laplace-smoothed shares. The
+    shape-drift companion of profile_drift's null/cardinality gate;
+    < 0.1 stable, > 0.25 drifted."""
+    from systems_spark.functions.profile import psi_drift
+
+    ev = _t(spark, sf_dir, "events")
+    return psi_drift(ev.where(F.col("event_type") == "view"),
+                     ev.where(F.col("event_type") == "purchase"),
+                     "value", n_bins=_PSI_BINS)
+
+
+_SQL_PSI_DRIFT = f"""
+WITH qs AS (
+  SELECT quantile_cont(value,
+           [{", ".join(str(i / _PSI_BINS) for i in range(1, _PSI_BINS))}])
+         AS q
+  FROM events WHERE event_type = 'view'
+),
+edges AS (SELECT floor(unnest(q) * 1000000 + 0.5) AS em FROM qs),
+ob AS (
+  SELECT e.event_id,
+         sum(CASE WHEN floor(e.value * 1000000 + 0.5) > em
+                  THEN 1 ELSE 0 END) AS bin
+  FROM events e CROSS JOIN edges
+  WHERE e.event_type = 'view' AND e.value IS NOT NULL
+  GROUP BY e.event_id
+),
+nb AS (
+  SELECT e.event_id,
+         sum(CASE WHEN floor(e.value * 1000000 + 0.5) > em
+                  THEN 1 ELSE 0 END) AS bin
+  FROM events e CROSS JOIN edges
+  WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+  GROUP BY e.event_id
+),
+oc AS (SELECT bin, count(*)::BIGINT AS n_old FROM ob GROUP BY 1),
+nc AS (SELECT bin, count(*)::BIGINT AS n_new FROM nb GROUP BY 1),
+bins AS (SELECT unnest(range({_PSI_BINS})) AS bin),
+counts AS (
+  SELECT b.bin, coalesce(oc.n_old, 0) AS n_old,
+         coalesce(nc.n_new, 0) AS n_new
+  FROM bins b LEFT JOIN oc ON oc.bin = b.bin
+  LEFT JOIN nc ON nc.bin = b.bin
+),
+tots AS (SELECT sum(n_old) AS _to, sum(n_new) AS _tn FROM counts),
+perbin AS (
+  SELECT bin, n_old, n_new,
+         ((n_old + 1) * 1000000 // (_to + {_PSI_BINS}))::BIGINT
+           AS p_old_micros,
+         ((n_new + 1) * 1000000 // (_tn + {_PSI_BINS}))::BIGINT
+           AS p_new_micros,
+         (((n_new + 1) * 1000000 // (_tn + {_PSI_BINS}))
+          - ((n_old + 1) * 1000000 // (_to + {_PSI_BINS})))
+         * round(ln(((n_new + 1)::HUGEINT * (_to + {_PSI_BINS}))::DOUBLE
+                    / ((n_old + 1)::HUGEINT
+                       * (_tn + {_PSI_BINS}))::DOUBLE)
+                 * 1000000)::BIGINT AS _term_full
+  FROM counts CROSS JOIN tots
+)
+SELECT bin, n_old, n_new, p_old_micros, p_new_micros,
+       (_term_full // 1000000)::BIGINT AS term_micros,
+       (SELECT (sum(_term_full) // 1000000)::BIGINT FROM perbin)
+         AS psi_micros
+FROM perbin
+"""
+
+
 _LINK_TOP = 3
 
 
@@ -5177,6 +5252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "demand_shift": q_demand_shift,
         "cusum_alerts": q_cusum_alerts,
         "link_candidates": q_link_candidates,
+        "psi_drift": q_psi_drift,
     }
 
 
@@ -5353,4 +5429,5 @@ def oracle_sql() -> dict[str, str]:
         "demand_shift": _sql_demand_shift(),
         "cusum_alerts": _sql_cusum_alerts(),
         "link_candidates": _sql_link_candidates(),
+        "psi_drift": _SQL_PSI_DRIFT,
     }

@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "demand_shift",
     "cusum_alerts",
     "link_candidates",
+    "psi_drift",
 ]
 
 

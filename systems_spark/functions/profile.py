@@ -131,3 +131,76 @@ def skew_report(df: DataFrame, col: str, top_n: int = 10) -> DataFrame:
             .alias("x_uniform"),
         )
     )
+
+
+def psi_drift(old: DataFrame, new: DataFrame, value_col: str,
+              n_bins: int = 10) -> DataFrame:
+    """Population stability index between two samples of ``value_col``
+    — the DISTRIBUTION-shift companion of :func:`profile_diff` (which
+    compares null ratios and cardinalities but not shape):
+
+        PSI = Σ_bins (p_new − p_old) · ln(p_new / p_old)
+
+    with bins = the OLD sample's fitted quantile edges
+    (operators/binning.py QuantileBin — the fit/serve discipline: new
+    data is binned against the baseline's edges, never re-ranked
+    against itself) and Laplace-smoothed (+1) bin counts so empty bins
+    stay finite. Industry reading: < 0.1 stable, 0.1–0.25 shifting,
+    > 0.25 drifted.
+
+    Output: one row per bin — (bin, n_old, n_new, p_old_micros,
+    p_new_micros, term_micros) — plus the total ``psi_micros`` repeated
+    on every row. Exactness: shares and the log-ratio are quantized to
+    micros from exact integer counts (the products inside the ln are
+    decimal-widened before ONE double division, the PMI pattern), the
+    per-bin term is an exact int64 product, and the final PSI is one
+    truncating division of the term sum. NULL values are excluded
+    (they are profile_diff's department).
+
+    100 TB shape: one fit (exact_quantiles, no single-task stage) +
+    two zero-shuffle binning projections + two ≤ n_bins-row count
+    aggregations; everything after the counts touches ≤ n_bins rows.
+    """
+    from systems_spark.operators.binning import QuantileBin
+
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    op = QuantileBin(value_col, n_bins=n_bins).fit(old)
+    bcol = value_col + "_bin"
+
+    def _counts(df, out):
+        return (op.transform(df.where(F.col(value_col).isNotNull()))
+                .groupBy(F.col(bcol).alias("bin"))
+                .agg(F.count(F.lit(1)).alias(out)))
+
+    spark = old.sparkSession
+    bins = spark.range(n_bins).select(F.col("id").alias("bin"))
+    counts = (bins
+              .join(_counts(old, "n_old"), on="bin", how="left")
+              .join(_counts(new, "n_new"), on="bin", how="left")
+              .select("bin",
+                      F.coalesce("n_old", F.lit(0)).alias("n_old"),
+                      F.coalesce("n_new", F.lit(0)).alias("n_new")))
+    tots = counts.agg(F.sum("n_old").alias("_to"),
+                      F.sum("n_new").alias("_tn"))
+    w = counts.crossJoin(F.broadcast(tots))
+    p_old = F.expr(f"CAST((n_old + 1) * 1000000 DIV (_to + {n_bins})"
+                   f" AS BIGINT)")
+    p_new = F.expr(f"CAST((n_new + 1) * 1000000 DIV (_tn + {n_bins})"
+                   f" AS BIGINT)")
+    lnr = F.expr(
+        f"CAST(round(ln(CAST(CAST(n_new + 1 AS DECIMAL(38,0))"
+        f" * (_to + {n_bins}) AS DOUBLE)"
+        f" / CAST(CAST(n_old + 1 AS DECIMAL(38,0))"
+        f" * (_tn + {n_bins}) AS DOUBLE)) * 1000000) AS BIGINT)")
+    perbin = w.select(
+        "bin", "n_old", "n_new",
+        p_old.alias("p_old_micros"), p_new.alias("p_new_micros"),
+        ((p_new - p_old) * lnr).alias("_term_full"),
+    ).withColumn("term_micros",
+                 F.expr("CAST(_term_full DIV 1000000 AS BIGINT)"))
+    psi = perbin.agg(F.expr("CAST(sum(_term_full) DIV 1000000 AS BIGINT)")
+                     .alias("psi_micros"))
+    return (perbin.crossJoin(F.broadcast(psi))
+            .select("bin", "n_old", "n_new", "p_old_micros",
+                    "p_new_micros", "term_micros", "psi_micros"))

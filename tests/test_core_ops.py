@@ -788,3 +788,85 @@ def test_categorify_max_size_and_num_buckets(spark):
         Categorify(["v"], num_buckets=4, max_size=3)
     with _pt.raises(ValueError, match="max_size"):
         Categorify(["v"], max_size=1)
+
+
+# --- PSI drift -----------------------------------------------------------
+
+
+def test_psi_identical_distributions_near_zero(spark):
+    from systems_spark.functions.profile import psi_drift
+
+    rows = [(float(v % 100),) for v in range(2000)]
+    df = spark.createDataFrame(rows, "value double")
+    out = psi_drift(df, df, "value", n_bins=10).collect()
+    assert len(out) == 10
+    # identical samples: every per-bin share matches, PSI exactly 0
+    assert all(r.p_old_micros == r.p_new_micros for r in out)
+    assert out[0].psi_micros == 0
+
+
+def test_psi_shifted_distribution_flags_drift(spark):
+    from systems_spark.functions.profile import psi_drift
+
+    old = spark.createDataFrame([(float(v % 100),) for v in range(2000)],
+                                "value double")
+    new = spark.createDataFrame(
+        [(float(v % 100) + 60.0,) for v in range(2000)], "value double")
+    out = psi_drift(old, new, "value", n_bins=10).collect()
+    # a +60 shift on a 0-99 base is severe drift: psi far above 0.25
+    assert out[0].psi_micros > 250_000
+    # upper old-bins gain mass, lower ones empty out but stay finite
+    assert all(r.p_new_micros > 0 for r in out)
+
+
+def test_psi_matches_python_reference(spark):
+    import math
+
+    from systems_spark.functions.profile import psi_drift
+
+    old_vals = [float((v * 7) % 50) for v in range(500)]
+    new_vals = [float((v * 11) % 80) for v in range(400)]
+    old = spark.createDataFrame([(v,) for v in old_vals], "value double")
+    new = spark.createDataFrame([(v,) for v in new_vals], "value double")
+    got = {r.bin: (r.n_old, r.n_new, r.term_micros, r.psi_micros)
+           for r in psi_drift(old, new, "value", n_bins=4).collect()}
+    # independent reference: same fitted-edge contract via sorted old
+    from systems_spark.operators.binning import QuantileBin
+
+    op = QuantileBin("value", n_bins=4).fit(old)
+    edges = op.edges_micros["value"]
+    def bin_of(v):
+        vm = math.floor(v * 1_000_000 + 0.5)
+        return sum(vm > e for e in edges)
+    n_old = [0] * 4
+    n_new = [0] * 4
+    for v in old_vals:
+        n_old[bin_of(v)] += 1
+    for v in new_vals:
+        n_new[bin_of(v)] += 1
+    to, tn = sum(n_old) + 4, sum(n_new) + 4
+    total = 0
+    for b in range(4):
+        po = (n_old[b] + 1) * 1_000_000 // to
+        pn = (n_new[b] + 1) * 1_000_000 // tn
+        lnr = round(math.log(((n_new[b] + 1) * to) / ((n_old[b] + 1) * tn))
+                    * 1_000_000)
+        term = (pn - po) * lnr
+        total += term
+        trunc = abs(term) // 1_000_000 * (1 if term >= 0 else -1)
+        assert got[b][:2] == (n_old[b], n_new[b])
+        assert got[b][2] == trunc  # DIV truncates toward zero
+    # truncating div toward zero on the total, matching both engines
+    q = abs(total) // 1_000_000
+    want_psi = q if total >= 0 else -q
+    assert got[0][3] == want_psi
+
+
+def test_psi_validation(spark):
+    import pytest as _pt
+
+    from systems_spark.functions.profile import psi_drift
+
+    df = spark.createDataFrame([(1.0,)], "value double")
+    with _pt.raises(ValueError):
+        psi_drift(df, df, "value", n_bins=1)
