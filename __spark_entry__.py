@@ -5062,6 +5062,38 @@ FROM probed p LEFT JOIN dim d ON d.part_id = p.part_id
 """
 
 
+_EDITDIST = dict(k=1, q=2)
+
+
+def q_dedup_editdist(spark, sf_dir):
+    """Prefix-filtered EXACT edit-distance join (dedup/editdist.py —
+    Gravano et al. VLDB 2001 / Ed-Join VLDB 2008), the TENTH dedup
+    member and the typo-level duplication mode none of the other nine
+    covers: every supplier-name pair within Levenshtein distance 1,
+    none missed. The s_name corpus is the algorithm's hot-prefix
+    shape by design — every name shares 'Supplier#00000…', those
+    grams are corpus-hot and sort OUT of the ascending-frequency
+    prefixes, so candidates come from the rare trailing-digit grams.
+    (Sequential zero-padded IDs also make the TRUE-pair set dense —
+    most ids have several one-digit-apart neighbors — which is why
+    the lane runs on the 10×-smaller supplier table rather than
+    customer: quadratic true output is quadratic no matter the
+    algorithm, the setjoin lesson.) The oracle is the brute-force
+    all-pairs levenshtein ground truth, so the lossless-filter
+    contract itself is what gets graded."""
+    from systems_spark.dedup.editdist import edit_join
+
+    return edit_join(_t(spark, sf_dir, "supplier"), "s_name",
+                     "s_suppkey", **_EDITDIST)
+
+
+def _sql_dedup_editdist() -> str:
+    from systems_spark.dedup.editdist import edit_join_sql
+
+    return edit_join_sql("SELECT s_suppkey, s_name FROM supplier",
+                         "s_name", "s_suppkey", **_EDITDIST)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_four_stage_recs(spark, SF_SMOKE)
@@ -5253,6 +5285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_alerts": q_cusum_alerts,
         "link_candidates": q_link_candidates,
         "psi_drift": q_psi_drift,
+        "dedup_editdist": q_dedup_editdist,
     }
 
 
@@ -5430,4 +5463,5 @@ def oracle_sql() -> dict[str, str]:
         "cusum_alerts": _sql_cusum_alerts(),
         "link_candidates": _sql_link_candidates(),
         "psi_drift": _SQL_PSI_DRIFT,
+        "dedup_editdist": _sql_dedup_editdist(),
     }

@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "cusum_alerts",
     "link_candidates",
     "psi_drift",
+    "dedup_editdist",
 ]
 
 
