@@ -5094,6 +5094,44 @@ def _sql_dedup_editdist() -> str:
                          "s_name", "s_suppkey", **_EDITDIST)
 
 
+def _dq_checks(ref=None):
+    from systems_spark.functions import dq
+
+    return [
+        dq.not_null("o_custkey"),
+        dq.unique("o_orderkey"),
+        dq.in_set("o_orderstatus", ["O", "F", "P"]),
+        dq.value_range("o_totalprice", lo=0),
+        dq.in_set("o_orderpriority",
+                  ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+                   "5-LOW"]),
+        dq.ref_integrity("o_custkey", "c_custkey", ref_df=ref,
+                         ref_sql="SELECT c_custkey FROM customer"),
+    ]
+
+
+def q_dq_report(spark, sf_dir):
+    """Declarative data-quality constraint report (functions/dq.py —
+    the Deequ shape, Schelter et al. VLDB 2018): six constraints on
+    the orders table — completeness, key uniqueness, accepted status
+    and priority values, non-negative totals, and referential
+    integrity against customer — as ONE report. All row-level checks
+    share a single scan (one map-side-combined aggregation, stack
+    unpivot); uniqueness is a distributed distinct-agg (never a
+    driver-sized buffer); RI is one LEFT ANTI join. The batch-gate
+    primitive a 100 TB ingest pipeline runs before anything else."""
+    from systems_spark.functions import dq
+
+    return dq.check_report(_t(spark, sf_dir, "orders"),
+                           _dq_checks(ref=_t(spark, sf_dir, "customer")))
+
+
+def _sql_dq_report() -> str:
+    from systems_spark.functions import dq
+
+    return dq.check_report_sql("SELECT * FROM orders", _dq_checks())
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_four_stage_recs(spark, SF_SMOKE)
@@ -5286,6 +5324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_candidates": q_link_candidates,
         "psi_drift": q_psi_drift,
         "dedup_editdist": q_dedup_editdist,
+        "dq_report": q_dq_report,
     }
 
 
@@ -5464,4 +5503,5 @@ def oracle_sql() -> dict[str, str]:
         "link_candidates": _sql_link_candidates(),
         "psi_drift": _SQL_PSI_DRIFT,
         "dedup_editdist": _sql_dedup_editdist(),
+        "dq_report": _sql_dq_report(),
     }

@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "link_candidates",
     "psi_drift",
     "dedup_editdist",
+    "dq_report",
 ]
 
 
