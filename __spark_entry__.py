@@ -5132,6 +5132,82 @@ def _sql_dq_report() -> str:
     return dq.check_report_sql("SELECT * FROM orders", _dq_checks())
 
 
+_HITS_ROUNDS = 4
+
+
+def q_part_hits(spark, sf_dir):
+    """HITS hubs & authorities (operators/hits.py, Kleinberg JACM
+    1999) over the bipartite customer→part purchase graph: authorities
+    are parts endorsed by broadly-buying customers, hubs are customers
+    whose baskets concentrate on authoritative parts — the mutual-
+    reinforcement ranking next to PageRank's random-surfer one.
+    Customer nodes are negated so the two key spaces cannot collide in
+    one node column. Scores are exact integer micros (round-max
+    normalization instead of the order-dependent L2 norm), so even
+    this iterative algorithm is oracle-checked bit-for-bit. Output:
+    the top-20 authorities with their scores."""
+    from systems_spark.operators.hits import hits
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .select((-F.col("o_custkey")).alias("src"),
+                     F.col("l_partkey").alias("dst"))
+             .distinct())
+    scores = hits(edges, rounds=_HITS_ROUNDS)
+    return (scores.where(F.col("node") > 0)
+            .select(F.col("node").alias("part_id"),
+                    "auth_micros", "hub_micros")
+            .orderBy(F.col("auth_micros").desc(), F.col("part_id").asc())
+            .limit(20))
+
+
+def _sql_part_hits() -> str:
+    from systems_spark.operators.hits import hits_sql
+
+    inner = hits_sql(
+        "SELECT DISTINCT -o_custkey AS src, l_partkey AS dst "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey",
+        rounds=_HITS_ROUNDS)
+    return f"""
+SELECT node AS part_id, auth_micros, hub_micros
+FROM ({inner})
+WHERE node > 0
+ORDER BY auth_micros DESC, part_id ASC
+LIMIT 20
+"""
+
+
+_PHRASE_QUERIES = [(1, "value table"), (2, "big query"), (3, "table table"),
+                   (4, "slow scan filter"), (5, "fast key scan")]
+
+
+def q_phrase_search(spark, sf_dir):
+    """Exact phrase search (operators/phrase.py) — the positional-index
+    companion of bm25_search: documents containing each phrase ADJACENT
+    and IN ORDER, with exact (overlap-counted) occurrence counts.
+    Offset-aligned counting: postings join the broadcast phrase-term
+    table once, ``start = pos − offset``, and a start is a hit exactly
+    when its row count equals the phrase length — no per-position
+    self-join chain, no text shuffle (postings are (doc, pos, hash)
+    longs). Lucene-PhraseQuery semantics, oracle-exact."""
+    from systems_spark.operators.phrase import phrase_search
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        _PHRASE_QUERIES, "query_id long, query_text string")
+    return phrase_search(docs, queries)
+
+
+def _sql_phrase_search() -> str:
+    from systems_spark.operators.phrase import phrase_search_sql
+
+    values = ",".join(f"({i},'{t}')" for i, t in _PHRASE_QUERIES)
+    return phrase_search_sql(
+        "SELECT doc_id, text FROM documents",
+        f"SELECT * FROM (VALUES {values}) AS q(query_id, query_text)")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_four_stage_recs(spark, SF_SMOKE)
@@ -5325,6 +5401,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "dedup_editdist": q_dedup_editdist,
         "dq_report": q_dq_report,
+        "part_hits": q_part_hits,
+        "phrase_search": q_phrase_search,
     }
 
 
@@ -5504,4 +5582,6 @@ def oracle_sql() -> dict[str, str]:
         "psi_drift": _SQL_PSI_DRIFT,
         "dedup_editdist": _sql_dedup_editdist(),
         "dq_report": _sql_dq_report(),
+        "part_hits": _sql_part_hits(),
+        "phrase_search": _sql_phrase_search(),
     }

@@ -145,6 +145,8 @@ BENCH_QUERIES = [
     "psi_drift",
     "dedup_editdist",
     "dq_report",
+    "part_hits",
+    "phrase_search",
 ]
 
 
