@@ -5208,6 +5208,122 @@ def _sql_phrase_search() -> str:
         f"SELECT * FROM (VALUES {values}) AS q(query_id, query_text)")
 
 
+_PATH_N = 3
+
+
+def q_session_paths(spark, sf_dir):
+    """Top event paths (operators/paths.py): corpus-wide counts of
+    every consecutive event-type trigram WITHIN a session — the
+    product-analytics "common paths" report, and the session-bounded
+    order-3 companion of event_transitions' first-order Markov matrix.
+    Composes the gap sessionizer (one user-partitioned window) with one
+    more lead-window pass and a map-side-combined count; no
+    collect_list buffer, so a bot user costs sort time, never memory."""
+    from systems_spark.operators.paths import path_ngrams
+    from systems_spark.operators.sessionize import Sessionize
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.expr("ts div 1000"))
+    op = Sessionize("user_id", "ts", 30 * 60 * 1_000_000,
+                    order_cols=["event_id"])
+    return path_ngrams(op(ev), ["user_id", "session_id"],
+                       ["ts", "event_id"], "event_type", n=_PATH_N)
+
+
+def _sql_session_paths() -> str:
+    from systems_spark.operators.paths import path_ngrams_sql
+
+    sessions = """
+SELECT user_id, event_id, event_type, ts_us,
+       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+                        ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+FROM (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC)
+)
+"""
+    return path_ngrams_sql(sessions, ["user_id", "session_id"],
+                           ["ts_us", "event_id"], "event_type", n=_PATH_N)
+
+
+_ACF_LAGS = 7
+
+
+def q_revenue_acf(spark, sf_dir):
+    """Lag-1..7 autocorrelation of daily order revenue
+    (operators/acf.py): is revenue momentum-driven, mean-reverting, or
+    weekly-periodic? The exact biased ACF estimator with denominators
+    cleared — (n·x − S) factors in decimal(38,0)/HUGEINT, one
+    truncating division per lag — so the float-free coefficients
+    replay bit-for-bit in DuckDB. Pairs come from ONE self-equi-join
+    on day+lag after a sequence-explode; no global-sort window."""
+    from systems_spark.operators.acf import acf
+
+    daily = (_t(spark, sf_dir, "orders")
+             .select(F.expr("CAST(datediff(o_orderdate,"
+                            " DATE '1992-01-01') AS BIGINT)")
+                     .alias("day_idx"),
+                     F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,6))"
+                            " * 100 AS BIGINT)").alias("cents"))
+             .groupBy("day_idx")
+             .agg(F.sum("cents").alias("revenue_cents")))
+    return acf(daily, [], "day_idx", "revenue_cents", _ACF_LAGS)
+
+
+def _sql_revenue_acf() -> str:
+    from systems_spark.operators.acf import acf_sql
+
+    daily = """
+SELECT datediff('day', DATE '1992-01-01', o_orderdate)::BIGINT AS day_idx,
+       sum((o_totalprice::DECIMAL(18,6) * 100)::BIGINT)::BIGINT
+         AS revenue_cents
+FROM orders GROUP BY 1
+"""
+    return acf_sql(daily, [], "day_idx", "revenue_cents", _ACF_LAGS)
+
+
+def q_ab_test_orders(spark, sf_dir):
+    """A/B experiment readout (functions/abtest.py): customers split
+    50/50 by the portable hash of their key (deterministic,
+    retry-safe, oracle-replayable — the assignment IS part of the
+    query), outcome = placed at least one 1-URGENT order; one-row 2×2
+    chi-square with exact integer per-cell micros and plan-time-
+    quantized χ²(1) critical values. Under a hash split the verdict
+    should be NOT significant — a significant readout on hash parity
+    would mean the statistic, not the data, is broken."""
+    from systems_spark.functions.abtest import ab_chisq
+    from systems_spark.functions.hashing import hash64
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = (_t(spark, sf_dir, "orders")
+         .where(F.col("o_orderpriority") == "1-URGENT")
+         .select("o_custkey").distinct())
+    units = (c.join(o, c.c_custkey == o.o_custkey, "left")
+             .select(F.when(hash64(F.col("c_custkey")) % 2 == 0,
+                            "A").otherwise("B").alias("variant"),
+                     F.col("o_custkey").isNotNull().alias("converted")))
+    return ab_chisq(units, "variant", "converted", "A", "B")
+
+
+def _sql_ab_test_orders() -> str:
+    from systems_spark.functions.abtest import ab_chisq_sql
+    from systems_spark.functions.hashing import hash64_sql
+
+    units = f"""
+SELECT CASE WHEN ({hash64_sql('c_custkey')}) % 2 = 0
+            THEN 'A' ELSE 'B' END AS variant,
+       (o.o_custkey IS NOT NULL) AS converted
+FROM customer c
+LEFT JOIN (SELECT DISTINCT o_custkey FROM orders
+           WHERE o_orderpriority = '1-URGENT') o
+  ON o.o_custkey = c.c_custkey
+"""
+    return ab_chisq_sql(units, "variant", "converted", "'A'", "'B'")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_four_stage_recs(spark, SF_SMOKE)
@@ -5403,6 +5519,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_report": q_dq_report,
         "part_hits": q_part_hits,
         "phrase_search": q_phrase_search,
+        "session_paths": q_session_paths,
+        "revenue_acf": q_revenue_acf,
+        "ab_test_orders": q_ab_test_orders,
     }
 
 
@@ -5584,4 +5703,7 @@ def oracle_sql() -> dict[str, str]:
         "dq_report": _sql_dq_report(),
         "part_hits": _sql_part_hits(),
         "phrase_search": _sql_phrase_search(),
+        "session_paths": _sql_session_paths(),
+        "revenue_acf": _sql_revenue_acf(),
+        "ab_test_orders": _sql_ab_test_orders(),
     }

@@ -147,6 +147,9 @@ BENCH_QUERIES = [
     "dq_report",
     "part_hits",
     "phrase_search",
+    "session_paths",
+    "revenue_acf",
+    "ab_test_orders",
 ]
 
 
