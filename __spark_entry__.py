@@ -5324,6 +5324,42 @@ LEFT JOIN (SELECT DISTINCT o_custkey FROM orders
     return ab_chisq_sql(units, "variant", "converted", "'A'", "'B'")
 
 
+_SSSP_ROUNDS = 3
+
+
+def q_part_routes(spark, sf_dir):
+    """Weighted shortest paths (operators/sssp.py, Bellman–Ford
+    rounds): cheapest multi-hop "affinity route" from the anchor parts
+    (the part_distances seed set) where an edge costs 1e6 div
+    co-count — strongly co-purchased pairs are cheap to cross, so
+    cost_micros ranks how related each part is to the anchors through
+    ANY chain, not just direct co-occurrence. Integer costs, per-node
+    min folds, one tiny (count, Σdist) probe per round for early stop;
+    a cheap two-hop detour beating a weak direct edge is exactly what
+    hop-count BFS cannot see."""
+    from systems_spark.operators.sssp import sssp
+
+    edges = (_sym_part_edges(spark, sf_dir, weighted=True)
+             .select("src", "dst",
+                     F.expr("CAST(1000000 DIV w AS BIGINT)").alias("w")))
+    seeds = (edges.select(F.col("src").alias("part_id")).distinct()
+             .where(F.col("part_id") % _BFS_SEED_MOD == 0))
+    return (sssp(edges, seeds, rounds=_SSSP_ROUNDS, node_col="part_id")
+            .select("part_id", F.col("dist").alias("cost_micros")))
+
+
+def _sql_part_routes() -> str:
+    from systems_spark.operators.sssp import sssp_sql
+
+    edges = (f"SELECT src, dst, (1000000 // w)::BIGINT AS w"
+             f" FROM ({_sql_sym_part_edges(weighted=True)})")
+    seeds = (f"SELECT DISTINCT src AS part_id FROM ({edges})"
+             f" WHERE src % {_BFS_SEED_MOD} = 0")
+    inner = sssp_sql(edges, seeds, rounds=_SSSP_ROUNDS,
+                     node_col="part_id")
+    return f"SELECT part_id, dist AS cost_micros FROM ({inner})"
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_four_stage_recs(spark, SF_SMOKE)
@@ -5522,6 +5558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_paths": q_session_paths,
         "revenue_acf": q_revenue_acf,
         "ab_test_orders": q_ab_test_orders,
+        "part_routes": q_part_routes,
     }
 
 
@@ -5706,4 +5743,5 @@ def oracle_sql() -> dict[str, str]:
         "session_paths": _sql_session_paths(),
         "revenue_acf": _sql_revenue_acf(),
         "ab_test_orders": _sql_ab_test_orders(),
+        "part_routes": _sql_part_routes(),
     }

@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "session_paths",
     "revenue_acf",
     "ab_test_orders",
+    "part_routes",
 ]
 
 
