@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "revenue_acf",
     "ab_test_orders",
     "part_routes",
+    "pareto_parts",
 ]
 
 
