@@ -5388,6 +5388,37 @@ def _sql_pareto_parts() -> str:
     return skyline2d_sql(rows, "price_cents", "size")
 
 
+def q_value_twap(spark, sf_dir):
+    """Per-user time-weighted average event value (operators/twap.py):
+    each sample weighted by how long it HELD (piecewise-constant
+    integral ÷ span), so a burst of ten readings in a hot minute
+    cannot out-vote the quiet hour after it — the right mean for
+    state-like series, where session_stats' plain mean is the right
+    one for event counts. One per-user lead window (event_id
+    tiebreak) + one map-side aggregation; decimal(38,0)/HUGEINT
+    products, one truncating division — exact micros."""
+    from systems_spark.operators.twap import time_weighted_avg
+
+    ev = (_t(spark, sf_dir, "events")
+          .select("user_id", "event_id",
+                  F.expr("ts div 1000").alias("ts_us"),
+                  F.expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000"
+                         " AS BIGINT)").alias("value_micros")))
+    return time_weighted_avg(ev, ["user_id"], "ts_us", "value_micros",
+                             order_cols=["event_id"])
+
+
+def _sql_value_twap() -> str:
+    from systems_spark.operators.twap import time_weighted_avg_sql
+
+    rows = ("SELECT user_id, event_id, epoch_us(ts) AS ts_us,"
+            " (value::DECIMAL(18,6) * 1000000)::BIGINT AS value_micros"
+            " FROM events")
+    return time_weighted_avg_sql(rows, ["user_id"], "ts_us",
+                                 "value_micros",
+                                 order_names=["event_id"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_four_stage_recs(spark, SF_SMOKE)
@@ -5588,6 +5619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test_orders": q_ab_test_orders,
         "part_routes": q_part_routes,
         "pareto_parts": q_pareto_parts,
+        "value_twap": q_value_twap,
     }
 
 
@@ -5774,4 +5806,5 @@ def oracle_sql() -> dict[str, str]:
         "ab_test_orders": _sql_ab_test_orders(),
         "part_routes": _sql_part_routes(),
         "pareto_parts": _sql_pareto_parts(),
+        "value_twap": _sql_value_twap(),
     }

@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "ab_test_orders",
     "part_routes",
     "pareto_parts",
+    "value_twap",
 ]
 
 
