@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "four_stage_recs",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_minhash_incremental",
     "dedup_simhash",
     "dedup_ngram",
     "dedup_embedding",

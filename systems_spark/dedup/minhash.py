@@ -121,6 +121,77 @@ GROUP BY a.{self.id_col}
 """
 
     # -- candidate pairs via banding ----------------------------------------
+    def _band_explode(self, sigs: DataFrame, extra_cols: tuple = ()) -> DataFrame:
+        """(id, m0..m{P-1}, _bi, _bv[, extra]) — one row per (doc, band),
+        hot buckets dropped when ``max_bucket_size`` is set. The banded
+        projection both join sides are built from."""
+        r = self.rows_per_band
+        expl = sigs.select(
+            F.col(self.id_col),
+            *[F.col(c) for c in extra_cols],
+            *[F.col(f"m{i}") for i in range(self.num_perm)],
+            F.posexplode(F.array(*[
+                F.struct(*[
+                    F.col(f"m{band * r + j}").alias(f"x{j}") for j in range(r)
+                ])
+                for band in range(self.bands)
+            ])).alias("_bi", "_bv"),
+        )
+        if self.max_bucket_size is not None:
+            hot = (expl.groupBy("_bi", "_bv")
+                   .agg(F.count(F.lit(1)).alias("_n"))
+                   .where(F.col("_n") > int(self.max_bucket_size))
+                   .select("_bi", "_bv"))
+            expl = expl.join(F.broadcast(hot), on=["_bi", "_bv"], how="anti")
+        return expl
+
+    def incremental_pairs(self, corpus_sigs: DataFrame,
+                          new_sigs: DataFrame) -> DataFrame:
+        """Candidate pairs TOUCHING at least one NEW document — the
+        corpus-growth shape of minhash dedup (VERDICT r6 item 3): the
+        standing corpus persists its signature table (plain rows, P ints
+        per doc — the band table is a projection of it, like the HLL
+        registers), and each arriving batch joins new×corpus + new×new
+        band buckets only. A corpus×corpus pair is NEVER re-derived, so
+        per-batch cost is proportional to |batch| × (bucket occupancy),
+        not |corpus|².
+
+        Ids must be disjoint between the two frames (a batch re-offering
+        a known id is the caller's upsert problem). Returns
+        (a, b, n_equal) exactly like ``candidate_pairs`` — union with the
+        standing labeling via ``incremental_components``. The hot-bucket
+        cap, when set, is computed over the UNION explode so the capped
+        bucket set matches what a full recompute at the same corpus state
+        would drop."""
+        both = corpus_sigs.withColumn("_new", F.lit(False)).unionByName(
+            new_sigs.withColumn("_new", F.lit(True)))
+        expl = self._band_explode(both, extra_cols=("_new",))
+        left = expl.where(F.col("_new")).alias("L")
+        right = expl.alias("R")
+        pairs = left.join(
+            right,
+            on=[
+                F.col("L._bi") == F.col("R._bi"),
+                F.col("L._bv") == F.col("R._bv"),
+                F.col(f"L.{self.id_col}") != F.col(f"R.{self.id_col}"),
+            ],
+        ).select(
+            F.least(F.col(f"L.{self.id_col}"),
+                    F.col(f"R.{self.id_col}")).alias("a"),
+            F.greatest(F.col(f"L.{self.id_col}"),
+                       F.col(f"R.{self.id_col}")).alias("b"),
+            *[
+                (F.col(f"L.m{i}") == F.col(f"R.m{i}")).cast("int").alias(f"eq{i}")
+                for i in range(self.num_perm)
+            ],
+        )
+        eq_sum = sum(F.col(f"eq{i}") for i in range(self.num_perm))
+        return (
+            pairs.dropDuplicates(["a", "b"])
+            .withColumn("n_equal", eq_sum.cast("long"))
+            .select("a", "b", "n_equal")
+        )
+
     def candidate_pairs(self, sigs: DataFrame) -> DataFrame:
         """(a, b, n_equal) for pairs sharing ≥1 band; n_equal = # equal
         signature components (Jaccard estimate = n_equal / num_perm).
@@ -145,23 +216,7 @@ GROUP BY a.{self.id_col}
         needs any spanning subset of pairs, not all C²/2 of them). The
         hot-bucket set is small by construction (≤ fp rows / N), so it
         broadcasts; survivors anti-join against it. ``None`` = exact."""
-        r = self.rows_per_band
-        expl = sigs.select(
-            F.col(self.id_col),
-            *[F.col(f"m{i}") for i in range(self.num_perm)],
-            F.posexplode(F.array(*[
-                F.struct(*[
-                    F.col(f"m{band * r + j}").alias(f"x{j}") for j in range(r)
-                ])
-                for band in range(self.bands)
-            ])).alias("_bi", "_bv"),
-        )
-        if self.max_bucket_size is not None:
-            hot = (expl.groupBy("_bi", "_bv")
-                   .agg(F.count(F.lit(1)).alias("_n"))
-                   .where(F.col("_n") > int(self.max_bucket_size))
-                   .select("_bi", "_bv"))
-            expl = expl.join(F.broadcast(hot), on=["_bi", "_bv"], how="anti")
+        expl = self._band_explode(sigs)
         left, right = expl.alias("L"), expl.alias("R")
         pairs = left.join(
             right,

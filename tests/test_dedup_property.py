@@ -304,3 +304,59 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
     with pytest.raises(ValueError, match="local.*reliable|'local' or 'reliable'"):
         connected_components(df, checkpoint="bogus")
+
+
+@settings(max_examples=6, deadline=None)
+@given(docs=CORPUS, nsplit=st.integers(1, 11))
+def test_minhash_incremental_pairs_match_full(spark, docs, nsplit):
+    """incremental_pairs(corpus, new) must equal the full candidate_pairs
+    over corpus+new RESTRICTED to pairs touching >=1 new doc — and the
+    union standing∪delta must equal the full pair set (the invariant the
+    dedup_minhash_incremental lane's full-recompute oracle rests on)."""
+    from pyspark.sql import functions as F
+
+    from systems_spark.functions.hashing import MERSENNE_31
+
+    nsplit = min(nsplit, max(len(docs) - 1, 1))
+    rows = [(i, d) for i, d in enumerate(docs)]
+    mh = MinHashDedup(num_perm=8, bands=4, shingle_k=2, threshold=0.0)
+    full = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = full.where(F.col("doc_id") < nsplit)
+    new = full.where(F.col("doc_id") >= nsplit)
+    sig_all = mh.signatures(full).where(F.col("m0") != MERSENNE_31)
+    sig_c = mh.signatures(corpus).where(F.col("m0") != MERSENNE_31)
+    sig_n = mh.signatures(new).where(F.col("m0") != MERSENNE_31)
+    full_pairs = {(r.a, r.b): r.n_equal
+                  for r in mh.candidate_pairs(sig_all).collect()}
+    standing = {(r.a, r.b): r.n_equal
+                for r in mh.candidate_pairs(sig_c).collect()}
+    delta = {(r.a, r.b): r.n_equal
+             for r in mh.incremental_pairs(sig_c, sig_n).collect()}
+    want_delta = {p: n for p, n in full_pairs.items() if p[1] >= nsplit}
+    assert delta == want_delta
+    assert not (set(standing) & set(delta))
+    assert {**standing, **delta} == full_pairs
+
+
+def test_minhash_incremental_pairs_hot_bucket_cap(spark):
+    """With max_bucket_size set, the cap is computed over the UNION
+    explode: a bucket that is small in the corpus alone but hot after the
+    batch arrives is dropped, matching a full recompute at the same
+    corpus state."""
+    from pyspark.sql import functions as F
+
+    from systems_spark.functions.hashing import MERSENNE_31
+
+    docs = [(i, "x y z w v u") for i in range(6)]  # identical -> one bucket
+    mh = MinHashDedup(num_perm=8, bands=4, shingle_k=2, threshold=0.0,
+                      max_bucket_size=4)
+    full = spark.createDataFrame(docs, "doc_id long, text string")
+    sig_c = mh.signatures(full.where(F.col("doc_id") < 3)).where(
+        F.col("m0") != MERSENNE_31)
+    sig_n = mh.signatures(full.where(F.col("doc_id") >= 3)).where(
+        F.col("m0") != MERSENNE_31)
+    # union bucket holds 6 > 4 docs in every band -> all dropped
+    assert mh.incremental_pairs(sig_c, sig_n).count() == 0
+    # full recompute at the same state drops them too
+    sig_all = mh.signatures(full).where(F.col("m0") != MERSENNE_31)
+    assert mh.candidate_pairs(sig_all).count() == 0
