@@ -38,13 +38,15 @@ gets graded.
 Honest worst case: prefix selectivity comes from RARE features. On a
 Zipfian corpus (real text) prefixes are the long tail and candidates
 stay near-linear; on a UNIFORM small-vocabulary corpus no feature is
-rare, candidate volume grows with (docs per feature)², and the filter
-only helps by the prefix fraction (measured on the uniform driver
-corpus: 5.5× per 10× at the sf0.01→0.1 step with 3-shingles — the
-knob is ``shingle_k``: larger k makes features rarer and the filter
-sharper). An exact-threshold join cannot cap candidates without
-breaking its lossless contract — when recall may be traded, that is
-what the LSH members are for.
+rare, candidate volume grows with (docs per feature)², and the
+prefix filter only helps by the prefix fraction. The POSITIONAL
+filter (r7) recovers much of it there — it prunes by suffix budget,
+which uniformity does not defeat (measured on the uniform driver
+corpus: the sf0.01→0.1 step dropped from 5.5× to ~2.7× when it
+landed; the remaining knob is ``shingle_k`` — larger k makes
+features rarer and the prefix filter sharper). An exact-threshold
+join cannot cap candidates without breaking its lossless contract —
+when recall may be traded, that is what the LSH members are for.
 """
 
 from __future__ import annotations
@@ -106,18 +108,41 @@ def jaccard_join(docs: DataFrame, content_col: str = "text",
         - F.expr(f"CAST((_n * {tm} + {_M - 1}) DIV {_M} AS INT)") + 1) \
         .localCheckpoint(eager=False)
     pa = prefix.select(F.col("_doc").alias("a"), "tok",
-                       F.col("_n").alias("size_a"))
+                       F.col("_n").alias("size_a"),
+                       F.col("_rn").alias("_pa"))
     pb = prefix.select(F.col("_doc").alias("b"), "tok",
-                       F.col("_n").alias("size_b"))
-    # size_a/size_b ride through the distinct (functions of a and b) —
-    # re-deriving them later would cost an extra agg + two joins
+                       F.col("_n").alias("size_b"),
+                       F.col("_rn").alias("_pb"))
+    # PPJoin positional filter (Xiao et al. WWW 2008 §3.2, VERDICT r6
+    # item 4): J ≥ t needs |A∩B| ≥ α = ⌈t·(|A|+|B|)/(1+t)⌉, and at the
+    # pair's FIRST shared prefix token — global positions (i, j), which
+    # coincide at one token because shared tokens sort identically in
+    # both docs — the overlap can't exceed 1 + min(|A|−i, |B|−j):
+    # nothing is shared before it, only the suffixes after it.
+    # min(i)/min(j) over shared prefix tokens IS that first token, so
+    # the bound below is exactly the first-token bound — lossless
+    # (brute-force-equality tests grade it). It prunes where the prefix
+    # filter alone can't: on uniform corpora every doc shares SOME
+    # prefix token, but a match deep in both prefixes leaves too
+    # little suffix to reach α.
+    alpha = F.expr(
+        f"CAST(((size_a + size_b) * {tm} + {_M + tm - 1}) "
+        f"DIV {_M + tm} AS BIGINT)"
+    )
+    # size_a/size_b ride through the agg (functions of a and b) —
+    # re-deriving them later would cost an extra agg + two joins; the
+    # min-position agg replaces the old .distinct() (same shuffle)
     cand = (pa.join(pb, on="tok")
             .where(F.col("a") < F.col("b"))
             # PPJoin length filter: t*size_a <= size_b (a<b is id order,
             # not size order, so apply both directions)
             .where((F.col("size_b") * _M >= F.col("size_a") * tm)
                    & (F.col("size_a") * _M >= F.col("size_b") * tm))
-            .select("a", "b", "size_a", "size_b").distinct())
+            .groupBy("a", "b", "size_a", "size_b")
+            .agg(F.min("_pa").alias("_i"), F.min("_pb").alias("_j"))
+            .where(1 + F.least(F.col("size_a") - F.col("_i"),
+                               F.col("size_b") - F.col("_j")) >= alpha)
+            .select("a", "b", "size_a", "size_b"))
     # exact verification; token stays in the join key (no per-pair
     # cross product)
     ta = toks.select(F.col("_doc").alias("a"), "tok")
