@@ -3655,6 +3655,55 @@ FROM c
 """
 
 
+def q_dedup_family_eval(spark, sf_dir):
+    """Family-wide dedup-quality report (dedup/eval.py, VERDICT r6
+    item 5): FOUR pair-producing families — minhash banding, simhash
+    pigeonhole, sorted-neighborhood blocking, winnowing fingerprints —
+    each scored against the SAME exact n-gram-Jaccard ground truth in
+    one lane: (family, n_pred, n_truth, n_hit, precision/recall
+    micros), one row per family. The first measured recall for the
+    SN/winnow blocking families; the oracle composes the four families'
+    existing SQL twins inside the generic report twin, so no semantics
+    are restated. (Exact truth = the documented all-pairs measurement
+    anchor, as in dedup_eval.)"""
+    from systems_spark.dedup import pair_quality_report
+    from systems_spark.dedup.sorted_neighborhood import sn_pairs
+    from systems_spark.dedup.winnow import winnow_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    sn_docs = docs.select("doc_id", F.expr(_SN_KEY_SPARK).alias("block_key"))
+    families = {
+        "minhash": MinHashDedup(**_MINHASH).transform(docs),
+        "simhash": SimHashDedup(**_SIMHASH).transform(docs),
+        "sorted_neighborhood": sn_pairs(
+            sn_docs, "block_key", "doc_id", window=_SN_WINDOW)
+            .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")),
+        "winnow": winnow_pairs(docs.select("doc_id", "text"), **_WINNOW)
+            .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")),
+    }
+    truth = NGramJaccardDedup(
+        threshold=_DEDUP_EVAL_THRESHOLD, shingle_k=3)(docs).select("a", "b")
+    return pair_quality_report(families, truth)
+
+
+def _sql_dedup_family_eval() -> str:
+    from systems_spark.dedup import pair_quality_report_sql
+    from systems_spark.dedup.winnow import winnow_pairs_sql
+
+    family_sqls = {
+        "minhash": (MinHashDedup(**_MINHASH).pairs_oracle_sql(), "a", "b"),
+        "simhash": (SimHashDedup(**_SIMHASH).pairs_oracle_sql(), "a", "b"),
+        "sorted_neighborhood": (
+            _sql_sn_candidate_pairs(), "doc_a", "doc_b"),
+        "winnow": (
+            winnow_pairs_sql("SELECT doc_id AS id, text FROM documents",
+                             **_WINNOW), "doc_a", "doc_b"),
+    }
+    truth = NGramJaccardDedup(
+        threshold=_DEDUP_EVAL_THRESHOLD, shingle_k=3).pairs_oracle_sql()
+    return pair_quality_report_sql(family_sqls, truth)
+
+
 _QBINS = 10
 
 
@@ -5626,6 +5675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ndcg": q_ann_ndcg,
         "value_bins": q_value_bins,
         "dedup_eval": q_dedup_eval,
+        "dedup_family_eval": q_dedup_family_eval,
         # --- r6 session-5 additions (51+, locally oracle-checked) ---
         "item_neighbors": q_item_neighbors,
         "user_state_history": q_user_state_history,
@@ -5821,6 +5871,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ndcg": _sql_ann_ndcg(),
         "value_bins": _SQL_VALUE_BINS,
         "dedup_eval": _sql_dedup_eval(),
+        "dedup_family_eval": _sql_dedup_family_eval(),
         "trailing_features": _SQL_TRAILING_FEATURES,
         "user_sequences": _SQL_USER_SEQUENCES,
         "item_neighbors": _sql_item_neighbors(),

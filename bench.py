@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "ann_ndcg",
     "value_bins",
     "dedup_eval",
+    "dedup_family_eval",
     # r6 session-5 additions
     "item_neighbors",
     "user_state_history",

@@ -7,6 +7,7 @@ from systems_spark.dedup.semantic import SemanticDedup
 from systems_spark.dedup.clusters import canonical_documents, canonical_from_labels, connected_components, incremental_components
 from systems_spark.dedup.substrings import remove_duplicate_substrings
 from systems_spark.dedup.winnow import winnow_pairs
+from systems_spark.dedup.eval import pair_quality_report, pair_quality_report_sql
 
 __all__ = [
     "ExactDedup",
@@ -21,4 +22,6 @@ __all__ = [
     "canonical_from_labels",
     "remove_duplicate_substrings",
     "winnow_pairs",
+    "pair_quality_report",
+    "pair_quality_report_sql",
 ]

@@ -360,3 +360,45 @@ def test_minhash_incremental_pairs_hot_bucket_cap(spark):
     # full recompute at the same state drops them too
     sig_all = mh.signatures(full).where(F.col("m0") != MERSENNE_31)
     assert mh.candidate_pairs(sig_all).count() == 0
+
+
+def test_pair_quality_report_hand_computed(spark):
+    """Harness counts on a hand-built truth/pred: normalization flips
+    reversed pairs, duplicates collapse, empty pred yields NULL
+    precision (integer-DIV discipline)."""
+    from systems_spark.dedup import pair_quality_report
+
+    truth = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6)], "a long, b long")
+    fam = {
+        # (2,1) normalizes to the true (1,2); (7,8) is a false positive;
+        # duplicate (3,4) collapses
+        "good": spark.createDataFrame(
+            [(2, 1), (3, 4), (3, 4), (7, 8)], "a long, b long"),
+        "empty": spark.createDataFrame([], "a long, b long"),
+    }
+    got = {r.family: r for r in pair_quality_report(fam, truth).collect()}
+    g = got["good"]
+    assert (g.n_pred, g.n_truth, g.n_hit) == (3, 3, 2)
+    assert g.precision_micros == 666666 and g.recall_micros == 666666
+    e = got["empty"]
+    assert (e.n_pred, e.n_hit) == (0, 0)
+    assert e.precision_micros is None and e.recall_micros == 0
+
+
+def test_pair_quality_report_sql_twin_matches(spark):
+    """The generic SQL twin reproduces the Spark report bit-for-bit on
+    inline VALUES families (different pair column names per family)."""
+    import duckdb
+
+    from systems_spark.dedup import (pair_quality_report,
+                                     pair_quality_report_sql)
+
+    truth = spark.createDataFrame([(1, 2), (3, 4)], "a long, b long")
+    fam = {"f1": spark.createDataFrame([(2, 1), (5, 6)], "a long, b long")}
+    got = sorted(tuple(r) for r in pair_quality_report(fam, truth).collect())
+    sql = pair_quality_report_sql(
+        {"f1": ("SELECT * FROM (VALUES (2, 1), (5, 6)) t(x, y)", "x", "y")},
+        "SELECT * FROM (VALUES (1, 2), (3, 4)) t(a, b)")
+    want = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
+    assert got == want
