@@ -28,6 +28,7 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from systems_spark.streaming.sinks import IdempotentParquetSink  # noqa: F401
 from systems_spark.streaming.stateful import (  # noqa: F401
     RunningAggregator,
     StreamingFunnel,
@@ -167,8 +168,12 @@ def streaming_cms_counters(stream_df: DataFrame, key_col: str,
     bit-for-bit and feeds the same ``cms_lookup`` / ``cms_merge``. One
     honesty note vs HLL: counters grow by SUM, not max — replaying an
     already-counted micro-batch would double-count, so exactly-once
-    here rests on the engine's checkpoint/commit protocol (which
-    Structured Streaming provides), not on the sketch's own algebra."""
+    here rests on the engine's checkpoint/commit protocol, not on the
+    sketch's own algebra. When the counters are materialized through
+    ``foreachBatch``, close the loop with
+    :class:`~systems_spark.streaming.sinks.IdempotentParquetSink` —
+    replayed epochs dedup on write (txn key = (app_id, batch_id)), so
+    the landed state stays exactly-once even across crash replays."""
     from systems_spark.functions.sketches import cms_counters
 
     return cms_counters(stream_df, key_col, depth, width)

@@ -440,7 +440,10 @@ class StreamingCusum:
     chart — parity holds across arbitrary batch splits, not just
     single-batch drains (tested with a 3-batch split). Out-of-order
     arrival across batches anchors later, same caveat as every
-    streaming operator here.
+    streaming operator here. Downstream materialization: emitted rows
+    written through ``foreachBatch`` should use
+    :class:`~systems_spark.streaming.sinks.IdempotentParquetSink` so a
+    crash-replayed epoch cannot land its alert rows twice.
     """
 
     def __init__(self, key_col: str, ts_col: str, id_col: str,
