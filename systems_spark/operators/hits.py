@@ -67,21 +67,26 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
         nodes = nodes.localCheckpoint(eager=False)
 
     def _normalize(raw: DataFrame, out: str) -> DataFrame:
-        # raw: (node, _v) over a SUBSET of nodes; absent nodes are 0.
-        # PIN raw first — it feeds both the max aggregate and the join,
-        # and every score frame feeds the next half-round AND the final
-        # output: without per-half-round pins the lineage re-executes
-        # exponentially in the round count (the hyperball pin-every-
-        # round lesson, reproduced here as an OOM at 5 rounds on a
-        # 12-node graph before the pins landed)
+        # raw: (node, _v) over the nodes reachable by this half-round's
+        # join — which is EVERY _dst (resp. _src) of the edge table, so
+        # the next half-round's join matches every edge and absent
+        # nodes (exact zeros) never change a sum. PIN raw — it feeds
+        # the max aggregate, the next half-round, and (last round) the
+        # final output: without per-half-round pins the lineage
+        # re-executes exponentially in the round count (the hyperball
+        # pin-every-round lesson, reproduced here as an OOM at 5
+        # rounds on a 12-node graph before the pins landed). The
+        # normalization itself is a NARROW projection over the pin
+        # (1-row max attached by broadcast) — r7: the former
+        # nodes-LEFT-join expansion per half-round moved to the single
+        # final-output join, halving both the joins and the pins per
+        # round with bit-identical scores.
         raw = raw.localCheckpoint(eager=False)
         mx = raw.agg(F.greatest(F.max("_v"), F.lit(1)).alias("_mx"))
-        return (nodes.join(raw, on="node", how="left")
-                .crossJoin(mx)
+        return (raw.crossJoin(mx)
                 .select("node", F.expr(
-                    f"cast((cast(coalesce(_v, 0) as decimal(38,0))"
-                    f" * {_M}) div _mx as bigint)").alias(out))
-                .localCheckpoint(eager=False))
+                    f"cast((cast(_v as decimal(38,0))"
+                    f" * {_M}) div _mx as bigint)").alias(out)))
 
     hub = nodes.withColumn("hub_micros", F.lit(_M).cast("long"))
     auth = None
@@ -94,8 +99,16 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
                  .groupBy(F.col("_src").alias("node"))
                  .agg(F.sum("auth_micros").alias("_v")))
         hub = _normalize(h_raw, "hub_micros")
-    return hub.join(auth, on="node").select(
-        "node", "hub_micros", "auth_micros")
+    # one expansion to the full node set (pure sinks → hub 0, pure
+    # sources → authority 0), exactly where the output needs it
+    return (nodes
+            .join(hub, on="node", how="left")
+            .join(auth, on="node", how="left")
+            .select("node",
+                    F.coalesce("hub_micros", F.lit(0).cast("long"))
+                    .alias("hub_micros"),
+                    F.coalesce("auth_micros", F.lit(0).cast("long"))
+                    .alias("auth_micros")))
 
 
 def hits_sql(edges_sql: str, src: str = "src", dst: str = "dst",
