@@ -3686,6 +3686,45 @@ def q_dedup_family_eval(spark, sf_dir):
     return pair_quality_report(families, truth)
 
 
+def q_bloom_join_revenue(spark, sf_dir):
+    """Bloom-prefiltered fact⋈dim join (operators/bloom_join.py — the
+    runtime-filter / sideways-information-passing pattern): urgent
+    high-value orders build a portable Bloom over their keys (one
+    map-side-combined agg, ≤⌈m/63⌉ words), the word table densifies
+    into ONE array row attached to lineitem by 1-row broadcast, and
+    the membership test is a pure codegen expression — lineitem rows
+    that cannot match are dropped BEFORE the join exchange, with zero
+    extra shuffles. No false negatives, so the result is bit-equal to
+    the plain join, which is exactly what the oracle (a plain
+    bloom-free join) grades."""
+    from systems_spark.operators import bloom_prefilter_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
+    o = (_t(spark, sf_dir, "orders")
+         .where((F.col("o_orderpriority") == "1-URGENT")
+                & (F.col("o_totalprice") > 150000))
+         .select("o_orderkey"))
+    rev = F.sum(_dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,6)") - _dec("l_discount")))
+    return (bloom_prefilter_join(li, o, "l_orderkey", "o_orderkey")
+            .groupBy("l_returnflag")
+            .agg(F.round(rev, 4).cast("double").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+_SQL_BLOOM_JOIN_REVENUE = """
+SELECT l_returnflag,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+JOIN (SELECT o_orderkey FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000) o
+  ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
 def _sql_dedup_family_eval() -> str:
     from systems_spark.dedup import pair_quality_report_sql
     from systems_spark.dedup.winnow import winnow_pairs_sql
@@ -5676,6 +5715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_bins": q_value_bins,
         "dedup_eval": q_dedup_eval,
         "dedup_family_eval": q_dedup_family_eval,
+        "bloom_join_revenue": q_bloom_join_revenue,
         # --- r6 session-5 additions (51+, locally oracle-checked) ---
         "item_neighbors": q_item_neighbors,
         "user_state_history": q_user_state_history,
@@ -5872,6 +5912,7 @@ def oracle_sql() -> dict[str, str]:
         "value_bins": _SQL_VALUE_BINS,
         "dedup_eval": _sql_dedup_eval(),
         "dedup_family_eval": _sql_dedup_family_eval(),
+        "bloom_join_revenue": _SQL_BLOOM_JOIN_REVENUE,
         "trailing_features": _SQL_TRAILING_FEATURES,
         "user_sequences": _SQL_USER_SEQUENCES,
         "item_neighbors": _sql_item_neighbors(),

@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "top_ngrams",
     "dedup_verified",
     "four_stage_recs",
+    "bloom_join_revenue",
     "dedup_exact",
     "dedup_minhash",
     "dedup_minhash_incremental",

@@ -41,8 +41,11 @@ from systems_spark.operators.triangles import triangle_count
 from systems_spark.operators.kcore import kcore
 from systems_spark.operators.communities import label_propagation
 from systems_spark.operators.funnel import funnel, funnel_summary
+from systems_spark.operators.bloom_join import bloom_prefilter, bloom_prefilter_join
 
 __all__ = [
+    "bloom_prefilter",
+    "bloom_prefilter_join",
     "pagerank",
     "triangle_count",
     "kcore",
