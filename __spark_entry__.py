@@ -3686,6 +3686,63 @@ def q_dedup_family_eval(spark, sf_dir):
     return pair_quality_report(families, truth)
 
 
+_FS_FIELDS = [
+    ("c_nationkey", ("exact",), 2_200_000, -300_000),
+    ("c_mktsegment", ("exact",), 1_000_000, -800_000),
+    ("bal_cents", ("abs_band", 20_000), 1_500_000, -1_500_000),
+]
+_FS_UPPER, _FS_LOWER = 2_500_000, 0
+# zero-padded offset cents: lexicographic == numeric (acctbal can be
+# negative), so the SN sort neighbors near-balances
+_FS_KEY_SPARK = ("lpad(cast(cast(floor(c_acctbal * 100 + 0.5) as bigint)"
+                 " + 100000 as string), 7, '0')")
+_FS_KEY_DUCK = ("lpad(((floor(c_acctbal * 100 + 0.5))::BIGINT"
+                " + 100000)::VARCHAR, 7, '0')")
+
+
+def q_customer_linkage(spark, sf_dir):
+    """Fellegi–Sunter probabilistic record linkage (operators/
+    linkage.py, JASA 1969) — the entity-resolution stage between
+    blocking and clustering: sorted-neighborhood blocking on a
+    zero-padded balance key proposes candidate pairs, each pair is
+    scored by summed per-field agreement weights (integer micros,
+    plan-time literals — nation exact, segment exact, balance ±$200
+    band), and classified match / possible / non-match against the two
+    FS thresholds. Emits the non-'non-match' pairs with their field
+    evidence; the oracle replays the same blocking SQL inside the
+    generic FS SQL twin."""
+    from systems_spark.dedup.sorted_neighborhood import sn_pairs
+    from systems_spark.operators import fellegi_sunter_scores
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment",
+        F.expr("cast(floor(c_acctbal * 100 + 0.5) as bigint)")
+        .alias("bal_cents"),
+        F.expr(_FS_KEY_SPARK).alias("_blk"))
+    pairs = sn_pairs(cust, "_blk", "c_custkey", window=_SN_WINDOW) \
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    scored = fellegi_sunter_scores(
+        cust, pairs, "c_custkey", _FS_FIELDS,
+        upper_micros=_FS_UPPER, lower_micros=_FS_LOWER)
+    return scored.where(F.col("decision") != "non-match")
+
+
+def _sql_customer_linkage() -> str:
+    from systems_spark.dedup.sorted_neighborhood import sn_pairs_sql
+    from systems_spark.operators import fellegi_sunter_sql
+
+    recs = ("SELECT c_custkey, c_nationkey, c_mktsegment, "
+            "(floor(c_acctbal * 100 + 0.5))::BIGINT AS bal_cents "
+            "FROM customer")
+    blocked = (f"SELECT c_custkey, {_FS_KEY_DUCK} AS _blk FROM customer")
+    pairs = sn_pairs_sql(blocked, "_blk", "c_custkey", window=_SN_WINDOW)
+    fs = fellegi_sunter_sql(recs, pairs, "c_custkey", _FS_FIELDS,
+                            a_col="doc_a", b_col="doc_b",
+                            upper_micros=_FS_UPPER,
+                            lower_micros=_FS_LOWER)
+    return f"SELECT * FROM ({fs}) WHERE decision <> 'non-match'"
+
+
 def q_bloom_join_revenue(spark, sf_dir):
     """Bloom-prefiltered fact⋈dim join (operators/bloom_join.py — the
     runtime-filter / sideways-information-passing pattern): urgent
@@ -5716,6 +5773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_eval": q_dedup_eval,
         "dedup_family_eval": q_dedup_family_eval,
         "bloom_join_revenue": q_bloom_join_revenue,
+        "customer_linkage": q_customer_linkage,
         # --- r6 session-5 additions (51+, locally oracle-checked) ---
         "item_neighbors": q_item_neighbors,
         "user_state_history": q_user_state_history,
@@ -5913,6 +5971,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_eval": _sql_dedup_eval(),
         "dedup_family_eval": _sql_dedup_family_eval(),
         "bloom_join_revenue": _SQL_BLOOM_JOIN_REVENUE,
+        "customer_linkage": _sql_customer_linkage(),
         "trailing_features": _SQL_TRAILING_FEATURES,
         "user_sequences": _SQL_USER_SEQUENCES,
         "item_neighbors": _sql_item_neighbors(),

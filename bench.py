@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "dedup_verified",
     "four_stage_recs",
     "bloom_join_revenue",
+    "customer_linkage",
     "dedup_exact",
     "dedup_minhash",
     "dedup_minhash_incremental",

@@ -42,10 +42,13 @@ from systems_spark.operators.kcore import kcore
 from systems_spark.operators.communities import label_propagation
 from systems_spark.operators.funnel import funnel, funnel_summary
 from systems_spark.operators.bloom_join import bloom_prefilter, bloom_prefilter_join
+from systems_spark.operators.linkage import fellegi_sunter_scores, fellegi_sunter_sql
 
 __all__ = [
     "bloom_prefilter",
     "bloom_prefilter_join",
+    "fellegi_sunter_scores",
+    "fellegi_sunter_sql",
     "pagerank",
     "triangle_count",
     "kcore",
