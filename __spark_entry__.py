@@ -2257,6 +2257,120 @@ QUALIFY ann_rank <= 10
 """
 
 
+def q_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ retrieval (operators/ann.py _transform_ivf_pq) — the
+    production FAISS configuration (`IVFx,PQy`): coarse cells bound the
+    scan to nprobe/n_cells of the corpus, RESIDUAL product quantization
+    compresses what the scan reads to M codes per item, ADC scores
+    bias(q, cell) + Σ_m lut[m][code], exact rerank restores precision.
+    Untrained seeding end-to-end (lowest-id cells, lowest-id residual
+    codebook, deterministic tiebreaks), so the full index replays
+    bit-for-bit in the SQL twin — every retrieval strategy in the ANN
+    family is oracle-checked, including the combined one."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("request_id"), F.col("embedding").alias("qvec")
+    )
+    op = QueryANN(emb, item_id_col="vec_id", query_vec_col="qvec",
+                  query_id_col="request_id", topk=10, metric="ip",
+                  strategy="ivf_pq", dim=64, n_cells=32, nprobe=8,
+                  pq_m=8, pq_k=16, rerank=50)
+    return op(q).select("request_id", "ann_id",
+                        F.col("ann_rank").cast("long").alias("ann_rank"),
+                        F.round("ann_score", 6).alias("ann_score"))
+
+
+# Mirrors strategy='ivf_pq' step for step: 32 lowest-id coarse cells,
+# residual = element-wise double subtraction item − own centroid, K=16
+# residual-codebook seeds, argmax codes with (dot DESC, k ASC) tiebreak,
+# top-8 probed cells per query, ADC = bias + (m-ordered explicit sum,
+# parenthesized so the grouping matches Spark's bias + left fold), top-50
+# shortlist, exact rerank, top-10.
+_SQL_ANN_IVFPQ = """
+WITH ms AS (
+  SELECT unnest(range(8)) AS m
+), cents AS (
+  SELECT vec_id AS cent_id, embedding AS cent_vec FROM embeddings
+  ORDER BY vec_id ASC LIMIT 32
+), item_cells AS (
+  SELECT vec_id, embedding, cell, cent_vec FROM (
+    SELECT i.vec_id, i.embedding, c.cent_id AS cell, c.cent_vec,
+           row_number() OVER (
+             PARTITION BY i.vec_id
+             ORDER BY list_inner_product(i.embedding::DOUBLE[], c.cent_vec::DOUBLE[]) DESC,
+                      c.cent_id ASC) AS rn
+    FROM embeddings i CROSS JOIN cents c
+  ) WHERE rn = 1
+), resid AS (
+  SELECT vec_id, cell,
+         [ (embedding[i]::DOUBLE - cent_vec[i]::DOUBLE)
+           FOR i IN generate_series(1, 64) ] AS rvec
+  FROM item_cells
+), seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id ASC) AS k, rvec AS svec
+  FROM (SELECT * FROM resid ORDER BY vec_id ASC LIMIT 16)
+), codebook AS (
+  SELECT ms.m, s.k, list_slice(s.svec, ms.m*8+1, ms.m*8+8) AS cvec
+  FROM seeds s CROSS JOIN ms
+), item_codes AS (
+  SELECT vec_id, cell, m, k AS code FROM (
+    SELECT r.vec_id, r.cell, c.m, c.k,
+           row_number() OVER (
+             PARTITION BY r.vec_id, c.m
+             ORDER BY list_inner_product(list_slice(r.rvec, c.m*8+1, c.m*8+8),
+                                         c.cvec) DESC, c.k ASC) AS rn
+    FROM resid r CROSS JOIN codebook c
+  ) WHERE rn = 1
+), queries AS (
+  SELECT vec_id AS request_id, embedding AS qvec FROM embeddings WHERE vec_id < 20
+), probes AS (
+  SELECT request_id, cell, bias FROM (
+    SELECT q.request_id, c.cent_id AS cell,
+           list_inner_product(q.qvec::DOUBLE[], c.cent_vec::DOUBLE[]) AS bias,
+           row_number() OVER (
+             PARTITION BY q.request_id
+             ORDER BY list_inner_product(q.qvec::DOUBLE[], c.cent_vec::DOUBLE[]) DESC,
+                      c.cent_id ASC) AS rn
+    FROM queries q CROSS JOIN cents c
+  ) WHERE rn <= 8
+), lut AS (
+  SELECT q.request_id, c.m, c.k,
+         list_inner_product(list_slice(q.qvec, c.m*8+1, c.m*8+8)::DOUBLE[],
+                            c.cvec) AS qdot
+  FROM queries q CROSS JOIN codebook c
+), adc AS (
+  SELECT p.request_id, ic.vec_id AS item_id,
+         any_value(p.bias)
+       + (max(CASE WHEN l.m=0 THEN l.qdot END) + max(CASE WHEN l.m=1 THEN l.qdot END)
+        + max(CASE WHEN l.m=2 THEN l.qdot END) + max(CASE WHEN l.m=3 THEN l.qdot END)
+        + max(CASE WHEN l.m=4 THEN l.qdot END) + max(CASE WHEN l.m=5 THEN l.qdot END)
+        + max(CASE WHEN l.m=6 THEN l.qdot END) + max(CASE WHEN l.m=7 THEN l.qdot END))
+         AS approx
+  FROM probes p
+  JOIN item_codes ic ON ic.cell = p.cell
+  JOIN lut l ON l.request_id = p.request_id AND l.m = ic.m AND l.k = ic.code
+  GROUP BY p.request_id, ic.vec_id
+), shortlist AS (
+  SELECT request_id, item_id FROM (
+    SELECT request_id, item_id,
+           row_number() OVER (PARTITION BY request_id
+                              ORDER BY approx DESC, item_id ASC) AS crn
+    FROM adc
+  ) WHERE crn <= 50
+)
+SELECT s.request_id, s.item_id AS ann_id,
+       row_number() OVER (PARTITION BY s.request_id
+                          ORDER BY list_inner_product(q.qvec::DOUBLE[],
+                                                      e.embedding::DOUBLE[]) DESC,
+                                   s.item_id ASC)::BIGINT AS ann_rank,
+       round(list_inner_product(q.qvec::DOUBLE[], e.embedding::DOUBLE[]), 6) AS ann_score
+FROM shortlist s
+JOIN queries q ON q.request_id = s.request_id
+JOIN embeddings e ON e.vec_id = s.item_id
+QUALIFY ann_rank <= 10
+"""
+
+
 def q_ann_ivf(spark, sf_dir):
     """Deterministic IVF retrieval (IVF32,Flat nprobe=8 — faiss.py:213-214):
     coarse cells seeded by lowest-id vectors, probe top-8 cells, exact
@@ -5774,6 +5888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_family_eval": q_dedup_family_eval,
         "bloom_join_revenue": q_bloom_join_revenue,
         "customer_linkage": q_customer_linkage,
+        "ann_ivfpq": q_ann_ivfpq,
         # --- r6 session-5 additions (51+, locally oracle-checked) ---
         "item_neighbors": q_item_neighbors,
         "user_state_history": q_user_state_history,
@@ -5972,6 +6087,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_family_eval": _sql_dedup_family_eval(),
         "bloom_join_revenue": _SQL_BLOOM_JOIN_REVENUE,
         "customer_linkage": _sql_customer_linkage(),
+        "ann_ivfpq": _SQL_ANN_IVFPQ,
         "trailing_features": _SQL_TRAILING_FEATURES,
         "user_sequences": _SQL_USER_SEQUENCES,
         "item_neighbors": _sql_item_neighbors(),

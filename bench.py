@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "categorify",
     "ann_topk",
     "ann_ivf",
+    "ann_ivfpq",
     "sessionize",
     "value_banded",
     "value_quantiles",

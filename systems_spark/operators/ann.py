@@ -282,6 +282,8 @@ class QueryANN(Operator):
             return self._transform_ivf(df)
         if self.strategy == "pq":
             return self._transform_pq(df)
+        if self.strategy == "ivf_pq":
+            return self._transform_ivf_pq(df)
         raise ValueError(f"unknown strategy {self.strategy!r}")
 
     def _transform_pq(self, df: DataFrame) -> DataFrame:
@@ -570,6 +572,140 @@ class QueryANN(Operator):
                         .alias("_cent_vec"))
             )
         return cents
+
+    def _transform_ivf_pq(self, df: DataFrame) -> DataFrame:
+        """IVF-PQ — coarse cells + RESIDUAL product quantization + ADC
+        restricted to the probed cells + exact rerank: the production
+        FAISS configuration (``IVFx,PQy``, the index family the
+        reference's faiss.py knobs describe) that combines IVF's scan
+        reduction (visit nprobe/n_cells of the corpus) with PQ's
+        bandwidth compression (codes, not vectors, feed the scan).
+
+        Residual semantics per FAISS: each item is encoded as PQ codes
+        of (vector − its cell centroid); at query time the ADC score of
+        an item in cell c is bias(q, c) + Σ_m lut[m][code_m], where for
+        ip/cosine bias = ⟨q, centroid_c⟩ and the LUT is built from q's
+        own sub-vectors (dot distributes over the decomposition), and
+        for l2 bias = 0 with the LUT built from (q − centroid_c)'s
+        sub-vectors — summing the per-subspace negative squared
+        distances yields −‖q − (centroid + decoded residual)‖².
+
+        Determinism contract: untrained seeding everywhere (coarse
+        cells = lowest-id vectors, codebook = lowest-id RESIDUAL
+        sub-vectors, deterministic tiebreaks), so the whole index is
+        plan-time relational arithmetic the DuckDB twin replays
+        bit-for-bit. ``train()`` is a deliberate no-op for this
+        strategy: Lloyd-trained variants go through the ivf/pq
+        strategies' documented float-mean caveat.
+
+        Scale shape: cell assignment and coding are map-side passes
+        against broadcast centroids/codebook; the scan join is an
+        equi-join on the int cell key moving (codes, LUT) only; vectors
+        are fetched once for the rerank shortlist."""
+        M, K, sub = self._pq_dims()
+        n_cells, nprobe = self.n_cells, self.nprobe
+        rerank = max(self.rerank, self.topk)
+        items = self._items()
+        if self._centroids is not None:
+            cents = F.broadcast(self._centroids)
+        else:
+            cents = F.broadcast(
+                items.orderBy(F.col("_ann_id").asc()).limit(n_cells).select(
+                    F.col("_ann_id").alias("_cent_id"),
+                    F.col("_ann_vec").alias("_cent_vec")))
+        cells = self._ivf_cells(items, cents).select(
+            "_ann_id", "_ann_vec", "_cell")
+        resid = cells.join(
+            cents, cells["_cell"] == cents["_cent_id"]).select(
+            "_ann_id", "_cell",
+            F.zip_with("_ann_vec", "_cent_vec",
+                       lambda x, y: x.cast("double") - y.cast("double"))
+            .alias("_rvec"))
+
+        def subvec(vec, m):
+            return _pq_subvec(vec, m, sub)
+
+        subdot = functools.partial(_sub_score, self.metric)
+        codebook = F.broadcast(
+            self._codebook if self._codebook is not None
+            else self._pq_codebook(
+                resid.select("_ann_id", F.col("_rvec").alias("_ann_vec"))))
+
+        code_w = Window.partitionBy("_ann_id", "_m").orderBy(
+            F.col("_sdot").desc(), F.col("_k").asc())
+        item_codes = (
+            resid.select("_ann_id", "_cell", F.explode(F.array(*[
+                F.struct(F.lit(m).alias("_m"),
+                         subvec(F.col("_rvec"), m).alias("_svec"))
+                for m in range(M)
+            ])).alias("_s"))
+            .select("_ann_id", "_cell", "_s._m", "_s._svec")
+            .join(codebook, on="_m")
+            .withColumn("_sdot", subdot(F.col("_svec"), F.col("_cvec")))
+            .withColumn("_rn", F.row_number().over(code_w))
+            .where(F.col("_rn") == 1)
+            .groupBy("_ann_id", "_cell")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("_m", "_k"))),
+                lambda s: s["_k"]).alias("_codes")))
+
+        qid, qvec = self.query_id_col, self.query_vec_col
+        probe_w = Window.partitionBy(qid).orderBy(
+            F.col("_cdot").desc(), F.col("_cent_id").asc())
+        probes = (
+            df.select(qid, qvec).crossJoin(cents)
+            .withColumn("_cdot", _score(self.metric, F.col(qvec),
+                                        F.col("_cent_vec")))
+            .withColumn("_crn", F.row_number().over(probe_w))
+            .where(F.col("_crn") <= nprobe))
+        if self.metric == "l2":
+            probes = (probes
+                      .withColumn("_eq", F.zip_with(
+                          F.col(qvec), F.col("_cent_vec"),
+                          lambda x, y: x.cast("double") - y.cast("double")))
+                      .withColumn("_bias", F.lit(0.0)))
+        else:
+            probes = (probes
+                      .withColumn("_eq", F.col(qvec))
+                      .withColumn("_bias", _subdot(F.col(qvec),
+                                                   F.col("_cent_vec"))))
+        lut = (
+            probes.select(qid, F.col("_cent_id").alias("_cell"), "_bias",
+                          F.explode(F.array(*[
+                              F.struct(F.lit(m).alias("_m"),
+                                       subvec(F.col("_eq"), m).alias("_qsub"))
+                              for m in range(M)
+                          ])).alias("_q"))
+            .select(qid, "_cell", "_bias", "_q._m", "_q._qsub")
+            .join(codebook, on="_m")
+            .withColumn("_qdot", subdot(F.col("_qsub"), F.col("_cvec")))
+            .groupBy(qid, "_cell", "_bias", "_m")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("_k", "_qdot"))),
+                lambda s: s["_qdot"]).alias("_lut_row"))
+            .groupBy(qid, "_cell", "_bias")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("_m", "_lut_row"))),
+                lambda s: s["_lut_row"]).alias("_lut")))
+        # items live in exactly ONE cell, so this equi-join yields each
+        # (query, item) at most once — the cross join of plain PQ never
+        # happens
+        approx = (
+            lut.join(item_codes, on="_cell")
+            .withColumn("_approx", F.col("_bias") + F.aggregate(
+                F.zip_with(F.col("_codes"), F.col("_lut"),
+                           lambda c, row: F.element_at(row, c)),
+                F.lit(0.0), lambda acc, v: acc + v)))
+        cand_w = Window.partitionBy(qid).orderBy(
+            F.col("_approx").desc(), F.col("_ann_id").asc())
+        cands = (approx.withColumn("_crn", F.row_number().over(cand_w))
+                 .where(F.col("_crn") <= rerank)
+                 .select(qid, "_ann_id"))
+        joined = (cands.join(df, on=qid).join(items, on="_ann_id")
+                  .withColumn("ann_score",
+                              _score(self.metric, F.col(qvec),
+                                     F.col("_ann_vec"))))
+        return self._rank_topk(joined)
 
     def _transform_lsh(self, df: DataFrame) -> DataFrame:
         if self.dim is None:

@@ -870,3 +870,64 @@ def test_psi_validation(spark):
     df = spark.createDataFrame([(1.0,)], "value double")
     with _pt.raises(ValueError):
         psi_drift(df, df, "value", n_bins=1)
+
+
+def test_ann_ivf_pq_recall_self_rank_and_ivf_consistency(spark, tables):
+    """IVF-PQ (residual coding + per-cell ADC + exact rerank): self-query
+    ranks itself #1 (its own cell is always probed at rank 1 and the
+    exact rerank restores it), results carry exactly topk ranked rows,
+    and recall@10 vs exact stays above the PQ floor despite visiting
+    only nprobe/n_cells of the corpus. Candidates must be a SUBSET of
+    what plain IVF with the same cells/nprobe could see (the scan never
+    leaves the probed cells)."""
+    emb = tables["embeddings"]
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("request_id"), F.col("embedding").alias("qvec")
+    )
+    kw = dict(item_id_col="vec_id", query_vec_col="qvec",
+              query_id_col="request_id", topk=10, metric="ip")
+    exact = QueryANN(emb, **kw)
+    ivf = QueryANN(emb, strategy="ivf", n_cells=32, nprobe=8,
+                   rerank=10_000, **{**kw, "topk": 10_000})
+    ivfpq = QueryANN(emb, strategy="ivf_pq", dim=64, n_cells=32, nprobe=8,
+                     pq_m=8, pq_k=16, rerank=50, **kw)
+
+    want, got, top1, visible = {}, {}, {}, {}
+    for r in exact(q).collect():
+        want.setdefault(r.request_id, set()).add(r.ann_id)
+    for r in ivf(q).collect():
+        visible.setdefault(r.request_id, set()).add(r.ann_id)
+    for r in ivfpq(q).collect():
+        got.setdefault(r.request_id, set()).add(r.ann_id)
+        if r.ann_rank == 1:
+            top1[r.request_id] = r.ann_id
+    assert all(len(v) == 10 for v in got.values())
+    hits = sum(1 for k, v in top1.items() if k == v)
+    assert hits >= 18
+    # probed-cells containment: ivf with unbounded topk enumerates every
+    # item in the probed cells; ivf_pq must never return anything else
+    assert all(got[k] <= visible[k] for k in got)
+    recall = sum(len(want[k] & got[k]) for k in want) / sum(
+        len(want[k]) for k in want)
+    assert recall >= 0.4, recall  # random vectors + 8/32 cells visited
+
+
+def test_ann_ivf_pq_l2_and_deterministic(spark, tables):
+    """The l2 path (residual LUT, zero bias) ranks self #1 with score
+    -0.0, and two independent runs return identical rows (plan-time
+    deterministic seeding end-to-end)."""
+    emb = tables["embeddings"]
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("request_id"), F.col("embedding").alias("qvec")
+    )
+    op = QueryANN(emb, item_id_col="vec_id", query_vec_col="qvec",
+                  query_id_col="request_id", topk=5, metric="l2",
+                  strategy="ivf_pq", dim=64, n_cells=16, nprobe=4,
+                  pq_m=8, pq_k=16, rerank=30)
+    a = sorted((r.request_id, r.ann_id, r.ann_rank, r.ann_score)
+               for r in op(q).collect())
+    b = sorted((r.request_id, r.ann_id, r.ann_rank, r.ann_score)
+               for r in op(q).collect())
+    assert a == b
+    firsts = {r[0]: r[1] for r in a if r[2] == 1}
+    assert firsts == {i: i for i in range(8)}
