@@ -3857,6 +3857,34 @@ def _sql_customer_linkage() -> str:
     return f"SELECT * FROM ({fs}) WHERE decision <> 'non-match'"
 
 
+def q_customer_entities(spark, sf_dir):
+    """Entity resolution end-to-end: the Fellegi–Sunter 'match' pairs
+    (customer_linkage's decision boundary) feed the same distributed
+    connected-components resolver the dedup families use — one row per
+    linked customer with its entity id (component-min custkey) and
+    entity size. The oracle composes the FS twin inside the shared
+    recursive min-reachable-id CTE (_sql_components), so linkage and
+    dedup grade through ONE clustering construction."""
+    from systems_spark.dedup import canonical_documents
+
+    matches = q_customer_linkage(spark, sf_dir) \
+        .where(F.col("decision") == "match").select("a", "b")
+    ents = canonical_documents(matches, id_col="customer_id",
+                               canonical_col="entity_id",
+                               size_col="entity_size")
+    return ents.select(F.col("customer_id").cast("long").alias("customer_id"),
+                       F.col("entity_id").cast("long").alias("entity_id"),
+                       F.col("entity_size").cast("long").alias("entity_size"))
+
+
+def _sql_customer_entities() -> str:
+    matches = (f"SELECT a, b FROM ({_sql_customer_linkage()}) "
+               "WHERE decision = 'match'")
+    comp = _sql_components(matches)
+    return (f"SELECT doc_id AS customer_id, canonical_id AS entity_id, "
+            f"cluster_size AS entity_size FROM ({comp})")
+
+
 def q_bloom_join_revenue(spark, sf_dir):
     """Bloom-prefiltered fact⋈dim join (operators/bloom_join.py — the
     runtime-filter / sideways-information-passing pattern): urgent
@@ -5889,6 +5917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_join_revenue": q_bloom_join_revenue,
         "customer_linkage": q_customer_linkage,
         "ann_ivfpq": q_ann_ivfpq,
+        "customer_entities": q_customer_entities,
         # --- r6 session-5 additions (51+, locally oracle-checked) ---
         "item_neighbors": q_item_neighbors,
         "user_state_history": q_user_state_history,
@@ -6088,6 +6117,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_join_revenue": _SQL_BLOOM_JOIN_REVENUE,
         "customer_linkage": _sql_customer_linkage(),
         "ann_ivfpq": _SQL_ANN_IVFPQ,
+        "customer_entities": _sql_customer_entities(),
         "trailing_features": _SQL_TRAILING_FEATURES,
         "user_sequences": _SQL_USER_SEQUENCES,
         "item_neighbors": _sql_item_neighbors(),

@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "four_stage_recs",
     "bloom_join_revenue",
     "customer_linkage",
+    "customer_entities",
     "dedup_exact",
     "dedup_minhash",
     "dedup_minhash_incremental",
