@@ -4213,6 +4213,36 @@ def q_winnow_families(spark, sf_dir):
     return canonical_documents(pairs, a_col="doc_a", b_col="doc_b")
 
 
+def q_winnow_incremental(spark, sf_dir):
+    """Incremental winnowing dedup — the second incremental near-dup
+    family (the dedup_minhash_incremental pattern on the verbatim-run
+    machine): the standing corpus (doc_id % 8 != 0) persists its
+    FINGERPRINT table (plain (doc, print) rows) and its resolved
+    overlap-family labels; the arriving batch (doc_id % 8 == 0)
+    fingerprints only its documents, joins new×corpus + new×new print
+    buckets (winnow_incremental_pairs — corpus×corpus never
+    re-derived), and the delta edges fold into the standing labels via
+    incremental_components. Oracle = the full-recompute recursive-CTE
+    components over the whole corpus's winnow pairs (the
+    winnow_families construction) — incremental must equal scratch."""
+    from systems_spark.dedup import canonical_from_labels, incremental_components
+    from systems_spark.dedup.winnow import (winnow_fingerprints,
+                                            winnow_incremental_pairs,
+                                            winnow_pairs)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 8 != 0)
+    batch = docs.where(F.col("doc_id") % 8 == 0)
+    standing = winnow_pairs(corpus, **_WINNOW)
+    labels = connected_components(standing, a_col="doc_a", b_col="doc_b")
+    corpus_fps = winnow_fingerprints(corpus, k=_WINNOW["k"], w=_WINNOW["w"])
+    delta = winnow_incremental_pairs(
+        corpus_fps, batch, k=_WINNOW["k"], w=_WINNOW["w"],
+        min_shared=_WINNOW["min_shared"])
+    return canonical_from_labels(incremental_components(
+        labels, delta, a_col="doc_a", b_col="doc_b"))
+
+
 def _sql_winnow_families() -> str:
     from systems_spark.dedup.winnow import winnow_pairs_sql
 
@@ -5895,6 +5925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sequences": q_user_sequences,
         # --- r6 additions (51+, locally oracle-checked) ---
         "winnow_families": q_winnow_families,
+        "winnow_incremental": q_winnow_incremental,
         "hll_user_counts": q_hll_user_counts,
         "event_transitions": q_event_transitions,
         "last_touch_attribution": q_last_touch_attribution,
@@ -6096,6 +6127,7 @@ def oracle_sql() -> dict[str, str]:
         "user_retention": _SQL_USER_RETENTION,
         "winnow_overlap": _sql_winnow_overlap(),
         "winnow_families": _sql_winnow_families(),
+        "winnow_incremental": _sql_winnow_families(),
         "hll_user_counts": _sql_hll_user_counts(),
         "event_transitions": _SQL_EVENT_TRANSITIONS,
         "last_touch_attribution": _SQL_LAST_TOUCH,

@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "user_sequences",
     # r6 additions
     "winnow_families",
+    "winnow_incremental",
     "hll_user_counts",
     "event_transitions",
     "last_touch_attribution",

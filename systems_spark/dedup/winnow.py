@@ -120,6 +120,56 @@ def winnow_pairs(docs: DataFrame, k: int = 4, w: int = 4,
     return pairs
 
 
+def winnow_incremental_pairs(corpus_fps: DataFrame, new_docs: DataFrame,
+                             k: int = 4, w: int = 4, min_shared: int = 2,
+                             text_col: str = "text", id_col: str = "doc_id",
+                             max_doc_freq: "int | None" = None) -> DataFrame:
+    """Overlap pairs TOUCHING at least one NEW document — the
+    corpus-growth shape of winnowing (the ``incremental_pairs``
+    pattern): the standing corpus persists its FINGERPRINT table
+    (``corpus_fps`` = a prior ``winnow_fingerprints`` output, plain
+    (doc, print) long rows), an arriving batch fingerprints only ITS
+    documents and joins new×corpus + new×new print buckets — a
+    corpus×corpus pair is never re-derived, so per-batch cost is
+    proportional to the batch's shared-content volume, not the
+    corpus's. Ids must be disjoint between the two sides. Returns
+    (doc_a, doc_b, n_shared) with doc_a < doc_b, exactly like
+    :func:`winnow_pairs`; the boilerplate cap, when set, is computed
+    over the UNION print table so the dropped set matches a full
+    recompute at the same corpus state. Fold the result into standing
+    cluster labels with ``incremental_components``."""
+    if min_shared < 1:
+        raise ValueError("min_shared must be >= 1")
+    if max_doc_freq is not None and max_doc_freq < 1:
+        raise ValueError("max_doc_freq must be >= 1")
+    fps = (corpus_fps.select("_wn_id", "_fp")
+           .withColumn("_new", F.lit(False))
+           .unionByName(
+               winnow_fingerprints(new_docs, k, w, text_col, id_col)
+               .withColumn("_new", F.lit(True))))
+    if max_doc_freq is not None:
+        hot = (fps.groupBy("_fp").agg(F.count(F.lit(1)).alias("_df"))
+               .where(F.col("_df") > max_doc_freq)
+               .select("_fp"))
+        fps = fps.join(F.broadcast(hot), on="_fp", how="anti")
+    left = fps.where(F.col("_new")).alias("L")
+    right = fps.alias("R")
+    # orientation: L is always new; a new×new pair joins once via
+    # L.id < R.id, a new×corpus pair once via R not-new — so n_shared
+    # never double-counts
+    pairs = (left.join(
+        right,
+        (F.col("L._fp") == F.col("R._fp"))
+        & (F.col("L._wn_id") != F.col("R._wn_id"))
+        & ((~F.col("R._new")) | (F.col("L._wn_id") < F.col("R._wn_id"))))
+        .groupBy(
+            F.least(F.col("L._wn_id"), F.col("R._wn_id")).alias("doc_a"),
+            F.greatest(F.col("L._wn_id"), F.col("R._wn_id")).alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared))
+    return pairs
+
+
 def winnow_pairs_sql(docs_sql: str, k: int = 4, w: int = 4,
                      min_shared: int = 2,
                      max_doc_freq: "int | None" = None) -> str:

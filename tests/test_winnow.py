@@ -129,3 +129,36 @@ def test_max_doc_freq_validation(spark):
         winnow_pairs(df, max_doc_freq=0)
     with pytest.raises(ValueError):
         winnow_pairs_sql("SELECT 1 AS id, 'x' AS text", max_doc_freq=0)
+
+
+def test_winnow_incremental_pairs_match_full(spark):
+    """incremental pairs == full winnow_pairs restricted to pairs
+    touching a new doc, with EXACT n_shared (no double count for
+    new×new pairs); standing ∪ delta == full pair set."""
+    from pyspark.sql import functions as F
+
+    from systems_spark.dedup.winnow import (winnow_fingerprints,
+                                            winnow_incremental_pairs,
+                                            winnow_pairs)
+
+    run = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(0, f"{run} one"), (1, f"{run} two"), (2, f"prefix {run}"),
+         (3, "totally unrelated words here none shared"),
+         (4, f"{run} four"), (5, f"another {run} tail")],
+        "doc_id long, text string")
+    kw = dict(k=3, w=3, min_shared=1)
+    split = 3  # 0-2 standing, 3-5 arriving
+    corpus = docs.where(F.col("doc_id") < split)
+    batch = docs.where(F.col("doc_id") >= split)
+    full = {(r.doc_a, r.doc_b): r.n_shared
+            for r in winnow_pairs(docs, **kw).collect()}
+    standing = {(r.doc_a, r.doc_b): r.n_shared
+                for r in winnow_pairs(corpus, **kw).collect()}
+    fps = winnow_fingerprints(corpus, k=3, w=3)
+    delta = {(r.doc_a, r.doc_b): r.n_shared
+             for r in winnow_incremental_pairs(fps, batch, **kw).collect()}
+    want_delta = {p: n for p, n in full.items() if p[1] >= split}
+    assert delta == want_delta
+    assert not (set(standing) & set(delta))
+    assert {**standing, **delta} == full
