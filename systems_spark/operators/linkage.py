@@ -23,7 +23,10 @@ Comparators (field spec = (name, comparator, agree_w, disagree_w)):
 - ``("prefix", k)``         — equality of the first k characters;
 - ``("abs_band", band)``    — |a − b| ≤ band on an integer column
   (quantize floats to cents/micros FIRST; float equality is not a
-  cross-engine concept).
+  cross-engine concept);
+- ``("lev_band", d)``       — Levenshtein distance ≤ d (both engines
+  ship the same integer edit-distance builtin) — the fuzzy-string
+  comparator real name/address linkage runs on.
 
 100 TB shape: two hash joins of the pair list against the record
 table (id-keyed, the same scale as the pair list itself) and one
@@ -40,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_CMP = ("exact", "prefix", "abs_band")
+_CMP = ("exact", "prefix", "abs_band", "lev_band")
 
 
 def _check_fields(fields) -> None:
@@ -66,6 +69,9 @@ def _agree_col(col: str, cmp_):
         k = int(cmp_[1])
         return (F.substring(a.cast("string"), 1, k)
                 == F.substring(b.cast("string"), 1, k))
+    if kind == "lev_band":
+        return F.levenshtein(a.cast("string"),
+                             b.cast("string")) <= int(cmp_[1])
     return F.abs(a - b) <= int(cmp_[1])
 
 
@@ -79,6 +85,9 @@ def _agree_sql(col: str, cmp_) -> str:
         k = int(cmp_[1])
         return (f"(substr(a2.{col}::VARCHAR, 1, {k})"
                 f" = substr(b2.{col}::VARCHAR, 1, {k}))")
+    if kind == "lev_band":
+        return (f"(levenshtein(a2.{col}::VARCHAR, b2.{col}::VARCHAR)"
+                f" <= {int(cmp_[1])})")
     return f"(abs(a2.{col} - b2.{col}) <= {int(cmp_[1])})"
 
 

@@ -72,3 +72,29 @@ def test_validation(spark):
     with pytest.raises(ValueError, match="comparator"):
         fellegi_sunter_scores(_records(spark), pairs, "rid",
                               [("city", ("soundex",), 1, -1)])
+
+
+def test_lev_band_comparator_and_twin(spark):
+    """Levenshtein-band agreement (the fuzzy-string comparator): exact
+    integer edit distance in both engines, missing = NULL evidence."""
+    import duckdb
+
+    recs = spark.createDataFrame(
+        [(1, "jonathan"), (2, "jonathon"), (3, "bill"), (4, None)],
+        "rid long, name string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "a long, b long")
+    fields = [("name", ("lev_band", 1), 1_000_000, -1_000_000)]
+    got = {(r.a, r.b): (r.name_agree, r.score_micros)
+           for r in fellegi_sunter_scores(recs, pairs, "rid",
+                                          fields).collect()}
+    assert got[(1, 2)] == (1, 1_000_000)   # distance 1
+    assert got[(1, 3)] == (0, -1_000_000)  # far apart
+    assert got[(1, 4)] == (None, 0)        # missing side
+    sql = fellegi_sunter_sql(
+        "SELECT * FROM (VALUES (1, 'jonathan'), (2, 'jonathon'), "
+        "(3, 'bill'), (4, NULL)) t(rid, name)",
+        "SELECT * FROM (VALUES (1, 2), (1, 3), (1, 4)) t(a, b)",
+        "rid", fields)
+    want = {(a, b): (f, s) for a, b, f, s in duckdb.sql(sql).fetchall()}
+    assert got == want
