@@ -1434,6 +1434,28 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     return EmbeddingDedup(**_EMBDED_LSH).transform(_t(spark, sf_dir, "embeddings"))
 
 
+def q_dedup_embedding_incremental(spark, sf_dir):
+    """Incremental embedding near-dup dedup — the THIRD incremental
+    family (dedup/embedding.py incremental_pairs): hyperplane
+    signatures are a pure per-vector function, so the standing corpus
+    (vec_id % 8 != 0) persists its (table, signature) rows and resolved
+    labels; the arriving batch signs only its vectors, joins new×corpus
+    + new×new buckets, and the delta folds into the standing labels via
+    incremental_components. Oracle = full-recompute components over the
+    whole corpus's LSH pairs (the dedup_embedding_lsh construction) —
+    incremental must equal scratch."""
+    from systems_spark.dedup import canonical_from_labels, incremental_components
+
+    op = EmbeddingDedup(**_EMBDED_LSH)
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") % 8 != 0)
+    batch = emb.where(F.col("vec_id") % 8 == 0)
+    standing = op.transform(corpus).select("a", "b")
+    labels = connected_components(standing)
+    delta = op.incremental_pairs(corpus, batch).select("a", "b")
+    return canonical_from_labels(incremental_components(labels, delta))
+
+
 def q_minhash_signatures(spark, sf_dir):
     return MinHashDedup(**_MINHASH).signatures(_t(spark, sf_dir, "documents"))
 
@@ -5883,6 +5905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_drift": q_profile_drift,
         "dedup_clusters_incremental": q_dedup_clusters_incremental,
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
+        "dedup_embedding_incremental": q_dedup_embedding_incremental,
         # --- r4 session-3 corpus-curation lanes (locally oracle-checked
         # via test_oracle_parity; appended after 50 per the name-stable
         # window rule) ---
@@ -6097,6 +6120,8 @@ def oracle_sql() -> dict[str, str]:
         # WHOLE corpus's thresholded minhash pairs
         "dedup_minhash_incremental": _sql_components(
             MinHashDedup(**_MINHASH).pairs_oracle_sql()),
+        "dedup_embedding_incremental": _sql_components(
+            EmbeddingDedup(**_EMBDED_LSH).lsh_pairs_oracle_sql()),
         "pii_redact": _sql_pii_redact(),
         "decontaminate": _SQL_DECONTAMINATE,
         "repetition_stats": _SQL_REPETITION_STATS,

@@ -81,6 +81,55 @@ class EmbeddingDedup(Operator):
             return self._score_pairs(cands).dropDuplicates(["a", "b"])
         raise ValueError(f"unknown strategy {self.strategy!r}")
 
+    def incremental_pairs(self, corpus_df: DataFrame,
+                          new_df: DataFrame) -> DataFrame:
+        """Near-dup pairs TOUCHING at least one NEW vector — the
+        corpus-growth shape of the LSH strategy (the minhash/winnow
+        ``incremental_pairs`` pattern, third family): hyperplane
+        signatures are a pure per-vector function (fixed md5 planes),
+        so the standing corpus persists its (table, signature) rows
+        once and each arriving batch signs only ITS vectors and joins
+        new×corpus + new×new buckets — corpus×corpus pairs are never
+        re-derived, and the union standing∪delta equals a full
+        recompute bucket-for-bucket. Ids must be disjoint. LSH strategy
+        only (exact mode has no bucket structure to exploit); returns
+        (a, b, cosine) like ``transform``. Fold into standing labels
+        via ``incremental_components``."""
+        if self.strategy != "lsh":
+            raise ValueError("incremental_pairs requires strategy='lsh'")
+        if self.dim is None:
+            raise ValueError("lsh strategy requires dim=")
+        from systems_spark.operators.ann import _explode_signatures
+
+        vec_d = F.transform(F.col(self.vec_col), lambda x: x.cast("double"))
+
+        def side(df, new):
+            return df.select(
+                F.col(self.id_col).alias("_id"), vec_d.alias("_v")) \
+                .select("_id", "_v", l2_norm(F.col("_v")).alias("_n"),
+                        F.lit(new).alias("_new"))
+
+        both = side(corpus_df, False).unionByName(side(new_df, True))
+        sig = _explode_signatures(both, "_v", self.dim, self.n_planes,
+                                  self.n_tables)
+        left = sig.where(F.col("_new")).select(
+            F.col("_id").alias("a"), F.col("_v").alias("_va"),
+            F.col("_n").alias("_na"), "_tbl", "_sig")
+        right = sig.select(
+            F.col("_id").alias("b"), F.col("_v").alias("_vb"),
+            F.col("_n").alias("_nb"), F.col("_new").alias("_new_b"),
+            "_tbl", "_sig")
+        # orientation: L is always new; a new×new pair joins once via
+        # a < b, a new×corpus pair once via R not-new — then ids are
+        # normalized (cosine is symmetric, vectors need no swap)
+        cands = (left.join(right, on=["_tbl", "_sig"])
+                 .where((F.col("a") != F.col("b"))
+                        & ((~F.col("_new_b")) | (F.col("a") < F.col("b"))))
+                 .select(F.least("a", "b").alias("a"),
+                         F.greatest("a", "b").alias("b"),
+                         "_va", "_na", "_vb", "_nb"))
+        return self._score_pairs(cands).dropDuplicates(["a", "b"])
+
     def pairs_oracle_sql(self, table: str = "embeddings") -> str:
         # mirror functions/similarity.py exactly: dot/(sqrt(aa)*sqrt(bb)),
         # left-to-right double folds — NOT list_cosine_similarity, whose

@@ -402,3 +402,47 @@ def test_pair_quality_report_sql_twin_matches(spark):
         "SELECT * FROM (VALUES (1, 2), (3, 4)) t(a, b)")
     want = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
     assert got == want
+
+
+def test_embedding_lsh_incremental_pairs_match_full(spark):
+    """Embedding-LSH incremental pairs == the full LSH transform
+    restricted to pairs touching a new vector; standing ∪ delta == the
+    full pair set (the dedup_embedding_incremental oracle invariant)."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from systems_spark.dedup import EmbeddingDedup
+
+    rnd = random.Random(11)
+
+    def vec(seed=None):
+        v = [rnd.gauss(0, 1) for _ in range(8)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [float(x / n) for x in v]
+
+    base = [vec() for _ in range(6)]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, v))
+        # near-dup twin with a slight perturbation
+        rows.append((2 * i + 1,
+                     [float(x + rnd.gauss(0, 0.02)) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    op = EmbeddingDedup(threshold=0.9, strategy="lsh", dim=8,
+                        n_tables=4, n_planes=4)
+    split = 7
+    corpus = df.where(F.col("vec_id") < split)
+    batch = df.where(F.col("vec_id") >= split)
+    full = {(r.a, r.b): r.cosine for r in op.transform(df).collect()}
+    standing = {(r.a, r.b): r.cosine
+                for r in op.transform(corpus).collect()}
+    delta = {(r.a, r.b): r.cosine
+             for r in op.incremental_pairs(corpus, batch).collect()}
+    want_delta = {p: c for p, c in full.items() if p[1] >= split}
+    assert delta == want_delta
+    assert not (set(standing) & set(delta))
+    assert {**standing, **delta} == full
+    with pytest.raises(ValueError, match="lsh"):
+        EmbeddingDedup(strategy="exact").incremental_pairs(corpus, batch)
