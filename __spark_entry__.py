@@ -1434,6 +1434,27 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     return EmbeddingDedup(**_EMBDED_LSH).transform(_t(spark, sf_dir, "embeddings"))
 
 
+def q_dedup_simhash_incremental(spark, sf_dir):
+    """Incremental simhash dedup — the FOURTH incremental family
+    (dedup/simhash.py incremental_pairs): the standing corpus persists
+    its signature table (one int64 per doc) and resolved labels; the
+    arriving batch signs only its documents and pigeonhole-chunk-joins
+    new×corpus + new×new buckets. Oracle = full-recompute components
+    over the whole corpus's simhash pairs — incremental must equal
+    scratch."""
+    from systems_spark.dedup import canonical_from_labels, incremental_components
+
+    op = SimHashDedup(**_SIMHASH)
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 8 != 0)
+    batch = docs.where(F.col("doc_id") % 8 == 0)
+    corpus_sigs = op.signatures(corpus, nonempty_only=True)
+    new_sigs = op.signatures(batch, nonempty_only=True)
+    labels = connected_components(op.transform(corpus).select("a", "b"))
+    delta = op.incremental_pairs(corpus_sigs, new_sigs).select("a", "b")
+    return canonical_from_labels(incremental_components(labels, delta))
+
+
 def q_dedup_embedding_incremental(spark, sf_dir):
     """Incremental embedding near-dup dedup — the THIRD incremental
     family (dedup/embedding.py incremental_pairs): hyperplane
@@ -5906,6 +5927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_incremental": q_dedup_clusters_incremental,
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
         "dedup_embedding_incremental": q_dedup_embedding_incremental,
+        "dedup_simhash_incremental": q_dedup_simhash_incremental,
         # --- r4 session-3 corpus-curation lanes (locally oracle-checked
         # via test_oracle_parity; appended after 50 per the name-stable
         # window rule) ---
@@ -6122,6 +6144,8 @@ def oracle_sql() -> dict[str, str]:
             MinHashDedup(**_MINHASH).pairs_oracle_sql()),
         "dedup_embedding_incremental": _sql_components(
             EmbeddingDedup(**_EMBDED_LSH).lsh_pairs_oracle_sql()),
+        "dedup_simhash_incremental": _sql_components(
+            SimHashDedup(**_SIMHASH).pairs_oracle_sql()),
         "pii_redact": _sql_pii_redact(),
         "decontaminate": _SQL_DECONTAMINATE,
         "repetition_stats": _SQL_REPETITION_STATS,

@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "dedup_minhash",
     "dedup_minhash_incremental",
     "dedup_embedding_incremental",
+    "dedup_simhash_incremental",
     "dedup_simhash",
     "dedup_ngram",
     "dedup_embedding",

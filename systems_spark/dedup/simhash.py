@@ -48,8 +48,12 @@ class SimHashDedup(Operator):
         self.requires = (content_col, id_col)
 
     # -- signatures --------------------------------------------------------
-    def signatures(self, df: DataFrame) -> DataFrame:
-        """(id_col, simhash) — simhash < 2^32, 0 for empty docs.
+    def signatures(self, df: DataFrame,
+                   nonempty_only: bool = False) -> DataFrame:
+        """(id_col, simhash) — simhash < 2^32, 0 for empty docs;
+        ``nonempty_only`` drops token-less docs (the ``transform``
+        pairing filter — pass True when persisting a standing signature
+        table for ``incremental_pairs``).
 
         Explode tokens → ONE hash-aggregation with 32 conditional sums.
         Every expression stays inside whole-stage codegen (a per-row
@@ -63,7 +67,10 @@ class SimHashDedup(Operator):
         the same all-zeros signature with no extra join against the id set.
         Bit semantics: bit_j = 1 iff Σ±1 > 0 iff 2·ones_j > n_tokens.
         """
-        return self._signatures_n(df).select(self.id_col, "simhash")
+        out = self._signatures_n(df)
+        if nonempty_only:
+            out = out.where(F.col("_n") > 0)
+        return out.select(self.id_col, "simhash")
 
     def _signatures_n(self, df: DataFrame) -> DataFrame:
         """(id_col, simhash, _n token count) — lets transform() filter
@@ -177,6 +184,64 @@ SELECT {self.id_col}, ({sig})::BIGINT AS simhash FROM agg
         ).select(
             F.col(f"L.{self.id_col}").alias("a"),
             F.col(f"R.{self.id_col}").alias("b"),
+            F.bit_count(
+                F.col("L.simhash").bitwiseXOR(F.col("R.simhash"))
+            ).cast("long").alias("hamming"),
+        ).where(F.col("hamming") <= self.max_hamming)
+        return pairs.dropDuplicates(["a", "b"])
+
+    def incremental_pairs(self, corpus_sigs: DataFrame,
+                          new_sigs: DataFrame) -> DataFrame:
+        """Near-dup pairs TOUCHING at least one NEW document — the
+        corpus-growth shape (fourth member of the incremental family,
+        after minhash/winnow/embedding): the standing corpus persists
+        its SIGNATURE table (one int64 per doc — ``signatures()`` rows
+        with token-less docs already excluded); an arriving batch signs
+        only its documents and chunk-joins new×corpus + new×new buckets,
+        never re-deriving a corpus×corpus pair. Ids must be disjoint;
+        both inputs are (id, simhash) frames. Hot-chunk cap, when set,
+        is computed over the UNION so the dropped buckets match a full
+        recompute at the same corpus state. Returns (a, b, hamming)
+        exactly like ``transform``."""
+        chunk_bits = WIDTH // self.n_chunks
+        mask = (1 << chunk_bits) - 1
+        both = (corpus_sigs.select(self.id_col, "simhash")
+                .withColumn("_new", F.lit(False))
+                .unionByName(new_sigs.select(self.id_col, "simhash")
+                             .withColumn("_new", F.lit(True))))
+        expl = both.select(
+            self.id_col, "simhash", "_new",
+            F.posexplode(F.array(*[
+                F.shiftright(F.col("simhash"), c * chunk_bits).bitwiseAND(mask)
+                for c in range(self.n_chunks)
+            ])).alias("_ci", "_cv"),
+        )
+        if self.max_bucket_size is not None:
+            ok = (
+                expl.groupBy("_ci", "_cv").count()
+                .where(F.col("count") <= int(self.max_bucket_size))
+                .select("_ci", "_cv")
+            )
+            expl = expl.join(F.broadcast(ok), ["_ci", "_cv"])
+        left = expl.where(F.col("_new")).alias("L")
+        right = expl.alias("R")
+        # orientation: L is always new; new×new joins once via id order,
+        # new×corpus once via R not-new — then ids normalize (hamming is
+        # symmetric)
+        pairs = left.join(
+            right,
+            on=[
+                F.col("L._ci") == F.col("R._ci"),
+                F.col("L._cv") == F.col("R._cv"),
+                F.col(f"L.{self.id_col}") != F.col(f"R.{self.id_col}"),
+                (~F.col("R._new"))
+                | (F.col(f"L.{self.id_col}") < F.col(f"R.{self.id_col}")),
+            ],
+        ).select(
+            F.least(F.col(f"L.{self.id_col}"),
+                    F.col(f"R.{self.id_col}")).alias("a"),
+            F.greatest(F.col(f"L.{self.id_col}"),
+                       F.col(f"R.{self.id_col}")).alias("b"),
             F.bit_count(
                 F.col("L.simhash").bitwiseXOR(F.col("R.simhash"))
             ).cast("long").alias("hamming"),

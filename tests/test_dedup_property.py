@@ -446,3 +446,33 @@ def test_embedding_lsh_incremental_pairs_match_full(spark):
     assert {**standing, **delta} == full
     with pytest.raises(ValueError, match="lsh"):
         EmbeddingDedup(strategy="exact").incremental_pairs(corpus, batch)
+
+
+def test_simhash_incremental_pairs_match_full(spark):
+    """Simhash incremental pairs == the full transform restricted to
+    pairs touching a new doc; standing ∪ delta == the full pair set
+    (the dedup_simhash_incremental oracle invariant)."""
+    from pyspark.sql import functions as F
+
+    from systems_spark.dedup import SimHashDedup
+
+    run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(0, f"{run} one"), (1, f"{run} two"), (2, f"{run} three"),
+         (3, ""), (4, f"{run} four"), (5, "wholly different text body")],
+        "doc_id long, text string")
+    op = SimHashDedup(max_hamming=7)
+    split = 3
+    corpus = docs.where(F.col("doc_id") < split)
+    batch = docs.where(F.col("doc_id") >= split)
+    full = {(r.a, r.b): r.hamming for r in op.transform(docs).collect()}
+    standing = {(r.a, r.b): r.hamming
+                for r in op.transform(corpus).collect()}
+    cs = op.signatures(corpus, nonempty_only=True)
+    ns = op.signatures(batch, nonempty_only=True)
+    delta = {(r.a, r.b): r.hamming
+             for r in op.incremental_pairs(cs, ns).collect()}
+    want_delta = {p: h for p, h in full.items() if p[1] >= split}
+    assert delta == want_delta
+    assert not (set(standing) & set(delta))
+    assert {**standing, **delta} == full
