@@ -112,9 +112,14 @@ class EmbeddingDedup(Operator):
         both = side(corpus_df, False).unionByName(side(new_df, True))
         sig = _explode_signatures(both, "_v", self.dim, self.n_planes,
                                   self.n_tables)
+        # spread the probing side across all cores BEFORE the bucket
+        # join — the same defense as transform(): a small parquet input
+        # arrives in 1-2 partitions, and if the other side broadcasts,
+        # the per-candidate cosine folds would all run serially there
+        par = corpus_df.sparkSession.sparkContext.defaultParallelism * 2
         left = sig.where(F.col("_new")).select(
             F.col("_id").alias("a"), F.col("_v").alias("_va"),
-            F.col("_n").alias("_na"), "_tbl", "_sig")
+            F.col("_n").alias("_na"), "_tbl", "_sig").repartition(par)
         right = sig.select(
             F.col("_id").alias("b"), F.col("_v").alias("_vb"),
             F.col("_n").alias("_nb"), F.col("_new").alias("_new_b"),
