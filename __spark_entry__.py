@@ -3944,6 +3944,57 @@ def _sql_customer_linkage() -> str:
     return f"SELECT * FROM ({fs}) WHERE decision <> 'non-match'"
 
 
+_DIFF_RIGHT_SPARK = None  # built inline below
+
+
+def q_orders_replica_diff(spark, sf_dir):
+    """Distributed table reconciliation (operators/tablediff.py — the
+    Merkle/anti-entropy shape): a drifted 'replica' of orders is derived
+    deterministically (keys ≡ 0 mod 97 dropped, totalprice perturbed
+    where ≡ 0 mod 101, two synthetic keys appended), then diffed against
+    the original. The row-level comparison runs only inside content
+    buckets whose (rows, checksum) summaries disagree — cost grows with
+    the DIFFERENCE, not the table. Oracle = the brute-force full outer
+    join, so the Merkle filter's losslessness is what gets graded."""
+    from systems_spark.operators import table_diff
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+    replica = (orders.where(F.col("o_orderkey") % 97 != 0)
+               .withColumn("o_totalprice",
+                           F.when(F.col("o_orderkey") % 101 == 0,
+                                  F.col("o_totalprice") + 1.0)
+                           .otherwise(F.col("o_totalprice"))))
+    extra = spark.createDataFrame(
+        [(90000001, 1, "5-LOW", 100.0), (90000002, 2, "5-LOW", 200.0)],
+        "o_orderkey long, o_custkey long, o_orderpriority string,"
+        " o_totalprice double")
+    replica = replica.unionByName(extra)
+    return table_diff(orders, replica, "o_orderkey",
+                      compare_cols=["o_custkey", "o_orderpriority",
+                                    "o_totalprice"])
+
+
+def _sql_orders_replica_diff() -> str:
+    from systems_spark.operators import table_diff_sql
+
+    base = ("SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice"
+            " FROM orders")
+    replica = f"""
+SELECT o_orderkey, o_custkey, o_orderpriority,
+       CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0
+            ELSE o_totalprice END AS o_totalprice
+FROM ({base}) WHERE o_orderkey % 97 <> 0
+UNION ALL
+SELECT * FROM (VALUES (90000001, 1, '5-LOW', 100.0),
+                      (90000002, 2, '5-LOW', 200.0))
+       t(o_orderkey, o_custkey, o_orderpriority, o_totalprice)
+"""
+    return table_diff_sql(
+        base, replica, "o_orderkey",
+        ["o_custkey", "o_orderpriority", "o_totalprice"])
+
+
 def q_customer_entities(spark, sf_dir):
     """Entity resolution end-to-end: the Fellegi–Sunter 'match' pairs
     (customer_linkage's decision boundary) feed the same distributed
@@ -6045,6 +6096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_linkage": q_customer_linkage,
         "ann_ivfpq": q_ann_ivfpq,
         "customer_entities": q_customer_entities,
+        "orders_replica_diff": q_orders_replica_diff,
         # --- r6 session-5 additions (51+, locally oracle-checked) ---
         "item_neighbors": q_item_neighbors,
         "user_state_history": q_user_state_history,
@@ -6250,6 +6302,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_linkage": _sql_customer_linkage(),
         "ann_ivfpq": _SQL_ANN_IVFPQ,
         "customer_entities": _sql_customer_entities(),
+        "orders_replica_diff": _sql_orders_replica_diff(),
         "trailing_features": _SQL_TRAILING_FEATURES,
         "user_sequences": _SQL_USER_SEQUENCES,
         "item_neighbors": _sql_item_neighbors(),

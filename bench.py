@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "bloom_join_revenue",
     "customer_linkage",
     "customer_entities",
+    "orders_replica_diff",
     "dedup_exact",
     "dedup_minhash",
     "dedup_minhash_incremental",

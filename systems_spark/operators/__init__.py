@@ -43,12 +43,15 @@ from systems_spark.operators.communities import label_propagation
 from systems_spark.operators.funnel import funnel, funnel_summary
 from systems_spark.operators.bloom_join import bloom_prefilter, bloom_prefilter_join
 from systems_spark.operators.linkage import fellegi_sunter_scores, fellegi_sunter_sql
+from systems_spark.operators.tablediff import table_diff, table_diff_sql
 
 __all__ = [
     "bloom_prefilter",
     "bloom_prefilter_join",
     "fellegi_sunter_scores",
     "fellegi_sunter_sql",
+    "table_diff",
+    "table_diff_sql",
     "pagerank",
     "triangle_count",
     "kcore",
