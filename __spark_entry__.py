@@ -2860,6 +2860,37 @@ QUALIFY sample_rank <= 5
 # repetition filters, mixture resampling, sequence packing
 # ===========================================================================
 
+_KANON_K = 5
+_KANON_BAND_SPARK = "cast(floor(c_acctbal / 1000) as bigint)"
+_KANON_BAND_DUCK = "floor(c_acctbal / 1000)::BIGINT"
+
+
+def q_k_anonymity(spark, sf_dir):
+    """K-anonymity audit (functions/pii.py k_anonymity_report, Sweeney
+    2002) — the re-identification risk measure privacy reviews of
+    training exports run: every equivalence class of the
+    quasi-identifier set (nation, market segment, $1000 balance band)
+    smaller than k=5, i.e. the customers an adversary holding those
+    attributes could single out. One map-side-combined aggregation;
+    the shuffle carries (class, count), never rows."""
+    from systems_spark.functions.pii import k_anonymity_report
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment",
+        F.expr(_KANON_BAND_SPARK).alias("bal_band"))
+    return k_anonymity_report(
+        cust, ["c_nationkey", "c_mktsegment", "bal_band"], k=_KANON_K)
+
+
+def _sql_k_anonymity() -> str:
+    from systems_spark.functions.pii import k_anonymity_report_sql
+
+    src = (f"SELECT c_nationkey, c_mktsegment, {_KANON_BAND_DUCK} AS bal_band"
+           " FROM customer")
+    return k_anonymity_report_sql(
+        src, ["c_nationkey", "c_mktsegment", "bal_band"], k=_KANON_K)
+
+
 def q_pii_redact(spark, sf_dir):
     """PII scrub over documents: per-category match counts + md5 of the
     redacted text. The synthetic corpus carries no organic PII, so each doc
@@ -6034,6 +6065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # via test_oracle_parity; appended after 50 per the name-stable
         # window rule) ---
         "pii_redact": q_pii_redact,
+        "k_anonymity": q_k_anonymity,
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
         "mixture_sample": q_mixture_sample,
@@ -6250,6 +6282,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_incremental": _sql_components(
             SimHashDedup(**_SIMHASH).pairs_oracle_sql()),
         "pii_redact": _sql_pii_redact(),
+        "k_anonymity": _sql_k_anonymity(),
         "decontaminate": _SQL_DECONTAMINATE,
         "repetition_stats": _SQL_REPETITION_STATS,
         "mixture_sample": _sql_mixture_sample(),

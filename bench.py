@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "streaming_sessions",
     # r4 session-3 corpus-curation lanes
     "pii_redact",
+    "k_anonymity",
     "decontaminate",
     "repetition_stats",
     "mixture_sample",

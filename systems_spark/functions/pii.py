@@ -77,3 +77,38 @@ def pii_counts_sql(expr: str) -> dict:
         out[name] = f"len(regexp_extract_all({cur}, '{pat}'))::BIGINT"
         cur = f"regexp_replace({cur}, '{pat}', '{repl}', 'g')"
     return out
+
+
+def k_anonymity_report(df, quasi_cols, k: int = 5):
+    """K-anonymity audit over a quasi-identifier set (Sweeney 2002, the
+    re-identification risk measure privacy reviews of training exports
+    run): every equivalence class of ``quasi_cols`` whose member count
+    is below ``k`` — rows in those classes are re-identifiable by
+    anyone holding the quasi-identifiers. Output: one row per RISKY
+    class (class values + its size); an empty frame certifies the table
+    k-anonymous at this k. One map-side-combined aggregation + a
+    selective filter — the shuffle carries (class, count), never rows.
+    Generalize/suppress, then re-run until empty (the audit loop is the
+    caller's; this is the measurement)."""
+    from pyspark.sql import functions as F
+
+    quasi_cols = [quasi_cols] if isinstance(quasi_cols, str) \
+        else list(quasi_cols)
+    if not quasi_cols:
+        raise ValueError("quasi_cols must not be empty")
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    return (df.groupBy(*quasi_cols)
+            .agg(F.count(F.lit(1)).alias("class_size"))
+            .where(F.col("class_size") < k))
+
+
+def k_anonymity_report_sql(source_sql: str, quasi_cols, k: int = 5) -> str:
+    """DuckDB twin of :func:`k_anonymity_report`."""
+    quasi_cols = [quasi_cols] if isinstance(quasi_cols, str) \
+        else list(quasi_cols)
+    cols = ", ".join(quasi_cols)
+    return f"""
+SELECT {cols}, count(*)::BIGINT AS class_size
+FROM ({source_sql}) GROUP BY {cols} HAVING count(*) < {k}
+"""

@@ -214,3 +214,22 @@ def test_remove_boilerplate_preserves_segment_order(spark):
            remove_boilerplate(docs, seg_words=2, max_freq=2).collect()}
     assert out[1]["clean_text"] == "aa bb cc dd"  # order kept, middle gone
     assert out[2]["clean_text"] == "" and out[2]["n_kept"] == 0
+
+
+def test_k_anonymity_report(spark):
+    """Risky classes = exactly the quasi-identifier combos below k;
+    empty report certifies k-anonymity; validation errors."""
+    import pytest as _pt
+
+    from systems_spark.functions.pii import k_anonymity_report
+
+    rows = ([("DE", "A")] * 5 + [("DE", "B")] * 2 + [("FR", "A")] * 1)
+    df = spark.createDataFrame(rows, "nation string, seg string")
+    got = {(r.nation, r.seg): r.class_size
+           for r in k_anonymity_report(df, ["nation", "seg"], k=5).collect()}
+    assert got == {("DE", "B"): 2, ("FR", "A"): 1}
+    assert k_anonymity_report(df, ["nation", "seg"], k=2).count() == 1
+    with _pt.raises(ValueError, match="quasi_cols"):
+        k_anonymity_report(df, [], k=5)
+    with _pt.raises(ValueError, match="k must"):
+        k_anonymity_report(df, ["nation"], k=1)
