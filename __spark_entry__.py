@@ -1635,6 +1635,60 @@ def _stream_link_dir(sf_dir: str, table: str = "events") -> str:
     return link_dir
 
 
+def q_streaming_exactly_once(spark, sf_dir):
+    """Exactly-once streaming materialization, driver-graded: events
+    replay as a bounded file stream and land through
+    IdempotentParquetSink (streaming/sinks.py — one hive partition per
+    micro-batch, commit marker written last, txn key (app_id,
+    batch_id)). The stream then runs a SECOND time over a FRESH engine
+    checkpoint — the crash-replay shape: every epoch is re-delivered
+    with the same batch_id and must no-op at the sink — and the
+    committed view is aggregated per event_type. The oracle is the
+    plain batch aggregate over events: equality holds ONLY if the
+    replay landed nothing twice (a non-idempotent sink doubles every
+    count)."""
+    import hashlib
+    import shutil
+
+    from systems_spark.sources import read_parquet
+    from systems_spark.streaming import IdempotentParquetSink
+
+    schema = read_parquet(spark, f"{sf_dir}/events.parquet").schema
+    key = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:xo:{sf_dir}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join("/tmp", "systems_spark_xo", key)
+    sink = IdempotentParquetSink(os.path.join(base, "out"), app_id="xo")
+
+    def run(ckpt):
+        stream = spark.readStream.schema(schema).parquet(
+            _stream_link_dir(sf_dir))
+        q = (stream.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", os.path.join(base, ckpt))
+             .trigger(availableNow=True).start())
+        if not q.awaitTermination(300):
+            q.stop()
+
+    if not sink.commits(spark):  # idempotent across lane re-invocations
+        run("ckpt1")
+        # fresh checkpoint -> full re-delivery of the same epochs; the
+        # SINK must dedup (this is the sink's exactly-once, not the
+        # engine's checkpoint recovery)
+        shutil.rmtree(os.path.join(base, "ckpt2"), ignore_errors=True)
+        run("ckpt2")
+    committed = sink.committed_frame(spark)
+    return (committed.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 _dsum(_dec("value", 18, 6)).alias("total_value")))
+
+
+_SQL_STREAMING_XO = """
+SELECT event_type, count(*) AS n_events,
+       round(sum(value::DECIMAL(18,6)), 4)::DOUBLE AS total_value
+FROM events GROUP BY 1
+"""
+
+
 def q_streaming_hourly(spark, sf_dir):
     """The streaming runtime made driver-gradeable: events replayed as a
     bounded file stream (availableNow trigger), watermarked event-time
@@ -6042,6 +6096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # test_oracle_parity; appended after 50 to keep the driver's
         # graded window name-stable per VERDICT r2 item 10) ---
         "streaming_hourly": q_streaming_hourly,
+        "streaming_exactly_once": q_streaming_exactly_once,
         "corpus_curation": q_corpus_curation,
         "streaming_ingest_dedup": q_streaming_ingest_dedup,
         "profile_table": q_profile_table,
@@ -6266,6 +6321,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq": _SQL_ANN_PQ,
         "dedup_clusters": _sql_dedup_clusters(),
         "streaming_hourly": _SQL_STREAMING_HOURLY,
+        "streaming_exactly_once": _SQL_STREAMING_XO,
         "corpus_curation": _sql_corpus_curation(),
         "streaming_ingest_dedup": _SQL_STREAMING_INGEST_DEDUP,
         "profile_table": _SQL_PROFILE_TABLE,

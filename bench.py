@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "frame_sample",
     "dedup_clusters",
     "streaming_hourly",
+    "streaming_exactly_once",
     "corpus_curation",
     "streaming_ingest_dedup",
     "profile_table",
