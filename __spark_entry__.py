@@ -2914,6 +2914,65 @@ QUALIFY sample_rank <= 5
 # repetition filters, mixture resampling, sequence packing
 # ===========================================================================
 
+def q_order_survival(spark, sf_dir):
+    """Kaplan–Meier time-to-repeat-purchase (operators/survival.py,
+    JASA 1958) — the censoring-aware extension of the retention lane:
+    per first-order priority, the KM/Nelson–Aalen table of days from a
+    customer's FIRST order to their SECOND, with one-order customers
+    RIGHT-CENSORED at the corpus's last order date (dropping them — the
+    plain-retention mistake — would bias survival down). Exact integer
+    micros throughout: per-step survival factor (n−d)·1e6 div n and
+    running hazard sum; the continuous S(t) float product is
+    deliberately left to the consumer (module docstring — cross-engine
+    float-product order isn't contractual)."""
+    from systems_spark.operators import kaplan_meier
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = o.withColumn("_rn", F.row_number().over(w))
+    first = ranked.where(F.col("_rn") == 1).select(
+        "o_custkey", F.col("o_orderdate").alias("_d1"),
+        F.col("o_orderpriority").alias("prio"))
+    second = ranked.where(F.col("_rn") == 2).select(
+        "o_custkey", F.col("o_orderdate").alias("_d2"))
+    horizon = o.agg(F.max("o_orderdate").alias("_dmax"))
+    subjects = (first.join(second, on="o_custkey", how="left")
+                .crossJoin(F.broadcast(horizon))
+                .select(
+                    "prio",
+                    F.datediff(F.to_date(F.coalesce("_d2", "_dmax")),
+                               F.to_date("_d1")).cast("long").alias("dur"),
+                    F.col("_d2").isNotNull().cast("long").alias("ev")))
+    return kaplan_meier(subjects, "dur", "ev", group_cols="prio")
+
+
+_SQL_ORDER_SURVIVAL = None  # built lazily below
+
+
+def _sql_order_survival() -> str:
+    from systems_spark.operators import kaplan_meier_sql
+
+    subjects = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderdate, o_orderpriority,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+), f AS (
+  SELECT o_custkey, o_orderdate AS d1, o_orderpriority AS prio
+  FROM ranked WHERE rn = 1
+), s AS (
+  SELECT o_custkey, o_orderdate AS d2 FROM ranked WHERE rn = 2
+), h AS (SELECT max(o_orderdate) AS dmax FROM orders)
+SELECT f.prio,
+       (coalesce(s.d2, h.dmax)::DATE - f.d1::DATE)::BIGINT AS dur,
+       (s.d2 IS NOT NULL)::BIGINT AS ev
+FROM f LEFT JOIN s ON s.o_custkey = f.o_custkey CROSS JOIN h
+"""
+    return kaplan_meier_sql(subjects, "dur", "ev", group_cols="prio")
+
+
 _KANON_K = 5
 _KANON_BAND_SPARK = "cast(floor(c_acctbal / 1000) as bigint)"
 _KANON_BAND_DUCK = "floor(c_acctbal / 1000)::BIGINT"
@@ -6121,6 +6180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window rule) ---
         "pii_redact": q_pii_redact,
         "k_anonymity": q_k_anonymity,
+        "order_survival": q_order_survival,
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
         "mixture_sample": q_mixture_sample,
@@ -6339,6 +6399,7 @@ def oracle_sql() -> dict[str, str]:
             SimHashDedup(**_SIMHASH).pairs_oracle_sql()),
         "pii_redact": _sql_pii_redact(),
         "k_anonymity": _sql_k_anonymity(),
+        "order_survival": _sql_order_survival(),
         "decontaminate": _SQL_DECONTAMINATE,
         "repetition_stats": _SQL_REPETITION_STATS,
         "mixture_sample": _sql_mixture_sample(),

@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     # r4 session-3 corpus-curation lanes
     "pii_redact",
     "k_anonymity",
+    "order_survival",
     "decontaminate",
     "repetition_stats",
     "mixture_sample",
