@@ -90,3 +90,28 @@ def test_validation(spark):
         table_diff(left, left, [])
     with pytest.raises(ValueError, match="buckets"):
         table_diff(left, left, "k", buckets=0)
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 60), st.integers(0, 5)),
+                min_size=0, max_size=40, unique_by=lambda t: t[0]),
+       st.lists(st.tuples(st.integers(0, 60), st.integers(0, 5)),
+                min_size=0, max_size=40, unique_by=lambda t: t[0]))
+def test_diff_matches_python_reference_random(spark, lrows, rrows):
+    """Randomized: table_diff == a pure-Python dict diff on arbitrary
+    overlapping key/value sets (including empty sides)."""
+    left = spark.createDataFrame(lrows or [(None, None)],
+                                 "k long, v long").where("k IS NOT NULL")
+    right = spark.createDataFrame(rrows or [(None, None)],
+                                  "k long, v long").where("k IS NOT NULL")
+    got = {(r.k, r.diff) for r in table_diff(left, right, "k",
+                                             buckets=13).collect()}
+    L, R = dict(lrows), dict(rrows)
+    want = ({(k, "left_only") for k in L.keys() - R.keys()}
+            | {(k, "right_only") for k in R.keys() - L.keys()}
+            | {(k, "changed") for k in L.keys() & R.keys()
+               if L[k] != R[k]})
+    assert got == want
