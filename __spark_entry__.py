@@ -2914,6 +2914,29 @@ QUALIFY sample_rank <= 5
 # repetition filters, mixture resampling, sequence packing
 # ===========================================================================
 
+def q_embedding_gram(spark, sf_dir):
+    """Distributed exact Gram matrix (operators/pca.py): the corpus of
+    dim-64 embeddings reduced to its 64×64 second-moment matrix — the
+    fit stage of PCA whitening / OPQ rotation / energy diagnostics —
+    with ONE map-side-combined aggregation over upper-triangle
+    (i, j, product) rows. Components quantize to integer micros at the
+    scan, cells are exact decimal(38,0) sums, so the whole reduction is
+    bit-replayable in SQL; the O(d³) eigen step runs on the driver from
+    these 2080 rows (top_eigenvector — verified against numpy.eigh in
+    tests) and serves as plan literals (pca_project)."""
+    from systems_spark.operators import gram_matrix
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return gram_matrix(emb, "embedding", 64)
+
+
+def _sql_embedding_gram() -> str:
+    from systems_spark.operators import gram_matrix_sql
+
+    return gram_matrix_sql("SELECT embedding FROM embeddings",
+                           "embedding", 64)
+
+
 def q_order_survival(spark, sf_dir):
     """Kaplan–Meier time-to-repeat-purchase (operators/survival.py,
     JASA 1958) — the censoring-aware extension of the retention lane:
@@ -6181,6 +6204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "k_anonymity": q_k_anonymity,
         "order_survival": q_order_survival,
+        "embedding_gram": q_embedding_gram,
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
         "mixture_sample": q_mixture_sample,
@@ -6400,6 +6424,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": _sql_pii_redact(),
         "k_anonymity": _sql_k_anonymity(),
         "order_survival": _sql_order_survival(),
+        "embedding_gram": _sql_embedding_gram(),
         "decontaminate": _SQL_DECONTAMINATE,
         "repetition_stats": _SQL_REPETITION_STATS,
         "mixture_sample": _sql_mixture_sample(),

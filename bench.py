@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "pii_redact",
     "k_anonymity",
     "order_survival",
+    "embedding_gram",
     "decontaminate",
     "repetition_stats",
     "mixture_sample",

@@ -45,6 +45,8 @@ from systems_spark.operators.bloom_join import bloom_prefilter, bloom_prefilter_
 from systems_spark.operators.linkage import fellegi_sunter_scores, fellegi_sunter_sql
 from systems_spark.operators.tablediff import table_diff, table_diff_sql
 from systems_spark.operators.survival import kaplan_meier, kaplan_meier_sql
+from systems_spark.operators.pca import (
+    gram_matrix, gram_matrix_sql, pca_project, top_eigenvector)
 
 __all__ = [
     "bloom_prefilter",
@@ -55,6 +57,10 @@ __all__ = [
     "table_diff_sql",
     "kaplan_meier",
     "kaplan_meier_sql",
+    "gram_matrix",
+    "gram_matrix_sql",
+    "pca_project",
+    "top_eigenvector",
     "pagerank",
     "triangle_count",
     "kcore",

