@@ -2937,6 +2937,27 @@ def _sql_embedding_gram() -> str:
                            "embedding", 64)
 
 
+def q_embedding_gram_incremental(spark, sf_dir):
+    """Incremental Gram maintenance — the mergeable-statistics shape of
+    the PCA fit (the HLL-register pattern on linear algebra): Gram
+    cells are SUMS, so the standing corpus's matrix (persisted plain
+    rows, _persist_state) plus the arriving batch's matrix merge by
+    cell-wise addition — the whole refit of a growing corpus costs one
+    pass over the BATCH, never the corpus. Oracle = the full-corpus
+    Gram: merged must equal scratch exactly (decimal sums commute)."""
+    from systems_spark.operators import gram_matrix
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") % 8 != 0)
+    batch = emb.where(F.col("vec_id") % 8 == 0)
+    standing = _persist_state(gram_matrix(corpus, "embedding", 64),
+                              spark, f"graminc:{sf_dir}")
+    delta = gram_matrix(batch, "embedding", 64)
+    return (standing.unionByName(delta)
+            .groupBy("i", "j")
+            .agg(F.sum("g").cast("decimal(38,0)").alias("g")))
+
+
 def q_order_survival(spark, sf_dir):
     """Kaplan–Meier time-to-repeat-purchase (operators/survival.py,
     JASA 1958) — the censoring-aware extension of the retention lane:
@@ -6205,6 +6226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": q_k_anonymity,
         "order_survival": q_order_survival,
         "embedding_gram": q_embedding_gram,
+        "embedding_gram_incremental": q_embedding_gram_incremental,
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
         "mixture_sample": q_mixture_sample,
@@ -6425,6 +6447,7 @@ def oracle_sql() -> dict[str, str]:
         "k_anonymity": _sql_k_anonymity(),
         "order_survival": _sql_order_survival(),
         "embedding_gram": _sql_embedding_gram(),
+        "embedding_gram_incremental": _sql_embedding_gram(),
         "decontaminate": _SQL_DECONTAMINATE,
         "repetition_stats": _SQL_REPETITION_STATS,
         "mixture_sample": _sql_mixture_sample(),

@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "k_anonymity",
     "order_survival",
     "embedding_gram",
+    "embedding_gram_incremental",
     "decontaminate",
     "repetition_stats",
     "mixture_sample",
