@@ -2937,6 +2937,32 @@ def _sql_embedding_gram() -> str:
                            "embedding", 64)
 
 
+def q_embedding_pc1(spark, sf_dir):
+    """First principal direction of the embedding corpus by
+    EXACT-INTEGER power iteration (operators/pca.py
+    top_eigenvector_micros): the distributed exact Gram reduction
+    collects d(d+1)/2 cells (a fit-time scalar), then 40 rounds of pure
+    integer Σ G·v with truncating max-abs renormalization to micros —
+    and the oracle replays the ENTIRE ITERATIVE FIT independently as a
+    recursive CTE over a HUGEINT matrix (pc1_sql), not a pinned
+    snapshot: iterative linear algebra with a fully independent SQL
+    twin (Python↔DuckDB bit-equality also unit-tested)."""
+    from systems_spark.operators import gram_matrix
+    from systems_spark.operators.pca import top_eigenvector_micros
+
+    gram = gram_matrix(_t(spark, sf_dir, "embeddings"),
+                       "embedding", 64).collect()
+    v = top_eigenvector_micros(gram, 64, iterations=40)
+    return spark.createDataFrame(
+        [(i, int(x)) for i, x in enumerate(v)], "i int, v_micros long")
+
+
+def _sql_embedding_pc1() -> str:
+    from systems_spark.operators.pca import pc1_sql
+
+    return pc1_sql(_sql_embedding_gram(), 64, iterations=40)
+
+
 def q_embedding_gram_incremental(spark, sf_dir):
     """Incremental Gram maintenance — the mergeable-statistics shape of
     the PCA fit (the HLL-register pattern on linear algebra): Gram
@@ -6227,6 +6253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_survival": q_order_survival,
         "embedding_gram": q_embedding_gram,
         "embedding_gram_incremental": q_embedding_gram_incremental,
+        "embedding_pc1": q_embedding_pc1,
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
         "mixture_sample": q_mixture_sample,
@@ -6448,6 +6475,7 @@ def oracle_sql() -> dict[str, str]:
         "order_survival": _sql_order_survival(),
         "embedding_gram": _sql_embedding_gram(),
         "embedding_gram_incremental": _sql_embedding_gram(),
+        "embedding_pc1": _sql_embedding_pc1(),
         "decontaminate": _SQL_DECONTAMINATE,
         "repetition_stats": _SQL_REPETITION_STATS,
         "mixture_sample": _sql_mixture_sample(),

@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "order_survival",
     "embedding_gram",
     "embedding_gram_incremental",
+    "embedding_pc1",
     "decontaminate",
     "repetition_stats",
     "mixture_sample",

@@ -46,7 +46,8 @@ from systems_spark.operators.linkage import fellegi_sunter_scores, fellegi_sunte
 from systems_spark.operators.tablediff import table_diff, table_diff_sql
 from systems_spark.operators.survival import kaplan_meier, kaplan_meier_sql
 from systems_spark.operators.pca import (
-    gram_matrix, gram_matrix_sql, pca_project, top_eigenvector)
+    gram_matrix, gram_matrix_sql, pc1_sql, pca_project,
+    top_eigenvector, top_eigenvector_micros)
 
 __all__ = [
     "bloom_prefilter",
@@ -59,8 +60,10 @@ __all__ = [
     "kaplan_meier_sql",
     "gram_matrix",
     "gram_matrix_sql",
+    "pc1_sql",
     "pca_project",
     "top_eigenvector",
+    "top_eigenvector_micros",
     "pagerank",
     "triangle_count",
     "kcore",

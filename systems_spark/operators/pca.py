@@ -101,6 +101,77 @@ def top_eigenvector(gram_rows, dim: int, iterations: int = 50):
     return v, num
 
 
+def top_eigenvector_micros(gram_rows, dim: int, iterations: int = 40):
+    """EXACT-INTEGER power iteration: eigenvector in micros, every step
+    pure integer arithmetic — Σ G·v (int products), max-abs
+    normalization by TRUNCATING division to the 1e6 scale — so the
+    whole iterative fit replays bit-for-bit in a recursive SQL CTE
+    (:func:`pc1_sql`), unlike the float variant (``top_eigenvector``),
+    whose reduction order is not cross-engine contractual. Magnitudes:
+    |G| ≤ 1e17-ish cells × 1e6 micros × d=64 terms × 1e6 rescale stays
+    under 1e31 ≪ HUGEINT/decimal(38). Truncation (toward zero — the
+    DuckDB ``//`` and Spark ``DIV`` convention) loses ≤1 micro per
+    component per round; the dominant direction survives it exactly the
+    way both engines compute it."""
+    G = [[0] * dim for _ in range(dim)]
+    for r in gram_rows:
+        i, j, g = int(r[0]), int(r[1]), int(r[2])
+        G[i][j] = g
+        G[j][i] = g
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    v = [_M] + [0] * (dim - 1)
+    for _ in range(int(iterations)):
+        w = [sum(G[i][k] * v[k] for k in range(dim)) for i in range(dim)]
+        m = max(max(abs(x) for x in w), 1)
+        v = [tdiv(x * _M, m) for x in w]
+    return v
+
+
+def pc1_sql(gram_sql: str, dim: int, iterations: int = 40) -> str:
+    """DuckDB twin of :func:`top_eigenvector_micros` — the SAME exact
+    integer recursion as a recursive CTE over a HUGEINT matrix-of-lists
+    (``//`` truncates toward zero, matching the Python mirror), fed by
+    any Gram SQL producing (i, j, g) upper-triangle rows. Output:
+    (i, v_micros)."""
+    d, m6 = int(dim), _M
+    w_list = (f"[ list_sum([ m[i2+1][j2+1] * v[j2+1] "
+              f"FOR j2 IN range({d}) ]) FOR i2 IN range({d}) ]")
+    return f"""
+WITH RECURSIVE
+g0 AS ({gram_sql}),
+gsym AS (
+  SELECT i, j, g FROM g0
+  UNION ALL
+  SELECT j AS i, i AS j, g FROM g0 WHERE i <> j
+),
+grows AS (
+  SELECT i, list(g::HUGEINT ORDER BY j) AS r FROM gsym GROUP BY i
+),
+gmat AS (SELECT list(r ORDER BY i) AS m FROM grows),
+it AS (
+  SELECT 0 AS k,
+         [ CASE WHEN x = 0 THEN {m6}::HUGEINT ELSE 0::HUGEINT END
+           FOR x IN range({d}) ] AS v,
+         (SELECT m FROM gmat) AS m
+  UNION ALL
+  SELECT k + 1,
+         [ (w[i+1] * {m6})
+           // greatest(list_max([ abs(w[i2+1]) FOR i2 IN range({d}) ]),
+                       1::HUGEINT)
+           FOR i IN range({d}) ],
+         m
+  FROM (SELECT k, v, m, {w_list} AS w FROM it) WHERE k < {int(iterations)}
+)
+SELECT x::INT AS i, (v[x + 1])::BIGINT AS v_micros
+FROM (SELECT v FROM it WHERE k = {int(iterations)}),
+     (SELECT unnest(range({d})) AS x)
+"""
+
+
 def pca_project(df: DataFrame, vec_col: str, eigenvector,
                 out_col: str = "pc1") -> DataFrame:
     """Append the first-principal-component coordinate: the exact

@@ -100,3 +100,31 @@ def test_validation(spark):
     df = spark.createDataFrame([(1, [1.0])], "i long, v array<float>")
     with pytest.raises(ValueError):
         gram_matrix(df, "v", 0)
+
+
+def test_exact_power_iteration_python_duckdb_bit_equality(spark):
+    """top_eigenvector_micros == the pc1_sql recursive CTE bit-for-bit
+    (truncating integer division, same iteration count), and the
+    integer eigenvector aligns with numpy's float one."""
+    import duckdb
+
+    from systems_spark.operators.pca import pc1_sql, top_eigenvector_micros
+
+    rows = _vectors(n=120, seed=9)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    gram = gram_matrix(df, "embedding", DIM).collect()
+    py = top_eigenvector_micros(gram, DIM, iterations=25)
+    gvals = ", ".join(f"({r.i}, {r.j}, {int(r.g)}::DECIMAL(38,0))"
+                      for r in gram)
+    sql = pc1_sql(f"SELECT * FROM (VALUES {gvals}) t(i, j, g)",
+                  DIM, iterations=25)
+    duck = dict(duckdb.sql(sql).fetchall())
+    assert [duck[i] for i in range(DIM)] == py
+    G = np.zeros((DIM, DIM))
+    for r in gram:
+        G[r.i, r.j] = G[r.j, r.i] = float(r.g)
+    w, V = np.linalg.eigh(G)
+    top = V[:, np.argmax(w)]
+    vv = np.array(py, dtype=float)
+    cos = abs(float(np.dot(top, vv) / (np.linalg.norm(vv) or 1.0)))
+    assert cos > 0.999, cos
