@@ -49,3 +49,33 @@ def test_grouped_curves_and_sql_twin(spark):
     assert bg[3][2:5] == (3, 1, 0)
     assert bg[5][2:5] == (2, 1, 1)
     assert bg[5][5] == 500000  # (2-1)/2
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.tuples(st.integers(1, 12), st.integers(0, 1)),
+                min_size=1, max_size=30))
+def test_km_matches_python_reference_random(spark, subjects):
+    """Randomized: the KM table equals a pure-Python reference (exits
+    sorted by time, at-risk = remaining count, truncating int div)."""
+    df = spark.createDataFrame(subjects, "dur long, ev long")
+    got = {r.time: (r.at_risk, r.events, r.censored,
+                    r.survival_factor_micros, r.cum_hazard_micros)
+           for r in kaplan_meier(df, "dur", "ev").collect()}
+    want = {}
+    remaining = len(subjects)
+    cum = 0
+    from collections import Counter
+    per_t = {}
+    for d, e in subjects:
+        per_t.setdefault(d, Counter())[("e" if e else "c")] += 1
+    for t in sorted(per_t):
+        d = per_t[t]["e"]
+        c = per_t[t]["c"]
+        n = remaining
+        cum += (d * 1_000_000) // n
+        want[t] = (n, d, c, ((n - d) * 1_000_000) // n, cum)
+        remaining -= d + c
+    assert got == want
