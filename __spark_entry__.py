@@ -4901,6 +4901,86 @@ GROUP BY user_id, anchor.a
 _ATTR_LOOKBACK_US = 7 * 24 * 3600 * 1_000_000
 
 
+def q_ushape_attribution(spark, sf_dir):
+    """U-shaped (position-based) multi-touch attribution — the
+    multi-credit counterpart of last_touch: EVERY touch in the 7-day
+    lookback before a purchase shares the credit, 40% to the first
+    touch, 40% to the last, the middle 20% split evenly across interior
+    touches — in exact integer micros with the split remainder pinned
+    to the LAST touch (a float split would neither sum to 1e6 nor
+    replay), so Σ credit per purchase ≡ 1,000,000 exactly (asserted in
+    the oracle comparison by construction). Single-touch paths take the
+    full credit; two-touch paths split 50/50 (no interior). One
+    user-keyed join bounded by the lookback + one per-purchase window.
+    Organic purchases (no touch in window) don't appear — last_touch is
+    the lane that surfaces them."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.expr("ts div 1000").alias("ts_us"), "event_id")
+    pur = (ev.where(F.col("event_type") == "purchase")
+           .select("user_id", F.col("ts_us").alias("p_ts_us"),
+                   F.col("event_id").alias("purchase_id")))
+    tch = ev.where(F.col("event_type") != "purchase")
+    j = tch.join(pur, on=[
+        tch["user_id"] == pur["user_id"],
+        tch["ts_us"] < F.col("p_ts_us"),
+        tch["ts_us"] >= F.col("p_ts_us") - _ATTR_LOOKBACK_US,
+    ]).select("purchase_id", "event_id", "event_type", "ts_us")
+    w = Window.partitionBy("purchase_id").orderBy("ts_us", "event_id")
+    wn = Window.partitionBy("purchase_id")
+    out = (j.withColumn("position", F.row_number().over(w))
+           .withColumn("n_touches", F.count(F.lit(1)).over(wn)))
+    mid = F.expr("CAST(200000 DIV (n_touches - 2) AS BIGINT)")
+    credit = (F.when(F.col("n_touches") == 1, F.lit(1000000))
+              .when(F.col("n_touches") == 2, F.lit(500000))
+              .when(F.col("position") == 1, F.lit(400000))
+              .when(F.col("position") == F.col("n_touches"),
+                    F.lit(400000) + F.lit(200000)
+                    - (F.col("n_touches") - 2) * mid)
+              .otherwise(mid))
+    return out.select(
+        "purchase_id",
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
+        F.col("position").cast("long").alias("position"),
+        F.col("n_touches").cast("long").alias("n_touches"),
+        credit.cast("long").alias("credit_micros"))
+
+
+def _sql_ushape_attribution() -> str:
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events
+),
+pur AS (SELECT user_id, ts_us AS p_ts_us, event_id AS purchase_id
+        FROM ev WHERE event_type = 'purchase'),
+tch AS (SELECT * FROM ev WHERE event_type <> 'purchase'),
+j AS (
+  SELECT p.purchase_id, t.event_id, t.event_type, t.ts_us
+  FROM tch t JOIN pur p
+    ON t.user_id = p.user_id
+   AND t.ts_us < p.p_ts_us
+   AND t.ts_us >= p.p_ts_us - {_ATTR_LOOKBACK_US}
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY purchase_id
+                            ORDER BY ts_us, event_id) AS position,
+         count(*) OVER (PARTITION BY purchase_id) AS n_touches
+  FROM j
+)
+SELECT purchase_id, event_id AS touch_id, event_type AS touch_type,
+       position::BIGINT AS position, n_touches::BIGINT AS n_touches,
+       (CASE WHEN n_touches = 1 THEN 1000000
+             WHEN n_touches = 2 THEN 500000
+             WHEN position = 1 THEN 400000
+             WHEN position = n_touches
+               THEN 400000 + 200000 - (n_touches - 2) * (200000 // (n_touches - 2))
+             ELSE 200000 // (n_touches - 2) END)::BIGINT AS credit_micros
+FROM ranked
+"""
+
+
 def q_last_touch_attribution(spark, sf_dir):
     """Last-touch attribution: each purchase event credited to the SAME
     user's most recent preceding non-purchase event within a 7-day
@@ -6296,6 +6376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_user_counts": q_hll_user_counts,
         "event_transitions": q_event_transitions,
         "last_touch_attribution": q_last_touch_attribution,
+        "ushape_attribution": q_ushape_attribution,
         "next_item_examples": q_next_item_examples,
         "cms_part_counts": q_cms_part_counts,
         "rfm_features": q_rfm_features,
@@ -6509,6 +6590,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_user_counts": _sql_hll_user_counts(),
         "event_transitions": _SQL_EVENT_TRANSITIONS,
         "last_touch_attribution": _SQL_LAST_TOUCH,
+        "ushape_attribution": _sql_ushape_attribution(),
         "next_item_examples": _SQL_NEXT_ITEM_EXAMPLES,
         "cms_part_counts": _sql_cms_part_counts(),
         "rfm_features": _SQL_RFM_FEATURES,

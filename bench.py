@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "hll_user_counts",
     "event_transitions",
     "last_touch_attribution",
+    "ushape_attribution",
     "next_item_examples",
     "cms_part_counts",
     "rfm_features",
