@@ -128,3 +128,16 @@ def test_exact_power_iteration_python_duckdb_bit_equality(spark):
     vv = np.array(py, dtype=float)
     cos = abs(float(np.dot(top, vv) / (np.linalg.norm(vv) or 1.0)))
     assert cos > 0.999, cos
+
+
+def test_gram_partition_invariance(spark):
+    """Exact decimal sums: the Gram matrix is identical under any
+    partitioning of the input (the retry-safety property at scale)."""
+    rows = _vectors(n=150, seed=21)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted((r.i, r.j, str(r.g))
+               for r in gram_matrix(df, "embedding", DIM).collect())
+    b = sorted((r.i, r.j, str(r.g))
+               for r in gram_matrix(df.repartition(17), "embedding",
+                                    DIM).collect())
+    assert a == b
