@@ -167,6 +167,7 @@ def incremental_components(labels: DataFrame, new_pairs: DataFrame,
                            a_col: str = "a", b_col: str = "b",
                            node_col: str = "node",
                            component_col: str = "component",
+                           check_labels: bool = True,
                            **cc_kwargs) -> DataFrame:
     """Update a connected-components labeling with NEW edges without
     re-resolving the whole graph — the maintenance shape of a
@@ -199,7 +200,18 @@ def incremental_components(labels: DataFrame, new_pairs: DataFrame,
     bridge between two old clusters relabels both to the smaller min —
     exactly what a full recompute yields
     (``test_incremental_components_matches_full_recompute``).
+
+    ``check_labels`` (default on; opt out when the labeling is a direct
+    ``connected_components`` output) enforces the one-label-per-node
+    invariant — the symptom of a re-offered batch unioned into a
+    standing labeling is a duplicated node, and folding edges into such
+    a labeling silently yields clusters no recompute would produce
+    (VERDICT r7 item 8). One map-side-combined agg over the (small,
+    one-row-per-doc) label table.
     """
+    if check_labels:
+        from systems_spark.dedup.guards import ensure_unique_labels
+        ensure_unique_labels(labels, node_col)
     edges = new_pairs.select(F.col(a_col).alias("_a"), F.col(b_col).alias("_b"))
     lbl = labels.select(F.col(node_col).alias("_n"), F.col(component_col).alias("_c"))
     endpoints = (edges.select(F.col("_a").alias("_n"))

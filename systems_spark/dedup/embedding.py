@@ -82,7 +82,8 @@ class EmbeddingDedup(Operator):
         raise ValueError(f"unknown strategy {self.strategy!r}")
 
     def incremental_pairs(self, corpus_df: DataFrame,
-                          new_df: DataFrame) -> DataFrame:
+                          new_df: DataFrame,
+                          check_disjoint: bool = True) -> DataFrame:
         """Near-dup pairs TOUCHING at least one NEW vector — the
         corpus-growth shape of the LSH strategy (the minhash/winnow
         ``incremental_pairs`` pattern, third family): hyperplane
@@ -91,10 +92,15 @@ class EmbeddingDedup(Operator):
         once and each arriving batch signs only ITS vectors and joins
         new×corpus + new×new buckets — corpus×corpus pairs are never
         re-derived, and the union standing∪delta equals a full
-        recompute bucket-for-bucket. Ids must be disjoint. LSH strategy
-        only (exact mode has no bucket structure to exploit); returns
+        recompute bucket-for-bucket. Ids must be disjoint (enforced;
+        opt out with ``check_disjoint=False``). LSH strategy only
+        (exact mode has no bucket structure to exploit); returns
         (a, b, cosine) like ``transform``. Fold into standing labels
         via ``incremental_components``."""
+        if check_disjoint:
+            from systems_spark.dedup.guards import ensure_disjoint_ids
+            ensure_disjoint_ids(corpus_df, new_df, self.id_col,
+                                "EmbeddingDedup.incremental_pairs")
         if self.strategy != "lsh":
             raise ValueError("incremental_pairs requires strategy='lsh'")
         if self.dim is None:

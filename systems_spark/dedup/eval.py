@@ -25,6 +25,8 @@ lane (VERDICT r6 item 5).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -86,9 +88,18 @@ def pair_quality_report_sql(family_sqls: "dict[str, tuple]",
     """DuckDB twin of :func:`pair_quality_report`. ``family_sqls`` maps
     each label to ``(pairs_sql, a_col, b_col)`` — the family's existing
     oracle SQL plus its pair column names — so the report composes the
-    already-graded per-family twins rather than restating any of them."""
+    already-graded per-family twins rather than restating any of them.
+
+    Labels become SQL string literals, so they are restricted to a safe
+    charset rather than escaped (ADVICE r7: a quote in a label would
+    break/inject the generated SQL)."""
     if not family_sqls:
         raise ValueError("family_sqls must not be empty")
+    for name in family_sqls:
+        if not re.fullmatch(r"[A-Za-z0-9_.-]+", name):
+            raise ValueError(
+                f"family label must match [A-Za-z0-9_.-]+ (it is "
+                f"interpolated into SQL literals): {name!r}")
     ctes = [
         "truth AS (SELECT DISTINCT least({a}, {b}) AS a, "
         "greatest({a}, {b}) AS b FROM ({q}))"

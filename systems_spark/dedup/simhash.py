@@ -191,18 +191,27 @@ SELECT {self.id_col}, ({sig})::BIGINT AS simhash FROM agg
         return pairs.dropDuplicates(["a", "b"])
 
     def incremental_pairs(self, corpus_sigs: DataFrame,
-                          new_sigs: DataFrame) -> DataFrame:
+                          new_sigs: DataFrame,
+                          check_disjoint: bool = True) -> DataFrame:
         """Near-dup pairs TOUCHING at least one NEW document — the
         corpus-growth shape (fourth member of the incremental family,
         after minhash/winnow/embedding): the standing corpus persists
         its SIGNATURE table (one int64 per doc — ``signatures()`` rows
         with token-less docs already excluded); an arriving batch signs
         only its documents and chunk-joins new×corpus + new×new buckets,
-        never re-deriving a corpus×corpus pair. Ids must be disjoint;
-        both inputs are (id, simhash) frames. Hot-chunk cap, when set,
-        is computed over the UNION so the dropped buckets match a full
-        recompute at the same corpus state. Returns (a, b, hamming)
-        exactly like ``transform``."""
+        never re-deriving a corpus×corpus pair. Ids must be disjoint
+        (enforced; opt out with ``check_disjoint=False``); both inputs
+        are (id, simhash) frames. Hot-chunk cap caveat: the DELTA's cap
+        is computed over the UNION (matches a recompute at the new
+        state), but standing pairs were capped at the OLD state — a
+        bucket newly crossing the cap keeps corpus-side pairs a
+        recompute would drop; incremental == scratch exactly only with
+        the cap unset (see the MinHashDedup.incremental_pairs caveat).
+        Returns (a, b, hamming) exactly like ``transform``."""
+        if check_disjoint:
+            from systems_spark.dedup.guards import ensure_disjoint_ids
+            ensure_disjoint_ids(corpus_sigs, new_sigs, self.id_col,
+                                "SimHashDedup.incremental_pairs")
         chunk_bits = WIDTH // self.n_chunks
         mask = (1 << chunk_bits) - 1
         both = (corpus_sigs.select(self.id_col, "simhash")

@@ -123,7 +123,8 @@ def winnow_pairs(docs: DataFrame, k: int = 4, w: int = 4,
 def winnow_incremental_pairs(corpus_fps: DataFrame, new_docs: DataFrame,
                              k: int = 4, w: int = 4, min_shared: int = 2,
                              text_col: str = "text", id_col: str = "doc_id",
-                             max_doc_freq: "int | None" = None) -> DataFrame:
+                             max_doc_freq: "int | None" = None,
+                             check_disjoint: bool = True) -> DataFrame:
     """Overlap pairs TOUCHING at least one NEW document — the
     corpus-growth shape of winnowing (the ``incremental_pairs``
     pattern): the standing corpus persists its FINGERPRINT table
@@ -132,12 +133,21 @@ def winnow_incremental_pairs(corpus_fps: DataFrame, new_docs: DataFrame,
     documents and joins new×corpus + new×new print buckets — a
     corpus×corpus pair is never re-derived, so per-batch cost is
     proportional to the batch's shared-content volume, not the
-    corpus's. Ids must be disjoint between the two sides. Returns
+    corpus's. Ids must be disjoint between the two sides (enforced;
+    opt out with ``check_disjoint=False``). Returns
     (doc_a, doc_b, n_shared) with doc_a < doc_b, exactly like
-    :func:`winnow_pairs`; the boilerplate cap, when set, is computed
-    over the UNION print table so the dropped set matches a full
-    recompute at the same corpus state. Fold the result into standing
-    cluster labels with ``incremental_components``."""
+    :func:`winnow_pairs`. Boilerplate-cap caveat: the DELTA's cap is
+    computed over the UNION print table (matches a recompute at the new
+    state), but standing pairs were capped at the OLD corpus state — a
+    print newly crossing ``max_doc_freq`` keeps corpus-side pairs a
+    recompute would drop; incremental == scratch exactly only with the
+    cap unset (see MinHashDedup.incremental_pairs). Fold the result
+    into standing cluster labels with ``incremental_components``."""
+    if check_disjoint:
+        from systems_spark.dedup.guards import ensure_disjoint_ids
+        ensure_disjoint_ids(
+            corpus_fps.select(F.col("_wn_id").alias(id_col)),
+            new_docs, id_col, "winnow_incremental_pairs")
     if min_shared < 1:
         raise ValueError("min_shared must be >= 1")
     if max_doc_freq is not None and max_doc_freq < 1:

@@ -104,9 +104,15 @@ def k_anonymity_report(df, quasi_cols, k: int = 5):
 
 
 def k_anonymity_report_sql(source_sql: str, quasi_cols, k: int = 5) -> str:
-    """DuckDB twin of :func:`k_anonymity_report`."""
+    """DuckDB twin of :func:`k_anonymity_report`. Column names are
+    interpolated bare, so they are restricted to identifier charset
+    (ADVICE r7 — no quote-escape path here by design)."""
+    import re
     quasi_cols = [quasi_cols] if isinstance(quasi_cols, str) \
         else list(quasi_cols)
+    for c in quasi_cols:
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", c):
+            raise ValueError(f"quasi column must be a bare identifier: {c!r}")
     cols = ", ".join(quasi_cols)
     return f"""
 SELECT {cols}, count(*)::BIGINT AS class_size

@@ -51,16 +51,31 @@ _M = 1_000_000
 
 
 def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
-         rounds: int = 4, cache_edges: bool = True) -> DataFrame:
+         rounds: int = 4, cache_edges: bool = True,
+         edges_by_dst: "DataFrame | None" = None) -> DataFrame:
     """(node, hub_micros, auth_micros) for every node appearing in
     ``edges`` (either endpoint), after ``rounds`` full hub/authority
     update rounds from h₀ = 1e6 everywhere. Pure sinks end with
-    hub 0; pure sources with authority 0."""
+    hub 0; pure sources with authority 0.
+
+    ``edges_by_dst`` (VERDICT r7 item 4): the SAME edge rows, handed
+    separately for the dst-keyed half-round joins. Pass the two
+    ``StateStore.materialize_bucketed`` copies (bucketed by ``src`` /
+    ``dst`` respectively) and every half-round join shuffles only the
+    1-column score side — the static edge table is never exchanged.
+    When set, the localCheckpoint pins on the edge/node frames are
+    skipped (a bucketed-table scan is already storage-pinned, and the
+    pin would ERASE the bucket partitioning Catalyst elides the
+    exchange with)."""
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
+    pre_bucketed = edges_by_dst is not None
     e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
-    if cache_edges:
+    if cache_edges and not pre_bucketed:
         e = e.localCheckpoint(eager=False)
+    e_dst = (edges_by_dst.select(F.col(src).alias("_src"),
+                                 F.col(dst).alias("_dst"))
+             if pre_bucketed else e)
     nodes = (e.select(F.col("_src").alias("node"))
              .union(e.select(F.col("_dst").alias("node"))).distinct())
     if cache_edges:
@@ -95,7 +110,7 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
                  .groupBy(F.col("_dst").alias("node"))
                  .agg(F.sum("hub_micros").alias("_v")))
         auth = _normalize(a_raw, "auth_micros")
-        h_raw = (e.join(auth.withColumnRenamed("node", "_dst"), on="_dst")
+        h_raw = (e_dst.join(auth.withColumnRenamed("node", "_dst"), on="_dst")
                  .groupBy(F.col("_src").alias("node"))
                  .agg(F.sum("auth_micros").alias("_v")))
         hub = _normalize(h_raw, "hub_micros")

@@ -33,28 +33,66 @@ from pyspark.sql import functions as F
 _M = 1_000_000
 
 
-def gram_matrix(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+def gram_matrix(df: DataFrame, vec_col: str, dim: int,
+                block: "int | None" = None) -> DataFrame:
     """(i, j, g) for 0 ≤ i ≤ j < dim: the exact upper-triangle Gram
     matrix of the micros-quantized vectors — g = Σ_rows xq_i·xq_j as
     decimal(38,0) (int64 products; the sum never overflows 38 digits
-    below ~1e12 rows at unit-scale vectors)."""
+    below ~1e12 rows at unit-scale vectors).
+
+    ``block`` (VERDICT r7 item 6): for large d the single-pass explode
+    factor d(d+1)/2 per row is prohibitive (d=1024 → 525k rows per
+    vector in flight); with ``block=B`` the dimension range splits into
+    ⌈d/B⌉ ranges and each ORDERED PAIR of ranges runs as its own
+    bounded pass (≤ B² exploded rows per vector), unioned lazily — the
+    classic blocked-GEMM trade of extra scans (⌈d/B⌉·(⌈d/B⌉+1)/2 of
+    them) for bounded memory. Cell values are bit-identical to the
+    unblocked form: same quantization, and every (i, j) cell is
+    produced by exactly one block pair, so no sum is ever split."""
     if dim < 1:
         raise ValueError("dim must be >= 1")
+    if block is not None and block < 1:
+        raise ValueError("block must be >= 1")
     q = F.transform(F.col(vec_col),
                     lambda x: F.floor(x.cast("double") * _M + 0.5)
                     .cast("long"))
-    rows = df.select(q.alias("_q")) \
-        .select(F.col("_q"), F.posexplode("_q").alias("_i", "_xi"))
-    # j ≥ i via slice: pairs (i, j=i+k) from the suffix starting at i
-    pairs = rows.select(
-        "_i", "_xi",
-        F.posexplode(F.expr(f"slice(_q, _i + 1, {dim})"))
-        .alias("_k", "_xj"))
-    return (pairs.groupBy(
-        F.col("_i").cast("int").alias("i"),
-        (F.col("_i") + F.col("_k")).cast("int").alias("j"))
-        .agg(F.sum((F.col("_xi") * F.col("_xj")).cast("decimal(38,0)"))
-             .alias("g")))
+    if block is None or block >= dim:
+        rows = df.select(q.alias("_q")) \
+            .select(F.col("_q"), F.posexplode("_q").alias("_i", "_xi"))
+        # j ≥ i via slice: pairs (i, j=i+k) from the suffix starting at i
+        pairs = rows.select(
+            "_i", "_xi",
+            F.posexplode(F.expr(f"slice(_q, _i + 1, {dim})"))
+            .alias("_k", "_xj"))
+        return (pairs.groupBy(
+            F.col("_i").cast("int").alias("i"),
+            (F.col("_i") + F.col("_k")).cast("int").alias("j"))
+            .agg(F.sum((F.col("_xi") * F.col("_xj")).cast("decimal(38,0)"))
+                 .alias("g")))
+    qdf = df.select(q.alias("_q"))
+    out = None
+    for bi in range(0, dim, block):
+        ni = min(block, dim - bi)
+        # slice is 1-indexed; rows carry _q forward for the j-slice
+        rows = qdf.select(
+            F.col("_q"),
+            F.posexplode(F.expr(f"slice(_q, {bi + 1}, {ni})"))
+            .alias("_ii", "_xi"))
+        for bj in range(bi, dim, block):
+            nj = min(block, dim - bj)
+            pairs = rows.select(
+                "_ii", "_xi",
+                F.posexplode(F.expr(f"slice(_q, {bj + 1}, {nj})"))
+                .alias("_jj", "_xj"))
+            if bj == bi:  # diagonal block: keep the upper triangle only
+                pairs = pairs.where(F.col("_jj") >= F.col("_ii"))
+            cells = (pairs.groupBy(
+                (F.col("_ii") + F.lit(bi)).cast("int").alias("i"),
+                (F.col("_jj") + F.lit(bj)).cast("int").alias("j"))
+                .agg(F.sum((F.col("_xi") * F.col("_xj"))
+                           .cast("decimal(38,0)")).alias("g")))
+            out = cells if out is None else out.unionByName(cells)
+    return out
 
 
 def gram_matrix_sql(source_sql: str, vec_expr: str, dim: int) -> str:

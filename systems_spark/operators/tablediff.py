@@ -84,10 +84,21 @@ def table_diff(left: DataFrame, right: DataFrame, key_cols,
                 .join(F.broadcast(dirty), on="_bkt", how="semi")
                 .select(*key_cols, content.alias(f"_h_{tag}")))
 
-    l_rows, r_rows = side(left, "l"), side(right, "r")
-    joined = l_rows.join(r_rows, on=key_cols, how="full")
+    # null-SAFE key equality (ADVICE r7): a NULL key value is a real key
+    # — the bucket stage already treats it as one (hash of the concat) —
+    # so the row stage must match it too, or a changed NULL-key row
+    # splits into a spurious left_only + right_only pair. Presence is
+    # judged by the _h_* columns (never NULL on an existing row: xxhash64
+    # is null-tolerant and the no-compare-cols form is a literal), NOT by
+    # key nullity.
+    l_rows, r_rows = side(left, "l").alias("L"), side(right, "r").alias("R")
+    joined = l_rows.join(
+        r_rows,
+        on=[F.col(f"L.{c}").eqNullSafe(F.col(f"R.{c}")) for c in key_cols],
+        how="full")
     return (joined.select(
-        *key_cols,
+        *[F.when(F.col("_h_l").isNotNull(), F.col(f"L.{c}"))
+          .otherwise(F.col(f"R.{c}")).alias(c) for c in key_cols],
         F.when(F.col("_h_r").isNull(), F.lit("left_only"))
         .when(F.col("_h_l").isNull(), F.lit("right_only"))
         .when(F.col("_h_l") != F.col("_h_r"), F.lit("changed"))
@@ -99,21 +110,23 @@ def table_diff_sql(left_sql: str, right_sql: str, key_cols,
                    compare_cols) -> str:
     """DuckDB twin — deliberately the BRUTE-FORCE full outer join (no
     bucket shortcut), so the parity check grades the Merkle filter's
-    losslessness, not a replay of the same shortcut."""
+    losslessness, not a replay of the same shortcut. Side presence is
+    judged by non-null marker columns, never by key nullity (ADVICE r7:
+    ``r.key IS NULL`` mislabels a MATCHED NULL-key row as one-sided)."""
     key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     compare_cols = list(compare_cols)
     on = " AND ".join(f"l.{c} IS NOT DISTINCT FROM r.{c}" for c in key_cols)
-    keys = ", ".join(f"coalesce(l.{c}, r.{c}) AS {c}" for c in key_cols)
+    keys = ", ".join(
+        f"CASE WHEN l._p THEN l.{c} ELSE r.{c} END AS {c}" for c in key_cols)
     changed = " OR ".join(
         f"(l.{c} IS DISTINCT FROM r.{c})" for c in compare_cols)
-    l_null = " AND ".join(f"l.{c} IS NULL" for c in key_cols)
-    r_null = " AND ".join(f"r.{c} IS NULL" for c in key_cols)
     return f"""
-WITH l AS ({left_sql}), r AS ({right_sql})
+WITH l AS (SELECT *, TRUE AS _p FROM ({left_sql})),
+     r AS (SELECT *, TRUE AS _p FROM ({right_sql}))
 SELECT * FROM (
   SELECT {keys},
-         CASE WHEN {r_null} THEN 'left_only'
-              WHEN {l_null} THEN 'right_only'
+         CASE WHEN r._p IS NULL THEN 'left_only'
+              WHEN l._p IS NULL THEN 'right_only'
               WHEN {changed} THEN 'changed' END AS diff
   FROM l FULL OUTER JOIN r ON {on}
 ) WHERE diff IS NOT NULL

@@ -88,9 +88,19 @@ class IdempotentParquetSink:
             name = status.getPath().getName()
             if not (name.startswith(prefix) and name.endswith(".json")):
                 continue
-            bid = int(name[len(prefix):-len(".json")])
-            out[bid] = json.loads(
-                _fs_read_text(spark, status.getPath().toString()))
+            stem = name[len(prefix):-len(".json")]
+            if not stem.isdigit():  # stray file matching the prefix
+                continue
+            try:
+                out[int(stem)] = json.loads(
+                    _fs_read_text(spark, status.getPath().toString()))
+            except ValueError as e:
+                # markers are written atomically (rename), so truncated
+                # JSON here means external tampering — name it clearly
+                # instead of surfacing a bare json error (ADVICE r7)
+                raise IOError(
+                    f"corrupted commit marker {status.getPath()}: {e}"
+                ) from e
         return out
 
     # -- the foreachBatch entry point ----------------------------------------
@@ -114,9 +124,13 @@ class IdempotentParquetSink:
         manifest = {"app_id": self.app_id, "batch_id": int(batch_id),
                     "rows": int(row["rows"]),
                     "checksum": str(row["checksum"])}
-        # marker LAST = the commit point
-        _fs_write_text(spark, self._marker_path(batch_id),
-                       json.dumps(manifest, sort_keys=True))
+        # marker LAST = the commit point; temp-name + rename so a crash
+        # mid-marker-write can never leave truncated JSON at the final
+        # path that is_committed would trust but commits() can't parse
+        # (ADVICE r7)
+        from systems_spark.state import fs_write_text_atomic
+        fs_write_text_atomic(spark, self._marker_path(batch_id),
+                             json.dumps(manifest, sort_keys=True))
 
     # -- the read view --------------------------------------------------------
     def committed_frame(self, spark: SparkSession) -> "DataFrame | None":

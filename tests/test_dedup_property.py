@@ -476,3 +476,26 @@ def test_simhash_incremental_pairs_match_full(spark):
     assert delta == want_delta
     assert not (set(standing) & set(delta))
     assert {**standing, **delta} == full
+
+
+def test_sql_label_and_identifier_validation():
+    """ADVICE r7: names interpolated into generated SQL are charset-
+    restricted, not escaped — a quote in a label/column must raise."""
+    import pytest
+
+    from systems_spark.dedup.eval import pair_quality_report_sql
+    from systems_spark.functions.pii import k_anonymity_report_sql
+
+    with pytest.raises(ValueError, match="family label"):
+        pair_quality_report_sql(
+            {"bad'name": ("SELECT 1 AS a, 2 AS b", "a", "b")},
+            "SELECT 1 AS a, 2 AS b")
+    # clean labels still compose
+    sql = pair_quality_report_sql(
+        {"ok_name-1": ("SELECT 1 AS a, 2 AS b", "a", "b")},
+        "SELECT 1 AS a, 2 AS b")
+    assert "ok_name-1" in sql
+
+    with pytest.raises(ValueError, match="bare identifier"):
+        k_anonymity_report_sql("SELECT 1 AS x", ["x; DROP TABLE t"])
+    assert "GROUP BY x" in k_anonymity_report_sql("SELECT 1 AS x", ["x"])

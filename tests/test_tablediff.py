@@ -115,3 +115,46 @@ def test_diff_matches_python_reference_random(spark, lrows, rrows):
             | {(k, "changed") for k in L.keys() & R.keys()
                if L[k] != R[k]})
     assert got == want
+
+
+def test_null_keys_match_null_keys(spark):
+    """ADVICE r7: NULL is a real key value — identical tables with a
+    NULL-key row diff to empty; a changed NULL-key row is ONE 'changed'
+    row, not a spurious left_only + right_only pair; and the SQL twin
+    agrees on both (its side tests use presence flags, not key nullity)."""
+    import duckdb
+
+    schema = "k long, v long"
+    ident = spark.createDataFrame([(1, 10), (None, 20)], schema)
+    assert table_diff(ident, ident, "k").count() == 0
+
+    left = spark.createDataFrame([(1, 10), (None, 20)], schema)
+    right = spark.createDataFrame([(1, 10), (None, 99)], schema)
+    got = [(r.k, r.diff) for r in table_diff(left, right, "k").collect()]
+    assert got == [(None, "changed")]
+
+    def vals(rows):
+        return ", ".join(
+            f"({'NULL' if k is None else k}, {v})" for k, v in rows)
+
+    sql = table_diff_sql(
+        f"SELECT * FROM (VALUES {vals([(1, 10), (None, 20)])}) t(k, v)",
+        f"SELECT * FROM (VALUES {vals([(1, 10), (None, 99)])}) t(k, v)",
+        "k", ["v"])
+    assert duckdb.sql(sql).fetchall() == [(None, "changed")]
+    sql_ident = table_diff_sql(
+        f"SELECT * FROM (VALUES {vals([(1, 10), (None, 20)])}) t(k, v)",
+        f"SELECT * FROM (VALUES {vals([(1, 10), (None, 20)])}) t(k, v)",
+        "k", ["v"])
+    assert duckdb.sql(sql_ident).fetchall() == []
+
+
+def test_null_key_one_sided_rows(spark):
+    """A NULL-key row present on only one side labels as that side."""
+    schema = "k long, v long"
+    left = spark.createDataFrame([(1, 10), (None, 20)], schema)
+    right = spark.createDataFrame([(1, 10)], schema)
+    got = [(r.k, r.diff) for r in table_diff(left, right, "k").collect()]
+    assert got == [(None, "left_only")]
+    got = [(r.k, r.diff) for r in table_diff(right, left, "k").collect()]
+    assert got == [(None, "right_only")]
