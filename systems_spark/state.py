@@ -122,16 +122,33 @@ class StateStore:
                      key: "str | None" = None) -> bool:
         return self._exists(spark, self._marker(self._path(spark, tag, key)))
 
-    def materialize(self, df: DataFrame, tag: str,
-                    key: "str | None" = None) -> DataFrame:
+    def materialize(self, df, tag: str,
+                    key: "str | None" = None,
+                    spark: "SparkSession | None" = None) -> DataFrame:
         """Return ``df``'s rows as a parquet-backed frame, computing and
         writing them only if ``(key or applicationId, tag)`` has not
         committed yet.  The returned frame's lineage is a bare scan —
-        safe under iterative folds (module docstring, reason 2)."""
-        spark = df.sparkSession
+        safe under iterative folds (module docstring, reason 2).
+
+        ``df`` may be a ZERO-ARG CALLABLE returning the frame (pass
+        ``spark=`` alongside): on a marker hit the thunk is never
+        invoked.  This matters beyond plan laziness — iterative builders
+        (``connected_components`` and friends) run their convergence
+        loop EAGERLY at Python build time, so handing their result as a
+        plain frame pays the whole loop per call even when the marker
+        would skip the write (measured: 7 s per invocation on the
+        simhash lane's standing labels at sf0.1)."""
+        if callable(df):
+            if spark is None:
+                raise ValueError(
+                    "materialize(thunk, ...) requires spark= (the thunk "
+                    "is not invoked on a marker hit)")
+        else:
+            spark = df.sparkSession
         path = self._path(spark, tag, key)
         if not self._exists(spark, self._marker(path)):
-            df.write.mode("overwrite").parquet(path)
+            frame = df() if callable(df) else df
+            frame.write.mode("overwrite").parquet(path)
             written = spark.read.parquet(path)
             h = F.xxhash64(*[F.col(c) for c in written.columns]) \
                 .cast("decimal(38,0)")

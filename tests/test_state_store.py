@@ -112,3 +112,17 @@ def test_tag_charset_enforced(spark, store):
         store.materialize(spark.range(1), "bad tag with spaces")
     with pytest.raises(ValueError, match="state tag"):
         store.materialize(spark.range(1), "")
+
+
+def test_thunk_never_invoked_on_marker_hit(spark, store):
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(4)
+
+    assert store.materialize(build, "t7", spark=spark).count() == 4
+    assert store.materialize(build, "t7", spark=spark).count() == 4
+    assert len(calls) == 1
+    with pytest.raises(ValueError, match="requires spark="):
+        store.materialize(lambda: spark.range(1), "t8")
