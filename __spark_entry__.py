@@ -960,6 +960,152 @@ def _sql_bm25_search() -> str:
                              qsql, topk=10)
 
 
+def q_bm25_incremental(spark, sf_dir):
+    """Incremental BM25 index maintenance (operators/bm25.py fit_update)
+    — the incremental family applied to LEXICAL search: the standing
+    corpus (doc_id % 8 != 0) persists its POSTINGS table (the one
+    mergeable state — (_doc, h, dl, tf) longs) through the StateStore;
+    the arriving batch (doc_id % 8 == 0) is tokenized ALONE and its
+    postings union in; idf/avgdl re-derive from the merged postings in
+    one narrow pass — the corpus text is never re-tokenized. Oracle =
+    the full-corpus BM25 twin (the bm25_search construction): because
+    union-of-half-tokenizations IS the whole-corpus tokenization,
+    incremental must equal scratch bit-for-bit — global idf shifts from
+    the batch's N/df/avgdl moves included."""
+    from systems_spark.operators.bm25 import BM25
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 8 != 0)
+    batch = docs.where(F.col("doc_id") % 8 == 0)
+    bm = BM25()
+    bm.with_postings(_persist_state(
+        lambda: BM25().fit(corpus)._postings, spark,
+        f"bm25inc-postings:{sf_dir}"))
+    bm.fit_update(batch)
+    queries = spark.createDataFrame(_BM25_QUERIES,
+                                    "query_id long, query_text string")
+    return bm.search(queries, topk=10)
+
+
+def q_ann_ivf_incremental(spark, sf_dir):
+    """Incremental IVF index maintenance (QueryANN.ivf_postings /
+    transform_ivf_postings) — faiss's build-once-add-forever contract
+    distributed: the quantizer is PINNED at standing-corpus build time
+    (lowest-id seeds of vec_id % 8 != 0, persisted through the
+    StateStore — add() never retrains), the standing inverted lists are
+    persisted postings rows, and the arriving batch (vec_id % 8 == 0)
+    costs ONE broadcast assignment pass over the batch alone. Because
+    assignment is a pure per-item function of the pinned centroids,
+    standing ∪ batch postings equal a from-scratch assignment of the
+    union bit-for-bit — the oracle is the full-corpus IVF twin seeded
+    from the standing corpus."""
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") % 8 != 0)
+    batch = emb.where(F.col("vec_id") % 8 == 0)
+    op = QueryANN(corpus, item_id_col="vec_id", item_vec_col="embedding",
+                  query_vec_col="qvec", query_id_col="query_id", topk=5,
+                  metric="ip", strategy="ivf", n_cells=32, nprobe=8)
+    op.with_centroids(_persist_state(
+        lambda: op.ivf_quantizer(), spark, f"annivfinc-cents:{sf_dir}"))
+    standing = _persist_state(
+        lambda: op.ivf_postings(), spark, f"annivfinc-postings:{sf_dir}")
+    postings = standing.unionByName(op.ivf_postings(batch))
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    return op.transform_ivf_postings(queries, postings).select(
+        "query_id", F.col("ann_id").alias("item_id"),
+        F.col("ann_rank").cast("long").alias("ann_rank"),
+        F.round(F.col("ann_score"), 4).alias("score"),
+    )
+
+
+_SQL_ANN_IVF_INCREMENTAL = """
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS cent_vec FROM embeddings
+  WHERE vec_id % 8 <> 0
+  ORDER BY vec_id ASC LIMIT 32
+), item_cells AS (
+  SELECT vec_id, embedding, cent_id AS cell FROM (
+    SELECT i.vec_id, i.embedding, c.cent_id,
+           row_number() OVER (
+             PARTITION BY i.vec_id
+             ORDER BY list_inner_product(i.embedding::DOUBLE[], c.cent_vec::DOUBLE[]) DESC,
+                      c.cent_id ASC) AS rn
+    FROM embeddings i CROSS JOIN cents c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, embedding AS qvec, cent_id AS cell FROM (
+    SELECT q.vec_id, q.embedding, c.cent_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_inner_product(q.embedding::DOUBLE[], c.cent_vec::DOUBLE[]) DESC,
+                      c.cent_id ASC) AS rn
+    FROM (SELECT * FROM embeddings WHERE vec_id < 20) q CROSS JOIN cents c
+  ) WHERE rn <= 8
+), cand AS (
+  SELECT p.query_id, i.vec_id AS item_id,
+         list_inner_product(p.qvec::DOUBLE[], i.embedding::DOUBLE[]) AS dot
+  FROM probes p JOIN item_cells i ON p.cell = i.cell
+)
+SELECT query_id, item_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, item_id ASC)::BIGINT AS ann_rank,
+       round(dot, 4) AS score
+FROM cand
+QUALIFY ann_rank <= 5
+"""
+
+
+def q_categorify_incremental(spark, sf_dir):
+    """Incremental vocabulary growth (Categorify.fit_update) as an
+    end-to-end STATE lane: the standing vocab (fit on o_orderkey % 8
+    != 0, codes by frequency desc / value asc) persists through the
+    StateStore; the arriving batch's UNSEEN clerks get codes
+    max_code+1.. ranked by their batch counts — existing codes never
+    move (the trained-embedding-row contract). Output: full-table code
+    assignment counts. Oracle = the same two-stage vocabulary in SQL
+    (corpus window-rank, then batch-unseen appended after max code)."""
+    cust = _t(spark, sf_dir, "customer")
+    corpus = cust.where(F.col("c_custkey") % 8 != 0)
+    batch = cust.where(F.col("c_custkey") % 8 == 0)
+    cat = Categorify(["c_name"], out_suffix="_code")
+    cat.vocabs["c_name"] = _persist_state(
+        lambda: Categorify(["c_name"]).fit(corpus).vocabs["c_name"],
+        spark, f"catinc-vocab:{sf_dir}")
+    cat.fit_update(batch)
+    return (cat(cust)
+            .groupBy("c_name", "c_name_code")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+_SQL_CATEGORIFY_INCREMENTAL = """
+WITH corpus AS (SELECT * FROM customer WHERE c_custkey % 8 <> 0),
+batch AS (SELECT * FROM customer WHERE c_custkey % 8 = 0),
+v0 AS (
+  SELECT c_name AS value,
+         row_number() OVER (ORDER BY count(*) DESC, c_name ASC) AS code
+  FROM corpus WHERE c_name IS NOT NULL GROUP BY c_name
+),
+fresh AS (
+  SELECT c_name AS value, count(*) AS cnt FROM batch
+  WHERE c_name IS NOT NULL
+    AND c_name NOT IN (SELECT value FROM v0)
+  GROUP BY c_name
+),
+v1 AS (
+  SELECT value, code FROM v0
+  UNION ALL
+  SELECT value,
+         (SELECT max(code) FROM v0)
+         + row_number() OVER (ORDER BY cnt DESC, value ASC) AS code
+  FROM fresh
+)
+SELECT c.c_name, coalesce(v.code, 0)::BIGINT AS c_name_code,
+       count(*) AS n
+FROM customer c LEFT JOIN v1 v ON c.c_name = v.value
+GROUP BY 1, 2
+"""
+
+
 _HYBRID_QIDS = (1, 2, 3, 4, 5)
 
 
@@ -6348,6 +6494,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_banded": q_value_banded,
         "dedup_embedding_incremental": q_dedup_embedding_incremental,
         "dedup_simhash_incremental": q_dedup_simhash_incremental,
+        # --- r8 incremental family extensions (state.py StateStore):
+        # lexical index, IVF inverted lists, vocabulary growth ---
+        "bm25_incremental": q_bm25_incremental,
+        "ann_ivf_incremental": q_ann_ivf_incremental,
+        "categorify_incremental": q_categorify_incremental,
         # --- r4 session-3 corpus-curation lanes (locally oracle-checked
         # via test_oracle_parity; appended after 50 per the name-stable
         # window rule) ---
@@ -6574,6 +6725,10 @@ def oracle_sql() -> dict[str, str]:
             EmbeddingDedup(**_EMBDED_LSH).lsh_pairs_oracle_sql()),
         "dedup_simhash_incremental": _sql_components(
             SimHashDedup(**_SIMHASH).pairs_oracle_sql()),
+        # r8: incremental == scratch, so each oracle is the FULL-corpus twin
+        "bm25_incremental": _sql_bm25_search(),
+        "ann_ivf_incremental": _SQL_ANN_IVF_INCREMENTAL,
+        "categorify_incremental": _SQL_CATEGORIFY_INCREMENTAL,
         "pii_redact": _sql_pii_redact(),
         "k_anonymity": _sql_k_anonymity(),
         "order_survival": _sql_order_survival(),

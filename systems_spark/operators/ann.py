@@ -482,21 +482,53 @@ class QueryANN(Operator):
         items (N×K dots, no shuffle); the probe join is an equi-join on a
         narrow int cell key — the cross join of exact search never happens.
         """
-        n_cells, nprobe = self.n_cells, self.nprobe
-        items = self._items()
+        return self.transform_ivf_postings(df, self.ivf_postings())
+
+    def ivf_quantizer(self) -> DataFrame:
+        """The coarse quantizer: trained centroids if set (``train()`` /
+        ``with_centroids``), else the deterministic lowest-id seeds of
+        ``items_df`` (+ optional Lloyd iterations)."""
         if self._centroids is not None:
-            cents = F.broadcast(self._centroids)
-        else:
-            cents = items.orderBy(F.col("_ann_id").asc()).limit(n_cells).select(
-                F.col("_ann_id").alias("_cent_id"),
-                F.col("_ann_vec").alias("_cent_vec")
-            )
-            if self.ivf_train_iters > 0:
-                cents = self._ivf_train(items, cents)
-            cents = F.broadcast(cents)
-        item_cells = self._ivf_cells(items, cents).select(
-            "_ann_id", "_ann_vec", "_cell"
-        )
+            return self._centroids
+        items = self._items()
+        cents = items.orderBy(F.col("_ann_id").asc()).limit(self.n_cells) \
+            .select(F.col("_ann_id").alias("_cent_id"),
+                    F.col("_ann_vec").alias("_cent_vec"))
+        if self.ivf_train_iters > 0:
+            cents = self._ivf_train(items, cents)
+        return cents
+
+    def with_centroids(self, centroids: DataFrame) -> "QueryANN":
+        """Pin the coarse quantizer — (_cent_id, _cent_vec) rows, e.g. a
+        StateStore parquet read of a previously built index. The faiss
+        contract: ``add()`` never retrains, so an incremental index keeps
+        serving against the quantizer it was built with."""
+        self._centroids = centroids
+        return self
+
+    def ivf_postings(self, items_df: "DataFrame | None" = None) -> DataFrame:
+        """Inverted-list postings (_ann_id, _ann_vec, _cell) for the given
+        items (default: ``items_df``) against the index quantizer — the
+        faiss ``add()`` analog: a broadcast map-side pass over ONLY the
+        given items (batch×K dots, no shuffle), so corpus growth costs
+        one assignment pass over the BATCH. Postings are mergeable by
+        plain union when item ids are disjoint: assignment is a pure
+        per-item function of the (pinned) centroids, so standing ∪ batch
+        equals a from-scratch assignment of the union, bit for bit."""
+        it = (self._items() if items_df is None else
+              items_df.select(F.col(self.item_id_col).alias("_ann_id"),
+                              F.col(self.item_vec_col).alias("_ann_vec")))
+        cents = F.broadcast(self.ivf_quantizer())
+        return self._ivf_cells(it, cents).select("_ann_id", "_ann_vec", "_cell")
+
+    def transform_ivf_postings(self, df: DataFrame,
+                               postings: DataFrame) -> DataFrame:
+        """IVF probe + exact rerank over a caller-supplied postings table
+        (e.g. standing StateStore postings unioned with a fresh batch
+        assignment). The query side probes its ``nprobe`` best cells
+        against the same quantizer; candidates come from the postings
+        equi-join on the narrow int cell key."""
+        cents = F.broadcast(self.ivf_quantizer())
         probe_w = Window.partitionBy(self.query_id_col).orderBy(
             F.col("_cdot").desc(), F.col("_cent_id").asc()
         )
@@ -504,11 +536,11 @@ class QueryANN(Operator):
             df.crossJoin(cents)
             .withColumn("_cdot", _score(self.metric, F.col(self.query_vec_col), F.col("_cent_vec")))
             .withColumn("_crn", F.row_number().over(probe_w))
-            .where(F.col("_crn") <= nprobe)
+            .where(F.col("_crn") <= self.nprobe)
             .drop("_cent_vec", "_cdot", "_crn")
             .withColumnRenamed("_cent_id", "_cell")
         )
-        joined = probes.join(item_cells, on="_cell").withColumn(
+        joined = probes.join(postings, on="_cell").withColumn(
             "ann_score", _score(self.metric, F.col(self.query_vec_col), F.col("_ann_vec"))
         ).drop("_cell")
         return self._rank_topk(joined)

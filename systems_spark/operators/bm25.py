@@ -67,14 +67,18 @@ class BM25(Operator):
         self._avgdl = None     # 1-row (avgdl)
         self.requires = (text_col, id_col)
 
-    def fit(self, df: DataFrame) -> "BM25":
+    def _tokenize_postings(self, df: DataFrame) -> DataFrame:
         tok = (df.select(F.col(self.id_col).alias("_doc"),
                          TX.tokens(F.col(self.text_col)).alias("_tk"))
                .select("_doc", F.size("_tk").alias("dl"),
                        F.explode("_tk").alias("_t"))
                .select("_doc", "dl", hash64(F.col("_t")).alias("h")))
-        self._postings = (tok.groupBy("_doc", "h", "dl")
-                          .agg(F.count(F.lit(1)).alias("tf")))
+        return (tok.groupBy("_doc", "h", "dl")
+                .agg(F.count(F.lit(1)).alias("tf")))
+
+    def _derive_stats(self) -> None:
+        """idf + avgdl from the postings table — a postings pass (narrow
+        longs, map-side combined), never a text pass."""
         docs = self._postings.select("_doc", "dl").distinct()
         stats = docs.agg(F.count(F.lit(1)).alias("n"),
                          F.expr("sum(dl) div count(1)").alias("avgdl"))
@@ -85,6 +89,45 @@ class BM25(Operator):
                          / (F.col("_df") + 0.5) + 1.0) * _M)
                          .cast("long").alias("idf_micros")))
         self._avgdl = stats.select("avgdl")
+
+    def fit(self, df: DataFrame) -> "BM25":
+        self._postings = self._tokenize_postings(df)
+        self._derive_stats()
+        return self
+
+    def with_postings(self, postings: DataFrame) -> "BM25":
+        """Adopt a standing postings table — (_doc, h, dl, tf) rows, e.g.
+        a StateStore parquet read of a prior index — as the index state
+        and re-derive idf/avgdl from it. The storage-read twin of
+        ``load_artifacts`` for pipelines that persist only the one
+        mergeable table."""
+        self._postings = postings
+        self._derive_stats()
+        return self
+
+    def fit_update(self, df: DataFrame, check_disjoint: bool = True) -> "BM25":
+        """Corpus-GROWTH index maintenance — the incremental_pairs
+        pattern applied to lexical search: the standing POSTINGS table
+        (typically a StateStore parquet read; ``save_artifacts`` /
+        ``load_artifacts`` round it) is the whole mergeable state, so
+        admitting a batch tokenizes ONLY the batch and unions its
+        postings in. idf and avgdl shift globally when N/df/avgdl move,
+        but re-deriving them is one pass over the POSTINGS longs —
+        never a re-tokenization of the corpus text, which is the
+        dominant cost at 100 TB (the text scan + explode). Incremental
+        == scratch exactly: union of per-half tokenizations IS the
+        whole-corpus tokenization when ids are disjoint (enforced;
+        opt out with ``check_disjoint=False``)."""
+        if self._postings is None:
+            raise ValueError("fit() or load_artifacts() before fit_update()")
+        if check_disjoint:
+            from systems_spark.dedup.guards import ensure_disjoint_ids
+            ensure_disjoint_ids(
+                self._postings.select(F.col("_doc").alias(self.id_col)),
+                df, self.id_col, "BM25.fit_update")
+        self._postings = self._postings.unionByName(
+            self._tokenize_postings(df))
+        self._derive_stats()
         return self
 
     def search(self, queries: DataFrame, query_id_col: str = "query_id",

@@ -141,3 +141,52 @@ def test_min_idf_prune_keeps_surviving_term_scores(spark):
     full = sorted(map(tuple, bm.search(q, topk=30).collect()))
     assert pruned == stripped
     assert pruned != full  # the stopword really contributed before
+
+
+def test_fit_update_equals_scratch_fit(spark):
+    """Incremental index maintenance (r8): fit(corpus) + fit_update(batch)
+    must score every query identically to fit(corpus ∪ batch) — the
+    union of per-half tokenizations IS the whole-corpus tokenization, and
+    idf/avgdl re-derive from the merged postings."""
+    corpus = CORPUS[:3]
+    batch = CORPUS[3:]
+    docs_all = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    qs = spark.createDataFrame(
+        [(1, "hash join"), (2, "scan window")],
+        "query_id long, query_text string")
+    scratch = {(r.query_id, r.doc_id): (r.rank, r.score_micros)
+               for r in BM25().fit(docs_all).search(qs, topk=10).collect()}
+
+    inc = BM25().fit(spark.createDataFrame(corpus, "doc_id long, text string"))
+    inc.fit_update(spark.createDataFrame(batch, "doc_id long, text string"))
+    got = {(r.query_id, r.doc_id): (r.rank, r.score_micros)
+           for r in inc.search(qs, topk=10).collect()}
+    assert got == scratch
+
+
+def test_fit_update_rejects_reoffered_doc(spark):
+    import pytest
+
+    bm = BM25().fit(spark.createDataFrame(CORPUS, "doc_id long, text string"))
+    dup = spark.createDataFrame([(3, "new text for doc three")],
+                                "doc_id long, text string")
+    with pytest.raises(ValueError, match="disjoint"):
+        bm.fit_update(dup)
+    bm.fit_update(dup, check_disjoint=False)  # opt-out path still runs
+
+
+def test_with_postings_roundtrip(spark, tmp_path):
+    """with_postings over a parquet-persisted postings table serves
+    identically to the fitted index — the StateStore consumption shape."""
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    qs = spark.createDataFrame([(1, "hash join")],
+                               "query_id long, query_text string")
+    fitted = BM25().fit(docs)
+    want = {(r.doc_id): (r.rank, r.score_micros)
+            for r in fitted.search(qs).collect()}
+    path = str(tmp_path / "postings")
+    fitted._postings.write.parquet(path)
+    served = BM25().with_postings(spark.read.parquet(path))
+    got = {(r.doc_id): (r.rank, r.score_micros)
+           for r in served.search(qs).collect()}
+    assert got == want

@@ -931,3 +931,45 @@ def test_ann_ivf_pq_l2_and_deterministic(spark, tables):
     assert a == b
     firsts = {r[0]: r[1] for r in a if r[2] == 1}
     assert firsts == {i: i for i in range(8)}
+
+
+def test_ann_ivf_incremental_postings_equal_scratch(spark, tables):
+    """r8 incremental IVF: postings assigned batch-by-batch against a
+    PINNED quantizer union to exactly the from-scratch assignment, and
+    the search over them is bit-identical."""
+    from pyspark.sql import functions as F
+
+    from systems_spark.operators.ann import QueryANN
+
+    emb = tables["embeddings"].limit(400)
+    corpus = emb.where(F.col("vec_id") % 5 != 0)
+    batch = emb.where(F.col("vec_id") % 5 == 0)
+    op = QueryANN(corpus, item_id_col="vec_id", item_vec_col="embedding",
+                  query_vec_col="qvec", query_id_col="query_id", topk=5,
+                  metric="ip", strategy="ivf", n_cells=16, nprobe=4)
+    cents = op.ivf_quantizer().localCheckpoint()
+    op.with_centroids(cents)
+
+    inc = op.ivf_postings().unionByName(op.ivf_postings(batch))
+    scratch_op = QueryANN(emb, item_id_col="vec_id",
+                          item_vec_col="embedding", query_vec_col="qvec",
+                          query_id_col="query_id", topk=5, metric="ip",
+                          strategy="ivf", n_cells=16,
+                          nprobe=4).with_centroids(cents)
+    scratch = scratch_op.ivf_postings()
+    assert ({(r["_ann_id"], r["_cell"]) for r in inc.collect()}
+            == {(r["_ann_id"], r["_cell"]) for r in scratch.collect()})
+
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    got = {(r.query_id, r.ann_id, r.ann_rank)
+           for r in op.transform_ivf_postings(queries, inc).collect()}
+    want = {(r.query_id, r.ann_id, r.ann_rank)
+            for r in scratch_op.transform_ivf_postings(queries, scratch)
+            .collect()}
+    assert got == want
+    # and the pinned-quantizer path matches plain transform when the
+    # quantizer comes from the same item set
+    plain = {(r.query_id, r.ann_id, r.ann_rank)
+             for r in scratch_op.transform(queries).collect()}
+    assert want == plain

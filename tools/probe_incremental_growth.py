@@ -8,14 +8,20 @@ bucket joins, nearly independent of how large the standing corpus has
 grown. This probe measures exactly that, family by family:
 
 - the standing corpus is sf0.1 documents/embeddings SUBSAMPLED at 1× /
-  ~3× / ~10× (doc_id % k == 1 with k = 80 / 24 / 8 — growing corpus),
-  its signature/fingerprint state and labels pre-materialized through
-  the StateStore OUTSIDE the timed window;
-- the batch is FIXED (doc_id % 80 == 0 — the same docs at every corpus
+  ~4× / ~8× (doc_id % m == 1 with m = 16 / 4 / 2 — odd ids only, so it
+  never overlaps the batch), its signature/fingerprint state and labels
+  pre-materialized through the StateStore OUTSIDE the timed window;
+- the batch is FIXED (doc_id % 16 == 0 — the same docs at every corpus
   size);
-- the timed window is incremental_pairs(batch) → threshold →
-  incremental_components fold → noop write, i.e. only the work a daily
-  ingest pays.
+- the timed window is incremental_pairs(batch) → threshold → DELTA
+  PARQUET WRITE → incremental_components fold from the parquet read →
+  noop write, i.e. exactly the work a daily ingest pays. The delta
+  write inside the window is load-bearing twice over: production
+  persists the delta (it becomes tomorrow's standing pairs), and the
+  fold must consume a STORAGE READ, not live Arrow-kernel lineage — the
+  NOTES_r7 localCheckpoint/Catalyst pathology otherwise dominates the
+  measurement (first probe draft: simhash 12 s/batch over live lineage
+  vs ~2 s severed).
 
 Prints one JSON line per family:
 {"family": ..., "corpus_rows": [...], "batch_rows": N,
@@ -32,7 +38,7 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-MODS = (80, 24, 8)  # corpus = doc_id % m == 1 … growing ~1× / ~3.3× / ~10×
+MODS = (16, 4, 2)  # corpus = doc_id % m == 1 … growing ~1× / ~4× / ~8×
 
 
 def main():
@@ -53,10 +59,18 @@ def main():
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     store = StateStore()
+
+    def sever(df, name):
+        # timed-window delta persistence: plain overwrite (NOT marker-
+        # gated — every timed run must pay it, like production does)
+        path = f"/tmp/systems_spark_probe/{name}"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
     docs = e._t(spark, SF_DIR, "documents")
     emb = e._t(spark, SF_DIR, "embeddings")
-    batch_docs = docs.where(F.col("doc_id") % 80 == 0)
-    batch_emb = emb.where(F.col("vec_id") % 80 == 0)
+    batch_docs = docs.where(F.col("doc_id") % 16 == 0)
+    batch_emb = emb.where(F.col("vec_id") % 16 == 0)
 
     def corpus_docs(m):
         return docs.where(F.col("doc_id") % m == 1)
@@ -81,8 +95,10 @@ def main():
         def run():
             new_sigs = mh.signatures(batch_docs).where(
                 F.col("m0") != 2147483647)
-            delta = (mh.incremental_pairs(sigs, new_sigs)
-                     .where(F.col("n_equal") >= min_eq).select("a", "b"))
+            delta = sever(
+                mh.incremental_pairs(sigs, new_sigs)
+                .where(F.col("n_equal") >= min_eq).select("a", "b"),
+                f"mh-{m}")
             return incremental_components(labels, delta, check_labels=False)
         return run
 
@@ -100,7 +116,9 @@ def main():
 
         def run():
             new_sigs = op.signatures(batch_docs, nonempty_only=True)
-            delta = op.incremental_pairs(sigs, new_sigs).select("a", "b")
+            delta = sever(
+                op.incremental_pairs(sigs, new_sigs).select("a", "b"),
+                f"sh-{m}")
             return incremental_components(labels, delta, check_labels=False)
         return run
 
@@ -117,9 +135,11 @@ def main():
             f"probe-wn-labels:{m}")
 
         def run():
-            delta = winnow_incremental_pairs(
-                fps, batch_docs, k=_WINNOW["k"], w=_WINNOW["w"],
-                min_shared=_WINNOW["min_shared"])
+            delta = sever(
+                winnow_incremental_pairs(
+                    fps, batch_docs, k=_WINNOW["k"], w=_WINNOW["w"],
+                    min_shared=_WINNOW["min_shared"]),
+                f"wn-{m}")
             return incremental_components(
                 labels, delta, a_col="doc_a", b_col="doc_b",
                 check_labels=False)
@@ -135,7 +155,9 @@ def main():
             f"probe-emb-labels:{m}")
 
         def run():
-            delta = op.incremental_pairs(corpus, batch_emb).select("a", "b")
+            delta = sever(
+                op.incremental_pairs(corpus, batch_emb).select("a", "b"),
+                f"emb-{m}")
             return incremental_components(labels, delta, check_labels=False)
         return run
 
