@@ -121,6 +121,9 @@ BENCH_QUERIES = [
     # r6 additions
     "winnow_families",
     "winnow_incremental",
+    "bm25_incremental",
+    "ann_ivf_incremental",
+    "categorify_incremental",
     "hll_user_counts",
     "event_transitions",
     "last_touch_attribution",
@@ -185,6 +188,9 @@ def main() -> None:
         # not depend on the host timezone at all)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # bucketed scratch tables (state.py materialize_bucketed) land in
+        # the warehouse dir — keep them off the repo tree
+        .config("spark.sql.warehouse.dir", "/tmp/systems-spark-bench-warehouse")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()

@@ -205,6 +205,65 @@ class StateStore:
             raise IOError(
                 f"corrupted state commit marker at {path}: {e}") from e
 
+    def entries(self, spark: SparkSession) -> "list[dict]":
+        """Every committed state under this root: one dict per entry with
+        its manifest (tag, rows, checksum) plus the storage path — the
+        operational inventory a retention job sweeps over. Uncommitted
+        (aborted) directories are listed with ``manifest=None`` so they
+        can be reclaimed too."""
+        jvm = spark._jvm
+        root = jvm.org.apache.hadoop.fs.Path(self.root)
+        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(root):
+            return []
+        out = []
+        for status in fs.listStatus(root):
+            if not status.isDirectory():
+                continue
+            path = status.getPath().toString()
+            marker = jvm.org.apache.hadoop.fs.Path(f"{path}/{_MARKER}")
+            manifest = None
+            if fs.exists(marker):
+                try:
+                    manifest = json.loads(_fs_read_text(spark, f"{path}/{_MARKER}"))
+                except ValueError as e:
+                    raise IOError(
+                        f"corrupted state commit marker at {path}: {e}"
+                    ) from e
+            out.append({"path": path, "manifest": manifest,
+                        "modified_ms": int(status.getModificationTime())})
+        return sorted(out, key=lambda e: e["path"])
+
+    def sweep(self, spark: SparkSession,
+              keep_tags: "set[str] | None" = None,
+              older_than_ms: "int | None" = None) -> "list[str]":
+        """Reclaim state directories: everything whose manifest tag is NOT
+        in ``keep_tags`` (None = keep all committed), plus aborted
+        (marker-less) directories, optionally restricted to entries last
+        modified before ``older_than_ms`` (epoch millis — pass it in; the
+        store never reads the clock itself). Markers are deleted FIRST so
+        a concurrent reader never sees committed-but-vanishing data.
+        Returns the deleted paths."""
+        jvm = spark._jvm
+        deleted = []
+        for entry in self.entries(spark):
+            committed = entry["manifest"] is not None
+            keep = committed and (keep_tags is None
+                                  or entry["manifest"]["tag"] in keep_tags)
+            if keep:
+                continue
+            if older_than_ms is not None and entry["modified_ms"] >= older_than_ms:
+                continue
+            fs = jvm.org.apache.hadoop.fs.Path(entry["path"]).getFileSystem(
+                spark._jsc.hadoopConfiguration())
+            marker = jvm.org.apache.hadoop.fs.Path(
+                f"{entry['path']}/{_MARKER}")
+            if fs.exists(marker):
+                fs.delete(marker, False)
+            fs.delete(jvm.org.apache.hadoop.fs.Path(entry["path"]), True)
+            deleted.append(entry["path"])
+        return deleted
+
     def invalidate(self, spark: SparkSession, tag: str,
                    key: "str | None" = None) -> None:
         """Drop a tag's state (marker first, so a concurrent reader never

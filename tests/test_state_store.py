@@ -126,3 +126,24 @@ def test_thunk_never_invoked_on_marker_hit(spark, store):
     assert len(calls) == 1
     with pytest.raises(ValueError, match="requires spark="):
         store.materialize(lambda: spark.range(1), "t8")
+
+
+def test_entries_and_sweep(spark, store):
+    store.materialize(spark.range(3), "keep-me")
+    store.materialize(spark.range(5), "drop-me")
+    # an aborted attempt: data, no marker
+    spark.range(9).write.parquet(store._path(spark, "aborted", None))
+    ents = store.entries(spark)
+    assert len(ents) == 3
+    tags = sorted(e["manifest"]["tag"] for e in ents if e["manifest"])
+    assert tags == ["drop-me", "keep-me"]
+    assert sum(1 for e in ents if e["manifest"] is None) == 1
+
+    deleted = store.sweep(spark, keep_tags={"keep-me"})
+    assert len(deleted) == 2  # drop-me + the aborted dir
+    left = store.entries(spark)
+    assert [e["manifest"]["tag"] for e in left] == ["keep-me"]
+    assert store.materialize(spark.range(0), "keep-me").count() == 3
+
+    # age-restricted sweep: nothing is old enough -> nothing deleted
+    assert store.sweep(spark, keep_tags=set(), older_than_ms=1) == []
