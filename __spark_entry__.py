@@ -1055,6 +1055,85 @@ QUALIFY ann_rank <= 5
 """
 
 
+def _cdc_changes(spark, sf_dir):
+    """Deterministic change batch over the orders snapshot split: batch
+    keys (o_orderkey % 8 == 0) carry a seq-1 op by key (% 24 == 0 →
+    delete, % 16 == 0 → update with bumped price, else insert), and
+    every fifth batch key ALSO carries a seq-2 update (doubled price) —
+    exercising last-op-wins over multi-change keys, deletes of present
+    AND absent keys, and inserts over present keys."""
+    orders = _t(spark, sf_dir, "orders")
+    batch = orders.where(F.col("o_orderkey") % 8 == 0) \
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    c1 = batch.select(
+        "*", F.lit(1).alias("seq"),
+        F.when(F.col("o_orderkey") % 24 == 0, F.lit("delete"))
+        .when(F.col("o_orderkey") % 16 == 0, F.lit("update"))
+        .otherwise(F.lit("insert")).alias("op"),
+    ).withColumn(
+        "o_totalprice",
+        F.when(F.col("op") == "update",
+               F.col("o_totalprice") + 1).otherwise(F.col("o_totalprice")))
+    c2 = (batch.where(F.col("o_orderkey") % 40 == 0)
+          .select("o_orderkey", "o_custkey", "o_orderstatus",
+                  (F.col("o_totalprice") * 2).alias("o_totalprice"),
+                  F.lit(2).alias("seq"), F.lit("update").alias("op")))
+    return c1.unionByName(c2)
+
+
+def q_orders_cdc_apply(spark, sf_dir):
+    """CDC MERGE (operators/cdc.py apply_cdc) — the lakehouse upsert
+    primitive as a declarative plan: the standing snapshot (o_orderkey %
+    8 != 0) absorbs a change batch with per-key sequence numbers;
+    last-op-wins (a seq-2 update overrides the seq-1 op), deletes drop
+    present keys and no-op absent ones, inserts/updates upsert. One
+    batch window + one key anti-join; the snapshot is never shuffled
+    when the touched-key set broadcasts. Oracle = the same window +
+    NOT-EXISTS pass-through in SQL."""
+    from systems_spark.operators import apply_cdc
+
+    orders = _t(spark, sf_dir, "orders")
+    snapshot = orders.where(F.col("o_orderkey") % 8 != 0) \
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    merged = apply_cdc(snapshot, _cdc_changes(spark, sf_dir), "o_orderkey")
+    return (merged.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .alias("total_price"),
+                 F.sum(F.col("o_orderkey").cast("decimal(38,0)"))
+                 .alias("key_checksum")))
+
+
+def _sql_orders_cdc_apply() -> str:
+    from systems_spark.operators import apply_cdc_sql
+
+    changes = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN op = 'update' THEN o_totalprice + 1 ELSE o_totalprice END
+         AS o_totalprice,
+       1 AS seq, op
+FROM (SELECT *, CASE WHEN o_orderkey % 24 = 0 THEN 'delete'
+                     WHEN o_orderkey % 16 = 0 THEN 'update'
+                     ELSE 'insert' END AS op
+      FROM orders WHERE o_orderkey % 8 = 0)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2,
+       2 AS seq, 'update' AS op
+FROM orders WHERE o_orderkey % 40 = 0
+"""
+    merged = apply_cdc_sql(
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice "
+        "FROM orders WHERE o_orderkey % 8 <> 0",
+        changes, "o_orderkey",
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"])
+    return f"""
+SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+       sum(o_totalprice)::DECIMAL(18,2) AS total_price,
+       sum(o_orderkey::HUGEINT)::DECIMAL(38,0) AS key_checksum
+FROM ({merged}) GROUP BY 1
+"""
+
+
 def q_categorify_incremental(spark, sf_dir):
     """Incremental vocabulary growth (Categorify.fit_update) as an
     end-to-end STATE lane: the standing vocab (fit on o_orderkey % 8
@@ -6499,6 +6578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_incremental": q_bm25_incremental,
         "ann_ivf_incremental": q_ann_ivf_incremental,
         "categorify_incremental": q_categorify_incremental,
+        "orders_cdc_apply": q_orders_cdc_apply,
         # --- r4 session-3 corpus-curation lanes (locally oracle-checked
         # via test_oracle_parity; appended after 50 per the name-stable
         # window rule) ---
@@ -6729,6 +6809,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_incremental": _sql_bm25_search(),
         "ann_ivf_incremental": _SQL_ANN_IVF_INCREMENTAL,
         "categorify_incremental": _SQL_CATEGORIFY_INCREMENTAL,
+        "orders_cdc_apply": _sql_orders_cdc_apply(),
         "pii_redact": _sql_pii_redact(),
         "k_anonymity": _sql_k_anonymity(),
         "order_survival": _sql_order_survival(),

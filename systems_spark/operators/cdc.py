@@ -1,0 +1,113 @@
+"""Change-data-capture merge — MERGE INTO semantics on plain DataFrames.
+
+The lakehouse upsert primitive Spark lacks without a table format: given
+a SNAPSHOT and a batch of CHANGES (insert/update/delete rows carrying a
+sequence number), produce the next snapshot. Delta/Iceberg/Hudi each
+ship this as `MERGE INTO`; here it is the declarative three-step plan:
+
+1. collapse the change batch to its LAST operation per key (one window
+   over the CHANGES — batch-sized, never snapshot-sized);
+2. untouched snapshot rows pass through an ANTI join on the touched
+   keys (AQE broadcasts the batch-derived key set when it is small —
+   the daily-ingest case — so the snapshot is never shuffled);
+3. surviving last-ops (insert/update) append their payloads; deletes
+   simply emit nothing.
+
+Semantics (the Debezium/Hudi convention):
+
+- ``op_col`` ∈ {insert, update, delete} — insert and update are both
+  "upsert" (an update for an absent key inserts it; an insert over a
+  present key replaces it), delete removes the key and is a no-op for
+  absent keys;
+- ``seq_col`` orders multiple changes to one key within the batch; only
+  the LAST wins — an update followed by a delete deletes, a delete
+  followed by an insert re-inserts with the new payload;
+- (key, seq) must be unique — a tie would make "last" nondeterministic,
+  so it raises by default (``check_unique_seq=False`` to skip the one
+  batch-sized aggregation when uniqueness is guaranteed upstream).
+
+At 100 TB: cost is one batch window + one key anti-join per merge —
+proportional to the CHANGE batch, plus a snapshot pass-through that
+never exchanges when the key set broadcasts. Chain per micro-batch with
+``streaming/sinks.IdempotentParquetSink`` for an exactly-once CDC
+pipeline on plain parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["apply_cdc", "apply_cdc_sql"]
+
+_OPS = ("insert", "update", "delete")
+
+
+def apply_cdc(snapshot: DataFrame, changes: DataFrame, key_cols,
+              seq_col: str = "seq", op_col: str = "op",
+              check_unique_seq: bool = True) -> DataFrame:
+    """Next snapshot after applying ``changes`` to ``snapshot``.
+
+    ``changes`` carries the snapshot's payload columns plus ``seq_col``
+    and ``op_col``; the result has exactly the snapshot's columns."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if not key_cols:
+        raise ValueError("key_cols must not be empty")
+    payload = [c for c in snapshot.columns]
+    missing = [c for c in payload + [seq_col, op_col]
+               if c not in changes.columns]
+    if missing:
+        raise ValueError(f"changes is missing columns: {missing}")
+    if check_unique_seq:
+        dup = (changes.groupBy(*key_cols, seq_col)
+               .agg(F.count(F.lit(1)).alias("_n"))
+               .where(F.col("_n") > 1).limit(3).collect())
+        if dup:
+            keys = [tuple(r[c] for c in key_cols + [seq_col]) for r in dup]
+            raise ValueError(
+                f"apply_cdc: (key, {seq_col}) must be unique within a "
+                f"change batch — 'last change wins' is nondeterministic "
+                f"under ties. Duplicated sample: {keys}")
+
+    w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+    last = (changes
+            .withColumn("_cdc_rn", F.row_number().over(w))
+            .where(F.col("_cdc_rn") == 1))
+    # op validation folded into the projection (no extra job): an unknown
+    # op becomes an explicit runtime error, not a silent drop
+    op_checked = F.when(F.col(op_col).isin(*_OPS), F.col(op_col)) \
+        .otherwise(F.raise_error(F.concat(
+            F.lit(f"apply_cdc: unknown {op_col} value: "), F.col(op_col))))
+    last = last.withColumn(op_col, op_checked)
+
+    touched = last.select(*key_cols)
+    untouched = snapshot.join(touched, on=key_cols, how="anti")
+    upserts = (last.where(F.col(op_col) != "delete")
+               .select(*payload))
+    return untouched.unionByName(upserts)
+
+
+def apply_cdc_sql(snapshot_sql: str, changes_sql: str, key_cols,
+                  payload_cols, seq_col: str = "seq",
+                  op_col: str = "op") -> str:
+    """DuckDB twin of :func:`apply_cdc` — same last-op-per-key window,
+    anti pass-through, and delete filtering."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    payload_cols = list(payload_cols)
+    keys = ", ".join(key_cols)
+    cols = ", ".join(payload_cols)
+    on = " AND ".join(f"s.{c} = t.{c}" for c in key_cols)
+    return f"""
+WITH snap AS ({snapshot_sql}), chg AS ({changes_sql}),
+last AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY {keys} ORDER BY {seq_col} DESC) AS _cdc_rn
+    FROM chg
+  ) WHERE _cdc_rn = 1
+)
+SELECT {cols} FROM snap s
+WHERE NOT EXISTS (SELECT 1 FROM last t WHERE {on})
+UNION ALL
+SELECT {cols} FROM last WHERE {op_col} <> 'delete'
+"""
