@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["apply_cdc", "apply_cdc_sql"]
+__all__ = ["apply_cdc", "apply_cdc_sql", "merge_cdc_fenced"]
 
 _OPS = ("insert", "update", "delete")
 
@@ -85,6 +85,54 @@ def apply_cdc(snapshot: DataFrame, changes: DataFrame, key_cols,
     upserts = (last.where(F.col(op_col) != "delete")
                .select(*payload))
     return untouched.unionByName(upserts)
+
+
+def merge_cdc_fenced(snapshot: DataFrame, changes: DataFrame, key_cols,
+                     seq_col: str = "seq", op_col: str = "op",
+                     deleted_col: str = "_cdc_deleted") -> DataFrame:
+    """Sequence-FENCED merge — the order-tolerant CDC step (Hudi's
+    precombine / Debezium consumer semantics): the snapshot carries per
+    row the ``seq_col`` it was last written at plus a ``deleted_col``
+    TOMBSTONE flag, and a change applies only if its seq is GREATER than
+    the snapshot row's — so a stale or replayed batch is a per-key
+    no-op, batches may arrive out of order, and a delete's tombstone
+    blocks a late stale update from resurrecting the key. Equal seq
+    keeps the snapshot row (idempotent replay of the already-applied
+    change).
+
+    ``snapshot``: payload + ``seq_col`` + ``deleted_col``. ``changes``:
+    payload + ``seq_col`` + ``op_col``. Returns the next snapshot in the
+    same snapshot schema (tombstones retained — compact them out only
+    once no older change can still arrive; ``CdcTable.current`` hides
+    them from readers).
+
+    Plan: one window over the CHANGE batch, untouched snapshot rows
+    anti-join through, touched keys resolve via a key-outer join whose
+    both sides are batch-key-sized — the snapshot is never shuffled
+    beyond the (broadcastable) touched-key joins."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    payload = [c for c in snapshot.columns
+               if c not in (seq_col, deleted_col)]
+    w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+    last = (changes
+            .withColumn("_cdc_rn", F.row_number().over(w))
+            .where(F.col("_cdc_rn") == 1)
+            .select(*payload, seq_col,
+                    (F.col(op_col) == "delete").alias(deleted_col)))
+    touched = last.select(*key_cols)
+    untouched = snapshot.join(touched, on=key_cols, how="anti")
+    snap_touched = snapshot.join(touched, on=key_cols, how="semi")
+    s, c = snap_touched.alias("S"), last.alias("C")
+    joined = s.join(
+        c, on=[F.col(f"S.{k}").eqNullSafe(F.col(f"C.{k}")) for k in key_cols],
+        how="full")
+    # change wins iff the snapshot row is absent or strictly older
+    take_c = F.col(f"S.{seq_col}").isNull() | \
+        (F.col(f"C.{seq_col}") > F.col(f"S.{seq_col}"))
+    resolved = joined.select(*[
+        F.when(take_c, F.col(f"C.{col}")).otherwise(F.col(f"S.{col}"))
+        .alias(col) for col in payload + [seq_col, deleted_col]])
+    return untouched.unionByName(resolved)
 
 
 def apply_cdc_sql(snapshot_sql: str, changes_sql: str, key_cols,

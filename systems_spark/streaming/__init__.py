@@ -28,7 +28,8 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from systems_spark.streaming.sinks import IdempotentParquetSink  # noqa: F401
+from systems_spark.streaming.sinks import (CdcTable,  # noqa: F401
+                                           IdempotentParquetSink)
 from systems_spark.streaming.stateful import (  # noqa: F401
     RunningAggregator,
     StreamingFunnel,

@@ -144,3 +144,124 @@ class IdempotentParquetSink:
         # only the committed partition dirs are listed
         return (spark.read.option("basePath", self.path)
                 .parquet(*[self._data_path(b) for b in bids]))
+
+
+class CdcTable:
+    """A mini MERGE table on plain parquet: versioned snapshots, seq-fenced
+    merges, tombstones, exactly-once ``foreachBatch`` ingestion.
+
+    The Delta/Hudi/Iceberg capability rebuilt from the repo's own
+    primitives: each committed VERSION is a full snapshot directory under
+    ``path/version=N`` with a commit marker written last (the
+    ``IdempotentParquetSink`` txn discipline), and each merge applies a
+    change batch through :func:`~systems_spark.operators.cdc.merge_cdc_fenced`
+    — so a replayed micro-batch is a directory-level no-op, a STALE or
+    out-of-order batch is a per-key no-op (sequence fencing), and a
+    delete's tombstone blocks late resurrections. Readers see only
+    committed versions; ``current()`` is the live (non-tombstoned) view.
+
+    >>> table = CdcTable("/data/orders_cdc", key_cols=["k"], app_id="cdc1")
+    >>> table.initialize(seed_df)               # version -1, seq 0
+    >>> q = (changes.writeStream.foreachBatch(table)
+    ...      .option("checkpointLocation", ckpt).start())
+    >>> live = table.current(spark)
+
+    Snapshot-per-version keeps reads trivial (one directory) at the cost
+    of rewriting the snapshot per merge; at lake scale the same fenced
+    merge writes only touched partitions — the fencing/tombstone/marker
+    semantics are identical, which is what the tests pin down."""
+
+    DELETED = "_cdc_deleted"
+
+    def __init__(self, path: str, key_cols, app_id: str,
+                 seq_col: str = "seq", op_col: str = "op"):
+        if not app_id or "/" in app_id:
+            raise ValueError("app_id must be a non-empty path-safe string")
+        self.path = path.rstrip("/")
+        self.key_cols = ([key_cols] if isinstance(key_cols, str)
+                         else list(key_cols))
+        self.app_id = app_id
+        self.seq_col = seq_col
+        self.op_col = op_col
+
+    # -- version bookkeeping (marker discipline shared with the sink) -----
+    def _marker_path(self, version: int) -> str:
+        return f"{self.path}/{_COMMIT_DIR}/{self.app_id}__v{int(version)}.json"
+
+    def _data_path(self, version: int) -> str:
+        return f"{self.path}/version={int(version)}"
+
+    def _fs(self, spark: SparkSession, path: str):
+        p = spark._jvm.org.apache.hadoop.fs.Path(path)
+        return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+    def versions(self, spark: SparkSession) -> "list[int]":
+        fs, d = self._fs(spark, f"{self.path}/{_COMMIT_DIR}")
+        if not fs.exists(d):
+            return []
+        prefix = self.app_id + "__v"
+        out = []
+        for status in fs.listStatus(d):
+            name = status.getPath().getName()
+            if not (name.startswith(prefix) and name.endswith(".json")):
+                continue
+            stem = name[len(prefix):-len(".json")]
+            try:
+                out.append(int(stem))
+            except ValueError:
+                continue
+        return sorted(out)
+
+    def _commit(self, spark: SparkSession, df: DataFrame,
+                version: int) -> None:
+        target = self._data_path(version)
+        df.write.mode("overwrite").parquet(target)
+        written = spark.read.parquet(target)
+        row = written.agg(F.count(F.lit(1)).alias("rows")).collect()[0]
+        from systems_spark.state import fs_write_text_atomic
+        fs_write_text_atomic(
+            spark, self._marker_path(version),
+            json.dumps({"app_id": self.app_id, "version": int(version),
+                        "rows": int(row["rows"])}, sort_keys=True))
+
+    # -- lifecycle -----------------------------------------------------------
+    def initialize(self, seed: DataFrame, seq: int = 0) -> None:
+        """Seed version -1 from a plain payload frame (idempotent: a
+        second initialize against an initialized table is a no-op)."""
+        spark = seed.sparkSession
+        fs, m = self._fs(spark, self._marker_path(-1))
+        if fs.exists(m):
+            return
+        snap = (seed.withColumn(self.seq_col, F.lit(int(seq)).cast("long"))
+                .withColumn(self.DELETED, F.lit(False)))
+        self._commit(spark, snap, -1)
+
+    def snapshot(self, spark: SparkSession) -> DataFrame:
+        """Latest committed snapshot INCLUDING tombstones + seq column."""
+        vs = self.versions(spark)
+        if not vs:
+            raise ValueError("CdcTable.initialize before reading")
+        return spark.read.parquet(self._data_path(vs[-1]))
+
+    def current(self, spark: SparkSession) -> DataFrame:
+        """The live view: tombstones hidden, bookkeeping columns dropped."""
+        return (self.snapshot(spark)
+                .where(~F.col(self.DELETED))
+                .drop(self.seq_col, self.DELETED))
+
+    # -- the foreachBatch entry point ----------------------------------------
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from systems_spark.operators.cdc import merge_cdc_fenced
+
+        spark = batch_df.sparkSession
+        fs, m = self._fs(spark, self._marker_path(batch_id))
+        if fs.exists(m):
+            return  # replayed epoch: this version already committed
+        snap = self.snapshot(spark)
+        # the snapshot stores its applied seq under seq_col itself, so
+        # both merge inputs speak one column name
+        merged = merge_cdc_fenced(
+            snap, batch_df, self.key_cols,
+            seq_col=self.seq_col, op_col=self.op_col,
+            deleted_col=self.DELETED)
+        self._commit(spark, merged, batch_id)
