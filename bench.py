@@ -124,6 +124,8 @@ BENCH_QUERIES = [
     "bm25_incremental",
     "ann_ivf_incremental",
     "categorify_incremental",
+    "orders_cdc_apply",
+    "streaming_cdc",
     "hll_user_counts",
     "event_transitions",
     "last_touch_attribution",

@@ -265,3 +265,38 @@ class CdcTable:
             seq_col=self.seq_col, op_col=self.op_col,
             deleted_col=self.DELETED)
         self._commit(spark, merged, batch_id)
+
+    # -- operations ------------------------------------------------------------
+    def at_version(self, spark: SparkSession, version: int) -> DataFrame:
+        """Time-travel read: the committed snapshot at ``version``
+        (bookkeeping columns included, like ``snapshot()``)."""
+        if version not in self.versions(spark):
+            raise ValueError(f"version {version} is not committed")
+        return spark.read.parquet(self._data_path(version))
+
+    def history(self, spark: SparkSession) -> "list[dict]":
+        """Commit manifests, oldest first — the audit trail."""
+        out = []
+        for v in self.versions(spark):
+            fs, p = self._fs(spark, self._marker_path(v))
+            out.append(json.loads(_fs_read_text(spark, p.toString())))
+        return out
+
+    def vacuum(self, spark: SparkSession, keep_last: int = 2) -> "list[int]":
+        """Drop all but the newest ``keep_last`` committed versions —
+        the disk-growth control for snapshot-per-version layouts. Markers
+        are deleted FIRST so a concurrent reader never resolves a
+        committed-but-vanishing version; the latest version is never
+        eligible. Returns the dropped version numbers. (Tombstone
+        compaction is deliberately NOT offered while a stream may still
+        deliver stale seqs — a pruned tombstone un-fences its key.)"""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        vs = self.versions(spark)
+        drop = vs[:-keep_last] if keep_last < len(vs) else []
+        for v in drop:
+            fs, m = self._fs(spark, self._marker_path(v))
+            fs.delete(m, False)
+            _, d = self._fs(spark, self._data_path(v))
+            fs.delete(d, True)
+        return drop

@@ -132,3 +132,27 @@ def test_uninitialized_table_raises(spark, tmp_path):
     table = CdcTable(str(tmp_path / "t"), key_cols="k", app_id="t2")
     with pytest.raises(ValueError, match="initialize"):
         table.current(spark)
+
+
+def test_at_version_history_vacuum(spark, tmp_path):
+    table = CdcTable(str(tmp_path / "t"), key_cols="k", app_id="t3")
+    table.initialize(spark.createDataFrame([(1, "a", 10)], PAY))
+    table(_ch(spark, [(2, "b", 20, 1, "insert")]), 0)
+    table(_ch(spark, [(1, "a1", 11, 2, "update")]), 1)
+    assert table.versions(spark) == [-1, 0, 1]
+    # time travel: version 0 has key 2 but not the key-1 update
+    v0 = {tuple(r) for r in table.at_version(spark, 0)
+          .select("k", "s", "v").collect()}
+    assert v0 == {(1, "a", 10), (2, "b", 20)}
+    hist = table.history(spark)
+    assert [h["version"] for h in hist] == [-1, 0, 1]
+    assert all(h["rows"] >= 1 for h in hist)
+
+    assert table.vacuum(spark, keep_last=1) == [-1, 0]
+    assert table.versions(spark) == [1]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="not committed"):
+        table.at_version(spark, 0)
+    # live view unaffected
+    assert sorted(tuple(r) for r in table.current(spark).collect()) == \
+        [(1, "a1", 11), (2, "b", 20)]
