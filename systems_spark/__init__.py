@@ -23,6 +23,7 @@ This package re-expresses every one of those capabilities Spark-first:
 from systems_spark.schema import ColumnSchema, Schema, Tags
 from systems_spark.pipeline import Pipeline
 from systems_spark.operators.base import Operator
+from systems_spark.state import StateStore
 
 __version__ = "0.1.0"
 
@@ -32,4 +33,5 @@ __all__ = [
     "Tags",
     "Pipeline",
     "Operator",
+    "StateStore",
 ]

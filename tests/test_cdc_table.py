@@ -156,3 +156,43 @@ def test_at_version_history_vacuum(spark, tmp_path):
     # live view unaffected
     assert sorted(tuple(r) for r in table.current(spark).collect()) == \
         [(1, "a1", 11), (2, "b", 20)]
+
+
+def test_fenced_merge_random_property(spark):
+    """Property: for ANY change set (unique (key, seq)) split into ANY
+    batches applied in ANY order, the fenced merge converges to the
+    global winner-per-key state computed by a pure-Python reference."""
+    import random
+
+    rng = random.Random(11)
+    for trial in range(4):
+        n_keys = rng.randint(3, 8)
+        changes = []
+        seq = 0
+        for _ in range(rng.randint(5, 25)):
+            seq += 1
+            k = rng.randrange(n_keys)
+            op = rng.choice(["insert", "update", "delete"])
+            changes.append((k, f"s{seq}", seq * 10, seq, op))
+        # python reference: per key, the max-seq change wins over seed
+        seed = [(k, "seed", k, 0, False) for k in range(0, n_keys, 2)]
+        winner = {k: (s, v, q, False) for k, s, v, q, _d in seed}
+        for k, s, v, q, op in changes:
+            cur = winner.get(k)
+            if cur is None or q > cur[2]:
+                winner[k] = (s, v, q, op == "delete")
+        want = sorted((k, s, v, q) for k, (s, v, q, d) in winner.items()
+                      if not d)
+
+        # spark: random batch split, random application order
+        rng.shuffle(changes)
+        cuts = sorted(rng.sample(range(1, len(changes)), min(3, len(changes) - 1))) \
+            if len(changes) > 1 else []
+        batches = [changes[a:b] for a, b in
+                   zip([0] + cuts, cuts + [len(changes)])]
+        rng.shuffle(batches)
+        snap = _snap(spark, seed)
+        for b in batches:
+            if b:
+                snap = merge_cdc_fenced(snap, _ch(spark, b), "k")
+        assert _live(snap) == want, f"trial {trial}"
