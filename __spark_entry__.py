@@ -1134,6 +1134,48 @@ FROM ({merged}) GROUP BY 1
 """
 
 
+def q_part_scc(spark, sf_dir):
+    """Strongly connected components (operators/scc.py, Orzan-style
+    forward coloring + in-class forward confirmation) over the DIRECTED
+    part-transition graph: per customer, purchases ordered by
+    (orderdate, orderkey, partkey) yield lag(part) → part edges — the
+    next-item graph — and an SCC is a set of mutually-reachable
+    (substitutable-in-rotation) parts, the structure undirected CC
+    cannot see (a one-way bridge must NOT merge two cycles). Labels are
+    the SCC-min part id — a graph property, not an algorithm artifact —
+    so the iterative settle is graded bit-for-bit against the recursive
+    mutual-reachability CTE."""
+    from systems_spark.operators.scc import strongly_connected_components
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    seq = li.join(o, li.l_orderkey == o.o_orderkey)
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey", "l_partkey")
+    edges = (seq.select(F.lag("l_partkey").over(w).alias("src"),
+                        F.col("l_partkey").alias("dst"))
+             .where(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+             .distinct())
+    return strongly_connected_components(
+        edges, node_col="part_id", component_col="scc_id")
+
+
+def _sql_part_scc() -> str:
+    from systems_spark.operators.scc import scc_sql
+
+    edges = """
+SELECT DISTINCT src, dst FROM (
+  SELECT lag(l_partkey) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey, l_partkey) AS src,
+         l_partkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+) WHERE src IS NOT NULL AND src <> dst
+"""
+    return scc_sql(edges, node_col="part_id", component_col="scc_id")
+
+
 def q_streaming_cdc(spark, sf_dir):
     """Streaming CDC MERGE, driver-graded — the EIGHTH real
     StreamingQuery: the change feed replays as a bounded file stream
@@ -6642,6 +6684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "categorify_incremental": q_categorify_incremental,
         "orders_cdc_apply": q_orders_cdc_apply,
         "streaming_cdc": q_streaming_cdc,
+        "part_scc": q_part_scc,
         # --- r4 session-3 corpus-curation lanes (locally oracle-checked
         # via test_oracle_parity; appended after 50 per the name-stable
         # window rule) ---
@@ -6875,6 +6918,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_cdc_apply": _sql_orders_cdc_apply(),
         # the streaming MERGE must land exactly the batch merge's state
         "streaming_cdc": _sql_orders_cdc_apply(),
+        "part_scc": _sql_part_scc(),
         "pii_redact": _sql_pii_redact(),
         "k_anonymity": _sql_k_anonymity(),
         "order_survival": _sql_order_survival(),

@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "categorify_incremental",
     "orders_cdc_apply",
     "streaming_cdc",
+    "part_scc",
     "hll_user_counts",
     "event_transitions",
     "last_touch_attribution",
