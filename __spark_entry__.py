@@ -1134,6 +1134,37 @@ FROM ({merged}) GROUP BY 1
 """
 
 
+def q_events_resampled(spark, sf_dir):
+    """Time-grid resampling with forward fill (operators/resample.py) —
+    the point-in-time feature matrix: per sampled user, the HOURLY grid
+    over that user's own activity span, carrying the latest event value
+    forward (values copied bit-exactly, never recomputed) and nulled
+    past a 6-hour staleness bound — stale features must read as absent,
+    not as fabricated freshness. One per-key ordered window over
+    grid ∪ observations; event_id breaks equal-timestamp ties."""
+    from systems_spark.operators import resample_ffill
+
+    hour_us = 3_600_000_000
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("user_id") % 10 == 0)
+          .select("user_id", F.expr("ts div 1000").alias("ts_us"),
+                  "value", "event_id"))
+    return resample_ffill(ev, "user_id", "ts_us", ["value"],
+                          step=hour_us, tiebreak_cols=["event_id"],
+                          max_staleness=6 * hour_us)
+
+
+def _sql_events_resampled() -> str:
+    from systems_spark.operators import resample_ffill_sql
+
+    hour_us = 3_600_000_000
+    return resample_ffill_sql(
+        "SELECT user_id, epoch_us(ts) AS ts_us, value, event_id "
+        "FROM events WHERE user_id % 10 = 0",
+        "user_id", "ts_us", ["value"], step=hour_us,
+        tiebreak_cols=["event_id"], max_staleness=6 * hour_us)
+
+
 def q_part_scc(spark, sf_dir):
     """Strongly connected components (operators/scc.py, Orzan-style
     forward coloring + in-class forward confirmation) over the DIRECTED
@@ -6685,6 +6716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cdc_apply": q_orders_cdc_apply,
         "streaming_cdc": q_streaming_cdc,
         "part_scc": q_part_scc,
+        "events_resampled": q_events_resampled,
         # --- r4 session-3 corpus-curation lanes (locally oracle-checked
         # via test_oracle_parity; appended after 50 per the name-stable
         # window rule) ---
@@ -6919,6 +6951,7 @@ def oracle_sql() -> dict[str, str]:
         # the streaming MERGE must land exactly the batch merge's state
         "streaming_cdc": _sql_orders_cdc_apply(),
         "part_scc": _sql_part_scc(),
+        "events_resampled": _sql_events_resampled(),
         "pii_redact": _sql_pii_redact(),
         "k_anonymity": _sql_k_anonymity(),
         "order_survival": _sql_order_survival(),

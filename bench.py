@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "orders_cdc_apply",
     "streaming_cdc",
     "part_scc",
+    "events_resampled",
     "hll_user_counts",
     "event_transitions",
     "last_touch_attribution",

@@ -44,6 +44,7 @@ from systems_spark.operators.funnel import funnel, funnel_summary
 from systems_spark.operators.bloom_join import bloom_prefilter, bloom_prefilter_join
 from systems_spark.operators.linkage import fellegi_sunter_scores, fellegi_sunter_sql
 from systems_spark.operators.cdc import apply_cdc, apply_cdc_sql
+from systems_spark.operators.resample import resample_ffill, resample_ffill_sql
 from systems_spark.operators.tablediff import table_diff, table_diff_sql
 from systems_spark.operators.survival import kaplan_meier, kaplan_meier_sql
 from systems_spark.operators.pca import (
@@ -57,6 +58,8 @@ __all__ = [
     "fellegi_sunter_sql",
     "apply_cdc",
     "apply_cdc_sql",
+    "resample_ffill",
+    "resample_ffill_sql",
     "table_diff",
     "table_diff_sql",
     "kaplan_meier",
