@@ -1134,6 +1134,35 @@ FROM ({merged}) GROUP BY 1
 """
 
 
+def q_feature_scores(spark, sf_dir):
+    """Feature–label association scoring (functions/association.py) —
+    the feature-selection stage: χ² (exact integer micros via the
+    expanded contingency form) and mutual information (micro-nats, the
+    idf rounded-log discipline) of three lineitem features against the
+    returnflag label, ALL scored in one melted pass (one posexplode +
+    two map-side-combined aggs — never one scan per feature)."""
+    from systems_spark.functions.association import feature_association
+
+    li = (_t(spark, sf_dir, "lineitem")
+          .select("l_returnflag", "l_linestatus",
+                  F.floor(F.col("l_quantity") / 10).cast("long")
+                  .alias("qty_band"),
+                  F.round(F.col("l_discount") * 100).cast("long")
+                  .alias("disc_band")))
+    return feature_association(
+        li, ["l_linestatus", "qty_band", "disc_band"], "l_returnflag")
+
+
+def _sql_feature_scores() -> str:
+    from systems_spark.functions.association import feature_association_sql
+
+    return feature_association_sql(
+        "SELECT l_returnflag, l_linestatus, "
+        "floor(l_quantity / 10)::BIGINT AS qty_band, "
+        "round(l_discount * 100)::BIGINT AS disc_band FROM lineitem",
+        ["l_linestatus", "qty_band", "disc_band"], "l_returnflag")
+
+
 def q_events_resampled(spark, sf_dir):
     """Time-grid resampling with forward fill (operators/resample.py) —
     the point-in-time feature matrix: per sampled user, the HOURLY grid
@@ -6717,6 +6746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cdc": q_streaming_cdc,
         "part_scc": q_part_scc,
         "events_resampled": q_events_resampled,
+        "feature_scores": q_feature_scores,
         # --- r4 session-3 corpus-curation lanes (locally oracle-checked
         # via test_oracle_parity; appended after 50 per the name-stable
         # window rule) ---
@@ -6952,6 +6982,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_cdc": _sql_orders_cdc_apply(),
         "part_scc": _sql_part_scc(),
         "events_resampled": _sql_events_resampled(),
+        "feature_scores": _sql_feature_scores(),
         "pii_redact": _sql_pii_redact(),
         "k_anonymity": _sql_k_anonymity(),
         "order_survival": _sql_order_survival(),

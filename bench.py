@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "streaming_cdc",
     "part_scc",
     "events_resampled",
+    "feature_scores",
     "hll_user_counts",
     "event_transitions",
     "last_touch_attribution",
