@@ -43,6 +43,15 @@ __all__ = ["apply_cdc", "apply_cdc_sql", "merge_cdc_fenced"]
 _OPS = ("insert", "update", "delete")
 
 
+def _op_checked(op_col: str, what: str):
+    """An unknown op value becomes an explicit execution-time error,
+    never a silent drop or a silent upsert."""
+    return (F.when(F.col(op_col).isin(*_OPS), F.col(op_col))
+            .otherwise(F.raise_error(F.concat(
+                F.lit(f"{what}: unknown {op_col} value: "),
+                F.col(op_col)))))
+
+
 def apply_cdc(snapshot: DataFrame, changes: DataFrame, key_cols,
               seq_col: str = "seq", op_col: str = "op",
               check_unique_seq: bool = True) -> DataFrame:
@@ -69,16 +78,14 @@ def apply_cdc(snapshot: DataFrame, changes: DataFrame, key_cols,
                 f"change batch — 'last change wins' is nondeterministic "
                 f"under ties. Duplicated sample: {keys}")
 
+    # op validation folded into the projection (no extra job), applied to
+    # EVERY change — a garbage op must raise even when a later seq
+    # supersedes it (silent acceptance would hide producer bugs)
+    changes = changes.withColumn(op_col, _op_checked(op_col, "apply_cdc"))
     w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
     last = (changes
             .withColumn("_cdc_rn", F.row_number().over(w))
             .where(F.col("_cdc_rn") == 1))
-    # op validation folded into the projection (no extra job): an unknown
-    # op becomes an explicit runtime error, not a silent drop
-    op_checked = F.when(F.col(op_col).isin(*_OPS), F.col(op_col)) \
-        .otherwise(F.raise_error(F.concat(
-            F.lit(f"apply_cdc: unknown {op_col} value: "), F.col(op_col))))
-    last = last.withColumn(op_col, op_checked)
 
     touched = last.select(*key_cols)
     untouched = snapshot.join(touched, on=key_cols, how="anti")
@@ -113,6 +120,12 @@ def merge_cdc_fenced(snapshot: DataFrame, changes: DataFrame, key_cols,
     key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     payload = [c for c in snapshot.columns
                if c not in (seq_col, deleted_col)]
+    missing = [c for c in payload + [seq_col, op_col]
+               if c not in changes.columns]
+    if missing:
+        raise ValueError(f"changes is missing columns: {missing}")
+    changes = changes.withColumn(
+        op_col, _op_checked(op_col, "merge_cdc_fenced"))
     w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
     last = (changes
             .withColumn("_cdc_rn", F.row_number().over(w))

@@ -53,7 +53,10 @@ def resample_ffill(df: DataFrame, key_cols, ts_col: str, value_cols,
     if max_staleness is not None and max_staleness < 0:
         raise ValueError("max_staleness must be >= 0")
 
-    tick = lambda c: (F.floor(F.col(c) / step) * step).cast("long")
+    # integer DIV, never double division: int64 epochs past 2^53 would
+    # lose precision through a float detour (ts must be non-negative —
+    # DIV and DuckDB // both truncate toward zero)
+    tick = lambda c: F.expr(f"(({c}) div {step}) * {step}").cast("long")
     grid = (df.groupBy(*key_cols)
             .agg(F.min(ts_col).alias("_lo"), F.max(ts_col).alias("_hi"))
             .select(*key_cols,

@@ -96,3 +96,26 @@ def test_sequential_batches_compose(spark):
     got = {tuple(r) for r in out.collect()}
     assert got == {(1, "a9", 19), (2, "b", 20), (3, "c", 30),
                    (4, "d", 40), (5, "e2", 51)}
+
+
+def test_superseded_unknown_op_still_raises(spark):
+    """A garbage op must raise even when a later seq supersedes it."""
+    changes = spark.createDataFrame(
+        [(2, "bad", 0, 1, "upsert"), (2, "ok", 21, 2, "update")], CH_SCHEMA)
+    with pytest.raises(Exception, match="unknown op"):
+        apply_cdc(_snap(spark), changes, "k").collect()
+
+
+def test_fenced_merge_validates_ops_and_columns(spark):
+    from systems_spark.operators.cdc import merge_cdc_fenced
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10, 0, False)], "k long, s string, v long, seq long, _cdc_deleted boolean")
+    with pytest.raises(Exception, match="unknown op"):
+        merge_cdc_fenced(
+            snap, spark.createDataFrame([(1, "x", 1, 1, "upsert")], CH_SCHEMA),
+            "k").collect()
+    with pytest.raises(ValueError, match="missing columns"):
+        merge_cdc_fenced(
+            snap, spark.createDataFrame([(1, 1, "update")],
+                                        "k long, seq long, op string"), "k")
