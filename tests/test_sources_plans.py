@@ -672,3 +672,32 @@ def test_global_rank_plan_is_jvm_side(spark, tables):
     # the only Python in the plan is the tiny layout createDataFrame scan,
     # never a MapInPandas/ArrowEvalPython over the data path
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_r8_lane_plan_shapes(spark, tables):
+    """Plan posture of the r8 additions: bounded exchange counts — the
+    one-pass melt (feature_scores) and the batch-proportional merge
+    (apply_cdc) must not hide per-feature or per-key scans."""
+    from pyspark.sql import functions as F
+
+    from systems_spark.functions.association import feature_association
+    from systems_spark.operators import apply_cdc
+
+    li = tables["lineitem"].select(
+        "l_returnflag", "l_linestatus",
+        F.floor(F.col("l_quantity") / 10).cast("long").alias("qb"))
+    scores = feature_association(li, ["l_linestatus", "qb"], "l_returnflag")
+    # one melted pass: cells agg + 3 marginal/score joins — adding a
+    # FEATURE must not add an exchange (the anti-pattern is F scans)
+    one = feature_association(li, ["l_linestatus"], "l_returnflag")
+    assert count_exchanges(scores) == count_exchanges(one)
+
+    snap = tables["orders"].select("o_orderkey", "o_totalprice")
+    ch = (tables["orders"].limit(50)
+          .select("o_orderkey", (F.col("o_totalprice") * 2)
+                  .alias("o_totalprice"),
+                  F.lit(1).alias("seq"), F.lit("update").alias("op")))
+    merged = apply_cdc(snap, ch, "o_orderkey", check_unique_seq=False)
+    # batch window + anti join + union: a bounded handful of exchanges,
+    # none of them a second scan of the snapshot
+    assert count_exchanges(merged) <= 5
