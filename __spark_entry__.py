@@ -1134,6 +1134,23 @@ FROM ({merged}) GROUP BY 1
 """
 
 
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer TRAINING (operators/bpe.py, Sennrich
+    ACL 2016): one corpus pass to the weighted word vocab, then 12
+    merge rounds — each one narrow pair-count aggregation + a JVM fold
+    rewriting the symbol arrays; only the winning pair (a fit-time
+    scalar) ever reaches the driver. Count ties break lexicographically,
+    so the learned merge table is deterministic; like the other two
+    model-training lanes it is graded against a PINNED snapshot (VALUES
+    oracle, tools/pin_oracles.py) with an independent pure-Python BPE
+    test leg (tests/test_bpe.py) as the second check."""
+    from systems_spark.operators.bpe import BpeTokenizer
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
+    bpe = BpeTokenizer(num_merges=12).fit(docs)
+    return bpe.merge_table(spark)
+
+
 def q_feature_scores(spark, sf_dir):
     """Feature–label association scoring (functions/association.py) —
     the feature-selection stage: χ² (exact integer micros via the
@@ -6747,6 +6764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_scc": q_part_scc,
         "events_resampled": q_events_resampled,
         "feature_scores": q_feature_scores,
+        "bpe_train": q_bpe_train,
         # --- r4 session-3 corpus-curation lanes (locally oracle-checked
         # via test_oracle_parity; appended after 50 per the name-stable
         # window rule) ---
@@ -6886,14 +6904,16 @@ def _snapshot_values_sql(name: str) -> "str | None":
     rows = ", ".join(
         "(" + ", ".join(lit(v) for v in r) + ")" for r in snap["rows"]
     )
-    cols = ", ".join(snap["columns"])
+    # quoted: snapshot columns may collide with SQL keywords (bpe_train's
+    # left/right)
+    cols = ", ".join(f'"{c}"' for c in snap["columns"])
     return f"SELECT * FROM (VALUES {rows}) AS _snap({cols})"
 
 
 def oracle_sql() -> dict[str, str]:
     snapshots = {
         name: sql
-        for name in ("implicit_recommend", "predict_forest")
+        for name in ("implicit_recommend", "predict_forest", "bpe_train")
         if (sql := _snapshot_values_sql(name)) is not None
     }
     return snapshots | {

@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "part_scc",
     "events_resampled",
     "feature_scores",
+    "bpe_train",
     "hll_user_counts",
     "event_transitions",
     "last_touch_attribution",

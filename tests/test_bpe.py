@@ -1,0 +1,122 @@
+"""BpeTokenizer vs an independent pure-Python BPE (Sennrich et al. 2016
+reference algorithm): learned merges, tie rule, greedy-left application,
+save/load, transform round-trip."""
+
+import os
+import re
+import sys
+from collections import Counter
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from systems_spark.operators.bpe import BpeTokenizer
+
+EOW = "</w>"
+
+
+def _python_bpe(texts, num_merges, min_pair_count=2):
+    """Independent reference: same weighted-vocab algorithm, same
+    count-desc / lexicographic tie rule, same greedy-left merging."""
+    words = Counter()
+    for t in texts:
+        for w in re.split(r"\s+", t.strip()):
+            if w:
+                words[w] += 1
+    vocab = {w: list(w) + [EOW] for w in words}
+    merges = []
+    for _ in range(num_merges):
+        pairs = Counter()
+        for w, sym in vocab.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += words[w]
+        if not pairs:
+            break
+        (l, r), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < min_pair_count:
+            break
+        merges.append((l, r, c))
+        for w, sym in vocab.items():
+            out, carry = [], None
+            for s in sym:
+                if carry == l and s == r:
+                    out.append(l + r)
+                    carry = None
+                else:
+                    if carry is not None:
+                        out.append(carry)
+                    carry = s
+            if carry is not None:
+                out.append(carry)
+            vocab[w] = out
+    return merges, vocab
+
+
+CORPUS = [
+    "low low low low low",
+    "lower lower newest newest",
+    "newest newest newest newest",
+    "wider wider new new",
+]
+
+
+def _fit(spark, texts, m):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    return BpeTokenizer(num_merges=m).fit(df)
+
+
+def test_learned_merges_match_reference(spark):
+    bpe = _fit(spark, CORPUS, 8)
+    want, _ = _python_bpe(CORPUS, 8)
+    assert bpe.merges == want
+
+
+def test_tie_breaks_lexicographically(spark):
+    # "ab" and "cd" both appear exactly twice: (a,b) must win the tie
+    texts = ["ab ab cd cd"]
+    bpe = _fit(spark, texts, 1)
+    assert bpe.merges[0][:2] == ("a", "b")
+
+
+def test_transform_matches_reference_tokenization(spark):
+    bpe = _fit(spark, CORPUS, 8)
+    merges, vocab = _python_bpe(CORPUS, 8)
+    df = spark.createDataFrame([(0, CORPUS[1])], "doc_id long, text string")
+    got = bpe.transform(df).collect()[0]["tokens"]
+    want = vocab["lower"] + vocab["lower"] + vocab["newest"] + vocab["newest"]
+    assert got == want
+
+
+def test_greedy_left_on_repeats(spark):
+    # "aaa": pair (a,a) merges greedily left -> ["aa", "a", EOW-ish]
+    bpe = _fit(spark, ["aaa aaa"], 1)
+    assert bpe.merges[0][:2] == ("a", "a")
+    df = spark.createDataFrame([(0, "aaa")], "doc_id long, text string")
+    assert bpe.transform(df).collect()[0]["tokens"] == ["aa", "a", EOW]
+
+
+def test_min_pair_count_stops_early(spark):
+    bpe = BpeTokenizer(num_merges=50, min_pair_count=3)
+    df = spark.createDataFrame([(0, "xy xy")], "doc_id long, text string")
+    bpe.fit(df)  # best pair count = 2 < 3: learns nothing
+    assert bpe.merges == []
+
+
+def test_save_load_roundtrip(spark, tmp_path):
+    bpe = _fit(spark, CORPUS, 6)
+    bpe.save_artifacts(str(tmp_path), spark)
+    again = BpeTokenizer(num_merges=6)
+    again.load_artifacts(str(tmp_path), spark)
+    assert again.merges == bpe.merges
+    df = spark.createDataFrame([(0, "lowest")], "doc_id long, text string")
+    assert (again.transform(df).collect()[0]["tokens"]
+            == bpe.transform(df).collect()[0]["tokens"])
+
+
+def test_validation(spark):
+    with pytest.raises(ValueError, match="num_merges"):
+        BpeTokenizer(num_merges=0)
+    with pytest.raises(ValueError, match="fit"):
+        BpeTokenizer().merge_table(spark)
