@@ -34,6 +34,7 @@ from systems_spark.operators.tokenizer import VocabTokenizer
 from systems_spark.operators.chunker import DocumentChunker
 from systems_spark.operators.lm_perplexity import BigramLM
 from systems_spark.operators.bm25 import BM25
+from systems_spark.operators.bpe import BpeTokenizer
 from systems_spark.operators.target_encode import TargetEncode
 from systems_spark.operators.negatives import sample_negatives
 from systems_spark.operators.pagerank import pagerank
@@ -77,6 +78,7 @@ __all__ = [
     "funnel",
     "funnel_summary",
     "BM25",
+    "BpeTokenizer",
     "TargetEncode",
     "sample_negatives",
     "HashSampler",

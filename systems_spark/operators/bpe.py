@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from systems_spark.functions import text as TX
+from systems_spark.operators.base import Operator
 
 __all__ = ["BpeTokenizer"]
 
@@ -61,9 +62,11 @@ def _merge_expr(symbols, left: str, right: str):
     return F.aggregate(symbols, init, step, finish)
 
 
-class BpeTokenizer:
+class BpeTokenizer(Operator):
     """``fit`` learns ``num_merges`` merge rules; ``transform`` appends a
-    token-array column; the learned table is ``merge_table()``."""
+    token-array column; the learned table is ``merge_table()``. A real
+    :class:`Operator`, so it composes and persists through Pipeline
+    save/load/export like the other fitted transforms."""
 
     def __init__(self, text_col: str = "text", out_col: str = "tokens",
                  num_merges: int = 16, min_pair_count: int = 2):
@@ -143,14 +146,19 @@ class BpeTokenizer:
             F.flatten(F.transform(TX.tokens(F.col(self.text_col)),
                                   word_tokens)))
 
-    # -- persistence -------------------------------------------------------
-    def save_artifacts(self, path: str, spark: SparkSession) -> None:
+    # -- persistence (Pipeline save/load protocol) --------------------------
+    def save_artifacts(self, path: str, spark: "SparkSession | None" = None) -> None:
         if self.merges is None:
             raise ValueError("fit() before save_artifacts()")
+        if spark is None:
+            from pyspark.sql import SparkSession as _S
+            spark = _S.getActiveSession()
         self.merge_table(spark).coalesce(1).write.mode("overwrite") \
             .parquet(f"{path}/merges.parquet")
 
-    def load_artifacts(self, path: str, spark: SparkSession) -> None:
+    def load_artifacts(self, path: str, spark: "SparkSession | None" = None) -> None:
+        if spark is None:
+            raise ValueError("load_artifacts requires a SparkSession")
         rows = (spark.read.parquet(f"{path}/merges.parquet")
                 .orderBy("rank").collect())
         self.merges = [(r["left"], r["right"], int(r["pair_count"]))

@@ -106,13 +106,29 @@ def test_min_pair_count_stops_early(spark):
 
 def test_save_load_roundtrip(spark, tmp_path):
     bpe = _fit(spark, CORPUS, 6)
-    bpe.save_artifacts(str(tmp_path), spark)
+    bpe.save_artifacts(str(tmp_path), spark=spark)
     again = BpeTokenizer(num_merges=6)
-    again.load_artifacts(str(tmp_path), spark)
+    again.load_artifacts(str(tmp_path), spark=spark)
     assert again.merges == bpe.merges
     df = spark.createDataFrame([(0, "lowest")], "doc_id long, text string")
     assert (again.transform(df).collect()[0]["tokens"]
             == bpe.transform(df).collect()[0]["tokens"])
+
+
+def test_pipeline_roundtrip(spark, tmp_path):
+    """BPE through the Pipeline persistence protocol: fit, save, cold
+    load, identical tokenization."""
+    from systems_spark.pipeline import Pipeline
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(CORPUS)],
+                               "doc_id long, text string")
+    pipe = Pipeline([BpeTokenizer(num_merges=6)])
+    pipe.fit(df)
+    want = [r["tokens"] for r in pipe.transform(df).collect()]
+    pipe.save(str(tmp_path / "p"))
+    again = Pipeline.load(str(tmp_path / "p"), spark=spark)
+    got = [r["tokens"] for r in again.transform(df).collect()]
+    assert got == want
 
 
 def test_validation(spark):
