@@ -1134,6 +1134,21 @@ FROM ({merged}) GROUP BY 1
 """
 
 
+_BPE_FITS = {}
+
+
+def _bpe_fitted(spark, sf_dir):
+    """One BPE fit per (session, sf_dir) — the merge list is a driver-side
+    fit artifact (like ANN centroids), so both BPE lanes share it."""
+    from systems_spark.operators.bpe import BpeTokenizer
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BPE_FITS:
+        docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
+        _BPE_FITS[key] = BpeTokenizer(num_merges=12).fit(docs)
+    return _BPE_FITS[key]
+
+
 def q_bpe_train(spark, sf_dir):
     """Distributed BPE tokenizer TRAINING (operators/bpe.py, Sennrich
     ACL 2016): one corpus pass to the weighted word vocab, then 12
@@ -1144,11 +1159,23 @@ def q_bpe_train(spark, sf_dir):
     model-training lanes it is graded against a PINNED snapshot (VALUES
     oracle, tools/pin_oracles.py) with an independent pure-Python BPE
     test leg (tests/test_bpe.py) as the second check."""
-    from systems_spark.operators.bpe import BpeTokenizer
+    return _bpe_fitted(spark, sf_dir).merge_table(spark)
 
+
+def q_bpe_tokenize(spark, sf_dir):
+    """The trained tokenizer APPLIED (train → transform end-to-end): the
+    fitted merges (shared with bpe_train) tokenize the same corpus
+    sample — per word, 12 greedy-left JVM folds inside one
+    higher-order transform, no Python per row — and the top-30 tokens by
+    corpus frequency come back (count desc, token asc). Deterministic,
+    so it grades as the fourth pinned-snapshot lane."""
+    bpe = _bpe_fitted(spark, sf_dir)
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
-    bpe = BpeTokenizer(num_merges=12).fit(docs)
-    return bpe.merge_table(spark)
+    return (bpe.transform(docs)
+            .select(F.explode("tokens").alias("token"))
+            .groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("token").asc())
+            .limit(30))
 
 
 def q_feature_scores(spark, sf_dir):
@@ -6765,6 +6792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_resampled": q_events_resampled,
         "feature_scores": q_feature_scores,
         "bpe_train": q_bpe_train,
+        "bpe_tokenize": q_bpe_tokenize,
         # --- r4 session-3 corpus-curation lanes (locally oracle-checked
         # via test_oracle_parity; appended after 50 per the name-stable
         # window rule) ---
@@ -6913,7 +6941,8 @@ def _snapshot_values_sql(name: str) -> "str | None":
 def oracle_sql() -> dict[str, str]:
     snapshots = {
         name: sql
-        for name in ("implicit_recommend", "predict_forest", "bpe_train")
+        for name in ("implicit_recommend", "predict_forest", "bpe_train",
+                     "bpe_tokenize")
         if (sql := _snapshot_values_sql(name)) is not None
     }
     return snapshots | {

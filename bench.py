@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "events_resampled",
     "feature_scores",
     "bpe_train",
+    "bpe_tokenize",
     "hll_user_counts",
     "event_transitions",
     "last_touch_attribution",

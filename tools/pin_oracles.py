@@ -19,7 +19,8 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-SNAPSHOT_QUERIES = ["implicit_recommend", "predict_forest", "bpe_train"]
+SNAPSHOT_QUERIES = ["implicit_recommend", "predict_forest", "bpe_train",
+                    "bpe_tokenize"]
 SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 
 
