@@ -487,16 +487,23 @@ class QueryANN(Operator):
     def ivf_quantizer(self) -> DataFrame:
         """The coarse quantizer: trained centroids if set (``train()`` /
         ``with_centroids``), else the deterministic lowest-id seeds of
-        ``items_df`` (+ optional Lloyd iterations)."""
+        ``items_df``. With ``ivf_train_iters > 0`` the Lloyd means are
+        run-order-sensitive at the ulp level, so the trained quantizer is
+        materialized exactly ONCE (auto-``train()`` and pinned) — item
+        cell assignment and query probes must share one centroid set, or
+        a candidate can silently fall between ulp-different cells."""
         if self._centroids is not None:
             return self._centroids
         items = self._items()
-        cents = items.orderBy(F.col("_ann_id").asc()).limit(self.n_cells) \
+        seeds = items.orderBy(F.col("_ann_id").asc()).limit(self.n_cells) \
             .select(F.col("_ann_id").alias("_cent_id"),
                     F.col("_ann_vec").alias("_cent_vec"))
         if self.ivf_train_iters > 0:
-            cents = self._ivf_train(items, cents)
-        return cents
+            # eager checkpoint = the one materialization every caller
+            # (postings build AND query probe) shares, like train()
+            self._centroids = self._ivf_train(items, seeds).localCheckpoint()
+            return self._centroids
+        return seeds
 
     def with_centroids(self, centroids: DataFrame) -> "QueryANN":
         """Pin the coarse quantizer — (_cent_id, _cent_vec) rows, e.g. a

@@ -52,6 +52,34 @@ def _op_checked(op_col: str, what: str):
                 F.col(op_col)))))
 
 
+def _touched_join(snapshot: DataFrame, touched: DataFrame, key_cols,
+                  how: str) -> DataFrame:
+    """Anti/semi join on the touched-key set, NULL-SAFE: a NULL key is a
+    real key (the table_diff convention), so a NULL-keyed change must
+    match a NULL-keyed snapshot row — a plain equi-join would let the
+    old row through AND append the change, duplicating the key."""
+    t = touched.select(*[F.col(k).alias(f"_cdc_t_{i}")
+                         for i, k in enumerate(key_cols)])
+    cond = [F.col(k).eqNullSafe(F.col(f"_cdc_t_{i}"))
+            for i, k in enumerate(key_cols)]
+    return snapshot.join(t, on=cond, how=how)
+
+
+def _check_unique_seq(changes: DataFrame, key_cols, seq_col: str,
+                      what: str) -> None:
+    """(key, seq) ties make 'last change wins' nondeterministic — raise
+    with a sample instead of silently picking a winner."""
+    dup = (changes.groupBy(*key_cols, seq_col)
+           .agg(F.count(F.lit(1)).alias("_n"))
+           .where(F.col("_n") > 1).limit(3).collect())
+    if dup:
+        keys = [tuple(r[c] for c in key_cols + [seq_col]) for r in dup]
+        raise ValueError(
+            f"{what}: (key, {seq_col}) must be unique within a "
+            f"change batch — 'last change wins' is nondeterministic "
+            f"under ties. Duplicated sample: {keys}")
+
+
 def apply_cdc(snapshot: DataFrame, changes: DataFrame, key_cols,
               seq_col: str = "seq", op_col: str = "op",
               check_unique_seq: bool = True) -> DataFrame:
@@ -68,15 +96,7 @@ def apply_cdc(snapshot: DataFrame, changes: DataFrame, key_cols,
     if missing:
         raise ValueError(f"changes is missing columns: {missing}")
     if check_unique_seq:
-        dup = (changes.groupBy(*key_cols, seq_col)
-               .agg(F.count(F.lit(1)).alias("_n"))
-               .where(F.col("_n") > 1).limit(3).collect())
-        if dup:
-            keys = [tuple(r[c] for c in key_cols + [seq_col]) for r in dup]
-            raise ValueError(
-                f"apply_cdc: (key, {seq_col}) must be unique within a "
-                f"change batch — 'last change wins' is nondeterministic "
-                f"under ties. Duplicated sample: {keys}")
+        _check_unique_seq(changes, key_cols, seq_col, "apply_cdc")
 
     # op validation folded into the projection (no extra job), applied to
     # EVERY change — a garbage op must raise even when a later seq
@@ -88,7 +108,7 @@ def apply_cdc(snapshot: DataFrame, changes: DataFrame, key_cols,
             .where(F.col("_cdc_rn") == 1))
 
     touched = last.select(*key_cols)
-    untouched = snapshot.join(touched, on=key_cols, how="anti")
+    untouched = _touched_join(snapshot, touched, key_cols, "anti")
     upserts = (last.where(F.col(op_col) != "delete")
                .select(*payload))
     return untouched.unionByName(upserts)
@@ -96,7 +116,9 @@ def apply_cdc(snapshot: DataFrame, changes: DataFrame, key_cols,
 
 def merge_cdc_fenced(snapshot: DataFrame, changes: DataFrame, key_cols,
                      seq_col: str = "seq", op_col: str = "op",
-                     deleted_col: str = "_cdc_deleted") -> DataFrame:
+                     deleted_col: str = "_cdc_deleted",
+                     check_unique_seq: bool = True,
+                     min_seq: "int | None" = None) -> DataFrame:
     """Sequence-FENCED merge — the order-tolerant CDC step (Hudi's
     precombine / Debezium consumer semantics): the snapshot carries per
     row the ``seq_col`` it was last written at plus a ``deleted_col``
@@ -113,6 +135,11 @@ def merge_cdc_fenced(snapshot: DataFrame, changes: DataFrame, key_cols,
     once no older change can still arrive; ``CdcTable.current`` hides
     them from readers).
 
+    ``min_seq`` is a GLOBAL staleness floor (the compaction fence —
+    ``CdcTable.compact``): changes with seq ≤ min_seq are dropped at
+    entry, so a key whose tombstone was compacted away can never be
+    resurrected by a late replay of a pre-fence batch.
+
     Plan: one window over the CHANGE batch, untouched snapshot rows
     anti-join through, touched keys resolve via a key-outer join whose
     both sides are batch-key-sized — the snapshot is never shuffled
@@ -124,6 +151,10 @@ def merge_cdc_fenced(snapshot: DataFrame, changes: DataFrame, key_cols,
                if c not in changes.columns]
     if missing:
         raise ValueError(f"changes is missing columns: {missing}")
+    if min_seq is not None:
+        changes = changes.where(F.col(seq_col) > int(min_seq))
+    if check_unique_seq:
+        _check_unique_seq(changes, key_cols, seq_col, "merge_cdc_fenced")
     changes = changes.withColumn(
         op_col, _op_checked(op_col, "merge_cdc_fenced"))
     w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
@@ -133,8 +164,8 @@ def merge_cdc_fenced(snapshot: DataFrame, changes: DataFrame, key_cols,
             .select(*payload, seq_col,
                     (F.col(op_col) == "delete").alias(deleted_col)))
     touched = last.select(*key_cols)
-    untouched = snapshot.join(touched, on=key_cols, how="anti")
-    snap_touched = snapshot.join(touched, on=key_cols, how="semi")
+    untouched = _touched_join(snapshot, touched, key_cols, "anti")
+    snap_touched = _touched_join(snapshot, touched, key_cols, "semi")
     s, c = snap_touched.alias("S"), last.alias("C")
     joined = s.join(
         c, on=[F.col(f"S.{k}").eqNullSafe(F.col(f"C.{k}")) for k in key_cols],
@@ -152,12 +183,14 @@ def apply_cdc_sql(snapshot_sql: str, changes_sql: str, key_cols,
                   payload_cols, seq_col: str = "seq",
                   op_col: str = "op") -> str:
     """DuckDB twin of :func:`apply_cdc` — same last-op-per-key window,
-    anti pass-through, and delete filtering."""
+    anti pass-through (NULL-safe, like the Spark side), and delete
+    filtering."""
     key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     payload_cols = list(payload_cols)
     keys = ", ".join(key_cols)
     cols = ", ".join(payload_cols)
-    on = " AND ".join(f"s.{c} = t.{c}" for c in key_cols)
+    on = " AND ".join(f"s.{c} IS NOT DISTINCT FROM t.{c}"
+                      for c in key_cols)
     return f"""
 WITH snap AS ({snapshot_sql}), chg AS ({changes_sql}),
 last AS (

@@ -63,10 +63,11 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     ``StateStore.materialize_bucketed`` copies (bucketed by ``src`` /
     ``dst`` respectively) and every half-round join shuffles only the
     1-column score side — the static edge table is never exchanged.
-    When set, the localCheckpoint pins on the edge/node frames are
-    skipped (a bucketed-table scan is already storage-pinned, and the
-    pin would ERASE the bucket partitioning Catalyst elides the
-    exchange with)."""
+    When set, the localCheckpoint pin on the EDGE frame is skipped (a
+    bucketed-table scan is already storage-pinned, and the pin would
+    ERASE the bucket partitioning Catalyst elides the exchange with);
+    the derived nodes frame is still pinned — it feeds every round's
+    final join and has no bucket layout to preserve."""
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
     pre_bucketed = edges_by_dst is not None

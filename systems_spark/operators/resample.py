@@ -43,7 +43,9 @@ def resample_ffill(df: DataFrame, key_cols, ts_col: str, value_cols,
     ``max_staleness`` set, values older than the bound become NULL
     (the gap is real — surface it, don't fabricate freshness).
     ``ts_col`` must be an integral epoch column (any unit; ``step`` and
-    ``max_staleness`` share it)."""
+    ``max_staleness`` share it); rows with a NULL ``ts_col`` are
+    dropped — an observation without a time can't be placed on a
+    grid."""
     key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     value_cols = [value_cols] if isinstance(value_cols, str) \
         else list(value_cols)
@@ -52,6 +54,11 @@ def resample_ffill(df: DataFrame, key_cols, ts_col: str, value_cols,
         raise ValueError("step must be >= 1")
     if max_staleness is not None and max_staleness < 0:
         raise ValueError("max_staleness must be >= 0")
+    # a NULL timestamp is an unplaceable observation: it would sort first
+    # in the per-key window (nulls first) and forward-fill its values
+    # into every tick while being invisible to the span min/max —
+    # fabricated freshness, exactly what this module refuses to do
+    df = df.where(F.col(ts_col).isNotNull())
 
     # integer DIV, never double division: int64 epochs past 2^53 would
     # lose precision through a float detour (ts must be non-negative —
@@ -120,7 +127,8 @@ def resample_ffill_sql(source_sql: str, key_cols, ts_expr: str, value_cols,
                      f"{int(max_staleness)} THEN last_obs_ts END "
                      f"AS last_obs_ts")
     return f"""
-WITH src AS (SELECT {keys}, {ts_expr} AS _ts, {vals} FROM ({source_sql})),
+WITH src AS (SELECT {keys}, {ts_expr} AS _ts, {vals} FROM ({source_sql})
+             WHERE {ts_expr} IS NOT NULL),
 grid AS (
   SELECT {keys},
          unnest(range((min(_ts) // {step}) * {step},

@@ -119,3 +119,73 @@ def test_fenced_merge_validates_ops_and_columns(spark):
         merge_cdc_fenced(
             snap, spark.createDataFrame([(1, 1, "update")],
                                         "k long, seq long, op string"), "k")
+
+
+def test_null_key_is_a_real_key(spark):
+    """A NULL key must upsert/delete its NULL-keyed snapshot row, not
+    duplicate it (null-safe touched-key joins — the table_diff
+    convention)."""
+    snap = spark.createDataFrame([(None, "n", 0), (1, "a", 10)], SCHEMA)
+    changes = spark.createDataFrame(
+        [(None, "n2", 1, 1, "update")], CH_SCHEMA)
+    got = {tuple(r) for r in apply_cdc(snap, changes, "k").collect()}
+    assert got == {(None, "n2", 1), (1, "a", 10)}
+    # delete of the NULL key removes it
+    dels = spark.createDataFrame([(None, "x", 0, 1, "delete")], CH_SCHEMA)
+    got = {tuple(r) for r in apply_cdc(snap, dels, "k").collect()}
+    assert got == {(1, "a", 10)}
+
+
+def test_null_key_sql_twin_matches(spark):
+    import duckdb
+
+    snap_rows = [(None, "n", 0), (1, "a", 10)]
+    ch_rows = [(None, "n2", 1, 1, "update"), (1, "x", 0, 1, "delete")]
+    spark_got = {tuple(r) for r in apply_cdc(
+        spark.createDataFrame(snap_rows, SCHEMA),
+        spark.createDataFrame(ch_rows, CH_SCHEMA), "k").collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE snap_t (k BIGINT, s VARCHAR, v BIGINT)")
+    con.executemany("INSERT INTO snap_t VALUES (?, ?, ?)", snap_rows)
+    con.execute("CREATE TABLE chg_t (k BIGINT, s VARCHAR, v BIGINT, "
+                "seq BIGINT, op VARCHAR)")
+    con.executemany("INSERT INTO chg_t VALUES (?, ?, ?, ?, ?)", ch_rows)
+    sql = apply_cdc_sql("SELECT * FROM snap_t", "SELECT * FROM chg_t",
+                        "k", ["k", "s", "v"])
+    duck_got = {tuple(r) for r in con.execute(sql).fetchall()}
+    assert spark_got == duck_got
+
+
+def test_fenced_merge_null_key_and_tie_guard(spark):
+    from systems_spark.operators.cdc import merge_cdc_fenced
+
+    snap = spark.createDataFrame(
+        [(None, "n", 0, 0, False), (1, "a", 10, 0, False)],
+        "k long, s string, v long, seq long, _cdc_deleted boolean")
+    ch = spark.createDataFrame([(None, "n2", 1, 1, "update")], CH_SCHEMA)
+    got = {tuple(r) for r in
+           merge_cdc_fenced(snap, ch, "k").collect()}
+    assert got == {(None, "n2", 1, 1, False), (1, "a", 10, 0, False)}
+    # (key, seq) tie rejected by default, opt-out runs
+    ties = spark.createDataFrame(
+        [(1, "x", 1, 5, "update"), (1, "y", 2, 5, "update")], CH_SCHEMA)
+    with pytest.raises(ValueError, match="must be unique"):
+        merge_cdc_fenced(snap, ties, "k").collect()
+    merge_cdc_fenced(snap, ties, "k", check_unique_seq=False).count()
+
+
+def test_fenced_merge_min_seq_floor(spark):
+    """Changes at or below the global fence are dropped at entry — the
+    compaction contract: a compacted-away tombstone's key cannot be
+    resurrected by a late pre-fence replay."""
+    from systems_spark.operators.cdc import merge_cdc_fenced
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10, 4, False)],
+        "k long, s string, v long, seq long, _cdc_deleted boolean")
+    ch = spark.createDataFrame(
+        [(2, "late", 0, 3, "insert"),   # <= fence: dropped
+         (3, "new", 30, 6, "insert")], CH_SCHEMA)
+    got = {tuple(r) for r in
+           merge_cdc_fenced(snap, ch, "k", min_seq=3).collect()}
+    assert got == {(1, "a", 10, 4, False), (3, "new", 30, 6, False)}

@@ -973,3 +973,33 @@ def test_ann_ivf_incremental_postings_equal_scratch(spark, tables):
     plain = {(r.query_id, r.ann_id, r.ann_rank)
              for r in scratch_op.transform(queries).collect()}
     assert want == plain
+
+
+def test_ann_ivf_lazy_training_pins_one_quantizer(spark):
+    """transform() without an explicit train(): the Lloyd-trained
+    quantizer must be materialized once and pinned, so the item cell
+    assignment and the query probes share ONE centroid set — two
+    independent evaluations of the trained plan could differ at the ulp
+    level and silently lose candidates (ADVICE r8)."""
+    import random
+
+    rnd = random.Random(11)
+    emb = spark.createDataFrame(
+        [(i, [float(rnd.gauss(0, 1)) for _ in range(8)]) for i in range(60)],
+        "vec_id long, embedding array<float>")
+    q = emb.limit(4).select(F.col("vec_id").alias("request_id"),
+                            F.col("embedding").alias("qvec"))
+    kw = dict(item_id_col="vec_id", query_vec_col="qvec",
+              query_id_col="request_id", topk=3, metric="ip",
+              strategy="ivf", n_cells=4, nprobe=2, ivf_train_iters=2)
+    op = QueryANN(emb, **kw)
+    assert op._centroids is None
+    q1 = op.ivf_quantizer()
+    assert op._centroids is not None, "trained quantizer must auto-pin"
+    assert op.ivf_quantizer() is q1, "every caller shares the pin"
+    lazy = sorted((r.request_id, r.ann_rank, r.ann_id)
+                  for r in op(q).collect())
+    explicit = QueryANN(emb, **kw).train()
+    want = sorted((r.request_id, r.ann_rank, r.ann_id)
+                  for r in explicit(q).collect())
+    assert lazy == want

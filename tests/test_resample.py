@@ -113,3 +113,24 @@ def test_sql_twin_matches(spark):
         "k", "t", ["v"], step=10, tiebreak_cols=["eid"], max_staleness=15)
     want = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
     assert got == want
+
+
+def test_null_timestamps_are_dropped(spark):
+    """A NULL-ts observation is unplaceable: it must not forward-fill
+    into the grid (it would sort first and fabricate freshness) and
+    must not widen the span (ADVICE r8). Spark and the SQL twin agree."""
+    import duckdb
+
+    df = spark.createDataFrame(
+        [(1, 5, 10.0), (1, None, 99.0), (1, 13, 20.0)],
+        "k long, t long, v double")
+    out = resample_ffill(df, "k", "t", ["v"], step=10)
+    assert _rows(out) == [(1, 0, None, None), (1, 10, 10.0, 5)]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE src_t (k BIGINT, t BIGINT, v DOUBLE)")
+    con.executemany("INSERT INTO src_t VALUES (?, ?, ?)",
+                    [(1, 5, 10.0), (1, None, 99.0), (1, 13, 20.0)])
+    sql = resample_ffill_sql("SELECT * FROM src_t", "k", "t", ["v"], step=10)
+    duck = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert duck == [(1, 0, None, None), (1, 10, 10.0, 5)]
