@@ -21,6 +21,15 @@ round), implemented as one ``F.aggregate`` fold with a carry
 accumulator — whole-stage-codegen JVM expressions, no Python in the
 loop. Words carry the ``</w>`` end-of-word marker, so merges never
 cross word boundaries.
+
+``transform`` follows the same discipline: tokenization is a pure
+function of the WORD, so the folds run once per DISTINCT word — fit's
+final vocab state ships as the word → tokens dictionary artifact, a
+per-batch OOV rewrite covers unseen words, and the corpus pass is
+whitespace split + broadcast dictionary join + positional regroup.
+Applied merge count is therefore unbounded (rules chunk 12 per
+rewrite round), where the r8 per-occurrence fold capped it at
+Catalyst's expression-nesting depth.
 """
 
 from __future__ import annotations
@@ -34,6 +43,13 @@ from systems_spark.operators.base import Operator
 __all__ = ["BpeTokenizer"]
 
 _EOW = "</w>"
+
+# merge rules applied per withColumn when rewriting a word table — the
+# expression-nesting depth proven safe by the r8 transform (12 nested
+# folds); chunking + a lineage pin between chunks makes the APPLIED
+# merge count unbounded (a real tokenizer carries ~30k rules; one
+# 30k-deep nested expression cannot compile)
+_MERGE_CHUNK = 12
 
 
 def _merge_expr(symbols, left: str, right: str):
@@ -62,6 +78,27 @@ def _merge_expr(symbols, left: str, right: str):
     return F.aggregate(symbols, init, step, finish)
 
 
+def _char_symbols(word):
+    """Column: the word's initial symbol array — characters + ``</w>``
+    (the same construction fit uses, for bit parity)."""
+    return F.concat(F.split(word, "").cast("array<string>"),
+                    F.array(F.lit(_EOW)))
+
+
+def _apply_merge_rounds(words: DataFrame, merges, sym_col: str) -> DataFrame:
+    """Rewrite ``sym_col`` of a word table through the merge rules in
+    learned order — the same per-round rewrite ``fit`` uses, batched
+    ``_MERGE_CHUNK`` rules per ``withColumn`` with a lineage pin between
+    batches, so the rule count is bounded by the vocab's patience, not
+    by Catalyst's expression-nesting depth."""
+    for start in range(0, len(merges), _MERGE_CHUNK):
+        sym = F.col(sym_col)
+        for left, right, _ in merges[start:start + _MERGE_CHUNK]:
+            sym = _merge_expr(sym, left, right)
+        words = words.withColumn(sym_col, sym).localCheckpoint(eager=False)
+    return words
+
+
 class BpeTokenizer(Operator):
     """``fit`` learns ``num_merges`` merge rules; ``transform`` appends a
     token-array column; the learned table is ``merge_table()``. A real
@@ -79,6 +116,11 @@ class BpeTokenizer(Operator):
         self.num_merges = int(num_merges)
         self.min_pair_count = int(min_pair_count)
         self.merges = None  # list of (left, right, pair_count)
+        # the word → tokens DICTIONARY (fit's final vocab state): the
+        # transform artifact — tokenizing is a pure function of the
+        # word, so it is computed once per distinct vocab word, never
+        # per word occurrence
+        self._vocab_tokens = None
 
     # -- fit -------------------------------------------------------------
     def _word_vocab(self, df: DataFrame) -> DataFrame:
@@ -114,6 +156,11 @@ class BpeTokenizer(Operator):
             vocab = vocab.withColumn(
                 "_sym", _merge_expr(F.col("_sym"), left, right)) \
                 .localCheckpoint(eager=False)
+        # fit's final vocab state IS the tokenizer dictionary — the
+        # merges were already applied to every distinct word, so keeping
+        # it costs nothing and transform becomes a dictionary join
+        self._vocab_tokens = vocab.select(
+            F.col("_w").alias("_bpe_w"), F.col("_sym").alias("_bpe_toks"))
         return self
 
     # -- views -----------------------------------------------------------
@@ -128,23 +175,73 @@ class BpeTokenizer(Operator):
             rows, "rank long, left string, right string, "
                   "merged string, pair_count long")
 
+    def _dictionary(self, words: DataFrame) -> DataFrame:
+        """(_bpe_w, _bpe_toks) covering every distinct word in ``words``:
+        the fit-time vocab dictionary, plus a per-batch rewrite of the
+        words fit never saw (OOV) through the same merge machinery —
+        OOV cost is one ``_apply_merge_rounds`` pass over the tiny
+        distinct-OOV set, not the corpus."""
+        distinct = words.select("_bpe_w").distinct()
+        if self._vocab_tokens is not None:
+            fitted = self._vocab_tokens
+            oov = distinct.join(fitted.select("_bpe_w"), on="_bpe_w",
+                                how="anti")
+        else:
+            # merges loaded without a dictionary artifact (or set by
+            # hand): every batch word goes through the OOV rewrite
+            fitted = None
+            oov = distinct
+        oov_dict = _apply_merge_rounds(
+            oov.withColumn("_bpe_toks", _char_symbols(F.col("_bpe_w"))),
+            self.merges, "_bpe_toks")
+        return (oov_dict if fitted is None
+                else fitted.unionByName(oov_dict))
+
     def transform(self, df: DataFrame) -> DataFrame:
         """Append ``out_col``: the text's BPE tokens (merges applied in
-        learned order within each whitespace word + ``</w>``)."""
+        learned order within each whitespace word + ``</w>``).
+
+        Shape (the production tokenizer plan): tokenization is a pure
+        function of the WORD, so the merge folds run once per DISTINCT
+        word — the fit-time dictionary plus a tiny per-batch OOV
+        rewrite — and the corpus pass is split + dictionary join +
+        positional regroup. The per-occurrence fold of the r8 version
+        cost ~80 ms/doc and capped the applied merge count at
+        expression-nesting depth (VERDICT r8); the dictionary join is
+        broadcast here (vocab ≪ corpus; at a vocab that outgrows
+        broadcast, drop to a plain shuffle join on the word key)."""
         if self.merges is None:
             raise ValueError("fit() before transform()")
-
-        def word_tokens(w):
-            sym = F.concat(F.split(w, "").cast("array<string>"),
-                           F.array(F.lit(_EOW)))
-            for left, right, _ in self.merges:
-                sym = _merge_expr(sym, left, right)
-            return sym
-
-        return df.withColumn(
-            self.out_col,
-            F.flatten(F.transform(TX.tokens(F.col(self.text_col)),
-                                  word_tokens)))
+        # pin: _bpe_rid (monotonically_increasing_id) is only stable
+        # across the two uses of `base` below if both read ONE
+        # materialization — an upstream shuffle's intra-partition order
+        # is not re-evaluation-deterministic
+        base = df.withColumn("_bpe_rid", F.monotonically_increasing_id()) \
+            .localCheckpoint(eager=False)
+        words = base.select(
+            "_bpe_rid",
+            F.posexplode(TX.tokens(F.col(self.text_col)))
+            .alias("_bpe_pos", "_bpe_w"))
+        looked_up = words.join(F.broadcast(self._dictionary(words)),
+                               on="_bpe_w")
+        regrouped = (looked_up.groupBy("_bpe_rid")
+                     .agg(F.flatten(F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct("_bpe_pos", "_bpe_toks"))),
+                         lambda s: s["_bpe_toks"])).alias("_bpe_out")))
+        # NULL text stays NULL, empty text stays []  (the r8 flatten
+        # semantics); rows with no words regroup to nothing -> coalesce
+        toks = TX.tokens(F.col(self.text_col))
+        out_expr = F.when(toks.isNull(),
+                          F.lit(None).cast("array<string>")) \
+            .otherwise(F.coalesce(F.col("_bpe_out"),
+                                  F.array().cast("array<string>")))
+        joined = base.join(regrouped, on="_bpe_rid", how="left")
+        cols = [out_expr.alias(self.out_col) if c == self.out_col
+                else F.col(c) for c in df.columns]
+        if self.out_col not in df.columns:
+            cols.append(out_expr.alias(self.out_col))
+        return joined.select(*cols)
 
     # -- persistence (Pipeline save/load protocol) --------------------------
     def save_artifacts(self, path: str, spark: "SparkSession | None" = None) -> None:
@@ -155,6 +252,11 @@ class BpeTokenizer(Operator):
             spark = _S.getActiveSession()
         self.merge_table(spark).coalesce(1).write.mode("overwrite") \
             .parquet(f"{path}/merges.parquet")
+        if self._vocab_tokens is not None:
+            # the dictionary IS the production tokenizer artifact —
+            # ship it so transform never re-derives the fit vocab
+            self._vocab_tokens.write.mode("overwrite") \
+                .parquet(f"{path}/vocab_tokens.parquet")
 
     def load_artifacts(self, path: str, spark: "SparkSession | None" = None) -> None:
         if spark is None:
@@ -163,3 +265,9 @@ class BpeTokenizer(Operator):
                 .orderBy("rank").collect())
         self.merges = [(r["left"], r["right"], int(r["pair_count"]))
                        for r in rows]
+        vt = f"{path}/vocab_tokens.parquet"
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(vt)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        self._vocab_tokens = spark.read.parquet(vt) if fs.exists(hpath) \
+            else None

@@ -136,3 +136,76 @@ def test_validation(spark):
         BpeTokenizer(num_merges=0)
     with pytest.raises(ValueError, match="fit"):
         BpeTokenizer().merge_table(spark)
+
+
+def _python_apply(word, merges):
+    """Apply learned merges to ONE word (greedy-left per rule, learned
+    order) — the reference for OOV tokenization."""
+    sym = list(word) + [EOW]
+    for l, r, _ in merges:
+        out, carry = [], None
+        for s in sym:
+            if carry == l and s == r:
+                out.append(l + r)
+                carry = None
+            else:
+                if carry is not None:
+                    out.append(carry)
+                carry = s
+        if carry is not None:
+            out.append(carry)
+        sym = out
+    return sym
+
+
+def test_oov_words_tokenize_like_reference(spark):
+    """Disjoint fit/transform corpora: words unseen at fit time go
+    through the per-batch OOV rewrite and must equal the pure-Python
+    application of the learned merges (VERDICT r9 item 6)."""
+    bpe = _fit(spark, CORPUS, 8)
+    oov_text = "lowestest widest newlow zz"
+    df = spark.createDataFrame([(0, oov_text)], "doc_id long, text string")
+    got = bpe.transform(df).collect()[0]["tokens"]
+    want = []
+    for w in oov_text.split():
+        want += _python_apply(w, bpe.merges)
+    assert got == want
+
+
+def test_null_and_empty_text_semantics(spark):
+    """NULL text -> NULL tokens; empty/whitespace text -> [] (the r8
+    flatten semantics, preserved across the dictionary-join rewrite)."""
+    bpe = _fit(spark, CORPUS, 4)
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "   "), (3, "low")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.tokens for r in bpe.transform(df).collect()}
+    assert got[0] is None
+    assert got[1] == []
+    assert got[2] == []
+    assert got[3] == _python_apply("low", bpe.merges)
+
+
+def test_256_merges_train_and_apply_end_to_end(spark):
+    """num_merges=256 trained AND applied — impossible under the r8
+    per-occurrence transform (256 folds cannot nest in one Catalyst
+    expression). Merge table must match the pure-Python reference and
+    tokenization must match its vocab rewrite."""
+    import random
+
+    rnd = random.Random(3)
+    alphabet = "abcdefgh"
+    words = ["".join(rnd.choice(alphabet) for _ in range(12))
+             for _ in range(96)]
+    texts = [" ".join(words[i::8] + words[(i + 3) % 8::8])
+             for i in range(8)]
+    bpe = _fit(spark, texts, 256)
+    want_merges, vocab = _python_bpe(texts, 256)
+    assert len(want_merges) == 256, "corpus must sustain 256 merges"
+    assert bpe.merges == want_merges
+    df = spark.createDataFrame([(0, texts[0])], "doc_id long, text string")
+    got = bpe.transform(df).collect()[0]["tokens"]
+    want = []
+    for w in texts[0].split():
+        want += vocab[w]
+    assert got == want
