@@ -1920,13 +1920,19 @@ def q_dedup_embedding_incremental(spark, sf_dir):
     # standing state parquet-materialized (_persist_state docstring —
     # this lane is where the pinned-frame fold pathology was measured);
     # the pair table too: its lineage contains the Arrow signature
-    # kernel, and the CC loop over it shows the same degradation
+    # kernel, and the CC loop over it shows the same degradation.
+    # r9: the persisted standing state is the SIGNATURE table (like the
+    # simhash/minhash families) and the batch bucket-prunes it, so
+    # per-batch cost tracks matching buckets, not corpus size
+    corpus_sigs = _persist_state(lambda: op.signatures(corpus), spark,
+                                 f"embinc-sigs:{sf_dir}")
     standing = _persist_state(lambda: op.transform(corpus).select("a", "b"),
                               spark, f"embinc-standing:{sf_dir}")
     labels = _persist_state(lambda: connected_components(standing), spark,
                             f"embinc-labels:{sf_dir}")
     delta = _persist_state(
-        lambda: op.incremental_pairs(corpus, batch).select("a", "b"), spark,
+        lambda: op.incremental_pairs(corpus_sigs, op.signatures(batch))
+        .select("a", "b"), spark,
         f"embinc-delta:{sf_dir}")
     return canonical_from_labels(incremental_components(labels, delta))
 

@@ -439,7 +439,8 @@ def test_embedding_lsh_incremental_pairs_match_full(spark):
     standing = {(r.a, r.b): r.cosine
                 for r in op.transform(corpus).collect()}
     delta = {(r.a, r.b): r.cosine
-             for r in op.incremental_pairs(corpus, batch).collect()}
+             for r in op.incremental_pairs(op.signatures(corpus),
+                                           op.signatures(batch)).collect()}
     want_delta = {p: c for p, c in full.items() if p[1] >= split}
     assert delta == want_delta
     assert not (set(standing) & set(delta))

@@ -48,8 +48,10 @@ def test_embedding_incremental_rejects_overlapping_ids(spark):
         [(i, [float(i % 2), 1.0, 0.5, 0.25]) for i in ids],
         "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="disjoint"):
-        op.incremental_pairs(mk(range(6)), mk([2, 50])).collect()
-    op.incremental_pairs(mk(range(6)), mk([2, 50]),
+        op.incremental_pairs(op.signatures(mk(range(6))),
+                             op.signatures(mk([2, 50]))).collect()
+    op.incremental_pairs(op.signatures(mk(range(6))),
+                         op.signatures(mk([2, 50])),
                          check_disjoint=False).collect()
 
 

@@ -149,14 +149,17 @@ def main():
         from __spark_entry__ import _EMBDED_LSH
         from systems_spark.dedup import EmbeddingDedup
         op = EmbeddingDedup(**_EMBDED_LSH)
-        corpus = store.materialize(corpus_emb(m), f"probe-emb-corpus:{m}")
+        sigs = store.materialize(op.signatures(corpus_emb(m)),
+                                 f"probe-emb-sigs:{m}")
         labels = store.materialize(
-            connected_components(op.transform(corpus).select("a", "b")),
+            connected_components(
+                op.transform(corpus_emb(m)).select("a", "b")),
             f"probe-emb-labels:{m}")
 
         def run():
             delta = sever(
-                op.incremental_pairs(corpus, batch_emb).select("a", "b"),
+                op.incremental_pairs(sigs, op.signatures(batch_emb))
+                .select("a", "b"),
                 f"emb-{m}")
             return incremental_components(labels, delta, check_labels=False)
         return run
