@@ -213,16 +213,30 @@ class CdcTable:
         return sorted(out)
 
     def _commit(self, spark: SparkSession, df: DataFrame,
-                version: int) -> None:
+                version: int, extra: "dict | None" = None) -> None:
         target = self._data_path(version)
         df.write.mode("overwrite").parquet(target)
         written = spark.read.parquet(target)
         row = written.agg(F.count(F.lit(1)).alias("rows")).collect()[0]
         from systems_spark.state import fs_write_text_atomic
+        manifest = {"app_id": self.app_id, "version": int(version),
+                    "rows": int(row["rows"])}
+        manifest.update(extra or {})
         fs_write_text_atomic(
             spark, self._marker_path(version),
-            json.dumps({"app_id": self.app_id, "version": int(version),
-                        "rows": int(row["rows"])}, sort_keys=True))
+            json.dumps(manifest, sort_keys=True))
+
+    def _manifests(self, spark: SparkSession) -> "list[dict]":
+        return [json.loads(_fs_read_text(
+                    spark, self._fs(spark, self._marker_path(v))[1]
+                    .toString()))
+                for v in self.versions(spark)]
+
+    def _next_version(self, spark: SparkSession) -> int:
+        vs = self.versions(spark)
+        if not vs:
+            raise ValueError("CdcTable.initialize before writing")
+        return vs[-1] + 1
 
     # -- lifecycle -----------------------------------------------------------
     def initialize(self, seed: DataFrame, seq: int = 0) -> None:
@@ -254,17 +268,28 @@ class CdcTable:
         from systems_spark.operators.cdc import merge_cdc_fenced
 
         spark = batch_df.sparkSession
-        fs, m = self._fs(spark, self._marker_path(batch_id))
-        if fs.exists(m):
-            return  # replayed epoch: this version already committed
+        # idempotence is keyed by the STREAM's batch_id recorded in the
+        # commit manifests — version numbers are the commit ORDER and
+        # may drift ahead of batch ids once compactions interleave
+        if any(man.get("batch_id") == int(batch_id)
+               for man in self._manifests(spark)):
+            return  # replayed epoch: this batch already committed
         snap = self.snapshot(spark)
         # the snapshot stores its applied seq under seq_col itself, so
-        # both merge inputs speak one column name
+        # both merge inputs speak one column name; the compaction fence
+        # (if any) drops globally-stale changes at entry — a key whose
+        # tombstone was compacted away must not resurrect
+        fence = self.fence(spark)
         merged = merge_cdc_fenced(
             snap, batch_df, self.key_cols,
             seq_col=self.seq_col, op_col=self.op_col,
-            deleted_col=self.DELETED)
-        self._commit(spark, merged, batch_id)
+            deleted_col=self.DELETED, min_seq=fence)
+        # the standing fence rides along in every manifest so vacuuming
+        # the compaction commit that introduced it can never un-fence
+        extra = {"batch_id": int(batch_id)}
+        if fence is not None:
+            extra["fence_seq"] = int(fence)
+        self._commit(spark, merged, self._next_version(spark), extra=extra)
 
     # -- operations ------------------------------------------------------------
     def at_version(self, spark: SparkSession, version: int) -> DataFrame:
@@ -282,14 +307,47 @@ class CdcTable:
             out.append(json.loads(_fs_read_text(spark, p.toString())))
         return out
 
+    def fence(self, spark: SparkSession) -> "int | None":
+        """The standing compaction fence: the highest ``fence_seq`` any
+        :meth:`compact` committed, or None. Changes with seq ≤ fence are
+        globally stale by the compaction caller's guarantee and are
+        dropped at merge entry."""
+        fences = [man["fence_seq"] for man in self._manifests(spark)
+                  if "fence_seq" in man]
+        return max(fences) if fences else None
+
+    def compact(self, spark: SparkSession, fence_seq: int) -> int:
+        """Drop tombstones with seq ≤ ``fence_seq`` from the live
+        snapshot, committing the result as a new version (time travel
+        across the boundary stays intact — older versions are
+        untouched). ``fence_seq`` is the caller's GUARANTEE that no
+        change with seq ≤ fence_seq can still arrive; the fence
+        persists in the commit manifest and every later merge drops
+        such changes at entry, so a compacted-away tombstone's key can
+        never be resurrected by a late pre-fence replay — the
+        tombstones' fencing duty transfers to the table-level fence.
+        Without this, a daily 100 TB MERGE table accumulates one
+        tombstone per deleted key forever. Fences never regress
+        (max-of-manifests); returns the new version number."""
+        prev = self.fence(spark)
+        fence_seq = max(int(fence_seq), prev) if prev is not None \
+            else int(fence_seq)
+        snap = self.snapshot(spark)
+        compacted = snap.where(~(F.col(self.DELETED)
+                                 & (F.col(self.seq_col) <= fence_seq)))
+        version = self._next_version(spark)
+        self._commit(spark, compacted, version,
+                     extra={"compaction": True, "fence_seq": fence_seq})
+        return version
+
     def vacuum(self, spark: SparkSession, keep_last: int = 2) -> "list[int]":
         """Drop all but the newest ``keep_last`` committed versions —
         the disk-growth control for snapshot-per-version layouts. Markers
         are deleted FIRST so a concurrent reader never resolves a
         committed-but-vanishing version; the latest version is never
         eligible. Returns the dropped version numbers. (Tombstone
-        compaction is deliberately NOT offered while a stream may still
-        deliver stale seqs — a pruned tombstone un-fences its key.)"""
+        removal is :meth:`compact` — it requires the caller's no-older-
+        changes fence; vacuum alone never prunes tombstones.)"""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         vs = self.versions(spark)

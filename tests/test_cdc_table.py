@@ -196,3 +196,100 @@ def test_fenced_merge_random_property(spark):
             if b:
                 snap = merge_cdc_fenced(snap, _ch(spark, b), "k")
         assert _live(snap) == want, f"trial {trial}"
+
+
+def test_compact_drops_old_tombstones_and_fences_late_replays(spark, tmp_path):
+    """compact(fence_seq) removes tombstones the fence covers, keeps
+    newer ones, and the persisted fence makes a late pre-fence replay a
+    no-op even though its key's tombstone is gone."""
+    table = CdcTable(str(tmp_path / "t"), key_cols="k", app_id="c1")
+    table.initialize(spark.createDataFrame([(1, "a", 10), (2, "b", 20)], PAY))
+    table(_ch(spark, [(2, "x", 0, 1, "delete"),
+                      (3, "c", 30, 1, "insert")]), 0)
+    table(_ch(spark, [(3, "x", 0, 5, "delete")]), 1)
+    snap = table.snapshot(spark)
+    assert snap.where("_cdc_deleted").count() == 2
+
+    v = table.compact(spark, fence_seq=2)  # covers seq<=2: key-2 tombstone
+    assert table.fence(spark) == 2
+    snap = table.snapshot(spark)
+    assert {r.k for r in snap.where("_cdc_deleted").collect()} == {3}
+    assert sorted(tuple(r) for r in table.current(spark).collect()) == \
+        [(1, "a", 10)]
+
+    # late stale replay (seq <= fence) for the compacted-away key 2:
+    # dropped at entry -> key 2 must NOT resurrect
+    table(_ch(spark, [(2, "zombie", 99, 1, "insert")]), 2)
+    assert sorted(tuple(r) for r in table.current(spark).collect()) == \
+        [(1, "a", 10)]
+    # a genuinely new change (seq > fence) still applies
+    table(_ch(spark, [(2, "fresh", 21, 6, "insert")]), 3)
+    assert sorted(tuple(r) for r in table.current(spark).collect()) == \
+        [(1, "a", 10), (2, "fresh", 21)]
+
+    # time travel across the compaction boundary: the pre-compaction
+    # version still shows the key-2 tombstone
+    pre = table.at_version(spark, 1)
+    assert pre.where("k = 2 AND _cdc_deleted").count() == 1
+    # the compaction version itself is committed and readable
+    assert table.at_version(spark, v).where("k = 2").count() == 0
+
+
+def test_compact_fence_survives_vacuum_and_never_regresses(spark, tmp_path):
+    table = CdcTable(str(tmp_path / "t"), key_cols="k", app_id="c2")
+    table.initialize(spark.createDataFrame([(1, "a", 10)], PAY))
+    table(_ch(spark, [(2, "b", 0, 3, "delete")]), 0)
+    table.compact(spark, fence_seq=3)
+    table(_ch(spark, [(4, "d", 40, 4, "insert")]), 1)
+    # vacuum away everything but the newest version, including the
+    # compaction commit that introduced the fence
+    table.vacuum(spark, keep_last=1)
+    assert table.fence(spark) == 3, "fence must ride along in manifests"
+    # a smaller fence never regresses the standing one
+    table.compact(spark, fence_seq=1)
+    assert table.fence(spark) == 3
+    # pre-fence change still dropped
+    table(_ch(spark, [(2, "zombie", 9, 2, "insert")]), 2)
+    assert sorted(tuple(r) for r in table.current(spark).collect()) == \
+        [(1, "a", 10), (4, "d", 40)]
+
+
+def test_compact_bounds_snapshot_across_replayed_feeds(spark, tmp_path):
+    """The lane-level probe the verdict asked for: replay the same
+    delete-heavy change feed 3x with a compaction after each cycle —
+    the live snapshot row count stays bounded (tombstones don't
+    accumulate) and replays change nothing."""
+    table = CdcTable(str(tmp_path / "t"), key_cols="k", app_id="c3")
+    table.initialize(spark.createDataFrame(
+        [(k, f"s{k}", k) for k in range(20)], PAY))
+    feed = [(k, "x", 0, 10 + k, "delete") for k in range(10)]
+
+    sizes = []
+    for cycle in range(3):
+        table(_ch(spark, feed), cycle)          # same CHANGES re-offered
+        table.compact(spark, fence_seq=19)      # covers every feed seq
+        sizes.append(table.snapshot(spark).count())
+    assert sizes == [10, 10, 10], sizes
+    assert sorted(r.k for r in table.current(spark).collect()) == \
+        list(range(10, 20))
+
+
+def test_version_numbers_skip_past_compactions(spark, tmp_path):
+    """A stream batch arriving after a compaction takes the next free
+    version; its batch_id is recorded for idempotence and a replay of
+    that batch_id is still a no-op."""
+    table = CdcTable(str(tmp_path / "t"), key_cols="k", app_id="c4")
+    table.initialize(spark.createDataFrame([(1, "a", 10)], PAY))
+    table(_ch(spark, [(2, "b", 20, 1, "insert")]), 0)   # version 0
+    table.compact(spark, fence_seq=0)                   # version 1
+    table(_ch(spark, [(3, "c", 30, 2, "insert")]), 1)   # version 2
+    assert table.versions(spark) == [-1, 0, 1, 2]
+    cur = sorted(tuple(r) for r in table.current(spark).collect())
+    assert cur == [(1, "a", 10), (2, "b", 20), (3, "c", 30)]
+    # replay batch 1 (now living at version 2): no-op
+    table(_ch(spark, [(3, "evil", 0, 9, "delete")]), 1)
+    assert table.versions(spark) == [-1, 0, 1, 2]
+    assert sorted(tuple(r) for r in table.current(spark).collect()) == cur
+    hist = table.history(spark)
+    assert [h.get("batch_id") for h in hist] == [None, 0, None, 1]
+    assert hist[2].get("compaction") is True
