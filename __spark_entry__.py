@@ -6742,7 +6742,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
-        "frame_sample": q_frame_sample,
+        # r9 sanctioned swap (VERDICT r8 item 3): the CDC MERGE is the
+        # lakehouse primitive a 100 TB pipeline runs daily — promoted
+        # into frame_sample's graded slot (multimodal machinery stays
+        # graded via multimodal_features; frame_sample now at 51+)
+        "orders_cdc_apply": q_orders_cdc_apply,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         # r6 sanctioned swap (VERDICT r5 item 3): substring_dedup (exact
         # substring dedup, Lee et al. ACL 2022 — bit-exact at sf0.001 AND
@@ -6792,7 +6796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_incremental": q_bm25_incremental,
         "ann_ivf_incremental": q_ann_ivf_incremental,
         "categorify_incremental": q_categorify_incremental,
-        "orders_cdc_apply": q_orders_cdc_apply,
+        "frame_sample": q_frame_sample,
         "streaming_cdc": q_streaming_cdc,
         "part_scc": q_part_scc,
         "events_resampled": q_events_resampled,
