@@ -1162,6 +1162,30 @@ def q_bpe_train(spark, sf_dir):
     return _bpe_fitted(spark, sf_dir).merge_table(spark)
 
 
+def q_bpe_train_incremental(spark, sf_dir):
+    """Incremental BPE training (operators/bpe.py fit_update): the
+    (word, freq) vocab is the mergeable standing state — fit on half
+    the bpe corpus (doc_id % 40 == 0), fold in the other half
+    (doc_id % 40 == 20) with ONE batch pass + vocab-sized merge
+    re-derivation (the standing corpus is never re-tokenized). Graded
+    against the SAME pinned snapshot as bpe_train: fit + fit_update
+    must equal fit(union) bit-for-bit (exact integer counts,
+    lexicographic ties)."""
+    from systems_spark.operators.bpe import BpeTokenizer
+
+    docs = _t(spark, sf_dir, "documents")
+    bpe = BpeTokenizer(num_merges=12)
+    # standing training state persisted once (StateStore discipline):
+    # the lane measures the per-batch cost — one batch freq pass +
+    # vocab-sized merge re-derivation, never a standing-corpus re-read
+    standing = _persist_state(
+        lambda: bpe.word_freqs(docs.where(F.col("doc_id") % 40 == 0)),
+        spark, f"bpeinc-freqs:{sf_dir}")
+    bpe.with_word_freqs(standing).fit_update(
+        docs.where(F.col("doc_id") % 40 == 20))
+    return bpe.merge_table(spark)
+
+
 def q_bpe_tokenize(spark, sf_dir):
     """The trained tokenizer APPLIED (train → transform end-to-end): the
     fitted merges (shared with bpe_train) tokenize the same corpus
@@ -6803,6 +6827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_scores": q_feature_scores,
         "bpe_train": q_bpe_train,
         "bpe_tokenize": q_bpe_tokenize,
+        "bpe_train_incremental": q_bpe_train_incremental,
         # --- r4 session-3 corpus-curation lanes (locally oracle-checked
         # via test_oracle_parity; appended after 50 per the name-stable
         # window rule) ---
@@ -6955,6 +6980,10 @@ def oracle_sql() -> dict[str, str]:
                      "bpe_tokenize")
         if (sql := _snapshot_values_sql(name)) is not None
     }
+    # incremental BPE grades against the SAME pinned table: fit +
+    # fit_update over the split corpus must equal fit(union) exactly
+    if (sql := _snapshot_values_sql("bpe_train")) is not None:
+        snapshots["bpe_train_incremental"] = sql
     return snapshots | {
         "pricing_summary": _SQL_PRICING,
         "shipping_priority": _SQL_SHIPPING,

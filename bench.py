@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "feature_scores",
     "bpe_train",
     "bpe_tokenize",
+    "bpe_train_incremental",
     "hll_user_counts",
     "event_transitions",
     "last_touch_attribution",

@@ -121,19 +121,56 @@ class BpeTokenizer(Operator):
         # word, so it is computed once per distinct vocab word, never
         # per word occurrence
         self._vocab_tokens = None
+        # the (word, freq) vocab — the mergeable TRAINING state
+        # (fit_update unions + sums it; the corpus is never re-read)
+        self._freqs = None
 
     # -- fit -------------------------------------------------------------
-    def _word_vocab(self, df: DataFrame) -> DataFrame:
-        words = (df.select(F.explode(TX.tokens(F.col(self.text_col)))
-                           .alias("_w"))
-                 .groupBy("_w").agg(F.count(F.lit(1)).alias("_freq")))
-        return words.select(
-            "_w", "_freq",
-            F.concat(F.expr("split(_w, '')").cast("array<string>"),
-                     F.array(F.lit(_EOW))).alias("_sym"))
+    def word_freqs(self, df: DataFrame) -> DataFrame:
+        """(_w, _freq): the weighted word vocabulary — ONE corpus pass,
+        and the only thing training ever needs from the text again.
+        This is the persistable standing TRAINING state (StateStore);
+        re-adopt it with :meth:`with_word_freqs`."""
+        return (df.select(F.explode(TX.tokens(F.col(self.text_col)))
+                          .alias("_w"))
+                .groupBy("_w").agg(F.count(F.lit(1)).alias("_freq")))
 
     def fit(self, df: DataFrame) -> "BpeTokenizer":
-        vocab = self._word_vocab(df).localCheckpoint(eager=False)
+        return self._fit_from_freqs(
+            self.word_freqs(df).localCheckpoint(eager=False))
+
+    def fit_update(self, df: DataFrame) -> "BpeTokenizer":
+        """Fold a NEW batch into the standing training state and
+        re-derive the merge table: the (word, freq) vocab is the one
+        mergeable state (union + sum — the BM25-postings discipline),
+        so the standing corpus is never re-tokenized; the merge rounds
+        re-run over the merged VOCAB because every merge is a global
+        argmax over pair counts — rule k depends on rules 1..k-1, so no
+        per-rule state survives a count change. Cost: one corpus pass
+        over the BATCH + the vocab-sized merge rounds.
+        ``fit(a); fit_update(b)`` equals ``fit(a ∪ b)`` bit-for-bit
+        (counts are exact integer sums; ties break lexicographically)."""
+        if self._freqs is None:
+            raise ValueError("fit() before fit_update()")
+        merged = (self._freqs.unionByName(self.word_freqs(df))
+                  .groupBy("_w").agg(F.sum("_freq").alias("_freq")))
+        return self._fit_from_freqs(merged.localCheckpoint(eager=False))
+
+    def with_word_freqs(self, freqs: DataFrame) -> "BpeTokenizer":
+        """Adopt a persisted (word, freq) training state — the
+        ``fit_update`` entry point for pipelines keeping the vocab
+        table as standing state (a StateStore read; the twin of what
+        ``load_artifacts`` restores)."""
+        self._freqs = freqs
+        return self
+
+    def _fit_from_freqs(self, freqs: DataFrame) -> "BpeTokenizer":
+        self._freqs = freqs
+        vocab = freqs.select(
+            "_w", "_freq",
+            F.concat(F.expr("split(_w, '')").cast("array<string>"),
+                     F.array(F.lit(_EOW))).alias("_sym")) \
+            .localCheckpoint(eager=False)
         self.merges = []
         for _ in range(self.num_merges):
             pairs = (vocab.select(
@@ -257,6 +294,11 @@ class BpeTokenizer(Operator):
             # ship it so transform never re-derives the fit vocab
             self._vocab_tokens.write.mode("overwrite") \
                 .parquet(f"{path}/vocab_tokens.parquet")
+        if self._freqs is not None:
+            # the training state: a cold-loaded tokenizer can keep
+            # absorbing batches via fit_update
+            self._freqs.write.mode("overwrite") \
+                .parquet(f"{path}/word_freqs.parquet")
 
     def load_artifacts(self, path: str, spark: "SparkSession | None" = None) -> None:
         if spark is None:
@@ -265,9 +307,10 @@ class BpeTokenizer(Operator):
                 .orderBy("rank").collect())
         self.merges = [(r["left"], r["right"], int(r["pair_count"]))
                        for r in rows]
-        vt = f"{path}/vocab_tokens.parquet"
-        jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(vt)
-        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        self._vocab_tokens = spark.read.parquet(vt) if fs.exists(hpath) \
-            else None
+        for attr, sub in (("_vocab_tokens", "vocab_tokens.parquet"),
+                          ("_freqs", "word_freqs.parquet")):
+            p = f"{path}/{sub}"
+            hpath = spark._jvm.org.apache.hadoop.fs.Path(p)
+            fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            setattr(self, attr,
+                    spark.read.parquet(p) if fs.exists(hpath) else None)

@@ -209,3 +209,41 @@ def test_256_merges_train_and_apply_end_to_end(spark):
     for w in texts[0].split():
         want += vocab[w]
     assert got == want
+
+
+def test_fit_update_equals_fit_of_union(spark):
+    """fit(a) + fit_update(b) == fit(a ∪ b) bit-for-bit — the (word,
+    freq) vocab is the mergeable training state; the standing corpus is
+    never re-tokenized."""
+    a, b = CORPUS[:2], CORPUS[2:]
+    inc = _fit(spark, a, 8)
+    inc.fit_update(spark.createDataFrame(
+        [(i, t) for i, t in enumerate(b)], "doc_id long, text string"))
+    full = _fit(spark, CORPUS, 8)
+    assert inc.merges == full.merges
+    df = spark.createDataFrame([(0, CORPUS[1] + " lowest")],
+                               "doc_id long, text string")
+    assert (inc.transform(df).collect()[0]["tokens"]
+            == full.transform(df).collect()[0]["tokens"])
+
+
+def test_fit_update_chained_and_cold_load(spark, tmp_path):
+    """Three chained batches equal one fit; the training state survives
+    save/load so a cold-loaded tokenizer keeps absorbing batches."""
+    parts = [CORPUS[:1], CORPUS[1:3], CORPUS[3:]]
+    inc = _fit(spark, parts[0], 6)
+    inc.fit_update(spark.createDataFrame(
+        [(i, t) for i, t in enumerate(parts[1])], "doc_id long, text string"))
+    inc.save_artifacts(str(tmp_path), spark=spark)
+    cold = BpeTokenizer(num_merges=6)
+    cold.load_artifacts(str(tmp_path), spark=spark)
+    cold.fit_update(spark.createDataFrame(
+        [(i, t) for i, t in enumerate(parts[2])], "doc_id long, text string"))
+    full = _fit(spark, CORPUS, 6)
+    assert cold.merges == full.merges
+
+
+def test_fit_update_requires_fit(spark):
+    df = spark.createDataFrame([(0, "x y")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="fit"):
+        BpeTokenizer().fit_update(df)
