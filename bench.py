@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "categorify_incremental",
     "orders_cdc_apply",
     "streaming_cdc",
+    "cdc_partitioned",
     "part_scc",
     "events_resampled",
     "feature_scores",

@@ -29,7 +29,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from systems_spark.streaming.sinks import (CdcTable,  # noqa: F401
-                                           IdempotentParquetSink)
+                                           IdempotentParquetSink,
+                                           PartitionedCdcTable)
 from systems_spark.streaming.stateful import (  # noqa: F401
     RunningAggregator,
     StreamingFunnel,

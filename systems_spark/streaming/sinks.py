@@ -358,3 +358,220 @@ class CdcTable:
             _, d = self._fs(spark, self._data_path(v))
             fs.delete(d, True)
         return drop
+
+
+class PartitionedCdcTable(CdcTable):
+    """Bucket-partitioned CDC MERGE table — the LAKE-SCALE layout: the
+    snapshot lives as hash buckets of the merge key, each commit's
+    manifest records the full bucket → writer-version mapping (a mini
+    transaction log), and a merge REWRITES ONLY THE BUCKETS ITS BATCH
+    TOUCHES. Untouched buckets are neither rescanned (the merge reads
+    only the touched buckets' directories — path-level partition
+    pruning) nor rewritten (their mapping entries carry forward), so
+    per-epoch cost is touched-bucket volume, not table size — the
+    claim ``CdcTable``'s snapshot-per-version docstring defers to at
+    fact scale, made real.
+
+    Semantics are inherited wholesale: the same ``merge_cdc_fenced``
+    core (seq fencing, tombstones, NULL-safe keys), marker-last commit
+    discipline, manifest-recorded ``batch_id`` idempotence, compaction
+    under a vacuum-proof persistent fence.
+
+    Layout: ``path/version=V/_cdc_bucket=B/part-*.parquet``; manifest
+    ``{"buckets": {"B": writer_version, ...}, "schema": <json>}``. A
+    bucket emptied by compaction simply leaves the mapping. Bucket
+    count is fixed at table creation — the key-hash must stay stable
+    across the table's life (re-bucketing is a full rewrite, as
+    everywhere)."""
+
+    def __init__(self, path: str, key_cols, app_id: str,
+                 num_buckets: int = 16,
+                 seq_col: str = "seq", op_col: str = "op"):
+        super().__init__(path, key_cols, app_id,
+                         seq_col=seq_col, op_col=op_col)
+        if num_buckets < 1:
+            raise ValueError("num_buckets must be >= 1")
+        self.num_buckets = int(num_buckets)
+
+    BUCKET = "_cdc_bucket"
+
+    def _bucket_expr(self):
+        return F.pmod(F.xxhash64(*[F.col(k) for k in self.key_cols]),
+                      F.lit(self.num_buckets)).cast("int")
+
+    # -- manifest/mapping helpers ------------------------------------------
+    def _latest_manifest(self, spark: SparkSession) -> dict:
+        mans = self._manifests(spark)
+        if not mans:
+            raise ValueError("PartitionedCdcTable.initialize before reading")
+        return mans[-1]
+
+    def _mapping(self, man: dict) -> "dict[int, int]":
+        return {int(b): int(v) for b, v in man.get("buckets", {}).items()}
+
+    def _bucket_paths(self, mapping: "dict[int, int]", buckets) -> list:
+        return [f"{self._data_path(mapping[b])}/{self.BUCKET}={b}"
+                for b in sorted(buckets) if b in mapping]
+
+    def _empty_like(self, spark: SparkSession, man: dict) -> DataFrame:
+        from pyspark.sql.types import StructType
+        schema = StructType.fromJson(json.loads(man["schema"]))
+        return spark.createDataFrame([], schema)
+
+    def _read_buckets(self, spark: SparkSession, man: dict,
+                      buckets) -> DataFrame:
+        paths = self._bucket_paths(self._mapping(man), buckets)
+        if not paths:
+            return self._empty_like(spark, man)
+        return spark.read.parquet(*paths)
+
+    def _commit_version(self, spark: SparkSession, df: "DataFrame | None",
+                        version: int, prior: "dict[int, int]",
+                        touched, schema_json: str,
+                        extra: "dict | None" = None) -> None:
+        """Write the touched buckets (df pre-bucketed) as version
+        ``version``; the manifest's mapping carries untouched entries
+        forward and points touched buckets that survived at the new
+        directory. ``df=None`` commits manifest-only (no data dir)."""
+        written = set()
+        if df is not None:
+            target = self._data_path(version)
+            df.write.partitionBy(self.BUCKET).mode("overwrite") \
+                .parquet(target)
+            back = spark.read.parquet(target)
+            written = {int(r[0]) for r in
+                       back.select(self.BUCKET).distinct().collect()}
+            rows = back.count()
+        else:
+            rows = 0
+        mapping = {b: v for b, v in prior.items() if b not in set(touched)}
+        mapping.update({b: int(version) for b in written})
+        manifest = {"app_id": self.app_id, "version": int(version),
+                    "rows": int(rows),
+                    "buckets": {str(b): v for b, v in
+                                sorted(mapping.items())},
+                    "schema": schema_json}
+        manifest.update(extra or {})
+        from systems_spark.state import fs_write_text_atomic
+        fs_write_text_atomic(spark, self._marker_path(version),
+                             json.dumps(manifest, sort_keys=True))
+
+    # -- lifecycle -----------------------------------------------------------
+    def initialize(self, seed: DataFrame, seq: int = 0) -> None:
+        spark = seed.sparkSession
+        fs, m = self._fs(spark, self._marker_path(-1))
+        if fs.exists(m):
+            return
+        snap = (seed.withColumn(self.seq_col, F.lit(int(seq)).cast("long"))
+                .withColumn(self.DELETED, F.lit(False)))
+        schema_json = json.dumps(snap.schema.jsonValue())
+        self._commit_version(
+            spark, snap.withColumn(self.BUCKET, self._bucket_expr()),
+            -1, {}, touched=(), schema_json=schema_json)
+
+    def snapshot(self, spark: SparkSession) -> DataFrame:
+        man = self._latest_manifest(spark)
+        return self._read_buckets(spark, man, self._mapping(man))
+
+    def at_version(self, spark: SparkSession, version: int) -> DataFrame:
+        mans = {m["version"]: m for m in self._manifests(spark)}
+        if version not in mans:
+            raise ValueError(f"version {version} is not committed")
+        man = mans[version]
+        return self._read_buckets(spark, man, self._mapping(man))
+
+    # -- the foreachBatch entry point ----------------------------------------
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from systems_spark.operators.cdc import merge_cdc_fenced
+
+        spark = batch_df.sparkSession
+        mans = self._manifests(spark)
+        if any(man.get("batch_id") == int(batch_id) for man in mans):
+            return  # replayed epoch
+        if not mans:
+            raise ValueError("PartitionedCdcTable.initialize before writing")
+        man = mans[-1]
+        prior = self._mapping(man)
+        fence = self.fence(spark)
+        extra = {"batch_id": int(batch_id)}
+        if fence is not None:
+            extra["fence_seq"] = int(fence)
+            batch_df = batch_df.where(F.col(self.seq_col) > int(fence))
+        # the touched-bucket set is ≤ num_buckets — a bounded collect,
+        # the partition-pruning driver decision every table format makes
+        touched = sorted(
+            int(r[0]) for r in batch_df.select(self._bucket_expr())
+            .distinct().collect())
+        version = self._next_version(spark)
+        if not touched:
+            self._commit_version(spark, None, version, prior, (),
+                                 man["schema"], extra)
+            return
+        snap_touched = self._read_buckets(spark, man, touched)
+        merged = merge_cdc_fenced(
+            snap_touched, batch_df, self.key_cols,
+            seq_col=self.seq_col, op_col=self.op_col,
+            deleted_col=self.DELETED)
+        self._commit_version(
+            spark, merged.withColumn(self.BUCKET, self._bucket_expr()),
+            version, prior, touched, man["schema"], extra)
+
+    # -- operations ------------------------------------------------------------
+    def compact(self, spark: SparkSession, fence_seq: int) -> int:
+        prev = self.fence(spark)
+        fence_seq = max(int(fence_seq), prev) if prev is not None \
+            else int(fence_seq)
+        man = self._latest_manifest(spark)
+        prior = self._mapping(man)
+        covered = F.col(self.DELETED) & (F.col(self.seq_col) <= fence_seq)
+        # only buckets actually holding coverable tombstones rewrite
+        dirty = sorted(
+            int(r[0]) for r in self.snapshot(spark).where(covered)
+            .select(self._bucket_expr()).distinct().collect())
+        version = self._next_version(spark)
+        extra = {"compaction": True, "fence_seq": fence_seq}
+        if not dirty:
+            self._commit_version(spark, None, version, prior, (),
+                                 man["schema"], extra)
+            return version
+        kept = self._read_buckets(spark, man, dirty).where(~covered)
+        self._commit_version(
+            spark, kept.withColumn(self.BUCKET, self._bucket_expr()),
+            version, prior, dirty, man["schema"], extra)
+        return version
+
+    def vacuum(self, spark: SparkSession, keep_last: int = 2) -> "list[int]":
+        """Retain the newest ``keep_last`` manifests (they stay
+        time-travelable); older manifests are dropped, and a version's
+        DATA directory is dropped only once no kept manifest's bucket
+        mapping references it — a bucket directory stays on disk as
+        long as any retained snapshot still reads it (the
+        transaction-log retention rule). Returns the versions whose
+        data was deleted."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        vs = self.versions(spark)
+        keep = set(vs[-keep_last:]) if keep_last < len(vs) else set(vs)
+        mans = {m["version"]: m for m in self._manifests(spark)}
+        referenced = set()
+        for v in keep:
+            referenced.update(self._mapping(mans[v]).values())
+        for v in vs:
+            if v not in keep:
+                fs, m = self._fs(spark, self._marker_path(v))
+                fs.delete(m, False)
+        # sweep data dirs from DISK, not the marker list: a writer
+        # version can outlive its marker (still referenced by a kept
+        # snapshot when its own manifest aged out) and must be
+        # reconsidered by every later vacuum, or it orphans forever
+        dropped = []
+        fs, root = self._fs(spark, self.path)
+        for status in fs.listStatus(root):
+            name = status.getPath().getName()
+            if not name.startswith("version="):
+                continue
+            v = int(name[len("version="):])
+            if v not in keep and v not in referenced:
+                fs.delete(status.getPath(), True)
+                dropped.append(v)
+        return sorted(dropped)

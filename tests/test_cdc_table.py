@@ -293,3 +293,121 @@ def test_version_numbers_skip_past_compactions(spark, tmp_path):
     hist = table.history(spark)
     assert [h.get("batch_id") for h in hist] == [None, 0, None, 1]
     assert hist[2].get("compaction") is True
+
+
+# --- PartitionedCdcTable: the lake-scale touched-bucket layout -----------
+
+from systems_spark.streaming import PartitionedCdcTable
+
+
+def _bucket_dirs(base, version):
+    d = os.path.join(base, f"version={version}")
+    if not os.path.isdir(d):
+        return None
+    return sorted(n for n in os.listdir(d) if n.startswith("_cdc_bucket="))
+
+
+def test_partitioned_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    base = str(tmp_path / "t")
+    table = PartitionedCdcTable(base, key_cols="k", app_id="p1",
+                                num_buckets=8)
+    table.initialize(spark.createDataFrame(
+        [(k, f"s{k}", k * 10) for k in range(40)], PAY))
+    n_seed_buckets = len(_bucket_dirs(base, -1))
+    assert n_seed_buckets == 8  # 40 keys cover all 8 buckets
+
+    # a single-key batch touches exactly ONE bucket
+    table(_ch(spark, [(3, "x3", 999, 1, "update")]), 0)
+    dirs = _bucket_dirs(base, 0)
+    assert len(dirs) == 1, dirs
+    # the snapshot stitches untouched buckets from version -1 and the
+    # touched one from version 0 — full-content equivalence
+    cur = {r.k: (r.s, r.v) for r in table.current(spark).collect()}
+    want = {k: (f"s{k}", k * 10) for k in range(40)}
+    want[3] = ("x3", 999)
+    assert cur == want
+
+
+def test_partitioned_semantics_match_cdctable(spark, tmp_path):
+    """Same feed through CdcTable and PartitionedCdcTable: identical
+    live view, including tombstone fencing and replays."""
+    flat = CdcTable(str(tmp_path / "a"), key_cols="k", app_id="f")
+    part = PartitionedCdcTable(str(tmp_path / "b"), key_cols="k",
+                               app_id="p", num_buckets=4)
+    seed = spark.createDataFrame([(k, f"s{k}", k) for k in range(12)], PAY)
+    for t in (flat, part):
+        t.initialize(seed)
+    feeds = [
+        [(1, "a1", 11, 1, "update"), (2, "x", 0, 1, "delete"),
+         (30, "new", 300, 1, "insert")],
+        [(2, "zombie", 99, 1, "insert"),          # fenced by tombstone seq
+         (1, "a2", 12, 3, "update"), (5, "x", 0, 2, "delete")],
+        [(1, "stale", 0, 2, "update")],           # stale: seq < applied 3
+    ]
+    for i, feed in enumerate(feeds):
+        for t in (flat, part):
+            t(_ch(spark, feed), i)
+            t(_ch(spark, feed), i)  # replay: no-op
+    a = sorted(tuple(r) for r in flat.current(spark).collect())
+    b = sorted(tuple(r) for r in part.current(spark).collect())
+    assert a == b
+    assert (1, "a2", 12) in a and all(r[0] != 2 for r in a)
+
+
+def test_partitioned_compact_rewrites_only_dirty_buckets(spark, tmp_path):
+    base = str(tmp_path / "t")
+    table = PartitionedCdcTable(base, key_cols="k", app_id="p2",
+                                num_buckets=8)
+    table.initialize(spark.createDataFrame(
+        [(k, f"s{k}", k) for k in range(40)], PAY))
+    table(_ch(spark, [(7, "x", 0, 2, "delete")]), 0)   # one tombstone
+    v = table.compact(spark, fence_seq=2)
+    # only the tombstone's bucket rewrote
+    assert len(_bucket_dirs(base, v)) == 1
+    assert table.snapshot(spark).where("_cdc_deleted").count() == 0
+    assert table.fence(spark) == 2
+    # late pre-fence replay: no resurrection
+    table(_ch(spark, [(7, "zombie", 1, 1, "insert")]), 1)
+    assert table.current(spark).where("k = 7").count() == 0
+    # post-fence change applies
+    table(_ch(spark, [(7, "fresh", 70, 3, "insert")]), 2)
+    assert {tuple(r) for r in table.current(spark)
+            .where("k = 7").collect()} == {(7, "fresh", 70)}
+
+
+def test_partitioned_time_travel_and_vacuum_retention(spark, tmp_path):
+    base = str(tmp_path / "t")
+    table = PartitionedCdcTable(base, key_cols="k", app_id="p3",
+                                num_buckets=4)
+    table.initialize(spark.createDataFrame([(1, "a", 10), (2, "b", 20)], PAY))
+    table(_ch(spark, [(1, "a1", 11, 1, "update")]), 0)
+    table(_ch(spark, [(2, "b1", 21, 1, "update")]), 1)
+    v0 = {r.k: r.s for r in table.at_version(spark, 0).collect()}
+    assert v0 == {1: "a1", 2: "b"}
+    # vacuum keep_last=1: old manifests drop (no longer time-travelable)
+    # but any data dir the RETAINED snapshot still reads must survive
+    dropped = table.vacuum(spark, keep_last=1)
+    assert table.versions(spark) == [1]
+    assert 1 not in dropped  # the kept version's own data
+    assert sorted(r.k for r in table.current(spark).collect()) == [1, 2]
+    with pytest.raises(ValueError, match="not committed"):
+        table.at_version(spark, 0)
+    # now rewrite both keys so every older writer becomes unreferenced
+    table(_ch(spark, [(1, "a2", 12, 2, "update"),
+                      (2, "b2", 22, 2, "update")]), 2)
+    dropped = table.vacuum(spark, keep_last=1)
+    assert {r.s for r in table.current(spark).collect()} == {"a2", "b2"}
+    # nothing but version 2 remains on disk as data
+    left = {n for n in os.listdir(base) if n.startswith("version=")}
+    assert left == {"version=2"}, left
+
+
+def test_partitioned_null_key_buckets_stably(spark, tmp_path):
+    table = PartitionedCdcTable(str(tmp_path / "t"), key_cols="k",
+                                app_id="p4", num_buckets=4)
+    table.initialize(spark.createDataFrame([(None, "n", 0), (1, "a", 10)],
+                                           PAY))
+    table(_ch(spark, [(None, "n2", 1, 1, "update")]), 0)
+    got = sorted((tuple(r) for r in table.current(spark).collect()),
+                 key=lambda t: (t[0] is not None, t[1]))
+    assert got == [(None, "n2", 1), (1, "a", 10)]
