@@ -1342,6 +1342,29 @@ def q_cdc_partitioned(spark, sf_dir):
                  .alias("key_checksum")))
 
 
+def q_orders_zorder(spark, sf_dir):
+    """Z-order (Morton) write layout (operators/zorder.py) — the
+    lakehouse data-skipping optimizer: o_custkey and o_orderkey
+    interleave into one exact-integer Morton key (clamped fixed-point
+    grid, truncating division — DuckDB-replayable bit for bit), the
+    table range-partitions + sorts on it, and every output file covers
+    a small rectangle of BOTH key ranges so parquet min/max stats prune
+    either predicate. Graded on the 64-cell curve-prefix histogram:
+    count + key checksum per top-6-bit z prefix — any interleave or
+    grid-mapping drift moves rows across cells and breaks the hash."""
+    from systems_spark.operators.zorder import z_value
+
+    orders = _t(spark, sf_dir, "orders")
+    z = z_value(["o_custkey", "o_orderkey"],
+                [(1, 150000), (1, 6000000)], bits=16)
+    return (orders.select(F.shiftright(z, 26).alias("z_cell"),
+                          F.col("o_orderkey"))
+            .groupBy("z_cell")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.col("o_orderkey").cast("decimal(38,0)"))
+                 .alias("key_checksum")))
+
+
 def q_streaming_cdc(spark, sf_dir):
     """Streaming CDC MERGE, driver-graded — the EIGHTH real
     StreamingQuery: the change feed replays as a bounded file stream
@@ -6861,6 +6884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "streaming_cdc": q_streaming_cdc,
         "cdc_partitioned": q_cdc_partitioned,
+        "orders_zorder": q_orders_zorder,
         "part_scc": q_part_scc,
         "events_resampled": q_events_resampled,
         "feature_scores": q_feature_scores,
@@ -7012,6 +7036,20 @@ def _snapshot_values_sql(name: str) -> "str | None":
     return f"SELECT * FROM (VALUES {rows}) AS _snap({cols})"
 
 
+def _sql_orders_zorder() -> str:
+    from systems_spark.operators.zorder import z_value_sql
+
+    z = z_value_sql(["o_custkey", "o_orderkey"],
+                    [(1, 150000), (1, 6000000)], bits=16)
+    return f"""
+SELECT ({z} >> 26) AS z_cell,
+       count(*) AS n_orders,
+       sum(o_orderkey::DECIMAL(38,0)) AS key_checksum
+FROM orders
+GROUP BY 1
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     snapshots = {
         name: sql
@@ -7109,6 +7147,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_cdc": _sql_orders_cdc_apply(),
         # the bucket-stitched snapshot must land exactly the same state
         "cdc_partitioned": _sql_orders_cdc_apply(),
+        "orders_zorder": _sql_orders_zorder(),
         "part_scc": _sql_part_scc(),
         "events_resampled": _sql_events_resampled(),
         "feature_scores": _sql_feature_scores(),

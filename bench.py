@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "orders_cdc_apply",
     "streaming_cdc",
     "cdc_partitioned",
+    "orders_zorder",
     "part_scc",
     "events_resampled",
     "feature_scores",

@@ -46,6 +46,7 @@ from systems_spark.operators.bloom_join import bloom_prefilter, bloom_prefilter_
 from systems_spark.operators.linkage import fellegi_sunter_scores, fellegi_sunter_sql
 from systems_spark.operators.cdc import apply_cdc, apply_cdc_sql
 from systems_spark.operators.resample import resample_ffill, resample_ffill_sql
+from systems_spark.operators.zorder import z_value, z_value_sql, zorder_layout
 from systems_spark.operators.tablediff import table_diff, table_diff_sql
 from systems_spark.operators.survival import kaplan_meier, kaplan_meier_sql
 from systems_spark.operators.pca import (
@@ -61,6 +62,9 @@ __all__ = [
     "apply_cdc_sql",
     "resample_ffill",
     "resample_ffill_sql",
+    "z_value",
+    "z_value_sql",
+    "zorder_layout",
     "table_diff",
     "table_diff_sql",
     "kaplan_meier",

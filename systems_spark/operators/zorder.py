@@ -1,0 +1,98 @@
+"""Z-order (Morton-curve) write layout — multi-column data skipping.
+
+The lakehouse layout optimizer (Delta ``OPTIMIZE ZORDER BY``, Iceberg
+``rewrite_data_files(strategy => 'sort', sort_order => 'zorder')``):
+interleave the bits of several columns into one key and range-partition
++ sort the write by it, so every FILE covers a small hyper-rectangle of
+the combined key space and parquet min/max footer stats prune scans on
+ANY of the z-ordered columns — not just the leading sort column of a
+linear order. A 100 TB fact table laid out this way answers both
+"customer = X" and "date between ..." with file-level skipping from
+one layout.
+
+Exactness contract: values map to fixed-bit grid cells with pure
+INTEGER arithmetic over a caller-supplied (lo, hi) range — truncating
+division, no float detour — and the interleave is a sum of shifted
+bits, so the z-value is bit-for-bit reproducible in the DuckDB twin
+(:func:`z_value_sql`). Rows outside [lo, hi] clamp to the grid edge
+(layout stays valid; skipping just degrades for them).
+
+Scale shape: the z-value is a per-row JVM expression (no shuffle);
+``zorder_layout`` adds exactly one range exchange (sampled bounds, the
+same exchange a plain sorted write pays) + an in-partition sort that
+parquet writers need anyway for run-length wins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["z_value", "z_value_sql", "zorder_layout"]
+
+
+def z_value(cols, ranges, bits: int = 16) -> Column:
+    """The Morton key (long) of ``cols`` (names or Columns), each
+    mapped onto a ``bits``-bit grid over its ``(lo, hi)`` range.
+    ``len(cols) * bits`` must be ≤ 63 (a signed-long key)."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in cols]
+    k = len(cols)
+    if k < 1:
+        raise ValueError("z_value needs at least one column")
+    if k * bits > 63:
+        raise ValueError(f"{k} cols x {bits} bits exceeds a long "
+                         f"({k * bits} > 63)")
+    if len(ranges) != k:
+        raise ValueError("one (lo, hi) range per column")
+    grids = []
+    for col, (lo, hi) in zip(cols, ranges):
+        lo, hi = int(lo), int(hi)
+        if hi <= lo:
+            raise ValueError(f"range ({lo}, {hi}) is empty")
+        cells = (1 << bits) - 1
+        if (hi - lo) * cells >= (1 << 53):
+            # floor(a / b) on doubles equals integer div only below
+            # 2^53 — refuse the silent precision loss; shrink bits
+            raise ValueError(
+                f"range span {hi - lo} x {bits} bits exceeds exact "
+                f"float-division bounds; reduce bits")
+        v = F.greatest(F.lit(lo), F.least(F.lit(hi), col.cast("long")))
+        # clamp guarantees non-negative operands, so floor-div is the
+        # same truncating integer division DuckDB's // performs
+        grids.append(F.floor((v - F.lit(lo)) * F.lit(cells)
+                             / F.lit(hi - lo)).cast("long"))
+    z = F.lit(0).cast("long")
+    for j in range(bits):
+        for i, g in enumerate(grids):
+            bit = F.shiftright(g, j).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, j * k + i)
+    return z
+
+
+def z_value_sql(exprs, ranges, bits: int = 16) -> str:
+    """DuckDB twin of :func:`z_value` over SQL expressions — the same
+    clamp, the same truncating fixed-point grid, the same interleave."""
+    k = len(exprs)
+    terms = []
+    for i, (e, (lo, hi)) in enumerate(zip(exprs, ranges)):
+        lo, hi = int(lo), int(hi)
+        cells = (1 << bits) - 1
+        g = (f"(((greatest({lo}, least({hi}, ({e})::BIGINT)) - {lo}) "
+             f"* {cells}) // {hi - lo})")
+        for j in range(bits):
+            terms.append(f"((({g} >> {j}) & 1) << {j * k + i})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_layout(df: DataFrame, cols, ranges, bits: int = 16,
+                  partitions: "int | None" = None,
+                  z_col: str = "_zorder") -> DataFrame:
+    """``df`` re-laid-out along the Morton curve: one range exchange on
+    the z-value + an in-partition sort, ready to write. The z column is
+    kept under ``z_col`` so tests and layout audits can see it; drop it
+    at write time if the table schema must stay closed."""
+    z = z_value(cols, ranges, bits)
+    out = df.withColumn(z_col, z)
+    out = (out.repartitionByRange(partitions, F.col(z_col))
+           if partitions else out.repartitionByRange(F.col(z_col)))
+    return out.sortWithinPartitions(z_col)
