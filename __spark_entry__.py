@@ -1365,6 +1365,56 @@ def q_orders_zorder(spark, sf_dir):
                  .alias("key_checksum")))
 
 
+def q_dedup_forget(spark, sf_dir):
+    """Right-to-be-forgotten dedup maintenance (dedup/clusters.py
+    decremental_components): a takedown batch (doc_id % 16 == 3) leaves
+    the corpus, and its documents must leave the standing dup clusters
+    — including the SPLIT case, where a cluster bridged only by a
+    removed document falls back apart, which the incremental (edge-add)
+    path can never produce. Only components containing a deleted doc
+    re-derive, from the persisted standing PAIR table restricted to
+    survivors; every other label passes through untouched. Oracle =
+    full-recompute components over the SURVIVING corpus's thresholded
+    minhash pairs, plus singletons for previously-clustered survivors
+    that lost every pair — the forget path must be indistinguishable
+    from never having ingested the deleted documents."""
+    from systems_spark.dedup import (canonical_from_labels,
+                                     decremental_components)
+
+    mh = MinHashDedup(**_MINHASH)
+    min_eq = int(mh.threshold * mh.num_perm)
+    docs = _t(spark, sf_dir, "documents")
+    sigs = _persist_state(
+        lambda: mh.signatures(docs).where(F.col("m0") != 2147483647),
+        spark, f"forget-sigs:{sf_dir}")
+    pairs = _persist_state(
+        lambda: mh.candidate_pairs(sigs)
+        .where(F.col("n_equal") >= min_eq).select("a", "b"),
+        spark, f"forget-pairs:{sf_dir}")
+    labels = _persist_state(lambda: connected_components(pairs), spark,
+                            f"forget-labels:{sf_dir}")
+    deleted = docs.where(F.col("doc_id") % 16 == 3).select("doc_id")
+    return canonical_from_labels(
+        decremental_components(labels, pairs, deleted))
+
+
+def _sql_dedup_forget() -> str:
+    mh = MinHashDedup(**_MINHASH)
+    surviving = "(SELECT * FROM documents WHERE doc_id % 16 != 3)"
+    comp = _sql_components(mh.pairs_oracle_sql(surviving))
+    full_pairs = mh.pairs_oracle_sql()
+    return f"""
+WITH comp AS ({comp}),
+fp AS ({full_pairs}),
+full_nodes AS (SELECT a AS n FROM fp UNION SELECT b FROM fp)
+SELECT doc_id, canonical_id, cluster_size FROM comp
+UNION ALL
+SELECT n AS doc_id, n AS canonical_id, 1 AS cluster_size
+FROM full_nodes
+WHERE n % 16 != 3 AND n NOT IN (SELECT doc_id FROM comp)
+"""
+
+
 def q_streaming_cdc(spark, sf_dir):
     """Streaming CDC MERGE, driver-graded — the EIGHTH real
     StreamingQuery: the change feed replays as a bounded file stream
@@ -6885,6 +6935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cdc": q_streaming_cdc,
         "cdc_partitioned": q_cdc_partitioned,
         "orders_zorder": q_orders_zorder,
+        "dedup_forget": q_dedup_forget,
         "part_scc": q_part_scc,
         "events_resampled": q_events_resampled,
         "feature_scores": q_feature_scores,
@@ -7148,6 +7199,7 @@ def oracle_sql() -> dict[str, str]:
         # the bucket-stitched snapshot must land exactly the same state
         "cdc_partitioned": _sql_orders_cdc_apply(),
         "orders_zorder": _sql_orders_zorder(),
+        "dedup_forget": _sql_dedup_forget(),
         "part_scc": _sql_part_scc(),
         "events_resampled": _sql_events_resampled(),
         "feature_scores": _sql_feature_scores(),

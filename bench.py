@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "streaming_cdc",
     "cdc_partitioned",
     "orders_zorder",
+    "dedup_forget",
     "part_scc",
     "events_resampled",
     "feature_scores",

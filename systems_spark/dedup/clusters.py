@@ -237,6 +237,73 @@ def incremental_components(labels: DataFrame, new_pairs: DataFrame,
     return resolved.unionByName(untouched)
 
 
+def decremental_components(labels: DataFrame, pairs: DataFrame,
+                           deleted: DataFrame,
+                           a_col: str = "a", b_col: str = "b",
+                           node_col: str = "node",
+                           component_col: str = "component",
+                           check_labels: bool = True,
+                           **cc_kwargs) -> DataFrame:
+    """Remove DELETED nodes from a standing labeling — the
+    right-to-be-forgotten maintenance shape (a takedown/GDPR batch
+    leaves the corpus; its documents must leave the dup clusters, and
+    a cluster bridged ONLY by a removed document must split back
+    apart). The mirror of :func:`incremental_components`, with one
+    fundamental asymmetry: edge ADDITION is monotone, so old clusters
+    may collapse to star edges; deletion is not — a touched component
+    must re-derive from its TRUE surviving pair set, which is why the
+    standing PAIR table (the same one the labels were resolved from)
+    is an input here.
+
+    Plan, all batch-proportional:
+
+    1. touched components = distinct labels of deleted nodes (≤ the
+       delete batch, broadcastable); every other label row passes
+       through by anti-join — deletion provably cannot affect a
+       component containing no deleted node;
+    2. surviving members of touched components keep only pairs whose
+       BOTH endpoints survive (two semi-joins — a standing pair's
+       endpoints share a component, so this is exactly the touched
+       subgraph);
+    3. ``connected_components`` re-resolves that subgraph; members
+       left with no surviving pair become their own singletons (they
+       are still corpus documents — no longer duplicates of anything).
+
+    Labels remain the component-min surviving node id, exactly what a
+    full recompute over the surviving pair set yields."""
+    if check_labels:
+        from systems_spark.dedup.guards import ensure_unique_labels
+        ensure_unique_labels(labels, node_col,
+                             "decremental_components")
+    dcol = deleted.columns[0]
+    dele = deleted.select(F.col(dcol).alias("_n")).distinct()
+    lbl = labels.select(F.col(node_col).alias("_n"),
+                        F.col(component_col).alias("_c"))
+    touched = (lbl.join(dele, on="_n", how="semi")
+               .select("_c").distinct())
+    untouched = (lbl.join(F.broadcast(touched), on="_c", how="anti")
+                 .select(F.col("_n").alias(node_col),
+                         F.col("_c").alias(component_col)))
+    members = (lbl.join(F.broadcast(touched), on="_c", how="semi")
+               .join(dele, on="_n", how="anti")
+               .select("_n"))
+    e = pairs.select(F.col(a_col).alias("_a"), F.col(b_col).alias("_b"))
+    sub = (e.join(members.withColumnRenamed("_n", "_a"), on="_a",
+                  how="semi")
+           .join(members.withColumnRenamed("_n", "_b"), on="_b",
+                 how="semi"))
+    resolved = connected_components(
+        sub.select(F.col("_a").alias(a_col), F.col("_b").alias(b_col)),
+        a_col=a_col, b_col=b_col,
+        node_col=node_col, component_col=component_col, **cc_kwargs)
+    singles = (members
+               .join(resolved.select(F.col(node_col).alias("_n")),
+                     on="_n", how="anti")
+               .select(F.col("_n").alias(node_col),
+                       F.col("_n").alias(component_col)))
+    return resolved.unionByName(singles).unionByName(untouched)
+
+
 def canonical_documents(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
                         id_col: str = "doc_id",
                         canonical_col: str = "canonical_id",

@@ -500,3 +500,66 @@ def test_sql_label_and_identifier_validation():
     with pytest.raises(ValueError, match="bare identifier"):
         k_anonymity_report_sql("SELECT 1 AS x", ["x; DROP TABLE t"])
     assert "GROUP BY x" in k_anonymity_report_sql("SELECT 1 AS x", ["x"])
+
+
+def test_decremental_components_matches_full_recompute(spark):
+    """Random graphs, random delete sets: folding deletions into a
+    standing labeling equals re-resolving the surviving pair set from
+    scratch (splits included), with survivors that lost every pair
+    becoming singletons."""
+    import random
+
+    from systems_spark.dedup import (connected_components,
+                                     decremental_components)
+
+    rng = random.Random(17)
+    for trial in range(4):
+        n = rng.randint(6, 14)
+        m = rng.randint(n, 2 * n)
+        pairs = sorted({tuple(sorted((rng.randrange(n), rng.randrange(n))))
+                        for _ in range(m)})
+        pairs = [(a, b) for a, b in pairs if a != b] or [(0, 1)]
+        nodes = sorted({x for p in pairs for x in p})
+        deleted = sorted(rng.sample(nodes, rng.randint(1, len(nodes) // 2)))
+
+        # python reference: union-find over surviving pairs + singletons
+        surv = [p for p in pairs if p[0] not in deleted
+                and p[1] not in deleted]
+        parent = {x: x for x in nodes if x not in deleted}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in surv:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {x: min(y for y in parent if find(y) == find(x))
+                for x in parent}
+
+        pdf = spark.createDataFrame(pairs, "a long, b long")
+        labels = connected_components(pdf)
+        ddf = spark.createDataFrame([(d,) for d in deleted], "node long")
+        got = {r.node: r.component
+               for r in decremental_components(labels, pdf, ddf).collect()}
+        assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_decremental_split_bridge(spark):
+    """Deleting the only bridge splits a component in two, and deleting
+    the component-min node relabels to the next min."""
+    from systems_spark.dedup import (connected_components,
+                                     decremental_components)
+
+    # 1-2-3 bridge 3-10, 10-11; deleting 3 splits {1,2} from {10,11};
+    # also delete 1 so the left component relabels to 2
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 10), (10, 11)], "a long, b long")
+    labels = connected_components(pairs)
+    deleted = spark.createDataFrame([(3,), (1,)], "node long")
+    got = {r.node: r.component
+           for r in decremental_components(labels, pairs, deleted).collect()}
+    assert got == {2: 2, 10: 10, 11: 10}
