@@ -1415,6 +1415,80 @@ WHERE n % 16 != 3 AND n NOT IN (SELECT doc_id FROM comp)
 """
 
 
+def q_cdc_change_feed(spark, sf_dir):
+    """CHANGE DATA FEED read (streaming/sinks.py
+    CdcTable.changes_between — Delta CDF): after the two change epochs
+    MERGE into the versioned table, the feed between the seed version
+    and the head must be exactly the NET row-level effect — postimages
+    for inserts/updates (a delete-then-reinsert nets to one update, an
+    insert over a present key to an update), preimages for deletes,
+    nothing for untouched keys — computed from two snapshot reads +
+    one NULL-safe key join, never a replay of the intervening merges.
+    Oracle = the same classification derived directly from the change
+    batch definition against the seed key set."""
+    import hashlib
+
+    from systems_spark.streaming import CdcTable
+
+    key = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:cdcf:{sf_dir}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join("/tmp", "systems_spark_cdc", key)
+    table = CdcTable(os.path.join(base, "t"), key_cols="o_orderkey",
+                     app_id="cdcf")
+    orders = _t(spark, sf_dir, "orders")
+    table.initialize(
+        orders.where(F.col("o_orderkey") % 8 != 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
+    changes = _cdc_changes(spark, sf_dir)
+    table(changes.where(F.col("seq") == 1), 0)
+    table(changes.where(F.col("seq") == 2), 1)
+    feed = table.changes_between(spark, -1, table.versions(spark)[-1])
+    return feed.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+        "seq", "_change_type")
+
+
+def _sql_cdc_change_feed() -> str:
+    changes = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN op = 'update' THEN o_totalprice + 1 ELSE o_totalprice END
+         AS o_totalprice,
+       1 AS seq, op
+FROM (SELECT *, CASE WHEN o_orderkey % 24 = 0 THEN 'delete'
+                     WHEN o_orderkey % 16 = 0 THEN 'update'
+                     ELSE 'insert' END AS op
+      FROM orders WHERE o_orderkey % 8 = 0)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2,
+       2 AS seq, 'update' AS op
+FROM orders WHERE o_orderkey % 40 = 0
+"""
+    return f"""
+WITH chg AS ({changes}),
+last AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY o_orderkey ORDER BY seq DESC) AS rn FROM chg
+  ) WHERE rn = 1
+),
+seed AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         FROM orders WHERE o_orderkey % 8 <> 0)
+SELECT l.o_orderkey, l.o_custkey, l.o_orderstatus,
+       l.o_totalprice::DECIMAL(18,2) AS o_totalprice, l.seq,
+       CASE WHEN s.o_orderkey IS NULL THEN 'insert'
+            ELSE 'update' END AS _change_type
+FROM last l LEFT JOIN seed s ON l.o_orderkey = s.o_orderkey
+WHERE l.op <> 'delete'
+UNION ALL
+SELECT s.o_orderkey, s.o_custkey, s.o_orderstatus,
+       s.o_totalprice::DECIMAL(18,2), 0 AS seq, 'delete'
+FROM seed s JOIN last l ON s.o_orderkey = l.o_orderkey
+WHERE l.op = 'delete'
+"""
+
+
 def q_streaming_cdc(spark, sf_dir):
     """Streaming CDC MERGE, driver-graded — the EIGHTH real
     StreamingQuery: the change feed replays as a bounded file stream
@@ -6936,6 +7010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_partitioned": q_cdc_partitioned,
         "orders_zorder": q_orders_zorder,
         "dedup_forget": q_dedup_forget,
+        "cdc_change_feed": q_cdc_change_feed,
         "part_scc": q_part_scc,
         "events_resampled": q_events_resampled,
         "feature_scores": q_feature_scores,
@@ -7200,6 +7275,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_partitioned": _sql_orders_cdc_apply(),
         "orders_zorder": _sql_orders_zorder(),
         "dedup_forget": _sql_dedup_forget(),
+        "cdc_change_feed": _sql_cdc_change_feed(),
         "part_scc": _sql_part_scc(),
         "events_resampled": _sql_events_resampled(),
         "feature_scores": _sql_feature_scores(),

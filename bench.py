@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "cdc_partitioned",
     "orders_zorder",
     "dedup_forget",
+    "cdc_change_feed",
     "part_scc",
     "events_resampled",
     "feature_scores",

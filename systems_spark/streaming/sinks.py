@@ -307,6 +307,49 @@ class CdcTable:
             out.append(json.loads(_fs_read_text(spark, p.toString())))
         return out
 
+    def changes_between(self, spark: SparkSession, v_from: int,
+                        v_to: int) -> DataFrame:
+        """The CHANGE DATA FEED between two committed versions (Delta's
+        CDF read): the net row-level changes a downstream consumer must
+        apply to move a replica from ``v_from`` to ``v_to`` — payload +
+        ``seq_col`` + ``_change_type`` ∈ insert/update/delete.
+        Inserts/updates carry the POSTIMAGE (v_to row + its seq);
+        deletes carry the PREIMAGE (v_from row + its seq). A key
+        deleted-then-reinserted across the window nets to one update; a
+        key whose seq never moved emits nothing.
+
+        Plan: two snapshot reads + one NULL-safe full key join — no
+        replay of the intervening merges, so the feed between any two
+        versions costs the same regardless of how many epochs separate
+        them. Works on the partitioned table too (only needs
+        ``at_version``)."""
+        a = self.at_version(spark, v_from)
+        b = self.at_version(spark, v_to)
+        payload = [c for c in a.columns
+                   if c not in (self.seq_col, self.DELETED)]
+        la = (a.where(~F.col(self.DELETED)).drop(self.DELETED)
+              .withColumn("_cdf_pa", F.lit(1)))
+        lb = (b.where(~F.col(self.DELETED)).drop(self.DELETED)
+              .withColumn("_cdf_pb", F.lit(1)))
+        A, B = la.alias("A"), lb.alias("B")
+        cond = [F.col(f"A.{k}").eqNullSafe(F.col(f"B.{k}"))
+                for k in self.key_cols]
+        j = A.join(B, on=cond, how="full")
+        post = [F.col(f"B.{c}").alias(c)
+                for c in payload + [self.seq_col]]
+        pre = [F.col(f"A.{c}").alias(c)
+               for c in payload + [self.seq_col]]
+        ins = (j.where(F.col("A._cdf_pa").isNull())
+               .select(*post, F.lit("insert").alias("_change_type")))
+        upd = (j.where(F.col("A._cdf_pa").isNotNull()
+                       & F.col("B._cdf_pb").isNotNull()
+                       & (F.col(f"A.{self.seq_col}")
+                          != F.col(f"B.{self.seq_col}")))
+               .select(*post, F.lit("update").alias("_change_type")))
+        dele = (j.where(F.col("B._cdf_pb").isNull())
+                .select(*pre, F.lit("delete").alias("_change_type")))
+        return ins.unionByName(upd).unionByName(dele)
+
     def fence(self, spark: SparkSession) -> "int | None":
         """The standing compaction fence: the highest ``fence_seq`` any
         :meth:`compact` committed, or None. Changes with seq ≤ fence are

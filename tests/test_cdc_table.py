@@ -447,3 +447,39 @@ def test_partitioned_streaming_restart_exactly_once(spark, tmp_path):
     bids = [m.get("batch_id") for m in table._manifests(spark)
             if m.get("batch_id") is not None]
     assert len(bids) == len(set(bids)), "an epoch double-applied"
+
+
+def test_changes_between_versions(spark, tmp_path):
+    """CDF between two versions: inserts/updates carry the postimage,
+    deletes the preimage; delete-then-reinsert nets to update; an
+    untouched key emits nothing; same answer on the partitioned table."""
+    for cls, name in ((CdcTable, "f"), (PartitionedCdcTable, "p")):
+        kw = {"num_buckets": 4} if cls is PartitionedCdcTable else {}
+        table = cls(str(tmp_path / name), key_cols="k", app_id=name, **kw)
+        table.initialize(spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)], PAY))
+        table(_ch(spark, [(1, "a1", 11, 1, "update"),
+                          (2, "x", 0, 1, "delete"),
+                          (5, "e", 50, 1, "insert")]), 0)
+        table(_ch(spark, [(3, "x", 0, 2, "delete"),
+                          (3, "c2", 33, 3, "insert")]), 1)
+        last = table.versions(spark)[-1]
+        feed = {(r.k, r._change_type): (r.s, r.v, r.seq)
+                for r in table.changes_between(spark, -1, last).collect()}
+        assert feed == {
+            (1, "update"): ("a1", 11, 1),
+            (2, "delete"): ("b", 20, 0),    # preimage
+            (5, "insert"): ("e", 50, 1),
+            (3, "update"): ("c2", 33, 3),   # delete+reinsert nets
+        }, feed
+        # the feed applied to v_from reproduces v_to's live view
+        # (apply = delete the delete-keys, upsert the rest)
+        base = {r.k: (r.s, r.v) for r in table.at_version(spark, -1)
+                .where("NOT _cdc_deleted").collect()}
+        for (k, op), (s, v, _q) in feed.items():
+            if op == "delete":
+                base.pop(k)
+            else:
+                base[k] = (s, v)
+        cur = {r.k: (r.s, r.v) for r in table.current(spark).collect()}
+        assert base == cur
