@@ -28,7 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["z_value", "z_value_sql", "zorder_layout"]
+__all__ = ["z_value", "z_value_sql", "zorder_layout",
+           "file_stats", "pruned_files", "pruned_read"]
 
 
 def z_value(cols, ranges, bits: int = 16) -> Column:
@@ -96,3 +97,50 @@ def zorder_layout(df: DataFrame, cols, ranges, bits: int = 16,
     out = (out.repartitionByRange(partitions, F.col(z_col))
            if partitions else out.repartitionByRange(F.col(z_col)))
     return out.sortWithinPartitions(z_col)
+
+
+def file_stats(spark, path: str, cols) -> DataFrame:
+    """Per-FILE min/max/rows for ``cols`` over a parquet dataset — the
+    data-skipping stats index every table format keeps (Delta's
+    add-file stats, Iceberg manifests), built here as one scan that
+    amortizes over every pruned read after it. Persist it as standing
+    state (StateStore) next to the table; rebuild on layout changes."""
+    cols = list(cols)
+    df = spark.read.parquet(path)
+    aggs = [F.count(F.lit(1)).alias("rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
+    return (df.groupBy(F.input_file_name().alias("file"))
+            .agg(*aggs))
+
+
+def pruned_files(stats: DataFrame, predicates: dict) -> "list[str]":
+    """Files whose [min, max] stats OVERLAP every predicate range —
+    ``predicates`` maps column → (lo, hi), either bound None for
+    half-open. NULL stats (all-NULL column chunk) keep the file: skip
+    decisions must be sound, never lossy. Returns the file list (a
+    driver-side decision bounded by the FILE count — the same decision
+    every format's planner makes)."""
+    cond = F.lit(True)
+    for c, (lo, hi) in predicates.items():
+        if lo is not None:
+            keep = F.col(f"{c}_max").isNull() | (F.col(f"{c}_max") >= lo)
+            cond = cond & keep
+        if hi is not None:
+            keep = F.col(f"{c}_min").isNull() | (F.col(f"{c}_min") <= hi)
+            cond = cond & keep
+    return [r["file"] for r in stats.where(cond).select("file").collect()]
+
+
+def pruned_read(spark, stats: DataFrame, predicates: dict) -> DataFrame:
+    """Read ONLY the files :func:`pruned_files` keeps. The caller still
+    applies the row-level filter — skipping is a superset guarantee,
+    exactly like footer-stats pruning. Raises if nothing survives (an
+    empty parquet read has no schema to offer; filter a 0-file result
+    from the stats frame instead)."""
+    files = pruned_files(stats, predicates)
+    if not files:
+        raise ValueError("pruned_read: no file overlaps the predicate "
+                         "ranges — read the table head for a schema "
+                         "instead of an empty path list")
+    return spark.read.parquet(*files)

@@ -102,3 +102,55 @@ def test_zorder_layout_locality_beats_linear_sort(spark):
     assert zx < 10000 * 0.8, zx
     # the layout is a pure re-arrangement
     assert zed.drop("_zorder").count() == n
+
+
+def test_file_stats_pruned_read_end_to_end(spark, tmp_path):
+    """The full data-skipping loop: write a z-ordered multi-file table,
+    build the per-file stats index, and a box predicate on BOTH columns
+    must read a small fraction of the files while returning exactly the
+    full-scan answer. The same predicate against a linear-sorted layout
+    reads more files (y prunes nothing there)."""
+    import random
+
+    from systems_spark.operators.zorder import (file_stats, pruned_files,
+                                                pruned_read)
+
+    rnd = random.Random(3)
+    n = 8000
+    rows = [(rnd.randint(0, 9999), rnd.randint(0, 9999), i)
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "x long, y long, payload long")
+    ranges = [(0, 9999), (0, 9999)]
+
+    zp = str(tmp_path / "zed")
+    (zorder_layout(df, ["x", "y"], ranges, bits=12, partitions=32)
+     .drop("_zorder").write.parquet(zp))
+    lp = str(tmp_path / "linear")
+    df.repartitionByRange(32, "x").sortWithinPartitions("x") \
+        .write.parquet(lp)
+
+    preds = {"x": (2000, 2999), "y": (7000, 7999)}
+    z_stats = file_stats(spark, zp, ["x", "y"])
+    l_stats = file_stats(spark, lp, ["x", "y"])
+    n_total = z_stats.count()
+    # the z-order claim: a predicate on the NON-LEADING column alone
+    # prunes — the linear layout reads EVERY file for it
+    y_only = {"y": (7000, 7999)}
+    assert len(pruned_files(l_stats, y_only)) == l_stats.count()
+    assert len(pruned_files(z_stats, y_only)) <= n_total // 2
+    # and the 2-D box stays a small fraction under z-order too
+    z_kept = pruned_files(z_stats, preds)
+    assert len(z_kept) <= n_total // 2, (len(z_kept), n_total)
+
+    got = sorted(r.payload for r in
+                 pruned_read(spark, z_stats, preds)
+                 .where("x BETWEEN 2000 AND 2999 AND "
+                        "y BETWEEN 7000 AND 7999").collect())
+    want = sorted(p for x, y, p in rows
+                  if 2000 <= x <= 2999 and 7000 <= y <= 7999)
+    assert got == want
+
+    # half-open + no-overlap handling
+    assert pruned_files(z_stats, {"x": (None, -1)}) == []
+    with pytest.raises(ValueError, match="no file overlaps"):
+        pruned_read(spark, z_stats, {"x": (10**9, None)})
