@@ -1489,6 +1489,24 @@ WHERE l.op = 'delete'
 """
 
 
+def q_kmeans_embeddings(spark, sf_dir):
+    """Exact-integer distributed k-means (operators/kmeans.py
+    KMeansMicros) — Lloyd training with NO float in the loop: vectors
+    quantize once to integer micros, distances are exact integer
+    sums of squared deltas, means are exact integer sums with
+    truncating division, ties break to the lower centroid id — so the
+    trained centroids replay bit-for-bit on any cluster size and the
+    DuckDB twin UNROLLS the same two iterations in plain SQL (the
+    fifth fully-graded model-training lane after forest / ALS / BPE ×2;
+    the float-mean k-means inside QueryANN's trained paths stays
+    deliberately oracle-exempt). Returns the (cluster, pos,
+    value_micros) centroid artifact."""
+    from systems_spark.operators.kmeans import KMeansMicros
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return KMeansMicros(k=8, iters=2).fit(emb).centroid_table()
+
+
 def q_streaming_cdc(spark, sf_dir):
     """Streaming CDC MERGE, driver-graded — the EIGHTH real
     StreamingQuery: the change feed replays as a bounded file stream
@@ -7011,6 +7029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_zorder": q_orders_zorder,
         "dedup_forget": q_dedup_forget,
         "cdc_change_feed": q_cdc_change_feed,
+        "kmeans_embeddings": q_kmeans_embeddings,
         "part_scc": q_part_scc,
         "events_resampled": q_events_resampled,
         "feature_scores": q_feature_scores,
@@ -7276,6 +7295,10 @@ def oracle_sql() -> dict[str, str]:
         "orders_zorder": _sql_orders_zorder(),
         "dedup_forget": _sql_dedup_forget(),
         "cdc_change_feed": _sql_cdc_change_feed(),
+        "kmeans_embeddings": __import__(
+            "systems_spark.operators.kmeans", fromlist=["kmeans_oracle_sql"]
+        ).kmeans_oracle_sql("embeddings", "vec_id", "embedding",
+                            k=8, iters=2),
         "part_scc": _sql_part_scc(),
         "events_resampled": _sql_events_resampled(),
         "feature_scores": _sql_feature_scores(),

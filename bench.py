@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "orders_zorder",
     "dedup_forget",
     "cdc_change_feed",
+    "kmeans_embeddings",
     "part_scc",
     "events_resampled",
     "feature_scores",

@@ -47,6 +47,7 @@ from systems_spark.operators.linkage import fellegi_sunter_scores, fellegi_sunte
 from systems_spark.operators.cdc import apply_cdc, apply_cdc_sql
 from systems_spark.operators.resample import resample_ffill, resample_ffill_sql
 from systems_spark.operators.zorder import z_value, z_value_sql, zorder_layout
+from systems_spark.operators.kmeans import KMeansMicros, kmeans_oracle_sql
 from systems_spark.operators.tablediff import table_diff, table_diff_sql
 from systems_spark.operators.survival import kaplan_meier, kaplan_meier_sql
 from systems_spark.operators.pca import (
@@ -62,6 +63,8 @@ __all__ = [
     "apply_cdc_sql",
     "resample_ffill",
     "resample_ffill_sql",
+    "KMeansMicros",
+    "kmeans_oracle_sql",
     "z_value",
     "z_value_sql",
     "zorder_layout",

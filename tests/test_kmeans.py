@@ -1,0 +1,120 @@
+"""KMeansMicros: exact-integer Lloyd training vs a pure-Python
+reference and the DuckDB twin; assignment argmin; emptied-cluster
+carry; validation."""
+
+import os
+import random
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from systems_spark.operators.kmeans import KMeansMicros, kmeans_oracle_sql
+
+SCALE = 1_000_000
+
+
+def _tdiv(s, n):
+    return s // n if s >= 0 else -((-s) // n)
+
+
+def _f32(x):
+    import struct
+    return struct.unpack("f", struct.pack("f", x))[0]
+
+
+def _py_kmeans(rows, k, iters):
+    # replicate the column's float32 storage before quantizing — the
+    # Spark/DuckDB side reads array<float>
+    pts = {i: [int(round(_f32(x) * SCALE)) for x in v] for i, v in rows}
+    cents = {i: list(pts[i]) for i in sorted(pts)[:k]}
+    for _ in range(iters):
+        groups = {}
+        for i in sorted(pts):
+            v = pts[i]
+            best = min(
+                cents.items(),
+                key=lambda c: (sum((a - b) ** 2 for a, b in zip(v, c[1])),
+                               c[0]))[0]
+            groups.setdefault(best, []).append(v)
+        for cid in cents:
+            g = groups.get(cid)
+            if g:
+                cents[cid] = [_tdiv(sum(col), len(g))
+                              for col in zip(*g)]
+    return cents
+
+
+def _rows(n, d, seed):
+    rnd = random.Random(seed)
+    return [(i, [float(rnd.gauss(0, 1)) for _ in range(d)])
+            for i in range(n)]
+
+
+def test_centroids_match_python_reference(spark):
+    rows = _rows(60, 5, 3)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    km = KMeansMicros(k=4, iters=3).fit(df)
+    got = {}
+    for r in km.centroid_table().collect():
+        got.setdefault(r.cluster, {})[r.pos] = r.value_micros
+    got = {c: [v[i] for i in range(len(v))] for c, v in got.items()}
+    assert got == _py_kmeans(rows, 4, 3)
+
+
+def test_matches_duckdb_twin(spark):
+    import duckdb
+
+    rows = _rows(80, 6, 9)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = sorted(tuple(r) for r in
+                 KMeansMicros(k=5, iters=2).fit(df)
+                 .centroid_table().collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE emb (vec_id BIGINT, embedding FLOAT[])")
+    con.executemany("INSERT INTO emb VALUES (?, ?)", rows)
+    want = sorted(tuple(r) for r in con.execute(
+        kmeans_oracle_sql("emb", "vec_id", "embedding",
+                          k=5, iters=2)).fetchall())
+    assert got == want
+
+
+def test_assign_is_exact_argmin(spark):
+    rows = _rows(40, 4, 5)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    km = KMeansMicros(k=3, iters=2).fit(df)
+    cents = _py_kmeans(rows, 3, 2)
+    got = {r.vec_id: r.cluster
+           for r in km.assign(df).select("vec_id", "cluster").collect()}
+    for i, v in rows:
+        vm = [int(round(_f32(x) * SCALE)) for x in v]
+        want = min(cents.items(),
+                   key=lambda c: (sum((a - b) ** 2
+                                      for a, b in zip(vm, c[1])), c[0]))[0]
+        assert got[i] == want
+
+
+def test_emptied_cluster_keeps_previous_centroid(spark):
+    # two tight groups far apart, k=3: the third seed (inside group A)
+    # empties after round 1 and must carry its centroid forward
+    rows = [(0, [0.0, 0.0]), (1, [0.1, 0.0]), (2, [0.05, 0.05]),
+            (10, [100.0, 100.0]), (11, [100.1, 100.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    km = KMeansMicros(k=3, iters=3).fit(df)
+    got = {}
+    for r in km.centroid_table().collect():
+        got.setdefault(r.cluster, {})[r.pos] = r.value_micros
+    want = _py_kmeans(rows, 3, 3)
+    assert {c: [v[i] for i in range(len(v))]
+            for c, v in got.items()} == want
+    assert len(got) == 3
+
+
+def test_validation(spark):
+    with pytest.raises(ValueError, match="k must"):
+        KMeansMicros(k=0)
+    with pytest.raises(ValueError, match="iters"):
+        KMeansMicros(iters=-1)
+    with pytest.raises(ValueError, match="fit"):
+        KMeansMicros().centroid_table()
