@@ -135,6 +135,20 @@ class KMeansMicros:
         return df.join(lab, on=self.id_col)
 
 
+    # -- persistence (the ANN centroid-artifact discipline) ---------------
+    def save_artifacts(self, path: str,
+                       spark: "SparkSession | None" = None) -> None:
+        if self._centroids is None:
+            raise ValueError("fit() before save_artifacts()")
+        self._centroids.write.mode("overwrite") \
+            .parquet(f"{path}/centroids.parquet")
+
+    def load_artifacts(self, path: str, spark=None) -> None:
+        if spark is None:
+            raise ValueError("load_artifacts requires a SparkSession")
+        self._centroids = spark.read.parquet(f"{path}/centroids.parquet")
+
+
 def kmeans_oracle_sql(table: str, id_col: str, vec_col: str,
                       k: int, iters: int) -> str:
     """DuckDB twin of ``KMeansMicros.fit().centroid_table()`` — the

@@ -118,3 +118,19 @@ def test_validation(spark):
         KMeansMicros(iters=-1)
     with pytest.raises(ValueError, match="fit"):
         KMeansMicros().centroid_table()
+
+
+def test_save_load_roundtrip(spark, tmp_path):
+    rows = _rows(30, 4, 7)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    km = KMeansMicros(k=3, iters=2).fit(df)
+    want = sorted(tuple(r) for r in km.centroid_table().collect())
+    km.save_artifacts(str(tmp_path))
+    cold = KMeansMicros(k=3, iters=2)
+    cold.load_artifacts(str(tmp_path), spark=spark)
+    assert sorted(tuple(r) for r in cold.centroid_table().collect()) == want
+    a = sorted(tuple(r) for r in km.assign(df)
+               .select("vec_id", "cluster").collect())
+    b = sorted(tuple(r) for r in cold.assign(df)
+               .select("vec_id", "cluster").collect())
+    assert a == b
