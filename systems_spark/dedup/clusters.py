@@ -275,7 +275,16 @@ def decremental_components(labels: DataFrame, pairs: DataFrame,
         from systems_spark.dedup.guards import ensure_unique_labels
         ensure_unique_labels(labels, node_col,
                              "decremental_components")
-    dcol = deleted.columns[0]
+    # the delete batch is a single id column: take node_col when
+    # present, the only column otherwise — anything wider is ambiguous
+    if node_col in deleted.columns:
+        dcol = node_col
+    elif len(deleted.columns) == 1:
+        dcol = deleted.columns[0]
+    else:
+        raise ValueError(
+            f"decremental_components: deleted must be a single id "
+            f"column or carry {node_col!r}; got {deleted.columns}")
     dele = deleted.select(F.col(dcol).alias("_n")).distinct()
     lbl = labels.select(F.col(node_col).alias("_n"),
                         F.col(component_col).alias("_c"))

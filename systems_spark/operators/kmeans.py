@@ -58,6 +58,9 @@ class KMeansMicros:
 
     def __init__(self, k: int = 8, iters: int = 2,
                  vec_col: str = "embedding", id_col: str = "vec_id"):
+        """Fewer than ``k`` distinct input rows simply yield that many
+        centroids (the ``limit(k)`` seed set is the dataset) — no
+        padding, no error, matching the SQL twin."""
         if k < 1:
             raise ValueError("k must be >= 1")
         if iters < 0:
@@ -69,8 +72,14 @@ class KMeansMicros:
         self._centroids = None  # DataFrame (_km_cid, _km_cv array<long>)
 
     def _points(self, df: DataFrame) -> DataFrame:
-        return df.select(F.col(self.id_col).alias("_km_id"),
-                         _micros(F.col(self.vec_col)).alias("_km_v"))
+        # a NULL vector has no distance: it must not participate (its
+        # NULL distance would sort FIRST under Spark's asc but LAST
+        # under DuckDB's — a silent engine split). Dimensions are the
+        # caller's contract: a short vector zip_with-pads NULLs into
+        # the fold and poisons the distance visibly, not silently.
+        return (df.where(F.col(self.vec_col).isNotNull())
+                .select(F.col(self.id_col).alias("_km_id"),
+                        _micros(F.col(self.vec_col)).alias("_km_v")))
 
     def _assign(self, pts: DataFrame, cents: DataFrame) -> DataFrame:
         w = Window.partitionBy("_km_id").orderBy(

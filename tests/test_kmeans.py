@@ -134,3 +134,21 @@ def test_save_load_roundtrip(spark, tmp_path):
     b = sorted(tuple(r) for r in cold.assign(df)
                .select("vec_id", "cluster").collect())
     assert a == b
+
+
+def test_null_vectors_are_dropped(spark):
+    """A NULL vector must not participate: its NULL distance sorts
+    first under Spark asc but last under DuckDB — the silent engine
+    split the filter prevents."""
+    rows = _rows(20, 3, 13)
+    df = spark.createDataFrame(rows + [(99, None)],
+                               "vec_id long, embedding array<float>")
+    km = KMeansMicros(k=3, iters=2).fit(df)
+    got = {}
+    for r in km.centroid_table().collect():
+        got.setdefault(r.cluster, {})[r.pos] = r.value_micros
+    want = _py_kmeans(rows, 3, 2)
+    assert {c: [v[i] for i in range(len(v))]
+            for c, v in got.items()} == want
+    assigned = {r.vec_id for r in km.assign(df).collect()}
+    assert 99 not in assigned
