@@ -96,7 +96,8 @@ def _sum(df: DataFrame, col: str):
 
 
 def _min_color(nodes: DataFrame, e: DataFrame, pull_col: str,
-               assign_col: str, max_rounds: int, what: str) -> DataFrame:
+               assign_col: str, max_rounds: int, what: str,
+               bcast: bool = False) -> DataFrame:
     """(n, c): c = min node id reachable from n by walking edges in the
     ``assign_col`` → ``pull_col`` direction (forward reach for
     ``pull_col="_d"``, backward for ``"_s"``), to fixpoint. One
@@ -111,21 +112,32 @@ def _min_color(nodes: DataFrame, e: DataFrame, pull_col: str,
     graph converges in a handful of one-hop rounds and the jump's
     self-join is pure overhead there (~30% of the graded lane's
     coloring cost, measured), while a chain still shortcuts in
-    3 + O(log diameter) rounds once doubling starts."""
+    3 + O(log diameter) rounds once doubling starts.
+
+    ``bcast``: stats-free pins cost Catalyst its plan-time broadcast
+    selection — every label-sided join defaults to SMJ and only AQE's
+    runtime re-plan claws some back. When the CALLER has measured the
+    node count and knows the (n, c) label frame is broadcast-small, it
+    sets ``bcast=True`` and every lab/pulled join side gets an explicit
+    ``F.broadcast`` hint, skipping the shuffle up front. Off by default:
+    the hint would be wrong on billion-node graphs."""
+    maybe_b = F.broadcast if bcast else (lambda df: df)
     lab = _pin_fresh(nodes.select("n", F.col("n").alias("c")))
     prev = None
     for i in range(max_rounds):
-        pulled = (e.join(lab.select(F.col("n").alias(pull_col),
-                                    F.col("c").alias("_ec")), on=pull_col)
+        pulled = (e.join(maybe_b(lab.select(F.col("n").alias(pull_col),
+                                            F.col("c").alias("_ec"))),
+                         on=pull_col)
                   .groupBy(F.col(assign_col).alias("n"))
                   .agg(F.min("_ec").alias("_ec")))
         base, cand = lab, [F.col("c"), F.coalesce("_ec", "c")]
         if i >= 3:
             base = lab.join(
-                lab.select(F.col("n").alias("c"), F.col("c").alias("_jc")),
+                maybe_b(lab.select(F.col("n").alias("c"),
+                                   F.col("c").alias("_jc"))),
                 on="c", how="left")
             cand.append(F.coalesce("_jc", "c"))
-        lab = _pin_fresh(base.join(pulled, on="n", how="left")
+        lab = _pin_fresh(base.join(maybe_b(pulled), on="n", how="left")
                          .select("n", F.least(*cand).alias("c")))
         cur = _sum(lab, "c")
         if cur == prev:
@@ -139,39 +151,56 @@ def strongly_connected_components(edges: DataFrame, src: str = "src",
                                   dst: str = "dst",
                                   node_col: str = "node",
                                   component_col: str = "component",
-                                  max_rounds: int = 50) -> DataFrame:
+                                  max_rounds: int = 50,
+                                  broadcast_nodes_max: int = 1_000_000
+                                  ) -> DataFrame:
     """(node, component) for every node in ``edges`` (either endpoint);
     component = min node id of the node's SCC. A node on no cycle is its
     own singleton SCC. ``max_rounds`` caps BOTH loops (each coloring's
     inner fixpoint and the refinement passes) — a diverged-loop guard,
-    not a knob."""
+    not a knob.
+
+    ``broadcast_nodes_max``: the per-round label state is (node, long)
+    rows, but the stats-free pins (see ``_pin_fresh``) leave Catalyst no
+    size estimate, so every label join plans as SMJ. The node set is
+    counted ONCE up front (it is pinned anyway); at or under this bound
+    (~16 B/row → ≤ ~16 MB payload) every label-sided join gets an
+    explicit broadcast hint — the label frame never exceeds the node
+    count, and settling only shrinks it. Above the bound the hint stays
+    off and AQE's runtime re-plan is the (correct) fallback for
+    billion-node graphs."""
     e_all = _pin(edges.select(F.col(src).alias("_s"),
                               F.col(dst).alias("_d")).distinct())
     nodes = _pin(e_all.select(F.col("_s").alias("n"))
                  .union(e_all.select(F.col("_d").alias("n"))).distinct())
-    if nodes.limit(1).count() == 0:  # empty edge table
+    n_nodes = nodes.count()
+    if n_nodes == 0:  # empty edge table
         return (e_all.select(F.col("_s").alias(node_col))
                 .withColumn(component_col, F.col(node_col)).limit(0))
+    bcast = n_nodes <= broadcast_nodes_max
+    maybe_b = F.broadcast if bcast else (lambda df: df)
 
     # pass 0: forward coloring over ALL edges (one implicit class)
     comp = _min_color(nodes, e_all, "_d", "_s", max_rounds,
-                      "forward coloring")
+                      "forward coloring", bcast=bcast)
     settled = None
     forward = False  # pass 0 was forward; alternate from backward
     for _ in range(max_rounds):
         # within-class edges of the ACTIVE rump (comp only holds
         # unsettled nodes, so the inner joins drop settled endpoints)
         ec = _pin(e_all
-                  .join(comp.select(F.col("n").alias("_s"),
-                                    F.col("c").alias("_cs")), on="_s")
-                  .join(comp.select(F.col("n").alias("_d"),
-                                    F.col("c").alias("_cd")), on="_d")
+                  .join(maybe_b(comp.select(F.col("n").alias("_s"),
+                                            F.col("c").alias("_cs"))),
+                        on="_s")
+                  .join(maybe_b(comp.select(F.col("n").alias("_d"),
+                                            F.col("c").alias("_cd"))),
+                        on="_d")
                   .where(F.col("_cs") == F.col("_cd"))
                   .select("_s", "_d"))
         pull, assign = ("_d", "_s") if forward else ("_s", "_d")
         new = _min_color(comp.select("n"), ec, pull, assign, max_rounds,
                          "forward coloring" if forward
-                         else "backward coloring")
+                         else "backward coloring", bcast=bcast)
         # SETTLE: a label reproduced across two OPPOSITE-direction
         # passes proves mutual reachability with its class min c — the
         # previous pass showed the A-direction path, this pass the B
@@ -180,7 +209,8 @@ def strongly_connected_components(edges: DataFrame, src: str = "src",
         # remaining mutual path can never route through a settled
         # node: it would put that node on the cycle, i.e. in the same
         # still-unsettled SCC)
-        both = _pin(new.join(comp.withColumnRenamed("c", "_pc"), on="n"))
+        both = _pin(new.join(maybe_b(comp.withColumnRenamed("c", "_pc")),
+                             on="n"))
         done = (both.where(F.col("c") == F.col("_pc"))
                 .select(F.col("n").alias(node_col),
                         F.col("c").alias(component_col)))
