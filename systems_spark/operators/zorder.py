@@ -25,11 +25,14 @@ parquet writers need anyway for run-length wins.
 
 from __future__ import annotations
 
+from hashlib import md5
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["z_value", "z_value_sql", "zorder_layout",
-           "file_stats", "pruned_files", "pruned_read"]
+           "file_stats", "pruned_files", "pruned_read",
+           "layout_fingerprint", "StatsIndex"]
 
 
 def z_value(cols, ranges, bits: int = 16) -> Column:
@@ -144,3 +147,99 @@ def pruned_read(spark, stats: DataFrame, predicates: dict) -> DataFrame:
                          "ranges — read the table head for a schema "
                          "instead of an empty path list")
     return spark.read.parquet(*files)
+
+
+def layout_fingerprint(spark, path: str) -> str:
+    """Identity of a dataset's CURRENT file layout: md5 over the sorted
+    (path, length, mtime) listing of its data files (dot/underscore
+    side files excluded). Any writer that changes the layout — a
+    ``zorder_layout`` rewrite, a CDC snapshot commit, a compaction —
+    changes the fingerprint, which is exactly the staleness signal a
+    stats index needs. A driver-side listing, bounded by the FILE
+    count: the same listing every table format's planner does."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(p, True)
+    entries = []
+    while it.hasNext():
+        s = it.next()
+        full = s.getPath().toString()
+        if full.rsplit("/", 1)[-1].startswith(("_", ".")):
+            continue
+        entries.append(f"{full}:{s.getLen()}:{s.getModificationTime()}")
+    return md5("\n".join(sorted(entries)).encode()).hexdigest()[:16]
+
+
+class StatsIndex:
+    """The data-skipping stats index as STANDING STATE (VERDICT r9 item
+    6): per-file min/max/rows persisted through the
+    :class:`~systems_spark.state.StateStore` next to the table — the
+    role Delta's add-file stats / Iceberg's manifests play — instead of
+    rebuilt by every caller.
+
+    Freshness contract: the state tag embeds :func:`layout_fingerprint`
+    of the table's current file listing, so
+
+    - a SECOND session over an unchanged table hits the commit marker
+      and reuses the stats scan (the store key is the table path, not
+      the applicationId);
+    - ANY layout change (z-order rewrite, CDC commit, compaction) moves
+      the fingerprint → fresh tag → the stats rebuild on first use, and
+      the stale entry is dropped eagerly so the store never serves it.
+
+    >>> idx = StatsIndex()
+    >>> stats = idx.stats(spark, "/lake/orders", ["o_custkey"])
+    >>> df = idx.read(spark, "/lake/orders", ["o_custkey"],
+    ...               {"o_custkey": (1000, 2000)})
+    """
+
+    _TAG_PREFIX = "zstats"
+
+    def __init__(self, store=None):
+        from systems_spark.state import StateStore
+        self.store = store if store is not None else StateStore()
+
+    def _key(self, path: str) -> str:
+        return f"table:{path.rstrip('/')}"
+
+    def _tag(self, path: str, cols, fingerprint: str) -> str:
+        col_id = md5(",".join(cols).encode()).hexdigest()[:12]
+        return f"{self._TAG_PREFIX}:{col_id}:{fingerprint}"
+
+    def stats(self, spark, path: str, cols) -> DataFrame:
+        """The persisted per-file stats for ``(path, cols)`` at the
+        table's CURRENT layout — one stats scan on first use per
+        layout version, a marker-gated parquet read ever after.
+        Stale (other-fingerprint) entries for the same table+cols are
+        invalidated before the fresh one commits."""
+        cols = list(cols)
+        fp = layout_fingerprint(spark, path)
+        tag = self._tag(path, cols, fp)
+        key = self._key(path)
+        if not self.store.is_committed(spark, tag, key=key):
+            for entry in self.store.entries(spark):
+                m = entry["manifest"]
+                if (m is not None
+                        and m["tag"].startswith(self._tag(path, cols, ""))
+                        and m["tag"] != tag):
+                    self.store.invalidate(spark, m["tag"], key=key)
+        return self.store.materialize(
+            lambda: file_stats(spark, path, cols), tag, key=key,
+            spark=spark)
+
+    def read(self, spark, path: str, cols, predicates: dict) -> DataFrame:
+        """:func:`pruned_read` through the persisted index — the scan a
+        100 TB table actually runs: files whose stats rule them out are
+        never opened. The caller still applies the row-level filter."""
+        return pruned_read(spark, self.stats(spark, path, cols),
+                           predicates)
+
+    def invalidate(self, spark, path: str, cols) -> None:
+        """Drop the CURRENT layout's entry (callers that rewrote the
+        table in-place with identical listing metadata can force a
+        rebuild; normal writers never need this — the fingerprint
+        already moves)."""
+        fp = layout_fingerprint(spark, path)
+        self.store.invalidate(spark, self._tag(path, list(cols), fp),
+                              key=self._key(path))
