@@ -15,8 +15,17 @@ replays bit-for-bit on any cluster size AND in the DuckDB twin
 use cases above never notice.
 
 Scale shape per iteration: assignment is a map-side pass against the
-broadcast centroid set (N×K integer folds, no vector shuffle); the
-update is ONE narrow shuffle of (cluster, pos) partial sums — the
+broadcast centroid set (no vector shuffle either way), with TWO
+interchangeable bit-exact implementations — a Catalyst crossJoin +
+integer fold (stays whole-stage-codegen, right for small k·d) and an
+Arrow-batched NumPy argmin against the collected centroid matrix
+(``mapInPandas``; the same exact int64 arithmetic as
+``‖v‖² − 2v·c + ‖c‖²``, ties to the lower centroid id via
+cid-sorted argmin-first). At IVF-coarse-quantizer shape (k=256,
+d=128, N=200k, local[32]) the fold is the bottleneck: 83.5 s vs
+4.9 s per assignment pass (tools/kmeans_probe.py, SCALE.md), so
+``assign_impl="auto"`` switches to NumPy once k·d ≥ 8192. The update
+is ONE narrow shuffle of (cluster, pos) partial sums — the
 ``_ivf_train`` shape with the float mean swapped for exact integers.
 Seeding is the deterministic lowest-id rule (document the skew caveat:
 clustered low ids seed one region; shuffle ids upstream if that bites).
@@ -57,18 +66,27 @@ class KMeansMicros:
     (cluster, pos, value_micros)."""
 
     def __init__(self, k: int = 8, iters: int = 2,
-                 vec_col: str = "embedding", id_col: str = "vec_id"):
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 assign_impl: str = "auto"):
         """Fewer than ``k`` distinct input rows simply yield that many
         centroids (the ``limit(k)`` seed set is the dataset) — no
-        padding, no error, matching the SQL twin."""
+        padding, no error, matching the SQL twin.
+
+        ``assign_impl``: ``"crossjoin"`` (Catalyst fold),
+        ``"numpy"`` (Arrow-batched argmin), or ``"auto"`` (numpy once
+        k·d ≥ 8192 — measured crossover, module docstring). Both are
+        bit-exact; the choice never changes the trained centroids."""
         if k < 1:
             raise ValueError("k must be >= 1")
         if iters < 0:
             raise ValueError("iters must be >= 0")
+        if assign_impl not in ("auto", "crossjoin", "numpy"):
+            raise ValueError(f"unknown assign_impl {assign_impl!r}")
         self.k = int(k)
         self.iters = int(iters)
         self.vec_col = vec_col
         self.id_col = id_col
+        self.assign_impl = assign_impl
         self._centroids = None  # DataFrame (_km_cid, _km_cv array<long>)
 
     def _points(self, df: DataFrame) -> DataFrame:
@@ -81,7 +99,14 @@ class KMeansMicros:
                 .select(F.col(self.id_col).alias("_km_id"),
                         _micros(F.col(self.vec_col)).alias("_km_v")))
 
-    def _assign(self, pts: DataFrame, cents: DataFrame) -> DataFrame:
+    def _assign(self, pts: DataFrame, cents: DataFrame,
+                dim: "int | None" = None) -> DataFrame:
+        impl = self.assign_impl
+        if impl == "auto":
+            impl = ("numpy" if dim is not None and self.k * dim >= 8192
+                    else "crossjoin")
+        if impl == "numpy":
+            return self._assign_numpy(pts, cents)
         w = Window.partitionBy("_km_id").orderBy(
             F.col("_km_d").asc(), F.col("_km_cid").asc())
         return (pts.crossJoin(F.broadcast(cents))
@@ -91,13 +116,59 @@ class KMeansMicros:
                 .where(F.col("_km_rn") == 1)
                 .select("_km_id", "_km_v", "_km_cid", "_km_d"))
 
+    def _assign_numpy(self, pts: DataFrame, cents: DataFrame) -> DataFrame:
+        """The map-side escape hatch for large k·d: centroids collect to
+        the driver (k·d longs — the same artifact ``centroid_table``
+        exposes) and each Arrow batch computes exact-int64
+        ``‖v‖² − 2 v·C^T + ‖C‖²`` with a vectorized argmin. Centroids
+        are cid-SORTED so argmin-first reproduces the crossjoin path's
+        lower-cid tie break; arithmetic is exact in int64 at the same
+        magnitudes the fold path already assumes. Measured 17x faster
+        than the fold at k=256/d=128/N=200k (tools/kmeans_probe.py)."""
+        import numpy as np
+        import pandas as pd
+
+        rows = cents.orderBy(F.col("_km_cid").asc()).collect()
+        C = np.array([list(r["_km_cv"]) for r in rows], dtype=np.int64)
+        cids = np.array([r["_km_cid"] for r in rows], dtype=np.int64)
+        spark = pts.sparkSession
+        b = spark.sparkContext.broadcast((C, cids))
+
+        def batches(it):
+            C_, cids_ = b.value
+            c_norm = (C_ * C_).sum(axis=1)
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                V = np.stack([np.asarray(v, dtype=np.int64)
+                              for v in pdf["_km_v"]])
+                d2 = ((V * V).sum(axis=1)[:, None] - 2 * (V @ C_.T)
+                      + c_norm[None, :])
+                j = np.argmin(d2, axis=1)  # first min = lowest cid
+                yield pd.DataFrame({
+                    "_km_id": pdf["_km_id"],
+                    "_km_v": pdf["_km_v"],
+                    "_km_cid": cids_[j],
+                    "_km_d": d2[np.arange(len(j)), j]})
+
+        return pts.mapInPandas(
+            batches,
+            "_km_id long, _km_v array<long>, _km_cid long, _km_d long")
+
+    def _dim(self, pts: DataFrame) -> "int | None":
+        if self.assign_impl != "auto":
+            return None  # impl is forced — skip the probe job
+        head = pts.select(F.size("_km_v").alias("_d")).first()
+        return None if head is None else int(head["_d"])
+
     def fit(self, df: DataFrame) -> "KMeansMicros":
         pts = self._points(df).localCheckpoint(eager=False)
+        dim = self._dim(pts)
         cents = (pts.orderBy(F.col("_km_id").asc()).limit(self.k)
                  .select(F.col("_km_id").alias("_km_cid"),
                          F.col("_km_v").alias("_km_cv")))
         for _ in range(self.iters):
-            assigned = self._assign(pts, cents)
+            assigned = self._assign(pts, cents, dim=dim)
             means = (assigned
                      .select("_km_cid",
                              F.posexplode("_km_v").alias("_pos", "_val"))
@@ -138,7 +209,7 @@ class KMeansMicros:
         if self._centroids is None:
             raise ValueError("fit() before assign()")
         pts = self._points(df)
-        lab = (self._assign(pts, self._centroids)
+        lab = (self._assign(pts, self._centroids, dim=self._dim(pts))
                .select(F.col("_km_id").alias(self.id_col),
                        F.col("_km_cid").alias(cluster_col)))
         return df.join(lab, on=self.id_col)

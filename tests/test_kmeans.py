@@ -152,3 +152,38 @@ def test_null_vectors_are_dropped(spark):
             for c, v in got.items()} == want
     assigned = {r.vec_id for r in km.assign(df).collect()}
     assert 99 not in assigned
+
+
+def test_numpy_assign_impl_is_bit_identical(spark):
+    """The large-k*d escape hatch (assign_impl="numpy", Arrow-batched
+    int64 argmin) must train the EXACT same centroids and assign the
+    exact same labels as the Catalyst crossjoin fold — including the
+    lower-cid tie break (duplicated points make real ties)."""
+    rows = _rows(80, 6, 9)
+    rows += [(100 + i, list(v)) for i, (_, v) in enumerate(rows[:10])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    km_cj = KMeansMicros(k=5, iters=3, assign_impl="crossjoin").fit(df)
+    km_np = KMeansMicros(k=5, iters=3, assign_impl="numpy").fit(df)
+    cj = sorted(map(tuple, km_cj.centroid_table().collect()))
+    np_ = sorted(map(tuple, km_np.centroid_table().collect()))
+    assert cj == np_
+
+    a_cj = sorted(map(tuple, km_cj.assign(df)
+                      .select("vec_id", "cluster").collect()))
+    a_np = sorted(map(tuple, km_np.assign(df)
+                      .select("vec_id", "cluster").collect()))
+    assert a_cj == a_np
+
+
+def test_auto_impl_dim_probe_and_selection(spark):
+    """auto probes the vector dim once and routes on k*d: the probe job
+    only runs under auto, and the crossjoin/numpy cut sits at 8192."""
+    rows = _rows(40, 8, 11)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    auto = KMeansMicros(k=4, iters=1)
+    assert auto._dim(auto._points(df)) == 8
+    forced = KMeansMicros(k=4, iters=1, assign_impl="numpy")
+    assert forced._dim(forced._points(df)) is None  # no probe when forced
+    with pytest.raises(ValueError, match="assign_impl"):
+        KMeansMicros(assign_impl="pandas")
