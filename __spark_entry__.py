@@ -1342,6 +1342,85 @@ def q_cdc_partitioned(spark, sf_dir):
                  .cast("bigint").alias("key_checksum")))
 
 
+def q_cdc_optimize(spark, sf_dir):
+    """OPTIMIZE ZORDER on a CDC MERGE table (streaming/sinks.py
+    CdcTable.optimize) — the full lakehouse maintenance composition in
+    one lane: two change epochs MERGE into the versioned table, the
+    live snapshot rewrites content-identically along the (o_custkey,
+    o_orderkey) Morton curve, and the read goes through the persisted
+    StatsIndex pruned path over the OPTIMIZED layout's data_path (the
+    version move re-fingerprints the stats automatically). Oracle =
+    the plain global merge + filter aggregate, so equality proves the
+    optimize preserved every merged row, the fence survived, and no
+    overlapping file was wrongly skipped."""
+    import hashlib
+
+    from systems_spark.operators.zorder import StatsIndex
+    from systems_spark.streaming import CdcTable
+
+    key = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:cdcopt:{sf_dir}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join("/tmp", "systems_spark_cdc", key)
+    table = CdcTable(os.path.join(base, "t"), key_cols="o_orderkey",
+                     app_id="cdcopt")
+    orders = _t(spark, sf_dir, "orders")
+    table.initialize(
+        orders.where(F.col("o_orderkey") % 8 != 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
+    changes = _cdc_changes(spark, sf_dir)
+    table(changes.where(F.col("seq") == 1), 0)
+    table(changes.where(F.col("seq") == 2), 1)
+    if not table.history(spark)[-1].get("optimize"):
+        table.optimize(spark, ["o_custkey", "o_orderkey"],
+                       [(1, 150000), (1, 6000000)], bits=16, partitions=16)
+    preds = {"o_custkey": (None, 700), "o_orderkey": (None, 30000)}
+    pruned = StatsIndex().read(spark, table.data_path(spark),
+                               ["o_custkey", "o_orderkey"], preds)
+    return (pruned
+            .where(~F.col(CdcTable.DELETED)
+                   & (F.col("o_custkey") <= 700)
+                   & (F.col("o_orderkey") <= 30000))
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+                         2).cast("double").alias("total_price"),
+                 F.sum(F.col("o_orderkey").cast("decimal(38,0)"))
+                 .cast("bigint").alias("key_checksum")))
+
+
+def _sql_cdc_optimize() -> str:
+    from systems_spark.operators import apply_cdc_sql
+
+    changes = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN op = 'update' THEN o_totalprice + 1 ELSE o_totalprice END
+         AS o_totalprice,
+       1 AS seq, op
+FROM (SELECT *, CASE WHEN o_orderkey % 24 = 0 THEN 'delete'
+                     WHEN o_orderkey % 16 = 0 THEN 'update'
+                     ELSE 'insert' END AS op
+      FROM orders WHERE o_orderkey % 8 = 0)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2,
+       2 AS seq, 'update' AS op
+FROM orders WHERE o_orderkey % 40 = 0
+"""
+    merged = apply_cdc_sql(
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice "
+        "FROM orders WHERE o_orderkey % 8 <> 0",
+        changes, "o_orderkey",
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"])
+    return f"""
+SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice::DECIMAL(18,2)), 2)::DOUBLE AS total_price,
+       sum(o_orderkey::HUGEINT)::BIGINT AS key_checksum
+FROM ({merged})
+WHERE o_custkey <= 700 AND o_orderkey <= 30000
+GROUP BY 1
+"""
+
+
 def q_orders_zorder(spark, sf_dir):
     """Z-order (Morton) write layout (operators/zorder.py) — the
     lakehouse data-skipping optimizer: o_custkey and o_orderkey
@@ -7089,6 +7168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_partitioned": q_cdc_partitioned,
         "orders_zorder": q_orders_zorder,
         "orders_pruned_read": q_orders_pruned_read,
+        "cdc_optimize": q_cdc_optimize,
         "dedup_forget": q_dedup_forget,
         "cdc_change_feed": q_cdc_change_feed,
         "kmeans_embeddings": q_kmeans_embeddings,
@@ -7356,6 +7436,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_partitioned": _sql_orders_cdc_apply(),
         "orders_zorder": _sql_orders_zorder(),
         "orders_pruned_read": _SQL_ORDERS_PRUNED_READ,
+        "cdc_optimize": _sql_cdc_optimize(),
         "dedup_forget": _sql_dedup_forget(),
         "cdc_change_feed": _sql_cdc_change_feed(),
         "kmeans_embeddings": __import__(

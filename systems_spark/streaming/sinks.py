@@ -383,6 +383,42 @@ class CdcTable:
                      extra={"compaction": True, "fence_seq": fence_seq})
         return version
 
+    def data_path(self, spark: SparkSession) -> str:
+        """Directory of the LATEST committed snapshot — the standing
+        location a :class:`~systems_spark.operators.zorder.StatsIndex`
+        keys on. Every commit moves it (new version dir), so the stats
+        fingerprint can never serve a stale layout."""
+        vs = self.versions(spark)
+        if not vs:
+            raise ValueError("CdcTable.initialize before reading")
+        return self._data_path(vs[-1])
+
+    def optimize(self, spark: SparkSession, zorder_cols, ranges,
+                 bits: int = 16, partitions: "int | None" = None) -> int:
+        """OPTIMIZE ZORDER BY — rewrite the live snapshot along the
+        Morton curve (:func:`~systems_spark.operators.zorder
+        .zorder_layout`) and commit it as a new, content-identical
+        version: rows, tombstones, and seqs are untouched payload; only
+        the file layout changes, so every later :meth:`data_path` +
+        ``StatsIndex`` read prunes on ANY of the z-ordered columns.
+        Time travel across the boundary stays intact (older versions
+        untouched), the standing compaction fence rides in the manifest
+        (vacuum-proof, like every merge), and a crashed optimize is
+        invisible (marker-last). Returns the new version number."""
+        from systems_spark.operators.zorder import zorder_layout
+
+        snap = self.snapshot(spark)
+        laid = zorder_layout(snap, zorder_cols, ranges, bits=bits,
+                             partitions=partitions).drop("_zorder")
+        extra = {"optimize": True,
+                 "zorder": [str(c) for c in zorder_cols]}
+        fence = self.fence(spark)
+        if fence is not None:
+            extra["fence_seq"] = int(fence)
+        version = self._next_version(spark)
+        self._commit(spark, laid, version, extra=extra)
+        return version
+
     def vacuum(self, spark: SparkSession, keep_last: int = 2) -> "list[int]":
         """Drop all but the newest ``keep_last`` committed versions —
         the disk-growth control for snapshot-per-version layouts. Markers
@@ -581,6 +617,56 @@ class PartitionedCdcTable(CdcTable):
         self._commit_version(
             spark, kept.withColumn(self.BUCKET, self._bucket_expr()),
             version, prior, dirty, man["schema"], extra)
+        return version
+
+    def data_path(self, spark: SparkSession) -> str:
+        """Not a single directory here: buckets of the live snapshot may
+        live under SEVERAL writer versions. Use :meth:`bucket_paths` for
+        stats indexing instead."""
+        raise NotImplementedError(
+            "PartitionedCdcTable snapshots span writer versions; index "
+            "per-bucket via bucket_paths()")
+
+    def bucket_paths(self, spark: SparkSession) -> "list[str]":
+        """The live snapshot's bucket directories (one per mapped
+        bucket, each under its writer version) — the unit a
+        ``StatsIndex`` indexes: a merge moves only its touched buckets'
+        paths, so untouched buckets keep their committed stats."""
+        man = self._latest_manifest(spark)
+        mapping = self._mapping(man)
+        return self._bucket_paths(mapping, mapping)
+
+    def optimize(self, spark: SparkSession, zorder_cols, ranges,
+                 bits: int = 16, partitions: "int | None" = None) -> int:
+        """OPTIMIZE ZORDER BY, bucket-respecting: every mapped bucket
+        rewrites with its rows laid out along the Morton curve WITHIN
+        the bucket (the bucket hash keyed on the merge key must stay
+        the outer layout — merges prune on it), so in-bucket file
+        min/max stats prune scans on any z-ordered column while merge
+        cost stays touched-bucket-proportional. One range exchange on
+        (bucket, z); content-identical; fence rides along."""
+        from systems_spark.operators.zorder import z_value
+
+        man = self._latest_manifest(spark)
+        prior = self._mapping(man)
+        snap = self.snapshot(spark)
+        z = z_value(zorder_cols, ranges, bits)
+        laid = (snap.withColumn(self.BUCKET, self._bucket_expr())
+                .withColumn("_cdc_z", z))
+        parts = [F.col(self.BUCKET), F.col("_cdc_z")]
+        laid = (laid.repartitionByRange(partitions, *parts) if partitions
+                else laid.repartitionByRange(*parts))
+        laid = laid.sortWithinPartitions(self.BUCKET, "_cdc_z") \
+            .drop("_cdc_z")
+        extra = {"optimize": True,
+                 "zorder": [str(c) for c in zorder_cols]}
+        fence = self.fence(spark)
+        if fence is not None:
+            extra["fence_seq"] = int(fence)
+        version = self._next_version(spark)
+        self._commit_version(spark, laid, version, prior,
+                             touched=set(prior), schema_json=man["schema"],
+                             extra=extra)
         return version
 
     def vacuum(self, spark: SparkSession, keep_last: int = 2) -> "list[int]":

@@ -483,3 +483,97 @@ def test_changes_between_versions(spark, tmp_path):
                 base[k] = (s, v)
         cur = {r.k: (r.s, r.v) for r in table.current(spark).collect()}
         assert base == cur
+
+
+def test_optimize_zorder_is_content_identical_and_prunes(spark, tmp_path):
+    """OPTIMIZE ZORDER: a new content-identical version whose file
+    layout serves data-skipping reads — current() unchanged, time
+    travel intact, and a StatsIndex over data_path() prunes a 2-D box
+    predicate that the pre-optimize layout cannot."""
+    import random
+
+    from systems_spark.operators.zorder import StatsIndex, pruned_files
+    from systems_spark.state import StateStore
+
+    rnd = random.Random(21)
+    rows = [(i, rnd.randint(0, 9999), rnd.randint(0, 9999), 0, False)
+            for i in range(4000)]
+    t = CdcTable(str(tmp_path / "t"), key_cols="k", app_id="opt")
+    t.initialize(spark.createDataFrame(
+        rows, "k long, x long, y long, seq long, _cdc_deleted boolean")
+        .drop("seq", "_cdc_deleted"))
+    t(_ch(spark, [(1, "up", 1, 1, "update")]).selectExpr(
+        "k", "v AS x", "v AS y", "seq", "op"), 0)
+
+    before = sorted(map(tuple, t.current(spark).collect()))
+    v_pre = t.versions(spark)[-1]
+    v_opt = t.optimize(spark, ["x", "y"], [(0, 9999), (0, 9999)],
+                       bits=12, partitions=16)
+    assert sorted(map(tuple, t.current(spark).collect())) == before
+    assert t.versions(spark)[-1] == v_opt
+    # time travel across the boundary
+    assert t.at_version(spark, v_pre).count() == len(before)
+    assert t.history(spark)[-1]["optimize"] is True
+
+    idx = StatsIndex(StateStore(root=str(tmp_path / "state")))
+    stats = idx.stats(spark, t.data_path(spark), ["x", "y"])
+    kept = pruned_files(stats, {"x": (None, 2000), "y": (8000, None)})
+    assert 0 < len(kept) < stats.count()
+    got = sorted(r.k for r in
+                 idx.read(spark, t.data_path(spark), ["x", "y"],
+                          {"x": (None, 2000), "y": (8000, None)})
+                 .where("x <= 2000 AND y >= 8000 AND NOT _cdc_deleted")
+                 .collect())
+    want = sorted(r[0] for r in before if r[1] <= 2000 and r[2] >= 8000)
+    assert got == want
+
+
+def test_optimize_carries_fence_and_merges_continue(spark, tmp_path):
+    """The standing compaction fence must ride through an optimize
+    commit (vacuum-proof), and a pre-fence late replay after the
+    optimize must still be dropped at merge entry."""
+    t = CdcTable(str(tmp_path / "t"), key_cols="k", app_id="optf")
+    t.initialize(_snap(spark, [(1, "a", 10, 0, False)])
+                 .drop("seq", "_cdc_deleted"))
+    t(_ch(spark, [(2, "b", 20, 5, "insert"), (1, "x", 0, 5, "delete")]), 0)
+    t.compact(spark, fence_seq=5)
+    t.optimize(spark, ["k"], [(0, 100)], bits=8, partitions=2)
+    assert t.fence(spark) == 5
+    # vacuum away everything before the optimize; fence must survive
+    t.vacuum(spark, keep_last=1)
+    assert t.fence(spark) == 5
+    # late pre-fence resurrection attempt: must be a no-op
+    t(_ch(spark, [(1, "ghost", 9, 4, "insert")]), 1)
+    assert sorted(r.k for r in t.current(spark).collect()) == [2]
+
+
+def test_partitioned_optimize_content_and_bucket_locality(spark, tmp_path):
+    """Partitioned OPTIMIZE: content-identical, bucket layout intact
+    (a later merge still rewrites only its touched buckets), and
+    in-bucket z-order makes per-bucket file stats prunable."""
+    import random
+
+    rnd = random.Random(23)
+    rows = [(i, rnd.randint(0, 9999), rnd.randint(0, 9999)) for i in range(3000)]
+    t = PartitionedCdcTable(str(tmp_path / "t"), key_cols="k",
+                            app_id="popt", num_buckets=4)
+    t.initialize(spark.createDataFrame(rows, "k long, x long, y long"))
+    before = sorted(map(tuple, t.current(spark).collect()))
+    v = t.optimize(spark, ["x", "y"], [(0, 9999), (0, 9999)],
+                   bits=12, partitions=16)
+    assert sorted(map(tuple, t.current(spark).collect())) == before
+    man = t._latest_manifest(spark)
+    assert man["optimize"] is True
+    assert set(t._mapping(man).values()) == {v}  # all buckets rewritten
+    assert len(t.bucket_paths(spark)) == 4
+
+    # a single-key merge after the optimize touches exactly one bucket
+    ch = spark.createDataFrame([(rows[0][0], 1, 1, 1, "update")],
+                               "k long, x long, y long, seq long, op string")
+    t(ch, 0)
+    man2 = t._latest_manifest(spark)
+    moved = [b for b, wv in t._mapping(man2).items() if wv != v]
+    assert len(moved) == 1
+
+    with pytest.raises(NotImplementedError, match="bucket_paths"):
+        t.data_path(spark)
