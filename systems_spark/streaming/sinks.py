@@ -43,6 +43,46 @@ from systems_spark.sources import _fs_read_text, _fs_write_text
 _COMMIT_DIR = "_commits"
 
 
+def _evolve_schemas(snap: DataFrame, batch: DataFrame, seq_col: str,
+                    op_col: str, deleted_col: str):
+    """Delta-style ``mergeSchema`` alignment of a change batch and the
+    standing snapshot to their UNION payload schema, so the strict merge
+    core never sees a mismatch:
+
+    - a column NEW in the batch widens the table — standing rows read it
+      as NULL;
+    - a payload column MISSING from the batch NULL-fills — change rows
+      are full-row postimages (apply-CDC semantics), so an absent column
+      in an upsert really does mean "no value", never "keep the old one";
+    - a SHARED column must match types exactly — implicit casts hide
+      producer bugs, so a conflict raises instead.
+
+    Returns ``(snap', batch', evolved)`` where ``evolved`` is True iff
+    either side gained columns."""
+    snap_payload = {f.name: f.dataType for f in snap.schema.fields
+                    if f.name not in (seq_col, deleted_col)}
+    batch_payload = {f.name: f.dataType for f in batch.schema.fields
+                     if f.name not in (seq_col, op_col)}
+    conflicts = [n for n, t in batch_payload.items()
+                 if n in snap_payload and snap_payload[n] != t]
+    if conflicts:
+        detail = [(n, str(snap_payload[n]), str(batch_payload[n]))
+                  for n in conflicts]
+        raise ValueError(
+            f"schema evolution cannot change a column's type: {detail}")
+    new_cols = [n for n in batch_payload if n not in snap_payload]
+    missing = [n for n in snap_payload if n not in batch_payload]
+    for n in new_cols:
+        snap = snap.withColumn(n, F.lit(None).cast(batch_payload[n]))
+    for n in missing:
+        batch = batch.withColumn(n, F.lit(None).cast(snap_payload[n]))
+    # one column order for both sides: snapshot payload, then additions
+    order = list(snap_payload) + new_cols
+    snap = snap.select(*order, seq_col, deleted_col)
+    batch = batch.select(*order, seq_col, op_col)
+    return snap, batch, bool(new_cols or missing)
+
+
 class IdempotentParquetSink:
     """``foreachBatch``-callable exactly-once parquet sink.
 
@@ -169,20 +209,33 @@ class CdcTable:
     Snapshot-per-version keeps reads trivial (one directory) at the cost
     of rewriting the snapshot per merge; at lake scale the same fenced
     merge writes only touched partitions — the fencing/tombstone/marker
-    semantics are identical, which is what the tests pin down."""
+    semantics are identical, which is what the tests pin down.
+
+    ``schema_evolution="merge"`` opts into Delta-style ``mergeSchema``:
+    a batch carrying NEW payload columns widens the table (standing rows
+    NULL-fill), a batch MISSING payload columns NULL-fills them in its
+    postimages, and a shared column changing type raises (no implicit
+    casts). Default ``"strict"`` keeps the merge core's hard mismatch
+    error."""
 
     DELETED = "_cdc_deleted"
 
     def __init__(self, path: str, key_cols, app_id: str,
-                 seq_col: str = "seq", op_col: str = "op"):
+                 seq_col: str = "seq", op_col: str = "op",
+                 schema_evolution: str = "strict"):
         if not app_id or "/" in app_id:
             raise ValueError("app_id must be a non-empty path-safe string")
+        if schema_evolution not in ("strict", "merge"):
+            raise ValueError(
+                f"schema_evolution must be 'strict' or 'merge', "
+                f"got {schema_evolution!r}")
         self.path = path.rstrip("/")
         self.key_cols = ([key_cols] if isinstance(key_cols, str)
                          else list(key_cols))
         self.app_id = app_id
         self.seq_col = seq_col
         self.op_col = op_col
+        self.schema_evolution = schema_evolution
 
     # -- version bookkeeping (marker discipline shared with the sink) -----
     def _marker_path(self, version: int) -> str:
@@ -275,6 +328,9 @@ class CdcTable:
                for man in self._manifests(spark)):
             return  # replayed epoch: this batch already committed
         snap = self.snapshot(spark)
+        if self.schema_evolution == "merge":
+            snap, batch_df, _ = _evolve_schemas(
+                snap, batch_df, self.seq_col, self.op_col, self.DELETED)
         # the snapshot stores its applied seq under seq_col itself, so
         # both merge inputs speak one column name; the compaction fence
         # (if any) drops globally-stale changes at entry — a key whose
@@ -325,8 +381,17 @@ class CdcTable:
         ``at_version``)."""
         a = self.at_version(spark, v_from)
         b = self.at_version(spark, v_to)
+        # the window may span a schema evolution: align both endpoints
+        # to the UNION payload (columns absent at an endpoint NULL-fill,
+        # exactly how that endpoint's reader would see them today)
         payload = [c for c in a.columns
                    if c not in (self.seq_col, self.DELETED)]
+        for c in [c for c in b.columns if c not in a.columns
+                  and c not in (self.seq_col, self.DELETED)]:
+            a = a.withColumn(c, F.lit(None).cast(b.schema[c].dataType))
+            payload.append(c)
+        for c in [c for c in payload if c not in b.columns]:
+            b = b.withColumn(c, F.lit(None).cast(a.schema[c].dataType))
         la = (a.where(~F.col(self.DELETED)).drop(self.DELETED)
               .withColumn("_cdf_pa", F.lit(1)))
         lb = (b.where(~F.col(self.DELETED)).drop(self.DELETED)
@@ -465,9 +530,11 @@ class PartitionedCdcTable(CdcTable):
 
     def __init__(self, path: str, key_cols, app_id: str,
                  num_buckets: int = 16,
-                 seq_col: str = "seq", op_col: str = "op"):
+                 seq_col: str = "seq", op_col: str = "op",
+                 schema_evolution: str = "strict"):
         super().__init__(path, key_cols, app_id,
-                         seq_col=seq_col, op_col=op_col)
+                         seq_col=seq_col, op_col=op_col,
+                         schema_evolution=schema_evolution)
         if num_buckets < 1:
             raise ValueError("num_buckets must be >= 1")
         self.num_buckets = int(num_buckets)
@@ -502,7 +569,14 @@ class PartitionedCdcTable(CdcTable):
         paths = self._bucket_paths(self._mapping(man), buckets)
         if not paths:
             return self._empty_like(spark, man)
-        return spark.read.parquet(*paths)
+        # schema comes from the MANIFEST (the transaction log), not from
+        # file footers: after a schema evolution, untouched buckets'
+        # files lack the new columns and the reader must NULL-fill them
+        # by name — exactly what an explicit read schema does, with no
+        # mergeSchema footer sweep
+        from pyspark.sql.types import StructType
+        schema = StructType.fromJson(json.loads(man["schema"]))
+        return spark.read.schema(schema).parquet(*paths)
 
     def _commit_version(self, spark: SparkSession, df: "DataFrame | None",
                         version: int, prior: "dict[int, int]",
@@ -587,13 +661,22 @@ class PartitionedCdcTable(CdcTable):
                                  man["schema"], extra)
             return
         snap_touched = self._read_buckets(spark, man, touched)
+        schema_json = man["schema"]
+        if self.schema_evolution == "merge":
+            snap_touched, batch_df, evolved = _evolve_schemas(
+                snap_touched, batch_df, self.seq_col, self.op_col,
+                self.DELETED)
+            if evolved:
+                # the evolved schema becomes the log's truth; untouched
+                # buckets' old files NULL-fill the new columns at read
+                schema_json = json.dumps(snap_touched.schema.jsonValue())
         merged = merge_cdc_fenced(
             snap_touched, batch_df, self.key_cols,
             seq_col=self.seq_col, op_col=self.op_col,
             deleted_col=self.DELETED)
         self._commit_version(
             spark, merged.withColumn(self.BUCKET, self._bucket_expr()),
-            version, prior, touched, man["schema"], extra)
+            version, prior, touched, schema_json, extra)
 
     # -- operations ------------------------------------------------------------
     def compact(self, spark: SparkSession, fence_seq: int) -> int:

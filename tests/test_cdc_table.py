@@ -577,3 +577,76 @@ def test_partitioned_optimize_content_and_bucket_locality(spark, tmp_path):
 
     with pytest.raises(NotImplementedError, match="bucket_paths"):
         t.data_path(spark)
+
+
+def test_schema_evolution_flat(spark, tmp_path):
+    """mergeSchema semantics: a new batch column widens the table
+    (standing rows NULL-fill), a missing payload column NULL-fills the
+    postimage (changes are full-row images), strict mode still raises,
+    and a type change is refused."""
+    t = CdcTable(str(tmp_path / "t"), key_cols="k", app_id="evo",
+                 schema_evolution="merge")
+    t.initialize(spark.createDataFrame([(1, "a", 10), (2, "b", 20)],
+                                       "k long, s string, v long"))
+    # batch adds column w AND omits column v
+    t(spark.createDataFrame([(1, "a1", 7.5, 1, "update"),
+                             (3, "c", 8.5, 1, "insert")],
+                            "k long, s string, w double, seq long, "
+                            "op string"), 0)
+    got = {r.k: (r.s, r.v, r.w) for r in t.current(spark).collect()}
+    assert got == {1: ("a1", None, 7.5),      # updated: v gone, w new
+                   2: ("b", 20, None),        # untouched: w NULL-fills
+                   3: ("c", None, 8.5)}
+    assert [f.name for f in t.current(spark).schema.fields] \
+        == ["k", "s", "v", "w"]
+
+    with pytest.raises(ValueError, match="cannot change a column's type"):
+        t(spark.createDataFrame([(9, 5, 2, "insert")],
+                                "k long, s long, seq long, op string"), 1)
+
+    strict = CdcTable(str(tmp_path / "t2"), key_cols="k", app_id="evo2")
+    strict.initialize(spark.createDataFrame([(1, "a", 10)],
+                                            "k long, s string, v long"))
+    with pytest.raises(ValueError, match="missing columns"):
+        strict(spark.createDataFrame([(2, "b", 1, "insert")],
+                                     "k long, s string, seq long, "
+                                     "op string"), 0)
+
+
+def test_schema_evolution_partitioned(spark, tmp_path):
+    """Evolution on the bucketed table: only touched buckets rewrite,
+    yet untouched buckets' readers NULL-fill the new column (manifest
+    schema is the log's truth); time travel keeps the OLD schema at old
+    versions; the change feed spans the evolution boundary."""
+    t = PartitionedCdcTable(str(tmp_path / "t"), key_cols="k",
+                            app_id="pevo", num_buckets=4,
+                            schema_evolution="merge")
+    t.initialize(spark.createDataFrame(
+        [(i, f"s{i}", i * 10) for i in range(8)],
+        "k long, s string, v long"))
+    v0 = t.versions(spark)[-1]
+    prior = t._mapping(t._latest_manifest(spark))
+
+    t(spark.createDataFrame([(0, "z", 0, 9.9, 1, "update")],
+                            "k long, s string, v long, w double, "
+                            "seq long, op string"), 0)
+    man = t._latest_manifest(spark)
+    moved = [b for b, wv in t._mapping(man).items() if prior.get(b) != wv]
+    assert len(moved) == 1             # evolution didn't force a rewrite
+    cur = t.current(spark)
+    assert [f.name for f in cur.schema.fields] == ["k", "s", "v", "w"]
+    got = {r.k: r.w for r in cur.collect()}
+    assert got[0] == 9.9 and all(got[k] is None for k in range(1, 8))
+    # old version still reads with its own schema
+    assert "w" not in t.at_version(spark, v0).columns
+
+    feed = t.changes_between(spark, v0, t.versions(spark)[-1])
+    rows = feed.collect()
+    assert len(rows) == 1
+    assert rows[0]["_change_type"] == "update" and rows[0]["w"] == 9.9
+
+
+def test_schema_evolution_validation(spark, tmp_path):
+    with pytest.raises(ValueError, match="schema_evolution"):
+        CdcTable(str(tmp_path / "x"), key_cols="k", app_id="a",
+                 schema_evolution="overwrite")
