@@ -128,6 +128,8 @@ BENCH_QUERIES = [
     "streaming_cdc",
     "cdc_partitioned",
     "orders_zorder",
+    "orders_pruned_read",
+    "cdc_optimize",
     "dedup_forget",
     "cdc_change_feed",
     "kmeans_embeddings",
