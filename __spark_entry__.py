@@ -1496,6 +1496,77 @@ GROUP BY 1
 """
 
 
+def q_orders_point_lookup(spark, sf_dir):
+    """Bloom-index point lookup (operators/zorder.py file_bloom /
+    StatsIndex.read_eq) — the skipping case min/max stats CANNOT
+    serve: orders land hash-scattered across 16 files (round-robin —
+    every file's [o_orderkey min, max] spans the whole domain, the
+    shape of any key not leading the sort order), yet each orderkey
+    lives in exactly one file, and the per-file bloom finds it without
+    opening the rest. Probed keys are data-derived integer-exact
+    quantile anchors (min, max, and the smallest keys past 1/4, 1/2,
+    3/4 of max) so the lane is SF-independent; the bloom is persisted
+    standing state under the same fingerprint-freshness contract as
+    the min/max index. Skipping is a superset guarantee and the row
+    filter makes it exact, so the oracle is the plain full-scan IN
+    lookup; tests/test_bloom_skip.py asserts the other half (files
+    read < files total on exactly this layout shape)."""
+    import hashlib
+
+    from systems_spark.operators.zorder import StatsIndex
+
+    key = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:bloomread:{sf_dir}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join("/tmp", "systems_spark_bloom", key, "orders")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (_t(spark, sf_dir, "orders")
+         .select("o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_totalprice")
+         .repartition(16).write.mode("overwrite").parquet(path))
+    o = _t(spark, sf_dir, "orders")
+    kk = F.col("o_orderkey")
+    ends = o.agg(F.min(kk).alias("kmin"), F.max(kk).alias("kmax")
+                 ).collect()[0]
+    kmax = ends["kmax"]
+    mids = o.agg(
+        F.min(F.when(kk * 4 >= F.lit(kmax), kk)).alias("q1"),
+        F.min(F.when(kk * 2 >= F.lit(kmax), kk)).alias("q2"),
+        F.min(F.when(kk * 4 >= F.lit(3 * kmax), kk)).alias("q3"),
+    ).collect()[0]
+    keys = sorted({ends["kmin"], mids["q1"], mids["q2"], mids["q3"],
+                   kmax})
+    pruned = StatsIndex().read_eq(spark, path, "o_orderkey", keys)
+    return (pruned.where(F.col("o_orderkey").isin(keys))
+            .select("o_orderkey", "o_custkey", "o_orderstatus",
+                    F.col("o_totalprice").cast("double")
+                    .alias("total_price"))
+            .orderBy("o_orderkey"))
+
+
+_SQL_ORDERS_POINT_LOOKUP = """
+WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+keys AS (
+  SELECT min(o_orderkey) AS k FROM orders
+  UNION
+  SELECT max(o_orderkey) FROM orders
+  UNION
+  SELECT min(CASE WHEN o_orderkey * 4 >= (SELECT m FROM mx)
+                  THEN o_orderkey END) FROM orders
+  UNION
+  SELECT min(CASE WHEN o_orderkey * 2 >= (SELECT m FROM mx)
+                  THEN o_orderkey END) FROM orders
+  UNION
+  SELECT min(CASE WHEN o_orderkey * 4 >= 3 * (SELECT m FROM mx)
+                  THEN o_orderkey END) FROM orders
+)
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       o_totalprice::DOUBLE AS total_price
+FROM orders WHERE o_orderkey IN (SELECT k FROM keys)
+ORDER BY o_orderkey
+"""
+
+
 def q_dedup_forget(spark, sf_dir):
     """Right-to-be-forgotten dedup maintenance (dedup/clusters.py
     decremental_components): a takedown batch (doc_id % 16 == 3) leaves
@@ -7168,6 +7239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_partitioned": q_cdc_partitioned,
         "orders_zorder": q_orders_zorder,
         "orders_pruned_read": q_orders_pruned_read,
+        "orders_point_lookup": q_orders_point_lookup,
         "cdc_optimize": q_cdc_optimize,
         "dedup_forget": q_dedup_forget,
         "cdc_change_feed": q_cdc_change_feed,
@@ -7436,6 +7508,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_partitioned": _sql_orders_cdc_apply(),
         "orders_zorder": _sql_orders_zorder(),
         "orders_pruned_read": _SQL_ORDERS_PRUNED_READ,
+        "orders_point_lookup": _SQL_ORDERS_POINT_LOOKUP,
         "cdc_optimize": _sql_cdc_optimize(),
         "dedup_forget": _sql_dedup_forget(),
         "cdc_change_feed": _sql_cdc_change_feed(),

@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "cdc_partitioned",
     "orders_zorder",
     "orders_pruned_read",
+    "orders_point_lookup",
     "cdc_optimize",
     "dedup_forget",
     "cdc_change_feed",

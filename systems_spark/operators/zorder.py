@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["z_value", "z_value_sql", "zorder_layout",
            "file_stats", "pruned_files", "pruned_read",
+           "file_bloom", "bloom_pruned_files", "bloom_pruned_read",
            "layout_fingerprint", "StatsIndex"]
 
 
@@ -149,6 +150,113 @@ def pruned_read(spark, stats: DataFrame, predicates: dict) -> DataFrame:
     return spark.read.parquet(*files)
 
 
+def _bloom_position_cols(col: Column, bits_log2: int, hashes: int):
+    """The ``hashes`` bloom bit positions of ``col`` as int Columns —
+    ``xxhash64(value, i) mod 2^bits_log2`` for i in 0..hashes-1. Build
+    and probe BOTH evaluate this expression in the JVM, so the two
+    sides agree by construction (no Python re-implementation of
+    xxhash64 to drift)."""
+    n_bits = F.lit(1 << bits_log2)
+    return [F.pmod(F.xxhash64(col, F.lit(i)), n_bits).cast("int")
+            for i in range(hashes)]
+
+
+def file_bloom(spark, path: str, col: str, bits_log2: int = 17,
+               hashes: int = 4) -> DataFrame:
+    """Per-FILE Bloom filter over ``col``'s non-NULL values — the
+    point-lookup skipping index min/max stats cannot provide: on a
+    hash-scattered high-cardinality key every file's [min, max] spans
+    the whole domain, but each VALUE lives in few files, and a bloom
+    probe finds them without opening the rest (the role of Delta's
+    per-file bloom indexes and parquet bloom footers).
+
+    The bitset is stored as the sorted distinct set-bit positions
+    (bounded by 2^bits_log2 per file); ``bits_log2`` must scale with
+    per-file NDV — at the lakehouse's bounded file size (the layout
+    invariant a 100 TB table already keeps) per-file NDV is bounded,
+    so the index is O(files). One scan builds it; persist through
+    :class:`StatsIndex` and it amortizes over every probe after.
+
+    NULL semantics: an equality probe never matches NULL, so files
+    whose column is entirely NULL (absent from the index) are sound to
+    skip."""
+    df = spark.read.parquet(path)
+    pos = _bloom_position_cols(F.col(col), bits_log2, hashes)
+    exploded = (df.where(F.col(col).isNotNull())
+                .select(F.input_file_name().alias("file"),
+                        F.explode(F.array(*pos)).alias("bit")))
+    return (exploded.groupBy("file")
+            .agg(F.sort_array(F.collect_set("bit")).alias("bits"))
+            .select("file", "bits",
+                    F.lit(bits_log2).alias("bits_log2"),
+                    F.lit(hashes).alias("hashes")))
+
+
+def _bloom_probe_positions(spark, values, dtype, bits_log2: int,
+                           hashes: int) -> "list[list[int]]":
+    """The probe values' bit positions, computed BY SPARK over a
+    literal frame typed exactly like the indexed column — the same JVM
+    xxhash64 the build side ran."""
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType([StructField("v", dtype, False)])
+    frame = spark.createDataFrame([(v,) for v in values], schema)
+    pos = _bloom_position_cols(F.col("v"), bits_log2, hashes)
+    rows = frame.select(*(p.alias(f"p{i}") for i, p in enumerate(pos))
+                        ).collect()
+    return [[r[f"p{i}"] for i in range(hashes)] for r in rows]
+
+
+def bloom_pruned_files(spark, bloom: DataFrame, values, dtype,
+                       bits_log2: int = 17,
+                       hashes: int = 4) -> "list[str]":
+    """Files whose bloom bitset contains EVERY bit of AT LEAST ONE
+    probe value — the sound superset for ``col IN (values)``: a bloom
+    has no false negatives, so a file ruled out provably holds none of
+    the probed values. Raises if the index was built with different
+    parameters (positions would be meaningless). Driver-side decision
+    bounded by the file count, like every format's planner."""
+    values = [v for v in (values if isinstance(values, (list, tuple, set))
+                          else [values])]
+    if any(v is None for v in values):
+        raise ValueError("bloom probe values must be non-NULL "
+                         "(col = NULL is never true)")
+    head = bloom.select("bits_log2", "hashes").limit(1).collect()
+    if head and ((head[0]["bits_log2"], head[0]["hashes"])
+                 != (bits_log2, hashes)):
+        raise ValueError(
+            f"bloom index built with (bits_log2={head[0]['bits_log2']}, "
+            f"hashes={head[0]['hashes']}), probed with ({bits_log2}, "
+            f"{hashes})")
+    if not values:
+        return []
+    cond = F.lit(False)
+    for plist in _bloom_probe_positions(spark, sorted(set(values)), dtype,
+                                        bits_log2, hashes):
+        hit = F.lit(True)
+        for p in plist:
+            hit = hit & F.array_contains("bits", F.lit(p))
+        cond = cond | hit
+    return [r["file"] for r in bloom.where(cond).select("file").collect()]
+
+
+def bloom_pruned_read(spark, path: str, bloom: DataFrame, col: str,
+                      values, bits_log2: int = 17,
+                      hashes: int = 4) -> DataFrame:
+    """Read ONLY the files the bloom keeps for ``col IN (values)``.
+    The caller still applies the row-level filter (skipping is a
+    superset guarantee — bloom false positives pass files, never
+    rows). Zero surviving files is the SUCCESS case for an absent key:
+    an empty frame with the table's schema comes back (schema from the
+    footer, no data read)."""
+    dtype = spark.read.parquet(path).schema[col].dataType
+    files = bloom_pruned_files(spark, bloom, values, dtype,
+                               bits_log2, hashes)
+    if not files:
+        return spark.read.parquet(path).limit(0)
+    return spark.read.parquet(*files)
+
+
 def layout_fingerprint(spark, path: str) -> str:
     """Identity of a dataset's CURRENT file layout: md5 over the sorted
     (path, length, mtime) listing of its data files (dot/underscore
@@ -207,6 +315,20 @@ class StatsIndex:
         col_id = md5(",".join(cols).encode()).hexdigest()[:12]
         return f"{self._TAG_PREFIX}:{col_id}:{fingerprint}"
 
+    def _materialize_fresh(self, spark, key: str, prefix: str,
+                           tag: str, builder) -> DataFrame:
+        """Marker-gated materialize with eager staleness: any entry
+        under the same (table, index-id) prefix whose fingerprint no
+        longer matches is invalidated before the fresh one commits, so
+        the store never serves an old layout's index."""
+        if not self.store.is_committed(spark, tag, key=key):
+            for entry in self.store.entries(spark):
+                m = entry["manifest"]
+                if (m is not None and m["tag"].startswith(prefix)
+                        and m["tag"] != tag):
+                    self.store.invalidate(spark, m["tag"], key=key)
+        return self.store.materialize(builder, tag, key=key, spark=spark)
+
     def stats(self, spark, path: str, cols) -> DataFrame:
         """The persisted per-file stats for ``(path, cols)`` at the
         table's CURRENT layout — one stats scan on first use per
@@ -215,18 +337,10 @@ class StatsIndex:
         invalidated before the fresh one commits."""
         cols = list(cols)
         fp = layout_fingerprint(spark, path)
-        tag = self._tag(path, cols, fp)
-        key = self._key(path)
-        if not self.store.is_committed(spark, tag, key=key):
-            for entry in self.store.entries(spark):
-                m = entry["manifest"]
-                if (m is not None
-                        and m["tag"].startswith(self._tag(path, cols, ""))
-                        and m["tag"] != tag):
-                    self.store.invalidate(spark, m["tag"], key=key)
-        return self.store.materialize(
-            lambda: file_stats(spark, path, cols), tag, key=key,
-            spark=spark)
+        return self._materialize_fresh(
+            spark, self._key(path), self._tag(path, cols, ""),
+            self._tag(path, cols, fp),
+            lambda: file_stats(spark, path, cols))
 
     def read(self, spark, path: str, cols, predicates: dict) -> DataFrame:
         """:func:`pruned_read` through the persisted index — the scan a
@@ -234,6 +348,35 @@ class StatsIndex:
         never opened. The caller still applies the row-level filter."""
         return pruned_read(spark, self.stats(spark, path, cols),
                            predicates)
+
+    def _bloom_tag(self, path: str, col: str, bits_log2: int,
+                   hashes: int, fingerprint: str) -> str:
+        bid = md5(f"{col}:{bits_log2}:{hashes}".encode()).hexdigest()[:12]
+        return f"zbloom:{bid}:{fingerprint}"
+
+    def bloom(self, spark, path: str, col: str, bits_log2: int = 17,
+              hashes: int = 4) -> DataFrame:
+        """The persisted per-file bloom index for ``(path, col)`` at
+        the table's CURRENT layout — same freshness contract as
+        :meth:`stats`: one build scan per layout version, reuse across
+        sessions, eager invalidation when the fingerprint moves."""
+        fp = layout_fingerprint(spark, path)
+        return self._materialize_fresh(
+            spark, self._key(path),
+            self._bloom_tag(path, col, bits_log2, hashes, ""),
+            self._bloom_tag(path, col, bits_log2, hashes, fp),
+            lambda: file_bloom(spark, path, col, bits_log2, hashes))
+
+    def read_eq(self, spark, path: str, col: str, values,
+                bits_log2: int = 17, hashes: int = 4) -> DataFrame:
+        """Point-lookup read: ``col IN (values)`` served by opening
+        only the files the persisted bloom keeps. The caller still
+        applies the row-level filter (bloom false positives pass
+        files, never rows); an absent key comes back as an empty frame
+        with the table schema."""
+        return bloom_pruned_read(
+            spark, path, self.bloom(spark, path, col, bits_log2, hashes),
+            col, values, bits_log2, hashes)
 
     def invalidate(self, spark, path: str, cols) -> None:
         """Drop the CURRENT layout's entry (callers that rewrote the
