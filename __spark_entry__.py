@@ -1342,6 +1342,51 @@ def q_cdc_partitioned(spark, sf_dir):
                  .cast("bigint").alias("key_checksum")))
 
 
+def q_cdc_multiwriter(spark, sf_dir):
+    """Optimistic concurrency on the shared commit log
+    (streaming/sinks.py CdcTable._commit, ConcurrentCommitError): TWO
+    writers — distinct app_ids, one table — interleave their change
+    epochs. Versions are claimed by put-if-absent marker publish
+    (state.py fs_publish_text_exclusive, a hard-link CAS), each writer
+    stages under its own version=N__app_id directory, and a loser
+    rebases its fenced MERGE on the winner's snapshot — so the final
+    snapshot must equal the single-writer global merge regardless of
+    who committed what. Oracle = the same last-op-per-key merge the
+    single-writer lane grades; equality holds only if neither writer
+    lost or clobbered the other's committed changes.
+    tests/test_cdc_concurrency.py pins the race itself (forced CAS
+    loss → rebase; staging cleanup; first-writer-wins primitive)."""
+    import hashlib
+
+    from systems_spark.streaming import CdcTable
+
+    key = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:cdcmw:{sf_dir}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join("/tmp", "systems_spark_cdc", key)
+    path = os.path.join(base, "t")
+    wa = CdcTable(path, key_cols="o_orderkey", app_id="writer-a")
+    wb = CdcTable(path, key_cols="o_orderkey", app_id="writer-b")
+    orders = _t(spark, sf_dir, "orders")
+    seed = (orders.where(F.col("o_orderkey") % 8 != 0)
+            .select("o_orderkey", "o_custkey", "o_orderstatus",
+                    "o_totalprice"))
+    wa.initialize(seed)
+    wb.initialize(seed.limit(0))  # concurrent seed: idempotent no-op
+    changes = _cdc_changes(spark, sf_dir)
+    # writer A owns the seq-1 epoch, writer B the seq-2 epoch — their
+    # commits interleave in ONE shared version chain
+    wa(changes.where(F.col("seq") == 1), 0)
+    wb(changes.where(F.col("seq") == 2), 0)
+    return (wb.current(spark)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+                         2).cast("double").alias("total_price"),
+                 F.sum(F.col("o_orderkey").cast("decimal(38,0)"))
+                 .cast("bigint").alias("key_checksum")))
+
+
 def q_cdc_optimize(spark, sf_dir):
     """OPTIMIZE ZORDER on a CDC MERGE table (streaming/sinks.py
     CdcTable.optimize) — the full lakehouse maintenance composition in
@@ -7237,6 +7282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # via test_oracle_parity
         "top_supplier": q_top_supplier,
         "cdc_partitioned": q_cdc_partitioned,
+        "cdc_multiwriter": q_cdc_multiwriter,
         "orders_zorder": q_orders_zorder,
         "orders_pruned_read": q_orders_pruned_read,
         "orders_point_lookup": q_orders_point_lookup,
@@ -7506,6 +7552,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_cdc": _sql_orders_cdc_apply(),
         # the bucket-stitched snapshot must land exactly the same state
         "cdc_partitioned": _sql_orders_cdc_apply(),
+        "cdc_multiwriter": _sql_orders_cdc_apply(),
         "orders_zorder": _sql_orders_zorder(),
         "orders_pruned_read": _SQL_ORDERS_PRUNED_READ,
         "orders_point_lookup": _SQL_ORDERS_POINT_LOOKUP,

@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "orders_pruned_read",
     "orders_point_lookup",
     "cdc_optimize",
+    "cdc_multiwriter",
     "dedup_forget",
     "cdc_change_feed",
     "kmeans_embeddings",

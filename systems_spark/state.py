@@ -59,7 +59,8 @@ from pyspark.sql import functions as F
 
 from systems_spark.sources import _fs_read_text, _fs_write_text
 
-__all__ = ["StateStore", "fs_write_text_atomic"]
+__all__ = ["StateStore", "fs_write_text_atomic",
+           "fs_publish_text_exclusive"]
 
 _DEFAULT_ROOT = "/tmp/systems_spark_state"
 _MARKER = "_STATE_COMMIT.json"
@@ -82,6 +83,46 @@ def fs_write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
         return
     if not fs.rename(src, dst):
         raise IOError(f"atomic rename failed: {tmp} -> {path}")
+
+
+def fs_publish_text_exclusive(spark: SparkSession, path: str,
+                              text: str) -> bool:
+    """Atomically publish ``text`` at ``path`` IF AND ONLY IF nothing
+    is there — the compare-and-swap a shared commit log needs (Delta's
+    put-if-absent primitive). Returns True on the win, False if a
+    concurrent writer already published the path; either way the path
+    afterwards holds exactly ONE writer's complete content, never a
+    mix or a truncation.
+
+    Local filesystems get a true single-syscall CAS: the content is
+    written to a temp name and ``link(2)``-ed to the final path —
+    hard-linking fails with EEXIST when the destination exists and
+    publishes the full content when it doesn't. Object stores would
+    use conditional PUT (If-None-Match) and HDFS the
+    fail-if-destination-exists rename; neither backend is reachable in
+    this environment, so non-local schemes raise rather than pretend
+    (an exists()-then-write fallback would silently reintroduce the
+    lost-update race this function exists to close)."""
+    local = path
+    if local.startswith("file:"):
+        local = local[len("file:"):] or "/"
+    if "://" in local:
+        raise NotImplementedError(
+            f"exclusive publish needs a conditional-put backend for "
+            f"{path.split('://')[0]}:// paths")
+    os.makedirs(os.path.dirname(local), exist_ok=True)
+    tmp = f"{local}.claim.{os.getpid()}.{md5(text.encode()).hexdigest()[:8]}"
+    with open(tmp, "w") as fh:
+        fh.write(text)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, local)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
 
 
 class StateStore:

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from systems_spark.streaming.sinks import (CdcTable,  # noqa: F401
+                                           ConcurrentCommitError,
                                            IdempotentParquetSink,
                                            PartitionedCdcTable)
 from systems_spark.streaming.stateful import (  # noqa: F401

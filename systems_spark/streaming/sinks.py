@@ -43,6 +43,13 @@ from systems_spark.sources import _fs_read_text, _fs_write_text
 _COMMIT_DIR = "_commits"
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer published this version first. The losing writer's
+    data directory has already been cleaned up; retry by re-deriving
+    from the NEW latest snapshot (the optimistic-concurrency loop the
+    table's own mutators run)."""
+
+
 def _evolve_schemas(snap: DataFrame, batch: DataFrame, seq_col: str,
                     op_col: str, deleted_col: str):
     """Delta-style ``mergeSchema`` alignment of a change batch and the
@@ -191,14 +198,25 @@ class CdcTable:
     merges, tombstones, exactly-once ``foreachBatch`` ingestion.
 
     The Delta/Hudi/Iceberg capability rebuilt from the repo's own
-    primitives: each committed VERSION is a full snapshot directory under
-    ``path/version=N`` with a commit marker written last (the
+    primitives: each committed VERSION is a full snapshot directory
+    (``path/version=N__app_id`` — writer-unique staging, resolved
+    through the manifest) with a commit marker written last (the
     ``IdempotentParquetSink`` txn discipline), and each merge applies a
     change batch through :func:`~systems_spark.operators.cdc.merge_cdc_fenced`
     — so a replayed micro-batch is a directory-level no-op, a STALE or
     out-of-order batch is a per-key no-op (sequence fencing), and a
     delete's tombstone blocks late resurrections. Readers see only
     committed versions; ``current()`` is the live (non-tombstoned) view.
+
+    MULTI-WRITER: the commit log is shared — any number of writers
+    (each with its own ``app_id``) may merge into one table. A version
+    is claimed by atomically publishing its marker (put-if-absent);
+    the loser's staged data is deleted and its merge REBASES on the
+    winner's snapshot and retries (bounded attempts), which is safe
+    because the fenced key-level MERGE re-derives from any newer
+    snapshot — Delta's optimistic concurrency, with the rebase playing
+    the role of its logical conflict resolution. Idempotence stays
+    per-``(app_id, batch_id)``.
 
     >>> table = CdcTable("/data/orders_cdc", key_cols=["k"], app_id="cdc1")
     >>> table.initialize(seed_df)               # version -1, seq 0
@@ -238,11 +256,23 @@ class CdcTable:
         self.schema_evolution = schema_evolution
 
     # -- version bookkeeping (marker discipline shared with the sink) -----
+    # The commit log is SHARED across writers: markers are v{N}.json
+    # with the writer's app_id inside the manifest, and version N is
+    # claimed by atomically publishing that marker (put-if-absent via
+    # fs_publish_text_exclusive) — Delta's optimistic protocol. Each
+    # writer stages its data under its OWN version=N__app_id directory
+    # first, so racing writers never touch each other's files; the
+    # marker records which directory won, and a crashed or losing
+    # attempt leaves only an unreferenced directory (invisible:
+    # marker-last), swept by vacuum.
     def _marker_path(self, version: int) -> str:
-        return f"{self.path}/{_COMMIT_DIR}/{self.app_id}__v{int(version)}.json"
+        return f"{self.path}/{_COMMIT_DIR}/v{int(version)}.json"
 
-    def _data_path(self, version: int) -> str:
-        return f"{self.path}/version={int(version)}"
+    def _write_data_dir(self, version: int) -> str:
+        return f"version={int(version)}__{self.app_id}"
+
+    def _data_path(self, man: dict) -> str:
+        return f"{self.path}/{man['data_dir']}"
 
     def _fs(self, spark: SparkSession, path: str):
         p = spark._jvm.org.apache.hadoop.fs.Path(path)
@@ -252,13 +282,12 @@ class CdcTable:
         fs, d = self._fs(spark, f"{self.path}/{_COMMIT_DIR}")
         if not fs.exists(d):
             return []
-        prefix = self.app_id + "__v"
         out = []
         for status in fs.listStatus(d):
             name = status.getPath().getName()
-            if not (name.startswith(prefix) and name.endswith(".json")):
+            if not (name.startswith("v") and name.endswith(".json")):
                 continue
-            stem = name[len(prefix):-len(".json")]
+            stem = name[len("v"):-len(".json")]
             try:
                 out.append(int(stem))
             except ValueError:
@@ -267,23 +296,54 @@ class CdcTable:
 
     def _commit(self, spark: SparkSession, df: DataFrame,
                 version: int, extra: "dict | None" = None) -> None:
-        target = self._data_path(version)
+        """Stage this writer's data, then CAS-publish the version
+        marker. Losing the race deletes the staged directory and
+        raises :class:`ConcurrentCommitError` — the caller re-derives
+        from the new snapshot and retries at the next version.
+
+        The early marker check below is not just an optimization: it
+        guarantees a writer never STAGES at a version that is already
+        committed — essential when the committed version is this same
+        writer's (the staging dir would be the committed data dir, and
+        the loser cleanup would destroy committed data). One active
+        writer per app_id (the streaming-query model) makes the
+        remaining check-to-publish window safe: a marker appearing in
+        it can only be another app's, whose data dir is disjoint."""
+        fs_, m_ = self._fs(spark, self._marker_path(version))
+        if fs_.exists(m_):
+            raise ConcurrentCommitError(
+                f"version {version} of {self.path} is already committed")
+        dir_name = self._write_data_dir(version)
+        target = f"{self.path}/{dir_name}"
         df.write.mode("overwrite").parquet(target)
         written = spark.read.parquet(target)
         row = written.agg(F.count(F.lit(1)).alias("rows")).collect()[0]
-        from systems_spark.state import fs_write_text_atomic
+        from systems_spark.state import fs_publish_text_exclusive
         manifest = {"app_id": self.app_id, "version": int(version),
-                    "rows": int(row["rows"])}
+                    "rows": int(row["rows"]), "data_dir": dir_name}
         manifest.update(extra or {})
-        fs_write_text_atomic(
-            spark, self._marker_path(version),
-            json.dumps(manifest, sort_keys=True))
+        if not fs_publish_text_exclusive(
+                spark, self._marker_path(version),
+                json.dumps(manifest, sort_keys=True)):
+            fs, d = self._fs(spark, target)
+            fs.delete(d, True)
+            raise ConcurrentCommitError(
+                f"version {version} of {self.path} was committed by a "
+                f"concurrent writer")
+
+    _COMMIT_RETRIES = 3
 
     def _manifests(self, spark: SparkSession) -> "list[dict]":
         return [json.loads(_fs_read_text(
                     spark, self._fs(spark, self._marker_path(v))[1]
                     .toString()))
                 for v in self.versions(spark)]
+
+    def _manifest_at(self, spark: SparkSession, version: int) -> dict:
+        mans = {m["version"]: m for m in self._manifests(spark)}
+        if version not in mans:
+            raise ValueError(f"version {version} is not committed")
+        return mans[version]
 
     def _next_version(self, spark: SparkSession) -> int:
         vs = self.versions(spark)
@@ -294,21 +354,27 @@ class CdcTable:
     # -- lifecycle -----------------------------------------------------------
     def initialize(self, seed: DataFrame, seq: int = 0) -> None:
         """Seed version -1 from a plain payload frame (idempotent: a
-        second initialize against an initialized table is a no-op)."""
+        second initialize against an initialized table is a no-op —
+        including a CONCURRENT one, which loses the seed-commit race
+        and defers to the winner's seed)."""
         spark = seed.sparkSession
         fs, m = self._fs(spark, self._marker_path(-1))
         if fs.exists(m):
             return
         snap = (seed.withColumn(self.seq_col, F.lit(int(seq)).cast("long"))
                 .withColumn(self.DELETED, F.lit(False)))
-        self._commit(spark, snap, -1)
+        try:
+            self._commit(spark, snap, -1)
+        except ConcurrentCommitError:
+            return  # another writer seeded first — same idempotent no-op
 
     def snapshot(self, spark: SparkSession) -> DataFrame:
         """Latest committed snapshot INCLUDING tombstones + seq column."""
         vs = self.versions(spark)
         if not vs:
             raise ValueError("CdcTable.initialize before reading")
-        return spark.read.parquet(self._data_path(vs[-1]))
+        return spark.read.parquet(
+            self._data_path(self._manifest_at(spark, vs[-1])))
 
     def current(self, spark: SparkSession) -> DataFrame:
         """The live view: tombstones hidden, bookkeeping columns dropped."""
@@ -321,39 +387,54 @@ class CdcTable:
         from systems_spark.operators.cdc import merge_cdc_fenced
 
         spark = batch_df.sparkSession
-        # idempotence is keyed by the STREAM's batch_id recorded in the
-        # commit manifests — version numbers are the commit ORDER and
-        # may drift ahead of batch ids once compactions interleave
-        if any(man.get("batch_id") == int(batch_id)
-               for man in self._manifests(spark)):
-            return  # replayed epoch: this batch already committed
-        snap = self.snapshot(spark)
-        if self.schema_evolution == "merge":
-            snap, batch_df, _ = _evolve_schemas(
-                snap, batch_df, self.seq_col, self.op_col, self.DELETED)
-        # the snapshot stores its applied seq under seq_col itself, so
-        # both merge inputs speak one column name; the compaction fence
-        # (if any) drops globally-stale changes at entry — a key whose
-        # tombstone was compacted away must not resurrect
-        fence = self.fence(spark)
-        merged = merge_cdc_fenced(
-            snap, batch_df, self.key_cols,
-            seq_col=self.seq_col, op_col=self.op_col,
-            deleted_col=self.DELETED, min_seq=fence)
-        # the standing fence rides along in every manifest so vacuuming
-        # the compaction commit that introduced it can never un-fence
-        extra = {"batch_id": int(batch_id)}
-        if fence is not None:
-            extra["fence_seq"] = int(fence)
-        self._commit(spark, merged, self._next_version(spark), extra=extra)
+        for _ in range(self._COMMIT_RETRIES):
+            # idempotence is keyed by THIS STREAM's (app_id, batch_id)
+            # recorded in the commit manifests — version numbers are
+            # the commit ORDER of ALL writers sharing the log and may
+            # drift ahead of any one stream's batch ids
+            if any(man.get("batch_id") == int(batch_id)
+                   and man.get("app_id") == self.app_id
+                   for man in self._manifests(spark)):
+                return  # replayed epoch: this batch already committed
+            snap = self.snapshot(spark)
+            batch = batch_df
+            if self.schema_evolution == "merge":
+                snap, batch, _ = _evolve_schemas(
+                    snap, batch, self.seq_col, self.op_col, self.DELETED)
+            # the snapshot stores its applied seq under seq_col itself,
+            # so both merge inputs speak one column name; the compaction
+            # fence (if any) drops globally-stale changes at entry — a
+            # key whose tombstone was compacted away must not resurrect
+            fence = self.fence(spark)
+            merged = merge_cdc_fenced(
+                snap, batch, self.key_cols,
+                seq_col=self.seq_col, op_col=self.op_col,
+                deleted_col=self.DELETED, min_seq=fence)
+            # the standing fence rides along in every manifest so
+            # vacuuming the compaction commit that introduced it can
+            # never un-fence
+            extra = {"batch_id": int(batch_id)}
+            if fence is not None:
+                extra["fence_seq"] = int(fence)
+            try:
+                self._commit(spark, merged, self._next_version(spark),
+                             extra=extra)
+                return
+            except ConcurrentCommitError:
+                # a concurrent writer took the version: the key-level
+                # MERGE is safe to rebase — re-derive from the NEW
+                # snapshot and try the next slot
+                continue
+        raise ConcurrentCommitError(
+            f"gave up after {self._COMMIT_RETRIES} rebased attempts on "
+            f"{self.path} (writer contention)")
 
     # -- operations ------------------------------------------------------------
     def at_version(self, spark: SparkSession, version: int) -> DataFrame:
         """Time-travel read: the committed snapshot at ``version``
         (bookkeeping columns included, like ``snapshot()``)."""
-        if version not in self.versions(spark):
-            raise ValueError(f"version {version} is not committed")
-        return spark.read.parquet(self._data_path(version))
+        return spark.read.parquet(
+            self._data_path(self._manifest_at(spark, version)))
 
     def history(self, spark: SparkSession) -> "list[dict]":
         """Commit manifests, oldest first — the audit trail."""
@@ -437,16 +518,24 @@ class CdcTable:
         Without this, a daily 100 TB MERGE table accumulates one
         tombstone per deleted key forever. Fences never regress
         (max-of-manifests); returns the new version number."""
-        prev = self.fence(spark)
-        fence_seq = max(int(fence_seq), prev) if prev is not None \
-            else int(fence_seq)
-        snap = self.snapshot(spark)
-        compacted = snap.where(~(F.col(self.DELETED)
-                                 & (F.col(self.seq_col) <= fence_seq)))
-        version = self._next_version(spark)
-        self._commit(spark, compacted, version,
-                     extra={"compaction": True, "fence_seq": fence_seq})
-        return version
+        for _ in range(self._COMMIT_RETRIES):
+            prev = self.fence(spark)
+            fence = max(int(fence_seq), prev) if prev is not None \
+                else int(fence_seq)
+            snap = self.snapshot(spark)
+            compacted = snap.where(~(F.col(self.DELETED)
+                                     & (F.col(self.seq_col) <= fence)))
+            version = self._next_version(spark)
+            try:
+                self._commit(spark, compacted, version,
+                             extra={"compaction": True,
+                                    "fence_seq": fence})
+                return version
+            except ConcurrentCommitError:
+                continue  # rebase on the interleaved commit
+        raise ConcurrentCommitError(
+            f"compact gave up after {self._COMMIT_RETRIES} attempts on "
+            f"{self.path}")
 
     def data_path(self, spark: SparkSession) -> str:
         """Directory of the LATEST committed snapshot — the standing
@@ -456,7 +545,7 @@ class CdcTable:
         vs = self.versions(spark)
         if not vs:
             raise ValueError("CdcTable.initialize before reading")
-        return self._data_path(vs[-1])
+        return self._data_path(self._manifest_at(spark, vs[-1]))
 
     def optimize(self, spark: SparkSession, zorder_cols, ranges,
                  bits: int = 16, partitions: "int | None" = None) -> int:
@@ -472,17 +561,24 @@ class CdcTable:
         invisible (marker-last). Returns the new version number."""
         from systems_spark.operators.zorder import zorder_layout
 
-        snap = self.snapshot(spark)
-        laid = zorder_layout(snap, zorder_cols, ranges, bits=bits,
-                             partitions=partitions).drop("_zorder")
-        extra = {"optimize": True,
-                 "zorder": [str(c) for c in zorder_cols]}
-        fence = self.fence(spark)
-        if fence is not None:
-            extra["fence_seq"] = int(fence)
-        version = self._next_version(spark)
-        self._commit(spark, laid, version, extra=extra)
-        return version
+        for _ in range(self._COMMIT_RETRIES):
+            snap = self.snapshot(spark)
+            laid = zorder_layout(snap, zorder_cols, ranges, bits=bits,
+                                 partitions=partitions).drop("_zorder")
+            extra = {"optimize": True,
+                     "zorder": [str(c) for c in zorder_cols]}
+            fence = self.fence(spark)
+            if fence is not None:
+                extra["fence_seq"] = int(fence)
+            version = self._next_version(spark)
+            try:
+                self._commit(spark, laid, version, extra=extra)
+                return version
+            except ConcurrentCommitError:
+                continue  # relayout the NEW snapshot
+        raise ConcurrentCommitError(
+            f"optimize gave up after {self._COMMIT_RETRIES} attempts on "
+            f"{self.path}")
 
     def vacuum(self, spark: SparkSession, keep_last: int = 2) -> "list[int]":
         """Drop all but the newest ``keep_last`` committed versions —
@@ -495,12 +591,24 @@ class CdcTable:
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         vs = self.versions(spark)
+        mans = {m["version"]: m for m in self._manifests(spark)}
         drop = vs[:-keep_last] if keep_last < len(vs) else []
         for v in drop:
             fs, m = self._fs(spark, self._marker_path(v))
             fs.delete(m, False)
-            _, d = self._fs(spark, self._data_path(v))
+            _, d = self._fs(spark, self._data_path(mans[v]))
             fs.delete(d, True)
+        # sweep loser/crashed attempts: any version=* directory no kept
+        # manifest references is an unpublished staging dir (marker-last
+        # made it invisible to every reader). Same caveat as every
+        # format's vacuum: don't run concurrently with an IN-FLIGHT
+        # writer, whose staging dir is indistinguishable from a dead one
+        kept_dirs = {mans[v]["data_dir"] for v in vs if v not in drop}
+        fs, root = self._fs(spark, self.path)
+        for status in fs.listStatus(root):
+            name = status.getPath().getName()
+            if name.startswith("version=") and name not in kept_dirs:
+                fs.delete(status.getPath(), True)
         return drop
 
 
@@ -555,8 +663,14 @@ class PartitionedCdcTable(CdcTable):
     def _mapping(self, man: dict) -> "dict[int, int]":
         return {int(b): int(v) for b, v in man.get("buckets", {}).items()}
 
-    def _bucket_paths(self, mapping: "dict[int, int]", buckets) -> list:
-        return [f"{self._data_path(mapping[b])}/{self.BUCKET}={b}"
+    def _bucket_paths(self, man: dict, buckets) -> list:
+        # the manifest's "dirs" map resolves every writer version its
+        # bucket mapping references to that version's winning data
+        # directory (carried forward commit-to-commit, pruned to the
+        # referenced set) — no other manifest needs reading
+        mapping = self._mapping(man)
+        dirs = man.get("dirs", {})
+        return [f"{self.path}/{dirs[str(mapping[b])]}/{self.BUCKET}={b}"
                 for b in sorted(buckets) if b in mapping]
 
     def _empty_like(self, spark: SparkSession, man: dict) -> DataFrame:
@@ -566,7 +680,7 @@ class PartitionedCdcTable(CdcTable):
 
     def _read_buckets(self, spark: SparkSession, man: dict,
                       buckets) -> DataFrame:
-        paths = self._bucket_paths(self._mapping(man), buckets)
+        paths = self._bucket_paths(man, buckets)
         if not paths:
             return self._empty_like(spark, man)
         # schema comes from the MANIFEST (the transaction log), not from
@@ -579,16 +693,29 @@ class PartitionedCdcTable(CdcTable):
         return spark.read.schema(schema).parquet(*paths)
 
     def _commit_version(self, spark: SparkSession, df: "DataFrame | None",
-                        version: int, prior: "dict[int, int]",
+                        version: int, prior_man: "dict | None",
                         touched, schema_json: str,
                         extra: "dict | None" = None) -> None:
-        """Write the touched buckets (df pre-bucketed) as version
-        ``version``; the manifest's mapping carries untouched entries
-        forward and points touched buckets that survived at the new
-        directory. ``df=None`` commits manifest-only (no data dir)."""
+        """Stage the touched buckets (df pre-bucketed) under this
+        writer's own directory, then CAS-publish the version marker;
+        the manifest's mapping carries untouched entries forward and
+        points touched buckets that survived at the new directory,
+        and its ``dirs`` map resolves every referenced writer version.
+        ``df=None`` commits manifest-only (no data dir). Losing the
+        marker race deletes the staged directory and raises
+        :class:`ConcurrentCommitError`. The early marker check keeps a
+        writer from ever staging over its own committed data (see
+        CdcTable._commit)."""
+        fs_, m_ = self._fs(spark, self._marker_path(version))
+        if fs_.exists(m_):
+            raise ConcurrentCommitError(
+                f"version {version} of {self.path} is already committed")
+        prior = self._mapping(prior_man) if prior_man else {}
+        prior_dirs = dict(prior_man.get("dirs", {})) if prior_man else {}
         written = set()
+        dir_name = self._write_data_dir(version)
+        target = f"{self.path}/{dir_name}"
         if df is not None:
-            target = self._data_path(version)
             df.write.partitionBy(self.BUCKET).mode("overwrite") \
                 .parquet(target)
             back = spark.read.parquet(target)
@@ -599,15 +726,28 @@ class PartitionedCdcTable(CdcTable):
             rows = 0
         mapping = {b: v for b, v in prior.items() if b not in set(touched)}
         mapping.update({b: int(version) for b in written})
+        dirs = {str(v): prior_dirs[str(v)]
+                for v in sorted(set(mapping.values()))
+                if str(v) in prior_dirs}
+        if written:
+            dirs[str(int(version))] = dir_name
         manifest = {"app_id": self.app_id, "version": int(version),
                     "rows": int(rows),
                     "buckets": {str(b): v for b, v in
                                 sorted(mapping.items())},
+                    "dirs": dirs,
                     "schema": schema_json}
         manifest.update(extra or {})
-        from systems_spark.state import fs_write_text_atomic
-        fs_write_text_atomic(spark, self._marker_path(version),
-                             json.dumps(manifest, sort_keys=True))
+        from systems_spark.state import fs_publish_text_exclusive
+        if not fs_publish_text_exclusive(
+                spark, self._marker_path(version),
+                json.dumps(manifest, sort_keys=True)):
+            if df is not None:
+                fs, d = self._fs(spark, target)
+                fs.delete(d, True)
+            raise ConcurrentCommitError(
+                f"version {version} of {self.path} was committed by a "
+                f"concurrent writer")
 
     # -- lifecycle -----------------------------------------------------------
     def initialize(self, seed: DataFrame, seq: int = 0) -> None:
@@ -618,9 +758,12 @@ class PartitionedCdcTable(CdcTable):
         snap = (seed.withColumn(self.seq_col, F.lit(int(seq)).cast("long"))
                 .withColumn(self.DELETED, F.lit(False)))
         schema_json = json.dumps(snap.schema.jsonValue())
-        self._commit_version(
-            spark, snap.withColumn(self.BUCKET, self._bucket_expr()),
-            -1, {}, touched=(), schema_json=schema_json)
+        try:
+            self._commit_version(
+                spark, snap.withColumn(self.BUCKET, self._bucket_expr()),
+                -1, None, touched=(), schema_json=schema_json)
+        except ConcurrentCommitError:
+            return  # another writer seeded first — same idempotent no-op
 
     def snapshot(self, spark: SparkSession) -> DataFrame:
         man = self._latest_manifest(spark)
@@ -638,69 +781,90 @@ class PartitionedCdcTable(CdcTable):
         from systems_spark.operators.cdc import merge_cdc_fenced
 
         spark = batch_df.sparkSession
-        mans = self._manifests(spark)
-        if any(man.get("batch_id") == int(batch_id) for man in mans):
-            return  # replayed epoch
-        if not mans:
-            raise ValueError("PartitionedCdcTable.initialize before writing")
-        man = mans[-1]
-        prior = self._mapping(man)
-        fence = self.fence(spark)
-        extra = {"batch_id": int(batch_id)}
-        if fence is not None:
-            extra["fence_seq"] = int(fence)
-            batch_df = batch_df.where(F.col(self.seq_col) > int(fence))
-        # the touched-bucket set is ≤ num_buckets — a bounded collect,
-        # the partition-pruning driver decision every table format makes
-        touched = sorted(
-            int(r[0]) for r in batch_df.select(self._bucket_expr())
-            .distinct().collect())
-        version = self._next_version(spark)
-        if not touched:
-            self._commit_version(spark, None, version, prior, (),
-                                 man["schema"], extra)
-            return
-        snap_touched = self._read_buckets(spark, man, touched)
-        schema_json = man["schema"]
-        if self.schema_evolution == "merge":
-            snap_touched, batch_df, evolved = _evolve_schemas(
-                snap_touched, batch_df, self.seq_col, self.op_col,
-                self.DELETED)
-            if evolved:
-                # the evolved schema becomes the log's truth; untouched
-                # buckets' old files NULL-fill the new columns at read
-                schema_json = json.dumps(snap_touched.schema.jsonValue())
-        merged = merge_cdc_fenced(
-            snap_touched, batch_df, self.key_cols,
-            seq_col=self.seq_col, op_col=self.op_col,
-            deleted_col=self.DELETED)
-        self._commit_version(
-            spark, merged.withColumn(self.BUCKET, self._bucket_expr()),
-            version, prior, touched, schema_json, extra)
+        for _ in range(self._COMMIT_RETRIES):
+            mans = self._manifests(spark)
+            if any(man.get("batch_id") == int(batch_id)
+                   and man.get("app_id") == self.app_id for man in mans):
+                return  # replayed epoch
+            if not mans:
+                raise ValueError(
+                    "PartitionedCdcTable.initialize before writing")
+            man = mans[-1]
+            fence = self.fence(spark)
+            extra = {"batch_id": int(batch_id)}
+            batch = batch_df
+            if fence is not None:
+                extra["fence_seq"] = int(fence)
+                batch = batch.where(F.col(self.seq_col) > int(fence))
+            # the touched-bucket set is ≤ num_buckets — a bounded
+            # collect, the partition-pruning decision every format makes
+            touched = sorted(
+                int(r[0]) for r in batch.select(self._bucket_expr())
+                .distinct().collect())
+            version = self._next_version(spark)
+            try:
+                if not touched:
+                    self._commit_version(spark, None, version, man, (),
+                                         man["schema"], extra)
+                    return
+                snap_touched = self._read_buckets(spark, man, touched)
+                schema_json = man["schema"]
+                if self.schema_evolution == "merge":
+                    snap_touched, batch, evolved = _evolve_schemas(
+                        snap_touched, batch, self.seq_col, self.op_col,
+                        self.DELETED)
+                    if evolved:
+                        # the evolved schema becomes the log's truth;
+                        # untouched buckets' old files NULL-fill the new
+                        # columns at read
+                        schema_json = json.dumps(
+                            snap_touched.schema.jsonValue())
+                merged = merge_cdc_fenced(
+                    snap_touched, batch, self.key_cols,
+                    seq_col=self.seq_col, op_col=self.op_col,
+                    deleted_col=self.DELETED)
+                self._commit_version(
+                    spark,
+                    merged.withColumn(self.BUCKET, self._bucket_expr()),
+                    version, man, touched, schema_json, extra)
+                return
+            except ConcurrentCommitError:
+                continue  # rebase on the interleaved commit
+        raise ConcurrentCommitError(
+            f"gave up after {self._COMMIT_RETRIES} rebased attempts on "
+            f"{self.path} (writer contention)")
 
     # -- operations ------------------------------------------------------------
     def compact(self, spark: SparkSession, fence_seq: int) -> int:
-        prev = self.fence(spark)
-        fence_seq = max(int(fence_seq), prev) if prev is not None \
-            else int(fence_seq)
-        man = self._latest_manifest(spark)
-        prior = self._mapping(man)
-        covered = F.col(self.DELETED) & (F.col(self.seq_col) <= fence_seq)
-        # only buckets actually holding coverable tombstones rewrite
-        dirty = sorted(
-            int(r[0]) for r in self.snapshot(spark).where(covered)
-            .select(self._bucket_expr()).distinct().collect())
-        version = self._next_version(spark)
-        extra = {"compaction": True, "fence_seq": fence_seq}
-        if not dirty:
-            self._commit_version(spark, None, version, prior, (),
-                                 man["schema"], extra)
-            return version
-        kept = self._read_buckets(spark, man, dirty).where(~covered)
-        self._commit_version(
-            spark, kept.withColumn(self.BUCKET, self._bucket_expr()),
-            version, prior, dirty, man["schema"], extra)
-        return version
+        for _ in range(self._COMMIT_RETRIES):
+            prev = self.fence(spark)
+            fence = max(int(fence_seq), prev) if prev is not None \
+                else int(fence_seq)
+            man = self._latest_manifest(spark)
+            covered = F.col(self.DELETED) & (F.col(self.seq_col) <= fence)
+            # only buckets actually holding coverable tombstones rewrite
+            dirty = sorted(
+                int(r[0]) for r in self.snapshot(spark).where(covered)
+                .select(self._bucket_expr()).distinct().collect())
+            version = self._next_version(spark)
+            extra = {"compaction": True, "fence_seq": fence}
+            try:
+                if not dirty:
+                    self._commit_version(spark, None, version, man, (),
+                                         man["schema"], extra)
+                    return version
+                kept = self._read_buckets(spark, man, dirty) \
+                    .where(~covered)
+                self._commit_version(
+                    spark, kept.withColumn(self.BUCKET,
+                                           self._bucket_expr()),
+                    version, man, dirty, man["schema"], extra)
+                return version
+            except ConcurrentCommitError:
+                continue
+        raise ConcurrentCommitError(
+            f"compact gave up after {self._COMMIT_RETRIES} attempts on "
+            f"{self.path}")
 
     def data_path(self, spark: SparkSession) -> str:
         """Not a single directory here: buckets of the live snapshot may
@@ -716,8 +880,7 @@ class PartitionedCdcTable(CdcTable):
         ``StatsIndex`` indexes: a merge moves only its touched buckets'
         paths, so untouched buckets keep their committed stats."""
         man = self._latest_manifest(spark)
-        mapping = self._mapping(man)
-        return self._bucket_paths(mapping, mapping)
+        return self._bucket_paths(man, self._mapping(man))
 
     def optimize(self, spark: SparkSession, zorder_cols, ranges,
                  bits: int = 16, partitions: "int | None" = None) -> int:
@@ -730,27 +893,35 @@ class PartitionedCdcTable(CdcTable):
         (bucket, z); content-identical; fence rides along."""
         from systems_spark.operators.zorder import z_value
 
-        man = self._latest_manifest(spark)
-        prior = self._mapping(man)
-        snap = self.snapshot(spark)
-        z = z_value(zorder_cols, ranges, bits)
-        laid = (snap.withColumn(self.BUCKET, self._bucket_expr())
-                .withColumn("_cdc_z", z))
-        parts = [F.col(self.BUCKET), F.col("_cdc_z")]
-        laid = (laid.repartitionByRange(partitions, *parts) if partitions
-                else laid.repartitionByRange(*parts))
-        laid = laid.sortWithinPartitions(self.BUCKET, "_cdc_z") \
-            .drop("_cdc_z")
-        extra = {"optimize": True,
-                 "zorder": [str(c) for c in zorder_cols]}
-        fence = self.fence(spark)
-        if fence is not None:
-            extra["fence_seq"] = int(fence)
-        version = self._next_version(spark)
-        self._commit_version(spark, laid, version, prior,
-                             touched=set(prior), schema_json=man["schema"],
-                             extra=extra)
-        return version
+        for _ in range(self._COMMIT_RETRIES):
+            man = self._latest_manifest(spark)
+            prior = self._mapping(man)
+            snap = self.snapshot(spark)
+            z = z_value(zorder_cols, ranges, bits)
+            laid = (snap.withColumn(self.BUCKET, self._bucket_expr())
+                    .withColumn("_cdc_z", z))
+            parts = [F.col(self.BUCKET), F.col("_cdc_z")]
+            laid = (laid.repartitionByRange(partitions, *parts)
+                    if partitions else laid.repartitionByRange(*parts))
+            laid = laid.sortWithinPartitions(self.BUCKET, "_cdc_z") \
+                .drop("_cdc_z")
+            extra = {"optimize": True,
+                     "zorder": [str(c) for c in zorder_cols]}
+            fence = self.fence(spark)
+            if fence is not None:
+                extra["fence_seq"] = int(fence)
+            version = self._next_version(spark)
+            try:
+                self._commit_version(spark, laid, version, man,
+                                     touched=set(prior),
+                                     schema_json=man["schema"],
+                                     extra=extra)
+                return version
+            except ConcurrentCommitError:
+                continue  # relayout the NEW snapshot
+        raise ConcurrentCommitError(
+            f"optimize gave up after {self._COMMIT_RETRIES} attempts on "
+            f"{self.path}")
 
     def vacuum(self, spark: SparkSession, keep_last: int = 2) -> "list[int]":
         """Retain the newest ``keep_last`` manifests (they stay
@@ -767,7 +938,7 @@ class PartitionedCdcTable(CdcTable):
         mans = {m["version"]: m for m in self._manifests(spark)}
         referenced = set()
         for v in keep:
-            referenced.update(self._mapping(mans[v]).values())
+            referenced.update(mans[v].get("dirs", {}).values())
         for v in vs:
             if v not in keep:
                 fs, m = self._fs(spark, self._marker_path(v))
@@ -775,15 +946,18 @@ class PartitionedCdcTable(CdcTable):
         # sweep data dirs from DISK, not the marker list: a writer
         # version can outlive its marker (still referenced by a kept
         # snapshot when its own manifest aged out) and must be
-        # reconsidered by every later vacuum, or it orphans forever
+        # reconsidered by every later vacuum, or it orphans forever —
+        # and loser/crashed staging dirs (never referenced by any
+        # manifest) fall out the same way. Same caveat as every
+        # format's vacuum: don't run concurrently with an in-flight
+        # writer, whose staging dir is indistinguishable from a dead one
         dropped = []
         fs, root = self._fs(spark, self.path)
         for status in fs.listStatus(root):
             name = status.getPath().getName()
             if not name.startswith("version="):
                 continue
-            v = int(name[len("version="):])
-            if v not in keep and v not in referenced:
+            if name not in referenced:
                 fs.delete(status.getPath(), True)
-                dropped.append(v)
-        return sorted(dropped)
+                dropped.append(int(name[len("version="):].split("__")[0]))
+        return sorted(set(dropped))

@@ -301,9 +301,15 @@ from systems_spark.streaming import PartitionedCdcTable
 
 
 def _bucket_dirs(base, version):
-    d = os.path.join(base, f"version={version}")
-    if not os.path.isdir(d):
+    # a version's data dir is version=N__<app_id> (writer-unique
+    # staging, resolved through the manifest once committed)
+    cand = [n for n in os.listdir(base)
+            if n == f"version={version}"
+            or n.startswith(f"version={version}__")]
+    if not cand:
         return None
+    assert len(cand) == 1, f"multiple dirs for version {version}: {cand}"
+    d = os.path.join(base, cand[0])
     return sorted(n for n in os.listdir(d) if n.startswith("_cdc_bucket="))
 
 
@@ -399,7 +405,7 @@ def test_partitioned_time_travel_and_vacuum_retention(spark, tmp_path):
     assert {r.s for r in table.current(spark).collect()} == {"a2", "b2"}
     # nothing but version 2 remains on disk as data
     left = {n for n in os.listdir(base) if n.startswith("version=")}
-    assert left == {"version=2"}, left
+    assert left == {"version=2__p3"}, left
 
 
 def test_partitioned_null_key_buckets_stably(spark, tmp_path):
