@@ -295,11 +295,21 @@ class CdcTable:
         return sorted(out)
 
     def _commit(self, spark: SparkSession, df: DataFrame,
-                version: int, extra: "dict | None" = None) -> None:
+                version: int, extra: "dict | None" = None,
+                prior_man: "dict | None" = None) -> None:
         """Stage this writer's data, then CAS-publish the version
         marker. Losing the race deletes the staged directory and
         raises :class:`ConcurrentCommitError` — the caller re-derives
         from the new snapshot and retries at the next version.
+
+        Every manifest carries TWO standing maps forward from
+        ``prior_man`` (the latest manifest the caller derived from):
+        the ``txn`` map of each app's highest committed batch_id, and
+        the compaction fence (via ``extra``). Both therefore live in
+        the LATEST manifest alone — replay checks and fence reads are
+        one marker read, independent of history length, and survive
+        vacuum dropping the manifests that first recorded them
+        (Delta's txn-checkpoint role).
 
         The early marker check below is not just an optimization: it
         guarantees a writer never STAGES at a version that is already
@@ -319,8 +329,13 @@ class CdcTable:
         written = spark.read.parquet(target)
         row = written.agg(F.count(F.lit(1)).alias("rows")).collect()[0]
         from systems_spark.state import fs_publish_text_exclusive
+        txn = dict(prior_man.get("txn", {})) if prior_man else {}
+        if extra and "batch_id" in extra:
+            txn[self.app_id] = max(int(extra["batch_id"]),
+                                   int(txn.get(self.app_id, -1)))
         manifest = {"app_id": self.app_id, "version": int(version),
-                    "rows": int(row["rows"]), "data_dir": dir_name}
+                    "rows": int(row["rows"]), "data_dir": dir_name,
+                    "txn": txn}
         manifest.update(extra or {})
         if not fs_publish_text_exclusive(
                 spark, self._marker_path(version),
@@ -340,16 +355,19 @@ class CdcTable:
                 for v in self.versions(spark)]
 
     def _manifest_at(self, spark: SparkSession, version: int) -> dict:
-        mans = {m["version"]: m for m in self._manifests(spark)}
-        if version not in mans:
+        """One targeted marker read — O(log listing + 1), never a scan
+        of the whole history."""
+        if version not in self.versions(spark):
             raise ValueError(f"version {version} is not committed")
-        return mans[version]
+        return json.loads(_fs_read_text(
+            spark, self._fs(spark, self._marker_path(version))[1]
+            .toString()))
 
-    def _next_version(self, spark: SparkSession) -> int:
+    def _latest_manifest(self, spark: SparkSession) -> dict:
         vs = self.versions(spark)
         if not vs:
-            raise ValueError("CdcTable.initialize before writing")
-        return vs[-1] + 1
+            raise ValueError("CdcTable.initialize before reading")
+        return self._manifest_at(spark, vs[-1])
 
     # -- lifecycle -----------------------------------------------------------
     def initialize(self, seed: DataFrame, seq: int = 0) -> None:
@@ -370,11 +388,8 @@ class CdcTable:
 
     def snapshot(self, spark: SparkSession) -> DataFrame:
         """Latest committed snapshot INCLUDING tombstones + seq column."""
-        vs = self.versions(spark)
-        if not vs:
-            raise ValueError("CdcTable.initialize before reading")
         return spark.read.parquet(
-            self._data_path(self._manifest_at(spark, vs[-1])))
+            self._data_path(self._latest_manifest(spark)))
 
     def current(self, spark: SparkSession) -> DataFrame:
         """The live view: tombstones hidden, bookkeeping columns dropped."""
@@ -388,15 +403,16 @@ class CdcTable:
 
         spark = batch_df.sparkSession
         for _ in range(self._COMMIT_RETRIES):
-            # idempotence is keyed by THIS STREAM's (app_id, batch_id)
-            # recorded in the commit manifests — version numbers are
-            # the commit ORDER of ALL writers sharing the log and may
-            # drift ahead of any one stream's batch ids
-            if any(man.get("batch_id") == int(batch_id)
-                   and man.get("app_id") == self.app_id
-                   for man in self._manifests(spark)):
+            # ONE marker read per attempt: the latest manifest carries
+            # the standing txn map (each app's highest committed
+            # batch_id — epochs are monotone, so ≤ means replayed; the
+            # map survives vacuum, unlike the manifest that first
+            # recorded the batch), the standing fence, and the data dir
+            man = self._latest_manifest(spark)
+            if int(batch_id) <= int(man.get("txn", {})
+                                    .get(self.app_id, -1)):
                 return  # replayed epoch: this batch already committed
-            snap = self.snapshot(spark)
+            snap = spark.read.parquet(self._data_path(man))
             batch = batch_df
             if self.schema_evolution == "merge":
                 snap, batch, _ = _evolve_schemas(
@@ -405,7 +421,8 @@ class CdcTable:
             # so both merge inputs speak one column name; the compaction
             # fence (if any) drops globally-stale changes at entry — a
             # key whose tombstone was compacted away must not resurrect
-            fence = self.fence(spark)
+            fence = (int(man["fence_seq"]) if "fence_seq" in man
+                     else None)
             merged = merge_cdc_fenced(
                 snap, batch, self.key_cols,
                 seq_col=self.seq_col, op_col=self.op_col,
@@ -417,8 +434,12 @@ class CdcTable:
             if fence is not None:
                 extra["fence_seq"] = int(fence)
             try:
-                self._commit(spark, merged, self._next_version(spark),
-                             extra=extra)
+                # commit at EXACTLY base+1: the CAS then fails iff ANY
+                # writer committed after the base this merge derived
+                # from — a later free slot would silently drop their
+                # changes (the lost-update window true OCC must close)
+                self._commit(spark, merged, int(man["version"]) + 1,
+                             extra=extra, prior_man=man)
                 return
             except ConcurrentCommitError:
                 # a concurrent writer took the version: the key-level
@@ -500,10 +521,17 @@ class CdcTable:
         """The standing compaction fence: the highest ``fence_seq`` any
         :meth:`compact` committed, or None. Changes with seq ≤ fence are
         globally stale by the compaction caller's guarantee and are
-        dropped at merge entry."""
-        fences = [man["fence_seq"] for man in self._manifests(spark)
-                  if "fence_seq" in man]
-        return max(fences) if fences else None
+        dropped at merge entry.
+
+        One marker read: every committer carries the standing fence
+        forward into its manifest (merge, compact, optimize, on both
+        layouts), so the LATEST manifest holds the max — the read cost
+        is independent of history length and survives vacuum."""
+        vs = self.versions(spark)
+        if not vs:
+            return None
+        man = self._manifest_at(spark, vs[-1])
+        return int(man["fence_seq"]) if "fence_seq" in man else None
 
     def compact(self, spark: SparkSession, fence_seq: int) -> int:
         """Drop tombstones with seq ≤ ``fence_seq`` from the live
@@ -519,17 +547,20 @@ class CdcTable:
         tombstone per deleted key forever. Fences never regress
         (max-of-manifests); returns the new version number."""
         for _ in range(self._COMMIT_RETRIES):
-            prev = self.fence(spark)
+            man = self._latest_manifest(spark)
+            prev = (int(man["fence_seq"]) if "fence_seq" in man
+                    else None)
             fence = max(int(fence_seq), prev) if prev is not None \
                 else int(fence_seq)
-            snap = self.snapshot(spark)
+            snap = spark.read.parquet(self._data_path(man))
             compacted = snap.where(~(F.col(self.DELETED)
                                      & (F.col(self.seq_col) <= fence)))
-            version = self._next_version(spark)
+            version = int(man["version"]) + 1
             try:
                 self._commit(spark, compacted, version,
                              extra={"compaction": True,
-                                    "fence_seq": fence})
+                                    "fence_seq": fence},
+                             prior_man=man)
                 return version
             except ConcurrentCommitError:
                 continue  # rebase on the interleaved commit
@@ -562,17 +593,18 @@ class CdcTable:
         from systems_spark.operators.zorder import zorder_layout
 
         for _ in range(self._COMMIT_RETRIES):
-            snap = self.snapshot(spark)
+            man = self._latest_manifest(spark)
+            snap = spark.read.parquet(self._data_path(man))
             laid = zorder_layout(snap, zorder_cols, ranges, bits=bits,
                                  partitions=partitions).drop("_zorder")
             extra = {"optimize": True,
                      "zorder": [str(c) for c in zorder_cols]}
-            fence = self.fence(spark)
-            if fence is not None:
-                extra["fence_seq"] = int(fence)
-            version = self._next_version(spark)
+            if "fence_seq" in man:
+                extra["fence_seq"] = int(man["fence_seq"])
+            version = int(man["version"]) + 1
             try:
-                self._commit(spark, laid, version, extra=extra)
+                self._commit(spark, laid, version, extra=extra,
+                             prior_man=man)
                 return version
             except ConcurrentCommitError:
                 continue  # relayout the NEW snapshot
@@ -654,12 +686,6 @@ class PartitionedCdcTable(CdcTable):
                       F.lit(self.num_buckets)).cast("int")
 
     # -- manifest/mapping helpers ------------------------------------------
-    def _latest_manifest(self, spark: SparkSession) -> dict:
-        mans = self._manifests(spark)
-        if not mans:
-            raise ValueError("PartitionedCdcTable.initialize before reading")
-        return mans[-1]
-
     def _mapping(self, man: dict) -> "dict[int, int]":
         return {int(b): int(v) for b, v in man.get("buckets", {}).items()}
 
@@ -731,11 +757,16 @@ class PartitionedCdcTable(CdcTable):
                 if str(v) in prior_dirs}
         if written:
             dirs[str(int(version))] = dir_name
+        txn = dict(prior_man.get("txn", {})) if prior_man else {}
+        if extra and "batch_id" in extra:
+            txn[self.app_id] = max(int(extra["batch_id"]),
+                                   int(txn.get(self.app_id, -1)))
         manifest = {"app_id": self.app_id, "version": int(version),
                     "rows": int(rows),
                     "buckets": {str(b): v for b, v in
                                 sorted(mapping.items())},
                     "dirs": dirs,
+                    "txn": txn,
                     "schema": schema_json}
         manifest.update(extra or {})
         from systems_spark.state import fs_publish_text_exclusive
@@ -782,15 +813,12 @@ class PartitionedCdcTable(CdcTable):
 
         spark = batch_df.sparkSession
         for _ in range(self._COMMIT_RETRIES):
-            mans = self._manifests(spark)
-            if any(man.get("batch_id") == int(batch_id)
-                   and man.get("app_id") == self.app_id for man in mans):
+            man = self._latest_manifest(spark)  # ONE marker read
+            if int(batch_id) <= int(man.get("txn", {})
+                                    .get(self.app_id, -1)):
                 return  # replayed epoch
-            if not mans:
-                raise ValueError(
-                    "PartitionedCdcTable.initialize before writing")
-            man = mans[-1]
-            fence = self.fence(spark)
+            fence = (int(man["fence_seq"]) if "fence_seq" in man
+                     else None)
             extra = {"batch_id": int(batch_id)}
             batch = batch_df
             if fence is not None:
@@ -801,7 +829,7 @@ class PartitionedCdcTable(CdcTable):
             touched = sorted(
                 int(r[0]) for r in batch.select(self._bucket_expr())
                 .distinct().collect())
-            version = self._next_version(spark)
+            version = int(man["version"]) + 1  # exactly base+1: OCC
             try:
                 if not touched:
                     self._commit_version(spark, None, version, man, (),
@@ -837,16 +865,19 @@ class PartitionedCdcTable(CdcTable):
     # -- operations ------------------------------------------------------------
     def compact(self, spark: SparkSession, fence_seq: int) -> int:
         for _ in range(self._COMMIT_RETRIES):
-            prev = self.fence(spark)
+            man = self._latest_manifest(spark)
+            prev = (int(man["fence_seq"]) if "fence_seq" in man
+                    else None)
             fence = max(int(fence_seq), prev) if prev is not None \
                 else int(fence_seq)
-            man = self._latest_manifest(spark)
             covered = F.col(self.DELETED) & (F.col(self.seq_col) <= fence)
             # only buckets actually holding coverable tombstones rewrite
             dirty = sorted(
-                int(r[0]) for r in self.snapshot(spark).where(covered)
+                int(r[0]) for r in
+                self._read_buckets(spark, man, self._mapping(man))
+                .where(covered)
                 .select(self._bucket_expr()).distinct().collect())
-            version = self._next_version(spark)
+            version = int(man["version"]) + 1
             extra = {"compaction": True, "fence_seq": fence}
             try:
                 if not dirty:
@@ -896,7 +927,7 @@ class PartitionedCdcTable(CdcTable):
         for _ in range(self._COMMIT_RETRIES):
             man = self._latest_manifest(spark)
             prior = self._mapping(man)
-            snap = self.snapshot(spark)
+            snap = self._read_buckets(spark, man, prior)
             z = z_value(zorder_cols, ranges, bits)
             laid = (snap.withColumn(self.BUCKET, self._bucket_expr())
                     .withColumn("_cdc_z", z))
@@ -907,10 +938,9 @@ class PartitionedCdcTable(CdcTable):
                 .drop("_cdc_z")
             extra = {"optimize": True,
                      "zorder": [str(c) for c in zorder_cols]}
-            fence = self.fence(spark)
-            if fence is not None:
-                extra["fence_seq"] = int(fence)
-            version = self._next_version(spark)
+            if "fence_seq" in man:
+                extra["fence_seq"] = int(man["fence_seq"])
+            version = int(man["version"]) + 1
             try:
                 self._commit_version(spark, laid, version, man,
                                      touched=set(prior),

@@ -68,29 +68,35 @@ def test_two_writers_share_one_version_chain(spark, tmp_path):
 
 def test_losing_writer_rebases_and_cleans_staging(spark, tmp_path,
                                                   monkeypatch):
+    """The tightest race: writer B commits INSIDE writer A's
+    check-to-publish window. A's CAS must lose, A's already-staged
+    directory must vanish, and the retry must land A's merge REBASED
+    on B's snapshot at the next version."""
+    import systems_spark.state as state_mod
+
     base = str(tmp_path / "t")
     a = CdcTable(base, key_cols="k", app_id="wa")
     b = CdcTable(base, key_cols="k", app_id="wb")
     a.initialize(_seed(spark))
-    b(_ch(spark, [(2, "b1", 21, 1, "update")]), 0)  # b takes version 0
 
-    # force a's first attempt onto the version b already owns: the CAS
-    # must lose, the staged dir must vanish, and the retry must land
-    # the merge REBASED on b's snapshot at the next version
-    taken = a.versions(spark)[-1]
-    real = CdcTable._next_version
-    calls = {"n": 0}
+    real = state_mod.fs_publish_text_exclusive
+    hits = {"n": 0, "inside": False}
 
-    def stale_once(self, spark_):
-        calls["n"] += 1
-        return taken if calls["n"] == 1 else real(self, spark_)
+    def b_wins_the_window(spark_, path, text):
+        hits["n"] += 1
+        if hits["n"] == 1 and not hits["inside"]:
+            hits["inside"] = True
+            b(_ch(spark, [(2, "b1", 21, 1, "update")]), 0)  # b commits v0
+            hits["inside"] = False
+        return real(spark_, path, text)
 
-    monkeypatch.setattr(CdcTable, "_next_version", stale_once)
+    monkeypatch.setattr(state_mod, "fs_publish_text_exclusive",
+                        b_wins_the_window)
     a(_ch(spark, [(1, "a1", 11, 2, "update")]), 0)
     monkeypatch.undo()
 
-    assert calls["n"] >= 2  # the retry actually ran
-    assert not os.path.exists(os.path.join(base, f"version={taken}__wa"))
+    assert hits["n"] >= 3  # b's publish + a's losing and winning tries
+    assert not os.path.exists(os.path.join(base, "version=0__wa"))
     live = {r.k: r.s for r in a.current(spark).collect()}
     assert live == {1: "a1", 2: "b1", 3: "c"}  # both writers' changes
     assert a.versions(spark) == [-1, 0, 1]
@@ -101,11 +107,16 @@ def test_exhausted_retries_raise(spark, tmp_path, monkeypatch):
     a = CdcTable(base, key_cols="k", app_id="wa")
     a.initialize(_seed(spark))
     a(_ch(spark, [(1, "x", 1, 1, "update")]), 0)
-    taken = a.versions(spark)[-1]
-    monkeypatch.setattr(CdcTable, "_next_version",
-                        lambda self, s: taken)  # contention forever
+    # every attempt sees a STALE base (the seed manifest), so each
+    # commit targets the already-taken version 0 — contention forever
+    stale = a._manifest_at(spark, -1)
+    monkeypatch.setattr(CdcTable, "_latest_manifest",
+                        lambda self, s: dict(stale))
     with pytest.raises(ConcurrentCommitError, match="gave up"):
         a(_ch(spark, [(2, "y", 2, 2, "update")]), 1)
+    monkeypatch.undo()
+    # and the committed version-0 data survived the losing attempts
+    assert {r.k: r.s for r in a.current(spark).collect()}[1] == "x"
 
 
 def test_partitioned_two_writers_and_rebase(spark, tmp_path, monkeypatch):
@@ -118,15 +129,20 @@ def test_partitioned_two_writers_and_rebase(spark, tmp_path, monkeypatch):
     b.initialize(_seed(spark).limit(0))
     b(_ch(spark, [(2, "b1", 21, 1, "update")]), 0)
 
+    # a's first attempt derives from a STALE base (the seed manifest):
+    # its commit targets the version b already owns, loses, and the
+    # retry rebases on b's snapshot
     taken = a.versions(spark)[-1]
-    real = PartitionedCdcTable._next_version
+    stale = a._manifest_at(spark, -1)
+    real = PartitionedCdcTable._latest_manifest
     calls = {"n": 0}
 
     def stale_once(self, spark_):
         calls["n"] += 1
-        return taken if calls["n"] == 1 else real(self, spark_)
+        return dict(stale) if calls["n"] == 1 else real(self, spark_)
 
-    monkeypatch.setattr(PartitionedCdcTable, "_next_version", stale_once)
+    monkeypatch.setattr(PartitionedCdcTable, "_latest_manifest",
+                        stale_once)
     a(_ch(spark, [(1, "a1", 11, 2, "update")]), 0)
     monkeypatch.undo()
 
@@ -139,6 +155,45 @@ def test_partitioned_two_writers_and_rebase(spark, tmp_path, monkeypatch):
     man = a._latest_manifest(spark)
     assert {str(v) for v in a._mapping(man).values()} <= set(man["dirs"])
     assert sorted(a._mapping(man)) == sorted(b._mapping(man))
+
+
+def test_replay_after_vacuum_is_still_a_noop(spark, tmp_path):
+    """The txn map travels in EVERY manifest, so a batch replay stays
+    a no-op even after vacuum dropped the manifest that first recorded
+    the batch — the scan-the-history replay check would re-apply it."""
+    base = str(tmp_path / "t")
+    a = CdcTable(base, key_cols="k", app_id="wa")
+    a.initialize(_seed(spark))
+    a(_ch(spark, [(1, "a1", 11, 1, "update")]), 0)
+    a(_ch(spark, [(2, "b1", 21, 2, "update")]), 1)
+    a.vacuum(spark, keep_last=1)  # batch 0's manifest is GONE
+    assert a.versions(spark) == [1]
+
+    a(_ch(spark, [(1, "STALE", 99, 9, "update")]), 0)  # replayed epoch
+    assert len(a.versions(spark)) == 1  # no new commit
+    assert {r.k: r.s for r in a.current(spark).collect()} \
+        == {1: "a1", 2: "b1", 3: "c"}
+
+
+def test_fence_and_replay_check_read_one_marker(spark, tmp_path,
+                                                monkeypatch):
+    """Merge cost is independent of history length: fence() and the
+    replay check read the LATEST manifest only, never scan the log."""
+    base = str(tmp_path / "t")
+    a = CdcTable(base, key_cols="k", app_id="wa")
+    a.initialize(_seed(spark))
+    for i in range(3):
+        a(_ch(spark, [(1, f"s{i}", 10 + i, i + 1, "update")]), i)
+    a.compact(spark, fence_seq=2)
+    assert a.fence(spark) == 2
+    # make any full-history scan blow up; single-marker reads survive
+    monkeypatch.setattr(CdcTable, "_manifests",
+                        lambda self, s: (_ for _ in ()).throw(
+                            AssertionError("scanned the whole log")))
+    assert a.fence(spark) == 2
+    a(_ch(spark, [(2, "zz", 99, 9, "update")]), 3)
+    monkeypatch.undo()
+    assert {r.k: r.s for r in a.current(spark).collect()}[2] == "zz"
 
 
 def test_orphan_staging_dir_is_invisible_and_vacuumed(spark, tmp_path):
