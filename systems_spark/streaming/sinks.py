@@ -34,6 +34,7 @@ lock service, no driver-side data.
 from __future__ import annotations
 
 import json
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -41,6 +42,16 @@ from pyspark.sql import functions as F
 from systems_spark.sources import _fs_read_text, _fs_write_text
 
 _COMMIT_DIR = "_commits"
+
+
+def _commit_stamp_ms(prior_man: "dict | None") -> int:
+    """Monotone commit timestamp: wall clock, but never ≤ the prior
+    commit's stamp — so version order and timestamp order always agree
+    (``at_timestamp`` depends on it) even across writers with skewed
+    clocks or a clock stepping backwards."""
+    now = int(time.time() * 1000)
+    prev = int(prior_man.get("committed_at_ms", -1)) if prior_man else -1
+    return max(now, prev + 1)
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -335,7 +346,8 @@ class CdcTable:
                                    int(txn.get(self.app_id, -1)))
         manifest = {"app_id": self.app_id, "version": int(version),
                     "rows": int(row["rows"]), "data_dir": dir_name,
-                    "txn": txn}
+                    "txn": txn,
+                    "committed_at_ms": _commit_stamp_ms(prior_man)}
         manifest.update(extra or {})
         if not fs_publish_text_exclusive(
                 spark, self._marker_path(version),
@@ -464,6 +476,55 @@ class CdcTable:
             fs, p = self._fs(spark, self._marker_path(v))
             out.append(json.loads(_fs_read_text(spark, p.toString())))
         return out
+
+    def version_at_timestamp(self, spark: SparkSession,
+                             ts_ms: int) -> int:
+        """The version that was CURRENT at ``ts_ms`` (epoch millis):
+        the newest commit stamped at or before it. Commit stamps are
+        monotone in version order by construction (wall clock bumped
+        past the predecessor's stamp at publish), so the answer is
+        well-defined even across writers with skewed clocks. Scans the
+        retained manifests — a rare audit-time operation, bounded by
+        what vacuum kept."""
+        best = None
+        for man in self._manifests(spark):
+            if int(man.get("committed_at_ms", 0)) <= int(ts_ms):
+                best = int(man["version"])
+        if best is None:
+            raise ValueError(
+                f"no commit at or before timestamp {ts_ms} is retained")
+        return best
+
+    def at_timestamp(self, spark: SparkSession, ts_ms: int) -> DataFrame:
+        """Time-travel read by TIMESTAMP (Delta's ``timestampAsOf``):
+        the snapshot that was current at ``ts_ms``."""
+        return self.at_version(
+            spark, self.version_at_timestamp(spark, ts_ms))
+
+    def restore(self, spark: SparkSession, version: int) -> int:
+        """RESTORE TABLE TO VERSION: commit the OLD version's content
+        as a NEW version (nothing is rewound — the log stays append-
+        only, so time travel across the restore is intact and a
+        concurrent reader never sees history mutate). The standing
+        fence and txn map carry forward from the LATEST manifest, not
+        the restored one: replay protection and compaction fencing
+        must never regress through a restore. Returns the new
+        version."""
+        for _ in range(self._COMMIT_RETRIES):
+            man = self._latest_manifest(spark)
+            old = self.at_version(spark, version)
+            extra = {"restore_of": int(version)}
+            if "fence_seq" in man:
+                extra["fence_seq"] = int(man["fence_seq"])
+            try:
+                self._commit(spark, old, int(man["version"]) + 1,
+                             extra=extra, prior_man=man)
+                return int(man["version"]) + 1
+            except ConcurrentCommitError:
+                continue
+        raise ConcurrentCommitError(
+            f"restore gave up after {self._COMMIT_RETRIES} attempts on "
+            f"{self.path}")
 
     def changes_between(self, spark: SparkSession, v_from: int,
                         v_to: int) -> DataFrame:
@@ -767,6 +828,7 @@ class PartitionedCdcTable(CdcTable):
                                 sorted(mapping.items())},
                     "dirs": dirs,
                     "txn": txn,
+                    "committed_at_ms": _commit_stamp_ms(prior_man),
                     "schema": schema_json}
         manifest.update(extra or {})
         from systems_spark.state import fs_publish_text_exclusive
@@ -895,6 +957,35 @@ class PartitionedCdcTable(CdcTable):
                 continue
         raise ConcurrentCommitError(
             f"compact gave up after {self._COMMIT_RETRIES} attempts on "
+            f"{self.path}")
+
+    def restore(self, spark: SparkSession, version: int) -> int:
+        """RESTORE TO VERSION, bucket-shaped: the restored content
+        (and its manifest SCHEMA — restoring past a schema evolution
+        restores the old schema, like Delta) commits as a new version
+        superseding every prior bucket; fence and txn map carry
+        forward from the LATEST manifest so protection never regresses
+        through a restore."""
+        for _ in range(self._COMMIT_RETRIES):
+            man = self._latest_manifest(spark)
+            old_man = self._manifest_at(spark, version)
+            old = self._read_buckets(spark, old_man,
+                                     self._mapping(old_man))
+            extra = {"restore_of": int(version)}
+            if "fence_seq" in man:
+                extra["fence_seq"] = int(man["fence_seq"])
+            try:
+                self._commit_version(
+                    spark, old.withColumn(self.BUCKET,
+                                          self._bucket_expr()),
+                    int(man["version"]) + 1, man,
+                    touched=set(self._mapping(man)),
+                    schema_json=old_man["schema"], extra=extra)
+                return int(man["version"]) + 1
+            except ConcurrentCommitError:
+                continue
+        raise ConcurrentCommitError(
+            f"restore gave up after {self._COMMIT_RETRIES} attempts on "
             f"{self.path}")
 
     def data_path(self, spark: SparkSession) -> str:

@@ -196,6 +196,86 @@ def test_fence_and_replay_check_read_one_marker(spark, tmp_path,
     assert {r.k: r.s for r in a.current(spark).collect()}[2] == "zz"
 
 
+def test_timestamp_time_travel(spark, tmp_path, monkeypatch):
+    import systems_spark.streaming.sinks as sinks_mod
+
+    base = str(tmp_path / "t")
+    a = CdcTable(base, key_cols="k", app_id="wa")
+    a.initialize(_seed(spark))
+    a(_ch(spark, [(1, "a1", 11, 1, "update")]), 0)
+    a(_ch(spark, [(1, "a2", 12, 2, "update")]), 1)
+    hist = a.history(spark)
+    stamps = [m["committed_at_ms"] for m in hist]
+    assert stamps == sorted(stamps) and len(set(stamps)) == len(stamps)
+
+    # the snapshot that was current AT each commit's stamp
+    assert a.version_at_timestamp(spark, stamps[1]) == 0
+    got = {r.k: r.s for r in
+           a.at_timestamp(spark, stamps[1]).where("NOT _cdc_deleted")
+           .collect()}
+    assert got[1] == "a1"
+    assert a.version_at_timestamp(spark, stamps[-1] + 10_000) == 1
+    with pytest.raises(ValueError, match="no commit at or before"):
+        a.at_timestamp(spark, stamps[0] - 1)
+
+    # a clock stepping BACKWARDS cannot break version/stamp agreement:
+    # the stamp is bumped past the predecessor's
+    monkeypatch.setattr(sinks_mod.time, "time",
+                        lambda: (stamps[0] - 60_000) / 1000.0)
+    a(_ch(spark, [(2, "b1", 21, 3, "update")]), 2)
+    monkeypatch.undo()
+    new_stamps = [m["committed_at_ms"] for m in a.history(spark)]
+    assert new_stamps == sorted(new_stamps)
+    assert len(set(new_stamps)) == len(new_stamps)
+
+
+def test_restore_is_append_only_and_protection_survives(spark, tmp_path):
+    base = str(tmp_path / "t")
+    a = CdcTable(base, key_cols="k", app_id="wa")
+    a.initialize(_seed(spark))
+    a(_ch(spark, [(1, "a1", 11, 1, "update")]), 0)       # v0
+    a(_ch(spark, [(2, "x", 0, 2, "delete")]), 1)         # v1
+    a.compact(spark, fence_seq=2)                        # v2, fence=2
+
+    v = a.restore(spark, 0)                              # back to v0
+    assert v == 3
+    live = {r.k: r.s for r in a.current(spark).collect()}
+    assert live == {1: "a1", 2: "b", 3: "c"}             # v0 content
+    # history is append-only: v1's state is still time-travelable
+    assert {r.k for r in a.at_version(spark, 1)
+            .where("NOT _cdc_deleted").collect()} == {1, 3}
+    # fence and replay protection did NOT regress through the restore
+    assert a.fence(spark) == 2
+    n = len(a.versions(spark))
+    a(_ch(spark, [(1, "STALE", 99, 9, "update")]), 0)    # replayed epoch
+    assert len(a.versions(spark)) == n
+    # and a fenced (seq <= 2) change stays dropped post-restore
+    a(_ch(spark, [(9, "old", 1, 1, "insert")]), 7)
+    assert 9 not in {r.k for r in a.current(spark).collect()}
+
+
+def test_partitioned_restore_restores_schema_too(spark, tmp_path):
+    base = str(tmp_path / "t")
+    t = PartitionedCdcTable(base, key_cols="k", app_id="pa",
+                            num_buckets=4, schema_evolution="merge")
+    t.initialize(_seed(spark))
+    t(_ch(spark, [(1, "a1", 11, 1, "update")]), 0)       # v0
+    wide = spark.createDataFrame([(2, "b1", 21, "extra", 2, "update")],
+                                 "k long, s string, v long, w string, "
+                                 "seq long, op string")
+    t(wide, 1)                                           # v1: adds col w
+    assert "w" in t.current(spark).columns
+
+    v = t.restore(spark, 0)
+    assert v == 2
+    cur = t.current(spark)
+    assert "w" not in cur.columns                        # old schema back
+    assert {r.k: r.s for r in cur.collect()} \
+        == {1: "a1", 2: "b", 3: "c"}
+    # append-only: the evolved version is still there
+    assert "w" in t.at_version(spark, 1).columns
+
+
 def test_orphan_staging_dir_is_invisible_and_vacuumed(spark, tmp_path):
     base = str(tmp_path / "t")
     a = CdcTable(base, key_cols="k", app_id="wa")
