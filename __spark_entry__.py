@@ -1387,6 +1387,48 @@ def q_cdc_multiwriter(spark, sf_dir):
                  .cast("bigint").alias("key_checksum")))
 
 
+def q_cdc_merge_on_read(spark, sf_dir):
+    """Merge-on-read CDC writes (streaming/sinks.py PartitionedCdcTable
+    write_mode='merge_on_read' — the Hudi-MOR / Delta-deletion-vector
+    role): each change epoch commits as a DELTA LOG ENTRY in O(batch)
+    I/O — no bucket rewrites, the write cost of a wide-scattered
+    delete is kilobytes — and the reader folds the pending deltas
+    through the same fenced merge in one window + one join regardless
+    of how many are pending; compact_deltas then folds them into only
+    the buckets they touch and the lane reads the POST-FOLD snapshot.
+    Oracle = the plain global last-op-per-key merge, so equality holds
+    only if delta-commit, reader-side fold, and the fold-to-buckets
+    compaction all reproduce the write-path merge exactly."""
+    import hashlib
+
+    from systems_spark.streaming import PartitionedCdcTable
+
+    key = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:cdcmor:{sf_dir}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join("/tmp", "systems_spark_cdc", key)
+    table = PartitionedCdcTable(os.path.join(base, "t"),
+                                key_cols="o_orderkey", app_id="cdcmor",
+                                num_buckets=16,
+                                write_mode="merge_on_read")
+    orders = _t(spark, sf_dir, "orders")
+    table.initialize(
+        orders.where(F.col("o_orderkey") % 8 != 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
+    changes = _cdc_changes(spark, sf_dir)
+    table(changes.where(F.col("seq") == 1), 0)
+    table(changes.where(F.col("seq") == 2), 1)
+    if table._latest_manifest(spark).get("pending"):
+        table.compact_deltas(spark)
+    return (table.current(spark)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+                         2).cast("double").alias("total_price"),
+                 F.sum(F.col("o_orderkey").cast("decimal(38,0)"))
+                 .cast("bigint").alias("key_checksum")))
+
+
 def q_cdc_optimize(spark, sf_dir):
     """OPTIMIZE ZORDER on a CDC MERGE table (streaming/sinks.py
     CdcTable.optimize) — the full lakehouse maintenance composition in
@@ -7283,6 +7325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier": q_top_supplier,
         "cdc_partitioned": q_cdc_partitioned,
         "cdc_multiwriter": q_cdc_multiwriter,
+        "cdc_merge_on_read": q_cdc_merge_on_read,
         "orders_zorder": q_orders_zorder,
         "orders_pruned_read": q_orders_pruned_read,
         "orders_point_lookup": q_orders_point_lookup,
@@ -7553,6 +7596,7 @@ def oracle_sql() -> dict[str, str]:
         # the bucket-stitched snapshot must land exactly the same state
         "cdc_partitioned": _sql_orders_cdc_apply(),
         "cdc_multiwriter": _sql_orders_cdc_apply(),
+        "cdc_merge_on_read": _sql_orders_cdc_apply(),
         "orders_zorder": _sql_orders_zorder(),
         "orders_pruned_read": _SQL_ORDERS_PRUNED_READ,
         "orders_point_lookup": _SQL_ORDERS_POINT_LOOKUP,

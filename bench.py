@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "orders_point_lookup",
     "cdc_optimize",
     "cdc_multiwriter",
+    "cdc_merge_on_read",
     "dedup_forget",
     "cdc_change_feed",
     "kmeans_embeddings",

@@ -727,18 +727,38 @@ class PartitionedCdcTable(CdcTable):
     bucket emptied by compaction simply leaves the mapping. Bucket
     count is fixed at table creation — the key-hash must stay stable
     across the table's life (re-bucketing is a full rewrite, as
-    everywhere)."""
+    everywhere).
+
+    ``write_mode="merge_on_read"`` (Hudi MOR / Delta deletion-vector
+    role): a change batch commits as a DELTA LOG ENTRY — one
+    ``delta=V__app`` directory holding just the batch, the manifest's
+    ``pending`` list grown by one — in O(batch) I/O regardless of how
+    many buckets its keys scatter across (a wide-scattered delete of
+    1000 keys writes kilobytes, not every touched bucket). Readers
+    fold the pending deltas through the SAME fenced merge the write
+    path would have run (order-independent: last-op-wins by seq, the
+    property the out-of-order-batches test pins) — one window + one
+    join regardless of how many deltas are pending.
+    :meth:`compact_deltas` folds them back into only the buckets they
+    touch and clears the list — the read-amplification knob. Default
+    ``"copy_on_write"`` keeps the rewrite-touched-buckets behavior."""
 
     def __init__(self, path: str, key_cols, app_id: str,
                  num_buckets: int = 16,
                  seq_col: str = "seq", op_col: str = "op",
-                 schema_evolution: str = "strict"):
+                 schema_evolution: str = "strict",
+                 write_mode: str = "copy_on_write"):
         super().__init__(path, key_cols, app_id,
                          seq_col=seq_col, op_col=op_col,
                          schema_evolution=schema_evolution)
         if num_buckets < 1:
             raise ValueError("num_buckets must be >= 1")
+        if write_mode not in ("copy_on_write", "merge_on_read"):
+            raise ValueError(
+                f"write_mode must be 'copy_on_write' or "
+                f"'merge_on_read', got {write_mode!r}")
         self.num_buckets = int(num_buckets)
+        self.write_mode = write_mode
 
     BUCKET = "_cdc_bucket"
 
@@ -779,10 +799,121 @@ class PartitionedCdcTable(CdcTable):
         schema = StructType.fromJson(json.loads(man["schema"]))
         return spark.read.schema(schema).parquet(*paths)
 
+    # -- merge-on-read: delta log entries + reader-side fold ---------------
+    def _change_schema(self, man: dict):
+        """The change-batch schema a delta dir is read with: the
+        manifest snapshot schema minus the tombstone flag, plus the op
+        column — explicit so old delta files NULL-fill columns a later
+        schema evolution added, by name, like the buckets do."""
+        from pyspark.sql.types import StringType, StructField, StructType
+        snap = StructType.fromJson(json.loads(man["schema"]))
+        fields = [f for f in snap.fields if f.name != self.DELETED]
+        fields.append(StructField(self.op_col, StringType(), True))
+        return StructType(fields)
+
+    def _materialize_view(self, spark: SparkSession, man: dict) -> DataFrame:
+        """The snapshot AT ``man``: bucket files folded with the
+        manifest's pending deltas through the same fenced merge the
+        write path would have run — one batch window + one key join
+        regardless of how many deltas are pending (last-op-wins by seq
+        makes the union order-independent)."""
+        from systems_spark.operators.cdc import merge_cdc_fenced
+
+        base = self._read_buckets(spark, man, self._mapping(man))
+        pend = man.get("pending", [])
+        if not pend:
+            return base
+        changes = spark.read.schema(self._change_schema(man)).parquet(
+            *[f"{self.path}/{d}" for d in pend])
+        fence = int(man["fence_seq"]) if "fence_seq" in man else None
+        return merge_cdc_fenced(
+            base, changes, self.key_cols, seq_col=self.seq_col,
+            op_col=self.op_col, deleted_col=self.DELETED, min_seq=fence)
+
+    def _commit_delta(self, spark: SparkSession, batch: DataFrame,
+                      version: int, prior_man: dict, schema_json: str,
+                      extra: "dict | None" = None) -> None:
+        """The merge-on-read commit: stage ONLY the change batch under
+        ``delta=V__app``, grow the manifest's pending list — bucket
+        mapping and dirs carry forward untouched. O(batch) I/O."""
+        fs_, m_ = self._fs(spark, self._marker_path(version))
+        if fs_.exists(m_):
+            raise ConcurrentCommitError(
+                f"version {version} of {self.path} is already committed")
+        dir_name = f"delta={int(version)}__{self.app_id}"
+        target = f"{self.path}/{dir_name}"
+        batch.write.mode("overwrite").parquet(target)
+        rows = spark.read.parquet(target).count()
+        txn = dict(prior_man.get("txn", {}))
+        if extra and "batch_id" in extra:
+            txn[self.app_id] = max(int(extra["batch_id"]),
+                                   int(txn.get(self.app_id, -1)))
+        manifest = {"app_id": self.app_id, "version": int(version),
+                    "rows": int(rows),
+                    "buckets": dict(prior_man.get("buckets", {})),
+                    "dirs": dict(prior_man.get("dirs", {})),
+                    "pending": list(prior_man.get("pending", []))
+                    + [dir_name],
+                    "txn": txn,
+                    "committed_at_ms": _commit_stamp_ms(prior_man),
+                    "schema": schema_json}
+        manifest.update(extra or {})
+        from systems_spark.state import fs_publish_text_exclusive
+        if not fs_publish_text_exclusive(
+                spark, self._marker_path(version),
+                json.dumps(manifest, sort_keys=True)):
+            fs, d = self._fs(spark, target)
+            fs.delete(d, True)
+            raise ConcurrentCommitError(
+                f"version {version} of {self.path} was committed by a "
+                f"concurrent writer")
+
+    def compact_deltas(self, spark: SparkSession) -> int:
+        """Fold every pending delta into the buckets it touches and
+        clear the pending list — the merge-on-read read-amplification
+        knob. Only dirty buckets rewrite; rows in untouched buckets
+        are neither read nor written. Returns the committed version
+        (or the current one if nothing was pending)."""
+        from systems_spark.operators.cdc import merge_cdc_fenced
+
+        for _ in range(self._COMMIT_RETRIES):
+            man = self._latest_manifest(spark)
+            pend = man.get("pending", [])
+            if not pend:
+                return int(man["version"])
+            changes = spark.read.schema(self._change_schema(man)).parquet(
+                *[f"{self.path}/{d}" for d in pend])
+            fence = int(man["fence_seq"]) if "fence_seq" in man else None
+            dirty = sorted(
+                int(r[0]) for r in changes.select(self._bucket_expr())
+                .distinct().collect())
+            base_dirty = self._read_buckets(spark, man, dirty)
+            folded = merge_cdc_fenced(
+                base_dirty, changes, self.key_cols,
+                seq_col=self.seq_col, op_col=self.op_col,
+                deleted_col=self.DELETED, min_seq=fence)
+            version = int(man["version"]) + 1
+            extra = {"delta_compaction": True}
+            if fence is not None:
+                extra["fence_seq"] = fence
+            try:
+                self._commit_version(
+                    spark,
+                    folded.withColumn(self.BUCKET, self._bucket_expr()),
+                    version, man, dirty, man["schema"], extra,
+                    pending_override=[])
+                return version
+            except ConcurrentCommitError:
+                continue
+        raise ConcurrentCommitError(
+            f"compact_deltas gave up after {self._COMMIT_RETRIES} "
+            f"attempts on {self.path}")
+
     def _commit_version(self, spark: SparkSession, df: "DataFrame | None",
                         version: int, prior_man: "dict | None",
                         touched, schema_json: str,
-                        extra: "dict | None" = None) -> None:
+                        extra: "dict | None" = None,
+                        pending_override: "list | None" = None) -> None:
         """Stage the touched buckets (df pre-bucketed) under this
         writer's own directory, then CAS-publish the version marker;
         the manifest's mapping carries untouched entries forward and
@@ -822,11 +953,15 @@ class PartitionedCdcTable(CdcTable):
         if extra and "batch_id" in extra:
             txn[self.app_id] = max(int(extra["batch_id"]),
                                    int(txn.get(self.app_id, -1)))
+        pending = (list(pending_override) if pending_override is not None
+                   else list(prior_man.get("pending", []))
+                   if prior_man else [])
         manifest = {"app_id": self.app_id, "version": int(version),
                     "rows": int(rows),
                     "buckets": {str(b): v for b, v in
                                 sorted(mapping.items())},
                     "dirs": dirs,
+                    "pending": pending,
                     "txn": txn,
                     "committed_at_ms": _commit_stamp_ms(prior_man),
                     "schema": schema_json}
@@ -859,15 +994,12 @@ class PartitionedCdcTable(CdcTable):
             return  # another writer seeded first — same idempotent no-op
 
     def snapshot(self, spark: SparkSession) -> DataFrame:
-        man = self._latest_manifest(spark)
-        return self._read_buckets(spark, man, self._mapping(man))
+        return self._materialize_view(spark,
+                                      self._latest_manifest(spark))
 
     def at_version(self, spark: SparkSession, version: int) -> DataFrame:
-        mans = {m["version"]: m for m in self._manifests(spark)}
-        if version not in mans:
-            raise ValueError(f"version {version} is not committed")
-        man = mans[version]
-        return self._read_buckets(spark, man, self._mapping(man))
+        return self._materialize_view(
+            spark, self._manifest_at(spark, version))
 
     # -- the foreachBatch entry point ----------------------------------------
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -886,12 +1018,30 @@ class PartitionedCdcTable(CdcTable):
             if fence is not None:
                 extra["fence_seq"] = int(fence)
                 batch = batch.where(F.col(self.seq_col) > int(fence))
+            version = int(man["version"]) + 1  # exactly base+1: OCC
+            if self.write_mode == "merge_on_read":
+                # O(batch) commit: stage the batch as a delta log
+                # entry; buckets untouched, readers fold at read time
+                schema_json = man["schema"]
+                if self.schema_evolution == "merge":
+                    empty = self._empty_like(spark, man)
+                    evolved_empty, batch, evolved = _evolve_schemas(
+                        empty, batch, self.seq_col, self.op_col,
+                        self.DELETED)
+                    if evolved:
+                        schema_json = json.dumps(
+                            evolved_empty.schema.jsonValue())
+                try:
+                    self._commit_delta(spark, batch, version, man,
+                                       schema_json, extra)
+                    return
+                except ConcurrentCommitError:
+                    continue
             # the touched-bucket set is ≤ num_buckets — a bounded
             # collect, the partition-pruning decision every format makes
             touched = sorted(
                 int(r[0]) for r in batch.select(self._bucket_expr())
                 .distinct().collect())
-            version = int(man["version"]) + 1  # exactly base+1: OCC
             try:
                 if not touched:
                     self._commit_version(spark, None, version, man, (),
@@ -928,6 +1078,11 @@ class PartitionedCdcTable(CdcTable):
     def compact(self, spark: SparkSession, fence_seq: int) -> int:
         for _ in range(self._COMMIT_RETRIES):
             man = self._latest_manifest(spark)
+            if man.get("pending"):
+                # tombstones may live only in pending deltas: fold them
+                # into buckets first so the covered-scan sees them all
+                self.compact_deltas(spark)
+                man = self._latest_manifest(spark)
             prev = (int(man["fence_seq"]) if "fence_seq" in man
                     else None)
             fence = max(int(fence_seq), prev) if prev is not None \
@@ -969,8 +1124,7 @@ class PartitionedCdcTable(CdcTable):
         for _ in range(self._COMMIT_RETRIES):
             man = self._latest_manifest(spark)
             old_man = self._manifest_at(spark, version)
-            old = self._read_buckets(spark, old_man,
-                                     self._mapping(old_man))
+            old = self._materialize_view(spark, old_man)
             extra = {"restore_of": int(version)}
             if "fence_seq" in man:
                 extra["fence_seq"] = int(man["fence_seq"])
@@ -980,7 +1134,8 @@ class PartitionedCdcTable(CdcTable):
                                           self._bucket_expr()),
                     int(man["version"]) + 1, man,
                     touched=set(self._mapping(man)),
-                    schema_json=old_man["schema"], extra=extra)
+                    schema_json=old_man["schema"], extra=extra,
+                    pending_override=[])
                 return int(man["version"]) + 1
             except ConcurrentCommitError:
                 continue
@@ -1002,6 +1157,10 @@ class PartitionedCdcTable(CdcTable):
         ``StatsIndex`` indexes: a merge moves only its touched buckets'
         paths, so untouched buckets keep their committed stats."""
         man = self._latest_manifest(spark)
+        if man.get("pending"):
+            raise ValueError(
+                "snapshot has pending merge-on-read deltas — "
+                "compact_deltas() before stats-indexing bucket files")
         return self._bucket_paths(man, self._mapping(man))
 
     def optimize(self, spark: SparkSession, zorder_cols, ranges,
@@ -1060,6 +1219,7 @@ class PartitionedCdcTable(CdcTable):
         referenced = set()
         for v in keep:
             referenced.update(mans[v].get("dirs", {}).values())
+            referenced.update(mans[v].get("pending", []))
         for v in vs:
             if v not in keep:
                 fs, m = self._fs(spark, self._marker_path(v))
@@ -1076,9 +1236,10 @@ class PartitionedCdcTable(CdcTable):
         fs, root = self._fs(spark, self.path)
         for status in fs.listStatus(root):
             name = status.getPath().getName()
-            if not name.startswith("version="):
+            if not (name.startswith("version=")
+                    or name.startswith("delta=")):
                 continue
             if name not in referenced:
                 fs.delete(status.getPath(), True)
-                dropped.append(int(name[len("version="):].split("__")[0]))
+                dropped.append(int(name.split("=", 1)[1].split("__")[0]))
         return sorted(set(dropped))
