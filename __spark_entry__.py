@@ -1429,6 +1429,85 @@ def q_cdc_merge_on_read(spark, sf_dir):
                  .cast("bigint").alias("key_checksum")))
 
 
+def q_streaming_change_feed(spark, sf_dir):
+    """Change-data-feed SUBSCRIPTION, the NINTH real StreamingQuery —
+    and the first through PySpark 4's Python Data Source API
+    (streaming/cdf_source.py CdcChangeFeedDataSource): a merge-on-read
+    CDC table ingests two change epochs as delta log entries, and a
+    downstream StreamingQuery subscribes to the table's change feed
+    (`readStream.format("cdc_change_feed")`) — offsets are table
+    versions (exactly-once from the stream's own offset log), each
+    committed delta is one partition-local pyarrow file read, no join
+    and no driver-side data. The feed must deliver every change batch
+    verbatim, so the oracle is the change-set DEFINITION itself,
+    aggregated per op — equality holds only if the source delivered
+    exactly the committed deltas, once each."""
+    import hashlib
+
+    from systems_spark.streaming import (CdcChangeFeedDataSource,
+                                         PartitionedCdcTable)
+
+    key = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:cdcfeed:{sf_dir}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join("/tmp", "systems_spark_cdc", key)
+    table = PartitionedCdcTable(os.path.join(base, "t"),
+                                key_cols="o_orderkey", app_id="cdcfeed",
+                                num_buckets=16,
+                                write_mode="merge_on_read")
+    orders = _t(spark, sf_dir, "orders")
+    table.initialize(
+        orders.where(F.col("o_orderkey") % 8 != 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
+    changes = _cdc_changes(spark, sf_dir)
+    table(changes.where(F.col("seq") == 1), 0)
+    table(changes.where(F.col("seq") == 2), 1)
+
+    out = os.path.join(base, "feed_out")
+    if not os.path.exists(out):
+        spark.dataSource.register(CdcChangeFeedDataSource)
+        q = (spark.readStream.format("cdc_change_feed")
+             .option("path", os.path.join(base, "t")).load()
+             .writeStream.outputMode("append").format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", os.path.join(base, "feed_ck"))
+             .trigger(availableNow=True).start())
+        if not q.awaitTermination(300):
+            q.stop()
+    return (spark.read.parquet(out)
+            .groupBy("op")
+            .agg(F.count(F.lit(1)).alias("n_changes"),
+                 F.sum(F.col("seq").cast("decimal(38,0)"))
+                 .cast("bigint").alias("seq_sum"),
+                 F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+                         2).cast("double").alias("total_price"),
+                 F.sum(F.col("o_orderkey").cast("decimal(38,0)"))
+                 .cast("bigint").alias("key_checksum")))
+
+
+_SQL_STREAMING_CHANGE_FEED = """
+WITH changes AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN op = 'update' THEN o_totalprice + 1
+              ELSE o_totalprice END AS o_totalprice,
+         1 AS seq, op
+  FROM (SELECT *, CASE WHEN o_orderkey % 24 = 0 THEN 'delete'
+                       WHEN o_orderkey % 16 = 0 THEN 'update'
+                       ELSE 'insert' END AS op
+        FROM orders WHERE o_orderkey % 8 = 0)
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2,
+         2 AS seq, 'update' AS op
+  FROM orders WHERE o_orderkey % 40 = 0
+)
+SELECT op, count(*)::BIGINT AS n_changes,
+       sum(seq::HUGEINT)::BIGINT AS seq_sum,
+       round(sum(o_totalprice::DECIMAL(18,2)), 2)::DOUBLE AS total_price,
+       sum(o_orderkey::HUGEINT)::BIGINT AS key_checksum
+FROM changes GROUP BY 1
+"""
+
+
 def q_cdc_optimize(spark, sf_dir):
     """OPTIMIZE ZORDER on a CDC MERGE table (streaming/sinks.py
     CdcTable.optimize) — the full lakehouse maintenance composition in
@@ -7326,6 +7405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_partitioned": q_cdc_partitioned,
         "cdc_multiwriter": q_cdc_multiwriter,
         "cdc_merge_on_read": q_cdc_merge_on_read,
+        "streaming_change_feed": q_streaming_change_feed,
         "orders_zorder": q_orders_zorder,
         "orders_pruned_read": q_orders_pruned_read,
         "orders_point_lookup": q_orders_point_lookup,
@@ -7597,6 +7677,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_partitioned": _sql_orders_cdc_apply(),
         "cdc_multiwriter": _sql_orders_cdc_apply(),
         "cdc_merge_on_read": _sql_orders_cdc_apply(),
+        "streaming_change_feed": _SQL_STREAMING_CHANGE_FEED,
         "orders_zorder": _sql_orders_zorder(),
         "orders_pruned_read": _SQL_ORDERS_PRUNED_READ,
         "orders_point_lookup": _SQL_ORDERS_POINT_LOOKUP,

@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "cdc_optimize",
     "cdc_multiwriter",
     "cdc_merge_on_read",
+    "streaming_change_feed",
     "dedup_forget",
     "cdc_change_feed",
     "kmeans_embeddings",

@@ -28,6 +28,9 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from systems_spark.streaming.cdf_source import (  # noqa: F401
+    CdcChangeFeedDataSource,
+)
 from systems_spark.streaming.sinks import (CdcTable,  # noqa: F401
                                            ConcurrentCommitError,
                                            IdempotentParquetSink,

@@ -1,0 +1,185 @@
+"""Change-feed STREAMING SOURCE for merge-on-read CDC tables — a
+PySpark 4 Python Data Source (``pyspark.sql.datasource``) that lets a
+downstream pipeline subscribe to a table's change stream:
+
+>>> spark.dataSource.register(CdcChangeFeedDataSource)
+>>> feed = (spark.readStream.format("cdc_change_feed")
+...         .option("path", "/lake/orders_cdc").load())
+>>> q = feed.writeStream.foreachBatch(consumer).start()
+
+Design (the Hudi-/Delta-CDF-streaming shape): a merge-on-read table
+records each change batch VERBATIM as a ``delta=V__app`` file set, so
+the change feed is a FILE READ, not a computation — one input
+partition per committed delta, each read directly with pyarrow inside
+the executor-side Python worker (this code path has no SparkSession by
+contract, and needs none). Offsets are table versions, so
+exactly-once delivery falls out of Structured Streaming's offset log:
+a restarted query resumes from the last committed version and never
+re-emits.
+
+Serving boundaries (all surfaced as errors, never silently wrong):
+
+- copy-on-write merge commits record no change file — the feed
+  REQUIRES ``write_mode="merge_on_read"`` (exactly Delta's "CDF must
+  be enabled to read changes").
+- maintenance commits (delta/tombstone compaction, optimize, restore,
+  manifest-only epochs) emit nothing: the feed is the WRITE-PATH
+  change stream; net-diff between arbitrary versions stays
+  ``changes_between``.
+- a version vacuumed out of the retained log cannot be served — the
+  reader refuses to silently skip it (Delta's CDF retention error).
+
+Schema is pinned at stream start from the latest manifest (payload +
+seq + op); files older than a schema evolution NULL-fill the added
+columns by name, like every other reader of the log.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (DataSource, DataSourceStreamReader,
+                                    InputPartition)
+from pyspark.sql.types import StructType
+
+__all__ = ["CdcChangeFeedDataSource"]
+
+_COMMIT_DIR = "_commits"
+
+
+def _marker(path: str, version: int) -> str:
+    return os.path.join(path, _COMMIT_DIR, f"v{int(version)}.json")
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    p = _marker(path, version)
+    if not os.path.exists(p):
+        raise ValueError(
+            f"version {version} of {path} is not retained (vacuumed?) — "
+            f"the change feed cannot serve a gap; restart the stream "
+            f"from a retained offset")
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _versions(path: str) -> "list[int]":
+    d = os.path.join(path, _COMMIT_DIR)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in os.listdir(d):
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                out.append(int(name[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _change_schema(man: dict, deleted_col: str, op_col: str) -> StructType:
+    snap = StructType.fromJson(json.loads(man["schema"]))
+    fields = [f for f in snap.fields if f.name != deleted_col]
+    from pyspark.sql.types import StringType, StructField
+    fields.append(StructField(op_col, StringType(), True))
+    return StructType(fields)
+
+
+def _own_delta_dir(man: dict) -> "str | None":
+    """The change-file directory THIS version committed, if any — its
+    name encodes its version, so no predecessor manifest is needed."""
+    v = int(man["version"])
+    for d in man.get("pending", []):
+        if d.startswith(f"delta={v}__"):
+            return d
+    return None
+
+
+class _DeltaPartition(InputPartition):
+    def __init__(self, directory: str, seq_val: int):
+        self.directory = directory
+        self.seq_val = seq_val
+
+
+class _CdfStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.path = options.get("path", "").rstrip("/")
+        if not self.path:
+            raise ValueError("cdc_change_feed requires .option('path', …)")
+        self.op_col = options.get("op_col", "op")
+        self.deleted_col = options.get("deleted_col", "_cdc_deleted")
+        self.start_version = int(options.get("start_version", -1))
+        self._schema = schema
+
+    # -- offsets (table versions) ------------------------------------------
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def latestOffset(self) -> dict:
+        vs = _versions(self.path)
+        return {"version": vs[-1] if vs else self.start_version}
+
+    def partitions(self, start: dict, end: dict):
+        parts = []
+        for v in range(int(start["version"]) + 1,
+                       int(end["version"]) + 1):
+            man = _read_manifest(self.path, v)
+            d = _own_delta_dir(man)
+            if d is not None:
+                parts.append(_DeltaPartition(
+                    os.path.join(self.path, d), v))
+                continue
+            if "batch_id" in man:
+                # a merge that recorded no change file: copy-on-write
+                raise ValueError(
+                    f"version {v} of {self.path} is a merge with no "
+                    f"change file — the change feed requires "
+                    f"write_mode='merge_on_read' on the producing "
+                    f"table")
+            # maintenance commit (compaction/optimize/restore): no rows
+        return parts
+
+    def read(self, partition: _DeltaPartition):
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(partition.directory)
+        cols = {}
+        n = table.num_rows
+        for f in self._schema.fields:
+            if f.name in table.column_names:
+                cols[f.name] = table.column(f.name).to_pylist()
+            else:  # written before a schema evolution: NULL-fill
+                cols[f.name] = [None] * n
+        names = [f.name for f in self._schema.fields]
+        for i in range(n):
+            yield tuple(cols[c][i] for c in names)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are durable table versions; nothing to release
+
+
+class CdcChangeFeedDataSource(DataSource):
+    """``spark.readStream.format("cdc_change_feed")`` — see module
+    docstring. Options: ``path`` (required), ``start_version``
+    (default −1 = from the first delta), ``op_col``, ``deleted_col``
+    (match the producing table's)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "cdc_change_feed"
+
+    def schema(self) -> StructType:
+        path = self.options.get("path", "").rstrip("/")
+        if not path:
+            raise ValueError("cdc_change_feed requires .option('path', …)")
+        vs = _versions(path)
+        if not vs:
+            raise ValueError(f"no committed versions under {path}")
+        man = _read_manifest(path, vs[-1])
+        return _change_schema(man,
+                              self.options.get("deleted_col",
+                                               "_cdc_deleted"),
+                              self.options.get("op_col", "op"))
+
+    def streamReader(self, schema: StructType) -> _CdfStreamReader:
+        return _CdfStreamReader(schema, dict(self.options))
