@@ -358,7 +358,17 @@ class CdcTable:
                 f"version {version} of {self.path} was committed by a "
                 f"concurrent writer")
 
-    _COMMIT_RETRIES = 3
+    _COMMIT_RETRIES = 6
+
+    def _backoff(self, attempt: int) -> None:
+        """Between rebase attempts: exponential backoff with a
+        per-writer deterministic phase (derived from app_id, no RNG —
+        replays stay reproducible) so two contending writers
+        desynchronize instead of ping-ponging each other's CAS."""
+        if attempt == 0:
+            return
+        phase = 1.0 + (sum(self.app_id.encode()) % 97) / 150.0
+        time.sleep(min(0.05 * (2 ** attempt), 0.8) * phase)
 
     def _manifests(self, spark: SparkSession) -> "list[dict]":
         return [json.loads(_fs_read_text(
@@ -414,7 +424,8 @@ class CdcTable:
         from systems_spark.operators.cdc import merge_cdc_fenced
 
         spark = batch_df.sparkSession
-        for _ in range(self._COMMIT_RETRIES):
+        for _attempt in range(self._COMMIT_RETRIES):
+            self._backoff(_attempt)
             # ONE marker read per attempt: the latest manifest carries
             # the standing txn map (each app's highest committed
             # batch_id — epochs are monotone, so ≤ means replayed; the
@@ -510,7 +521,8 @@ class CdcTable:
         the restored one: replay protection and compaction fencing
         must never regress through a restore. Returns the new
         version."""
-        for _ in range(self._COMMIT_RETRIES):
+        for _attempt in range(self._COMMIT_RETRIES):
+            self._backoff(_attempt)
             man = self._latest_manifest(spark)
             old = self.at_version(spark, version)
             extra = {"restore_of": int(version)}
@@ -607,7 +619,8 @@ class CdcTable:
         Without this, a daily 100 TB MERGE table accumulates one
         tombstone per deleted key forever. Fences never regress
         (max-of-manifests); returns the new version number."""
-        for _ in range(self._COMMIT_RETRIES):
+        for _attempt in range(self._COMMIT_RETRIES):
+            self._backoff(_attempt)
             man = self._latest_manifest(spark)
             prev = (int(man["fence_seq"]) if "fence_seq" in man
                     else None)
@@ -653,7 +666,8 @@ class CdcTable:
         invisible (marker-last). Returns the new version number."""
         from systems_spark.operators.zorder import zorder_layout
 
-        for _ in range(self._COMMIT_RETRIES):
+        for _attempt in range(self._COMMIT_RETRIES):
+            self._backoff(_attempt)
             man = self._latest_manifest(spark)
             snap = spark.read.parquet(self._data_path(man))
             laid = zorder_layout(snap, zorder_cols, ranges, bits=bits,
@@ -673,19 +687,29 @@ class CdcTable:
             f"optimize gave up after {self._COMMIT_RETRIES} attempts on "
             f"{self.path}")
 
-    def vacuum(self, spark: SparkSession, keep_last: int = 2) -> "list[int]":
+    def vacuum(self, spark: SparkSession, keep_last: int = 2,
+               older_than_ms: "int | None" = None) -> "list[int]":
         """Drop all but the newest ``keep_last`` committed versions —
         the disk-growth control for snapshot-per-version layouts. Markers
         are deleted FIRST so a concurrent reader never resolves a
         committed-but-vanishing version; the latest version is never
-        eligible. Returns the dropped version numbers. (Tombstone
-        removal is :meth:`compact` — it requires the caller's no-older-
-        changes fence; vacuum alone never prunes tombstones.)"""
+        eligible. ``older_than_ms`` adds the time-retention guard every
+        production vacuum runs with: a version is dropped only if it is
+        ALSO older than the cutoff (epoch millis against the manifest's
+        monotone commit stamp), so "keep 2, but nothing younger than 7
+        days" composes the two rules. Returns the dropped version
+        numbers. (Tombstone removal is :meth:`compact` — it requires
+        the caller's no-older-changes fence; vacuum alone never prunes
+        tombstones.)"""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         vs = self.versions(spark)
         mans = {m["version"]: m for m in self._manifests(spark)}
         drop = vs[:-keep_last] if keep_last < len(vs) else []
+        if older_than_ms is not None:
+            drop = [v for v in drop
+                    if int(mans[v].get("committed_at_ms", 0))
+                    < int(older_than_ms)]
         for v in drop:
             fs, m = self._fs(spark, self._marker_path(v))
             fs.delete(m, False)
@@ -876,7 +900,8 @@ class PartitionedCdcTable(CdcTable):
         (or the current one if nothing was pending)."""
         from systems_spark.operators.cdc import merge_cdc_fenced
 
-        for _ in range(self._COMMIT_RETRIES):
+        for _attempt in range(self._COMMIT_RETRIES):
+            self._backoff(_attempt)
             man = self._latest_manifest(spark)
             pend = man.get("pending", [])
             if not pend:
@@ -1006,7 +1031,8 @@ class PartitionedCdcTable(CdcTable):
         from systems_spark.operators.cdc import merge_cdc_fenced
 
         spark = batch_df.sparkSession
-        for _ in range(self._COMMIT_RETRIES):
+        for _attempt in range(self._COMMIT_RETRIES):
+            self._backoff(_attempt)
             man = self._latest_manifest(spark)  # ONE marker read
             if int(batch_id) <= int(man.get("txn", {})
                                     .get(self.app_id, -1)):
@@ -1076,7 +1102,8 @@ class PartitionedCdcTable(CdcTable):
 
     # -- operations ------------------------------------------------------------
     def compact(self, spark: SparkSession, fence_seq: int) -> int:
-        for _ in range(self._COMMIT_RETRIES):
+        for _attempt in range(self._COMMIT_RETRIES):
+            self._backoff(_attempt)
             man = self._latest_manifest(spark)
             if man.get("pending"):
                 # tombstones may live only in pending deltas: fold them
@@ -1121,7 +1148,8 @@ class PartitionedCdcTable(CdcTable):
         superseding every prior bucket; fence and txn map carry
         forward from the LATEST manifest so protection never regresses
         through a restore."""
-        for _ in range(self._COMMIT_RETRIES):
+        for _attempt in range(self._COMMIT_RETRIES):
+            self._backoff(_attempt)
             man = self._latest_manifest(spark)
             old_man = self._manifest_at(spark, version)
             old = self._materialize_view(spark, old_man)
@@ -1174,7 +1202,8 @@ class PartitionedCdcTable(CdcTable):
         (bucket, z); content-identical; fence rides along."""
         from systems_spark.operators.zorder import z_value
 
-        for _ in range(self._COMMIT_RETRIES):
+        for _attempt in range(self._COMMIT_RETRIES):
+            self._backoff(_attempt)
             man = self._latest_manifest(spark)
             prior = self._mapping(man)
             snap = self._read_buckets(spark, man, prior)
@@ -1203,19 +1232,25 @@ class PartitionedCdcTable(CdcTable):
             f"optimize gave up after {self._COMMIT_RETRIES} attempts on "
             f"{self.path}")
 
-    def vacuum(self, spark: SparkSession, keep_last: int = 2) -> "list[int]":
+    def vacuum(self, spark: SparkSession, keep_last: int = 2,
+               older_than_ms: "int | None" = None) -> "list[int]":
         """Retain the newest ``keep_last`` manifests (they stay
         time-travelable); older manifests are dropped, and a version's
         DATA directory is dropped only once no kept manifest's bucket
         mapping references it — a bucket directory stays on disk as
         long as any retained snapshot still reads it (the
-        transaction-log retention rule). Returns the versions whose
-        data was deleted."""
+        transaction-log retention rule). ``older_than_ms`` adds the
+        time-retention guard (see the flat table's vacuum). Returns
+        the versions whose data was deleted."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         vs = self.versions(spark)
         keep = set(vs[-keep_last:]) if keep_last < len(vs) else set(vs)
         mans = {m["version"]: m for m in self._manifests(spark)}
+        if older_than_ms is not None:
+            keep |= {v for v in vs
+                     if int(mans[v].get("committed_at_ms", 0))
+                     >= int(older_than_ms)}
         referenced = set()
         for v in keep:
             referenced.update(mans[v].get("dirs", {}).values())

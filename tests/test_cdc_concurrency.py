@@ -276,6 +276,63 @@ def test_partitioned_restore_restores_schema_too(spark, tmp_path):
     assert "w" in t.at_version(spark, 1).columns
 
 
+def test_two_threads_race_without_losing_updates(spark, tmp_path):
+    """REAL concurrency, not injected: two writers on two driver
+    threads interleave merges on one table. Writers touch disjoint
+    keys, so the only way the final state differs from the sequential
+    expectation is a lost update — exactly what the CAS + rebase must
+    prevent."""
+    import threading
+
+    base = str(tmp_path / "t")
+    a = CdcTable(base, key_cols="k", app_id="ta")
+    b = CdcTable(base, key_cols="k", app_id="tb")
+    a.initialize(spark.createDataFrame([(0, "seed", 0)], PAY))
+    n_each = 4
+    errs = []
+
+    def writer(table, key_base):
+        try:
+            for i in range(n_each):
+                table(_ch(spark, [(key_base + i, f"w{key_base + i}",
+                                   i, i + 1, "insert")]), i)
+        except Exception as e:  # noqa: BLE001 - surfaced to the assert
+            errs.append(e)
+
+    t1 = threading.Thread(target=writer, args=(a, 100))
+    t2 = threading.Thread(target=writer, args=(b, 200))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert errs == []
+
+    live = {r.k for r in a.current(spark).collect()}
+    assert live == {0} | {100 + i for i in range(n_each)} \
+        | {200 + i for i in range(n_each)}
+    # one shared contiguous version chain, one commit per batch
+    vs = a.versions(spark)
+    assert vs == list(range(-1, 2 * n_each))
+    apps = sorted(m["app_id"] for m in a.history(spark)[1:])
+    assert apps == ["ta"] * n_each + ["tb"] * n_each
+
+
+def test_vacuum_time_retention(spark, tmp_path):
+    base = str(tmp_path / "t")
+    a = CdcTable(base, key_cols="k", app_id="wa")
+    a.initialize(_seed(spark))
+    for i in range(3):
+        a(_ch(spark, [(1, f"s{i}", i, i + 1, "update")]), i)
+    stamps = [m["committed_at_ms"] for m in a.history(spark)]
+
+    # cutoff before everything: nothing is old enough to drop
+    assert a.vacuum(spark, keep_last=1,
+                    older_than_ms=stamps[0]) == []
+    assert a.versions(spark) == [-1, 0, 1, 2]
+    # cutoff between v0 and v1: only the seed and v0 go
+    dropped = a.vacuum(spark, keep_last=1, older_than_ms=stamps[2])
+    assert dropped == [-1, 0]
+    assert a.versions(spark) == [1, 2]
+    assert {r.s for r in a.current(spark).collect()} >= {"s2"}
+
+
 def test_orphan_staging_dir_is_invisible_and_vacuumed(spark, tmp_path):
     base = str(tmp_path / "t")
     a = CdcTable(base, key_cols="k", app_id="wa")
