@@ -197,6 +197,23 @@ def test_mor_bucket_paths_guard(spark, tmp_path):
     assert len(mor.bucket_paths(spark)) > 0
 
 
+def test_mor_fold_plan_is_pending_count_independent(spark, tmp_path):
+    """The reader-side fold is ONE batch window + ONE key join no
+    matter how many deltas are pending — the plan's Exchange count
+    must not grow with the pending list (the property that makes
+    deferred compaction safe at scale)."""
+    from systems_spark.plans import count_exchanges
+
+    one = _mk(spark, tmp_path, "one", "merge_on_read")
+    one(_ch(spark, [(1, "a1", 11, 1, "update")]), 0)
+    five = _mk(spark, tmp_path, "five", "merge_on_read")
+    for i in range(5):
+        five(_ch(spark, [(1 + i, f"u{i}", i, i + 1, "update")]), i)
+    assert len(five._latest_manifest(spark)["pending"]) == 5
+    assert count_exchanges(five.snapshot(spark)) \
+        == count_exchanges(one.snapshot(spark))
+
+
 def test_write_mode_validation(tmp_path):
     with pytest.raises(ValueError, match="write_mode"):
         PartitionedCdcTable(str(tmp_path / "t"), key_cols="k",
