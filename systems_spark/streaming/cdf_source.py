@@ -64,6 +64,11 @@ def _read_manifest(path: str, version: int) -> dict:
 
 
 def _versions(path: str) -> "list[int]":
+    if "://" in path:
+        raise NotImplementedError(
+            f"cdc_change_feed reads the table log with local-filesystem "
+            f"I/O; {path.split('://')[0]}:// paths need the pyarrow "
+            f"filesystem hookup")
     d = os.path.join(path, _COMMIT_DIR)
     if not os.path.isdir(d):
         return []
@@ -78,6 +83,11 @@ def _versions(path: str) -> "list[int]":
 
 
 def _change_schema(man: dict, deleted_col: str, op_col: str) -> StructType:
+    if "schema" not in man:
+        raise ValueError(
+            "manifest carries no schema — the change feed requires a "
+            "PartitionedCdcTable with write_mode='merge_on_read' (a "
+            "flat CdcTable records no change files)")
     snap = StructType.fromJson(json.loads(man["schema"]))
     fields = [f for f in snap.fields if f.name != deleted_col]
     from pyspark.sql.types import StringType, StructField
@@ -96,9 +106,8 @@ def _own_delta_dir(man: dict) -> "str | None":
 
 
 class _DeltaPartition(InputPartition):
-    def __init__(self, directory: str, seq_val: int):
+    def __init__(self, directory: str):
         self.directory = directory
-        self.seq_val = seq_val
 
 
 class _CdfStreamReader(DataSourceStreamReader):
@@ -120,14 +129,28 @@ class _CdfStreamReader(DataSourceStreamReader):
         return {"version": vs[-1] if vs else self.start_version}
 
     def partitions(self, start: dict, end: dict):
+        pinned = {f.name for f in self._schema.fields}
         parts = []
         for v in range(int(start["version"]) + 1,
                        int(end["version"]) + 1):
             man = _read_manifest(self.path, v)
             d = _own_delta_dir(man)
             if d is not None:
-                parts.append(_DeltaPartition(
-                    os.path.join(self.path, d), v))
+                served = {f.name for f in _change_schema(
+                    man, self.deleted_col, self.op_col).fields}
+                if served - pinned:
+                    # the module contract: surfaced as an error, never
+                    # silently wrong — emitting evolved rows through
+                    # the pinned schema would DROP the new columns
+                    # (Delta CDF likewise fails the stream on a schema
+                    # change; a restart re-pins and serves them)
+                    raise ValueError(
+                        f"version {v} of {self.path} evolved the "
+                        f"schema (added "
+                        f"{sorted(served - pinned)}) after this "
+                        f"stream pinned its schema — restart the "
+                        f"stream to pick up the new columns")
+                parts.append(_DeltaPartition(os.path.join(self.path, d)))
                 continue
             if "batch_id" in man:
                 # a merge that recorded no change file: copy-on-write
@@ -140,19 +163,25 @@ class _CdfStreamReader(DataSourceStreamReader):
         return parts
 
     def read(self, partition: _DeltaPartition):
+        import pyarrow as pa
         import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_type
 
         table = pq.read_table(partition.directory)
-        cols = {}
         n = table.num_rows
+        arrays, names = [], []
         for f in self._schema.fields:
+            at = to_arrow_type(f.dataType)
             if f.name in table.column_names:
-                cols[f.name] = table.column(f.name).to_pylist()
+                arrays.append(table.column(f.name).combine_chunks()
+                              .cast(at))
             else:  # written before a schema evolution: NULL-fill
-                cols[f.name] = [None] * n
-        names = [f.name for f in self._schema.fields]
-        for i in range(n):
-            yield tuple(cols[c][i] for c in names)
+                arrays.append(pa.nulls(n, at))
+            names.append(f.name)
+        # yield Arrow batches — no Arrow→Python→Arrow round trip per
+        # row (the Python Data Source API accepts RecordBatch directly)
+        for rb in pa.Table.from_arrays(arrays, names).to_batches():
+            yield rb
 
     def commit(self, end: dict) -> None:
         pass  # offsets are durable table versions; nothing to release

@@ -389,7 +389,12 @@ class CdcTable:
         vs = self.versions(spark)
         if not vs:
             raise ValueError("CdcTable.initialize before reading")
-        return self._manifest_at(spark, vs[-1])
+        # vs[-1] exists by construction — read its marker directly
+        # rather than paying _manifest_at's second directory listing
+        # (this runs on every OCC attempt of every micro-batch)
+        return json.loads(_fs_read_text(
+            spark, self._fs(spark, self._marker_path(vs[-1]))[1]
+            .toString()))
 
     # -- lifecycle -----------------------------------------------------------
     def initialize(self, seed: DataFrame, seq: int = 0) -> None:
@@ -854,6 +859,50 @@ class PartitionedCdcTable(CdcTable):
             base, changes, self.key_cols, seq_col=self.seq_col,
             op_col=self.op_col, deleted_col=self.DELETED, min_seq=fence)
 
+    def _conform_strict_batch(self, man: dict,
+                              batch: DataFrame) -> DataFrame:
+        """Strict-mode write-time validation for a merge-on-read delta:
+        column NAMES must match the change schema exactly; a column's
+        type must equal the table's or widen LOSSLESSLY into it
+        (int→long, float→double — the same coercion the copy-on-write
+        merge core applies), and the batch is cast to the canonical
+        types so staged files never depend on read-time upcasts.
+        Anything else raises here, at the write, not at every later
+        read."""
+        expected = {f.name: f.dataType
+                    for f in self._change_schema(man).fields}
+        got = {f.name: f.dataType for f in batch.schema.fields}
+        if set(expected) != set(got):
+            raise ValueError(
+                f"merge-on-read strict mode: change batch schema "
+                f"mismatch — missing "
+                f"{sorted(set(expected) - set(got))}, unexpected "
+                f"{sorted(set(got) - set(expected))} "
+                f"(schema_evolution='merge' opts into widening)")
+        from pyspark.sql.types import (ByteType, DoubleType, FloatType,
+                                       IntegerType, LongType, ShortType)
+        ints = (ByteType, ShortType, IntegerType, LongType)
+
+        def widens(src, dst):
+            if src == dst:
+                return True
+            if isinstance(src, ints) and isinstance(dst, ints):
+                return ints.index(type(src)) <= ints.index(type(dst))
+            # int→float/double and long→double lose precision in the
+            # tail — only the genuinely lossless float widening passes
+            return isinstance(src, FloatType) \
+                and isinstance(dst, DoubleType)
+
+        bad = [(n, str(got[n]), str(expected[n])) for n in expected
+               if not widens(got[n], expected[n])]
+        if bad:
+            raise ValueError(
+                f"merge-on-read strict mode: change batch column type "
+                f"cannot losslessly widen to the table's: {bad}")
+        return batch.select(*[F.col(n).cast(expected[n]).alias(n)
+                              for n in (f.name for f in
+                                        self._change_schema(man).fields)])
+
     def _commit_delta(self, spark: SparkSession, batch: DataFrame,
                       version: int, prior_man: dict, schema_json: str,
                       extra: "dict | None" = None) -> None:
@@ -1057,6 +1106,14 @@ class PartitionedCdcTable(CdcTable):
                     if evolved:
                         schema_json = json.dumps(
                             evolved_empty.schema.jsonValue())
+                else:
+                    # strict mode must reject a malformed batch AT THE
+                    # WRITE, exactly like the copy-on-write path does
+                    # via the merge core — a verbatim-staged bad batch
+                    # would otherwise wedge every later read, and an
+                    # extra column would be silently dropped by the
+                    # manifest-schema read
+                    batch = self._conform_strict_batch(man, batch)
                 try:
                     self._commit_delta(spark, batch, version, man,
                                        schema_json, extra)

@@ -123,6 +123,52 @@ def test_feed_refuses_copy_on_write_merges(spark, tmp_path):
     q.stop()
 
 
+def test_feed_fails_loud_on_mid_stream_evolution(spark, tmp_path):
+    """Columns added AFTER the stream pinned its schema must fail the
+    stream (a restart re-pins) — silently dropping them would violate
+    the feed contract."""
+    t = _mor(spark, tmp_path, schema_evolution="merge")
+    path = str(tmp_path / "feedsrc")
+    t(_ch(spark, [(1, "a1", 11, 1, "update")]), 0)
+
+    q = _drain(spark, path, str(tmp_path / "ck5"), "feed5")
+    assert spark.table("feed5").count() == 1
+    wide = spark.createDataFrame(
+        [(2, "b1", 21, "extra", 2, "update")],
+        "k long, s string, v long, w string, seq long, op string")
+    t(wide, 1)  # evolves AFTER the pin
+    with pytest.raises(Exception, match="restart the stream"):
+        q.processAllAvailable()
+        raise AssertionError("stream should have failed")
+    q.stop()
+
+
+def test_feed_rejects_flat_table_with_clear_error(spark, tmp_path):
+    from systems_spark.streaming import CdcTable
+
+    flat = CdcTable(str(tmp_path / "flat"), key_cols="k", app_id="f")
+    flat.initialize(spark.createDataFrame([(1, "a", 10)], PAY))
+    spark.dataSource.register(CdcChangeFeedDataSource)
+    with pytest.raises(Exception, match="merge_on_read"):
+        (spark.readStream.format("cdc_change_feed")
+         .option("path", str(tmp_path / "flat")).load())
+
+
+def test_mor_strict_rejects_malformed_batch_at_write(spark, tmp_path):
+    t = _mor(spark, tmp_path)  # schema_evolution defaults to strict
+    bad = spark.createDataFrame(
+        [(1, 11, 1, "update")], "k long, v long, seq long, op string")
+    with pytest.raises(ValueError, match="missing.*\\['s'\\]"):
+        t(bad, 0)  # column s absent: rejected AT THE WRITE
+    extra = spark.createDataFrame(
+        [(1, "a", 11, "x", 1, "update")],
+        "k long, s string, v long, bogus string, seq long, op string")
+    with pytest.raises(ValueError, match="unexpected.*\\['bogus'\\]"):
+        t(extra, 0)
+    # nothing was committed, the table still reads fine
+    assert t.current(spark).count() == 2
+
+
 def test_feed_schema_evolution_null_fills_old_deltas(spark, tmp_path):
     t = _mor(spark, tmp_path, schema_evolution="merge")
     path = str(tmp_path / "feedsrc")
