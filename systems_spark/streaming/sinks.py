@@ -795,6 +795,26 @@ class PartitionedCdcTable(CdcTable):
         return F.pmod(F.xxhash64(*[F.col(k) for k in self.key_cols]),
                       F.lit(self.num_buckets)).cast("int")
 
+    # -- table configuration lives in the LOG, not the constructor ---------
+    def _table_conf(self) -> dict:
+        return {"num_buckets": self.num_buckets,
+                "key_cols": list(self.key_cols),
+                "seq_col": self.seq_col, "op_col": self.op_col}
+
+    def _check_conf(self, man: dict) -> None:
+        """A handle whose bucketing/key configuration disagrees with
+        the manifest's would compute the WRONG touched buckets and
+        corrupt merges silently — the worst failure mode a table can
+        have. The manifest is the source of truth; a mismatched handle
+        raises before it can write anything."""
+        conf = man.get("table_conf")
+        if conf is not None and conf != self._table_conf():
+            raise ValueError(
+                f"table at {self.path} is configured {conf}; this "
+                f"handle was constructed with {self._table_conf()} — "
+                f"reopen with the table's configuration (rebucket() "
+                f"changes it)")
+
     # -- manifest/mapping helpers ------------------------------------------
     def _mapping(self, man: dict) -> "dict[int, int]":
         return {int(b): int(v) for b, v in man.get("buckets", {}).items()}
@@ -909,6 +929,7 @@ class PartitionedCdcTable(CdcTable):
         """The merge-on-read commit: stage ONLY the change batch under
         ``delta=V__app``, grow the manifest's pending list — bucket
         mapping and dirs carry forward untouched. O(batch) I/O."""
+        self._check_conf(prior_man)
         fs_, m_ = self._fs(spark, self._marker_path(version))
         if fs_.exists(m_):
             raise ConcurrentCommitError(
@@ -929,6 +950,7 @@ class PartitionedCdcTable(CdcTable):
                     + [dir_name],
                     "txn": txn,
                     "committed_at_ms": _commit_stamp_ms(prior_man),
+                    "table_conf": self._table_conf(),
                     "schema": schema_json}
         manifest.update(extra or {})
         from systems_spark.state import fs_publish_text_exclusive
@@ -987,7 +1009,8 @@ class PartitionedCdcTable(CdcTable):
                         version: int, prior_man: "dict | None",
                         touched, schema_json: str,
                         extra: "dict | None" = None,
-                        pending_override: "list | None" = None) -> None:
+                        pending_override: "list | None" = None,
+                        allow_conf_change: bool = False) -> None:
         """Stage the touched buckets (df pre-bucketed) under this
         writer's own directory, then CAS-publish the version marker;
         the manifest's mapping carries untouched entries forward and
@@ -998,6 +1021,8 @@ class PartitionedCdcTable(CdcTable):
         :class:`ConcurrentCommitError`. The early marker check keeps a
         writer from ever staging over its own committed data (see
         CdcTable._commit)."""
+        if prior_man is not None and not allow_conf_change:
+            self._check_conf(prior_man)
         fs_, m_ = self._fs(spark, self._marker_path(version))
         if fs_.exists(m_):
             raise ConcurrentCommitError(
@@ -1038,6 +1063,7 @@ class PartitionedCdcTable(CdcTable):
                     "pending": pending,
                     "txn": txn,
                     "committed_at_ms": _commit_stamp_ms(prior_man),
+                    "table_conf": self._table_conf(),
                     "schema": schema_json}
         manifest.update(extra or {})
         from systems_spark.state import fs_publish_text_exclusive
@@ -1197,6 +1223,46 @@ class PartitionedCdcTable(CdcTable):
         raise ConcurrentCommitError(
             f"compact gave up after {self._COMMIT_RETRIES} attempts on "
             f"{self.path}")
+
+    def rebucket(self, spark: SparkSession,
+                 new_num_buckets: int) -> int:
+        """Change the bucket count — a FULL REWRITE by necessity (the
+        key-hash layout is the merge-pruning contract), committed as
+        one new version: the folded snapshot re-hashes into the new
+        buckets, pending deltas materialize, and the manifest's
+        ``table_conf`` flips so every handle still constructed with
+        the old count fails loudly instead of merging into the wrong
+        buckets. This handle adopts the new count on success."""
+        if int(new_num_buckets) < 1:
+            raise ValueError("num_buckets must be >= 1")
+        for _attempt in range(self._COMMIT_RETRIES):
+            self._backoff(_attempt)
+            man = self._latest_manifest(spark)
+            self._check_conf(man)  # only a conforming handle may flip
+            old = self._materialize_view(spark, man)
+            prev_n = self.num_buckets
+            extra = {"rebucket_from": prev_n}
+            if "fence_seq" in man:
+                extra["fence_seq"] = int(man["fence_seq"])
+            self.num_buckets = int(new_num_buckets)
+            try:
+                self._commit_version(
+                    spark, old.withColumn(self.BUCKET,
+                                          self._bucket_expr()),
+                    int(man["version"]) + 1, man,
+                    touched=set(self._mapping(man)),
+                    schema_json=man["schema"], extra=extra,
+                    pending_override=[], allow_conf_change=True)
+                return int(man["version"]) + 1
+            except ConcurrentCommitError:
+                self.num_buckets = prev_n
+                continue
+            except Exception:
+                self.num_buckets = prev_n
+                raise
+        raise ConcurrentCommitError(
+            f"rebucket gave up after {self._COMMIT_RETRIES} attempts "
+            f"on {self.path}")
 
     def restore(self, spark: SparkSession, version: int) -> int:
         """RESTORE TO VERSION, bucket-shaped: the restored content

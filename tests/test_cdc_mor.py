@@ -214,6 +214,54 @@ def test_mor_fold_plan_is_pending_count_independent(spark, tmp_path):
         == count_exchanges(one.snapshot(spark))
 
 
+def test_table_conf_guard_and_rebucket(spark, tmp_path):
+    """The log, not the constructor, owns the table configuration: a
+    handle with the wrong bucket count must fail loudly (it would
+    merge into the WRONG buckets), and rebucket() is the sanctioned
+    full-rewrite path that flips the logged configuration."""
+    t = _mk(spark, tmp_path, "conf", "copy_on_write")
+    t(_ch(spark, [(1, "a1", 11, 1, "update")]), 0)
+    before = _live(t, spark)
+
+    wrong = PartitionedCdcTable(str(tmp_path / "conf"), key_cols="k",
+                                app_id="conf2", num_buckets=32)
+    with pytest.raises(ValueError, match="configured"):
+        wrong(_ch(spark, [(2, "X", 0, 9, "update")]), 0)
+    wrong_keys = PartitionedCdcTable(str(tmp_path / "conf"),
+                                     key_cols="v", app_id="conf3",
+                                     num_buckets=8)
+    with pytest.raises(ValueError, match="configured"):
+        wrong_keys.compact(spark, fence_seq=1)
+    assert _live(t, spark) == before  # nothing corrupted
+
+    v = t.rebucket(spark, 32)
+    assert t.num_buckets == 32
+    man = t._latest_manifest(spark)
+    assert man["table_conf"]["num_buckets"] == 32
+    assert man["rebucket_from"] == 8
+    assert _live(t, spark) == before  # content-identical rewrite
+    # merges keep working under the new layout, old handles fail loud
+    t(_ch(spark, [(2, "b2", 22, 2, "update")]), 1)
+    assert (2, "b2", 22) in _live(t, spark)
+    stale = PartitionedCdcTable(str(tmp_path / "conf"), key_cols="k",
+                                app_id="stale", num_buckets=8)
+    with pytest.raises(ValueError, match="configured"):
+        stale(_ch(spark, [(3, "Y", 0, 9, "update")]), 0)
+    assert v >= 1
+
+
+def test_rebucket_merge_on_read_materializes_pending(spark, tmp_path):
+    t = _mk(spark, tmp_path, "confmor", "merge_on_read")
+    t(_ch(spark, [(1, "a1", 11, 1, "update"),
+                  (50, "new", 0, 1, "insert")]), 0)
+    before = _live(t, spark)
+    t.rebucket(spark, 16)
+    man = t._latest_manifest(spark)
+    assert man["pending"] == [] and \
+        man["table_conf"]["num_buckets"] == 16
+    assert _live(t, spark) == before
+
+
 def test_write_mode_validation(tmp_path):
     with pytest.raises(ValueError, match="write_mode"):
         PartitionedCdcTable(str(tmp_path / "t"), key_cols="k",
