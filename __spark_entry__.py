@@ -1508,6 +1508,59 @@ FROM changes GROUP BY 1
 """
 
 
+def q_cdc_replication(spark, sf_dir):
+    """Table REPLICATION via the change feed — the composition the
+    whole CDC layer exists for, built from nothing but the repo's own
+    parts: a merge-on-read source table ingests two change epochs as
+    delta log entries, a StreamingQuery subscribes to its change feed
+    (streaming/cdf_source.py) and foreachBatch-merges every delivered
+    batch into a REPLICA CdcTable — exactly-once twice over (feed
+    offsets are source versions; the replica's own (app, batch) txn
+    map). The lane reads the REPLICA, so the oracle (the plain global
+    merge) holds only if the feed delivered every change exactly once
+    AND the replica's fenced merge reproduced the source state."""
+    import hashlib
+
+    from systems_spark.streaming import (CdcChangeFeedDataSource,
+                                         CdcTable, PartitionedCdcTable)
+
+    key = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:cdcrepl:{sf_dir}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join("/tmp", "systems_spark_cdc", key)
+    src = PartitionedCdcTable(os.path.join(base, "src"),
+                              key_cols="o_orderkey", app_id="cdcrsrc",
+                              num_buckets=16,
+                              write_mode="merge_on_read")
+    orders = _t(spark, sf_dir, "orders")
+    seed = (orders.where(F.col("o_orderkey") % 8 != 0)
+            .select("o_orderkey", "o_custkey", "o_orderstatus",
+                    "o_totalprice"))
+    src.initialize(seed)
+    changes = _cdc_changes(spark, sf_dir)
+    src(changes.where(F.col("seq") == 1), 0)
+    src(changes.where(F.col("seq") == 2), 1)
+
+    replica = CdcTable(os.path.join(base, "replica"),
+                       key_cols="o_orderkey", app_id="cdcrepl")
+    replica.initialize(seed)
+    spark.dataSource.register(CdcChangeFeedDataSource)
+    q = (spark.readStream.format("cdc_change_feed")
+         .option("path", os.path.join(base, "src")).load()
+         .writeStream.foreachBatch(replica)
+         .option("checkpointLocation", os.path.join(base, "repl_ck"))
+         .trigger(availableNow=True).start())
+    if not q.awaitTermination(300):
+        q.stop()
+    return (replica.current(spark)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+                         2).cast("double").alias("total_price"),
+                 F.sum(F.col("o_orderkey").cast("decimal(38,0)"))
+                 .cast("bigint").alias("key_checksum")))
+
+
 def q_cdc_optimize(spark, sf_dir):
     """OPTIMIZE ZORDER on a CDC MERGE table (streaming/sinks.py
     CdcTable.optimize) — the full lakehouse maintenance composition in
@@ -7406,6 +7459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_multiwriter": q_cdc_multiwriter,
         "cdc_merge_on_read": q_cdc_merge_on_read,
         "streaming_change_feed": q_streaming_change_feed,
+        "cdc_replication": q_cdc_replication,
         "orders_zorder": q_orders_zorder,
         "orders_pruned_read": q_orders_pruned_read,
         "orders_point_lookup": q_orders_point_lookup,
@@ -7678,6 +7732,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_multiwriter": _sql_orders_cdc_apply(),
         "cdc_merge_on_read": _sql_orders_cdc_apply(),
         "streaming_change_feed": _SQL_STREAMING_CHANGE_FEED,
+        "cdc_replication": _sql_orders_cdc_apply(),
         "orders_zorder": _sql_orders_zorder(),
         "orders_pruned_read": _SQL_ORDERS_PRUNED_READ,
         "orders_point_lookup": _SQL_ORDERS_POINT_LOOKUP,

@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "cdc_multiwriter",
     "cdc_merge_on_read",
     "streaming_change_feed",
+    "cdc_replication",
     "dedup_forget",
     "cdc_change_feed",
     "kmeans_embeddings",

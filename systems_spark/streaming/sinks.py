@@ -39,7 +39,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from systems_spark.sources import _fs_read_text, _fs_write_text
+from systems_spark.sources import _fs_read_text
 
 _COMMIT_DIR = "_commits"
 

@@ -183,3 +183,51 @@ def test_feed_schema_evolution_null_fills_old_deltas(spark, tmp_path):
     assert rows == {1: None, 2: "extra"}
     assert "w" in spark.table("feed4").columns
     q.stop()
+
+def test_replicate_table_via_change_feed(spark, tmp_path):
+    """The full replication loop, nothing but existing machinery: a
+    merge-on-read source table's change feed streams into a REPLICA
+    CdcTable through foreachBatch — the feed rows ARE change rows, the
+    replica's fenced merge applies them, and exactly-once holds twice
+    over (source offsets = versions; replica txn = (app, batch)). A
+    fresh-checkpoint replay re-delivers everything and must change
+    nothing."""
+    from systems_spark.streaming import CdcTable
+
+    seed = spark.createDataFrame([(1, "a", 10), (2, "b", 20)], PAY)
+    src = _mor(spark, tmp_path)
+    src(_ch(spark, [(1, "a1", 11, 1, "update"),
+                    (3, "c", 30, 1, "insert")]), 0)
+    src(_ch(spark, [(2, "x", 0, 2, "delete")]), 1)
+
+    replica = CdcTable(str(tmp_path / "replica"), key_cols="k",
+                       app_id="rep")
+    replica.initialize(seed)
+    spark.dataSource.register(CdcChangeFeedDataSource)
+
+    def run(ckpt):
+        q = (spark.readStream.format("cdc_change_feed")
+             .option("path", str(tmp_path / "feedsrc")).load()
+             .writeStream.foreachBatch(replica)
+             .option("checkpointLocation", str(tmp_path / ckpt))
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(300)
+
+    run("rck1")
+
+    def live(t):
+        return sorted((r.k, r.s, r.v) for r in t.current(spark).collect())
+
+    assert live(replica) == live(src)
+    n_versions = len(replica.versions(spark))
+
+    # crash-replay shape: a FRESH checkpoint re-delivers every delta;
+    # the replica's (app, batch) idempotence makes it all a no-op
+    run("rck2")
+    assert len(replica.versions(spark)) == n_versions
+    assert live(replica) == live(src)
+
+    # a new source commit flows through incrementally
+    src(_ch(spark, [(5, "e", 50, 3, "insert")]), 2)
+    run("rck1")
+    assert live(replica) == live(src)
