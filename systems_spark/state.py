@@ -111,7 +111,14 @@ def fs_publish_text_exclusive(spark: SparkSession, path: str,
             f"exclusive publish needs a conditional-put backend for "
             f"{path.split('://')[0]}:// paths")
     os.makedirs(os.path.dirname(local), exist_ok=True)
-    tmp = f"{local}.claim.{os.getpid()}.{md5(text.encode()).hexdigest()[:8]}"
+    # thread id in the temp name: two THREADS of one process racing
+    # identical content must not share a staging file (one would link
+    # while the other truncates/rewrites it), and the loser's unlink
+    # must tolerate the sibling having already cleaned up
+    import threading
+
+    tmp = (f"{local}.claim.{os.getpid()}.{threading.get_ident()}."
+           f"{md5(text.encode()).hexdigest()[:8]}")
     with open(tmp, "w") as fh:
         fh.write(text)
         fh.flush()
@@ -122,7 +129,10 @@ def fs_publish_text_exclusive(spark: SparkSession, path: str,
     except FileExistsError:
         return False
     finally:
-        os.unlink(tmp)
+        try:
+            os.unlink(tmp)
+        except FileNotFoundError:
+            pass
 
 
 class StateStore:

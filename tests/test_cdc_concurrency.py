@@ -38,6 +38,36 @@ def test_publish_exclusive_is_first_writer_wins(spark, tmp_path):
         assert fh.read() == "first"  # never a mix, never the loser's
 
 
+def test_publish_exclusive_thread_stress(spark, tmp_path):
+    """Eight threads race the CAS for one path: exactly one wins, and
+    the path holds that winner's COMPLETE content — the single-winner
+    atomicity everything above is built on."""
+    import threading
+
+    p = str(tmp_path / "m" / "v9.json")
+    results = {}
+    barrier = threading.Barrier(8)
+
+    def contender(i):
+        barrier.wait()
+        results[i] = fs_publish_text_exclusive(spark, p, f"writer-{i}" * 50)
+
+    threads = [threading.Thread(target=contender, args=(i,))
+               for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    winners = [i for i, won in results.items() if won]
+    assert len(winners) == 1
+    with open(p) as fh:
+        assert fh.read() == f"writer-{winners[0]}" * 50
+    # no temp droppings left behind
+    leftovers = [n for n in os.listdir(os.path.dirname(p))
+                 if n != "v9.json"]
+    assert leftovers == []
+
+
 def test_two_writers_share_one_version_chain(spark, tmp_path):
     base = str(tmp_path / "t")
     a = CdcTable(base, key_cols="k", app_id="writer-a")
