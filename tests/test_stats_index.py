@@ -107,3 +107,49 @@ def test_invalidate_forces_rebuild(spark, tmp_path):
     idx.invalidate(spark, path, ["x"])
     assert not any(e["manifest"] for e in store.entries(spark))
     assert idx.stats(spark, path, ["x"]).count() > 0
+
+
+def test_per_bucket_stats_survive_untouched_merges(spark, tmp_path):
+    """Composition proof for the bucket_paths() promise: StatsIndex
+    keys on each BUCKET directory, and a merge moves only its touched
+    buckets' paths — so untouched buckets' stats markers still HIT
+    after the merge (rebuild forbidden via monkeypatch), and only the
+    touched bucket pays a fresh stats scan."""
+    import systems_spark.operators.zorder as zz
+    from systems_spark.streaming import PartitionedCdcTable
+
+    t = PartitionedCdcTable(str(tmp_path / "t"), key_cols="k",
+                            app_id="sb", num_buckets=4)
+    t.initialize(spark.createDataFrame(
+        [(k, k * 10) for k in range(400)], "k long, v long"))
+    root = str(tmp_path / "state")
+
+    before = t.bucket_paths(spark)
+    idx = StatsIndex(StateStore(root=root))
+    for p in before:
+        idx.stats(spark, p, ["k"])
+
+    # merge ONE key: exactly one bucket's path moves
+    ch = spark.createDataFrame([(7, 999, 1, "update")],
+                               "k long, v long, seq long, op string")
+    t(ch, 0)
+    after = t.bucket_paths(spark)
+    moved = set(after) - set(before)
+    kept = set(after) & set(before)
+    assert len(moved) == 1 and len(kept) == 3
+
+    calls = {"n": 0}
+    real = zz.file_stats
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    fresh = StatsIndex(StateStore(root=root))
+    try:
+        zz.file_stats = counting
+        for p in after:
+            fresh.stats(spark, p, ["k"])
+    finally:
+        zz.file_stats = real
+    assert calls["n"] == 1  # only the moved bucket rebuilt
