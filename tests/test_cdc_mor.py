@@ -266,3 +266,44 @@ def test_write_mode_validation(tmp_path):
     with pytest.raises(ValueError, match="write_mode"):
         PartitionedCdcTable(str(tmp_path / "t"), key_cols="k",
                             app_id="x", write_mode="nope")
+
+
+def test_mor_streaming_ingest_with_replay(spark, tmp_path):
+    """Streaming ingestion INTO a merge-on-read table: a bounded file
+    stream foreachBatch-commits each epoch as a delta log entry, and a
+    SECOND run over a FRESH checkpoint (the crash-replay shape: every
+    epoch re-delivered) must change nothing — the txn map makes every
+    replayed epoch a no-op even though no bucket was ever rewritten."""
+    import shutil
+
+    src = str(tmp_path / "src")
+    ck1, ck2 = str(tmp_path / "ck1"), str(tmp_path / "ck2")
+    t = _mk(spark, tmp_path, "morstream", "merge_on_read")
+    for i, b in enumerate(BATCHES):
+        (_ch(spark, b).coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(src, f"f{i}.parquet")))
+
+    def run(ckpt):
+        stream = (spark.readStream.schema(CH_SCHEMA)
+                  .option("maxFilesPerTrigger", "1").parquet(src + "/*"))
+        q = (stream.writeStream.foreachBatch(t)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(300)
+
+    run(ck1)
+    man = t._latest_manifest(spark)
+    assert len(man["pending"]) == 3  # one delta per epoch, no buckets
+    state = _live(t, spark)
+
+    # COW twin applied the same batches: content equality
+    cow = _mk(spark, tmp_path, "cowtwin", "copy_on_write")
+    for i, b in enumerate(BATCHES):
+        cow(_ch(spark, b), i)
+    assert state == _live(cow, spark)
+
+    # crash-replay: fresh checkpoint, full re-delivery, all no-op
+    shutil.rmtree(ck2, ignore_errors=True)
+    run(ck2)
+    assert len(t.versions(spark)) == len(BATCHES) + 1  # no new commits
+    assert _live(t, spark) == state
