@@ -1429,6 +1429,68 @@ def q_cdc_merge_on_read(spark, sf_dir):
                  .cast("bigint").alias("key_checksum")))
 
 
+def q_cdc_dml(spark, sf_dir):
+    """Predicate DML on a CDC table (streaming/sinks.py
+    CdcTable.update_where / delete_where — Delta's ``UPDATE … WHERE``
+    and ``DELETE FROM … WHERE``): the orders snapshot seeds a
+    16-bucket PartitionedCdcTable, then an UPDATE bumps every
+    low-value 'F' order's price and a DELETE drops every
+    custkey%10==0 order — each compiled to a change batch (one
+    predicate scan, then a touched-bucket-proportional merge) through
+    the standard fenced machinery, with explicit (seq, batch_id) so
+    replays within the session are manifest-level no-ops. The oracle
+    is the equivalent relational algebra (CASE projection, then
+    filter) over the same seed, so equality holds only if postimage
+    construction, auto-tombstoning, and the keyed merge reproduce
+    sequential UPDATE-then-DELETE semantics exactly."""
+    import hashlib
+
+    from systems_spark.streaming import PartitionedCdcTable
+
+    key = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:cdcdml:{sf_dir}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join("/tmp", "systems_spark_cdc", key)
+    table = PartitionedCdcTable(os.path.join(base, "t"),
+                                key_cols="o_orderkey", app_id="cdcdml",
+                                num_buckets=16)
+    orders = _t(spark, sf_dir, "orders")
+    table.initialize(
+        orders.where(F.col("o_orderkey") % 8 != 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
+    table.update_where(
+        spark, "o_orderstatus = 'F' AND o_totalprice < 100000",
+        {"o_totalprice": "o_totalprice + 1"}, seq=1, batch_id=0)
+    table.delete_where(spark, "o_custkey % 10 = 0", seq=2, batch_id=1)
+    return (table.current(spark)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+                         2).cast("double").alias("total_price"),
+                 F.sum(F.col("o_orderkey").cast("decimal(38,0)"))
+                 .cast("bigint").alias("key_checksum")))
+
+
+def _sql_cdc_dml() -> str:
+    return """
+WITH seed AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 8 <> 0
+), upd AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderstatus = 'F' AND o_totalprice < 100000
+              THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice
+  FROM seed
+), fin AS (
+  SELECT * FROM upd WHERE o_custkey % 10 <> 0
+)
+SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice::DECIMAL(18,2)), 2)::DOUBLE AS total_price,
+       sum(o_orderkey::HUGEINT)::BIGINT AS key_checksum
+FROM fin GROUP BY 1
+"""
+
+
 def q_streaming_change_feed(spark, sf_dir):
     """Change-data-feed SUBSCRIPTION, the NINTH real StreamingQuery —
     and the first through PySpark 4's Python Data Source API
@@ -7458,6 +7520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_partitioned": q_cdc_partitioned,
         "cdc_multiwriter": q_cdc_multiwriter,
         "cdc_merge_on_read": q_cdc_merge_on_read,
+        "cdc_dml": q_cdc_dml,
         "streaming_change_feed": q_streaming_change_feed,
         "cdc_replication": q_cdc_replication,
         "orders_zorder": q_orders_zorder,
@@ -7731,6 +7794,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_partitioned": _sql_orders_cdc_apply(),
         "cdc_multiwriter": _sql_orders_cdc_apply(),
         "cdc_merge_on_read": _sql_orders_cdc_apply(),
+        "cdc_dml": _sql_cdc_dml(),
         "streaming_change_feed": _SQL_STREAMING_CHANGE_FEED,
         "cdc_replication": _sql_orders_cdc_apply(),
         "orders_zorder": _sql_orders_zorder(),

@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "cdc_optimize",
     "cdc_multiwriter",
     "cdc_merge_on_read",
+    "cdc_dml",
     "streaming_change_feed",
     "cdc_replication",
     "dedup_forget",

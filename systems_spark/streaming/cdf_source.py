@@ -82,6 +82,31 @@ def _versions(path: str) -> "list[int]":
     return sorted(out)
 
 
+def _latest_version(path: str) -> "int | None":
+    """Newest committed version via the table's ``_latest`` hint file
+    (verified against its marker, probed forward past commits the hint
+    missed — versions are claimed densely, so the first missing marker
+    is the frontier), falling back to a full listing when the hint is
+    absent/corrupt. Keeps per-trigger offset discovery O(1) on a log
+    that grows by one marker per epoch forever."""
+    start = None
+    try:
+        with open(os.path.join(path, _COMMIT_DIR, "_latest")) as fh:
+            start = int(fh.read().strip())
+    except (OSError, ValueError):
+        start = None
+    if start is not None and not os.path.exists(_marker(path, start)):
+        start = None
+    if start is None:
+        vs = _versions(path)
+        if not vs:
+            return None
+        start = vs[-1]
+    while os.path.exists(_marker(path, start + 1)):
+        start += 1
+    return start
+
+
 def _change_schema(man: dict, deleted_col: str, op_col: str) -> StructType:
     if "schema" not in man:
         raise ValueError(
@@ -96,8 +121,14 @@ def _change_schema(man: dict, deleted_col: str, op_col: str) -> StructType:
 
 
 def _own_delta_dir(man: dict) -> "str | None":
-    """The change-file directory THIS version committed, if any — its
-    name encodes its version, so no predecessor manifest is needed."""
+    """The change-file directory THIS version committed, if any. The
+    manifest records it explicitly as ``change_dir`` — required since
+    an OCC fast-recommitted delta keeps the directory name it was
+    STAGED under, whose encoded version differs from the committed one.
+    Logs written before ``change_dir`` existed fall back to the
+    version-prefix scan (which was exact for them)."""
+    if "change_dir" in man:
+        return man["change_dir"]
     v = int(man["version"])
     for d in man.get("pending", []):
         if d.startswith(f"delta={v}__"):
@@ -125,8 +156,8 @@ class _CdfStreamReader(DataSourceStreamReader):
         return {"version": self.start_version}
 
     def latestOffset(self) -> dict:
-        vs = _versions(self.path)
-        return {"version": vs[-1] if vs else self.start_version}
+        v = _latest_version(self.path)
+        return {"version": v if v is not None else self.start_version}
 
     def partitions(self, start: dict, end: dict):
         pinned = {f.name for f in self._schema.fields}
@@ -201,10 +232,10 @@ class CdcChangeFeedDataSource(DataSource):
         path = self.options.get("path", "").rstrip("/")
         if not path:
             raise ValueError("cdc_change_feed requires .option('path', …)")
-        vs = _versions(path)
-        if not vs:
+        v = _latest_version(path)
+        if v is None:
             raise ValueError(f"no committed versions under {path}")
-        man = _read_manifest(path, vs[-1])
+        man = _read_manifest(path, v)
         return _change_schema(man,
                               self.options.get("deleted_col",
                                                "_cdc_deleted"),

@@ -34,6 +34,8 @@ lock service, no driver-side data.
 from __future__ import annotations
 
 import json
+import os
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -55,10 +57,16 @@ def _commit_stamp_ms(prior_man: "dict | None") -> int:
 
 
 class ConcurrentCommitError(RuntimeError):
-    """Another writer published this version first. The losing writer's
-    data directory has already been cleaned up; retry by re-deriving
-    from the NEW latest snapshot (the optimistic-concurrency loop the
-    table's own mutators run)."""
+    """Another writer published this version first. Unless the raiser
+    kept the staged directory for a fast recommit (``staged`` below),
+    the losing writer's data directory has already been cleaned up;
+    retry by re-deriving from the NEW latest snapshot (the
+    optimistic-concurrency loop the table's own mutators run)."""
+
+    #: when a losing commit kept its staged directory for a fast
+    #: recommit (disjoint-bucket conflict resolution), the raiser
+    #: attaches {"dir_name", "written", "rows"} here; None otherwise
+    staged = None
 
 
 def _evolve_schemas(snap: DataFrame, batch: DataFrame, seq_col: str,
@@ -305,6 +313,65 @@ class CdcTable:
                 continue
         return sorted(out)
 
+    # -- O(1) latest-version discovery (the _last_checkpoint role) ---------
+    def _hint_local_path(self) -> "str | None":
+        p = f"{self.path}/{_COMMIT_DIR}/_latest"
+        if p.startswith("file:"):
+            p = p[len("file:"):] or "/"
+        return None if "://" in p else p
+
+    def _update_latest_hint(self, spark: SparkSession,
+                            version: int) -> None:
+        """Best-effort latest pointer, overwritten (atomic replace)
+        after every successful publish. Readers treat it strictly as a
+        HINT — verified against the marker it names and probed forward
+        past any commits it missed — so a stale, lost, or torn update
+        can never serve a wrong snapshot; it only costs the fallback
+        listing. What it buys: ``_latest_manifest`` (every OCC attempt
+        of every micro-batch) reads O(1) files instead of listing a
+        commit log that grows by one marker per epoch forever."""
+        local = self._hint_local_path()
+        if local is None:
+            return  # non-local log: keep the listing path
+        try:
+            tmp = (f"{local}.{os.getpid()}."
+                   f"{threading.get_ident()}.tmp")
+            with open(tmp, "w") as fh:
+                fh.write(str(int(version)))
+            os.replace(tmp, local)
+        except OSError:
+            pass  # advisory only
+
+    def _latest_version(self, spark: SparkSession) -> "int | None":
+        """The newest committed version: hint + forward probe when the
+        hint is fresh (O(1) + one ``exists`` per commit the hint
+        missed), full marker listing when it is absent/corrupt/
+        unverifiable. Probing forward is sound because versions are
+        claimed densely (every committer targets exactly base+1): the
+        first missing marker after a committed one is the frontier."""
+        start = None
+        local = self._hint_local_path()
+        if local is not None:
+            try:
+                with open(local) as fh:
+                    start = int(fh.read().strip())
+            except (OSError, ValueError):
+                start = None
+        if start is not None:
+            fs, m = self._fs(spark, self._marker_path(start))
+            if not fs.exists(m):
+                start = None  # hint names a vacuumed/unknown version
+        if start is None:
+            vs = self.versions(spark)
+            if not vs:
+                return None
+            start = vs[-1]
+        while True:
+            fs, m = self._fs(spark, self._marker_path(start + 1))
+            if not fs.exists(m):
+                return start
+            start += 1
+
     def _commit(self, spark: SparkSession, df: DataFrame,
                 version: int, extra: "dict | None" = None,
                 prior_man: "dict | None" = None) -> None:
@@ -348,6 +415,10 @@ class CdcTable:
                     "rows": int(row["rows"]), "data_dir": dir_name,
                     "txn": txn,
                     "committed_at_ms": _commit_stamp_ms(prior_man)}
+        # standing CHECK constraints ride in every manifest, like the
+        # txn map — enforcement state must survive vacuum
+        if prior_man and "constraints" in prior_man:
+            manifest["constraints"] = dict(prior_man["constraints"])
         manifest.update(extra or {})
         if not fs_publish_text_exclusive(
                 spark, self._marker_path(version),
@@ -357,6 +428,7 @@ class CdcTable:
             raise ConcurrentCommitError(
                 f"version {version} of {self.path} was committed by a "
                 f"concurrent writer")
+        self._update_latest_hint(spark, version)
 
     _COMMIT_RETRIES = 6
 
@@ -386,14 +458,13 @@ class CdcTable:
             .toString()))
 
     def _latest_manifest(self, spark: SparkSession) -> dict:
-        vs = self.versions(spark)
-        if not vs:
+        # hint + probe, not a directory listing — this runs on every
+        # OCC attempt of every micro-batch, and the log grows forever
+        v = self._latest_version(spark)
+        if v is None:
             raise ValueError("CdcTable.initialize before reading")
-        # vs[-1] exists by construction — read its marker directly
-        # rather than paying _manifest_at's second directory listing
-        # (this runs on every OCC attempt of every micro-batch)
         return json.loads(_fs_read_text(
-            spark, self._fs(spark, self._marker_path(vs[-1]))[1]
+            spark, self._fs(spark, self._marker_path(v))[1]
             .toString()))
 
     # -- lifecycle -----------------------------------------------------------
@@ -451,6 +522,12 @@ class CdcTable:
             # key whose tombstone was compacted away must not resurrect
             fence = (int(man["fence_seq"]) if "fence_seq" in man
                      else None)
+            # standing CHECK constraints validate the rows this batch
+            # would make live (fence-dropped rows exempt: they never
+            # reach the table)
+            to_check = (batch if fence is None
+                        else batch.where(F.col(self.seq_col) > fence))
+            self._enforce_constraints(man, to_check, "change-batch")
             merged = merge_cdc_fenced(
                 snap, batch, self.key_cols,
                 seq_col=self.seq_col, op_col=self.op_col,
@@ -530,6 +607,9 @@ class CdcTable:
             self._backoff(_attempt)
             man = self._latest_manifest(spark)
             old = self.at_version(spark, version)
+            # a restore may not resurrect rows a constraint added since
+            # then forbids — validated like Delta validates a RESTORE
+            self._enforce_constraints(man, old, "restored")
             extra = {"restore_of": int(version)}
             if "fence_seq" in man:
                 extra["fence_seq"] = int(man["fence_seq"])
@@ -605,11 +685,231 @@ class CdcTable:
         forward into its manifest (merge, compact, optimize, on both
         layouts), so the LATEST manifest holds the max — the read cost
         is independent of history length and survives vacuum."""
-        vs = self.versions(spark)
-        if not vs:
+        if self._latest_version(spark) is None:
             return None
-        man = self._manifest_at(spark, vs[-1])
+        man = self._latest_manifest(spark)
         return int(man["fence_seq"]) if "fence_seq" in man else None
+
+    # -- CHECK constraints (log-owned, like Delta's) -----------------------
+    def _enforce_constraints(self, man: dict, rows: DataFrame,
+                             context: str) -> None:
+        """Validate ``rows`` against the manifest's standing CHECK
+        constraints, SQL-standard semantics (a row violates only when
+        the expression evaluates FALSE; UNKNOWN/NULL passes — NOT NULL
+        is its own expression). Delete changes and tombstones are
+        exempt: a constraint governs rows that will LIVE in the table.
+        One aggregate action validates every constraint in a single
+        pass over the batch; zero actions when no constraints exist."""
+        cons = man.get("constraints") or {}
+        if not cons:
+            return
+        if self.op_col in rows.columns:
+            rows = rows.where(F.col(self.op_col) != "delete")
+        if self.DELETED in rows.columns:
+            rows = rows.where(~F.col(self.DELETED))
+        names = sorted(cons)
+        counts = rows.agg(*[
+            F.sum(F.when(F.expr(cons[n]) == F.lit(False), 1)
+                  .otherwise(0)).alias(f"_c{i}")
+            for i, n in enumerate(names)]).collect()[0]
+        for i, n in enumerate(names):
+            bad = int(counts[i] or 0)
+            if bad:
+                ex = rows.where(F.expr(cons[n]) == F.lit(False)) \
+                    .limit(1).collect()
+                example = ex[0].asDict() if ex else {}
+                raise ValueError(
+                    f"CHECK constraint {n!r} ({cons[n]}) violated by "
+                    f"{bad} {context} row(s), e.g. {example} — nothing "
+                    f"was committed")
+
+    def _commit_noop(self, spark: SparkSession, version: int,
+                     prior_man: dict, extra: dict) -> None:
+        """Manifest-only commit: new version, same data (the prior
+        version's directory is referenced again — vacuum resolves data
+        dirs by reference, so sharing is safe)."""
+        fs_, m_ = self._fs(spark, self._marker_path(version))
+        if fs_.exists(m_):
+            raise ConcurrentCommitError(
+                f"version {version} of {self.path} is already committed")
+        manifest = {"app_id": self.app_id, "version": int(version),
+                    "rows": int(prior_man.get("rows", 0)),
+                    "data_dir": prior_man["data_dir"],
+                    "txn": dict(prior_man.get("txn", {})),
+                    "committed_at_ms": _commit_stamp_ms(prior_man)}
+        if "fence_seq" in prior_man:
+            manifest["fence_seq"] = int(prior_man["fence_seq"])
+        if "constraints" in prior_man:
+            manifest["constraints"] = dict(prior_man["constraints"])
+        manifest.update(extra or {})
+        from systems_spark.state import fs_publish_text_exclusive
+        if not fs_publish_text_exclusive(
+                spark, self._marker_path(version),
+                json.dumps(manifest, sort_keys=True)):
+            raise ConcurrentCommitError(
+                f"version {version} of {self.path} was committed by a "
+                f"concurrent writer")
+        self._update_latest_hint(spark, version)
+
+    def constraints(self, spark: SparkSession) -> "dict[str, str]":
+        """The standing CHECK constraints (name → SQL expression)."""
+        return dict(self._latest_manifest(spark).get("constraints", {}))
+
+    def add_constraint(self, spark: SparkSession, name: str,
+                       expr: str) -> int:
+        """ALTER TABLE ADD CONSTRAINT name CHECK (expr): existing LIVE
+        rows are validated once, up front (exactly Delta's behavior —
+        a constraint the table already violates cannot be added), then
+        the constraint is committed to the transaction log and every
+        later merge validates its change batch against it, on both
+        layouts and both write modes. Adding the identical constraint
+        again is a no-op; a different expression under the same name
+        raises. Returns the committed (or current) version."""
+        if not name or not str(expr).strip():
+            raise ValueError("constraint needs a name and an expression")
+        for _attempt in range(self._COMMIT_RETRIES):
+            self._backoff(_attempt)
+            man = self._latest_manifest(spark)
+            cons = dict(man.get("constraints", {}))
+            if cons.get(name) == str(expr):
+                return int(man["version"])  # idempotent re-add
+            if name in cons:
+                raise ValueError(
+                    f"constraint {name!r} already exists as "
+                    f"{cons[name]!r}; drop it first")
+            self._enforce_constraints(
+                {"constraints": {name: str(expr)}},
+                self.snapshot(spark), "existing")
+            cons[name] = str(expr)
+            version = int(man["version"]) + 1
+            try:
+                self._commit_noop(spark, version, man,
+                                  {"constraints": cons,
+                                   "constraint_added": name})
+                return version
+            except ConcurrentCommitError:
+                continue
+        raise ConcurrentCommitError(
+            f"add_constraint gave up after {self._COMMIT_RETRIES} "
+            f"attempts on {self.path}")
+
+    def drop_constraint(self, spark: SparkSession, name: str) -> int:
+        """ALTER TABLE DROP CONSTRAINT — commits the removal to the
+        log; later merges stop validating it. Returns the version."""
+        for _attempt in range(self._COMMIT_RETRIES):
+            self._backoff(_attempt)
+            man = self._latest_manifest(spark)
+            cons = dict(man.get("constraints", {}))
+            if name not in cons:
+                raise KeyError(
+                    f"no constraint {name!r} on {self.path} "
+                    f"(standing: {sorted(cons)})")
+            del cons[name]
+            version = int(man["version"]) + 1
+            try:
+                self._commit_noop(spark, version, man,
+                                  {"constraints": cons,
+                                   "constraint_dropped": name})
+                return version
+            except ConcurrentCommitError:
+                continue
+        raise ConcurrentCommitError(
+            f"drop_constraint gave up after {self._COMMIT_RETRIES} "
+            f"attempts on {self.path}")
+
+    def add_not_null(self, spark: SparkSession, column: str) -> int:
+        """NOT NULL as constraint sugar: ``column IS NOT NULL`` (which
+        never evaluates UNKNOWN, so SQL-standard CHECK semantics
+        enforce it exactly)."""
+        return self.add_constraint(spark, f"{column}_not_null",
+                                   f"{column} IS NOT NULL")
+
+    # -- predicate DML (DELETE FROM / UPDATE ... WHERE) --------------------
+    def _dml_matched(self, spark: SparkSession, predicate):
+        """Live rows matching a DML predicate, plus (max seq, count) —
+        one aggregate action over the one full scan an arbitrary
+        predicate inherently costs."""
+        snap = self.snapshot(spark)
+        matched = snap.where(~F.col(self.DELETED)).where(predicate)
+        row = matched.agg(F.max(self.seq_col).alias("m"),
+                          F.count(F.lit(1)).alias("n")).collect()[0]
+        return matched, row["m"], int(row["n"])
+
+    def _dml_apply(self, spark: SparkSession, changes: DataFrame,
+                   max_seq, seq, batch_id) -> int:
+        if seq is None:
+            f = self.fence(spark)
+            seq = max(int(max_seq),
+                      int(f) if f is not None else int(max_seq)) + 1
+        changes = changes.withColumn(
+            self.seq_col, F.lit(int(seq)).cast("long"))
+        if batch_id is None:
+            # DML is not an idempotent stream epoch: claim the next
+            # batch slot so it threads through the same txn discipline
+            batch_id = int(self._latest_manifest(spark)
+                           .get("txn", {}).get(self.app_id, -1)) + 1
+        self(changes, int(batch_id))
+        return self._latest_version(spark)
+
+    def delete_where(self, spark: SparkSession, predicate,
+                     seq: "int | None" = None,
+                     batch_id: "int | None" = None) -> "int | None":
+        """``DELETE FROM table WHERE predicate`` — compiles to a
+        delete-change batch applied through the standard fenced merge,
+        so every table guarantee (tombstones, fencing, OCC, constraint
+        exemption for deletes, touched-bucket pruning on the
+        partitioned layout, O(batch) delta commit in merge-on-read)
+        applies unchanged. One full scan finds the matched keys — the
+        inherent cost of an arbitrary predicate; everything after is
+        batch-proportional. ``seq`` defaults to one past the matched
+        rows' highest seq (and the fence), which is exactly late
+        enough to win last-op-wins for those keys. Returns the
+        committed version, or None when nothing matched (no commit)."""
+        matched, max_seq, n = self._dml_matched(spark, predicate)
+        if n == 0:
+            return None
+        changes = (matched.drop(self.DELETED)
+                   .withColumn(self.op_col, F.lit("delete")))
+        return self._dml_apply(spark, changes, max_seq, seq, batch_id)
+
+    def update_where(self, spark: SparkSession, predicate,
+                     assignments: dict,
+                     seq: "int | None" = None,
+                     batch_id: "int | None" = None) -> "int | None":
+        """``UPDATE table SET col = expr, ... WHERE predicate`` — the
+        matched rows' postimages (assignments applied; values may be
+        SQL strings or Column expressions over the old row) commit as
+        an update-change batch through the standard merge, so CHECK
+        constraints validate the postimages and all layout/OCC
+        guarantees hold. Assigning to a merge KEY column raises: under
+        keyed upsert semantics that would insert a new key and strand
+        the old row — model key changes as delete + insert. Returns
+        the committed version, or None when nothing matched."""
+        matched, max_seq, n = self._dml_matched(spark, predicate)
+        bad_keys = set(assignments) & set(self.key_cols)
+        if bad_keys:
+            raise ValueError(
+                f"update_where cannot assign to merge key column(s) "
+                f"{sorted(bad_keys)}; use delete + insert")
+        payload = [c for c in matched.columns
+                   if c not in (self.seq_col, self.DELETED)]
+        unknown = set(assignments) - set(payload)
+        if unknown:
+            raise ValueError(
+                f"update_where: no such column(s) {sorted(unknown)} "
+                f"(payload: {payload})")
+        if n == 0:
+            return None
+        # one simultaneous projection (SQL UPDATE semantics): every
+        # assignment expression sees the OLD row, never a sibling
+        # assignment's new value
+        exprs = {c: (F.expr(e) if isinstance(e, str) else e)
+                 for c, e in assignments.items()}
+        dropped = matched.drop(self.DELETED)
+        changes = dropped.select(
+            *[exprs.get(c, F.col(c)).alias(c) for c in dropped.columns]
+        ).withColumn(self.op_col, F.lit("update"))
+        return self._dml_apply(spark, changes, max_seq, seq, batch_id)
 
     def compact(self, spark: SparkSession, fence_seq: int) -> int:
         """Drop tombstones with seq ≤ ``fence_seq`` from the live
@@ -652,10 +952,7 @@ class CdcTable:
         location a :class:`~systems_spark.operators.zorder.StatsIndex`
         keys on. Every commit moves it (new version dir), so the stats
         fingerprint can never serve a stale layout."""
-        vs = self.versions(spark)
-        if not vs:
-            raise ValueError("CdcTable.initialize before reading")
-        return self._data_path(self._manifest_at(spark, vs[-1]))
+        return self._data_path(self._latest_manifest(spark))
 
     def optimize(self, spark: SparkSession, zorder_cols, ranges,
                  bits: int = 16, partitions: "int | None" = None) -> int:
@@ -715,17 +1012,18 @@ class CdcTable:
             drop = [v for v in drop
                     if int(mans[v].get("committed_at_ms", 0))
                     < int(older_than_ms)]
+        kept_dirs = {mans[v]["data_dir"] for v in vs if v not in drop}
         for v in drop:
             fs, m = self._fs(spark, self._marker_path(v))
             fs.delete(m, False)
-            _, d = self._fs(spark, self._data_path(mans[v]))
-            fs.delete(d, True)
-        # sweep loser/crashed attempts: any version=* directory no kept
-        # manifest references is an unpublished staging dir (marker-last
-        # made it invisible to every reader). Same caveat as every
-        # format's vacuum: don't run concurrently with an IN-FLIGHT
-        # writer, whose staging dir is indistinguishable from a dead one
-        kept_dirs = {mans[v]["data_dir"] for v in vs if v not in drop}
+        # sweep data dirs by REFERENCE, not by dropped version: a
+        # manifest-only commit (add/drop constraint) shares its
+        # predecessor's data dir, which must survive as long as ANY
+        # kept manifest references it; loser/crashed staging dirs
+        # (referenced by nothing) fall out the same way. Same caveat as
+        # every format's vacuum: don't run concurrently with an
+        # IN-FLIGHT writer, whose staging dir is indistinguishable
+        # from a dead one
         fs, root = self._fs(spark, self.path)
         for status in fs.listStatus(root):
             name = status.getPath().getName()
@@ -923,21 +1221,15 @@ class PartitionedCdcTable(CdcTable):
                               for n in (f.name for f in
                                         self._change_schema(man).fields)])
 
-    def _commit_delta(self, spark: SparkSession, batch: DataFrame,
-                      version: int, prior_man: dict, schema_json: str,
-                      extra: "dict | None" = None) -> None:
-        """The merge-on-read commit: stage ONLY the change batch under
-        ``delta=V__app``, grow the manifest's pending list — bucket
-        mapping and dirs carry forward untouched. O(batch) I/O."""
-        self._check_conf(prior_man)
-        fs_, m_ = self._fs(spark, self._marker_path(version))
-        if fs_.exists(m_):
-            raise ConcurrentCommitError(
-                f"version {version} of {self.path} is already committed")
-        dir_name = f"delta={int(version)}__{self.app_id}"
-        target = f"{self.path}/{dir_name}"
-        batch.write.mode("overwrite").parquet(target)
-        rows = spark.read.parquet(target).count()
+    def _publish_delta_manifest(self, spark: SparkSession, version: int,
+                                prior_man: dict, rows: int, dir_name: str,
+                                schema_json: str,
+                                extra: "dict | None" = None) -> None:
+        """CAS-publish a merge-on-read manifest: bucket mapping and
+        dirs carry forward from ``prior_man`` untouched, pending grows
+        by the staged ``dir_name`` (whose encoded version number need
+        not match ``version`` — fast recommit). Raises on CAS loss
+        without touching data; cleanup is the caller's policy."""
         txn = dict(prior_man.get("txn", {}))
         if extra and "batch_id" in extra:
             txn[self.app_id] = max(int(extra["batch_id"]),
@@ -948,20 +1240,70 @@ class PartitionedCdcTable(CdcTable):
                     "dirs": dict(prior_man.get("dirs", {})),
                     "pending": list(prior_man.get("pending", []))
                     + [dir_name],
+                    # the version's OWN change file, recorded explicitly:
+                    # a fast-recommitted delta keeps the dir name it was
+                    # staged under, so the name's encoded version may
+                    # differ from the committed one — consumers (the
+                    # change-feed source) must resolve through the
+                    # manifest, never by parsing directory names
+                    "change_dir": dir_name,
                     "txn": txn,
                     "committed_at_ms": _commit_stamp_ms(prior_man),
                     "table_conf": self._table_conf(),
                     "schema": schema_json}
+        if "constraints" in prior_man:
+            manifest["constraints"] = dict(prior_man["constraints"])
         manifest.update(extra or {})
         from systems_spark.state import fs_publish_text_exclusive
         if not fs_publish_text_exclusive(
                 spark, self._marker_path(version),
                 json.dumps(manifest, sort_keys=True)):
-            fs, d = self._fs(spark, target)
-            fs.delete(d, True)
             raise ConcurrentCommitError(
                 f"version {version} of {self.path} was committed by a "
                 f"concurrent writer")
+        self._update_latest_hint(spark, version)
+
+    def _commit_delta(self, spark: SparkSession, batch: DataFrame,
+                      version: int, prior_man: dict, schema_json: str,
+                      extra: "dict | None" = None,
+                      keep_staged_on_loss: bool = False) -> None:
+        """The merge-on-read commit: stage ONLY the change batch under
+        ``delta=V__app``, grow the manifest's pending list — bucket
+        mapping and dirs carry forward untouched. O(batch) I/O. On a
+        CAS loss the staged directory is deleted, or (with
+        ``keep_staged_on_loss``) kept and handed back on the error's
+        ``staged`` attribute for a fast recommit."""
+        self._check_conf(prior_man)
+        fs_, m_ = self._fs(spark, self._marker_path(version))
+        if fs_.exists(m_):
+            raise ConcurrentCommitError(
+                f"version {version} of {self.path} is already committed")
+        dir_name = f"delta={int(version)}__{self.app_id}"
+        target = f"{self.path}/{dir_name}"
+        batch.write.mode("overwrite").parquet(target)
+        rows = spark.read.parquet(target).count()
+        try:
+            self._publish_delta_manifest(spark, version, prior_man,
+                                         int(rows), dir_name,
+                                         schema_json, extra=extra)
+        except ConcurrentCommitError as err:
+            if keep_staged_on_loss:
+                err.staged = {"dir_name": dir_name, "written": set(),
+                              "rows": int(rows)}
+            else:
+                fs, d = self._fs(spark, target)
+                fs.delete(d, True)
+            raise
+
+    def _commit_noop(self, spark: SparkSession, version: int,
+                     prior_man: dict, extra: dict) -> None:
+        """Manifest-only commit, bucket-shaped: mapping, dirs, pending,
+        schema and fence all carry forward untouched."""
+        x = dict(extra or {})
+        if "fence_seq" in prior_man and "fence_seq" not in x:
+            x["fence_seq"] = int(prior_man["fence_seq"])
+        self._commit_version(spark, None, version, prior_man, (),
+                             prior_man["schema"], x)
 
     def compact_deltas(self, spark: SparkSession) -> int:
         """Fold every pending delta into the buckets it touches and
@@ -1005,42 +1347,23 @@ class PartitionedCdcTable(CdcTable):
             f"compact_deltas gave up after {self._COMMIT_RETRIES} "
             f"attempts on {self.path}")
 
-    def _commit_version(self, spark: SparkSession, df: "DataFrame | None",
-                        version: int, prior_man: "dict | None",
-                        touched, schema_json: str,
-                        extra: "dict | None" = None,
-                        pending_override: "list | None" = None,
-                        allow_conf_change: bool = False) -> None:
-        """Stage the touched buckets (df pre-bucketed) under this
-        writer's own directory, then CAS-publish the version marker;
-        the manifest's mapping carries untouched entries forward and
-        points touched buckets that survived at the new directory,
-        and its ``dirs`` map resolves every referenced writer version.
-        ``df=None`` commits manifest-only (no data dir). Losing the
-        marker race deletes the staged directory and raises
-        :class:`ConcurrentCommitError`. The early marker check keeps a
-        writer from ever staging over its own committed data (see
-        CdcTable._commit)."""
-        if prior_man is not None and not allow_conf_change:
-            self._check_conf(prior_man)
-        fs_, m_ = self._fs(spark, self._marker_path(version))
-        if fs_.exists(m_):
-            raise ConcurrentCommitError(
-                f"version {version} of {self.path} is already committed")
+    def _publish_cow_manifest(self, spark: SparkSession, version: int,
+                              prior_man: "dict | None", touched, written,
+                              rows: int, dir_name: "str | None",
+                              schema_json: str,
+                              extra: "dict | None" = None,
+                              pending_override: "list | None" = None
+                              ) -> None:
+        """Build and CAS-publish a copy-on-write manifest: the bucket
+        mapping carries ``prior_man``'s untouched entries forward and
+        points the surviving ``written`` buckets at ``dir_name`` (which
+        need not encode ``version`` — a fast recommit republishes a dir
+        staged under an earlier version number; the ``dirs`` map is the
+        only resolver). Raises :class:`ConcurrentCommitError` on a CAS
+        loss without touching any data directory — staged-dir cleanup
+        is the caller's policy."""
         prior = self._mapping(prior_man) if prior_man else {}
         prior_dirs = dict(prior_man.get("dirs", {})) if prior_man else {}
-        written = set()
-        dir_name = self._write_data_dir(version)
-        target = f"{self.path}/{dir_name}"
-        if df is not None:
-            df.write.partitionBy(self.BUCKET).mode("overwrite") \
-                .parquet(target)
-            back = spark.read.parquet(target)
-            written = {int(r[0]) for r in
-                       back.select(self.BUCKET).distinct().collect()}
-            rows = back.count()
-        else:
-            rows = 0
         mapping = {b: v for b, v in prior.items() if b not in set(touched)}
         mapping.update({b: int(version) for b in written})
         dirs = {str(v): prior_dirs[str(v)]
@@ -1065,17 +1388,70 @@ class PartitionedCdcTable(CdcTable):
                     "committed_at_ms": _commit_stamp_ms(prior_man),
                     "table_conf": self._table_conf(),
                     "schema": schema_json}
+        if prior_man and "constraints" in prior_man:
+            manifest["constraints"] = dict(prior_man["constraints"])
         manifest.update(extra or {})
         from systems_spark.state import fs_publish_text_exclusive
         if not fs_publish_text_exclusive(
                 spark, self._marker_path(version),
                 json.dumps(manifest, sort_keys=True)):
-            if df is not None:
-                fs, d = self._fs(spark, target)
-                fs.delete(d, True)
             raise ConcurrentCommitError(
                 f"version {version} of {self.path} was committed by a "
                 f"concurrent writer")
+        self._update_latest_hint(spark, version)
+
+    def _commit_version(self, spark: SparkSession, df: "DataFrame | None",
+                        version: int, prior_man: "dict | None",
+                        touched, schema_json: str,
+                        extra: "dict | None" = None,
+                        pending_override: "list | None" = None,
+                        allow_conf_change: bool = False,
+                        keep_staged_on_loss: bool = False) -> None:
+        """Stage the touched buckets (df pre-bucketed) under this
+        writer's own directory, then CAS-publish the version marker;
+        the manifest's mapping carries untouched entries forward and
+        points touched buckets that survived at the new directory,
+        and its ``dirs`` map resolves every referenced writer version.
+        ``df=None`` commits manifest-only (no data dir). Losing the
+        marker race deletes the staged directory and raises
+        :class:`ConcurrentCommitError` — unless ``keep_staged_on_loss``,
+        in which case the staged directory survives and its coordinates
+        ride on the error's ``staged`` attribute so the caller may
+        attempt a disjoint-bucket fast recommit. The early marker check
+        keeps a writer from ever staging over its own committed data
+        (see CdcTable._commit)."""
+        if prior_man is not None and not allow_conf_change:
+            self._check_conf(prior_man)
+        fs_, m_ = self._fs(spark, self._marker_path(version))
+        if fs_.exists(m_):
+            raise ConcurrentCommitError(
+                f"version {version} of {self.path} is already committed")
+        written = set()
+        dir_name = self._write_data_dir(version)
+        target = f"{self.path}/{dir_name}"
+        if df is not None:
+            df.write.partitionBy(self.BUCKET).mode("overwrite") \
+                .parquet(target)
+            back = spark.read.parquet(target)
+            written = {int(r[0]) for r in
+                       back.select(self.BUCKET).distinct().collect()}
+            rows = back.count()
+        else:
+            rows = 0
+        try:
+            self._publish_cow_manifest(
+                spark, version, prior_man, touched, written, rows,
+                dir_name if df is not None else None, schema_json,
+                extra=extra, pending_override=pending_override)
+        except ConcurrentCommitError as err:
+            if df is not None:
+                if keep_staged_on_loss:
+                    err.staged = {"dir_name": dir_name,
+                                  "written": written, "rows": int(rows)}
+                else:
+                    fs, d = self._fs(spark, target)
+                    fs.delete(d, True)
+            raise
 
     # -- lifecycle -----------------------------------------------------------
     def initialize(self, seed: DataFrame, seq: int = 0) -> None:
@@ -1101,87 +1477,174 @@ class PartitionedCdcTable(CdcTable):
         return self._materialize_view(
             spark, self._manifest_at(spark, version))
 
+    # -- OCC conflict resolution ---------------------------------------------
+    def _fast_compatible(self, new_man: dict, base_man: dict,
+                         touched) -> bool:
+        """Delta-style LOGICAL conflict detection: a merge derived from
+        ``base_man`` may republish its already-staged result on top of
+        ``new_man`` without recomputing iff every interleaved commit is
+        provably irrelevant to it — table conf unchanged, schema
+        unchanged, fence unchanged, and none of the merge's touched
+        buckets repointed (a disjoint writer, a disjoint compaction, or
+        a pure merge-on-read delta all pass; an overlapping rewrite, a
+        fence advance, a restore or a rebucket all force the full
+        rebase). Pending deltas may differ freely: they fold at read
+        time through the order-independent fenced merge, over whatever
+        bucket data the mapping points at."""
+        try:
+            self._check_conf(new_man)
+        except ValueError:
+            return False
+        if new_man.get("schema") != base_man.get("schema"):
+            return False
+        if new_man.get("fence_seq") != base_man.get("fence_seq"):
+            return False
+        # a constraint added in the window was never checked against
+        # the staged batch — only the full rebase re-validates
+        if new_man.get("constraints") != base_man.get("constraints"):
+            return False
+        new_map, base_map = self._mapping(new_man), self._mapping(base_man)
+        return all(new_map.get(b) == base_map.get(b) for b in touched)
+
+    def _drop_dir(self, spark: SparkSession, dir_name: str) -> None:
+        fs, d = self._fs(spark, f"{self.path}/{dir_name}")
+        fs.delete(d, True)
+
     # -- the foreachBatch entry point ----------------------------------------
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from systems_spark.operators.cdc import merge_cdc_fenced
 
         spark = batch_df.sparkSession
-        for _attempt in range(self._COMMIT_RETRIES):
-            self._backoff(_attempt)
-            man = self._latest_manifest(spark)  # ONE marker read
-            if int(batch_id) <= int(man.get("txn", {})
-                                    .get(self.app_id, -1)):
-                return  # replayed epoch
-            fence = (int(man["fence_seq"]) if "fence_seq" in man
-                     else None)
-            extra = {"batch_id": int(batch_id)}
-            batch = batch_df
-            if fence is not None:
-                extra["fence_seq"] = int(fence)
-                batch = batch.where(F.col(self.seq_col) > int(fence))
-            version = int(man["version"]) + 1  # exactly base+1: OCC
-            if self.write_mode == "merge_on_read":
-                # O(batch) commit: stage the batch as a delta log
-                # entry; buckets untouched, readers fold at read time
-                schema_json = man["schema"]
-                if self.schema_evolution == "merge":
-                    empty = self._empty_like(spark, man)
-                    evolved_empty, batch, evolved = _evolve_schemas(
-                        empty, batch, self.seq_col, self.op_col,
-                        self.DELETED)
-                    if evolved:
-                        schema_json = json.dumps(
-                            evolved_empty.schema.jsonValue())
-                else:
-                    # strict mode must reject a malformed batch AT THE
-                    # WRITE, exactly like the copy-on-write path does
-                    # via the merge core — a verbatim-staged bad batch
-                    # would otherwise wedge every later read, and an
-                    # extra column would be silently dropped by the
-                    # manifest-schema read
-                    batch = self._conform_strict_batch(man, batch)
+        staged = None  # a kept loser dir awaiting a fast recommit
+        try:
+            for _attempt in range(self._COMMIT_RETRIES):
+                self._backoff(_attempt)
+                man = self._latest_manifest(spark)  # ONE marker read
+                if int(batch_id) <= int(man.get("txn", {})
+                                        .get(self.app_id, -1)):
+                    return  # replayed epoch
+                if staged is not None:
+                    # FAST RECOMMIT: the previous attempt lost the CAS
+                    # but kept its staged directory. If the interleaved
+                    # commits are logically irrelevant to this merge
+                    # (disjoint buckets, same fence/schema/conf), the
+                    # staged result is still exactly what a rebase
+                    # would recompute — repoint the manifest at it and
+                    # skip the recompute AND the rewrite entirely.
+                    if self._fast_compatible(man, staged["base_man"],
+                                             staged["touched"]):
+                        extra = dict(staged["extra"])
+                        extra["occ_recommit_of_base"] = int(
+                            staged["base_man"]["version"])
+                        version = int(man["version"]) + 1
+                        try:
+                            if staged["mode"] == "delta":
+                                self._publish_delta_manifest(
+                                    spark, version, man, staged["rows"],
+                                    staged["dir_name"],
+                                    staged["schema_json"], extra=extra)
+                            else:
+                                self._publish_cow_manifest(
+                                    spark, version, man,
+                                    staged["touched"], staged["written"],
+                                    staged["rows"], staged["dir_name"],
+                                    staged["schema_json"], extra=extra)
+                            staged = None
+                            return
+                        except ConcurrentCommitError:
+                            continue  # retry against the newer manifest
+                    # an incompatible interleave: full rebase below
+                    self._drop_dir(spark, staged["dir_name"])
+                    staged = None
+                fence = (int(man["fence_seq"]) if "fence_seq" in man
+                         else None)
+                extra = {"batch_id": int(batch_id)}
+                batch = batch_df
+                if fence is not None:
+                    extra["fence_seq"] = int(fence)
+                    batch = batch.where(F.col(self.seq_col) > int(fence))
+                version = int(man["version"]) + 1  # exactly base+1: OCC
+                if self.write_mode == "merge_on_read":
+                    # O(batch) commit: stage the batch as a delta log
+                    # entry; buckets untouched, readers fold at read time
+                    schema_json = man["schema"]
+                    if self.schema_evolution == "merge":
+                        empty = self._empty_like(spark, man)
+                        evolved_empty, batch, evolved = _evolve_schemas(
+                            empty, batch, self.seq_col, self.op_col,
+                            self.DELETED)
+                        if evolved:
+                            schema_json = json.dumps(
+                                evolved_empty.schema.jsonValue())
+                    else:
+                        # strict mode must reject a malformed batch AT
+                        # THE WRITE, exactly like the copy-on-write path
+                        # does via the merge core — a verbatim-staged
+                        # bad batch would otherwise wedge every later
+                        # read, and an extra column would be silently
+                        # dropped by the manifest-schema read
+                        batch = self._conform_strict_batch(man, batch)
+                    self._enforce_constraints(man, batch, "change-batch")
+                    try:
+                        self._commit_delta(spark, batch, version, man,
+                                           schema_json, extra,
+                                           keep_staged_on_loss=True)
+                        return
+                    except ConcurrentCommitError as err:
+                        if err.staged is not None:
+                            staged = dict(err.staged, mode="delta",
+                                          base_man=man, touched=(),
+                                          schema_json=schema_json,
+                                          extra=extra)
+                        continue
+                # the touched-bucket set is ≤ num_buckets — a bounded
+                # collect, the partition-pruning decision every format
+                # makes
+                touched = sorted(
+                    int(r[0]) for r in batch.select(self._bucket_expr())
+                    .distinct().collect())
                 try:
-                    self._commit_delta(spark, batch, version, man,
-                                       schema_json, extra)
+                    if not touched:
+                        self._commit_version(spark, None, version, man,
+                                             (), man["schema"], extra)
+                        return
+                    snap_touched = self._read_buckets(spark, man, touched)
+                    schema_json = man["schema"]
+                    if self.schema_evolution == "merge":
+                        snap_touched, batch, evolved = _evolve_schemas(
+                            snap_touched, batch, self.seq_col,
+                            self.op_col, self.DELETED)
+                        if evolved:
+                            # the evolved schema becomes the log's
+                            # truth; untouched buckets' old files
+                            # NULL-fill the new columns at read
+                            schema_json = json.dumps(
+                                snap_touched.schema.jsonValue())
+                    self._enforce_constraints(man, batch, "change-batch")
+                    merged = merge_cdc_fenced(
+                        snap_touched, batch, self.key_cols,
+                        seq_col=self.seq_col, op_col=self.op_col,
+                        deleted_col=self.DELETED)
+                    self._commit_version(
+                        spark,
+                        merged.withColumn(self.BUCKET,
+                                          self._bucket_expr()),
+                        version, man, touched, schema_json, extra,
+                        keep_staged_on_loss=True)
                     return
-                except ConcurrentCommitError:
-                    continue
-            # the touched-bucket set is ≤ num_buckets — a bounded
-            # collect, the partition-pruning decision every format makes
-            touched = sorted(
-                int(r[0]) for r in batch.select(self._bucket_expr())
-                .distinct().collect())
-            try:
-                if not touched:
-                    self._commit_version(spark, None, version, man, (),
-                                         man["schema"], extra)
-                    return
-                snap_touched = self._read_buckets(spark, man, touched)
-                schema_json = man["schema"]
-                if self.schema_evolution == "merge":
-                    snap_touched, batch, evolved = _evolve_schemas(
-                        snap_touched, batch, self.seq_col, self.op_col,
-                        self.DELETED)
-                    if evolved:
-                        # the evolved schema becomes the log's truth;
-                        # untouched buckets' old files NULL-fill the new
-                        # columns at read
-                        schema_json = json.dumps(
-                            snap_touched.schema.jsonValue())
-                merged = merge_cdc_fenced(
-                    snap_touched, batch, self.key_cols,
-                    seq_col=self.seq_col, op_col=self.op_col,
-                    deleted_col=self.DELETED)
-                self._commit_version(
-                    spark,
-                    merged.withColumn(self.BUCKET, self._bucket_expr()),
-                    version, man, touched, schema_json, extra)
-                return
-            except ConcurrentCommitError:
-                continue  # rebase on the interleaved commit
-        raise ConcurrentCommitError(
-            f"gave up after {self._COMMIT_RETRIES} rebased attempts on "
-            f"{self.path} (writer contention)")
+                except ConcurrentCommitError as err:
+                    if err.staged is not None:
+                        staged = dict(err.staged, mode="cow",
+                                      base_man=man, touched=touched,
+                                      schema_json=schema_json,
+                                      extra=extra)
+                    continue  # rebase on the interleaved commit
+            raise ConcurrentCommitError(
+                f"gave up after {self._COMMIT_RETRIES} rebased attempts "
+                f"on {self.path} (writer contention)")
+        finally:
+            if staged is not None:
+                self._drop_dir(spark, staged["dir_name"])
 
     # -- operations ------------------------------------------------------------
     def compact(self, spark: SparkSession, fence_seq: int) -> int:
@@ -1276,6 +1739,7 @@ class PartitionedCdcTable(CdcTable):
             man = self._latest_manifest(spark)
             old_man = self._manifest_at(spark, version)
             old = self._materialize_view(spark, old_man)
+            self._enforce_constraints(man, old, "restored")
             extra = {"restore_of": int(version)}
             if "fence_seq" in man:
                 extra["fence_seq"] = int(man["fence_seq"])
