@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "cdc_multiwriter",
     "cdc_merge_on_read",
     "cdc_dml",
+    "cdc_mat_view",
     "streaming_change_feed",
     "cdc_replication",
     "dedup_forget",

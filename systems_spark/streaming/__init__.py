@@ -31,6 +31,9 @@ from pyspark.sql import functions as F
 from systems_spark.streaming.cdf_source import (  # noqa: F401
     CdcChangeFeedDataSource,
 )
+from systems_spark.streaming.matview import (  # noqa: F401
+    MaterializedAggView,
+)
 from systems_spark.streaming.sinks import (CdcTable,  # noqa: F401
                                            ConcurrentCommitError,
                                            IdempotentParquetSink,

@@ -372,6 +372,16 @@ class CdcTable:
                 return start
             start += 1
 
+    def _carry_standing(self, manifest: dict,
+                        prior_man: "dict | None") -> None:
+        """Standing maps (CHECK constraints, tags) ride in EVERY
+        manifest, like the txn map — one marker read answers them and
+        vacuum can't lose them. ``extra`` may still override (that is
+        how add/drop commit their change)."""
+        for k in ("constraints", "tags"):
+            if prior_man and k in prior_man:
+                manifest[k] = dict(prior_man[k])
+
     def _commit(self, spark: SparkSession, df: DataFrame,
                 version: int, extra: "dict | None" = None,
                 prior_man: "dict | None" = None) -> None:
@@ -415,10 +425,7 @@ class CdcTable:
                     "rows": int(row["rows"]), "data_dir": dir_name,
                     "txn": txn,
                     "committed_at_ms": _commit_stamp_ms(prior_man)}
-        # standing CHECK constraints ride in every manifest, like the
-        # txn map — enforcement state must survive vacuum
-        if prior_man and "constraints" in prior_man:
-            manifest["constraints"] = dict(prior_man["constraints"])
+        self._carry_standing(manifest, prior_man)
         manifest.update(extra or {})
         if not fs_publish_text_exclusive(
                 spark, self._marker_path(version),
@@ -624,7 +631,7 @@ class CdcTable:
             f"{self.path}")
 
     def changes_between(self, spark: SparkSession, v_from: int,
-                        v_to: int) -> DataFrame:
+                        v_to: int, preimages: bool = False) -> DataFrame:
         """The CHANGE DATA FEED between two committed versions (Delta's
         CDF read): the net row-level changes a downstream consumer must
         apply to move a replica from ``v_from`` to ``v_to`` — payload +
@@ -634,13 +641,29 @@ class CdcTable:
         deleted-then-reinserted across the window nets to one update; a
         key whose seq never moved emits nothing.
 
+        ``preimages=True`` additionally emits each update's OLD row as
+        ``_change_type='update_preimage'`` (and renames the new row to
+        ``'update_postimage'``) — Delta CDF's four-type shape, which
+        differential consumers (incremental view maintenance) need to
+        subtract the old contribution. Zero extra cost: the preimage
+        columns are already on the join.
+
         Plan: two snapshot reads + one NULL-safe full key join — no
         replay of the intervening merges, so the feed between any two
         versions costs the same regardless of how many epochs separate
         them. Works on the partitioned table too (only needs
         ``at_version``)."""
-        a = self.at_version(spark, v_from)
-        b = self.at_version(spark, v_to)
+        return self._diff_snapshots(self.at_version(spark, v_from),
+                                    self.at_version(spark, v_to),
+                                    preimages)
+
+    def _diff_snapshots(self, a: DataFrame, b: DataFrame,
+                        preimages: bool) -> DataFrame:
+        """The net-change computation behind ``changes_between``,
+        over two endpoint snapshot frames (tombstones + seq included).
+        Split out so the partitioned layout can feed it PRUNED
+        endpoints (touched buckets ⋉ touched keys) when the window is
+        servable from the delta log."""
         # the window may span a schema evolution: align both endpoints
         # to the UNION payload (columns absent at an endpoint NULL-fill,
         # exactly how that endpoint's reader would see them today)
@@ -666,14 +689,22 @@ class CdcTable:
                for c in payload + [self.seq_col]]
         ins = (j.where(F.col("A._cdf_pa").isNull())
                .select(*post, F.lit("insert").alias("_change_type")))
-        upd = (j.where(F.col("A._cdf_pa").isNotNull()
-                       & F.col("B._cdf_pb").isNotNull()
-                       & (F.col(f"A.{self.seq_col}")
-                          != F.col(f"B.{self.seq_col}")))
-               .select(*post, F.lit("update").alias("_change_type")))
+        moved = (F.col("A._cdf_pa").isNotNull()
+                 & F.col("B._cdf_pb").isNotNull()
+                 & (F.col(f"A.{self.seq_col}")
+                    != F.col(f"B.{self.seq_col}")))
+        upd = (j.where(moved)
+               .select(*post, F.lit("update_postimage" if preimages
+                                    else "update")
+                       .alias("_change_type")))
         dele = (j.where(F.col("B._cdf_pb").isNull())
                 .select(*pre, F.lit("delete").alias("_change_type")))
-        return ins.unionByName(upd).unionByName(dele)
+        out = ins.unionByName(upd).unionByName(dele)
+        if preimages:
+            out = out.unionByName(
+                j.where(moved).select(
+                    *pre, F.lit("update_preimage").alias("_change_type")))
+        return out
 
     def fence(self, spark: SparkSession) -> "int | None":
         """The standing compaction fence: the highest ``fence_seq`` any
@@ -739,8 +770,7 @@ class CdcTable:
                     "committed_at_ms": _commit_stamp_ms(prior_man)}
         if "fence_seq" in prior_man:
             manifest["fence_seq"] = int(prior_man["fence_seq"])
-        if "constraints" in prior_man:
-            manifest["constraints"] = dict(prior_man["constraints"])
+        self._carry_standing(manifest, prior_man)
         manifest.update(extra or {})
         from systems_spark.state import fs_publish_text_exclusive
         if not fs_publish_text_exclusive(
@@ -823,6 +853,81 @@ class CdcTable:
         enforce it exactly)."""
         return self.add_constraint(spark, f"{column}_not_null",
                                    f"{column} IS NOT NULL")
+
+    # -- named version refs (Iceberg-style tags) ---------------------------
+    def tags(self, spark: SparkSession) -> "dict[str, int]":
+        """Standing tags (name → version). Like the txn map and
+        constraints, the tag map rides in every manifest, so one
+        marker read answers it and vacuum can't lose it."""
+        return {k: int(v) for k, v in
+                self._latest_manifest(spark).get("tags", {}).items()}
+
+    def tag(self, spark: SparkSession, name: str, version: int) -> int:
+        """Tag a committed version with a durable name (Iceberg's
+        ``CREATE TAG``): a manifest-only commit records it, ``at_tag``
+        resolves it, and VACUUM RETAINS the tagged version's manifest
+        and data until the tag is deleted — the audit/reproducibility
+        pin ("the snapshot we trained on") a retention policy must not
+        age out. Re-tagging the same version is a no-op; a different
+        version under a live name raises (delete first). Returns the
+        committed (or current) version."""
+        if not name:
+            raise ValueError("tag needs a name")
+        for _attempt in range(self._COMMIT_RETRIES):
+            self._backoff(_attempt)
+            man = self._latest_manifest(spark)
+            if int(version) not in self.versions(spark):
+                raise ValueError(
+                    f"version {version} of {self.path} is not committed")
+            tags = {k: int(v) for k, v in man.get("tags", {}).items()}
+            if tags.get(name) == int(version):
+                return int(man["version"])  # idempotent re-tag
+            if name in tags:
+                raise ValueError(
+                    f"tag {name!r} already names version {tags[name]}; "
+                    f"delete_tag first")
+            tags[name] = int(version)
+            try:
+                self._commit_noop(spark, int(man["version"]) + 1, man,
+                                  {"tags": tags, "tag_added": name})
+                return int(man["version"]) + 1
+            except ConcurrentCommitError:
+                continue
+        raise ConcurrentCommitError(
+            f"tag gave up after {self._COMMIT_RETRIES} attempts on "
+            f"{self.path}")
+
+    def delete_tag(self, spark: SparkSession, name: str) -> int:
+        """Drop a tag — the version it named becomes ordinary history
+        again (reclaimable by the next vacuum under the normal
+        retention rules)."""
+        for _attempt in range(self._COMMIT_RETRIES):
+            self._backoff(_attempt)
+            man = self._latest_manifest(spark)
+            tags = {k: int(v) for k, v in man.get("tags", {}).items()}
+            if name not in tags:
+                raise KeyError(
+                    f"no tag {name!r} on {self.path} "
+                    f"(standing: {sorted(tags)})")
+            del tags[name]
+            try:
+                self._commit_noop(spark, int(man["version"]) + 1, man,
+                                  {"tags": tags, "tag_deleted": name})
+                return int(man["version"]) + 1
+            except ConcurrentCommitError:
+                continue
+        raise ConcurrentCommitError(
+            f"delete_tag gave up after {self._COMMIT_RETRIES} attempts "
+            f"on {self.path}")
+
+    def at_tag(self, spark: SparkSession, name: str) -> DataFrame:
+        """Time-travel read by TAG NAME."""
+        tags = self.tags(spark)
+        if name not in tags:
+            raise KeyError(
+                f"no tag {name!r} on {self.path} "
+                f"(standing: {sorted(tags)})")
+        return self.at_version(spark, tags[name])
 
     # -- predicate DML (DELETE FROM / UPDATE ... WHERE) --------------------
     def _dml_matched(self, spark: SparkSession, predicate):
@@ -1012,6 +1117,11 @@ class CdcTable:
             drop = [v for v in drop
                     if int(mans[v].get("committed_at_ms", 0))
                     < int(older_than_ms)]
+        # tagged versions are PINNED (Iceberg tag retention): the
+        # standing tag map in the latest manifest is the authority
+        pinned = {int(v) for v in
+                  mans[vs[-1]].get("tags", {}).values()}
+        drop = [v for v in drop if v not in pinned]
         kept_dirs = {mans[v]["data_dir"] for v in vs if v not in drop}
         for v in drop:
             fs, m = self._fs(spark, self._marker_path(v))
@@ -1251,8 +1361,7 @@ class PartitionedCdcTable(CdcTable):
                     "committed_at_ms": _commit_stamp_ms(prior_man),
                     "table_conf": self._table_conf(),
                     "schema": schema_json}
-        if "constraints" in prior_man:
-            manifest["constraints"] = dict(prior_man["constraints"])
+        self._carry_standing(manifest, prior_man)
         manifest.update(extra or {})
         from systems_spark.state import fs_publish_text_exclusive
         if not fs_publish_text_exclusive(
@@ -1294,6 +1403,106 @@ class PartitionedCdcTable(CdcTable):
                 fs, d = self._fs(spark, target)
                 fs.delete(d, True)
             raise
+
+    # -- change feed served from the delta log (the 100 TB path) -----------
+    def _window_change_dirs(self, spark: SparkSession, v_from: int,
+                            v_to: int) -> "list[str] | None":
+        """The change-file directories for the window ``(v_from,
+        v_to]``, or None when the window cannot be served from the log
+        (a copy-on-write merge recorded no change file, a restore/
+        rebucket changed content out-of-band, a marker or change file
+        was vacuumed). Maintenance commits (compactions, optimize,
+        constraints, tags) change no LIVE content and contribute
+        nothing. Direct marker reads — never a log listing."""
+        dirs = []
+        for v in range(int(v_from) + 1, int(v_to) + 1):
+            fs, m = self._fs(spark, self._marker_path(v))
+            if not fs.exists(m):
+                return None  # vacuumed gap
+            man = json.loads(_fs_read_text(spark, m.toString()))
+            d = man.get("change_dir")
+            if d is None and "batch_id" in man:
+                # pre-change_dir MOR logs named the dir by version
+                for p in man.get("pending", []):
+                    if p.startswith(f"delta={v}__"):
+                        d = p
+                        break
+                if d is None:
+                    return None  # COW merge: no change file
+            if d is None:
+                if "restore_of" in man or "rebucket_from" in man:
+                    return None  # content changed without a change file
+                continue  # maintenance commit: no live-content change
+            fs2, dp = self._fs(spark, f"{self.path}/{d}")
+            if not fs2.exists(dp):
+                return None  # change file vacuumed
+            dirs.append(d)
+        return dirs
+
+    def _pruned_view(self, spark: SparkSession, man: dict,
+                     keys: DataFrame, buckets) -> DataFrame:
+        """The snapshot AT ``man``, restricted to ``keys`` — reads
+        only the keys' buckets and folds only those keys' pending
+        deltas, so the cost is touched-bucket volume, not table
+        size."""
+        from systems_spark.operators.cdc import merge_cdc_fenced
+
+        cond_against = keys.alias("K")
+
+        def restrict(df):
+            d = df.alias("S")
+            cond = [F.col(f"S.{k}").eqNullSafe(F.col(f"K.{k}"))
+                    for k in self.key_cols]
+            return d.join(cond_against, on=cond, how="left_semi")
+
+        base = restrict(self._read_buckets(spark, man, buckets))
+        pend = man.get("pending", [])
+        if not pend:
+            return base
+        changes = restrict(
+            spark.read.schema(self._change_schema(man)).parquet(
+                *[f"{self.path}/{d}" for d in pend]))
+        fence = int(man["fence_seq"]) if "fence_seq" in man else None
+        return merge_cdc_fenced(
+            base, changes, self.key_cols, seq_col=self.seq_col,
+            op_col=self.op_col, deleted_col=self.DELETED, min_seq=fence)
+
+    def changes_between(self, spark: SparkSession, v_from: int,
+                        v_to: int, preimages: bool = False) -> DataFrame:
+        """Change feed, lake-scale: when every commit in the window
+        left its change file in the log (merge-on-read writes), the
+        feed is computed from the CHANGE FILES — the touched keys come
+        from O(|changes|) file reads, and both endpoint states are
+        read PRUNED to the touched keys' buckets ⋉ keys, so the cost
+        is O(|changes| + touched-bucket volume) no matter how large
+        the table is. Windows containing a copy-on-write merge, a
+        restore/rebucket, or vacuumed markers/files fall back to the
+        flat diff of the two endpoint snapshots (same semantics, one
+        pass over each endpoint)."""
+        dirs = self._window_change_dirs(spark, v_from, v_to)
+        if dirs is None:
+            return super().changes_between(spark, v_from, v_to,
+                                           preimages=preimages)
+        man1 = self._manifest_at(spark, v_to)
+        if not dirs:
+            # only maintenance commits in the window: no net changes
+            empty = self._empty_like(spark, man1)
+            return empty.withColumn("_change_type", F.lit("")) \
+                .drop(self.DELETED).limit(0)
+        man0 = self._manifest_at(spark, v_from)
+        ch = spark.read.schema(self._change_schema(man1)).parquet(
+            *[f"{self.path}/{d}" for d in dirs])
+        keys = ch.select(*self.key_cols).distinct()
+        # ≤ num_buckets rows — the same bounded pruning collect the
+        # merge path does
+        buckets = sorted(
+            int(r[0]) for r in keys.select(self._bucket_expr())
+            .distinct().collect())
+        pre = self._pruned_view(spark, man0, keys, buckets)
+        post = self._pruned_view(spark, man1, keys, buckets)
+        # endpoints may differ in schema across an evolution — the
+        # shared diff core aligns them by name
+        return self._diff_snapshots(pre, post, preimages)
 
     def _commit_noop(self, spark: SparkSession, version: int,
                      prior_man: dict, extra: dict) -> None:
@@ -1388,8 +1597,7 @@ class PartitionedCdcTable(CdcTable):
                     "committed_at_ms": _commit_stamp_ms(prior_man),
                     "table_conf": self._table_conf(),
                     "schema": schema_json}
-        if prior_man and "constraints" in prior_man:
-            manifest["constraints"] = dict(prior_man["constraints"])
+        self._carry_standing(manifest, prior_man)
         manifest.update(extra or {})
         from systems_spark.state import fs_publish_text_exclusive
         if not fs_publish_text_exclusive(
@@ -1838,10 +2046,20 @@ class PartitionedCdcTable(CdcTable):
             keep |= {v for v in vs
                      if int(mans[v].get("committed_at_ms", 0))
                      >= int(older_than_ms)}
+        # tagged versions are PINNED (Iceberg tag retention)
+        keep |= {int(v) for v in
+                 mans[vs[-1]].get("tags", {}).values() if int(v) in mans}
         referenced = set()
         for v in keep:
             referenced.update(mans[v].get("dirs", {}).values())
             referenced.update(mans[v].get("pending", []))
+            # a kept version's CHANGE FILE stays readable even after a
+            # compaction cleared it from every pending list — the
+            # change feed (streaming source, pruned changes_between,
+            # materialized-view refresh) serves retained windows from
+            # these files (Delta retains CDF files with the log)
+            if "change_dir" in mans[v]:
+                referenced.add(mans[v]["change_dir"])
         for v in vs:
             if v not in keep:
                 fs, m = self._fs(spark, self._marker_path(v))
