@@ -217,3 +217,33 @@ class MaterializedAggView:
     def reflected_version(self) -> "int | None":
         ptr = self._pointer()
         return int(ptr["table_version"]) if ptr else None
+
+    def serve(self, spark: SparkSession, checkpoint: str,
+              trigger: "dict | None" = None):
+        """CONTINUOUSLY maintained view: subscribe to the table's
+        change-feed streaming source and refresh on every committed
+        delta — the view follows the table at change-stream cost with
+        no polling loop. The feed is used purely as a commit
+        NOTIFICATION: each micro-batch triggers ``refresh()``, which
+        reads the authoritative window from the log and is idempotent
+        by reflected version, so replayed or coalesced triggers are
+        harmless and no exactly-once plumbing is needed beyond the
+        view's own marker-last store. Requires the producing table to
+        be ``write_mode="merge_on_read"`` (the change-feed source's
+        contract). Returns the StreamingQuery."""
+        from systems_spark.streaming.cdf_source import \
+            CdcChangeFeedDataSource
+
+        spark.dataSource.register(CdcChangeFeedDataSource)
+        feed = (spark.readStream.format("cdc_change_feed")
+                .option("path", self.table.path)
+                .option("op_col", self.table.op_col)
+                .option("deleted_col", self.table.DELETED).load())
+
+        def absorb(batch_df, batch_id):
+            self.refresh(batch_df.sparkSession)
+
+        w = (feed.writeStream.foreachBatch(absorb)
+             .option("checkpointLocation", checkpoint))
+        w = w.trigger(**trigger) if trigger else w
+        return w.start()

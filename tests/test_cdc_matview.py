@@ -155,3 +155,31 @@ def test_unsupported_aggregates_raise(spark, tmp_path):
     with pytest.raises(ValueError, match="needs an expression"):
         MaterializedAggView(t, str(tmp_path / "mv"), ["grp"],
                             {"m": ("sum", None)})
+
+
+def test_served_view_follows_the_table(spark, tmp_path):
+    """The 10th streaming surface: MaterializedAggView.serve
+    subscribes to the change-feed source; each committed delta
+    triggers an idempotent refresh, so the view FOLLOWS the table
+    continuously — across a stream restart too."""
+    t = PartitionedCdcTable(str(tmp_path / "t"), "k", app_id="w",
+                            num_buckets=4, write_mode="merge_on_read")
+    t.initialize(_seed(spark))
+    view = _view(t, str(tmp_path / "mv"))
+    view.refresh(spark)
+    t(_ch(spark, [(1, "x", 15, 1, "update"),
+                  (9, "z", 90, 1, "insert")]), 0)
+
+    ckpt = str(tmp_path / "ckpt")
+    q = view.serve(spark, ckpt, trigger={"availableNow": True})
+    q.awaitTermination(120)
+    assert view.reflected_version() == t._latest_version(spark)
+    assert _as_dict(view.result(spark)) == _recompute(t, spark)
+
+    # more epochs while no stream runs; a RESTARTED stream catches up
+    t(_ch(spark, [(9, "z", 90, 2, "delete"),
+                  (2, "y", 25, 2, "update")]), 1)
+    q = view.serve(spark, ckpt, trigger={"availableNow": True})
+    q.awaitTermination(120)
+    assert view.reflected_version() == t._latest_version(spark)
+    assert _as_dict(view.result(spark)) == _recompute(t, spark)
