@@ -854,6 +854,34 @@ class CdcTable:
         return self.add_constraint(spark, f"{column}_not_null",
                                    f"{column} IS NOT NULL")
 
+    # -- observability -----------------------------------------------------
+    def describe_detail(self, spark: SparkSession) -> dict:
+        """DESCRIBE DETAIL: one dict summarizing the table's current
+        state from ONE marker read (plus a file listing of the live
+        data) — layout, version, row count, standing fence/constraints/
+        tags, txn map, and data size. The audit surface an operator
+        checks before touching a production table."""
+        man = self._latest_manifest(spark)
+        fs, d = self._fs(spark, self._data_path(man))
+        files = [s for s in fs.listStatus(d)] if fs.exists(d) else []
+        return {
+            "format": "cdc-parquet",
+            "location": self.path,
+            "layout": "snapshot-per-version",
+            "version": int(man["version"]),
+            "committed_at_ms": int(man.get("committed_at_ms", 0)),
+            "rows": int(man.get("rows", 0)),
+            "num_files": sum(1 for s in files
+                             if s.getPath().getName().endswith(".parquet")),
+            "size_bytes": sum(s.getLen() for s in files),
+            "key_cols": list(self.key_cols),
+            "fence_seq": man.get("fence_seq"),
+            "constraints": dict(man.get("constraints", {})),
+            "tags": {k: int(v) for k, v in man.get("tags", {}).items()},
+            "txn": dict(man.get("txn", {})),
+            "retained_versions": len(self.versions(spark)),
+        }
+
     # -- named version refs (Iceberg-style tags) ---------------------------
     def tags(self, spark: SparkSession) -> "dict[str, int]":
         """Standing tags (name → version). Like the txn map and
@@ -1973,6 +2001,39 @@ class PartitionedCdcTable(CdcTable):
         raise NotImplementedError(
             "PartitionedCdcTable snapshots span writer versions; index "
             "per-bucket via bucket_paths()")
+
+    def describe_detail(self, spark: SparkSession) -> dict:
+        man = self._latest_manifest(spark)
+        mapping = self._mapping(man)
+        n_files = 0
+        size = 0
+        for p in self._bucket_paths(man, mapping):
+            fs, d = self._fs(spark, p)
+            if not fs.exists(d):
+                continue
+            for s in fs.listStatus(d):
+                if s.getPath().getName().endswith(".parquet"):
+                    n_files += 1
+                    size += s.getLen()
+        return {
+            "format": "cdc-parquet",
+            "location": self.path,
+            "layout": "bucketed",
+            "write_mode": self.write_mode,
+            "num_buckets": self.num_buckets,
+            "mapped_buckets": len(mapping),
+            "pending_deltas": len(man.get("pending", [])),
+            "version": int(man["version"]),
+            "committed_at_ms": int(man.get("committed_at_ms", 0)),
+            "num_files": n_files,
+            "size_bytes": size,
+            "key_cols": list(self.key_cols),
+            "fence_seq": man.get("fence_seq"),
+            "constraints": dict(man.get("constraints", {})),
+            "tags": {k: int(v) for k, v in man.get("tags", {}).items()},
+            "txn": dict(man.get("txn", {})),
+            "retained_versions": len(self.versions(spark)),
+        }
 
     def bucket_paths(self, spark: SparkSession) -> "list[str]":
         """The live snapshot's bucket directories (one per mapped

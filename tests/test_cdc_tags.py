@@ -97,3 +97,30 @@ def test_vacuum_pins_tagged_versions_partitioned(spark, tmp_path):
     # tag survives a restore (standing map carried from latest)
     t.restore(spark, 0)
     assert t.tags(spark) == {"pin": 0}
+
+
+def test_describe_detail_both_layouts(spark, tmp_path):
+    """DESCRIBE DETAIL: the one-call audit surface — layout, version,
+    files/bytes, standing fence/constraints/tags/txn."""
+    t = CdcTable(str(tmp_path / "flat"), "k", app_id="w")
+    t.initialize(_seed(spark))
+    t(_ch(spark, [(1, "a1", 11, 1, "update")]), 0)
+    t.add_constraint(spark, "v_nonneg", "v >= 0")
+    t.tag(spark, "pin", 0)
+    d = t.describe_detail(spark)
+    assert d["layout"] == "snapshot-per-version"
+    assert d["version"] == 2 and d["rows"] == 3
+    assert d["num_files"] > 0 and d["size_bytes"] > 0
+    assert d["constraints"] == {"v_nonneg": "v >= 0"}
+    assert d["tags"] == {"pin": 0} and d["txn"] == {"w": 0}
+
+    p = PartitionedCdcTable(str(tmp_path / "part"), "k", app_id="w",
+                            num_buckets=4, write_mode="merge_on_read")
+    p.initialize(_seed(spark))
+    p(_ch(spark, [(9, "z", 90, 1, "insert")]), 0)
+    d = p.describe_detail(spark)
+    assert d["layout"] == "bucketed"
+    assert d["write_mode"] == "merge_on_read"
+    assert d["pending_deltas"] == 1
+    assert d["mapped_buckets"] >= 1 and d["num_files"] > 0
+    assert d["retained_versions"] == 2
