@@ -1541,6 +1541,88 @@ def q_cdc_mat_view(spark, sf_dir):
                     .alias("key_checksum")))
 
 
+def q_cdc_join_view(spark, sf_dir):
+    """STAR-SCHEMA materialized view, incrementally maintained
+    (streaming/matview.py MaterializedAggView with dim/dim_on): the
+    per-market-segment revenue aggregate over the orders CDC fact ⋈
+    the customer dimension, built at the seed version and advanced
+    across both change epochs by enriching the CHANGE FEED with a
+    broadcast dim join before signing — the fact table is never
+    re-aggregated and the dim is read only as a broadcast. Oracle =
+    the global merge joined to customer and grouped in plain SQL, so
+    equality holds only if differential maintenance under the dim
+    join (including FK-carrying postimage/preimage pairs) reproduces
+    the full join-aggregate exactly."""
+    import hashlib
+
+    from systems_spark.streaming import (MaterializedAggView,
+                                         PartitionedCdcTable)
+
+    key = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:cdcjv:{sf_dir}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join("/tmp", "systems_spark_cdc", key)
+    table = PartitionedCdcTable(os.path.join(base, "t"),
+                                key_cols="o_orderkey", app_id="cdcjv",
+                                num_buckets=16)
+    orders = _t(spark, sf_dir, "orders")
+    table.initialize(
+        orders.where(F.col("o_orderkey") % 8 != 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
+    dim = (_t(spark, sf_dir, "customer")
+           .select(F.col("c_custkey").alias("o_custkey"),
+                   "c_mktsegment"))
+    view = MaterializedAggView(
+        table, os.path.join(base, "mv"),
+        group_cols=["c_mktsegment"],
+        aggs={"n_orders": ("count", None),
+              "total_price": ("sum", "CAST(o_totalprice AS DECIMAL(18,2))"),
+              "key_checksum": ("sum", "CAST(o_orderkey AS DECIMAL(38,0))")},
+        dim=dim, dim_on=["o_custkey"])
+    view.refresh(spark)
+    changes = _cdc_changes(spark, sf_dir)
+    table(changes.where(F.col("seq") == 1), 0)
+    table(changes.where(F.col("seq") == 2), 1)
+    view.refresh(spark)
+    return (view.result(spark)
+            .select("c_mktsegment", "n_orders",
+                    F.round(F.col("total_price"), 2).cast("double")
+                    .alias("total_price"),
+                    F.col("key_checksum").cast("bigint")
+                    .alias("key_checksum")))
+
+
+def _sql_cdc_join_view() -> str:
+    from systems_spark.operators import apply_cdc_sql
+
+    changes = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN op = 'update' THEN o_totalprice + 1 ELSE o_totalprice END
+         AS o_totalprice,
+       1 AS seq, op
+FROM (SELECT *, CASE WHEN o_orderkey % 24 = 0 THEN 'delete'
+                     WHEN o_orderkey % 16 = 0 THEN 'update'
+                     ELSE 'insert' END AS op
+      FROM orders WHERE o_orderkey % 8 = 0)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2,
+       2 AS seq, 'update' AS op
+FROM orders WHERE o_orderkey % 40 = 0
+"""
+    merged = apply_cdc_sql(
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice "
+        "FROM orders WHERE o_orderkey % 8 <> 0",
+        changes, "o_orderkey",
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"])
+    return f"""
+SELECT c.c_mktsegment, count(*)::BIGINT AS n_orders,
+       round(sum(m.o_totalprice::DECIMAL(18,2)), 2)::DOUBLE AS total_price,
+       sum(m.o_orderkey::HUGEINT)::BIGINT AS key_checksum
+FROM ({merged}) m LEFT JOIN customer c ON m.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+
 def q_streaming_change_feed(spark, sf_dir):
     """Change-data-feed SUBSCRIPTION, the NINTH real StreamingQuery —
     and the first through PySpark 4's Python Data Source API
@@ -7572,6 +7654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_on_read": q_cdc_merge_on_read,
         "cdc_dml": q_cdc_dml,
         "cdc_mat_view": q_cdc_mat_view,
+        "cdc_join_view": q_cdc_join_view,
         "streaming_change_feed": q_streaming_change_feed,
         "cdc_replication": q_cdc_replication,
         "orders_zorder": q_orders_zorder,
@@ -7847,6 +7930,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_merge_on_read": _sql_orders_cdc_apply(),
         "cdc_dml": _sql_cdc_dml(),
         "cdc_mat_view": _sql_orders_cdc_apply(),
+        "cdc_join_view": _sql_cdc_join_view(),
         "streaming_change_feed": _SQL_STREAMING_CHANGE_FEED,
         "cdc_replication": _sql_orders_cdc_apply(),
         "orders_zorder": _sql_orders_zorder(),

@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "cdc_merge_on_read",
     "cdc_dml",
     "cdc_mat_view",
+    "cdc_join_view",
     "streaming_change_feed",
     "cdc_replication",
     "dedup_forget",

@@ -74,12 +74,31 @@ _COUNT = "_mv_live_rows"
 
 
 class MaterializedAggView:
-    def __init__(self, table, store_path: str, group_cols, aggs: dict):
+    def __init__(self, table, store_path: str, group_cols, aggs: dict,
+                 dim: "DataFrame | None" = None,
+                 dim_on: "list | None" = None):
+        """``dim``/``dim_on`` turn this into a STAR-SCHEMA view:
+        the fact table's rows (and its change feed's rows — pre- and
+        postimages carry the full payload, so the foreign key is
+        always present) are enriched by a broadcast LEFT join with the
+        dimension before grouping, so ``group_cols`` and aggregate
+        expressions may reference dimension columns (revenue by
+        nation, maintained from the orders feed). The dimension is a
+        FIT-TIME CONSTANT: differential maintenance subtracts old
+        contributions computed under the dimension the view was built
+        with, so a changed dimension requires a rebuild (drop the
+        store) — the same contract every broadcast dim join in this
+        repo has, stated rather than silently violated."""
         self.table = table
         self.store = store_path.rstrip("/")
         self.group_cols = ([group_cols] if isinstance(group_cols, str)
                            else list(group_cols))
         self.aggs = dict(aggs)
+        if (dim is None) != (dim_on is None):
+            raise ValueError("dim and dim_on come together")
+        self.dim = dim
+        self.dim_on = ([dim_on] if isinstance(dim_on, str)
+                       else list(dim_on or []))
         for name, (kind, expr) in self.aggs.items():
             if kind in ("min", "max"):
                 raise NotImplementedError(
@@ -126,8 +145,14 @@ class MaterializedAggView:
                 out.append((f"_mv_sum_{name}", expr))
         return out
 
+    def _enrich(self, df: DataFrame) -> DataFrame:
+        if self.dim is None:
+            return df
+        return df.join(F.broadcast(self.dim), on=self.dim_on,
+                       how="left")
+
     def _initial(self, spark: SparkSession, snap: DataFrame) -> DataFrame:
-        live = snap.where(~F.col(self.table.DELETED))
+        live = self._enrich(snap.where(~F.col(self.table.DELETED)))
         aggs = [F.count(F.lit(1)).alias(_COUNT)]
         for col, expr in self._sum_cols():
             aggs.append(F.sum(F.expr(expr)).alias(col))
@@ -137,10 +162,11 @@ class MaterializedAggView:
         sign = F.when(
             F.col("_change_type").isin("insert", "update_postimage"),
             F.lit(1)).otherwise(F.lit(-1))
+        enriched = self._enrich(changes)
         aggs = [F.sum(sign).alias(_COUNT)]
         for col, expr in self._sum_cols():
             aggs.append(F.sum(sign * F.expr(expr)).alias(col))
-        return changes.groupBy(*self.group_cols).agg(*aggs)
+        return enriched.groupBy(*self.group_cols).agg(*aggs)
 
     def _absorb(self, cur: DataFrame, delta: DataFrame) -> DataFrame:
         a, b = cur.alias("MV"), delta.alias("D")

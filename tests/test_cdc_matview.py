@@ -183,3 +183,42 @@ def test_served_view_follows_the_table(spark, tmp_path):
     q.awaitTermination(120)
     assert view.reflected_version() == t._latest_version(spark)
     assert _as_dict(view.result(spark)) == _recompute(t, spark)
+
+
+def test_star_schema_view_with_dimension_join(spark, tmp_path):
+    """Star-schema maintenance: fact changes are enriched by a
+    broadcast dim join before signing, so group keys and aggregates
+    may live on the DIMENSION (revenue by region, maintained from the
+    fact feed) — including a fact row whose FK moves between dim
+    rows (one retraction under the old region, one addition under
+    the new)."""
+    t = CdcTable(str(tmp_path / "t"), "k", app_id="w")
+    # grp doubles as the FK into the dim
+    t.initialize(_seed(spark))
+    dim = spark.createDataFrame(
+        [("x", "east"), ("y", "west"), ("z", "north")],
+        "grp string, region string")
+    view = MaterializedAggView(
+        t, str(tmp_path / "mv"), group_cols=["region"],
+        aggs={"n": ("count", None),
+              "total": ("sum", "CAST(v AS DECIMAL(18,2))")},
+        dim=dim, dim_on=["grp"])
+    view.refresh(spark)
+    t(_ch(spark, [(1, "y", 15, 1, "update"),   # FK move x -> y
+                  (3, "y", 30, 1, "delete"),
+                  (5, "z", 50, 1, "insert")]), 0)
+    view.refresh(spark)
+    got = {r.region: (r.n, float(r.total))
+           for r in view.result(spark).collect()}
+    want = {r.region: (r.n, float(r.total)) for r in
+            t.current(spark).join(dim, "grp")
+            .groupBy("region")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.expr("CAST(v AS DECIMAL(18,2))"))
+                 .alias("total")).collect()}
+    assert got == want
+    assert got == {"east": (1, 20.0), "west": (2, 55.0),
+                   "north": (1, 50.0)}
+    with pytest.raises(ValueError, match="come together"):
+        MaterializedAggView(t, str(tmp_path / "mv2"), ["region"],
+                            {"n": ("count", None)}, dim=dim)
