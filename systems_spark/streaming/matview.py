@@ -37,7 +37,9 @@ refresh cadence is a freshness/cost knob, not a correctness one.
 Only SELF-MAINTAINABLE aggregates are offered: ``count`` (live rows),
 ``sum`` (any expression; use DECIMAL expressions for bit-exact parity
 with a from-scratch recompute — float addition is not associative),
-and ``avg`` derived as sum/count at read. ``min``/``max`` are
+``avg`` derived as sum/count at read, and ``var``/``std`` (population
+moments: a sum of squares is exactly as self-maintainable as a sum,
+and variance derives as E[x²] − E[x]² at read). ``min``/``max`` are
 rejected: deleting the extremal row makes them non-maintainable
 without re-reading the group (the standard IVM limitation — a future
 per-group recompute fallback would reintroduce exactly the base-table
@@ -106,11 +108,11 @@ class MaterializedAggView:
                     f"deletes (retracting the extremum needs a group "
                     f"re-read) — maintain a sum/count view and compute "
                     f"extrema on demand, or recompute the view")
-            if kind not in ("count", "sum", "avg"):
+            if kind not in ("count", "sum", "avg", "var", "std"):
                 raise ValueError(
                     f"{name}: unsupported aggregate {kind!r} "
-                    f"(count/sum/avg)")
-            if kind in ("sum", "avg") and not expr:
+                    f"(count/sum/avg/var/std)")
+            if kind in ("sum", "avg", "var", "std") and not expr:
                 raise ValueError(f"{name}: {kind} needs an expression")
 
     # -- store (marker-last pointer, same discipline as the tables) -------
@@ -138,12 +140,19 @@ class MaterializedAggView:
     # -- aggregation pieces ------------------------------------------------
     def _sum_cols(self):
         """(internal column, source expression) for every maintained
-        sum — avg maintains the same (sum, shared live-count) state."""
+        sum — avg maintains the same (sum, shared live-count) state,
+        and var/std additionally maintain a sum of SQUARES (below):
+        second moments are as self-maintainable as first ones."""
         out = []
         for name, (kind, expr) in self.aggs.items():
-            if kind in ("sum", "avg"):
+            if kind in ("sum", "avg", "var", "std"):
                 out.append((f"_mv_sum_{name}", expr))
         return out
+
+    def _sq_cols(self):
+        return [(f"_mv_sq_{name}", expr)
+                for name, (kind, expr) in self.aggs.items()
+                if kind in ("var", "std")]
 
     def _enrich(self, df: DataFrame) -> DataFrame:
         if self.dim is None:
@@ -156,6 +165,8 @@ class MaterializedAggView:
         aggs = [F.count(F.lit(1)).alias(_COUNT)]
         for col, expr in self._sum_cols():
             aggs.append(F.sum(F.expr(expr)).alias(col))
+        for col, expr in self._sq_cols():
+            aggs.append(F.sum(F.expr(expr) * F.expr(expr)).alias(col))
         return live.groupBy(*self.group_cols).agg(*aggs)
 
     def _delta(self, changes: DataFrame) -> DataFrame:
@@ -166,13 +177,17 @@ class MaterializedAggView:
         aggs = [F.sum(sign).alias(_COUNT)]
         for col, expr in self._sum_cols():
             aggs.append(F.sum(sign * F.expr(expr)).alias(col))
+        for col, expr in self._sq_cols():
+            aggs.append(F.sum(sign * F.expr(expr) * F.expr(expr))
+                        .alias(col))
         return enriched.groupBy(*self.group_cols).agg(*aggs)
 
     def _absorb(self, cur: DataFrame, delta: DataFrame) -> DataFrame:
         a, b = cur.alias("MV"), delta.alias("D")
         cond = [F.col(f"MV.{g}").eqNullSafe(F.col(f"D.{g}"))
                 for g in self.group_cols]
-        state_cols = [_COUNT] + [c for c, _ in self._sum_cols()]
+        state_cols = [_COUNT] + [c for c, _ in self._sum_cols()] \
+            + [c for c, _ in self._sq_cols()]
         # pin every absorbed column to the STORED schema's type: decimal
         # addition otherwise widens precision on each refresh and the
         # state schema would drift release-to-release
@@ -224,7 +239,8 @@ class MaterializedAggView:
 
     def result(self, spark: SparkSession) -> DataFrame:
         """The maintained aggregate: group cols + one column per
-        declared aggregate (avg derived as sum/count)."""
+        declared aggregate (avg derived as sum/count; var/std —
+        POPULATION moments — derived as E[x²] − E[x]², double)."""
         ptr = self._pointer()
         if ptr is None:
             raise ValueError("refresh() before reading the view")
@@ -235,9 +251,17 @@ class MaterializedAggView:
                 cols.append(F.col(_COUNT).alias(name))
             elif kind == "sum":
                 cols.append(F.col(f"_mv_sum_{name}").alias(name))
-            else:  # avg
+            elif kind == "avg":
                 cols.append((F.col(f"_mv_sum_{name}")
                              / F.col(_COUNT)).alias(name))
+            else:  # var / std over exactly-maintained moments
+                mean = (F.col(f"_mv_sum_{name}").cast("double")
+                        / F.col(_COUNT))
+                var = (F.col(f"_mv_sq_{name}").cast("double")
+                       / F.col(_COUNT)) - mean * mean
+                var = F.greatest(var, F.lit(0.0))  # fp guard at var≈0
+                cols.append((var if kind == "var"
+                             else F.sqrt(var)).alias(name))
         return state.select(*cols)
 
     def reflected_version(self) -> "int | None":

@@ -222,3 +222,35 @@ def test_star_schema_view_with_dimension_join(spark, tmp_path):
     with pytest.raises(ValueError, match="come together"):
         MaterializedAggView(t, str(tmp_path / "mv2"), ["region"],
                             {"n": ("count", None)}, dim=dim)
+
+
+def test_var_std_moment_maintenance(spark, tmp_path):
+    """Second moments are self-maintainable: var/std maintain an exact
+    DECIMAL sum of squares alongside the sum, deriving population
+    variance at read — still correct through deletes and group
+    moves."""
+    import statistics
+
+    t = CdcTable(str(tmp_path / "t"), "k", app_id="w")
+    t.initialize(_seed(spark))
+    view = MaterializedAggView(
+        t, str(tmp_path / "mv"), group_cols=["grp"],
+        aggs={"v_var": ("var", "CAST(v AS DECIMAL(18,2))"),
+              "v_std": ("std", "CAST(v AS DECIMAL(18,2))")})
+    view.refresh(spark)
+    t(_ch(spark, [(1, "y", 15, 1, "update"),   # move x -> y
+                  (4, "y", 40, 1, "delete"),
+                  (5, "x", 50, 1, "insert")]), 0)
+    view.refresh(spark)
+    got = {r.grp: (round(r.v_var, 9), round(r.v_std, 9))
+           for r in view.result(spark).collect()}
+    rows = {}
+    for r in t.current(spark).collect():
+        rows.setdefault(r.grp, []).append(float(r.v))
+    want = {g: (round(statistics.pvariance(vs), 9),
+                round(statistics.pstdev(vs), 9))
+            for g, vs in rows.items()}
+    assert got == want
+    with pytest.raises(ValueError, match="needs an expression"):
+        MaterializedAggView(t, str(tmp_path / "mv2"), ["grp"],
+                            {"m": ("var", None)})
