@@ -378,7 +378,7 @@ class CdcTable:
         manifest, like the txn map — one marker read answers them and
         vacuum can't lose them. ``extra`` may still override (that is
         how add/drop commit their change)."""
-        for k in ("constraints", "tags"):
+        for k in ("constraints", "tags", "generated"):
             if prior_man and k in prior_man:
                 manifest[k] = dict(prior_man[k])
 
@@ -519,7 +519,7 @@ class CdcTable:
                                     .get(self.app_id, -1)):
                 return  # replayed epoch: this batch already committed
             snap = spark.read.parquet(self._data_path(man))
-            batch = batch_df
+            batch = self._apply_generated(man, batch_df)
             if self.schema_evolution == "merge":
                 snap, batch, _ = _evolve_schemas(
                     snap, batch, self.seq_col, self.op_col, self.DELETED)
@@ -957,7 +957,73 @@ class CdcTable:
                 f"(standing: {sorted(tags)})")
         return self.at_version(spark, tags[name])
 
+    # -- generated columns (log-owned, computed at write) ------------------
+    def _apply_generated(self, man: dict, batch: DataFrame) -> DataFrame:
+        """Compute every standing generated column on a change batch —
+        UNCONDITIONALLY, so a writer can never ship an inconsistent
+        value (Delta validates writer-supplied values; computing is
+        the strictly-safer form of the same contract)."""
+        gen = man.get("generated") or {}
+        for name in sorted(gen):
+            batch = batch.withColumn(name, F.expr(gen[name]))
+        return batch
+
+    def generated_columns(self, spark: SparkSession) -> "dict[str, str]":
+        return dict(self._latest_manifest(spark).get("generated", {}))
+
+    def add_generated_column(self, spark: SparkSession, name: str,
+                             expr: str) -> int:
+        """ALTER TABLE ADD COLUMN … GENERATED ALWAYS AS (expr): the
+        expression (deterministic over the row — the caller's
+        contract) is BACKFILLED for existing rows in one rewrite
+        commit, recorded in the log, and from then on computed at
+        EVERY write on both layouts and write modes — merges, deltas,
+        predicate DML — overwriting anything a writer supplied.
+        Re-adding the identical definition is a no-op; a different
+        expression under a live name, or a name colliding with an
+        existing non-generated column, raises. Returns the committed
+        (or current) version."""
+        if not name or not str(expr).strip():
+            raise ValueError("generated column needs a name and an "
+                             "expression")
+        for _attempt in range(self._COMMIT_RETRIES):
+            self._backoff(_attempt)
+            man = self._latest_manifest(spark)
+            gen = dict(man.get("generated", {}))
+            if gen.get(name) == str(expr):
+                return int(man["version"])  # idempotent re-add
+            if name in gen:
+                raise ValueError(
+                    f"generated column {name!r} already defined as "
+                    f"{gen[name]!r}")
+            snap = self.snapshot(spark)
+            if name in snap.columns:
+                raise ValueError(
+                    f"column {name!r} already exists on {self.path} "
+                    f"and is not generated")
+            gen[name] = str(expr)
+            extra = {"generated": gen, "generated_added": name}
+            if "fence_seq" in man:
+                extra["fence_seq"] = int(man["fence_seq"])
+            try:
+                self._backfill_generated(spark, man, snap, name,
+                                         str(expr), extra)
+                return int(man["version"]) + 1
+            except ConcurrentCommitError:
+                continue
+        raise ConcurrentCommitError(
+            f"add_generated_column gave up after {self._COMMIT_RETRIES} "
+            f"attempts on {self.path}")
+
+    def _backfill_generated(self, spark: SparkSession, man: dict,
+                            snap: DataFrame, name: str, expr: str,
+                            extra: dict) -> None:
+        self._commit(spark, snap.withColumn(name, F.expr(expr)),
+                     int(man["version"]) + 1, extra=extra,
+                     prior_man=man)
+
     # -- predicate DML (DELETE FROM / UPDATE ... WHERE) --------------------
+
     def _dml_matched(self, spark: SparkSession, predicate):
         """Live rows matching a DML predicate, plus (max seq, count) —
         one aggregate action over the one full scan an arbitrary
@@ -1542,6 +1608,29 @@ class PartitionedCdcTable(CdcTable):
         self._commit_version(spark, None, version, prior_man, (),
                              prior_man["schema"], x)
 
+    def _backfill_generated(self, spark: SparkSession, man: dict,
+                            snap: DataFrame, name: str, expr: str,
+                            extra: dict) -> None:
+        """Bucket-shaped backfill: every mapped bucket rewrites with
+        the new column computed, and the manifest schema evolves.
+        Pending deltas fold FIRST — old change files lack the new
+        column and would NULL-fill it at read, shadowing the
+        backfill — then the caller's OCC loop retries on the folded
+        log."""
+        if man.get("pending"):
+            self.compact_deltas(spark)
+            raise ConcurrentCommitError(
+                "pending deltas folded before generated-column "
+                "backfill; rebasing")
+        base = self._read_buckets(spark, man, self._mapping(man))
+        filled = base.withColumn(name, F.expr(expr))
+        schema_json = json.dumps(filled.schema.jsonValue())
+        self._commit_version(
+            spark, filled.withColumn(self.BUCKET, self._bucket_expr()),
+            int(man["version"]) + 1, man,
+            touched=set(self._mapping(man)), schema_json=schema_json,
+            extra=extra, pending_override=[])
+
     def compact_deltas(self, spark: SparkSession) -> int:
         """Fold every pending delta into the buckets it touches and
         clear the pending list — the merge-on-read read-amplification
@@ -1736,8 +1825,11 @@ class PartitionedCdcTable(CdcTable):
         if new_man.get("fence_seq") != base_man.get("fence_seq"):
             return False
         # a constraint added in the window was never checked against
-        # the staged batch — only the full rebase re-validates
+        # the staged batch — only the full rebase re-validates; a
+        # generated-column change likewise invalidates staged postimages
         if new_man.get("constraints") != base_man.get("constraints"):
+            return False
+        if new_man.get("generated") != base_man.get("generated"):
             return False
         new_map, base_map = self._mapping(new_man), self._mapping(base_man)
         return all(new_map.get(b) == base_map.get(b) for b in touched)
@@ -1795,7 +1887,7 @@ class PartitionedCdcTable(CdcTable):
                 fence = (int(man["fence_seq"]) if "fence_seq" in man
                          else None)
                 extra = {"batch_id": int(batch_id)}
-                batch = batch_df
+                batch = self._apply_generated(man, batch_df)
                 if fence is not None:
                     extra["fence_seq"] = int(fence)
                     batch = batch.where(F.col(self.seq_col) > int(fence))
