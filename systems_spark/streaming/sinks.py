@@ -1189,7 +1189,8 @@ class CdcTable:
             f"{self.path}")
 
     def vacuum(self, spark: SparkSession, keep_last: int = 2,
-               older_than_ms: "int | None" = None) -> "list[int]":
+               older_than_ms: "int | None" = None,
+               dry_run: bool = False) -> "list[int]":
         """Drop all but the newest ``keep_last`` committed versions —
         the disk-growth control for snapshot-per-version layouts. Markers
         are deleted FIRST so a concurrent reader never resolves a
@@ -1198,10 +1199,12 @@ class CdcTable:
         production vacuum runs with: a version is dropped only if it is
         ALSO older than the cutoff (epoch millis against the manifest's
         monotone commit stamp), so "keep 2, but nothing younger than 7
-        days" composes the two rules. Returns the dropped version
-        numbers. (Tombstone removal is :meth:`compact` — it requires
-        the caller's no-older-changes fence; vacuum alone never prunes
-        tombstones.)"""
+        days" composes the two rules. ``dry_run=True`` reports the
+        versions that WOULD drop and deletes nothing (VACUUM DRY RUN —
+        the sanity check before an irreversible retention change).
+        Returns the dropped version numbers. (Tombstone removal is
+        :meth:`compact` — it requires the caller's no-older-changes
+        fence; vacuum alone never prunes tombstones.)"""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         vs = self.versions(spark)
@@ -1216,6 +1219,8 @@ class CdcTable:
         pinned = {int(v) for v in
                   mans[vs[-1]].get("tags", {}).values()}
         drop = [v for v in drop if v not in pinned]
+        if dry_run:
+            return drop
         kept_dirs = {mans[v]["data_dir"] for v in vs if v not in drop}
         for v in drop:
             fs, m = self._fs(spark, self._marker_path(v))
@@ -2181,15 +2186,17 @@ class PartitionedCdcTable(CdcTable):
             f"{self.path}")
 
     def vacuum(self, spark: SparkSession, keep_last: int = 2,
-               older_than_ms: "int | None" = None) -> "list[int]":
+               older_than_ms: "int | None" = None,
+               dry_run: bool = False) -> "list[int]":
         """Retain the newest ``keep_last`` manifests (they stay
         time-travelable); older manifests are dropped, and a version's
         DATA directory is dropped only once no kept manifest's bucket
         mapping references it — a bucket directory stays on disk as
         long as any retained snapshot still reads it (the
         transaction-log retention rule). ``older_than_ms`` adds the
-        time-retention guard (see the flat table's vacuum). Returns
-        the versions whose data was deleted."""
+        time-retention guard (see the flat table's vacuum);
+        ``dry_run=True`` reports what would go and deletes nothing.
+        Returns the versions whose data was (or would be) deleted."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         vs = self.versions(spark)
@@ -2214,7 +2221,7 @@ class PartitionedCdcTable(CdcTable):
             if "change_dir" in mans[v]:
                 referenced.add(mans[v]["change_dir"])
         for v in vs:
-            if v not in keep:
+            if v not in keep and not dry_run:
                 fs, m = self._fs(spark, self._marker_path(v))
                 fs.delete(m, False)
         # sweep data dirs from DISK, not the marker list: a writer
@@ -2233,6 +2240,7 @@ class PartitionedCdcTable(CdcTable):
                     or name.startswith("delta=")):
                 continue
             if name not in referenced:
-                fs.delete(status.getPath(), True)
+                if not dry_run:
+                    fs.delete(status.getPath(), True)
                 dropped.append(int(name.split("=", 1)[1].split("__")[0]))
         return sorted(set(dropped))

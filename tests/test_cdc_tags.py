@@ -124,3 +124,23 @@ def test_describe_detail_both_layouts(spark, tmp_path):
     assert d["pending_deltas"] == 1
     assert d["mapped_buckets"] >= 1 and d["num_files"] > 0
     assert d["retained_versions"] == 2
+
+
+def test_vacuum_dry_run_deletes_nothing(spark, tmp_path):
+    for cls, kw in ((CdcTable, {}),
+                    (PartitionedCdcTable, {"num_buckets": 4})):
+        t = cls(str(tmp_path / cls.__name__), "k", app_id="w", **kw)
+        t.initialize(_seed(spark))
+        for i in range(3):
+            t(_ch(spark, [(1, f"s{i}", 10 + i, i + 1, "update")]), i)
+        before = set(t.versions(spark))
+        would = t.vacuum(spark, keep_last=1, dry_run=True)
+        assert would  # something is reclaimable
+        assert set(t.versions(spark)) == before  # nothing happened
+        t.at_version(spark, min(before))         # still readable
+        real = t.vacuum(spark, keep_last=1)
+        # the partitioned REAL return is data-dir versions (a superset
+        # shape); the would-drop marker list must be contained in the
+        # still-real outcome: every would-drop version is now gone
+        assert not set(would) & set(t.versions(spark))
+        assert real
