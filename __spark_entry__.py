@@ -7538,7 +7538,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # top_supplier's slot (a 1-row max lookup, demoted to 51+ with its
         # oracle check intact).
         "streaming_cdc": q_streaming_cdc,
-        "idle_rich_customers": q_idle_rich_customers,
+        # r11 sanctioned swap (VERDICT r10 item 1): cdc_partitioned — the
+        # touched-bucket-pruned MERGE on the partitioned table layout, the
+        # lake-scale write path (only dirty buckets rewrite) — takes
+        # idle_rich_customers' slot (a 0-row anti-join that grades
+        # nothing; demoted to 51+ with its oracle check intact).
+        "cdc_partitioned": q_cdc_partitioned,
         "order_rank_stats_scalable": q_order_rank_stats_scalable,
         "stratified_sample": q_stratified_sample,
         "train_test_split": q_train_test_split,
@@ -7649,7 +7654,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming_cdc per VERDICT r9 item 2); oracle check continues
         # via test_oracle_parity
         "top_supplier": q_top_supplier,
-        "cdc_partitioned": q_cdc_partitioned,
+        # r11: idle_rich_customers demoted here (its graded slot went to
+        # cdc_partitioned per VERDICT r10 item 1); oracle check continues
+        # via test_oracle_parity
+        "idle_rich_customers": q_idle_rich_customers,
         "cdc_multiwriter": q_cdc_multiwriter,
         "cdc_merge_on_read": q_cdc_merge_on_read,
         "cdc_dml": q_cdc_dml,

@@ -165,7 +165,11 @@ BENCH_QUERIES = [
     "ann_ndcg",
     "value_bins",
     "dedup_eval",
-    "dedup_family_eval",
+    # r11 (VERDICT r10 item 4): dedup_family_eval demoted out of the
+    # bench lane list — the by-design all-pairs ground-truth measurement
+    # had grown into the single biggest bench line (~5.4% of the pass)
+    # two rounds running. It still runs once per round via
+    # tools/dedup_eval_probe.py, which records the quality anchor.
     # r6 session-5 additions
     "item_neighbors",
     "user_state_history",
@@ -197,6 +201,62 @@ BENCH_QUERIES = [
     "pareto_parts",
     "value_twap",
 ]
+
+
+def _anchor_fns(spark):
+    """Fixed-work calibration probes (VERDICT r10 item 2): identical
+    generated work every pass, independent of SF_DIR and of any lane's
+    code, so run-to-run machine drift (JIT state, GC pressure, CPU
+    contention) becomes a MEASURED ratio instead of an inferred
+    pattern. Three probes cover the three cost regimes lanes live in:
+    a JVM-side shuffle+agg, a bare-action overhead floor, and an
+    Arrow-batched Python-worker roundtrip."""
+    from pyspark.sql import functions as F
+
+    def shuffle_agg():
+        (spark.range(0, 2_000_000, 1, 32)
+         .select(F.pmod(F.xxhash64("id"), F.lit(1000)).alias("k"),
+                 F.xxhash64("id", F.lit(1)).alias("v"))
+         .groupBy("k")
+         .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+         .write.format("noop").mode("overwrite").save())
+
+    def action_floor():
+        spark.range(1).write.format("noop").mode("overwrite").save()
+
+    def arrow_roundtrip():
+        import pandas as pd  # noqa: F401 - pandas_udf needs it importable
+
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("long")
+        def _plus1(s):
+            return s + 1
+
+        (spark.range(0, 500_000, 1, 8)
+         .select(F.sum(_plus1("id")).alias("s"))
+         .write.format("noop").mode("overwrite").save())
+
+    return {"shuffle_agg": shuffle_agg,
+            "action_floor": action_floor,
+            "arrow_roundtrip": arrow_roundtrip}
+
+
+def _run_anchors(spark) -> "dict[str, float]":
+    out = {}
+    for name, fn in _anchor_fns(spark).items():
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            try:
+                fn()
+            except Exception as exc:  # noqa: BLE001 - observability only
+                print(f"# anchor {name} failed: {exc}", file=sys.stderr)
+                samples = []
+                break
+            samples.append(round(time.perf_counter() - t0, 3))
+        out[name] = min(samples) if samples else None
+    return out
 
 
 def main() -> None:
@@ -238,6 +298,11 @@ def main() -> None:
     # itself, not five repetitions of the basket self-join. The first lane to touch
     # the fixture pays its one-time materialization.
     entrymod.enable_cooccurrence_cache(True)
+
+    # fixed-work calibration: once after warmup, once after the pass —
+    # the start/end pair bounds how much the machine drifted DURING the
+    # pass, and cross-pass anchor ratios normalize mover adjudication
+    anchors_start = _run_anchors(spark)
 
     queries = entrymod.queries()
     timings = {}
@@ -306,6 +371,9 @@ def main() -> None:
         timings[name] = dt
         total += dt
 
+    anchors_end = _run_anchors(spark)
+    anchors = {"start": anchors_start, "end": anchors_end}
+
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
     # Raw per-run samples go to a sidecar file: the driver captures only the
@@ -317,7 +385,7 @@ def main() -> None:
     try:
         with open(sidecar, "w") as fh:
             json.dump({"sf": sf, "runs_per_query": RUNS, "runs": runs_raw,
-                       "exchanges": exchanges}, fh)
+                       "exchanges": exchanges, "anchors": anchors}, fh)
     except OSError as exc:
         print(f"# sidecar write failed: {exc}", file=sys.stderr)
     spark.stop()
@@ -326,6 +394,7 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "anchors": anchors,
         "sf": sf,
     }, separators=(",", ":")))
 

@@ -66,6 +66,8 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -73,6 +75,12 @@ from pyspark.sql import functions as F
 __all__ = ["MaterializedAggView"]
 
 _COUNT = "_mv_live_rows"
+
+# staged result dirs must be unique PER ATTEMPT, not just per writer:
+# pid+thread alone collides when one thread's lost refresh and the
+# interleaved winner staged under the same name — the loser's cleanup
+# would then delete the winner's published data
+_stage_counter = __import__("itertools").count()
 
 
 class MaterializedAggView:
@@ -92,6 +100,16 @@ class MaterializedAggView:
         store) — the same contract every broadcast dim join in this
         repo has, stated rather than silently violated."""
         self.table = table
+        if "://" in store_path:
+            # the pointer store uses local-filesystem I/O (open /
+            # os.link / shutil.rmtree); silently treating a remote URI
+            # as a local relative dir would scatter state — refuse up
+            # front, exactly like the change-feed source does
+            raise NotImplementedError(
+                f"MaterializedAggView stores its pointer with "
+                f"local-filesystem I/O; "
+                f"{store_path.split('://')[0]}:// paths need the "
+                f"pyarrow filesystem hookup")
         self.store = store_path.rstrip("/")
         self.group_cols = ([group_cols] if isinstance(group_cols, str)
                            else list(group_cols))
@@ -115,27 +133,57 @@ class MaterializedAggView:
             if kind in ("sum", "avg", "var", "std") and not expr:
                 raise ValueError(f"{name}: {kind} needs an expression")
 
-    # -- store (marker-last pointer, same discipline as the tables) -------
-    def _pointer_path(self) -> str:
-        return f"{self.store}/_current.json"
+    # -- store (put-if-absent pointer markers, same OCC discipline as
+    # the tables: a refresh publishes marker ``_ptr_{N}`` by hard-link
+    # CAS, so two concurrent refreshes computing the same refresh
+    # number can never both publish — the loser keeps its own
+    # writer-unique result dir out of the pointer and retries against
+    # the winner's state) ---------------------------------------------------
+    def _marker(self, refresh_no: int) -> str:
+        return f"{self.store}/_ptr_{int(refresh_no):012d}.json"
 
     def _pointer(self) -> "dict | None":
         try:
-            with open(self._pointer_path()) as fh:
+            names = os.listdir(self.store)
+        except OSError:
+            return None
+        nums = sorted((int(m[5:-5]) for m in names
+                       if m.startswith("_ptr_") and m.endswith(".json")),
+                      reverse=True)
+        for n in nums:
+            # a racing winner may prune markers between our listing and
+            # the open — fall through to the next-newest
+            try:
+                with open(self._marker(n)) as fh:
+                    return json.load(fh)
+            except (OSError, ValueError):
+                continue
+        try:  # pre-marker stores published a single replaced pointer
+            with open(f"{self.store}/_current.json") as fh:
                 return json.load(fh)
         except (OSError, ValueError):
             return None
 
-    def _publish(self, spark: SparkSession, table_version: int,
-                 refresh_no: int) -> None:
-        ptr = {"table_version": int(table_version),
-               "refresh": int(refresh_no),
-               "dir": f"r{int(refresh_no)}"}
-        tmp = f"{self._pointer_path()}.{os.getpid()}.tmp"
+    def _publish_exclusive(self, table_version: int, refresh_no: int,
+                           dir_name: str) -> bool:
+        """First-writer-wins pointer publish: full content staged to a
+        writer-unique tmp, then ``os.link`` — the marker either appears
+        complete or EEXIST, never half-written (the same CAS shape as
+        the tables' ``fs_publish_text_exclusive``)."""
         os.makedirs(self.store, exist_ok=True)
+        tmp = (f"{self._marker(refresh_no)}"
+               f".{os.getpid()}.{threading.get_ident()}.tmp")
         with open(tmp, "w") as fh:
-            json.dump(ptr, fh)
-        os.replace(tmp, self._pointer_path())
+            json.dump({"table_version": int(table_version),
+                       "refresh": int(refresh_no),
+                       "dir": dir_name}, fh)
+        try:
+            os.link(tmp, self._marker(refresh_no))
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
 
     # -- aggregation pieces ------------------------------------------------
     def _sum_cols(self):
@@ -154,6 +202,16 @@ class MaterializedAggView:
                 for name, (kind, expr) in self.aggs.items()
                 if kind in ("var", "std")]
 
+    def _n_cols(self):
+        """Per-aggregate NON-NULL counts for avg/var/std: SQL AVG and
+        VAR ignore NULL inputs, so their denominator must be the count
+        of non-null contributions, not the group's live-row count —
+        and a signed non-null count is exactly as self-maintainable as
+        a sum."""
+        return [(f"_mv_n_{name}", expr)
+                for name, (kind, expr) in self.aggs.items()
+                if kind in ("avg", "var", "std")]
+
     def _enrich(self, df: DataFrame) -> DataFrame:
         if self.dim is None:
             return df
@@ -167,6 +225,8 @@ class MaterializedAggView:
             aggs.append(F.sum(F.expr(expr)).alias(col))
         for col, expr in self._sq_cols():
             aggs.append(F.sum(F.expr(expr) * F.expr(expr)).alias(col))
+        for col, expr in self._n_cols():
+            aggs.append(F.count(F.expr(expr)).alias(col))
         return live.groupBy(*self.group_cols).agg(*aggs)
 
     def _delta(self, changes: DataFrame) -> DataFrame:
@@ -180,6 +240,9 @@ class MaterializedAggView:
         for col, expr in self._sq_cols():
             aggs.append(F.sum(sign * F.expr(expr) * F.expr(expr))
                         .alias(col))
+        for col, expr in self._n_cols():
+            aggs.append(F.sum(F.when(F.expr(expr).isNotNull(), sign)
+                              .otherwise(F.lit(0))).alias(col))
         return enriched.groupBy(*self.group_cols).agg(*aggs)
 
     def _absorb(self, cur: DataFrame, delta: DataFrame) -> DataFrame:
@@ -187,7 +250,8 @@ class MaterializedAggView:
         cond = [F.col(f"MV.{g}").eqNullSafe(F.col(f"D.{g}"))
                 for g in self.group_cols]
         state_cols = [_COUNT] + [c for c, _ in self._sum_cols()] \
-            + [c for c, _ in self._sq_cols()]
+            + [c for c, _ in self._sq_cols()] \
+            + [c for c, _ in self._n_cols()]
         # pin every absorbed column to the STORED schema's type: decimal
         # addition otherwise widens precision on each refresh and the
         # state schema would drift release-to-release
@@ -202,40 +266,77 @@ class MaterializedAggView:
         return merged.where(F.col(_COUNT) > 0)
 
     # -- API ---------------------------------------------------------------
+    _REFRESH_RETRIES = 6
+
     def refresh(self, spark: SparkSession) -> int:
         """Advance the view to the table's latest version. Initial call
         scans the table once; every later call reads only the change
         feed. Idempotent: a refresh at an already-reflected version is
-        a no-op. Returns the table version the view now reflects."""
-        latest = self.table._latest_version(spark)
-        if latest is None:
-            raise ValueError("table has no committed versions")
-        ptr = self._pointer()
-        if ptr is None:
-            state = self._initial(spark,
-                                  self.table.at_version(spark, latest))
-            self._write(spark, state, latest, 0)
-            return int(latest)
-        if int(ptr["table_version"]) >= int(latest):
-            return int(ptr["table_version"])
-        cur = spark.read.parquet(f"{self.store}/{ptr['dir']}")
-        changes = self.table.changes_between(
-            spark, int(ptr["table_version"]), int(latest),
-            preimages=True)
-        state = self._absorb(cur, self._delta(changes))
-        self._write(spark, state, latest, int(ptr["refresh"]) + 1)
-        return int(latest)
+        a no-op; two CONCURRENT refreshes race on the pointer CAS and
+        the loser rebases against the winner's published state instead
+        of clobbering it. Returns the reflected table version."""
+        for _attempt in range(self._REFRESH_RETRIES):
+            latest = self.table._latest_version(spark)
+            if latest is None:
+                raise ValueError("table has no committed versions")
+            ptr = self._pointer()
+            if ptr is None:
+                state = self._initial(
+                    spark, self.table.at_version(spark, latest))
+                if self._write(spark, state, latest, 0, None):
+                    return int(latest)
+                continue  # a concurrent refresh built first: rebase
+            if int(ptr["table_version"]) >= int(latest):
+                return int(ptr["table_version"])
+            try:
+                cur = spark.read.parquet(f"{self.store}/{ptr['dir']}")
+                changes = self.table.changes_between(
+                    spark, int(ptr["table_version"]), int(latest),
+                    preimages=True)
+                state = self._absorb(cur, self._delta(changes))
+                won = self._write(spark, state, latest,
+                                  int(ptr["refresh"]) + 1, ptr)
+            except Exception:
+                # a racing winner may have pruned ptr['dir'] under our
+                # in-flight read — only a LOST race reads as progress;
+                # anything else re-raises
+                now = self._pointer()
+                if now and int(now["refresh"]) > int(ptr["refresh"]):
+                    continue
+                raise
+            if won:
+                return int(latest)
+        raise RuntimeError(
+            f"refresh lost the pointer race {self._REFRESH_RETRIES} "
+            f"times on {self.store}")
 
     def _write(self, spark: SparkSession, state: DataFrame,
-               table_version: int, refresh_no: int) -> None:
-        target = f"{self.store}/r{int(refresh_no)}"
+               table_version: int, refresh_no: int,
+               prev: "dict | None") -> bool:
+        """Stage the state under a WRITER-UNIQUE dir, then CAS-publish
+        the refresh-numbered pointer marker. On a lost CAS the staged
+        dir is removed and nothing published — the caller rebases. The
+        winner prunes the superseded result dir and markers older than
+        the previous one (kept so a reader holding a stale listing can
+        still resolve)."""
+        dir_name = (f"r{int(refresh_no)}"
+                    f".{os.getpid()}.{threading.get_ident()}"
+                    f".{next(_stage_counter)}")
+        target = f"{self.store}/{dir_name}"
         state.write.mode("overwrite").parquet(target)
-        prev = self._pointer()
-        self._publish(spark, table_version, refresh_no)
-        if prev and prev.get("dir") and prev["dir"] != f"r{refresh_no}":
-            import shutil
+        if not self._publish_exclusive(table_version, refresh_no,
+                                       dir_name):
+            shutil.rmtree(target, ignore_errors=True)
+            return False
+        if prev and prev.get("dir") and prev["dir"] != dir_name:
             shutil.rmtree(f"{self.store}/{prev['dir']}",
                           ignore_errors=True)
+        for n in range(max(0, int(refresh_no) - 8), int(refresh_no) - 1):
+            try:
+                os.unlink(self._marker(n))
+            except OSError:
+                pass
+        return True
 
     def result(self, spark: SparkSession) -> DataFrame:
         """The maintained aggregate: group cols + one column per
@@ -247,21 +348,24 @@ class MaterializedAggView:
         state = spark.read.parquet(f"{self.store}/{ptr['dir']}")
         cols = list(self.group_cols)
         for name, (kind, _expr) in self.aggs.items():
+            n = F.col(f"_mv_n_{name}") if kind in ("avg", "var", "std") \
+                else None
             if kind == "count":
                 cols.append(F.col(_COUNT).alias(name))
             elif kind == "sum":
                 cols.append(F.col(f"_mv_sum_{name}").alias(name))
             elif kind == "avg":
-                cols.append((F.col(f"_mv_sum_{name}")
-                             / F.col(_COUNT)).alias(name))
+                # SQL AVG: NULL inputs excluded from the denominator;
+                # an all-NULL group is NULL, not a division error
+                cols.append(F.when(n > 0, F.col(f"_mv_sum_{name}") / n)
+                            .alias(name))
             else:  # var / std over exactly-maintained moments
-                mean = (F.col(f"_mv_sum_{name}").cast("double")
-                        / F.col(_COUNT))
-                var = (F.col(f"_mv_sq_{name}").cast("double")
-                       / F.col(_COUNT)) - mean * mean
+                mean = F.col(f"_mv_sum_{name}").cast("double") / n
+                var = (F.col(f"_mv_sq_{name}").cast("double") / n
+                       - mean * mean)
                 var = F.greatest(var, F.lit(0.0))  # fp guard at var≈0
-                cols.append((var if kind == "var"
-                             else F.sqrt(var)).alias(name))
+                cols.append(F.when(n > 0, var if kind == "var"
+                                   else F.sqrt(var)).alias(name))
         return state.select(*cols)
 
     def reflected_version(self) -> "int | None":

@@ -419,8 +419,9 @@ class CdcTable:
         from systems_spark.state import fs_publish_text_exclusive
         txn = dict(prior_man.get("txn", {})) if prior_man else {}
         if extra and "batch_id" in extra:
-            txn[self.app_id] = max(int(extra["batch_id"]),
-                                   int(txn.get(self.app_id, -1)))
+            app = extra.get("txn_app", self.app_id)
+            txn[app] = max(int(extra["batch_id"]),
+                           int(txn.get(app, -1)))
         manifest = {"app_id": self.app_id, "version": int(version),
                     "rows": int(row["rows"]), "data_dir": dir_name,
                     "txn": txn,
@@ -456,13 +457,13 @@ class CdcTable:
                 for v in self.versions(spark)]
 
     def _manifest_at(self, spark: SparkSession, version: int) -> dict:
-        """One targeted marker read — O(log listing + 1), never a scan
-        of the whole history."""
-        if version not in self.versions(spark):
+        """One targeted marker read — a direct exists+read probe,
+        never a listing of the whole history (the log grows forever;
+        a change-feed window read does two of these per refresh)."""
+        fs, m = self._fs(spark, self._marker_path(version))
+        if not fs.exists(m):
             raise ValueError(f"version {version} is not committed")
-        return json.loads(_fs_read_text(
-            spark, self._fs(spark, self._marker_path(version))[1]
-            .toString()))
+        return json.loads(_fs_read_text(spark, m.toString()))
 
     def _latest_manifest(self, spark: SparkSession) -> dict:
         # hint + probe, not a directory listing — this runs on every
@@ -503,10 +504,12 @@ class CdcTable:
                 .drop(self.seq_col, self.DELETED))
 
     # -- the foreachBatch entry point ----------------------------------------
-    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+    def __call__(self, batch_df: DataFrame, batch_id: int,
+                 _txn_app: "str | None" = None) -> None:
         from systems_spark.operators.cdc import merge_cdc_fenced
 
         spark = batch_df.sparkSession
+        txn_app = _txn_app or self.app_id
         for _attempt in range(self._COMMIT_RETRIES):
             self._backoff(_attempt)
             # ONE marker read per attempt: the latest manifest carries
@@ -516,7 +519,7 @@ class CdcTable:
             # recorded the batch), the standing fence, and the data dir
             man = self._latest_manifest(spark)
             if int(batch_id) <= int(man.get("txn", {})
-                                    .get(self.app_id, -1)):
+                                    .get(txn_app, -1)):
                 return  # replayed epoch: this batch already committed
             snap = spark.read.parquet(self._data_path(man))
             batch = self._apply_generated(man, batch_df)
@@ -543,6 +546,8 @@ class CdcTable:
             # vacuuming the compaction commit that introduced it can
             # never un-fence
             extra = {"batch_id": int(batch_id)}
+            if txn_app != self.app_id:
+                extra["txn_app"] = txn_app
             if fence is not None:
                 extra["fence_seq"] = int(fence)
             try:
@@ -1042,12 +1047,18 @@ class CdcTable:
                       int(f) if f is not None else int(max_seq)) + 1
         changes = changes.withColumn(
             self.seq_col, F.lit(int(seq)).cast("long"))
+        txn_app = None
         if batch_id is None:
-            # DML is not an idempotent stream epoch: claim the next
-            # batch slot so it threads through the same txn discipline
+            # DML is not a stream epoch: recording its idempotence
+            # under the stream's own txn key would consume the
+            # stream's NEXT batch slot, and the stream's next genuine
+            # epoch would then read as replayed and be silently
+            # dropped. DML claims slots under a distinct txn key
+            # instead, so the two sequences never collide.
+            txn_app = f"{self.app_id}#dml"
             batch_id = int(self._latest_manifest(spark)
-                           .get("txn", {}).get(self.app_id, -1)) + 1
-        self(changes, int(batch_id))
+                           .get("txn", {}).get(txn_app, -1)) + 1
+        self(changes, int(batch_id), _txn_app=txn_app)
         return self._latest_version(spark)
 
     def delete_where(self, spark: SparkSession, predicate,
@@ -1090,6 +1101,17 @@ class CdcTable:
             raise ValueError(
                 f"update_where cannot assign to merge key column(s) "
                 f"{sorted(bad_keys)}; use delete + insert")
+        # writers cannot override GENERATED columns (the Delta
+        # contract): the merge recomputes them from their expressions
+        # at commit, so accepting the assignment here would silently
+        # discard the user's SET
+        gen = set(self._latest_manifest(spark).get("generated", {}))
+        bad_gen = set(assignments) & gen
+        if bad_gen:
+            raise ValueError(
+                f"update_where cannot assign to GENERATED column(s) "
+                f"{sorted(bad_gen)}; they are recomputed from their "
+                f"expressions at every write")
         payload = [c for c in matched.columns
                    if c not in (self.seq_col, self.DELETED)]
         unknown = set(assignments) - set(payload)
@@ -1441,8 +1463,9 @@ class PartitionedCdcTable(CdcTable):
         without touching data; cleanup is the caller's policy."""
         txn = dict(prior_man.get("txn", {}))
         if extra and "batch_id" in extra:
-            txn[self.app_id] = max(int(extra["batch_id"]),
-                                   int(txn.get(self.app_id, -1)))
+            app = extra.get("txn_app", self.app_id)
+            txn[app] = max(int(extra["batch_id"]),
+                           int(txn.get(app, -1)))
         manifest = {"app_id": self.app_id, "version": int(version),
                     "rows": int(rows),
                     "buckets": dict(prior_man.get("buckets", {})),
@@ -1704,8 +1727,9 @@ class PartitionedCdcTable(CdcTable):
             dirs[str(int(version))] = dir_name
         txn = dict(prior_man.get("txn", {})) if prior_man else {}
         if extra and "batch_id" in extra:
-            txn[self.app_id] = max(int(extra["batch_id"]),
-                                   int(txn.get(self.app_id, -1)))
+            app = extra.get("txn_app", self.app_id)
+            txn[app] = max(int(extra["batch_id"]),
+                           int(txn.get(app, -1)))
         pending = (list(pending_override) if pending_override is not None
                    else list(prior_man.get("pending", []))
                    if prior_man else [])
@@ -1844,17 +1868,19 @@ class PartitionedCdcTable(CdcTable):
         fs.delete(d, True)
 
     # -- the foreachBatch entry point ----------------------------------------
-    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+    def __call__(self, batch_df: DataFrame, batch_id: int,
+                 _txn_app: "str | None" = None) -> None:
         from systems_spark.operators.cdc import merge_cdc_fenced
 
         spark = batch_df.sparkSession
+        txn_app = _txn_app or self.app_id
         staged = None  # a kept loser dir awaiting a fast recommit
         try:
             for _attempt in range(self._COMMIT_RETRIES):
                 self._backoff(_attempt)
                 man = self._latest_manifest(spark)  # ONE marker read
                 if int(batch_id) <= int(man.get("txn", {})
-                                        .get(self.app_id, -1)):
+                                        .get(txn_app, -1)):
                     return  # replayed epoch
                 if staged is not None:
                     # FAST RECOMMIT: the previous attempt lost the CAS
@@ -1892,6 +1918,8 @@ class PartitionedCdcTable(CdcTable):
                 fence = (int(man["fence_seq"]) if "fence_seq" in man
                          else None)
                 extra = {"batch_id": int(batch_id)}
+                if txn_app != self.app_id:
+                    extra["txn_app"] = txn_app
                 batch = self._apply_generated(man, batch_df)
                 if fence is not None:
                     extra["fence_seq"] = int(fence)

@@ -124,3 +124,63 @@ def test_mor_delete_commits_delta_not_buckets(spark, tmp_path):
     assert man1["buckets"] == man0["buckets"]  # no bucket rewrites
     assert len(man1["pending"]) == 1
     assert {r.k for r in t.current(spark).collect()} == {1}
+
+
+def test_dml_does_not_steal_the_streams_next_epoch(spark, tmp_path):
+    """DML with batch_id=None records idempotence under a distinct
+    ``#dml`` txn key. Before this, it claimed txn[app_id]+1 — and a
+    live stream's next GENUINE epoch then read as replayed and was
+    silently dropped (data loss when mixing DML with a stream on one
+    handle)."""
+    t = CdcTable(str(tmp_path / "t"), "k", app_id="w")
+    t.initialize(_seed(spark))
+    t(_ch(spark, [(4, "d", 40, 1, "insert")]), 0)   # stream epoch 0
+    t.delete_where(spark, "k = 2")                  # auto batch_id DML
+    man = t._latest_manifest(spark)
+    assert man["txn"]["w"] == 0          # stream slot untouched
+    assert man["txn"]["w#dml"] == 0      # DML under its own key
+    # the stream's next genuine epoch MUST still apply
+    t(_ch(spark, [(5, "e", 50, 2, "insert")]), 1)
+    assert {r.k for r in t.current(spark).collect()} == {1, 3, 4, 5}
+    # and a second auto DML claims the next #dml slot, also applying
+    t.update_where(spark, "k = 1", {"v": "v + 1"})
+    man = t._latest_manifest(spark)
+    assert man["txn"]["w#dml"] == 1
+    assert {r.k: r.v for r in t.current(spark).collect()}[1] == 11
+
+
+def test_dml_distinct_txn_key_partitioned_mor(spark, tmp_path):
+    t = PartitionedCdcTable(str(tmp_path / "t"), "k", app_id="w",
+                            num_buckets=4, write_mode="merge_on_read")
+    t.initialize(_seed(spark))
+    t(_ch(spark, [(4, "d", 40, 1, "insert")]), 0)
+    t.delete_where(spark, "k = 2")
+    man = t._latest_manifest(spark)
+    assert man["txn"]["w"] == 0 and man["txn"]["w#dml"] == 0
+    t(_ch(spark, [(5, "e", 50, 2, "insert")]), 1)   # not dropped
+    assert {r.k for r in t.current(spark).collect()} == {1, 3, 4, 5}
+
+
+def test_explicit_batch_id_dml_keeps_stream_key(spark, tmp_path):
+    """A caller passing an explicit batch_id has opted into the
+    stream's idempotence sequence — behavior unchanged."""
+    t = CdcTable(str(tmp_path / "t"), "k", app_id="w")
+    t.initialize(_seed(spark))
+    t.delete_where(spark, "k = 2", batch_id=3)
+    man = t._latest_manifest(spark)
+    assert man["txn"]["w"] == 3
+    assert "w#dml" not in man["txn"]
+
+
+def test_update_where_rejects_generated_columns(spark, tmp_path):
+    """SET on a GENERATED column raises (the Delta writer contract)
+    instead of being silently overwritten at commit."""
+    t = CdcTable(str(tmp_path / "t"), "k", app_id="w")
+    t.initialize(_seed(spark))
+    t.add_generated_column(spark, "v2", "v * 2")
+    with pytest.raises(ValueError, match="GENERATED"):
+        t.update_where(spark, "k = 1", {"v2": "999"})
+    # non-generated assignments still work; v2 recomputes
+    t.update_where(spark, "k = 1", {"v": "v + 5"})
+    got = {r.k: (r.v, r.v2) for r in t.current(spark).collect()}
+    assert got[1] == (15, 30)

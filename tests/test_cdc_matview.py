@@ -130,7 +130,7 @@ def test_crash_before_pointer_keeps_previous_result(spark, tmp_path,
     before = _as_dict(view.result(spark))
     t(_ch(spark, [(1, "x", 15, 1, "update")]), 0)
 
-    monkeypatch.setattr(MaterializedAggView, "_publish",
+    monkeypatch.setattr(MaterializedAggView, "_publish_exclusive",
                         lambda self, *a: (_ for _ in ()).throw(
                             OSError("crash before pointer")))
     with pytest.raises(OSError):
@@ -254,3 +254,108 @@ def test_var_std_moment_maintenance(spark, tmp_path):
     with pytest.raises(ValueError, match="needs an expression"):
         MaterializedAggView(t, str(tmp_path / "mv2"), ["grp"],
                             {"m": ("var", None)})
+
+
+def test_null_inputs_excluded_from_avg_var_std(spark, tmp_path):
+    """SQL AVG/VAR_POP/STDDEV_POP ignore NULL inputs — the maintained
+    denominator must be the per-aggregate non-null count, not the
+    group's live-row count; an all-NULL group yields NULL."""
+    t = CdcTable(str(tmp_path / "t"), "k", app_id="w")
+    t.initialize(spark.createDataFrame(
+        [(1, "x", 10), (2, "x", None), (3, "x", 20),
+         (4, "y", None), (5, "y", None),
+         (6, "z", 7), (7, "z", 9)], PAY))
+    view = MaterializedAggView(
+        t, str(tmp_path / "mv"), group_cols=["grp"],
+        aggs={"n": ("count", None), "mean": ("avg", "v"),
+              "vr": ("var", "v"), "sd": ("std", "v")})
+    view.refresh(spark)
+
+    def recompute():
+        return {r.grp: (r.n,
+                        None if r.mean is None else round(float(r.mean), 9),
+                        None if r.vr is None else round(float(r.vr), 9),
+                        None if r.sd is None else round(float(r.sd), 9))
+                for r in t.current(spark).groupBy("grp").agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.avg("v").alias("mean"),
+                    F.var_pop("v").alias("vr"),
+                    F.stddev_pop("v").alias("sd")).collect()}
+
+    def got():
+        return {r.grp: (r.n,
+                        None if r.mean is None else round(float(r.mean), 9),
+                        None if r.vr is None else round(float(r.vr), 9),
+                        None if r.sd is None else round(float(r.sd), 9))
+                for r in view.result(spark).collect()}
+
+    assert got() == recompute()
+    assert got()["y"][1:] == (None, None, None)  # all-NULL group
+    # deletes of NULL and non-NULL rows maintain both counts; an
+    # update flipping NULL -> value moves the denominator too
+    t(_ch(spark, [(2, "x", None, 1, "delete"),
+                  (6, "z", 7, 1, "delete"),
+                  (4, "y", 50, 1, "update")]), 0)
+    view.refresh(spark)
+    assert got() == recompute()
+    assert got()["y"][1:] == (50.0, 0.0, 0.0)
+
+
+def test_concurrent_refresh_pointer_cas(spark, tmp_path):
+    """Two refreshes racing from the same reflected version: exactly
+    one publishes; the loser rebases against the winner's state, never
+    clobbers its result dir, and leaves no stray staging dirs."""
+    t = CdcTable(str(tmp_path / "t"), "k", app_id="w")
+    t.initialize(_seed(spark))
+    store = str(tmp_path / "mv")
+    a, b = _view(t, store), _view(t, store)
+    a.refresh(spark)
+    t(_ch(spark, [(1, "x", 15, 1, "update"),
+                  (9, "y", 90, 1, "insert")]), 0)
+
+    real = MaterializedAggView._publish_exclusive
+    raced = {"n": 0}
+
+    def interleave(self, *args):
+        # first publish attempt: let the OTHER view win the slot first
+        if self is a and raced["n"] == 0:
+            raced["n"] += 1
+            b.refresh(spark)
+        return real(self, *args)
+
+    MaterializedAggView._publish_exclusive = interleave
+    try:
+        assert a.refresh(spark) == t._latest_version(spark)
+    finally:
+        MaterializedAggView._publish_exclusive = real
+    assert raced["n"] == 1
+    assert _as_dict(a.result(spark)) == _recompute(t, spark)
+    # the loser's staged dir is gone: only the winning result dir and
+    # pointer markers remain in the store
+    ptr = a._pointer()
+    leftovers = [n for n in os.listdir(store)
+                 if not n.startswith("_ptr_") and n != ptr["dir"]]
+    assert leftovers == []
+
+
+def test_legacy_current_json_pointer_still_resolves(spark, tmp_path):
+    """Stores written before the CAS markers published a single
+    replaced _current.json — reading and refreshing them still works."""
+    import json as _json
+    t = CdcTable(str(tmp_path / "t"), "k", app_id="w")
+    t.initialize(_seed(spark))
+    view = _view(t, str(tmp_path / "mv"))
+    view.refresh(spark)
+    # rewrite the store into the legacy shape
+    ptr = view._pointer()
+    os.rename(f"{view.store}/{ptr['dir']}", f"{view.store}/r0")
+    for n in os.listdir(view.store):
+        if n.startswith("_ptr_"):
+            os.unlink(f"{view.store}/{n}")
+    with open(f"{view.store}/_current.json", "w") as fh:
+        _json.dump({"table_version": ptr["table_version"],
+                    "refresh": 0, "dir": "r0"}, fh)
+    assert view.reflected_version() == ptr["table_version"]
+    t(_ch(spark, [(9, "y", 90, 1, "insert")]), 0)
+    view.refresh(spark)
+    assert _as_dict(view.result(spark)) == _recompute(t, spark)
