@@ -114,6 +114,52 @@ def apply_cdc(snapshot: DataFrame, changes: DataFrame, key_cols,
     return untouched.unionByName(upserts)
 
 
+def fold_last_change(changes: DataFrame, key_cols, payload,
+                     seq_col: str, op_col: str, deleted_col: str,
+                     check_unique_seq=True,
+                     what: str = "fold_last_change") -> DataFrame:
+    """Per-key winner of a change batch (the highest-``seq`` row),
+    projected to snapshot shape: payload + seq + tombstone flag. The
+    shared fold behind :func:`merge_cdc_fenced` and the change-feed
+    fast path.
+
+    ``check_unique_seq``: ``True`` runs the eager sample check (one
+    small job — right for write paths, which want to fail BEFORE
+    staging anything); ``"inline"`` defers the same (key, seq)-tie
+    guard to execution time — a count over (key, seq) rides the winner
+    window's own shuffle (partitioning on the key prefix satisfies the
+    finer clustering), and the winner row raises if its (key, seq) is
+    duplicated. Read-side folds use inline so materializing a
+    merge-on-read snapshot never pays an extra validation job."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    payload = list(payload)
+    if check_unique_seq == "inline":
+        w2 = Window.partitionBy(*key_cols, seq_col)
+        changes = changes.withColumn(
+            "_cdc_ties", F.count(F.lit(1)).over(w2))
+    elif check_unique_seq:
+        _check_unique_seq(changes, key_cols, seq_col, what)
+    changes = changes.withColumn(op_col, _op_checked(op_col, what))
+    w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+    seq_out = F.col(seq_col)
+    if check_unique_seq == "inline":
+        seq_out = F.when(
+            F.col("_cdc_ties") > 1,
+            F.raise_error(F.concat(
+                F.lit(f"{what}: (key, {seq_col}) must be unique "
+                      f"within a change batch — 'last change wins' is "
+                      f"nondeterministic under ties. Duplicated: "),
+                F.concat_ws(
+                    ",", *[F.col(k).cast("string") for k in key_cols],
+                    F.col(seq_col).cast("string"))))
+        ).otherwise(F.col(seq_col))
+    return (changes
+            .withColumn("_cdc_rn", F.row_number().over(w))
+            .where(F.col("_cdc_rn") == 1)
+            .select(*payload, seq_out.alias(seq_col),
+                    (F.col(op_col) == "delete").alias(deleted_col)))
+
+
 def merge_cdc_fenced(snapshot: DataFrame, changes: DataFrame, key_cols,
                      seq_col: str = "seq", op_col: str = "op",
                      deleted_col: str = "_cdc_deleted",
@@ -153,16 +199,10 @@ def merge_cdc_fenced(snapshot: DataFrame, changes: DataFrame, key_cols,
         raise ValueError(f"changes is missing columns: {missing}")
     if min_seq is not None:
         changes = changes.where(F.col(seq_col) > int(min_seq))
-    if check_unique_seq:
-        _check_unique_seq(changes, key_cols, seq_col, "merge_cdc_fenced")
-    changes = changes.withColumn(
-        op_col, _op_checked(op_col, "merge_cdc_fenced"))
-    w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
-    last = (changes
-            .withColumn("_cdc_rn", F.row_number().over(w))
-            .where(F.col("_cdc_rn") == 1)
-            .select(*payload, seq_col,
-                    (F.col(op_col) == "delete").alias(deleted_col)))
+    last = fold_last_change(changes, key_cols, payload, seq_col,
+                            op_col, deleted_col,
+                            check_unique_seq=check_unique_seq,
+                            what="merge_cdc_fenced")
     touched = last.select(*key_cols)
     untouched = _touched_join(snapshot, touched, key_cols, "anti")
     snap_touched = _touched_join(snapshot, touched, key_cols, "semi")

@@ -149,6 +149,14 @@ class _CdfStreamReader(DataSourceStreamReader):
         self.op_col = options.get("op_col", "op")
         self.deleted_col = options.get("deleted_col", "_cdc_deleted")
         self.start_version = int(options.get("start_version", -1))
+        # Delta's skipChangeCommits analog, for RESTORE commits only:
+        # consumers that use the feed as a pure commit NOTIFICATION
+        # (the continuously-maintained view — each trigger re-reads the
+        # authoritative window from the log) may skip a restore; a
+        # consumer APPLYING the rows (replication) must never, or it
+        # silently diverges from the rolled-back source
+        self.skip_restores = str(options.get("skip_restores", "false")) \
+            .lower() == "true"
         self._schema = schema
 
     # -- offsets (table versions) ------------------------------------------
@@ -183,6 +191,21 @@ class _CdfStreamReader(DataSourceStreamReader):
                         f"stream to pick up the new columns")
                 parts.append(_DeltaPartition(os.path.join(self.path, d)))
                 continue
+            if "restore_of" in man and not self.skip_restores:
+                # a RESTORE rolls live content back with NO change
+                # file — rows the feed already delivered are now gone
+                # from the source, and no stream of changes can express
+                # that. A consumer applying the feed would silently
+                # diverge; fail the stream instead (module contract:
+                # surfaced as an error, never silently wrong).
+                raise ValueError(
+                    f"version {v} of {self.path} is a RESTORE (of "
+                    f"version {man['restore_of']}) — live content "
+                    f"rolled back with no change file. Resync the "
+                    f"consumer from the restored snapshot and restart "
+                    f"from a NEW checkpoint with start_version={v}; "
+                    f"notification-only consumers may set "
+                    f".option('skip_restores', 'true')")
             if "batch_id" in man:
                 # a merge that recorded no change file: copy-on-write
                 raise ValueError(
@@ -190,7 +213,8 @@ class _CdfStreamReader(DataSourceStreamReader):
                     f"change file — the change feed requires "
                     f"write_mode='merge_on_read' on the producing "
                     f"table")
-            # maintenance commit (compaction/optimize/restore): no rows
+            # maintenance commit (compaction/optimize/rebucket —
+            # content-identical or tombstone-only): no rows
         return parts
 
     def read(self, partition: _DeltaPartition):

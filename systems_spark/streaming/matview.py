@@ -389,9 +389,15 @@ class MaterializedAggView:
             CdcChangeFeedDataSource
 
         spark.dataSource.register(CdcChangeFeedDataSource)
+        # skip_restores: the feed is a NOTIFICATION here, never applied
+        # rows — refresh() re-reads the authoritative window from the
+        # log (whose net-diff fallback handles a restore correctly), so
+        # the served view may follow the table across a RESTORE instead
+        # of failing the stream like an applying consumer must
         feed = (spark.readStream.format("cdc_change_feed")
                 .option("path", self.table.path)
                 .option("op_col", self.table.op_col)
+                .option("skip_restores", "true")
                 .option("deleted_col", self.table.DELETED).load())
 
         def absorb(batch_df, batch_id):

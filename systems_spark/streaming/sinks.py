@@ -688,28 +688,35 @@ class CdcTable:
         cond = [F.col(f"A.{k}").eqNullSafe(F.col(f"B.{k}"))
                 for k in self.key_cols]
         j = A.join(B, on=cond, how="full")
-        post = [F.col(f"B.{c}").alias(c)
-                for c in payload + [self.seq_col]]
-        pre = [F.col(f"A.{c}").alias(c)
-               for c in payload + [self.seq_col]]
-        ins = (j.where(F.col("A._cdf_pa").isNull())
-               .select(*post, F.lit("insert").alias("_change_type")))
+        # ONE pass over the join, not a union of per-type branches: a
+        # union would re-evaluate the (potentially very heavy) endpoint
+        # subtrees once per change type — measured 4× plan blowup (49
+        # scans / 36 windows on the pruned MOR feed). Each joined key
+        # emits its 0–2 change rows from an exploded candidate array
+        # instead; the endpoints are scanned exactly once.
+        out_cols = payload + [self.seq_col]
+        post = F.struct(*[F.col(f"B.{c}").alias(c) for c in out_cols])
+        pre = F.struct(*[F.col(f"A.{c}").alias(c) for c in out_cols])
+        is_ins = F.col("A._cdf_pa").isNull()
+        is_del = F.col("B._cdf_pb").isNull()
         moved = (F.col("A._cdf_pa").isNotNull()
                  & F.col("B._cdf_pb").isNotNull()
                  & (F.col(f"A.{self.seq_col}")
                     != F.col(f"B.{self.seq_col}")))
-        upd = (j.where(moved)
-               .select(*post, F.lit("update_postimage" if preimages
-                                    else "update")
-                       .alias("_change_type")))
-        dele = (j.where(F.col("B._cdf_pb").isNull())
-                .select(*pre, F.lit("delete").alias("_change_type")))
-        out = ins.unionByName(upd).unionByName(dele)
+
+        def event(when, label, row):
+            return F.when(when, F.struct(
+                F.lit(label).alias("_change_type"), row.alias("r")))
+
+        cands = [event(is_ins, "insert", post),
+                 event(moved, "update_postimage" if preimages
+                       else "update", post),
+                 event(is_del, "delete", pre)]
         if preimages:
-            out = out.unionByName(
-                j.where(moved).select(
-                    *pre, F.lit("update_preimage").alias("_change_type")))
-        return out
+            cands.append(event(moved, "update_preimage", pre))
+        ev = F.filter(F.array(*cands), lambda x: x.isNotNull())
+        return (j.select(F.explode(ev).alias("_e"))
+                .select("_e.r.*", "_e._change_type"))
 
     def fence(self, spark: SparkSession) -> "int | None":
         """The standing compaction fence: the highest ``fence_seq`` any
@@ -1320,6 +1327,12 @@ class PartitionedCdcTable(CdcTable):
 
     BUCKET = "_cdc_bucket"
 
+    # change-feed reads inline the batch's distinct keys driver-side
+    # (literal isin filter, no semi-join) when they fit this cap —
+    # the same bounded-collect posture as the touched-bucket list;
+    # bigger batches keep the fully distributed semi-join path
+    KEYS_INLINE_MAX = 20_000
+
     def _bucket_expr(self):
         return F.pmod(F.xxhash64(*[F.col(k) for k in self.key_cols]),
                       F.lit(self.num_buckets)).cast("int")
@@ -1404,9 +1417,12 @@ class PartitionedCdcTable(CdcTable):
         changes = spark.read.schema(self._change_schema(man)).parquet(
             *[f"{self.path}/{d}" for d in pend])
         fence = int(man["fence_seq"]) if "fence_seq" in man else None
+        # inline tie guard: a read-side fold must not pay the eager
+        # sample-collect job on every snapshot materialization
         return merge_cdc_fenced(
             base, changes, self.key_cols, seq_col=self.seq_col,
-            op_col=self.op_col, deleted_col=self.DELETED, min_seq=fence)
+            op_col=self.op_col, deleted_col=self.DELETED, min_seq=fence,
+            check_unique_seq="inline")
 
     def _conform_strict_batch(self, man: dict,
                               batch: DataFrame) -> DataFrame:
@@ -1562,20 +1578,29 @@ class PartitionedCdcTable(CdcTable):
         return dirs
 
     def _pruned_view(self, spark: SparkSession, man: dict,
-                     keys: DataFrame, buckets) -> DataFrame:
+                     keys: DataFrame, buckets,
+                     inline_keys: "list | None" = None) -> DataFrame:
         """The snapshot AT ``man``, restricted to ``keys`` — reads
         only the keys' buckets and folds only those keys' pending
         deltas, so the cost is touched-bucket volume, not table
-        size."""
+        size. When the caller already holds the key set driver-side
+        (``inline_keys``, single-key tables with a bounded batch) the
+        restriction is an ``isin`` literal filter instead of a
+        semi-join — no keys subtree, no join exchange, and the filter
+        can reach the parquet scan."""
         from systems_spark.operators.cdc import merge_cdc_fenced
 
         cond_against = keys.alias("K")
 
-        def restrict(df):
-            d = df.alias("S")
-            cond = [F.col(f"S.{k}").eqNullSafe(F.col(f"K.{k}"))
-                    for k in self.key_cols]
-            return d.join(cond_against, on=cond, how="left_semi")
+        if inline_keys is not None:
+            def restrict(df):
+                return df.where(F.col(self.key_cols[0]).isin(inline_keys))
+        else:
+            def restrict(df):
+                d = df.alias("S")
+                cond = [F.col(f"S.{k}").eqNullSafe(F.col(f"K.{k}"))
+                        for k in self.key_cols]
+                return d.join(cond_against, on=cond, how="left_semi")
 
         base = restrict(self._read_buckets(spark, man, buckets))
         pend = man.get("pending", [])
@@ -1587,7 +1612,8 @@ class PartitionedCdcTable(CdcTable):
         fence = int(man["fence_seq"]) if "fence_seq" in man else None
         return merge_cdc_fenced(
             base, changes, self.key_cols, seq_col=self.seq_col,
-            op_col=self.op_col, deleted_col=self.DELETED, min_seq=fence)
+            op_col=self.op_col, deleted_col=self.DELETED, min_seq=fence,
+            check_unique_seq="inline")
 
     def changes_between(self, spark: SparkSession, v_from: int,
                         v_to: int, preimages: bool = False) -> DataFrame:
@@ -1615,16 +1641,105 @@ class PartitionedCdcTable(CdcTable):
         ch = spark.read.schema(self._change_schema(man1)).parquet(
             *[f"{self.path}/{d}" for d in dirs])
         keys = ch.select(*self.key_cols).distinct()
-        # ≤ num_buckets rows — the same bounded pruning collect the
-        # merge path does
-        buckets = sorted(
-            int(r[0]) for r in keys.select(self._bucket_expr())
-            .distinct().collect())
-        pre = self._pruned_view(spark, man0, keys, buckets)
-        post = self._pruned_view(spark, man1, keys, buckets)
+        # one bounded job prunes BOTH dimensions: when the batch's
+        # distinct key set fits the inline cap (single-key tables), the
+        # same collect that finds the touched buckets also brings the
+        # keys driver-side, so the endpoint restriction becomes a
+        # pushed literal filter — the semi-join shuffles (and the keys
+        # subtree's repeated change-file scans) disappear from the
+        # feed plan. Over the cap it degrades to the semi-join path
+        # with the ≤ num_buckets collect the merge path does.
+        inline = None
+        if len(self.key_cols) == 1:
+            rows = (keys.withColumn("_cdf_b", self._bucket_expr())
+                    .limit(self.KEYS_INLINE_MAX + 1).collect())
+            if len(rows) <= self.KEYS_INLINE_MAX:
+                inline = [r[0] for r in rows]
+                buckets = sorted({int(r["_cdf_b"]) for r in rows})
+        if inline is None:
+            buckets = sorted(
+                int(r[0]) for r in keys.select(self._bucket_expr())
+                .distinct().collect())
+        pre = self._pruned_view(spark, man0, keys, buckets,
+                                inline_keys=inline)
+        # FAST PATH: when the window is pure merge-on-read appends —
+        # same bucket mapping at both endpoints, same schema, and the
+        # to-endpoint's pending list is exactly the from-endpoint's
+        # plus the window's change files — the v_to state of the
+        # touched keys is by construction merge(pre, window changes),
+        # so the diff folds the window's winner per key and joins it
+        # against PRE alone: one window + one key join, and the post
+        # endpoint (a second bucket scan + a second fold) is never
+        # built. Any rewrite in the window (compaction, optimize,
+        # COW merge, restore, schema evolution) fails the equality
+        # checks and takes the two-endpoint diff below.
+        if (man0.get("buckets") == man1.get("buckets")
+                and man0.get("schema") == man1.get("schema")
+                and list(man1.get("pending", []))
+                == list(man0.get("pending", [])) + dirs):
+            fence = (int(man1["fence_seq"]) if "fence_seq" in man1
+                     else None)
+            return self._diff_fold(pre, ch, fence, preimages)
+        post = self._pruned_view(spark, man1, keys, buckets,
+                                 inline_keys=inline)
         # endpoints may differ in schema across an evolution — the
         # shared diff core aligns them by name
         return self._diff_snapshots(pre, post, preimages)
+
+    def _diff_fold(self, pre: DataFrame, ch: DataFrame,
+                   fence: "int | None", preimages: bool) -> DataFrame:
+        """``diff(X, merge(X, C))`` computed directly from the pruned
+        pre-state ``X`` and the window's change files ``C``: fold C to
+        its per-key winner (the exact fold the merge would run —
+        shared :func:`fold_last_change` core, inline tie guard, fence
+        at entry), full-join with X on the key, and emit each key's
+        0–2 change rows by replaying the merge decision (change wins
+        iff the pre row is absent or strictly older). Stale/fenced
+        changes and equal-seq replays emit nothing — identical
+        semantics to diffing the materialized endpoints, at half the
+        plan."""
+        from systems_spark.operators.cdc import fold_last_change
+
+        seq, D = self.seq_col, self.DELETED
+        payload = [c for c in pre.columns if c not in (seq, D)]
+        if fence is not None:
+            ch = ch.where(F.col(seq) > int(fence))
+        last = fold_last_change(ch, self.key_cols, payload, seq,
+                                self.op_col, D,
+                                check_unique_seq="inline",
+                                what="changes_between")
+        A, C = pre.alias("A"), last.alias("C")
+        cond = [F.col(f"A.{k}").eqNullSafe(F.col(f"C.{k}"))
+                for k in self.key_cols]
+        j = A.join(C, on=cond, how="full")
+        a_seq, c_seq = F.col(f"A.{seq}"), F.col(f"C.{seq}")
+        take_c = a_seq.isNull() | (c_seq > a_seq)
+        pre_live = a_seq.isNotNull() & ~F.col(f"A.{D}")
+        post_from_c = take_c & c_seq.isNotNull()
+        post_live = F.when(post_from_c, ~F.col(f"C.{D}")) \
+            .otherwise(pre_live)
+        out_cols = payload + [seq]
+        pre_row = F.struct(*[F.col(f"A.{c}").alias(c)
+                             for c in out_cols])
+        post_row = F.when(post_from_c, F.struct(
+            *[F.col(f"C.{c}").alias(c) for c in out_cols])) \
+            .otherwise(pre_row)
+
+        def event(when, label, row):
+            return F.when(when, F.struct(
+                F.lit(label).alias("_change_type"), row.alias("r")))
+
+        cands = [event(~pre_live & post_live, "insert", post_row),
+                 event(pre_live & post_live & post_from_c,
+                       "update_postimage" if preimages else "update",
+                       post_row),
+                 event(pre_live & ~post_live, "delete", pre_row)]
+        if preimages:
+            cands.append(event(pre_live & post_live & post_from_c,
+                               "update_preimage", pre_row))
+        ev = F.filter(F.array(*cands), lambda x: x.isNotNull())
+        return (j.select(F.explode(ev).alias("_e"))
+                .select("_e.r.*", "_e._change_type"))
 
     def _commit_noop(self, spark: SparkSession, version: int,
                      prior_man: dict, extra: dict) -> None:

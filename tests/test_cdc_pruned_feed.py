@@ -159,3 +159,133 @@ def test_matview_refresh_is_pruned_on_mor(spark, tmp_path, monkeypatch):
                  F.sum(F.expr("CAST(v AS DECIMAL(18,2))"))
                  .alias("total")).collect()}
     assert got == want
+
+
+def _count_paths(monkeypatch):
+    """Record which diff implementation served the feed."""
+    calls = {"fold": 0, "two_endpoint": 0}
+    real_fold = PartitionedCdcTable._diff_fold
+    real_diff = CdcTable._diff_snapshots
+
+    def fold(self, *a, **k):
+        calls["fold"] += 1
+        return real_fold(self, *a, **k)
+
+    def diff(self, *a, **k):
+        calls["two_endpoint"] += 1
+        return real_diff(self, *a, **k)
+
+    monkeypatch.setattr(PartitionedCdcTable, "_diff_fold", fold)
+    monkeypatch.setattr(CdcTable, "_diff_snapshots", diff)
+    return calls
+
+
+@pytest.mark.parametrize("preimages", [False, True])
+def test_fold_fast_path_equals_flat_diff(spark, tmp_path, preimages,
+                                         monkeypatch):
+    """A pure merge-on-read window (no rewrites) takes the fold fast
+    path — diff(X, merge(X, C)) from the pre endpoint alone — and its
+    rows are IDENTICAL to the flat two-snapshot diff: out-of-order
+    stale changes no-op, cross-epoch same-key changes net to one
+    event, deletes emit preimages."""
+    t = _mor(spark, str(tmp_path / "t"), EPOCHS)
+    latest = t._latest_version(spark)
+    calls = _count_paths(monkeypatch)
+    pruned = t.changes_between(spark, -1, latest, preimages=preimages)
+    got = _rows(pruned)
+    assert calls["fold"] == 1 and calls["two_endpoint"] == 0
+    monkeypatch.undo()
+    flat = CdcTable.changes_between(t, spark, -1, latest,
+                                    preimages=preimages)
+    assert got == _rows(flat)
+    assert len(got) > 0
+
+
+def test_fold_fast_path_replay_and_absent_delete_emit_nothing(
+        spark, tmp_path, monkeypatch):
+    """Equal-seq replays (merge keeps the snapshot row) and deletes of
+    keys the table never had produce NO feed events on the fast path —
+    exactly like the endpoint diff."""
+    t = _mor(spark, str(tmp_path / "t"))
+    # seed rows carry seq 0: an equal-seq 'update' is a replay no-op;
+    # k=99 never existed, so its delete nets nothing
+    t(_ch(spark, [(1, "x", 999, 0, "update"),
+                  (99, "q", 1, 5, "delete")]), 0)
+    calls = _count_paths(monkeypatch)
+    ch = t.changes_between(spark, -1, 0, preimages=True)
+    assert ch.count() == 0
+    assert calls["fold"] == 1
+
+
+def test_fold_fast_path_tombstone_reinsert_is_insert(spark, tmp_path,
+                                                     monkeypatch):
+    t = _mor(spark, str(tmp_path / "t"),
+             ([(1, "x", 10, 1, "delete")],))   # k=1 tombstoned at v0
+    t(_ch(spark, [(1, "x2", 15, 2, "insert")]), 1)
+    calls = _count_paths(monkeypatch)
+    ch = t.changes_between(spark, 0, 1, preimages=True)
+    got = {(r.k, r._change_type, r.grp) for r in ch.collect()}
+    assert got == {(1, "insert", "x2")}
+    assert calls["fold"] == 1
+
+
+def test_fold_fast_path_respects_standing_fence(spark, tmp_path,
+                                                monkeypatch):
+    """Changes at or below the table's standing compaction fence are
+    dropped at feed entry — a compacted-away key cannot re-emerge as a
+    feed event from a late replayed epoch."""
+    t = _mor(spark, str(tmp_path / "t"))
+    t.compact(spark, fence_seq=50)
+    v0 = t._latest_version(spark)
+    t(_ch(spark, [(1, "x", 11, 7, "update"),      # ≤ fence: dropped
+                  (9, "z", 90, 60, "insert")]), 0)  # > fence: applies
+    calls = _count_paths(monkeypatch)
+    ch = t.changes_between(spark, v0, t._latest_version(spark),
+                           preimages=True)
+    got = {(r.k, r._change_type) for r in ch.collect()}
+    assert got == {(9, "insert")}
+    assert calls["fold"] == 1
+
+
+def test_semi_join_path_over_inline_cap_is_identical(spark, tmp_path,
+                                                     monkeypatch):
+    """Batches whose distinct keys exceed KEYS_INLINE_MAX keep the
+    fully distributed semi-join restriction — same rows."""
+    t = _mor(spark, str(tmp_path / "t"), EPOCHS)
+    latest = t._latest_version(spark)
+    want = _rows(t.changes_between(spark, -1, latest, preimages=True))
+    monkeypatch.setattr(PartitionedCdcTable, "KEYS_INLINE_MAX", 0)
+    got = _rows(t.changes_between(spark, -1, latest, preimages=True))
+    assert got == want
+
+
+def test_compaction_in_window_takes_two_endpoint_diff(spark, tmp_path,
+                                                      monkeypatch):
+    """A bucket rewrite inside the window (delta compaction) breaks
+    the merge(X, C) identity — the feed must take the two-endpoint
+    diff, not the fold."""
+    t = _mor(spark, str(tmp_path / "t"), EPOCHS[:1])
+    t.compact_deltas(spark)
+    t(_ch(spark, [(2, "y", 22, 2, "update")]), 1)
+    latest = t._latest_version(spark)
+    calls = _count_paths(monkeypatch)
+    pruned = t.changes_between(spark, -1, latest, preimages=True)
+    got = _rows(pruned)
+    assert calls["fold"] == 0 and calls["two_endpoint"] == 1
+    monkeypatch.undo()
+    flat = CdcTable.changes_between(t, spark, -1, latest,
+                                    preimages=True)
+    assert got == _rows(flat)
+
+
+def test_cross_epoch_seq_tie_raises_at_read(spark, tmp_path):
+    """Two epochs writing the SAME (key, seq) make last-change-wins
+    nondeterministic when folded together — the feed raises instead of
+    picking an arbitrary winner (the sequential merge had deterministic
+    first-applied-wins semantics the fold cannot reproduce)."""
+    t = _mor(spark, str(tmp_path / "t"))
+    t(_ch(spark, [(1, "a", 1, 7, "update")]), 0)
+    t(_ch(spark, [(1, "b", 2, 7, "update")]), 1)
+    ch = t.changes_between(spark, -1, 1, preimages=True)
+    with pytest.raises(Exception, match="unique"):
+        ch.collect()
