@@ -214,9 +214,11 @@ def _anchor_fns(spark):
     from pyspark.sql import functions as F
 
     def shuffle_agg():
+        # summand bounded (pmod) so 2M-row SUM can't hit ANSI overflow
         (spark.range(0, 2_000_000, 1, 32)
          .select(F.pmod(F.xxhash64("id"), F.lit(1000)).alias("k"),
-                 F.xxhash64("id", F.lit(1)).alias("v"))
+                 F.pmod(F.xxhash64("id", F.lit(1)),
+                        F.lit(1_000_003)).alias("v"))
          .groupBy("k")
          .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
          .write.format("noop").mode("overwrite").save())
