@@ -1980,6 +1980,57 @@ ORDER BY o_orderkey
 """
 
 
+def q_orders_stats_agg(spark, sf_dir):
+    """METADATA-ONLY aggregates (r11 — Delta's metadata-only query /
+    Iceberg's manifest-stats answer, zorder.py StatsIndex.aggregate):
+    COUNT(*), MIN/MAX and COUNT(col) served entirely from the persisted
+    per-file stats index — the data files are never opened (the unit
+    test proves it by moving them away), so at 100 TB the answer costs
+    O(files) driver metadata instead of a full scan. Exactness, not
+    estimation: the stats were built by one scan at this layout
+    fingerprint; min-over-file-minima IS the global min (per-file stats
+    ignore NULLs, all-NULL files contribute NULL), and COUNT(col) =
+    Σrows − Σnulls. Shares the z-ordered layout scratch with
+    `orders_pruned_read`; the oracle is the plain full-scan aggregate,
+    so equality holds only if the stats are exact and complete."""
+    import hashlib
+
+    from systems_spark.operators.zorder import StatsIndex, zorder_layout
+
+    key = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:zread:{sf_dir}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join("/tmp", "systems_spark_zorder", key, "orders")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        (zorder_layout(orders, ["o_custkey", "o_orderkey"],
+                       [(1, 150000), (1, 6000000)], bits=16, partitions=16)
+         .drop("_zorder").write.mode("overwrite").parquet(path))
+    agg = StatsIndex().aggregate(spark, path,
+                                 ["o_custkey", "o_totalprice"])
+    return agg.select(
+        F.col("count_rows").cast("long").alias("count_rows"),
+        F.col("o_custkey_min").cast("long").alias("custkey_min"),
+        F.col("o_custkey_max").cast("long").alias("custkey_max"),
+        F.col("o_custkey_count").cast("long").alias("custkey_count"),
+        F.round(F.col("o_totalprice_min").cast("double"), 2)
+        .alias("price_min"),
+        F.round(F.col("o_totalprice_max").cast("double"), 2)
+        .alias("price_max"))
+
+
+_SQL_ORDERS_STATS_AGG = """
+SELECT count(*)::BIGINT AS count_rows,
+       min(o_custkey)::BIGINT AS custkey_min,
+       max(o_custkey)::BIGINT AS custkey_max,
+       count(o_custkey)::BIGINT AS custkey_count,
+       round(min(o_totalprice)::DOUBLE, 2)::DOUBLE AS price_min,
+       round(max(o_totalprice)::DOUBLE, 2)::DOUBLE AS price_max
+FROM orders
+"""
+
+
 def q_dedup_forget(spark, sf_dir):
     """Right-to-be-forgotten dedup maintenance (dedup/clusters.py
     decremental_components): a takedown batch (doc_id % 16 == 3) leaves
@@ -7668,6 +7719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_zorder": q_orders_zorder,
         "orders_pruned_read": q_orders_pruned_read,
         "orders_point_lookup": q_orders_point_lookup,
+        "orders_stats_agg": q_orders_stats_agg,
         "cdc_optimize": q_cdc_optimize,
         "dedup_forget": q_dedup_forget,
         "cdc_change_feed": q_cdc_change_feed,
@@ -7944,6 +7996,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_zorder": _sql_orders_zorder(),
         "orders_pruned_read": _SQL_ORDERS_PRUNED_READ,
         "orders_point_lookup": _SQL_ORDERS_POINT_LOOKUP,
+        "orders_stats_agg": _SQL_ORDERS_STATS_AGG,
         "cdc_optimize": _sql_cdc_optimize(),
         "dedup_forget": _sql_dedup_forget(),
         "cdc_change_feed": _sql_cdc_change_feed(),

@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "orders_zorder",
     "orders_pruned_read",
     "orders_point_lookup",
+    "orders_stats_agg",
     "cdc_optimize",
     "cdc_multiwriter",
     "cdc_merge_on_read",

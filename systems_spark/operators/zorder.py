@@ -113,7 +113,11 @@ def file_stats(spark, path: str, cols) -> DataFrame:
     df = spark.read.parquet(path)
     aggs = [F.count(F.lit(1)).alias("rows")]
     for c in cols:
-        aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
+        # null counts ride the same scan: they cost nothing here and
+        # make COUNT(col) a metadata-only answer later (aggregate())
+        aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max"),
+                 F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                 .alias(f"{c}_nulls")]
     return (df.groupBy(F.input_file_name().alias("file"))
             .agg(*aggs))
 
@@ -312,7 +316,10 @@ class StatsIndex:
         return f"table:{path.rstrip('/')}"
 
     def _tag(self, path: str, cols, fingerprint: str) -> str:
-        col_id = md5(",".join(cols).encode()).hexdigest()[:12]
+        # ':v2' = the stats schema revision (r11 added per-file null
+        # counts): a persisted pre-r11 entry must not be served to
+        # aggregate(), which needs the nulls columns
+        col_id = md5((",".join(cols) + ":v2").encode()).hexdigest()[:12]
         return f"{self._TAG_PREFIX}:{col_id}:{fingerprint}"
 
     def _materialize_fresh(self, spark, key: str, prefix: str,
@@ -348,6 +355,29 @@ class StatsIndex:
         never opened. The caller still applies the row-level filter."""
         return pruned_read(spark, self.stats(spark, path, cols),
                            predicates)
+
+    def aggregate(self, spark, path: str, cols) -> DataFrame:
+        """METADATA-ONLY aggregates (Delta's metadata-only query /
+        Iceberg manifest-stats answer): ``COUNT(*)``, and per column
+        ``MIN`` / ``MAX`` / ``COUNT(col)``, computed entirely from the
+        persisted per-file stats — the data files are never opened
+        (test-pinned by moving them away), so the cost is O(files)
+        regardless of table size. Exact, not approximate: the stats
+        were built by one full scan at this layout fingerprint, MIN
+        over per-file minima IS the global minimum (parquet-style
+        stats ignore NULLs; an all-NULL file contributes NULL minima,
+        which F.min skips), and COUNT(col) = Σrows − Σnulls. Returns a
+        one-row DataFrame with ``count_rows`` + ``{col}_min`` /
+        ``{col}_max`` / ``{col}_count``."""
+        cols = list(cols)
+        stats = self.stats(spark, path, cols)
+        aggs = [F.sum("rows").alias("count_rows")]
+        for c in cols:
+            aggs += [F.min(f"{c}_min").alias(f"{c}_min"),
+                     F.max(f"{c}_max").alias(f"{c}_max"),
+                     (F.sum("rows") - F.sum(f"{c}_nulls"))
+                     .alias(f"{c}_count")]
+        return stats.agg(*aggs)
 
     def _bloom_tag(self, path: str, col: str, bits_log2: int,
                    hashes: int, fingerprint: str) -> str:

@@ -153,3 +153,64 @@ def test_per_bucket_stats_survive_untouched_merges(spark, tmp_path):
     finally:
         zz.file_stats = real
     assert calls["n"] == 1  # only the moved bucket rebuilt
+
+
+def test_metadata_only_aggregate_matches_full_scan(spark, tmp_path):
+    """aggregate(): COUNT(*)/MIN/MAX/COUNT(col) from the persisted
+    stats equal the full-scan answers — including NULL handling (an
+    all-NULL file contributes NULL minima; COUNT(col) excludes
+    NULLs)."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, None if i % 5 == 0 else i * 3) for i in range(1, 1001)],
+        "x long, y long").repartition(6)
+    df.write.mode("overwrite").parquet(path)
+    idx = StatsIndex(StateStore(root=str(tmp_path / "state")))
+    got = idx.aggregate(spark, path, ["x", "y"]).collect()[0]
+    want = spark.read.parquet(path).agg(
+        F.count(F.lit(1)), F.min("x"), F.max("x"), F.count("x"),
+        F.min("y"), F.max("y"), F.count("y")).collect()[0]
+    assert (got["count_rows"], got["x_min"], got["x_max"],
+            got["x_count"], got["y_min"], got["y_max"],
+            got["y_count"]) == tuple(want)
+
+
+def test_aggregate_never_opens_data_files(spark, tmp_path, monkeypatch):
+    """The metadata-only claim, proven mechanically: after the stats
+    are persisted, the DATA directory is moved away — aggregate (the
+    real code path, fingerprint pinned as a caller holding the open
+    table handle would) still answers bit-equal, because only the
+    stats state is read."""
+    import shutil
+
+    path = str(tmp_path / "t")
+    spark.range(1, 501).select(
+        F.col("id").alias("x"), (F.col("id") * 2).alias("y")) \
+        .repartition(4).write.mode("overwrite").parquet(path)
+    idx = StatsIndex(StateStore(root=str(tmp_path / "state")))
+    fp = layout_fingerprint(spark, path)
+    before = tuple(idx.aggregate(spark, path, ["x"]).collect()[0])
+
+    hidden = str(tmp_path / "hidden")
+    shutil.move(path, hidden)
+    monkeypatch.setattr(zz, "layout_fingerprint", lambda s, p: fp)
+    try:
+        got = idx.aggregate(spark, path, ["x"]).collect()[0]
+        assert tuple(got) == before
+        assert got["count_rows"] == 500 and got["x_min"] == 1 \
+            and got["x_max"] == 500 and got["x_count"] == 500
+    finally:
+        monkeypatch.undo()
+        shutil.move(hidden, path)
+
+
+def test_aggregate_rebuilds_after_rewrite(spark, tmp_path):
+    path = str(tmp_path / "t")
+    spark.range(1, 101).select(F.col("id").alias("x")) \
+        .repartition(2).write.mode("overwrite").parquet(path)
+    idx = StatsIndex(StateStore(root=str(tmp_path / "state")))
+    assert idx.aggregate(spark, path, ["x"]).collect()[0]["x_max"] == 100
+    spark.range(1, 51).select(F.col("id").alias("x")) \
+        .repartition(2).write.mode("overwrite").parquet(path)
+    got = idx.aggregate(spark, path, ["x"]).collect()[0]
+    assert (got["count_rows"], got["x_max"]) == (50, 50)
