@@ -2020,6 +2020,53 @@ def q_orders_stats_agg(spark, sf_dir):
         .alias("price_max"))
 
 
+def q_documents_token_search(spark, sf_dir):
+    """Full-text FILE SKIPPING (r11 — zorder.py file_token_bloom /
+    StatsIndex.search_tokens): per-file Bloom filters over each file's
+    DISTINCT TOKEN set serve an all-terms text search by opening only
+    the files whose bloom holds every query token — the
+    needle-in-100 TB grep, the text twin of the key-bloom point lookup.
+    Soundness is the bloom's no-false-negatives; exactness is the
+    row-level all-terms predicate on the surviving files. The
+    tokenizer is the simplest portable contract (lowercase + split on
+    ASCII non-alphanumerics) evaluated by the SAME JVM expression on
+    build and probe, and reproduced exactly by the DuckDB oracle's
+    regex split — equality holds only if no file holding a match was
+    skipped. The index persists as standing state under the layout
+    fingerprint, like every skipping index here."""
+    import hashlib
+
+    from systems_spark.operators.zorder import StatsIndex
+
+    key = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:toksearch:{sf_dir}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join("/tmp", "systems_spark_zorder", key, "documents")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (_t(spark, sf_dir, "documents")
+         .repartition(16, "doc_id")
+         .write.mode("overwrite").parquet(path))
+    hits = StatsIndex().search_tokens(spark, path, "text", "dup window",
+                                      bits_log2=16)
+    return hits.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("decimal(38,0)")).cast("bigint")
+        .alias("chars_sum"),
+        F.sum(F.col("doc_id").cast("decimal(38,0)")).cast("bigint")
+        .alias("id_checksum"))
+
+
+_SQL_DOCUMENTS_TOKEN_SEARCH = """
+SELECT count(*)::BIGINT AS n_docs,
+       sum(n_chars::HUGEINT)::BIGINT AS chars_sum,
+       sum(doc_id::HUGEINT)::BIGINT AS id_checksum
+FROM documents
+WHERE list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'dup')
+  AND list_contains(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    'window')
+"""
+
+
 _SQL_ORDERS_STATS_AGG = """
 SELECT count(*)::BIGINT AS count_rows,
        min(o_custkey)::BIGINT AS custkey_min,
@@ -7720,6 +7767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_pruned_read": q_orders_pruned_read,
         "orders_point_lookup": q_orders_point_lookup,
         "orders_stats_agg": q_orders_stats_agg,
+        "documents_token_search": q_documents_token_search,
         "cdc_optimize": q_cdc_optimize,
         "dedup_forget": q_dedup_forget,
         "cdc_change_feed": q_cdc_change_feed,
@@ -7997,6 +8045,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_pruned_read": _SQL_ORDERS_PRUNED_READ,
         "orders_point_lookup": _SQL_ORDERS_POINT_LOOKUP,
         "orders_stats_agg": _SQL_ORDERS_STATS_AGG,
+        "documents_token_search": _SQL_DOCUMENTS_TOKEN_SEARCH,
         "cdc_optimize": _sql_cdc_optimize(),
         "dedup_forget": _sql_dedup_forget(),
         "cdc_change_feed": _sql_cdc_change_feed(),

@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "orders_pruned_read",
     "orders_point_lookup",
     "orders_stats_agg",
+    "documents_token_search",
     "cdc_optimize",
     "cdc_multiwriter",
     "cdc_merge_on_read",

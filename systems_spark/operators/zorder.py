@@ -33,6 +33,8 @@ from pyspark.sql import functions as F
 __all__ = ["z_value", "z_value_sql", "zorder_layout",
            "file_stats", "pruned_files", "pruned_read",
            "file_bloom", "bloom_pruned_files", "bloom_pruned_read",
+           "file_token_bloom", "token_bloom_pruned_files",
+           "token_search_read", "TOKEN_SPLIT",
            "layout_fingerprint", "StatsIndex"]
 
 
@@ -244,6 +246,102 @@ def bloom_pruned_files(spark, bloom: DataFrame, values, dtype,
     return [r["file"] for r in bloom.where(cond).select("file").collect()]
 
 
+# full-text skipping tokenizer: lowercase, split on ASCII
+# non-alphanumerics — deliberately the SIMPLEST portable contract, so
+# the exact same class behaves identically in Java regex (build/probe)
+# and in an oracle engine's regex split
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def _tokens_expr(col: Column) -> Column:
+    return F.filter(F.split(F.lower(col), TOKEN_SPLIT),
+                    lambda t: t != F.lit(""))
+
+
+def file_token_bloom(spark, path: str, col: str, bits_log2: int = 17,
+                     hashes: int = 4) -> DataFrame:
+    """Per-FILE Bloom filter over the DISTINCT TOKENS of a text
+    column — full-text file skipping (the needle-in-100 TB grep): a
+    token query opens only the files whose token bloom contains every
+    query token, instead of scanning the corpus. Same storage shape,
+    soundness argument, and JVM-hash parity as :func:`file_bloom`
+    (bloom = no false negatives → a skipped file provably lacks the
+    token); per-file distinct-token count is bounded by bounded file
+    size, so the index stays O(files)."""
+    df = spark.read.parquet(path)
+    toks = (df.where(F.col(col).isNotNull())
+            .select(F.input_file_name().alias("file"),
+                    F.explode(F.array_distinct(
+                        _tokens_expr(F.col(col)))).alias("_tok")))
+    pos = _bloom_position_cols(F.col("_tok"), bits_log2, hashes)
+    exploded = toks.select("file", F.explode(F.array(*pos)).alias("bit"))
+    return (exploded.groupBy("file")
+            .agg(F.sort_array(F.collect_set("bit")).alias("bits"))
+            .select("file", "bits",
+                    F.lit(bits_log2).alias("bits_log2"),
+                    F.lit(hashes).alias("hashes")))
+
+
+def _query_tokens(spark, query: str) -> "list[str]":
+    """The query string tokenized by the SAME Spark expression the
+    build side ran — probe/build parity by construction."""
+    frame = spark.createDataFrame([(query,)], "q string")
+    rows = frame.select(F.explode(F.array_distinct(
+        _tokens_expr(F.col("q")))).alias("t")).collect()
+    toks = sorted({r["t"] for r in rows})
+    if not toks:
+        raise ValueError(f"token query {query!r} tokenizes to nothing")
+    return toks
+
+
+def token_bloom_pruned_files(spark, bloom: DataFrame, query: str,
+                             bits_log2: int = 17,
+                             hashes: int = 4) -> "list[str]":
+    """Files whose token bloom contains EVERY token of ``query``
+    (all-terms search): a file ruled out provably lacks at least one
+    query token, so no matching document can live there. Driver-side
+    decision bounded by the file count."""
+    from pyspark.sql.types import StringType
+
+    head = bloom.select("bits_log2", "hashes").limit(1).collect()
+    if head and ((head[0]["bits_log2"], head[0]["hashes"])
+                 != (bits_log2, hashes)):
+        raise ValueError(
+            f"token bloom built with (bits_log2={head[0]['bits_log2']}, "
+            f"hashes={head[0]['hashes']}), probed with ({bits_log2}, "
+            f"{hashes})")
+    toks = _query_tokens(spark, query)
+    cond = F.lit(True)
+    for plist in _bloom_probe_positions(spark, toks, StringType(),
+                                        bits_log2, hashes):
+        hit = F.lit(True)
+        for p in plist:
+            hit = hit & F.array_contains("bits", F.lit(p))
+        cond = cond & hit
+    return [r["file"] for r in bloom.where(cond).select("file").collect()]
+
+
+def token_search_read(spark, path: str, bloom: DataFrame, col: str,
+                      query: str, bits_log2: int = 17,
+                      hashes: int = 4) -> DataFrame:
+    """All-terms text search served by the token bloom: open only the
+    surviving files, then apply the EXACT row-level predicate (every
+    query token present in the row's token set) — bloom false
+    positives pass files, never rows. Zero surviving files is the
+    success case for an absent token: an empty frame with the table
+    schema."""
+    files = token_bloom_pruned_files(spark, bloom, query,
+                                     bits_log2, hashes)
+    if not files:
+        return spark.read.parquet(path).limit(0)
+    df = spark.read.parquet(*files)
+    cond = F.lit(True)
+    for t in _query_tokens(spark, query):
+        cond = cond & F.array_contains(_tokens_expr(F.col(col)),
+                                       F.lit(t))
+    return df.where(cond)
+
+
 def bloom_pruned_read(spark, path: str, bloom: DataFrame, col: str,
                       values, bits_log2: int = 17,
                       hashes: int = 4) -> DataFrame:
@@ -407,6 +505,30 @@ class StatsIndex:
         return bloom_pruned_read(
             spark, path, self.bloom(spark, path, col, bits_log2, hashes),
             col, values, bits_log2, hashes)
+
+    def token_bloom(self, spark, path: str, col: str,
+                    bits_log2: int = 17, hashes: int = 4) -> DataFrame:
+        """The persisted per-file TOKEN bloom for ``(path, col)`` —
+        full-text skipping as standing state, same freshness contract
+        as :meth:`stats`/:meth:`bloom`."""
+        fp = layout_fingerprint(spark, path)
+        tid = md5(f"tok:{col}:{bits_log2}:{hashes}".encode()) \
+            .hexdigest()[:12]
+        return self._materialize_fresh(
+            spark, self._key(path), f"ztokbloom:{tid}:",
+            f"ztokbloom:{tid}:{fp}",
+            lambda: file_token_bloom(spark, path, col,
+                                     bits_log2, hashes))
+
+    def search_tokens(self, spark, path: str, col: str, query: str,
+                      bits_log2: int = 17, hashes: int = 4) -> DataFrame:
+        """All-terms text search through the persisted token bloom:
+        only files whose bloom holds every query token are opened; the
+        exact row predicate runs on what's left."""
+        return token_search_read(
+            spark, path,
+            self.token_bloom(spark, path, col, bits_log2, hashes),
+            col, query, bits_log2, hashes)
 
     def invalidate(self, spark, path: str, cols) -> None:
         """Drop the CURRENT layout's entry (callers that rewrote the
