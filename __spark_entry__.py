@@ -2020,6 +2020,56 @@ def q_orders_stats_agg(spark, sf_dir):
         .alias("price_max"))
 
 
+def q_cdc_clone(spark, sf_dir):
+    """SHALLOW CLONE (r11 — streaming/sinks.py CdcTable.clone_to,
+    Delta's CREATE TABLE CLONE): the merge-on-read orders table absorbs
+    epoch 1, is cloned ZERO-COPY (the clone's seed manifest references
+    the source buckets and pending deltas in place via dir_bases; the
+    source version is pinned by a clone tag so vacuum cannot age it
+    out), then the CLONE absorbs epoch 2 while the SOURCE diverges with
+    a conflicting epoch of its own. The lane reads the CLONE; the
+    oracle is the plain global merge of epochs 1+2 — equality holds
+    only if the clone served the source's data in place correctly AND
+    the source's post-clone writes never leaked in."""
+    import hashlib
+
+    from systems_spark.streaming import PartitionedCdcTable
+
+    key = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:cdcclone:{sf_dir}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join("/tmp", "systems_spark_cdc", key)
+    src = PartitionedCdcTable(os.path.join(base, "src"),
+                              key_cols="o_orderkey", app_id="cdccls",
+                              num_buckets=16,
+                              write_mode="merge_on_read")
+    orders = _t(spark, sf_dir, "orders")
+    src.initialize(
+        orders.where(F.col("o_orderkey") % 8 != 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
+    changes = _cdc_changes(spark, sf_dir)
+    src(changes.where(F.col("seq") == 1), 0)
+
+    clone_path = os.path.join(base, "clone")
+    clone = PartitionedCdcTable(clone_path, key_cols="o_orderkey",
+                                app_id="cdcclc", num_buckets=16,
+                                write_mode="merge_on_read")
+    if clone._latest_version(spark) is None:
+        src.clone_to(spark, clone_path, app_id="cdcclc")
+    clone(changes.where(F.col("seq") == 2), 0)
+    # the source diverges AFTER the clone — it must never leak in
+    src(changes.where(F.col("seq") == 2)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 5)
+        .withColumn("seq", F.lit(3)), 1)
+    return (clone.current(spark)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+                         2).cast("double").alias("total_price"),
+                 F.sum(F.col("o_orderkey").cast("decimal(38,0)"))
+                 .cast("bigint").alias("key_checksum")))
+
+
 def q_documents_token_search(spark, sf_dir):
     """Full-text FILE SKIPPING (r11 — zorder.py file_token_bloom /
     StatsIndex.search_tokens): per-file Bloom filters over each file's
@@ -7768,6 +7818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_point_lookup": q_orders_point_lookup,
         "orders_stats_agg": q_orders_stats_agg,
         "documents_token_search": q_documents_token_search,
+        "cdc_clone": q_cdc_clone,
         "cdc_optimize": q_cdc_optimize,
         "dedup_forget": q_dedup_forget,
         "cdc_change_feed": q_cdc_change_feed,
@@ -8046,6 +8097,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_point_lookup": _SQL_ORDERS_POINT_LOOKUP,
         "orders_stats_agg": _SQL_ORDERS_STATS_AGG,
         "documents_token_search": _SQL_DOCUMENTS_TOKEN_SEARCH,
+        "cdc_clone": _sql_orders_cdc_apply(),
         "cdc_optimize": _sql_cdc_optimize(),
         "dedup_forget": _sql_dedup_forget(),
         "cdc_change_feed": _sql_cdc_change_feed(),

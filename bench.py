@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "orders_point_lookup",
     "orders_stats_agg",
     "documents_token_search",
+    "cdc_clone",
     "cdc_optimize",
     "cdc_multiwriter",
     "cdc_merge_on_read",

@@ -291,7 +291,10 @@ class CdcTable:
         return f"version={int(version)}__{self.app_id}"
 
     def _data_path(self, man: dict) -> str:
-        return f"{self.path}/{man['data_dir']}"
+        # a SHALLOW CLONE's seed manifest references the source
+        # table's data in place (data_base) — every later commit
+        # writes clone-local dirs with no base, resolving here
+        return f"{man.get('data_base', self.path)}/{man['data_dir']}"
 
     def _fs(self, spark: SparkSession, path: str):
         p = spark._jvm.org.apache.hadoop.fs.Path(path)
@@ -606,6 +609,68 @@ class CdcTable:
         return self.at_version(
             spark, self.version_at_timestamp(spark, ts_ms))
 
+    def clone_to(self, spark: SparkSession, dest_path: str,
+                 app_id: "str | None" = None) -> "CdcTable":
+        """SHALLOW CLONE (Delta's ``CREATE TABLE ... CLONE``): a new
+        table at ``dest_path`` whose seed version references the
+        source's CURRENT data IN PLACE — zero bytes copied, O(1)
+        metadata. The clone then diverges freely: every later commit
+        writes clone-local directories, the source never sees them,
+        and the clone's own vacuum can never reach outside its path.
+
+        Unlike Delta's shallow clones (which break when the source
+        vacuums the referenced files), cloning here TAGS the source's
+        current version, and vacuum pins tagged versions — the
+        referenced data cannot age out while the tag lives; drop the
+        tag (``delete_tag``) to release the pin once the clone is
+        compacted or dropped. Standing CHECK constraints, GENERATED
+        columns and the compaction fence carry over (they describe the
+        data); the txn map does NOT (the clone's idempotence history
+        starts fresh) and neither do the source's tags. Raises if
+        ``dest_path`` is already an initialized table."""
+        from hashlib import md5 as _md5
+
+        from systems_spark.state import fs_publish_text_exclusive
+
+        man = self._latest_manifest(spark)
+        version = int(man["version"])
+        dest_path = dest_path.rstrip("/")
+        clone = self._clone_handle(dest_path, app_id)
+        tag_name = (f"clone-{_md5(dest_path.encode()).hexdigest()[:10]}"
+                    f"-v{version}")
+        self.tag(spark, tag_name, version)
+        seed = self._clone_seed_manifest(clone, man)
+        seed.update({
+            "txn": {},
+            "committed_at_ms": _commit_stamp_ms(None),
+            "cloned_from": {"path": self.path, "version": version,
+                            "tag": tag_name}})
+        if "fence_seq" in man:
+            seed["fence_seq"] = int(man["fence_seq"])
+        for k in ("constraints", "generated"):
+            if k in man:
+                seed[k] = dict(man[k])
+        if not fs_publish_text_exclusive(
+                spark, clone._marker_path(-1),
+                json.dumps(seed, sort_keys=True)):
+            raise ValueError(
+                f"clone_to: {dest_path} is already an initialized table")
+        clone._update_latest_hint(spark, -1)
+        return clone
+
+    def _clone_handle(self, dest_path: str,
+                      app_id: "str | None") -> "CdcTable":
+        return CdcTable(dest_path, list(self.key_cols),
+                        app_id or f"{self.app_id}.clone",
+                        seq_col=self.seq_col, op_col=self.op_col,
+                        schema_evolution=self.schema_evolution)
+
+    def _clone_seed_manifest(self, clone: "CdcTable", man: dict) -> dict:
+        return {"app_id": clone.app_id, "version": -1,
+                "rows": int(man.get("rows", 0)),
+                "data_dir": man["data_dir"],
+                "data_base": man.get("data_base", self.path)}
+
     def restore(self, spark: SparkSession, version: int) -> int:
         """RESTORE TABLE TO VERSION: commit the OLD version's content
         as a NEW version (nothing is rewound — the log stays append-
@@ -780,6 +845,8 @@ class CdcTable:
                     "data_dir": prior_man["data_dir"],
                     "txn": dict(prior_man.get("txn", {})),
                     "committed_at_ms": _commit_stamp_ms(prior_man)}
+        if "data_base" in prior_man:  # noop over a clone's seed data
+            manifest["data_base"] = prior_man["data_base"]
         if "fence_seq" in prior_man:
             manifest["fence_seq"] = int(prior_man["fence_seq"])
         self._carry_standing(manifest, prior_man)
@@ -1361,6 +1428,14 @@ class PartitionedCdcTable(CdcTable):
     def _mapping(self, man: dict) -> "dict[int, int]":
         return {int(b): int(v) for b, v in man.get("buckets", {}).items()}
 
+    def _dir_path(self, man: dict, d: str) -> str:
+        """Resolve a manifest-referenced directory NAME to its path: a
+        shallow clone's seed manifest maps the source's dirs to the
+        source path (``dir_bases``); everything else is table-local.
+        Carried forward commit-to-commit, pruned with the reference
+        set, exactly like the ``dirs`` map itself."""
+        return f"{(man.get('dir_bases') or {}).get(d, self.path)}/{d}"
+
     def _bucket_paths(self, man: dict, buckets) -> list:
         # the manifest's "dirs" map resolves every writer version its
         # bucket mapping references to that version's winning data
@@ -1368,7 +1443,8 @@ class PartitionedCdcTable(CdcTable):
         # referenced set) — no other manifest needs reading
         mapping = self._mapping(man)
         dirs = man.get("dirs", {})
-        return [f"{self.path}/{dirs[str(mapping[b])]}/{self.BUCKET}={b}"
+        return [f"{self._dir_path(man, dirs[str(mapping[b])])}"
+                f"/{self.BUCKET}={b}"
                 for b in sorted(buckets) if b in mapping]
 
     def _empty_like(self, spark: SparkSession, man: dict) -> DataFrame:
@@ -1415,7 +1491,7 @@ class PartitionedCdcTable(CdcTable):
         if not pend:
             return base
         changes = spark.read.schema(self._change_schema(man)).parquet(
-            *[f"{self.path}/{d}" for d in pend])
+            *[self._dir_path(man, d) for d in pend])
         fence = int(man["fence_seq"]) if "fence_seq" in man else None
         # inline tie guard: a read-side fold must not pay the eager
         # sample-collect job on every snapshot materialization
@@ -1499,6 +1575,7 @@ class PartitionedCdcTable(CdcTable):
                     "committed_at_ms": _commit_stamp_ms(prior_man),
                     "table_conf": self._table_conf(),
                     "schema": schema_json}
+        self._carry_dir_bases(manifest, prior_man)
         self._carry_standing(manifest, prior_man)
         manifest.update(extra or {})
         from systems_spark.state import fs_publish_text_exclusive
@@ -1571,7 +1648,7 @@ class PartitionedCdcTable(CdcTable):
                 if "restore_of" in man or "rebucket_from" in man:
                     return None  # content changed without a change file
                 continue  # maintenance commit: no live-content change
-            fs2, dp = self._fs(spark, f"{self.path}/{d}")
+            fs2, dp = self._fs(spark, self._dir_path(man, d))
             if not fs2.exists(dp):
                 return None  # change file vacuumed
             dirs.append(d)
@@ -1608,7 +1685,7 @@ class PartitionedCdcTable(CdcTable):
             return base
         changes = restrict(
             spark.read.schema(self._change_schema(man)).parquet(
-                *[f"{self.path}/{d}" for d in pend]))
+                *[self._dir_path(man, d) for d in pend]))
         fence = int(man["fence_seq"]) if "fence_seq" in man else None
         return merge_cdc_fenced(
             base, changes, self.key_cols, seq_col=self.seq_col,
@@ -1639,7 +1716,7 @@ class PartitionedCdcTable(CdcTable):
                 .drop(self.DELETED).limit(0)
         man0 = self._manifest_at(spark, v_from)
         ch = spark.read.schema(self._change_schema(man1)).parquet(
-            *[f"{self.path}/{d}" for d in dirs])
+            *[self._dir_path(man1, d) for d in dirs])
         keys = ch.select(*self.key_cols).distinct()
         # one bounded job prunes BOTH dimensions: when the batch's
         # distinct key set fits the inline cap (single-key tables), the
@@ -1789,7 +1866,7 @@ class PartitionedCdcTable(CdcTable):
             if not pend:
                 return int(man["version"])
             changes = spark.read.schema(self._change_schema(man)).parquet(
-                *[f"{self.path}/{d}" for d in pend])
+                *[self._dir_path(man, d) for d in pend])
             fence = int(man["fence_seq"]) if "fence_seq" in man else None
             dirty = sorted(
                 int(r[0]) for r in changes.select(self._bucket_expr())
@@ -1858,6 +1935,7 @@ class PartitionedCdcTable(CdcTable):
                     "committed_at_ms": _commit_stamp_ms(prior_man),
                     "table_conf": self._table_conf(),
                     "schema": schema_json}
+        self._carry_dir_bases(manifest, prior_man)
         self._carry_standing(manifest, prior_man)
         manifest.update(extra or {})
         from systems_spark.state import fs_publish_text_exclusive
@@ -1868,6 +1946,21 @@ class PartitionedCdcTable(CdcTable):
                 f"version {version} of {self.path} was committed by a "
                 f"concurrent writer")
         self._update_latest_hint(spark, version)
+
+    def _carry_dir_bases(self, manifest: dict,
+                         prior_man: "dict | None") -> None:
+        """A clone-seed manifest's external dir bases ride forward for
+        exactly the dirs still referenced (dirs map ∪ pending) — once a
+        rewrite/compaction replaces every external dir, the map
+        disappears and the clone is self-contained."""
+        bases = dict(prior_man.get("dir_bases", {})) if prior_man else {}
+        if not bases:
+            return
+        referenced = set(manifest.get("dirs", {}).values()) \
+            | set(manifest.get("pending", []))
+        kept = {d: b for d, b in bases.items() if d in referenced}
+        if kept:
+            manifest["dir_bases"] = kept
 
     def _commit_version(self, spark: SparkSession, df: "DataFrame | None",
                         version: int, prior_man: "dict | None",
@@ -2202,6 +2295,36 @@ class PartitionedCdcTable(CdcTable):
         raise ConcurrentCommitError(
             f"rebucket gave up after {self._COMMIT_RETRIES} attempts "
             f"on {self.path}")
+
+    def _clone_handle(self, dest_path: str,
+                      app_id: "str | None") -> "PartitionedCdcTable":
+        return PartitionedCdcTable(
+            dest_path, list(self.key_cols),
+            app_id or f"{self.app_id}.clone",
+            num_buckets=self.num_buckets,
+            seq_col=self.seq_col, op_col=self.op_col,
+            schema_evolution=self.schema_evolution,
+            write_mode=self.write_mode)
+
+    def _clone_seed_manifest(self, clone: "PartitionedCdcTable",
+                             man: dict) -> dict:
+        """Bucket-shaped clone seed: the full bucket mapping, dirs map
+        and pending-delta list reference the source in place via
+        ``dir_bases`` (a clone OF a clone carries the original base
+        through). The source's ``change_dir`` is not a clone commit's
+        change file, so it does not carry."""
+        prior = man.get("dir_bases", {})
+        referenced = set(man.get("dirs", {}).values()) \
+            | set(man.get("pending", []))
+        return {"app_id": clone.app_id, "version": -1,
+                "rows": int(man.get("rows", 0)),
+                "buckets": dict(man.get("buckets", {})),
+                "dirs": dict(man.get("dirs", {})),
+                "pending": list(man.get("pending", [])),
+                "dir_bases": {d: prior.get(d, self.path)
+                              for d in referenced},
+                "table_conf": clone._table_conf(),
+                "schema": man["schema"]}
 
     def restore(self, spark: SparkSession, version: int) -> int:
         """RESTORE TO VERSION, bucket-shaped: the restored content
