@@ -2070,6 +2070,97 @@ def q_cdc_clone(spark, sf_dir):
                  .cast("bigint").alias("key_checksum")))
 
 
+def q_cdc_lookup(spark, sf_dir):
+    """CDC point lookup (r11 — streaming/sinks.py
+    PartitionedCdcTable.lookup): the feature-store SERVING read over
+    the transactional table — live rows for a probed key set, reading
+    ONLY the keys' buckets and folding only those keys' pending deltas
+    (the change feed's pruned view, user-facing). Probe keys are five
+    data-derived integer-exact quantile anchors over o_orderkey
+    (SF-independent, same recipe as orders_point_lookup) — some land
+    on deleted/absent keys, which must come back as absent rows, not
+    errors. Oracle = the plain global merge filtered to the anchors,
+    so equality holds only if the pruned bucket read + pending fold
+    reproduces the full MERGE state for exactly those keys."""
+    import hashlib
+
+    from systems_spark.streaming import PartitionedCdcTable
+
+    key = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:cdclkp:{sf_dir}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join("/tmp", "systems_spark_cdc", key)
+    table = PartitionedCdcTable(os.path.join(base, "t"),
+                                key_cols="o_orderkey", app_id="cdclkp",
+                                num_buckets=16,
+                                write_mode="merge_on_read")
+    orders = _t(spark, sf_dir, "orders")
+    table.initialize(
+        orders.where(F.col("o_orderkey") % 8 != 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
+    changes = _cdc_changes(spark, sf_dir)
+    table(changes.where(F.col("seq") == 1), 0)
+    table(changes.where(F.col("seq") == 2), 1)
+
+    mx = orders.agg(F.max("o_orderkey").alias("m")).collect()[0]["m"]
+    row = orders.agg(
+        F.min("o_orderkey"), F.max("o_orderkey"),
+        F.min(F.when(F.col("o_orderkey") * 4 >= mx, F.col("o_orderkey"))),
+        F.min(F.when(F.col("o_orderkey") * 2 >= mx, F.col("o_orderkey"))),
+        F.min(F.when(F.col("o_orderkey") * 4 >= 3 * mx,
+                     F.col("o_orderkey")))).collect()[0]
+    anchors = sorted({int(v) for v in row if v is not None})
+    return (table.lookup(spark, anchors)
+            .select("o_orderkey", "o_custkey", "o_orderstatus",
+                    F.col("o_totalprice").cast("double")
+                    .alias("total_price")))
+
+
+def _sql_cdc_lookup() -> str:
+    from systems_spark.operators import apply_cdc_sql
+
+    changes = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN op = 'update' THEN o_totalprice + 1 ELSE o_totalprice END
+         AS o_totalprice,
+       1 AS seq, op
+FROM (SELECT *, CASE WHEN o_orderkey % 24 = 0 THEN 'delete'
+                     WHEN o_orderkey % 16 = 0 THEN 'update'
+                     ELSE 'insert' END AS op
+      FROM orders WHERE o_orderkey % 8 = 0)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2,
+       2 AS seq, 'update' AS op
+FROM orders WHERE o_orderkey % 40 = 0
+"""
+    merged = apply_cdc_sql(
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice "
+        "FROM orders WHERE o_orderkey % 8 <> 0",
+        changes, "o_orderkey",
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"])
+    return f"""
+WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+anchors AS (
+  SELECT min(o_orderkey) AS k FROM orders
+  UNION
+  SELECT max(o_orderkey) FROM orders
+  UNION
+  SELECT min(CASE WHEN o_orderkey * 4 >= (SELECT m FROM mx)
+                  THEN o_orderkey END) FROM orders
+  UNION
+  SELECT min(CASE WHEN o_orderkey * 2 >= (SELECT m FROM mx)
+                  THEN o_orderkey END) FROM orders
+  UNION
+  SELECT min(CASE WHEN o_orderkey * 4 >= 3 * (SELECT m FROM mx)
+                  THEN o_orderkey END) FROM orders
+)
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       o_totalprice::DOUBLE AS total_price
+FROM ({merged})
+WHERE o_orderkey IN (SELECT k FROM anchors)
+"""
+
+
 def q_documents_token_search(spark, sf_dir):
     """Full-text FILE SKIPPING (r11 — zorder.py file_token_bloom /
     StatsIndex.search_tokens): per-file Bloom filters over each file's
@@ -7819,6 +7910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_stats_agg": q_orders_stats_agg,
         "documents_token_search": q_documents_token_search,
         "cdc_clone": q_cdc_clone,
+        "cdc_lookup": q_cdc_lookup,
         "cdc_optimize": q_cdc_optimize,
         "dedup_forget": q_dedup_forget,
         "cdc_change_feed": q_cdc_change_feed,
@@ -8098,6 +8190,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_stats_agg": _SQL_ORDERS_STATS_AGG,
         "documents_token_search": _SQL_DOCUMENTS_TOKEN_SEARCH,
         "cdc_clone": _sql_orders_cdc_apply(),
+        "cdc_lookup": _sql_cdc_lookup(),
         "cdc_optimize": _sql_cdc_optimize(),
         "dedup_forget": _sql_dedup_forget(),
         "cdc_change_feed": _sql_cdc_change_feed(),

@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "orders_stats_agg",
     "documents_token_search",
     "cdc_clone",
+    "cdc_lookup",
     "cdc_optimize",
     "cdc_multiwriter",
     "cdc_merge_on_read",

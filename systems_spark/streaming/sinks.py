@@ -609,6 +609,22 @@ class CdcTable:
         return self.at_version(
             spark, self.version_at_timestamp(spark, ts_ms))
 
+    def lookup(self, spark: SparkSession, keys) -> DataFrame:
+        """Live rows for ``keys``. The flat snapshot-per-version layout
+        has no bucket pruning to offer — this is ``current()`` with a
+        pushed ``isin`` filter, here for API parity with the
+        partitioned table's pruned point lookup."""
+        keys = sorted({k for k in (keys if isinstance(
+            keys, (list, tuple, set)) else [keys])})
+        if not keys:
+            raise ValueError("lookup needs at least one key")
+        if len(self.key_cols) != 1:
+            raise NotImplementedError(
+                "lookup filters a single-column key; composite-key "
+                "tables read through current() with a filter")
+        return self.current(spark).where(
+            F.col(self.key_cols[0]).isin(keys))
+
     def clone_to(self, spark: SparkSession, dest_path: str,
                  app_id: "str | None" = None) -> "CdcTable":
         """SHALLOW CLONE (Delta's ``CREATE TABLE ... CLONE``): a new
@@ -2295,6 +2311,40 @@ class PartitionedCdcTable(CdcTable):
         raise ConcurrentCommitError(
             f"rebucket gave up after {self._COMMIT_RETRIES} attempts "
             f"on {self.path}")
+
+    def lookup(self, spark: SparkSession, keys) -> DataFrame:
+        """POINT LOOKUP by merge key — the feature-store serving read:
+        live rows for ``keys``, reading ONLY the keys' buckets and
+        folding only those keys' pending deltas (the same pruned view
+        the change feed uses), so the cost is touched-bucket volume no
+        matter how large the table is. Single-key tables only (the
+        bucket hash is driver-computable per key through one tiny
+        literal-frame job — the same JVM xxhash64 the layout used).
+        Returns the live view's schema (bookkeeping columns dropped);
+        absent keys are simply absent rows."""
+        if len(self.key_cols) != 1:
+            raise NotImplementedError(
+                "lookup prunes by single-column key hash; composite-key"
+                " tables read through current() with a filter")
+        keys = sorted({k for k in (keys if isinstance(
+            keys, (list, tuple, set)) else [keys])})
+        if not keys:
+            raise ValueError("lookup needs at least one key")
+        man = self._latest_manifest(spark)
+        from pyspark.sql.types import StructType
+        schema = StructType.fromJson(json.loads(man["schema"]))
+        kf = schema[self.key_cols[0]].dataType
+        from pyspark.sql.types import StructField
+        frame = spark.createDataFrame(
+            [(k,) for k in keys],
+            StructType([StructField(self.key_cols[0], kf, True)]))
+        buckets = sorted(
+            int(r[0]) for r in frame.select(self._bucket_expr())
+            .distinct().collect())
+        view = self._pruned_view(spark, man, frame, buckets,
+                                 inline_keys=keys)
+        return (view.where(~F.col(self.DELETED))
+                .drop(self.seq_col, self.DELETED))
 
     def _clone_handle(self, dest_path: str,
                       app_id: "str | None") -> "PartitionedCdcTable":

@@ -155,3 +155,44 @@ def test_clone_to_initialized_destination_raises(spark, tmp_path):
     other.initialize(_seed(spark))
     with pytest.raises(ValueError, match="already an initialized"):
         src.clone_to(spark, str(tmp_path / "other"))
+
+
+def test_partitioned_lookup_reads_only_key_buckets(spark, tmp_path,
+                                                   monkeypatch):
+    """lookup(): the serving read asks _read_buckets for ONLY the
+    probed keys' buckets, folds their pending deltas, and hides
+    tombstones — absent and deleted keys come back as absent rows."""
+    t = PartitionedCdcTable(str(tmp_path / "t"), "k", app_id="w",
+                            num_buckets=8, write_mode="merge_on_read")
+    t.initialize(_seed(spark))
+    t(_ch(spark, [(1, "x", 11, 1, "update"),
+                  (2, "y", 20, 1, "delete")]), 0)
+
+    asked = []
+    real = PartitionedCdcTable._read_buckets
+
+    def record(self, spark_, man, buckets):
+        asked.append(sorted(buckets))
+        return real(self, spark_, man, buckets)
+
+    monkeypatch.setattr(PartitionedCdcTable, "_read_buckets", record)
+    got = {(r.k, r.s, r.v) for r in
+           t.lookup(spark, [1, 2, 99]).collect()}
+    monkeypatch.undo()
+    assert got == {(1, "x", 11)}            # updated; deleted+absent gone
+    want_buckets = {r[0] for r in spark.createDataFrame(
+        [(1,), (2,), (99,)], "k long")
+        .select(t._bucket_expr()).distinct().collect()}
+    assert asked and all(set(b) <= want_buckets for b in asked)
+    assert all(len(b) < 8 for b in asked)   # strictly pruned
+
+
+def test_flat_lookup_parity(spark, tmp_path):
+    t = CdcTable(str(tmp_path / "t"), "k", app_id="w")
+    t.initialize(_seed(spark))
+    t(_ch(spark, [(2, "y", 20, 1, "delete")]), 0)
+    got = {r.k for r in t.lookup(spark, [1, 2, 99]).collect()}
+    assert got == {1}
+    import pytest as _pt
+    with _pt.raises(ValueError, match="at least one key"):
+        t.lookup(spark, [])
