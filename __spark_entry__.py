@@ -3062,6 +3062,104 @@ FROM d
 """
 
 
+def q_media_probe(spark, sf_dir):
+    """Container-header probing (r11 — operators/multimodal.py
+    MediaProbe): REAL byte-level parsing, not a stub — PNG IHDR, JPEG
+    SOF marker walk, GIF header, RIFF/WAVE fmt chunk — the ffprobe
+    pass a 100 TB multimodal ingest runs FIRST to route/validate/
+    bucket payloads at zero decode cost. The lane builds spec-valid
+    container bytes per document (format by doc_id % 4, geometry
+    derived from doc_id) inside one Arrow batch kernel, probes them
+    with the operator, and aggregates per format; the oracle recomputes
+    the geometry arithmetic directly — equality holds only if the
+    parser recovered every dimension from the actual wire layout."""
+    from systems_spark.operators import MediaProbe
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    schema = "doc_id long, payload binary"
+
+    def synth(batches):
+        import struct
+
+        def png(w, h):
+            return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13)
+                    + b"IHDR" + struct.pack(">II", w, h)
+                    + b"\x08\x02\x00\x00\x00" + b"\x00" * 4)
+
+        def gif(w, h):
+            return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 3
+
+        def jpeg(w, h):
+            app0 = (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+                    + b"\x00" * 9)
+            sof0 = (b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+                    + struct.pack(">HH", h, w) + b"\x03"
+                    + b"\x01\x11\x00" * 3)
+            return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+        def wav(sr, ch):
+            fmt = (b"fmt " + struct.pack("<I", 16)
+                   + struct.pack("<H", 1) + struct.pack("<H", ch)
+                   + struct.pack("<I", sr)
+                   + struct.pack("<I", sr * ch * 2)
+                   + struct.pack("<H", ch * 2) + struct.pack("<H", 16))
+            body = b"WAVE" + fmt
+            return b"RIFF" + struct.pack("<I", len(body)) + body
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 1 + d % 317, 1 + (d * 7) % 211
+                m = d % 4
+                if m == 0:
+                    payloads.append(png(w, h))
+                elif m == 1:
+                    payloads.append(jpeg(w, h))
+                elif m == 2:
+                    payloads.append(gif(w, h))
+                else:
+                    payloads.append(wav(8000 + (d % 5) * 1000,
+                                        1 + d % 2))
+            pdf = pdf.copy()
+            pdf["payload"] = payloads
+            yield pdf
+
+    media = docs.mapInPandas(synth, schema=schema)
+    probed = MediaProbe().transform(media).select("doc_id",
+                                                  "media_probe.*")
+    return (probed.groupBy("format")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("width").cast("decimal(38,0)"))
+                 .cast("bigint").alias("width_sum"),
+                 F.sum(F.col("height").cast("decimal(38,0)"))
+                 .cast("bigint").alias("height_sum"),
+                 F.sum(F.col("sample_rate").cast("decimal(38,0)"))
+                 .cast("bigint").alias("sr_sum"),
+                 F.sum(F.col("channels").cast("decimal(38,0)"))
+                 .cast("bigint").alias("ch_sum")))
+
+
+_SQL_MEDIA_PROBE = """
+SELECT CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+       WHEN 2 THEN 'gif' ELSE 'wav' END AS format,
+       count(*)::BIGINT AS n,
+       sum(CASE WHEN doc_id % 4 < 3
+                THEN (1 + doc_id % 317)::HUGEINT END)::BIGINT
+         AS width_sum,
+       sum(CASE WHEN doc_id % 4 < 3
+                THEN (1 + (doc_id * 7) % 211)::HUGEINT END)::BIGINT
+         AS height_sum,
+       sum(CASE WHEN doc_id % 4 = 3
+                THEN (8000 + (doc_id % 5) * 1000)::HUGEINT END)::BIGINT
+         AS sr_sum,
+       sum(CASE WHEN doc_id % 4 = 3
+                THEN (1 + doc_id % 2)::HUGEINT END)::BIGINT AS ch_sum
+FROM documents
+GROUP BY 1
+"""
+
+
 def q_corpus_curation(spark, sf_dir):
     """END-TO-END training-corpus curation — the composition a 100 TB data
     pipeline actually runs, as ONE declarative plan: (1) near-dup cluster
@@ -7911,6 +8009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_token_search": q_documents_token_search,
         "cdc_clone": q_cdc_clone,
         "cdc_lookup": q_cdc_lookup,
+        "media_probe": q_media_probe,
         "cdc_optimize": q_cdc_optimize,
         "dedup_forget": q_dedup_forget,
         "cdc_change_feed": q_cdc_change_feed,
@@ -8191,6 +8290,7 @@ def oracle_sql() -> dict[str, str]:
         "documents_token_search": _SQL_DOCUMENTS_TOKEN_SEARCH,
         "cdc_clone": _sql_orders_cdc_apply(),
         "cdc_lookup": _sql_cdc_lookup(),
+        "media_probe": _SQL_MEDIA_PROBE,
         "cdc_optimize": _sql_cdc_optimize(),
         "dedup_forget": _sql_dedup_forget(),
         "cdc_change_feed": _sql_cdc_change_feed(),

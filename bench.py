@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "dedup_embedding_lsh",
     "text_stats",
     "multimodal_features",
+    "media_probe",
     "ann_lsh",
     "frame_sample",
     "dedup_clusters",

@@ -20,7 +20,9 @@ from systems_spark.operators.predict import (
     predict_torchscript,
     schema_from_signature,
 )
-from systems_spark.operators.multimodal import MediaFeatureExtract, MediaResize, FrameSample
+from systems_spark.operators.multimodal import (MediaFeatureExtract,
+                                                MediaProbe, MediaResize,
+                                                FrameSample, probe_media)
 from systems_spark.operators.sessionize import Sessionize
 from systems_spark.operators.range_join import RangeJoin
 from systems_spark.operators.branch import BranchConcat, Subgraph
@@ -109,6 +111,8 @@ __all__ = [
     "PredictForest",
     "PredictImplicit",
     "MediaFeatureExtract",
+    "MediaProbe",
+    "probe_media",
     "MediaResize",
     "FrameSample",
     "Operator",

@@ -46,6 +46,87 @@ def _decode_image_real(payload: bytes, out_size: int):  # pragma: no cover
     )
 
 
+def _make_prober():
+    """Factory for the container-HEADER prober (built by a factory so
+    the returned closure cloudpickles BY VALUE into executors — no
+    import of this package needed on workers, the module's convention).
+
+    Unlike decode (which honestly stubs — the codec libs are not in
+    this container), header probing needs no codec: container formats
+    carry their geometry in plainly-structured leading bytes, so
+    format sniffing + dimensions/sample-rate extraction is REAL here —
+    the ffprobe-lite every multimodal ingest pipeline runs first, at
+    zero decode cost."""
+    import struct
+
+    _SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+    def probe(payload):
+        none = {"format": None, "width": None, "height": None,
+                "sample_rate": None, "channels": None}
+        p = payload or b""
+        try:
+            if p[:8] == b"\x89PNG\r\n\x1a\n" and len(p) >= 24:
+                w, h = struct.unpack(">II", p[16:24])
+                return {"format": "png", "width": w, "height": h,
+                        "sample_rate": None, "channels": None}
+            if p[:6] in (b"GIF87a", b"GIF89a") and len(p) >= 10:
+                w, h = struct.unpack("<HH", p[6:10])
+                return {"format": "gif", "width": w, "height": h,
+                        "sample_rate": None, "channels": None}
+            if p[:2] == b"BM" and len(p) >= 26:
+                w, h = struct.unpack("<ii", p[18:26])
+                return {"format": "bmp", "width": w, "height": abs(h),
+                        "sample_rate": None, "channels": None}
+            if p[:2] == b"\xff\xd8":
+                i = 2
+                while i + 9 <= len(p) and p[i] == 0xFF:
+                    marker = p[i + 1]
+                    if marker in _SOF:
+                        h, w = struct.unpack(">HH", p[i + 5:i + 9])
+                        return {"format": "jpeg", "width": w,
+                                "height": h, "sample_rate": None,
+                                "channels": None}
+                    if marker == 0xD8 or 0xD0 <= marker <= 0xD7 \
+                            or marker == 0x01:
+                        i += 2
+                        continue
+                    (seglen,) = struct.unpack(">H", p[i + 2:i + 4])
+                    i += 2 + seglen
+                return none
+            if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+                i = 12
+                while i + 8 <= len(p):
+                    cid = p[i:i + 4]
+                    (size,) = struct.unpack("<I", p[i + 4:i + 8])
+                    if cid == b"fmt " and i + 16 <= len(p):
+                        (ch,) = struct.unpack("<H", p[i + 10:i + 12])
+                        (sr,) = struct.unpack("<I", p[i + 12:i + 16])
+                        return {"format": "wav", "width": None,
+                                "height": None, "sample_rate": sr,
+                                "channels": ch}
+                    i += 8 + size + (size & 1)
+                return none
+        except struct.error:
+            return none
+        return none
+
+    return probe
+
+
+#: driver-side / test handle for the same parser the operator ships
+probe_media = _make_prober()
+
+MEDIA_PROBE_SCHEMA = T.StructType([
+    T.StructField("format", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+])
+
+
 def _fake_features(payload: bytes, dim: int) -> list:
     """Deterministic pseudo-features from payload bytes (md5-seeded).
 
@@ -202,6 +283,54 @@ class MediaFeatureExtract(Operator):
         return {"payload_col": self.payload_col, "output_col": self.output_col,
                 "dim": self.dim, "target_batch_bytes": self.target_batch_bytes,
                 "use_real_codec": self.use_real_codec}
+
+
+class MediaProbe(Operator):
+    """binary payload column → typed probe struct ``{format, width,
+    height, sample_rate, channels}`` by REAL container-header parsing
+    (PNG IHDR, JPEG SOF walk, GIF/BMP headers, RIFF/WAVE fmt chunk) —
+    no codec libraries, no decode: the first pass every multimodal
+    ingest runs to route/validate/bucket payloads before any expensive
+    decode. Arrow-batched ``mapInPandas``; unknown/corrupt payloads
+    yield a NULL-format row, never an error (routing decides what to
+    do with them)."""
+
+    def __init__(self, payload_col: str = "payload",
+                 output_col: str = "media_probe",
+                 target_batch_bytes: Optional[int] = None):
+        self.payload_col = payload_col
+        self.output_col = output_col
+        self.target_batch_bytes = target_batch_bytes
+        self.requires = (payload_col,)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        result_schema = T.StructType(
+            list(df.schema.fields)
+            + [T.StructField(self.output_col, MEDIA_PROBE_SCHEMA)])
+        payload_col, out_col = self.payload_col, self.output_col
+        if self.target_batch_bytes:
+            df = _repartition_by_byte_budget(
+                df, self.payload_col, self.target_batch_bytes)
+        probe = _make_prober()  # pickles by value — see factory note
+
+        def run(batches):
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf[out_col] = [probe(p) for p in pdf[payload_col]]
+                yield pdf
+
+        return df.mapInPandas(run, schema=result_schema)
+
+    def compute_output_schema(self, input_schema):
+        from systems_spark.schema import ColumnSchema, Schema
+
+        return input_schema + Schema([
+            ColumnSchema(self.output_col, "struct")])
+
+    def get_params(self):
+        return {"payload_col": self.payload_col,
+                "output_col": self.output_col,
+                "target_batch_bytes": self.target_batch_bytes}
 
 
 class MediaResize(Operator):
