@@ -3062,6 +3062,83 @@ FROM d
 """
 
 
+def q_cdc_merge_into(spark, sf_dir):
+    """MERGE INTO with conditional clauses (r11 — streaming/sinks.py
+    CdcTable.merge_into, Delta's flagship DML): one source batch
+    against the live orders table — WHEN MATCHED AND price<1000 THEN
+    DELETE, remaining matches UPDATE price += source price, WHEN NOT
+    MATCHED INSERT the source row — compiled to a single change batch
+    through the fenced merge (tombstones, OCC, constraint validation,
+    O(batch) MOR commit, #dml idempotence all unchanged). Oracle =
+    the same three-way split expressed with plain joins, so equality
+    holds only if clause order (delete first), the matched gate, and
+    the unmatched insert all compiled exactly."""
+    import hashlib
+
+    from systems_spark.streaming import PartitionedCdcTable
+
+    key = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:cdcmrg:{sf_dir}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join("/tmp", "systems_spark_cdc", key)
+    table = PartitionedCdcTable(os.path.join(base, "t"),
+                                key_cols="o_orderkey", app_id="cdcmrg",
+                                num_buckets=16,
+                                write_mode="merge_on_read")
+    orders = _t(spark, sf_dir, "orders")
+    table.initialize(
+        orders.where(F.col("o_orderkey") % 8 != 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
+    src = (orders.where(F.col("o_orderkey") % 4 == 0)
+           .select("o_orderkey", "o_custkey", "o_orderstatus",
+                   "o_totalprice"))
+    table.merge_into(
+        spark, src,
+        when_matched_delete="t.o_totalprice < 1000",
+        when_matched_update={
+            "o_totalprice": "t.o_totalprice + s.o_totalprice"},
+        when_not_matched_insert={
+            "o_custkey": "s.o_custkey",
+            "o_orderstatus": "s.o_orderstatus",
+            "o_totalprice": "s.o_totalprice"},
+        batch_id=0)
+    return (table.current(spark)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+                         2).cast("double").alias("total_price"),
+                 F.sum(F.col("o_orderkey").cast("decimal(38,0)"))
+                 .cast("bigint").alias("key_checksum")))
+
+
+_SQL_CDC_MERGE_INTO = """
+WITH tgt AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 8 <> 0),
+src AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 4 = 0),
+merged AS (
+  SELECT t.* FROM tgt t
+  WHERE NOT EXISTS (SELECT 1 FROM src s
+                    WHERE s.o_orderkey = t.o_orderkey)
+  UNION ALL
+  SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus,
+         t.o_totalprice + s.o_totalprice AS o_totalprice
+  FROM tgt t JOIN src s ON s.o_orderkey = t.o_orderkey
+  WHERE t.o_totalprice >= 1000
+  UNION ALL
+  SELECT s.* FROM src s
+  WHERE NOT EXISTS (SELECT 1 FROM tgt t
+                    WHERE t.o_orderkey = s.o_orderkey)
+)
+SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice::DECIMAL(18,2)), 2)::DOUBLE AS total_price,
+       sum(o_orderkey::HUGEINT)::BIGINT AS key_checksum
+FROM merged GROUP BY 1
+"""
+
+
 def q_media_probe(spark, sf_dir):
     """Container-header probing (r11 — operators/multimodal.py
     MediaProbe): REAL byte-level parsing, not a stub — PNG IHDR, JPEG
@@ -8010,6 +8087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_clone": q_cdc_clone,
         "cdc_lookup": q_cdc_lookup,
         "media_probe": q_media_probe,
+        "cdc_merge_into": q_cdc_merge_into,
         "cdc_optimize": q_cdc_optimize,
         "dedup_forget": q_dedup_forget,
         "cdc_change_feed": q_cdc_change_feed,
@@ -8291,6 +8369,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_clone": _sql_orders_cdc_apply(),
         "cdc_lookup": _sql_cdc_lookup(),
         "media_probe": _SQL_MEDIA_PROBE,
+        "cdc_merge_into": _SQL_CDC_MERGE_INTO,
         "cdc_optimize": _sql_cdc_optimize(),
         "dedup_forget": _sql_dedup_forget(),
         "cdc_change_feed": _sql_cdc_change_feed(),

@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "documents_token_search",
     "cdc_clone",
     "cdc_lookup",
+    "cdc_merge_into",
     "cdc_optimize",
     "cdc_multiwriter",
     "cdc_merge_on_read",

@@ -1222,6 +1222,130 @@ class CdcTable:
         ).withColumn(self.op_col, F.lit("update"))
         return self._dml_apply(spark, changes, max_seq, seq, batch_id)
 
+    def merge_into(self, spark: SparkSession, source: DataFrame,
+                   when_matched_update: "dict | None" = None,
+                   when_matched_delete=None,
+                   when_not_matched_insert: "dict | None" = None,
+                   matched_condition=None,
+                   seq: "int | None" = None,
+                   batch_id: "int | None" = None) -> "int | None":
+        """``MERGE INTO target USING source ON target.key = source.key``
+        with Delta's clause semantics, compiled to ONE change batch
+        through the standard fenced merge — so tombstones, fencing,
+        OCC, CHECK validation of the produced rows, touched-bucket
+        pruning (COW) and O(batch) delta commits (MOR) all apply
+        unchanged.
+
+        - ``when_matched_delete``: SQL condition over ``s.*``/``t.*``
+          (or ``True`` for unconditional) — matched keys meeting it
+          become delete changes. Evaluated FIRST (the clause-order
+          rule, stated rather than implicit).
+        - ``when_matched_update``: {target_col: SQL expr over
+          ``s.*``/``t.*``} — remaining matched keys (optionally
+          gated by ``matched_condition``) become update postimages;
+          unassigned columns keep the target's value. Assigning a
+          merge key or a GENERATED column raises, like
+          :meth:`update_where`.
+        - ``when_not_matched_insert``: {target_col: SQL expr over
+          ``s.*``} — source keys absent from the live target insert;
+          key columns default to the source's, other unassigned
+          columns NULL-fill (constraints still validate).
+
+        Multiple source rows matching one target key make the merge
+        ambiguous (Delta raises here too): every produced change
+        carries the same seq, so the write path's (key, seq)
+        uniqueness check rejects the batch before anything stages.
+
+        One key-join against the live snapshot finds the matched
+        split — the inherent cost; everything after is
+        batch-proportional. Auto-``seq`` = max(affected seqs, fence)+1;
+        idempotence under the ``#dml`` txn key (or the caller's
+        explicit ``batch_id``). Returns the committed version, or
+        None when no clause produced a change."""
+        if (when_matched_update is None and when_matched_delete is None
+                and when_not_matched_insert is None):
+            raise ValueError("merge_into needs at least one WHEN clause")
+        payload = list(self.current(spark).columns)
+        if when_matched_update:
+            bad = set(when_matched_update) & set(self.key_cols)
+            if bad:
+                raise ValueError(
+                    f"merge_into cannot assign to merge key column(s) "
+                    f"{sorted(bad)}")
+            gen = set(self._latest_manifest(spark).get("generated", {}))
+            bad = set(when_matched_update) & gen
+            if bad:
+                raise ValueError(
+                    f"merge_into cannot assign to GENERATED column(s) "
+                    f"{sorted(bad)}; they are recomputed at every write")
+            unknown = set(when_matched_update) - set(payload)
+            if unknown:
+                raise ValueError(
+                    f"merge_into: no such target column(s) "
+                    f"{sorted(unknown)} (payload: {payload})")
+        if when_not_matched_insert:
+            unknown = set(when_not_matched_insert) - set(payload)
+            if unknown:
+                raise ValueError(
+                    f"merge_into: no such target column(s) "
+                    f"{sorted(unknown)} (payload: {payload})")
+
+        def cond(x):
+            if x is True:
+                return F.lit(True)
+            return F.expr(x) if isinstance(x, str) else x
+
+        cur = self.snapshot(spark).where(~F.col(self.DELETED))
+        # every produced column is cast to the TARGET's type (Delta's
+        # merge-cast rule): a NullType fill or a narrower source
+        # expression otherwise breaks the union / the strict merge
+        types = {f.name: f.dataType for f in cur.schema.fields}
+        live, s = cur.alias("t"), source.alias("s")
+        on = [F.col(f"s.{k}").eqNullSafe(F.col(f"t.{k}"))
+              for k in self.key_cols]
+        j = s.join(live, on=on, how="left")
+        is_matched = F.col(f"t.{self.seq_col}").isNotNull()
+
+        pieces = []
+        matched_rest = is_matched
+        if when_matched_delete is not None:
+            dcond = cond(when_matched_delete)
+            pieces.append(j.where(is_matched & dcond).select(
+                *[F.col(f"t.{c}").alias(c) for c in payload],
+                F.col(f"t.{self.seq_col}").alias("_mrg_seq"),
+                F.lit("delete").alias(self.op_col)))
+            matched_rest = matched_rest & ~dcond
+        if when_matched_update is not None:
+            ucond = matched_rest if matched_condition is None \
+                else matched_rest & cond(matched_condition)
+            exprs = {c: cond(e) for c, e in when_matched_update.items()}
+            pieces.append(j.where(ucond).select(
+                *[exprs.get(c, F.col(f"t.{c}")).cast(types[c]).alias(c)
+                  for c in payload],
+                F.col(f"t.{self.seq_col}").alias("_mrg_seq"),
+                F.lit("update").alias(self.op_col)))
+        if when_not_matched_insert is not None:
+            exprs = {c: cond(e)
+                     for c, e in when_not_matched_insert.items()}
+            for k in self.key_cols:
+                exprs.setdefault(k, F.col(f"s.{k}"))
+            pieces.append(j.where(~is_matched).select(
+                *[exprs.get(c, F.lit(None)).cast(types[c]).alias(c)
+                  for c in payload],
+                F.lit(None).cast("long").alias("_mrg_seq"),
+                F.lit("insert").alias(self.op_col)))
+
+        changes = pieces[0]
+        for p in pieces[1:]:
+            changes = changes.unionByName(p)
+        row = changes.agg(F.max("_mrg_seq").alias("m"),
+                          F.count(F.lit(1)).alias("n")).collect()[0]
+        if int(row["n"]) == 0:
+            return None
+        max_seq = int(row["m"]) if row["m"] is not None else -1
+        return self._dml_apply(spark, changes.drop("_mrg_seq"),
+                               max_seq, seq, batch_id)
+
     def compact(self, spark: SparkSession, fence_seq: int) -> int:
         """Drop tombstones with seq ≤ ``fence_seq`` from the live
         snapshot, committing the result as a new version (time travel
