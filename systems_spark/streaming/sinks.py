@@ -577,6 +577,34 @@ class CdcTable:
         return spark.read.parquet(
             self._data_path(self._manifest_at(spark, version)))
 
+    def register_views(self, spark: SparkSession, name: str,
+                       version: "int | None" = None) -> None:
+        """SQL surface: ``spark.sql(f"SELECT ... FROM {name}")`` — the
+        live view as a temp view (pinned to ``version`` for SQL time
+        travel when given), plus ``{name}_history``: one row per
+        retained commit (version, committed_at_ms, rows, app_id,
+        batch_id — the DESCRIBE HISTORY audit frame). Temp views hold
+        the PLAN, not data: re-register after new commits to advance
+        (a temp view over a versioned table is a snapshot pin, which
+        is the semantics a SQL reader wants)."""
+        if version is None:
+            live = self.current(spark)
+        else:
+            live = (self.at_version(spark, version)
+                    .where(~F.col(self.DELETED))
+                    .drop(self.seq_col, self.DELETED))
+        live.createOrReplaceTempView(name)
+        hist = [(int(m["version"]),
+                 int(m.get("committed_at_ms", 0)),
+                 int(m.get("rows", 0)),
+                 str(m.get("app_id", "")),
+                 (int(m["batch_id"]) if "batch_id" in m else None))
+                for m in self.history(spark)]
+        spark.createDataFrame(
+            hist, "version long, committed_at_ms long, rows long, "
+                  "app_id string, batch_id long"
+        ).createOrReplaceTempView(f"{name}_history")
+
     def history(self, spark: SparkSession) -> "list[dict]":
         """Commit manifests, oldest first — the audit trail."""
         out = []
@@ -1227,6 +1255,8 @@ class CdcTable:
                    when_matched_delete=None,
                    when_not_matched_insert: "dict | None" = None,
                    matched_condition=None,
+                   when_not_matched_by_source_delete=None,
+                   when_not_matched_by_source_update: "dict | None" = None,
                    seq: "int | None" = None,
                    batch_id: "int | None" = None) -> "int | None":
         """``MERGE INTO target USING source ON target.key = source.key``
@@ -1250,6 +1280,13 @@ class CdcTable:
           ``s.*``} — source keys absent from the live target insert;
           key columns default to the source's, other unassigned
           columns NULL-fill (constraints still validate).
+        - ``when_not_matched_by_source_delete`` / ``_update`` (Delta
+          2.3's third clause family): LIVE target rows with NO source
+          match — condition / assignments over ``t.*`` only. Honest
+          cost note: this clause inherently touches the whole live
+          target (the rows the source does NOT name), so it costs a
+          target scan, exactly like Delta; delete evaluates before
+          update, mirroring the matched family.
 
         Multiple source rows matching one target key make the merge
         ambiguous (Delta raises here too): every produced change
@@ -1263,22 +1300,29 @@ class CdcTable:
         explicit ``batch_id``). Returns the committed version, or
         None when no clause produced a change."""
         if (when_matched_update is None and when_matched_delete is None
-                and when_not_matched_insert is None):
+                and when_not_matched_insert is None
+                and when_not_matched_by_source_delete is None
+                and when_not_matched_by_source_update is None):
             raise ValueError("merge_into needs at least one WHEN clause")
         payload = list(self.current(spark).columns)
-        if when_matched_update:
-            bad = set(when_matched_update) & set(self.key_cols)
+        gen = set(self._latest_manifest(spark).get("generated", {}))
+        for label, assigns in (("when_matched_update",
+                                when_matched_update),
+                               ("when_not_matched_by_source_update",
+                                when_not_matched_by_source_update)):
+            if not assigns:
+                continue
+            bad = set(assigns) & set(self.key_cols)
             if bad:
                 raise ValueError(
                     f"merge_into cannot assign to merge key column(s) "
-                    f"{sorted(bad)}")
-            gen = set(self._latest_manifest(spark).get("generated", {}))
-            bad = set(when_matched_update) & gen
+                    f"{sorted(bad)} ({label})")
+            bad = set(assigns) & gen
             if bad:
                 raise ValueError(
                     f"merge_into cannot assign to GENERATED column(s) "
                     f"{sorted(bad)}; they are recomputed at every write")
-            unknown = set(when_matched_update) - set(payload)
+            unknown = set(assigns) - set(payload)
             if unknown:
                 raise ValueError(
                     f"merge_into: no such target column(s) "
@@ -1334,6 +1378,29 @@ class CdcTable:
                   for c in payload],
                 F.lit(None).cast("long").alias("_mrg_seq"),
                 F.lit("insert").alias(self.op_col)))
+        if (when_not_matched_by_source_delete is not None
+                or when_not_matched_by_source_update is not None):
+            anti = cur.alias("t").join(
+                source.alias("s"),
+                on=[F.col(f"s.{k}").eqNullSafe(F.col(f"t.{k}"))
+                    for k in self.key_cols],
+                how="left_anti")
+            rest = F.lit(True)
+            if when_not_matched_by_source_delete is not None:
+                dcond = cond(when_not_matched_by_source_delete)
+                pieces.append(anti.where(dcond).select(
+                    *[F.col(f"t.{c}").alias(c) for c in payload],
+                    F.col(f"t.{self.seq_col}").alias("_mrg_seq"),
+                    F.lit("delete").alias(self.op_col)))
+                rest = ~dcond
+            if when_not_matched_by_source_update is not None:
+                exprs = {c: cond(e) for c, e in
+                         when_not_matched_by_source_update.items()}
+                pieces.append(anti.where(rest).select(
+                    *[exprs.get(c, F.col(f"t.{c}")).cast(types[c])
+                      .alias(c) for c in payload],
+                    F.col(f"t.{self.seq_col}").alias("_mrg_seq"),
+                    F.lit("update").alias(self.op_col)))
 
         changes = pieces[0]
         for p in pieces[1:]:

@@ -133,3 +133,63 @@ def test_merge_into_respects_constraints_and_dml_txn_key(spark,
                  when_not_matched_insert={"v": "s.sv"})
     man = t._latest_manifest(spark)
     assert man["txn"]["w#dml"] == 0 and "w" not in man["txn"]
+
+
+@pytest.mark.parametrize("make", [
+    lambda p: CdcTable(p, "k", app_id="w"),
+    lambda p: PartitionedCdcTable(p, "k", app_id="w", num_buckets=4,
+                                  write_mode="merge_on_read"),
+])
+def test_not_matched_by_source_clauses(spark, tmp_path, make):
+    """Delta 2.3's third clause family: LIVE target rows the source
+    does NOT name — delete evaluates before update, expressions over
+    t.* only."""
+    t = make(str(tmp_path / "t"))
+    t.initialize(_seed(spark))
+    # source names k=1 only; by-source clauses govern k=2,3,4
+    src = _src(spark, [(1, 100)])
+    t.merge_into(
+        spark, src,
+        when_matched_update={"v": "s.sv"},
+        when_not_matched_by_source_delete="t.v >= 40",
+        when_not_matched_by_source_update={"s": "concat(t.s, '!')"})
+    assert _rows(t, spark) == {1: ("a", 100), 2: ("b!", 20),
+                               3: ("c!", 30)}   # k=4 deleted
+
+
+def test_by_source_guards_and_full_sync(spark, tmp_path):
+    t = CdcTable(str(tmp_path / "t"), "k", app_id="w")
+    t.initialize(_seed(spark))
+    with pytest.raises(ValueError, match="merge key"):
+        t.merge_into(spark, _src(spark, [(1, 1)]),
+                     when_not_matched_by_source_update={"k": "1"})
+    # the classic FULL SYNC: upsert everything in the source, delete
+    # everything it does not name — target becomes exactly the source
+    src = spark.createDataFrame(
+        [(2, "B", 200), (9, "I", 900)], PAY)
+    t.merge_into(
+        spark, src.alias("src_payload"),
+        when_matched_update={"s": "s.s", "v": "s.v"},
+        when_not_matched_insert={"s": "s.s", "v": "s.v"},
+        when_not_matched_by_source_delete=True)
+    assert _rows(t, spark) == {2: ("B", 200), 9: ("I", 900)}
+
+
+def test_register_views_sql_surface(spark, tmp_path):
+    t = CdcTable(str(tmp_path / "t"), "k", app_id="w")
+    t.initialize(_seed(spark))
+    t(spark.createDataFrame([(1, "x", 11, 1, "update")],
+                            PAY + ", seq long, op string"), 0)
+    t.register_views(spark, "mi_orders")
+    got = {r.k: r.v for r in
+           spark.sql("SELECT k, v FROM mi_orders").collect()}
+    assert got == {1: 11, 2: 20, 3: 30, 4: 40}
+    hist = spark.sql(
+        "SELECT version, batch_id FROM mi_orders_history "
+        "ORDER BY version").collect()
+    assert [(r.version, r.batch_id) for r in hist] == [(-1, None),
+                                                       (0, 0)]
+    # SQL time travel: a view pinned at the seed version
+    t.register_views(spark, "mi_orders_v0", version=-1)
+    assert spark.sql("SELECT v FROM mi_orders_v0 WHERE k = 1"
+                     ).collect()[0].v == 10
