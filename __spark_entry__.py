@@ -3139,6 +3139,47 @@ FROM merged GROUP BY 1
 """
 
 
+def q_cdc_rename(spark, sf_dir):
+    """RENAME COLUMN without rewrite (r11 — streaming/sinks.py
+    CdcTable.rename_column, Delta's column mapping): epoch 1 merges
+    under the original name, the table renames o_totalprice → o_price
+    as a MANIFEST-ONLY commit (zero data movement — unit tests pin
+    untouched file mtimes), epoch 2 merges under the NEW logical name,
+    and the read aggregates o_price across rows written on BOTH sides
+    of the rename (physical names constant on disk). Oracle = the
+    plain global merge of both epochs — equality holds only if the
+    logical→physical map routed every read and write exactly."""
+    import hashlib
+
+    from systems_spark.streaming import PartitionedCdcTable
+
+    key = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:cdcren:{sf_dir}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join("/tmp", "systems_spark_cdc", key)
+    table = PartitionedCdcTable(os.path.join(base, "t"),
+                                key_cols="o_orderkey", app_id="cdcren",
+                                num_buckets=16,
+                                write_mode="merge_on_read")
+    orders = _t(spark, sf_dir, "orders")
+    table.initialize(
+        orders.where(F.col("o_orderkey") % 8 != 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
+    changes = _cdc_changes(spark, sf_dir)
+    table(changes.where(F.col("seq") == 1), 0)
+    if "o_price" not in table.current(spark).columns:
+        table.rename_column(spark, "o_totalprice", "o_price")
+    table(changes.where(F.col("seq") == 2)
+          .withColumnRenamed("o_totalprice", "o_price"), 1)
+    return (table.current(spark)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum(F.col("o_price").cast("decimal(18,2)")),
+                         2).cast("double").alias("total_price"),
+                 F.sum(F.col("o_orderkey").cast("decimal(38,0)"))
+                 .cast("bigint").alias("key_checksum")))
+
+
 def q_media_probe(spark, sf_dir):
     """Container-header probing (r11 — operators/multimodal.py
     MediaProbe): REAL byte-level parsing, not a stub — PNG IHDR, JPEG
@@ -8088,6 +8129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lookup": q_cdc_lookup,
         "media_probe": q_media_probe,
         "cdc_merge_into": q_cdc_merge_into,
+        "cdc_rename": q_cdc_rename,
         "cdc_optimize": q_cdc_optimize,
         "dedup_forget": q_dedup_forget,
         "cdc_change_feed": q_cdc_change_feed,
@@ -8370,6 +8412,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_lookup": _sql_cdc_lookup(),
         "media_probe": _SQL_MEDIA_PROBE,
         "cdc_merge_into": _SQL_CDC_MERGE_INTO,
+        "cdc_rename": _sql_orders_cdc_apply(),
         "cdc_optimize": _sql_cdc_optimize(),
         "dedup_forget": _sql_dedup_forget(),
         "cdc_change_feed": _sql_cdc_change_feed(),

@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "cdc_clone",
     "cdc_lookup",
     "cdc_merge_into",
+    "cdc_rename",
     "cdc_optimize",
     "cdc_multiwriter",
     "cdc_merge_on_read",

@@ -108,16 +108,36 @@ def _latest_version(path: str) -> "int | None":
 
 
 def _change_schema(man: dict, deleted_col: str, op_col: str) -> StructType:
+    """The feed's schema in LOGICAL column names: the manifest stores
+    the PHYSICAL schema, and the column map (RENAME COLUMN without
+    rewrite) translates — files on disk keep physical names forever,
+    so the reader resolves logical → physical per field
+    (:func:`_physical_names`)."""
     if "schema" not in man:
         raise ValueError(
             "manifest carries no schema — the change feed requires a "
             "PartitionedCdcTable with write_mode='merge_on_read' (a "
             "flat CdcTable records no change files)")
     snap = StructType.fromJson(json.loads(man["schema"]))
-    fields = [f for f in snap.fields if f.name != deleted_col]
+    inv = {str(p): str(l)
+           for l, p in (man.get("column_map") or {}).items()}
     from pyspark.sql.types import StringType, StructField
+    fields = [StructField(inv.get(f.name, f.name), f.dataType,
+                          f.nullable)
+              for f in snap.fields if f.name != deleted_col]
     fields.append(StructField(op_col, StringType(), True))
     return StructType(fields)
+
+
+def _physical_names(man: dict, deleted_col: str) -> "dict[str, str]":
+    """logical field name → PHYSICAL on-disk column name."""
+    if "schema" not in man:
+        return {}
+    snap = StructType.fromJson(json.loads(man["schema"]))
+    inv = {str(p): str(l)
+           for l, p in (man.get("column_map") or {}).items()}
+    return {inv.get(f.name, f.name): f.name for f in snap.fields
+            if f.name != deleted_col}
 
 
 def _own_delta_dir(man: dict) -> "str | None":
@@ -158,6 +178,17 @@ class _CdfStreamReader(DataSourceStreamReader):
         self.skip_restores = str(options.get("skip_restores", "false")) \
             .lower() == "true"
         self._schema = schema
+        # logical → physical file-column names, pinned with the schema:
+        # renamed tables keep physical names on disk forever, so every
+        # delta file (pre- or post-rename) reads by physical name
+        self._phys = {}
+        try:
+            v = _latest_version(self.path)
+            if v is not None:
+                self._phys = _physical_names(
+                    _read_manifest(self.path, v), self.deleted_col)
+        except (OSError, ValueError):
+            self._phys = {}
 
     # -- offsets (table versions) ------------------------------------------
     def initialOffset(self) -> dict:
@@ -168,15 +199,21 @@ class _CdfStreamReader(DataSourceStreamReader):
         return {"version": v if v is not None else self.start_version}
 
     def partitions(self, start: dict, end: dict):
-        pinned = {f.name for f in self._schema.fields}
+        # the evolution guard compares PHYSICAL field sets: a RENAME
+        # (column mapping) changes only logical presentation — physical
+        # names are constant on disk — so a running stream continues
+        # serving under the names it pinned; only a genuinely ADDED
+        # column fails the stream
+        pinned = set(self._phys.values()) | {
+            f.name for f in self._schema.fields} - set(self._phys)
         parts = []
         for v in range(int(start["version"]) + 1,
                        int(end["version"]) + 1):
             man = _read_manifest(self.path, v)
             d = _own_delta_dir(man)
             if d is not None:
-                served = {f.name for f in _change_schema(
-                    man, self.deleted_col, self.op_col).fields}
+                served = set(_physical_names(
+                    man, self.deleted_col).values()) | {self.op_col}
                 if served - pinned:
                     # the module contract: surfaced as an error, never
                     # silently wrong — emitting evolved rows through
@@ -227,8 +264,9 @@ class _CdfStreamReader(DataSourceStreamReader):
         arrays, names = [], []
         for f in self._schema.fields:
             at = to_arrow_type(f.dataType)
-            if f.name in table.column_names:
-                arrays.append(table.column(f.name).combine_chunks()
+            fcol = self._phys.get(f.name, f.name)
+            if fcol in table.column_names:
+                arrays.append(table.column(fcol).combine_chunks()
                               .cast(at))
             else:  # written before a schema evolution: NULL-fill
                 arrays.append(pa.nulls(n, at))

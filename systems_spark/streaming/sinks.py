@@ -381,7 +381,7 @@ class CdcTable:
         manifest, like the txn map — one marker read answers them and
         vacuum can't lose them. ``extra`` may still override (that is
         how add/drop commit their change)."""
-        for k in ("constraints", "tags", "generated"):
+        for k in ("constraints", "tags", "generated", "column_map"):
             if prior_man and k in prior_man:
                 manifest[k] = dict(prior_man[k])
 
@@ -496,13 +496,104 @@ class CdcTable:
             return  # another writer seeded first — same idempotent no-op
 
     def snapshot(self, spark: SparkSession) -> DataFrame:
-        """Latest committed snapshot INCLUDING tombstones + seq column."""
+        """Latest committed snapshot INCLUDING tombstones + seq column,
+        in PHYSICAL column names — the internal read every maintenance
+        writer (optimize, compact, restore, backfill) round-trips, so
+        physical names stay constant on disk forever. User-facing
+        reads (``current``/``at_version``/feeds) apply the manifest's
+        column map to show LOGICAL names."""
         return spark.read.parquet(
             self._data_path(self._latest_manifest(spark)))
 
+    # -- column mapping (RENAME COLUMN without rewrite) ---------------------
+    def _column_map(self, man: dict) -> "dict[str, str]":
+        """logical name → PHYSICAL (on-disk) name. Physical names never
+        change once written — a rename is a manifest-only commit
+        updating this map, exactly Delta's column-mapping design."""
+        return {str(k): str(v)
+                for k, v in (man.get("column_map") or {}).items()}
+
+    def _to_physical(self, man: dict, df: DataFrame) -> DataFrame:
+        ren = {log: phys for log, phys in self._column_map(man).items()
+               if log in df.columns and log != phys}
+        return df.withColumnsRenamed(ren) if ren else df
+
+    def _to_logical(self, man: dict, df: DataFrame) -> DataFrame:
+        ren = {phys: log for log, phys in self._column_map(man).items()
+               if phys in df.columns and log != phys}
+        return df.withColumnsRenamed(ren) if ren else df
+
+    def rename_column(self, spark: SparkSession, old: str,
+                      new: str) -> int:
+        """``ALTER TABLE RENAME COLUMN old TO new`` WITHOUT rewriting a
+        byte of data (Delta's column mapping): a manifest-only commit
+        updates the logical→physical map; on-disk files keep their
+        physical names forever, so files written before AND after the
+        rename read uniformly. Guards (each the same contract Delta
+        enforces): merge-key columns cannot rename (the key names the
+        table's identity everywhere — log, buckets, handles); a column
+        referenced by a CHECK constraint or a GENERATED expression
+        cannot rename (the stored expression text would dangle); the
+        new name may not collide with any live logical OR physical
+        name (physical collisions would make the rename map ambiguous).
+        Returns the committed version."""
+        if old in self.key_cols or new in self.key_cols:
+            raise ValueError(
+                f"rename_column cannot touch merge key column(s) "
+                f"{list(self.key_cols)}")
+        if new in (self.seq_col, self.op_col, self.DELETED):
+            raise ValueError(f"{new!r} is a reserved bookkeeping name")
+        import re as _re
+
+        for _attempt in range(self._COMMIT_RETRIES):
+            self._backoff(_attempt)
+            man = self._latest_manifest(spark)
+            cmap = self._column_map(man)
+            from pyspark.sql.types import StructType
+            phys_cols = [f.name for f in StructType.fromJson(
+                json.loads(man["schema"])).fields] \
+                if "schema" in man else \
+                [f.name for f in spark.read.parquet(
+                    self._data_path(man)).schema.fields]
+            inv = {p: l for l, p in cmap.items()}
+            logical = [inv.get(p, p) for p in phys_cols]
+            if old not in logical:
+                raise ValueError(
+                    f"rename_column: no such column {old!r} "
+                    f"(columns: {sorted(set(logical) - {self.seq_col, self.DELETED})})")
+            if new in logical or new in phys_cols:
+                raise ValueError(
+                    f"rename_column: {new!r} collides with an existing "
+                    f"logical or physical column name")
+            pat = _re.compile(rf"\b{_re.escape(old)}\b")
+            for kind, label in (("constraints", "CHECK constraint"),
+                                ("generated", "generated column")):
+                for name, expr in (man.get(kind) or {}).items():
+                    if pat.search(str(expr)):
+                        raise ValueError(
+                            f"rename_column: {old!r} is referenced by "
+                            f"{label} {name!r} ({expr}) — drop it "
+                            f"first")
+            phys = cmap.pop(old, old)
+            cmap[new] = phys
+            extra = {"column_map": cmap, "renamed_column": [old, new]}
+            if "fence_seq" in man:
+                extra["fence_seq"] = int(man["fence_seq"])
+            try:
+                self._commit_noop(spark, int(man["version"]) + 1, man,
+                                  extra)
+                return int(man["version"]) + 1
+            except ConcurrentCommitError:
+                continue
+        raise ConcurrentCommitError(
+            f"rename_column gave up after {self._COMMIT_RETRIES} "
+            f"attempts on {self.path}")
+
     def current(self, spark: SparkSession) -> DataFrame:
-        """The live view: tombstones hidden, bookkeeping columns dropped."""
-        return (self.snapshot(spark)
+        """The live view: tombstones hidden, bookkeeping columns
+        dropped, LOGICAL column names."""
+        man = self._latest_manifest(spark)
+        return (self._to_logical(man, self.snapshot(spark))
                 .where(~F.col(self.DELETED))
                 .drop(self.seq_col, self.DELETED))
 
@@ -525,7 +616,8 @@ class CdcTable:
                                     .get(txn_app, -1)):
                 return  # replayed epoch: this batch already committed
             snap = spark.read.parquet(self._data_path(man))
-            batch = self._apply_generated(man, batch_df)
+            batch = self._to_physical(man,
+                                      self._apply_generated(man, batch_df))
             if self.schema_evolution == "merge":
                 snap, batch, _ = _evolve_schemas(
                     snap, batch, self.seq_col, self.op_col, self.DELETED)
@@ -573,9 +665,12 @@ class CdcTable:
     # -- operations ------------------------------------------------------------
     def at_version(self, spark: SparkSession, version: int) -> DataFrame:
         """Time-travel read: the committed snapshot at ``version``
-        (bookkeeping columns included, like ``snapshot()``)."""
-        return spark.read.parquet(
-            self._data_path(self._manifest_at(spark, version)))
+        (bookkeeping columns included, like ``snapshot()``), under the
+        column names AS OF that version — renaming history time-travels
+        with the data, like Delta's column mapping."""
+        man = self._manifest_at(spark, version)
+        return self._to_logical(
+            man, spark.read.parquet(self._data_path(man)))
 
     def register_views(self, spark: SparkSession, name: str,
                        version: "int | None" = None) -> None:
@@ -691,7 +786,7 @@ class CdcTable:
                             "tag": tag_name}})
         if "fence_seq" in man:
             seed["fence_seq"] = int(man["fence_seq"])
-        for k in ("constraints", "generated"):
+        for k in ("constraints", "generated", "column_map"):
             if k in man:
                 seed[k] = dict(man[k])
         if not fs_publish_text_exclusive(
@@ -727,7 +822,10 @@ class CdcTable:
         for _attempt in range(self._COMMIT_RETRIES):
             self._backoff(_attempt)
             man = self._latest_manifest(spark)
-            old = self.at_version(spark, version)
+            # PHYSICAL read: restore round-trips the old snapshot back
+            # into the log, and on-disk names must never drift
+            old = spark.read.parquet(self._data_path(
+                self._manifest_at(spark, version)))
             # a restore may not resurrect rows a constraint added since
             # then forbids — validated like Delta validates a RESTORE
             self._enforce_constraints(man, old, "restored")
@@ -855,6 +953,12 @@ class CdcTable:
         cons = man.get("constraints") or {}
         if not cons:
             return
+        # constraint expressions are written in LOGICAL names; callers
+        # pass frames in either name space (write paths hold physical
+        # batches) — logicalize first, a no-op for already-logical
+        # frames (physical names can't collide with logical ones, the
+        # rename guard forbids it)
+        rows = self._to_logical(man, rows)
         if self.op_col in rows.columns:
             rows = rows.where(F.col(self.op_col) != "delete")
         if self.DELETED in rows.columns:
@@ -931,7 +1035,8 @@ class CdcTable:
                     f"constraint {name!r} already exists as "
                     f"{cons[name]!r}; drop it first")
             self._enforce_constraints(
-                {"constraints": {name: str(expr)}},
+                {"constraints": {name: str(expr)},
+                 "column_map": man.get("column_map", {})},
                 self.snapshot(spark), "existing")
             cons[name] = str(expr)
             version = int(man["version"]) + 1
@@ -1120,7 +1225,8 @@ class CdcTable:
                     f"generated column {name!r} already defined as "
                     f"{gen[name]!r}")
             snap = self.snapshot(spark)
-            if name in snap.columns:
+            taken = set(snap.columns) | set(self._column_map(man))
+            if name in taken:
                 raise ValueError(
                     f"column {name!r} already exists on {self.path} "
                     f"and is not generated")
@@ -1141,9 +1247,12 @@ class CdcTable:
     def _backfill_generated(self, spark: SparkSession, man: dict,
                             snap: DataFrame, name: str, expr: str,
                             extra: dict) -> None:
-        self._commit(spark, snap.withColumn(name, F.expr(expr)),
-                     int(man["version"]) + 1, extra=extra,
-                     prior_man=man)
+        # generated expressions are logical; the stored snapshot is
+        # physical — compute in logical space, write back physical
+        filled = self._to_physical(man, self._to_logical(man, snap)
+                                   .withColumn(name, F.expr(expr)))
+        self._commit(spark, filled, int(man["version"]) + 1,
+                     extra=extra, prior_man=man)
 
     # -- predicate DML (DELETE FROM / UPDATE ... WHERE) --------------------
 
@@ -1151,7 +1260,8 @@ class CdcTable:
         """Live rows matching a DML predicate, plus (max seq, count) —
         one aggregate action over the one full scan an arbitrary
         predicate inherently costs."""
-        snap = self.snapshot(spark)
+        snap = self._to_logical(self._latest_manifest(spark),
+                                self.snapshot(spark))
         matched = snap.where(~F.col(self.DELETED)).where(predicate)
         row = matched.agg(F.max(self.seq_col).alias("m"),
                           F.count(F.lit(1)).alias("n")).collect()[0]
@@ -1339,7 +1449,9 @@ class CdcTable:
                 return F.lit(True)
             return F.expr(x) if isinstance(x, str) else x
 
-        cur = self.snapshot(spark).where(~F.col(self.DELETED))
+        cur = self._to_logical(self._latest_manifest(spark),
+                               self.snapshot(spark)) \
+            .where(~F.col(self.DELETED))
         # every produced column is cast to the TARGET's type (Delta's
         # merge-cast rule): a NullType fill or a narrower source
         # expression otherwise breaks the union / the strict merge
@@ -1918,7 +2030,7 @@ class PartitionedCdcTable(CdcTable):
         man1 = self._manifest_at(spark, v_to)
         if not dirs:
             # only maintenance commits in the window: no net changes
-            empty = self._empty_like(spark, man1)
+            empty = self._to_logical(man1, self._empty_like(spark, man1))
             return empty.withColumn("_change_type", F.lit("")) \
                 .drop(self.DELETED).limit(0)
         man0 = self._manifest_at(spark, v_from)
@@ -1963,12 +2075,14 @@ class PartitionedCdcTable(CdcTable):
                 == list(man0.get("pending", [])) + dirs):
             fence = (int(man1["fence_seq"]) if "fence_seq" in man1
                      else None)
-            return self._diff_fold(pre, ch, fence, preimages)
+            return self._to_logical(
+                man1, self._diff_fold(pre, ch, fence, preimages))
         post = self._pruned_view(spark, man1, keys, buckets,
                                  inline_keys=inline)
         # endpoints may differ in schema across an evolution — the
         # shared diff core aligns them by name
-        return self._diff_snapshots(pre, post, preimages)
+        return self._to_logical(
+            man1, self._diff_snapshots(pre, post, preimages))
 
     def _diff_fold(self, pre: DataFrame, ch: DataFrame,
                    fence: "int | None", preimages: bool) -> DataFrame:
@@ -2050,7 +2164,8 @@ class PartitionedCdcTable(CdcTable):
                 "pending deltas folded before generated-column "
                 "backfill; rebasing")
         base = self._read_buckets(spark, man, self._mapping(man))
-        filled = base.withColumn(name, F.expr(expr))
+        filled = self._to_physical(man, self._to_logical(man, base)
+                                   .withColumn(name, F.expr(expr)))
         schema_json = json.dumps(filled.schema.jsonValue())
         self._commit_version(
             spark, filled.withColumn(self.BUCKET, self._bucket_expr()),
@@ -2243,8 +2358,8 @@ class PartitionedCdcTable(CdcTable):
                                       self._latest_manifest(spark))
 
     def at_version(self, spark: SparkSession, version: int) -> DataFrame:
-        return self._materialize_view(
-            spark, self._manifest_at(spark, version))
+        man = self._manifest_at(spark, version)
+        return self._to_logical(man, self._materialize_view(spark, man))
 
     # -- OCC conflict resolution ---------------------------------------------
     def _fast_compatible(self, new_man: dict, base_man: dict,
@@ -2335,7 +2450,8 @@ class PartitionedCdcTable(CdcTable):
                 extra = {"batch_id": int(batch_id)}
                 if txn_app != self.app_id:
                     extra["txn_app"] = txn_app
-                batch = self._apply_generated(man, batch_df)
+                batch = self._to_physical(
+                    man, self._apply_generated(man, batch_df))
                 if fence is not None:
                     extra["fence_seq"] = int(fence)
                     batch = batch.where(F.col(self.seq_col) > int(fence))
@@ -2534,7 +2650,8 @@ class PartitionedCdcTable(CdcTable):
             .distinct().collect())
         view = self._pruned_view(spark, man, frame, buckets,
                                  inline_keys=keys)
-        return (view.where(~F.col(self.DELETED))
+        return (self._to_logical(man, view)
+                .where(~F.col(self.DELETED))
                 .drop(self.seq_col, self.DELETED))
 
     def _clone_handle(self, dest_path: str,
