@@ -121,23 +121,28 @@ def _change_schema(man: dict, deleted_col: str, op_col: str) -> StructType:
     snap = StructType.fromJson(json.loads(man["schema"]))
     inv = {str(p): str(l)
            for l, p in (man.get("column_map") or {}).items()}
+    dead = {str(c) for c in man.get("dropped_columns", [])}
     from pyspark.sql.types import StringType, StructField
     fields = [StructField(inv.get(f.name, f.name), f.dataType,
                           f.nullable)
-              for f in snap.fields if f.name != deleted_col]
+              for f in snap.fields
+              if f.name != deleted_col and f.name not in dead]
     fields.append(StructField(op_col, StringType(), True))
     return StructType(fields)
 
 
 def _physical_names(man: dict, deleted_col: str) -> "dict[str, str]":
-    """logical field name → PHYSICAL on-disk column name."""
+    """logical field name → PHYSICAL on-disk column name (dropped
+    columns excluded — their physical bytes stay but the feed stops
+    serving them)."""
     if "schema" not in man:
         return {}
     snap = StructType.fromJson(json.loads(man["schema"]))
     inv = {str(p): str(l)
            for l, p in (man.get("column_map") or {}).items()}
+    dead = {str(c) for c in man.get("dropped_columns", [])}
     return {inv.get(f.name, f.name): f.name for f in snap.fields
-            if f.name != deleted_col}
+            if f.name != deleted_col and f.name not in dead}
 
 
 def _own_delta_dir(man: dict) -> "str | None":

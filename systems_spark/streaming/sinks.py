@@ -384,6 +384,9 @@ class CdcTable:
         for k in ("constraints", "tags", "generated", "column_map"):
             if prior_man and k in prior_man:
                 manifest[k] = dict(prior_man[k])
+        if prior_man and "dropped_columns" in prior_man:
+            manifest["dropped_columns"] = list(
+                prior_man["dropped_columns"])
 
     def _commit(self, spark: SparkSession, df: DataFrame,
                 version: int, extra: "dict | None" = None,
@@ -518,10 +521,110 @@ class CdcTable:
                if log in df.columns and log != phys}
         return df.withColumnsRenamed(ren) if ren else df
 
+    def _dropped(self, man: dict) -> "list[str]":
+        """PHYSICAL names of dropped columns — data stays on disk (no
+        rewrite, old versions still read it); the logical view simply
+        stops showing it."""
+        return [str(c) for c in man.get("dropped_columns", [])]
+
     def _to_logical(self, man: dict, df: DataFrame) -> DataFrame:
+        dead = [c for c in self._dropped(man) if c in df.columns]
+        if dead:
+            df = df.drop(*dead)
         ren = {phys: log for log, phys in self._column_map(man).items()
                if phys in df.columns and log != phys}
         return df.withColumnsRenamed(ren) if ren else df
+
+    def _fill_dropped(self, man: dict, batch: DataFrame,
+                      schema_types: "dict | None" = None) -> DataFrame:
+        """Writers never supply dropped columns (they are not part of
+        the logical schema); the PHYSICAL row layout still carries
+        them, so change batches NULL-fill each one — a writer that DOES
+        supply one is confused about the schema and raises."""
+        dropped = self._dropped(man)
+        if not dropped:
+            return batch
+        supplied = [c for c in dropped if c in batch.columns]
+        if supplied:
+            raise ValueError(
+                f"column(s) {sorted(supplied)} were DROPPED from "
+                f"{self.path}; writers must not supply them")
+        if schema_types is None:
+            from pyspark.sql.types import StructType
+            if "schema" in man:
+                schema_types = {
+                    f.name: f.dataType for f in StructType.fromJson(
+                        json.loads(man["schema"])).fields}
+            else:
+                schema_types = {}
+        for c in dropped:
+            t = schema_types.get(c)
+            batch = batch.withColumn(
+                c, F.lit(None).cast(t) if t is not None
+                else F.lit(None).cast("string"))
+        return batch
+
+    def drop_column(self, spark: SparkSession, name: str) -> int:
+        """``ALTER TABLE DROP COLUMN`` WITHOUT rewriting data (the
+        column-mapping twin of :meth:`rename_column`): a manifest-only
+        commit records the column's PHYSICAL name as dropped; the
+        logical view stops showing it, writers stop supplying it
+        (supplying it raises), and time travel before the drop still
+        reads it — the bytes never move. Dropping a GENERATED column
+        also retires its expression. Merge keys and columns referenced
+        by CHECK constraints or other generated expressions cannot
+        drop; re-adding a column under a dropped name is not supported
+        (the physical name stays reserved — the documented deviation
+        from Delta's id-based mapping). Returns the committed
+        version."""
+        if name in self.key_cols:
+            raise ValueError(
+                f"drop_column cannot drop merge key column {name!r}")
+        import re as _re
+
+        for _attempt in range(self._COMMIT_RETRIES):
+            self._backoff(_attempt)
+            man = self._latest_manifest(spark)
+            cmap = self._column_map(man)
+            phys = cmap.get(name, name)
+            dropped = self._dropped(man)
+            cur_cols = set(self.current(spark).columns)
+            if name not in cur_cols:
+                raise ValueError(
+                    f"drop_column: no such column {name!r} "
+                    f"(columns: {sorted(cur_cols)})")
+            pat = _re.compile(rf"\b{_re.escape(name)}\b")
+            gen = dict(man.get("generated", {}))
+            for kind, label, exprs in (
+                    ("constraints", "CHECK constraint",
+                     man.get("constraints") or {}),
+                    ("generated", "generated column",
+                     {k: v for k, v in gen.items() if k != name})):
+                for cname, expr in exprs.items():
+                    if pat.search(str(expr)):
+                        raise ValueError(
+                            f"drop_column: {name!r} is referenced by "
+                            f"{label} {cname!r} ({expr}) — drop it "
+                            f"first")
+            extra = {"dropped_columns": sorted(set(dropped) | {phys}),
+                     "dropped_column": name}
+            if name in gen:
+                gen.pop(name)
+                extra["generated"] = gen
+            if name in cmap:
+                cmap.pop(name)
+                extra["column_map"] = cmap
+            if "fence_seq" in man:
+                extra["fence_seq"] = int(man["fence_seq"])
+            try:
+                self._commit_noop(spark, int(man["version"]) + 1, man,
+                                  extra)
+                return int(man["version"]) + 1
+            except ConcurrentCommitError:
+                continue
+        raise ConcurrentCommitError(
+            f"drop_column gave up after {self._COMMIT_RETRIES} "
+            f"attempts on {self.path}")
 
     def rename_column(self, spark: SparkSession, old: str,
                       new: str) -> int:
@@ -557,10 +660,15 @@ class CdcTable:
                     self._data_path(man)).schema.fields]
             inv = {p: l for l, p in cmap.items()}
             logical = [inv.get(p, p) for p in phys_cols]
-            if old not in logical:
+            dead = set(self._dropped(man))
+            if old in dead or new in dead:
+                raise ValueError(
+                    f"rename_column: {old if old in dead else new!r} "
+                    f"is a DROPPED column's reserved physical name")
+            if old not in logical or old in dead:
                 raise ValueError(
                     f"rename_column: no such column {old!r} "
-                    f"(columns: {sorted(set(logical) - {self.seq_col, self.DELETED})})")
+                    f"(columns: {sorted(set(logical) - {self.seq_col, self.DELETED} - dead)})")
             if new in logical or new in phys_cols:
                 raise ValueError(
                     f"rename_column: {new!r} collides with an existing "
@@ -616,8 +724,12 @@ class CdcTable:
                                     .get(txn_app, -1)):
                 return  # replayed epoch: this batch already committed
             snap = spark.read.parquet(self._data_path(man))
-            batch = self._to_physical(man,
-                                      self._apply_generated(man, batch_df))
+            batch = self._fill_dropped(
+                man,
+                self._to_physical(man,
+                                  self._apply_generated(man, batch_df)),
+                schema_types={f.name: f.dataType
+                              for f in snap.schema.fields})
             if self.schema_evolution == "merge":
                 snap, batch, _ = _evolve_schemas(
                     snap, batch, self.seq_col, self.op_col, self.DELETED)
@@ -789,6 +901,8 @@ class CdcTable:
         for k in ("constraints", "generated", "column_map"):
             if k in man:
                 seed[k] = dict(man[k])
+        if "dropped_columns" in man:
+            seed["dropped_columns"] = list(man["dropped_columns"])
         if not fs_publish_text_exclusive(
                 spark, clone._marker_path(-1),
                 json.dumps(seed, sort_keys=True)):
@@ -2450,8 +2564,8 @@ class PartitionedCdcTable(CdcTable):
                 extra = {"batch_id": int(batch_id)}
                 if txn_app != self.app_id:
                     extra["txn_app"] = txn_app
-                batch = self._to_physical(
-                    man, self._apply_generated(man, batch_df))
+                batch = self._fill_dropped(man, self._to_physical(
+                    man, self._apply_generated(man, batch_df)))
                 if fence is not None:
                     extra["fence_seq"] = int(fence)
                     batch = batch.where(F.col(self.seq_col) > int(fence))

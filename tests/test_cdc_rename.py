@@ -217,3 +217,69 @@ def test_clone_and_merge_into_carry_the_map(spark, tmp_path):
     pt.initialize(_seed(spark))
     pt.rename_column(spark, "v", "price")
     assert [r.price for r in pt.lookup(spark, [2]).collect()] == [20]
+
+
+@pytest.mark.parametrize("make", [
+    lambda p: CdcTable(p, "k", app_id="w"),
+    lambda p: PartitionedCdcTable(p, "k", app_id="w", num_buckets=4),
+    lambda p: PartitionedCdcTable(p, "k", app_id="w", num_buckets=4,
+                                  write_mode="merge_on_read"),
+])
+def test_drop_column_without_rewrite(spark, tmp_path, make):
+    t = make(str(tmp_path / "t"))
+    t.initialize(_seed(spark))
+    t(_ch(spark, [(1, "a", 11, 1, "update")]), 0)
+    before = _mtimes(str(tmp_path / "t"))
+    t.drop_column(spark, "s")
+    assert _mtimes(str(tmp_path / "t")) == before   # zero data movement
+    assert set(t.current(spark).columns) == {"k", "v"}
+    # time travel BEFORE the drop still reads the column
+    assert "s" in t.at_version(spark, 0).columns
+
+    # writers stop supplying it; merges keep working
+    t(spark.createDataFrame([(9, 90, 2, "insert"), (1, 12, 2, "update")],
+                            "k long, v long, seq long, op string"), 1)
+    assert {r.k: r.v for r in t.current(spark).collect()} \
+        == {1: 12, 2: 20, 3: 30, 9: 90}
+    # a writer still supplying the dropped column is confused: raise
+    with pytest.raises(ValueError, match="DROPPED"):
+        t(_ch(spark, [(5, "x", 50, 3, "insert")]), 2)
+
+
+def test_drop_guards_and_generated(spark, tmp_path):
+    t = CdcTable(str(tmp_path / "t"), "k", app_id="w")
+    t.initialize(_seed(spark))
+    with pytest.raises(ValueError, match="merge key"):
+        t.drop_column(spark, "k")
+    with pytest.raises(ValueError, match="no such column"):
+        t.drop_column(spark, "nope")
+    t.add_constraint(spark, "v_pos", "v >= 0")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        t.drop_column(spark, "v")
+    t.drop_constraint(spark, "v_pos")
+    # dropping a GENERATED column retires its expression too
+    t.add_generated_column(spark, "v2", "v * 2")
+    t.drop_column(spark, "v2")
+    assert "v2" not in t.current(spark).columns
+    assert "v2" not in t.constraints(spark)
+    assert "v2" not in t._latest_manifest(spark).get("generated", {})
+    t(_ch(spark, [(9, "i", 90, 1, "insert")]), 0)  # no recompute crash
+    assert {r.k for r in t.current(spark).collect()} == {1, 2, 3, 9}
+    # the dropped name stays reserved
+    with pytest.raises(ValueError, match="reserved|collides"):
+        t.rename_column(spark, "v", "v2")
+
+
+def test_drop_then_rename_compose_and_feed_excludes(spark, tmp_path):
+    t = PartitionedCdcTable(str(tmp_path / "t"), "k", app_id="w",
+                            num_buckets=4, write_mode="merge_on_read")
+    t.initialize(_seed(spark))
+    t.drop_column(spark, "s")
+    t.rename_column(spark, "v", "price")
+    t(spark.createDataFrame([(1, 11, 1, "update")],
+                            "k long, price long, seq long, op string"), 0)
+    ch = t.changes_between(spark, -1, t._latest_version(spark),
+                           preimages=True)
+    assert set(ch.columns) == {"k", "price", "seq", "_change_type"}
+    got = {(r.k, r._change_type): r.price for r in ch.collect()}
+    assert got[(1, "update_postimage")] == 11
