@@ -328,7 +328,15 @@ def main() -> None:
         if unknown:
             raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY unknown queries: {unknown}")
         bench_set = names
-    for name in bench_set:
+    # a third anchor sample at the pass MIDPOINT: start/end alone
+    # cannot see a transient slow window landing mid-pass (the r11
+    # closing-pass pattern — ten contiguous movers, normal start/end
+    # anchors); three samples bracket where the drift happened
+    anchors_mid = None
+    mid_at = len(bench_set) // 2
+    for lane_i, name in enumerate(bench_set):
+        if lane_i == mid_at and len(bench_set) > 8:
+            anchors_mid = _run_anchors(spark)
         fn = queries[name]
         # min over RUNS executions = steady-state query cost. Measured
         # run-to-run variance on local[32] is dominated by multi-second
@@ -382,6 +390,8 @@ def main() -> None:
 
     anchors_end = _run_anchors(spark)
     anchors = {"start": anchors_start, "end": anchors_end}
+    if anchors_mid is not None:
+        anchors["mid"] = anchors_mid
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
