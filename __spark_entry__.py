@@ -3180,6 +3180,47 @@ def q_cdc_rename(spark, sf_dir):
                  .cast("bigint").alias("key_checksum")))
 
 
+def q_cdc_drop(spark, sf_dir):
+    """DROP COLUMN without rewrite (r11 — streaming/sinks.py
+    CdcTable.drop_column, the column-mapping twin of cdc_rename):
+    epoch 1 merges with o_custkey present, the table drops o_custkey as
+    a MANIFEST-ONLY commit (bytes never move; time travel before the
+    drop still reads it — unit-tested), epoch 2 merges WITHOUT
+    supplying the dropped column, and the read aggregates the
+    surviving columns over rows written on both sides of the drop.
+    Oracle = the plain global merge projected without o_custkey —
+    equality holds only if the dead physical slot NULL-fills through
+    merges without disturbing any live value."""
+    import hashlib
+
+    from systems_spark.streaming import PartitionedCdcTable
+
+    key = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:cdcdrop:{sf_dir}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join("/tmp", "systems_spark_cdc", key)
+    table = PartitionedCdcTable(os.path.join(base, "t"),
+                                key_cols="o_orderkey", app_id="cdcdrop",
+                                num_buckets=16,
+                                write_mode="merge_on_read")
+    orders = _t(spark, sf_dir, "orders")
+    table.initialize(
+        orders.where(F.col("o_orderkey") % 8 != 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
+    changes = _cdc_changes(spark, sf_dir)
+    table(changes.where(F.col("seq") == 1), 0)
+    if "o_custkey" in table.current(spark).columns:
+        table.drop_column(spark, "o_custkey")
+    table(changes.where(F.col("seq") == 2).drop("o_custkey"), 1)
+    return (table.current(spark)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+                         2).cast("double").alias("total_price"),
+                 F.sum(F.col("o_orderkey").cast("decimal(38,0)"))
+                 .cast("bigint").alias("key_checksum")))
+
+
 def q_media_probe(spark, sf_dir):
     """Container-header probing (r11 — operators/multimodal.py
     MediaProbe): REAL byte-level parsing, not a stub — PNG IHDR, JPEG
@@ -8130,6 +8171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_probe": q_media_probe,
         "cdc_merge_into": q_cdc_merge_into,
         "cdc_rename": q_cdc_rename,
+        "cdc_drop": q_cdc_drop,
         "cdc_optimize": q_cdc_optimize,
         "dedup_forget": q_dedup_forget,
         "cdc_change_feed": q_cdc_change_feed,
@@ -8413,6 +8455,7 @@ def oracle_sql() -> dict[str, str]:
         "media_probe": _SQL_MEDIA_PROBE,
         "cdc_merge_into": _SQL_CDC_MERGE_INTO,
         "cdc_rename": _sql_orders_cdc_apply(),
+        "cdc_drop": _sql_orders_cdc_apply(),
         "cdc_optimize": _sql_cdc_optimize(),
         "dedup_forget": _sql_dedup_forget(),
         "cdc_change_feed": _sql_cdc_change_feed(),

@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "cdc_lookup",
     "cdc_merge_into",
     "cdc_rename",
+    "cdc_drop",
     "cdc_optimize",
     "cdc_multiwriter",
     "cdc_merge_on_read",
