@@ -55,6 +55,10 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # one store for all incremental lanes' standing state (state.py docstring)
 _STATE_STORE = StateStore()
 
+# per-process run counter for lanes that isolate each call in a shallow
+# clone of a build-once scratch table (cdc_merge_into)
+_CDC_MRG_RUN = __import__("itertools").count()
+
 # shared operator configs (one definition → both query and oracle)
 _MINHASH = dict(threshold=0.3)
 _SIMHASH = dict(max_hamming=3)  # 3/32 bits ≈ strict near-dup; 4 chunk joins
@@ -3081,14 +3085,23 @@ def q_cdc_merge_into(spark, sf_dir):
         f"{spark.sparkContext.applicationId}:cdcmrg:{sf_dir}".encode()
     ).hexdigest()[:12]
     base = os.path.join("/tmp", "systems_spark_cdc", key)
-    table = PartitionedCdcTable(os.path.join(base, "t"),
-                                key_cols="o_orderkey", app_id="cdcmrg",
-                                num_buckets=16,
-                                write_mode="merge_on_read")
+    seed = PartitionedCdcTable(os.path.join(base, "t"),
+                               key_cols="o_orderkey", app_id="cdcmrg",
+                               num_buckets=16,
+                               write_mode="merge_on_read")
     orders = _t(spark, sf_dir, "orders")
-    table.initialize(
+    # the scratch target builds ONCE per (app, sf_dir) — initialize
+    # no-ops on an initialized table — and each call merges into a
+    # zero-copy SHALLOW CLONE of it (r12, VERDICT r11 item 3): repeat
+    # bench passes measure the one-join MERGE + O(batch) delta commit,
+    # not the two orders-derived scans that built the target; the
+    # clone-per-run shape is also exactly what experiment isolation on
+    # a shared lake table looks like.
+    seed.initialize(
         orders.where(F.col("o_orderkey") % 8 != 0)
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
+    table = seed.clone_to(
+        spark, os.path.join(base, f"run{next(_CDC_MRG_RUN)}"))
     src = (orders.where(F.col("o_orderkey") % 4 == 0)
            .select("o_orderkey", "o_custkey", "o_orderstatus",
                    "o_totalprice"))
@@ -8042,7 +8055,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_partitioned": q_cdc_partitioned,
         "order_rank_stats_scalable": q_order_rank_stats_scalable,
         "stratified_sample": q_stratified_sample,
-        "train_test_split": q_train_test_split,
+        # r12 sanctioned swap (VERDICT r11 item 1): bm25_incremental —
+        # the mergeable standing-state lexical index (StateStore-backed
+        # BM25 absorbing a second corpus batch, graded against the
+        # full-corpus scratch-build SQL twin) — takes train_test_split's
+        # slot (a 0.3 s hash split that grades almost nothing; demoted
+        # to 51+ with its oracle check intact).
+        "bm25_incremental": q_bm25_incremental,
         "order_baskets": q_order_baskets,
         "part_cooccurrence": q_part_cooccurrence,
         "order_streaks": q_order_streaks,
@@ -8142,7 +8161,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_incremental": q_dedup_simhash_incremental,
         # --- r8 incremental family extensions (state.py StateStore):
         # lexical index, IVF inverted lists, vocabulary growth ---
-        "bm25_incremental": q_bm25_incremental,
+        # r12: train_test_split demoted here (its graded slot went to
+        # bm25_incremental per VERDICT r11 item 1); oracle check continues
+        "train_test_split": q_train_test_split,
         "ann_ivf_incremental": q_ann_ivf_incremental,
         "categorify_incremental": q_categorify_incremental,
         "frame_sample": q_frame_sample,

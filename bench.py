@@ -172,12 +172,15 @@ BENCH_QUERIES = [
     "part_walks",
     "ann_ndcg",
     "value_bins",
-    "dedup_eval",
     # r11 (VERDICT r10 item 4): dedup_family_eval demoted out of the
     # bench lane list — the by-design all-pairs ground-truth measurement
     # had grown into the single biggest bench line (~5.4% of the pass)
     # two rounds running. It still runs once per round via
     # tools/dedup_eval_probe.py, which records the quality anchor.
+    # r12 (VERDICT r11 item 2): dedup_eval followed it — same
+    # measurement-only all-pairs shape, and at 6.23 s it had become the
+    # single biggest bench line. Both quality anchors are recorded by
+    # the same tools probe; the bench now measures production paths.
     # r6 session-5 additions
     "item_neighbors",
     "user_state_history",

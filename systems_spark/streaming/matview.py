@@ -290,10 +290,20 @@ class MaterializedAggView:
                 return int(ptr["table_version"])
             try:
                 cur = spark.read.parquet(f"{self.store}/{ptr['dir']}")
-                changes = self.table.changes_between(
-                    spark, int(ptr["table_version"]), int(latest),
-                    preimages=True)
-                state = self._absorb(cur, self._delta(changes))
+                expected = [c for c, _ in self._n_cols()]
+                if any(c not in cur.columns for c in expected):
+                    # a store written before per-aggregate non-null
+                    # counts existed: its avg/var state carries the old
+                    # live-row denominator, semantically incompatible
+                    # with the null-excluding one — rebuild from the
+                    # table instead of absorbing into stale state
+                    state = self._initial(
+                        spark, self.table.at_version(spark, latest))
+                else:
+                    changes = self.table.changes_between(
+                        spark, int(ptr["table_version"]), int(latest),
+                        preimages=True)
+                    state = self._absorb(cur, self._delta(changes))
                 won = self._write(spark, state, latest,
                                   int(ptr["refresh"]) + 1, ptr)
             except Exception:

@@ -844,21 +844,67 @@ class CdcTable:
         return self.at_version(
             spark, self.version_at_timestamp(spark, ts_ms))
 
-    def lookup(self, spark: SparkSession, keys) -> DataFrame:
-        """Live rows for ``keys``. The flat snapshot-per-version layout
-        has no bucket pruning to offer — this is ``current()`` with a
-        pushed ``isin`` filter, here for API parity with the
-        partitioned table's pruned point lookup."""
-        keys = sorted({k for k in (keys if isinstance(
-            keys, (list, tuple, set)) else [keys])})
-        if not keys:
+    def _lookup_key_tuples(self, keys) -> "list[tuple]":
+        """Normalize a lookup's ``keys`` argument to a deduped list of
+        FULL key tuples (one slot per key column, None allowed —
+        null merge keys are live rows under eqNullSafe semantics).
+        Accepts a scalar / a list of scalars (single-key tables), a
+        bare tuple (one composite key), or a list/set of tuples."""
+        n = len(self.key_cols)
+        if isinstance(keys, tuple) and n > 1 and len(keys) == n \
+                and not all(isinstance(e, tuple) for e in keys):
+            keys = [keys]  # one composite key passed bare
+        elif not isinstance(keys, (list, tuple, set)):
+            keys = [keys]
+        out, seen = [], set()
+        for k in keys:
+            t = tuple(k) if isinstance(k, (tuple, list)) else (k,)
+            if len(t) != n:
+                raise ValueError(
+                    f"lookup key {k!r} has {len(t)} value(s); this "
+                    f"table keys on {self.key_cols}")
+            if t not in seen:
+                seen.add(t)
+                out.append(t)
+        if not out:
             raise ValueError("lookup needs at least one key")
-        if len(self.key_cols) != 1:
-            raise NotImplementedError(
-                "lookup filters a single-column key; composite-key "
-                "tables read through current() with a filter")
+        return out
+
+    def _keys_predicate(self, key_tuples: "list[tuple]"):
+        """A pushable literal predicate matching exactly
+        ``key_tuples``: single-column keys compile to ``IN`` (+
+        ``isNull`` when a null key is probed — IN drops NULLs);
+        composite keys to an OR of per-key AND chains. Null slots
+        match via ``isNull``, mirroring the eqNullSafe joins every
+        other key comparison in this file uses."""
+        if len(self.key_cols) == 1:
+            c = F.col(self.key_cols[0])
+            non_null = [t[0] for t in key_tuples if t[0] is not None]
+            cond = c.isin(non_null) if non_null else F.lit(False)
+            if len(non_null) < len(key_tuples):
+                cond = cond | c.isNull()
+            return cond
+        def one(t):
+            cond = None
+            for col, v in zip(self.key_cols, t):
+                e = (F.col(col).isNull() if v is None
+                     else (F.col(col) == F.lit(v)))
+                cond = e if cond is None else (cond & e)
+            return cond
+        pred = one(key_tuples[0])
+        for t in key_tuples[1:]:
+            pred = pred | one(t)
+        return pred
+
+    def lookup(self, spark: SparkSession, keys) -> DataFrame:
+        """Live rows for ``keys`` (scalars, or tuples on composite-key
+        tables). The flat snapshot-per-version layout has no bucket
+        pruning to offer — this is ``current()`` with a pushed literal
+        key filter, here for API parity with the partitioned table's
+        pruned point lookup."""
+        key_tuples = self._lookup_key_tuples(keys)
         return self.current(spark).where(
-            F.col(self.key_cols[0]).isin(keys))
+            self._keys_predicate(key_tuples))
 
     def clone_to(self, spark: SparkSession, dest_path: str,
                  app_id: "str | None" = None) -> "CdcTable":
@@ -889,6 +935,11 @@ class CdcTable:
         clone = self._clone_handle(dest_path, app_id)
         tag_name = (f"clone-{_md5(dest_path.encode()).hexdigest()[:10]}"
                     f"-v{version}")
+        # the tag may already exist (a prior successful clone of this
+        # dest at this version) — remember, so a failed publish below
+        # only rolls back a tag THIS call created and never unpins a
+        # live clone's data
+        tag_preexisting = tag_name in man.get("tags", {})
         self.tag(spark, tag_name, version)
         seed = self._clone_seed_manifest(clone, man)
         seed.update({
@@ -906,6 +957,11 @@ class CdcTable:
         if not fs_publish_text_exclusive(
                 spark, clone._marker_path(-1),
                 json.dumps(seed, sort_keys=True)):
+            if not tag_preexisting:
+                # roll back the pin this call created: leaving it would
+                # permanently protect this source version against
+                # vacuum with no clone referencing it
+                self.delete_tag(spark, tag_name)
             raise ValueError(
                 f"clone_to: {dest_path} is already an initialized table")
         clone._update_latest_hint(spark, -1)
@@ -1631,13 +1687,23 @@ class CdcTable:
         changes = pieces[0]
         for p in pieces[1:]:
             changes = changes.unionByName(p)
-        row = changes.agg(F.max("_mrg_seq").alias("m"),
-                          F.count(F.lit(1)).alias("n")).collect()[0]
-        if int(row["n"]) == 0:
-            return None
-        max_seq = int(row["m"]) if row["m"] is not None else -1
-        return self._dml_apply(spark, changes.drop("_mrg_seq"),
-                               max_seq, seq, batch_id)
+        # the compiled change batch is read by several actions (this
+        # count/max, the eager ambiguity check, constraint validation,
+        # the staging write) — each would re-execute the key join.
+        # Persist it for the batch's lifetime, exactly like Delta
+        # materializes a merge source; O(batch) memory, spill-safe.
+        from pyspark.storagelevel import StorageLevel
+        changes = changes.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            row = changes.agg(F.max("_mrg_seq").alias("m"),
+                              F.count(F.lit(1)).alias("n")).collect()[0]
+            if int(row["n"]) == 0:
+                return None
+            max_seq = int(row["m"]) if row["m"] is not None else -1
+            return self._dml_apply(spark, changes.drop("_mrg_seq"),
+                                   max_seq, seq, batch_id)
+        finally:
+            changes.unpersist()
 
     def compact(self, spark: SparkSession, fence_seq: int) -> int:
         """Drop tombstones with seq ≤ ``fence_seq`` from the live
@@ -2103,8 +2169,15 @@ class PartitionedCdcTable(CdcTable):
         cond_against = keys.alias("K")
 
         if inline_keys is not None:
+            # inline_keys is a list of FULL key tuples; the predicate
+            # helper compiles it to IN (+ isNull for probed null keys —
+            # SQL IN drops NULLs, but null merge keys are live rows
+            # here) or, for composite keys, an OR of AND chains. Both
+            # shapes push to the parquet scan.
+            pred = self._keys_predicate(inline_keys)
+
             def restrict(df):
-                return df.where(F.col(self.key_cols[0]).isin(inline_keys))
+                return df.where(pred)
         else:
             def restrict(df):
                 d = df.alias("S")
@@ -2164,7 +2237,7 @@ class PartitionedCdcTable(CdcTable):
             rows = (keys.withColumn("_cdf_b", self._bucket_expr())
                     .limit(self.KEYS_INLINE_MAX + 1).collect())
             if len(rows) <= self.KEYS_INLINE_MAX:
-                inline = [r[0] for r in rows]
+                inline = [(r[0],) for r in rows]
                 buckets = sorted({int(r["_cdf_b"]) for r in rows})
         if inline is None:
             buckets = sorted(
@@ -2591,6 +2664,16 @@ class PartitionedCdcTable(CdcTable):
                         # dropped by the manifest-schema read
                         batch = self._conform_strict_batch(man, batch)
                     self._enforce_constraints(man, batch, "change-batch")
+                    # an ambiguous batch (duplicate (key, seq) — e.g. a
+                    # MERGE whose source matched one target key twice)
+                    # must be rejected BEFORE it stages: the fold's
+                    # inline tie guard would otherwise fire on every
+                    # later read, wedging the table until manual
+                    # pending-file surgery
+                    from systems_spark.operators.cdc import \
+                        _check_unique_seq
+                    _check_unique_seq(batch, self.key_cols,
+                                      self.seq_col, "merge_on_read stage")
                     try:
                         self._commit_delta(spark, batch, version, man,
                                            schema_json, extra,
@@ -2735,35 +2818,30 @@ class PartitionedCdcTable(CdcTable):
 
     def lookup(self, spark: SparkSession, keys) -> DataFrame:
         """POINT LOOKUP by merge key — the feature-store serving read:
-        live rows for ``keys``, reading ONLY the keys' buckets and
-        folding only those keys' pending deltas (the same pruned view
-        the change feed uses), so the cost is touched-bucket volume no
-        matter how large the table is. Single-key tables only (the
-        bucket hash is driver-computable per key through one tiny
-        literal-frame job — the same JVM xxhash64 the layout used).
-        Returns the live view's schema (bookkeeping columns dropped);
-        absent keys are simply absent rows."""
-        if len(self.key_cols) != 1:
-            raise NotImplementedError(
-                "lookup prunes by single-column key hash; composite-key"
-                " tables read through current() with a filter")
-        keys = sorted({k for k in (keys if isinstance(
-            keys, (list, tuple, set)) else [keys])})
-        if not keys:
-            raise ValueError("lookup needs at least one key")
+        live rows for ``keys`` (scalars, or tuples on composite-key
+        tables — real feature stores key on (entity, namespace)
+        pairs), reading ONLY the keys' buckets and folding only those
+        keys' pending deltas (the same pruned view the change feed
+        uses), so the cost is touched-bucket volume no matter how
+        large the table is. The bucket hash is an expression over ALL
+        key columns, so composite keys prune exactly like single ones:
+        one tiny literal-frame job computes the probed buckets with
+        the same JVM xxhash64 the layout used. Returns the live view's
+        schema (bookkeeping columns dropped); absent keys are simply
+        absent rows."""
+        key_tuples = self._lookup_key_tuples(keys)
         man = self._latest_manifest(spark)
-        from pyspark.sql.types import StructType
+        from pyspark.sql.types import StructField, StructType
         schema = StructType.fromJson(json.loads(man["schema"]))
-        kf = schema[self.key_cols[0]].dataType
-        from pyspark.sql.types import StructField
         frame = spark.createDataFrame(
-            [(k,) for k in keys],
-            StructType([StructField(self.key_cols[0], kf, True)]))
+            key_tuples,
+            StructType([StructField(k, schema[k].dataType, True)
+                        for k in self.key_cols]))
         buckets = sorted(
             int(r[0]) for r in frame.select(self._bucket_expr())
             .distinct().collect())
         view = self._pruned_view(spark, man, frame, buckets,
-                                 inline_keys=keys)
+                                 inline_keys=key_tuples)
         return (self._to_logical(man, view)
                 .where(~F.col(self.DELETED))
                 .drop(self.seq_col, self.DELETED))
