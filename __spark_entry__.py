@@ -2074,18 +2074,13 @@ def q_cdc_clone(spark, sf_dir):
                  .cast("bigint").alias("key_checksum")))
 
 
-def q_cdc_lookup(spark, sf_dir):
-    """CDC point lookup (r11 — streaming/sinks.py
-    PartitionedCdcTable.lookup): the feature-store SERVING read over
-    the transactional table — live rows for a probed key set, reading
-    ONLY the keys' buckets and folding only those keys' pending deltas
-    (the change feed's pruned view, user-facing). Probe keys are five
-    data-derived integer-exact quantile anchors over o_orderkey
-    (SF-independent, same recipe as orders_point_lookup) — some land
-    on deleted/absent keys, which must come back as absent rows, not
-    errors. Oracle = the plain global merge filtered to the anchors,
-    so equality holds only if the pruned bucket read + pending fold
-    reproduces the full MERGE state for exactly those keys."""
+def _cdc_lookup_table(spark, sf_dir):
+    """The shared merge-on-read scratch table several CDC lanes read:
+    orders (%8 != 0) seeded, then BOTH `_cdc_changes` epochs staged as
+    pending deltas (two merges absorbed, never compacted — readers
+    must fold). Idempotent per (applicationId, sf_dir): initialize
+    no-ops on an initialized table and the epochs replay as no-ops via
+    the txn map."""
     import hashlib
 
     from systems_spark.streaming import PartitionedCdcTable
@@ -2105,7 +2100,23 @@ def q_cdc_lookup(spark, sf_dir):
     changes = _cdc_changes(spark, sf_dir)
     table(changes.where(F.col("seq") == 1), 0)
     table(changes.where(F.col("seq") == 2), 1)
+    return table
 
+
+def q_cdc_lookup(spark, sf_dir):
+    """CDC point lookup (r11 — streaming/sinks.py
+    PartitionedCdcTable.lookup): the feature-store SERVING read over
+    the transactional table — live rows for a probed key set, reading
+    ONLY the keys' buckets and folding only those keys' pending deltas
+    (the change feed's pruned view, user-facing). Probe keys are five
+    data-derived integer-exact quantile anchors over o_orderkey
+    (SF-independent, same recipe as orders_point_lookup) — some land
+    on deleted/absent keys, which must come back as absent rows, not
+    errors. Oracle = the plain global merge filtered to the anchors,
+    so equality holds only if the pruned bucket read + pending fold
+    reproduces the full MERGE state for exactly those keys."""
+    table = _cdc_lookup_table(spark, sf_dir)
+    orders = _t(spark, sf_dir, "orders")
     mx = orders.agg(F.max("o_orderkey").alias("m")).collect()[0]["m"]
     row = orders.agg(
         F.min("o_orderkey"), F.max("o_orderkey"),
@@ -2162,6 +2173,257 @@ SELECT o_orderkey, o_custkey, o_orderstatus,
        o_totalprice::DOUBLE AS total_price
 FROM ({merged})
 WHERE o_orderkey IN (SELECT k FROM anchors)
+"""
+
+
+def q_cdc_lookup_composite(spark, sf_dir):
+    """COMPOSITE-KEY point lookup (r12 — VERDICT r11 item 4): the
+    (entity, namespace) feature-store shape — a merge-on-read table
+    keyed on (o_custkey, o_orderstatus) holding per-status order
+    aggregates, absorbing two change epochs, then served by
+    ``lookup()`` with key TUPLES: the bucket hash is an expression
+    over BOTH key columns, so the probe reads only the probed tuples'
+    buckets and folds only their pending deltas. Probes cover present,
+    updated, deleted and absent (custkey, status) pairs. Oracle = the
+    globally merged view filtered to the probed pairs."""
+    import hashlib
+
+    from systems_spark.streaming import PartitionedCdcTable
+
+    key = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:cdclkc:{sf_dir}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join("/tmp", "systems_spark_cdc", key)
+    table = PartitionedCdcTable(
+        os.path.join(base, "t"),
+        key_cols=["o_custkey", "o_orderstatus"], app_id="cdclkc",
+        num_buckets=16, write_mode="merge_on_read")
+    orders = _t(spark, sf_dir, "orders")
+    seed = (orders.groupBy("o_custkey", "o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum(F.col("o_totalprice")
+                               .cast("decimal(18,2)")), 2)
+                 .cast("decimal(18,2)").alias("spent")))
+    table.initialize(seed)
+    k = F.col("o_custkey")
+    del_cond = (k % 24 == 0) & (F.col("o_orderstatus") == "F")
+    c1 = (seed.where((k % 16 == 0) | del_cond)
+          .select("o_custkey", "o_orderstatus", "n_orders",
+                  F.when(del_cond, F.col("spent"))
+                  .otherwise(F.col("spent") + 1)
+                  .cast("decimal(18,2)").alias("spent"),
+                  F.lit(1).alias("seq"),
+                  F.when(del_cond, F.lit("delete"))
+                  .otherwise(F.lit("update")).alias("op")))
+    table(c1, 0)
+    c2 = (seed.where(k % 40 == 0)
+          .select("o_custkey", "o_orderstatus", "n_orders",
+                  (F.col("spent") * 2).cast("decimal(18,2)")
+                  .alias("spent"),
+                  F.lit(2).alias("seq"), F.lit("update").alias("op")))
+    table(c2, 1)
+
+    row = orders.agg(
+        F.min("o_custkey").alias("lo"),
+        F.max("o_custkey").alias("hi"),
+        F.min(F.when(F.col("o_custkey") % 48 == 0,
+                     F.col("o_custkey"))).alias("mid")).collect()[0]
+    anchors = sorted({int(v) for v in row if v is not None})
+    probes = [(a, s) for a in anchors for s in ("F", "O", "P")]
+    return (table.lookup(spark, probes)
+            .select("o_custkey", "o_orderstatus", "n_orders",
+                    F.col("spent").cast("double").alias("spent")))
+
+
+def _sql_cdc_lookup_composite() -> str:
+    from systems_spark.operators import apply_cdc_sql
+
+    seed = """
+SELECT o_custkey, o_orderstatus, count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice::DECIMAL(18,2)), 2)::DECIMAL(18,2) AS spent
+FROM orders GROUP BY 1, 2
+"""
+    changes = f"""
+SELECT o_custkey, o_orderstatus, n_orders,
+       (CASE WHEN o_custkey % 24 = 0 AND o_orderstatus = 'F'
+             THEN spent ELSE spent + 1 END)::DECIMAL(18,2) AS spent,
+       1 AS seq,
+       CASE WHEN o_custkey % 24 = 0 AND o_orderstatus = 'F'
+            THEN 'delete' ELSE 'update' END AS op
+FROM ({seed})
+WHERE o_custkey % 16 = 0
+   OR (o_custkey % 24 = 0 AND o_orderstatus = 'F')
+UNION ALL
+SELECT o_custkey, o_orderstatus, n_orders,
+       (spent * 2)::DECIMAL(18,2) AS spent, 2 AS seq, 'update' AS op
+FROM ({seed}) WHERE o_custkey % 40 = 0
+"""
+    merged = apply_cdc_sql(
+        seed, changes, ["o_custkey", "o_orderstatus"],
+        ["o_custkey", "o_orderstatus", "n_orders", "spent"])
+    return f"""
+WITH anchors AS (
+  SELECT min(o_custkey) AS k FROM orders
+  UNION SELECT max(o_custkey) FROM orders
+  UNION SELECT min(CASE WHEN o_custkey % 48 = 0 THEN o_custkey END)
+  FROM orders
+)
+SELECT o_custkey, o_orderstatus, n_orders, spent::DOUBLE AS spent
+FROM ({merged})
+WHERE o_custkey IN (SELECT k FROM anchors WHERE k IS NOT NULL)
+  AND o_orderstatus IN ('F', 'O', 'P')
+"""
+
+
+def q_cdc_stats_agg(spark, sf_dir):
+    """METADATA-ONLY aggregates over a LIVE CDC table (r12 — zorder.py
+    CdcSkippingIndex.aggregate, VERDICT r11 item 5): COUNT(*)/MIN/MAX/
+    COUNT(col) over the merge-on-read orders table AFTER it absorbed
+    two change epochs that are still PENDING deltas — untouched
+    buckets answer from their per-bucket live-only stats (tombstones
+    excluded at build, standing under each bucket path so merges
+    invalidate only the buckets they move), the delta-touched buckets
+    fold for real. Oracle = the full-scan aggregate of the globally
+    merged view, so equality holds only if the metadata partials, the
+    live-only restriction, and the touched-bucket fold are all exact."""
+    from systems_spark.operators.zorder import CdcSkippingIndex
+
+    table = _cdc_lookup_table(spark, sf_dir)
+    agg = CdcSkippingIndex().aggregate(
+        spark, table, ["o_custkey", "o_totalprice"])
+    return agg.select(
+        F.col("count_rows").cast("long").alias("count_rows"),
+        F.col("o_custkey_min").cast("long").alias("custkey_min"),
+        F.col("o_custkey_max").cast("long").alias("custkey_max"),
+        F.col("o_custkey_count").cast("long").alias("custkey_count"),
+        F.round(F.col("o_totalprice_min").cast("double"), 2)
+        .alias("price_min"),
+        F.round(F.col("o_totalprice_max").cast("double"), 2)
+        .alias("price_max"))
+
+
+def _sql_cdc_stats_agg() -> str:
+    from systems_spark.operators import apply_cdc_sql
+
+    changes = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN op = 'update' THEN o_totalprice + 1 ELSE o_totalprice END
+         AS o_totalprice,
+       1 AS seq, op
+FROM (SELECT *, CASE WHEN o_orderkey % 24 = 0 THEN 'delete'
+                     WHEN o_orderkey % 16 = 0 THEN 'update'
+                     ELSE 'insert' END AS op
+      FROM orders WHERE o_orderkey % 8 = 0)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2,
+       2 AS seq, 'update' AS op
+FROM orders WHERE o_orderkey % 40 = 0
+"""
+    merged = apply_cdc_sql(
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice "
+        "FROM orders WHERE o_orderkey % 8 <> 0",
+        changes, "o_orderkey",
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"])
+    return f"""
+SELECT count(*)::BIGINT AS count_rows,
+       min(o_custkey)::BIGINT AS custkey_min,
+       max(o_custkey)::BIGINT AS custkey_max,
+       count(o_custkey)::BIGINT AS custkey_count,
+       round(min(o_totalprice)::DOUBLE, 2)::DOUBLE AS price_min,
+       round(max(o_totalprice)::DOUBLE, 2)::DOUBLE AS price_max
+FROM ({merged})
+"""
+
+
+def _cdc_docs_table(spark, sf_dir):
+    """Documents as a live merge-on-read CDC table with two absorbed
+    (uncompacted) change epochs: seq 1 deletes doc_id%7==0 and stamps
+    ' zzmarker' onto doc_id%10==0 texts; seq 2 re-INSERTS the
+    %14==0 docs over their own tombstones with a fresh marker text —
+    last-op-wins across epochs, deletes, and token-set changes a
+    text-skipping index must track."""
+    import hashlib
+
+    from systems_spark.streaming import PartitionedCdcTable
+
+    key = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:cdcdoc:{sf_dir}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join("/tmp", "systems_spark_cdc", key)
+    table = PartitionedCdcTable(os.path.join(base, "t"),
+                                key_cols="doc_id", app_id="cdcdoc",
+                                num_buckets=16,
+                                write_mode="merge_on_read")
+    docs = _t(spark, sf_dir, "documents") \
+        .select("doc_id", "text", "n_chars")
+    table.initialize(docs)
+    k = F.col("doc_id")
+    c1 = (docs.where((k % 7 == 0) | (k % 10 == 0))
+          .select("doc_id",
+                  F.when(k % 7 == 0, F.col("text"))
+                  .otherwise(F.concat(F.col("text"), F.lit(" zzmarker")))
+                  .alias("text"),
+                  "n_chars", F.lit(1).alias("seq"),
+                  F.when(k % 7 == 0, F.lit("delete"))
+                  .otherwise(F.lit("update")).alias("op")))
+    table(c1, 0)
+    c2 = (docs.where(k % 14 == 0)
+          .select("doc_id",
+                  F.lit("restored zzmarker").alias("text"),
+                  F.lit(17).cast("long").alias("n_chars"),
+                  F.lit(2).alias("seq"), F.lit("insert").alias("op")))
+    table(c2, 1)
+    return table
+
+
+def q_cdc_token_search(spark, sf_dir):
+    """Full-text file skipping over a LIVE CDC table (r12 — zorder.py
+    CdcSkippingIndex.search_tokens, VERDICT r11 item 5): the all-terms
+    token search runs against the merge-on-read documents table after
+    two change epochs (deletes, marker-token updates, re-inserts over
+    tombstones) that are still pending deltas. Untouched buckets open
+    only the files whose LIVE-ONLY token bloom holds the query token
+    (a tombstoned document's tokens can never pass a file); the
+    delta-touched buckets fold and filter for real. Oracle = the
+    full-scan search over the globally merged view."""
+    from systems_spark.operators.zorder import CdcSkippingIndex
+
+    table = _cdc_docs_table(spark, sf_dir)
+    hits = CdcSkippingIndex().search_tokens(
+        spark, table, "text", "zzmarker", bits_log2=16)
+    return hits.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("decimal(38,0)")).cast("bigint")
+        .alias("chars_sum"),
+        F.sum(F.col("doc_id").cast("decimal(38,0)")).cast("bigint")
+        .alias("id_checksum"))
+
+
+def _sql_cdc_token_search() -> str:
+    from systems_spark.operators import apply_cdc_sql
+
+    changes = """
+SELECT doc_id,
+       CASE WHEN doc_id % 7 = 0 THEN text
+            ELSE text || ' zzmarker' END AS text,
+       n_chars, 1 AS seq,
+       CASE WHEN doc_id % 7 = 0 THEN 'delete' ELSE 'update' END AS op
+FROM documents WHERE doc_id % 7 = 0 OR doc_id % 10 = 0
+UNION ALL
+SELECT doc_id, 'restored zzmarker' AS text, 17::BIGINT AS n_chars,
+       2 AS seq, 'insert' AS op
+FROM documents WHERE doc_id % 14 = 0
+"""
+    merged = apply_cdc_sql(
+        "SELECT doc_id, text, n_chars FROM documents",
+        changes, "doc_id", ["doc_id", "text", "n_chars"])
+    return f"""
+SELECT count(*)::BIGINT AS n_docs,
+       sum(n_chars::HUGEINT)::BIGINT AS chars_sum,
+       sum(doc_id::HUGEINT)::BIGINT AS id_checksum
+FROM ({merged})
+WHERE list_contains(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    'zzmarker')
 """
 
 
@@ -8189,6 +8451,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_token_search": q_documents_token_search,
         "cdc_clone": q_cdc_clone,
         "cdc_lookup": q_cdc_lookup,
+        # r12: composite-key serving read + skipping indexes over LIVE
+        # CDC tables (VERDICT r11 items 4 and 5)
+        "cdc_lookup_composite": q_cdc_lookup_composite,
+        "cdc_stats_agg": q_cdc_stats_agg,
+        "cdc_token_search": q_cdc_token_search,
         "media_probe": q_media_probe,
         "cdc_merge_into": q_cdc_merge_into,
         "cdc_rename": q_cdc_rename,
@@ -8473,6 +8740,11 @@ def oracle_sql() -> dict[str, str]:
         "documents_token_search": _SQL_DOCUMENTS_TOKEN_SEARCH,
         "cdc_clone": _sql_orders_cdc_apply(),
         "cdc_lookup": _sql_cdc_lookup(),
+        "cdc_lookup_composite": _sql_cdc_lookup_composite(),
+        # full-scan twins: the skipping answers must equal a scan of
+        # the globally merged live view
+        "cdc_stats_agg": _sql_cdc_stats_agg(),
+        "cdc_token_search": _sql_cdc_token_search(),
         "media_probe": _SQL_MEDIA_PROBE,
         "cdc_merge_into": _SQL_CDC_MERGE_INTO,
         "cdc_rename": _sql_orders_cdc_apply(),

@@ -136,6 +136,10 @@ BENCH_QUERIES = [
     "cdc_clone",
     "cdc_lookup",
     "cdc_merge_into",
+    # r12: composite-key serving read + skipping indexes on LIVE tables
+    "cdc_lookup_composite",
+    "cdc_stats_agg",
+    "cdc_token_search",
     "cdc_rename",
     "cdc_drop",
     "cdc_optimize",

@@ -35,7 +35,7 @@ __all__ = ["z_value", "z_value_sql", "zorder_layout",
            "file_bloom", "bloom_pruned_files", "bloom_pruned_read",
            "file_token_bloom", "token_bloom_pruned_files",
            "token_search_read", "TOKEN_SPLIT",
-           "layout_fingerprint", "StatsIndex"]
+           "layout_fingerprint", "StatsIndex", "CdcSkippingIndex"]
 
 
 def z_value(cols, ranges, bits: int = 16) -> Column:
@@ -105,14 +105,19 @@ def zorder_layout(df: DataFrame, cols, ranges, bits: int = 16,
     return out.sortWithinPartitions(z_col)
 
 
-def file_stats(spark, path: str, cols) -> DataFrame:
+def file_stats(spark, path: str, cols, where=None) -> DataFrame:
     """Per-FILE min/max/rows for ``cols`` over a parquet dataset — the
     data-skipping stats index every table format keeps (Delta's
     add-file stats, Iceberg manifests), built here as one scan that
     amortizes over every pruned read after it. Persist it as standing
-    state (StateStore) next to the table; rebuild on layout changes."""
+    state (StateStore) next to the table; rebuild on layout changes.
+    ``where`` (SQL string) restricts which rows contribute — a CDC
+    bucket indexes its LIVE rows, so tombstones never pollute min/max;
+    a file with no qualifying rows is simply absent from the index."""
     cols = list(cols)
     df = spark.read.parquet(path)
+    if where is not None:
+        df = df.where(where)
     aggs = [F.count(F.lit(1)).alias("rows")]
     for c in cols:
         # null counts ride the same scan: they cost nothing here and
@@ -259,7 +264,7 @@ def _tokens_expr(col: Column) -> Column:
 
 
 def file_token_bloom(spark, path: str, col: str, bits_log2: int = 17,
-                     hashes: int = 4) -> DataFrame:
+                     hashes: int = 4, where=None) -> DataFrame:
     """Per-FILE Bloom filter over the DISTINCT TOKENS of a text
     column — full-text file skipping (the needle-in-100 TB grep): a
     token query opens only the files whose token bloom contains every
@@ -267,8 +272,13 @@ def file_token_bloom(spark, path: str, col: str, bits_log2: int = 17,
     soundness argument, and JVM-hash parity as :func:`file_bloom`
     (bloom = no false negatives → a skipped file provably lacks the
     token); per-file distinct-token count is bounded by bounded file
-    size, so the index stays O(files)."""
+    size, so the index stays O(files). ``where`` (SQL string)
+    restricts which rows contribute, like :func:`file_stats` — a CDC
+    bucket indexes only its live rows, so a tombstoned document's
+    tokens can never pass a file."""
     df = spark.read.parquet(path)
+    if where is not None:
+        df = df.where(where)
     toks = (df.where(F.col(col).isNotNull())
             .select(F.input_file_name().alias("file"),
                     F.explode(F.array_distinct(
@@ -413,11 +423,15 @@ class StatsIndex:
     def _key(self, path: str) -> str:
         return f"table:{path.rstrip('/')}"
 
-    def _tag(self, path: str, cols, fingerprint: str) -> str:
+    def _tag(self, path: str, cols, fingerprint: str,
+             where=None) -> str:
         # ':v2' = the stats schema revision (r11 added per-file null
         # counts): a persisted pre-r11 entry must not be served to
-        # aggregate(), which needs the nulls columns
-        col_id = md5((",".join(cols) + ":v2").encode()).hexdigest()[:12]
+        # aggregate(), which needs the nulls columns. A row restriction
+        # (live-only CDC stats) is part of the index identity too —
+        # stats built under different predicates must never alias.
+        sig = ",".join(cols) + ":v2" + (f":w:{where}" if where else "")
+        col_id = md5(sig.encode()).hexdigest()[:12]
         return f"{self._TAG_PREFIX}:{col_id}:{fingerprint}"
 
     def _materialize_fresh(self, spark, key: str, prefix: str,
@@ -434,18 +448,20 @@ class StatsIndex:
                     self.store.invalidate(spark, m["tag"], key=key)
         return self.store.materialize(builder, tag, key=key, spark=spark)
 
-    def stats(self, spark, path: str, cols) -> DataFrame:
+    def stats(self, spark, path: str, cols, where=None) -> DataFrame:
         """The persisted per-file stats for ``(path, cols)`` at the
         table's CURRENT layout — one stats scan on first use per
         layout version, a marker-gated parquet read ever after.
         Stale (other-fingerprint) entries for the same table+cols are
-        invalidated before the fresh one commits."""
+        invalidated before the fresh one commits. ``where`` restricts
+        the indexed rows (live-only CDC stats) and is part of the
+        index identity."""
         cols = list(cols)
         fp = layout_fingerprint(spark, path)
         return self._materialize_fresh(
-            spark, self._key(path), self._tag(path, cols, ""),
-            self._tag(path, cols, fp),
-            lambda: file_stats(spark, path, cols))
+            spark, self._key(path), self._tag(path, cols, "", where),
+            self._tag(path, cols, fp, where),
+            lambda: file_stats(spark, path, cols, where=where))
 
     def read(self, spark, path: str, cols, predicates: dict) -> DataFrame:
         """:func:`pruned_read` through the persisted index — the scan a
@@ -507,18 +523,21 @@ class StatsIndex:
             col, values, bits_log2, hashes)
 
     def token_bloom(self, spark, path: str, col: str,
-                    bits_log2: int = 17, hashes: int = 4) -> DataFrame:
+                    bits_log2: int = 17, hashes: int = 4,
+                    where=None) -> DataFrame:
         """The persisted per-file TOKEN bloom for ``(path, col)`` —
         full-text skipping as standing state, same freshness contract
-        as :meth:`stats`/:meth:`bloom`."""
+        as :meth:`stats`/:meth:`bloom`. ``where`` restricts the
+        indexed rows and is part of the index identity."""
         fp = layout_fingerprint(spark, path)
-        tid = md5(f"tok:{col}:{bits_log2}:{hashes}".encode()) \
-            .hexdigest()[:12]
+        sig = f"tok:{col}:{bits_log2}:{hashes}" \
+            + (f":w:{where}" if where else "")
+        tid = md5(sig.encode()).hexdigest()[:12]
         return self._materialize_fresh(
             spark, self._key(path), f"ztokbloom:{tid}:",
             f"ztokbloom:{tid}:{fp}",
             lambda: file_token_bloom(spark, path, col,
-                                     bits_log2, hashes))
+                                     bits_log2, hashes, where=where))
 
     def search_tokens(self, spark, path: str, col: str, query: str,
                       bits_log2: int = 17, hashes: int = 4) -> DataFrame:
@@ -538,3 +557,172 @@ class StatsIndex:
         fp = layout_fingerprint(spark, path)
         self.store.invalidate(spark, self._tag(path, list(cols), fp),
                               key=self._key(path))
+
+
+class CdcSkippingIndex:
+    """Data-skipping over a LIVE CDC table (r12): metadata-only
+    aggregates and full-text file skipping on a table that keeps
+    committing — the role Delta's add-file stats and per-file bloom
+    indexes play on a table under continuous MERGE.
+
+    Composition contract: the unit of indexing is the BUCKET directory
+    (the ``bucket_paths()`` promise: a merge moves ONLY its touched
+    buckets' paths), so after a merge the untouched buckets' standing
+    per-file stats/blooms still hit and only the moved buckets pay a
+    fresh build scan. Exactness on a merge-on-read table with pending
+    deltas: the delta files name the touched keys, so their buckets are
+    answered by a REAL pruned scan folded with the deltas — the same
+    fenced fold every read runs — while every other bucket is answered
+    from its live-only index (tombstones excluded at BUILD time via the
+    stats ``where`` restriction, so a deleted row's values can neither
+    stretch a min/max nor pass a token probe). Total cost:
+    O(files) metadata + O(touched-bucket volume), table size
+    irrelevant — exactly the posture a 100 TB table needs.
+
+    Column-mapping-aware: callers speak LOGICAL names; the index keys
+    on the PHYSICAL on-disk names, so a RENAME COLUMN (a manifest-only
+    commit that moves no files) invalidates nothing. Works on the flat
+    ``CdcTable`` layout too (one unit: the snapshot directory).
+    """
+
+    def __init__(self, store=None):
+        self.idx = StatsIndex(store)
+
+    @staticmethod
+    def _live_where(table) -> str:
+        return f"NOT {table.DELETED}"
+
+    def _units(self, spark, table):
+        """``(man, {bucket: path} served from the index, live rows of
+        the delta-touched buckets or None)``."""
+        man = table._latest_manifest(spark)
+        if not hasattr(table, "bucket_paths"):
+            # flat layout: one snapshot dir, never pending deltas
+            return man, {0: table._data_path(man)}, None
+        mapping = table._mapping(man)
+        pend = list(man.get("pending", []))
+        touched, ch = set(), None
+        if pend:
+            ch = spark.read.schema(table._change_schema(man)).parquet(
+                *[table._dir_path(man, d) for d in pend])
+            # bounded collect (≤ num_buckets) — the same pruning
+            # decision the merge path makes
+            touched = {int(r[0]) for r in
+                       ch.select(table._bucket_expr())
+                       .distinct().collect()}
+        paths = {int(b): table._bucket_paths(man, [b])[0]
+                 for b in mapping if int(b) not in touched}
+        live = None
+        if touched:
+            from systems_spark.operators.cdc import merge_cdc_fenced
+
+            base = table._read_buckets(spark, man, sorted(touched))
+            fence = (int(man["fence_seq"]) if "fence_seq" in man
+                     else None)
+            folded = merge_cdc_fenced(
+                base, ch, table.key_cols, seq_col=table.seq_col,
+                op_col=table.op_col, deleted_col=table.DELETED,
+                min_seq=fence, check_unique_seq="inline")
+            live = folded.where(~F.col(table.DELETED))
+        return man, paths, live
+
+    def aggregate(self, spark, table, cols) -> DataFrame:
+        """COUNT(*) / MIN / MAX / COUNT(col) of the LIVE view, served
+        from the per-bucket stats indexes for every bucket no pending
+        delta touches, plus one real pruned scan of the touched
+        buckets. Exact, not approximate — the oracle is a full scan of
+        the live view. Returns the same one-row shape as
+        :meth:`StatsIndex.aggregate`, under LOGICAL column names."""
+        cols = list(cols)
+        man, paths, live = self._units(spark, table)
+        cmap = table._column_map(man)
+        pcols = [cmap.get(c, c) for c in cols]
+        where = self._live_where(table)
+        stats = None
+        for b in sorted(paths):
+            st = self.idx.stats(spark, paths[b], pcols, where=where)
+            stats = st if stats is None else stats.unionByName(st)
+        parts = []
+        if stats is not None:
+            aggs = [F.sum("rows").alias("count_rows")]
+            for c in pcols:
+                aggs += [F.min(f"{c}_min").alias(f"{c}_min"),
+                         F.max(f"{c}_max").alias(f"{c}_max"),
+                         (F.sum("rows") - F.sum(f"{c}_nulls"))
+                         .alias(f"{c}_count")]
+            parts.append(stats.agg(*aggs))
+        if live is not None:
+            aggs = [F.count(F.lit(1)).alias("count_rows")]
+            for c in pcols:
+                aggs += [F.min(c).alias(f"{c}_min"),
+                         F.max(c).alias(f"{c}_max"),
+                         F.count(F.col(c)).alias(f"{c}_count")]
+            parts.append(live.agg(*aggs))
+        if not parts:
+            raise ValueError("table has no mapped buckets to aggregate")
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        final = [F.coalesce(F.sum("count_rows"), F.lit(0))
+                 .alias("count_rows")]
+        for c, pc in zip(cols, pcols):
+            final += [F.min(f"{pc}_min").alias(f"{c}_min"),
+                      F.max(f"{pc}_max").alias(f"{c}_max"),
+                      F.coalesce(F.sum(f"{pc}_count"), F.lit(0))
+                      .alias(f"{c}_count")]
+        return u.agg(*final)
+
+    def search_tokens(self, spark, table, col, query: str,
+                      bits_log2: int = 17, hashes: int = 4) -> DataFrame:
+        """All-terms text search over the LIVE view: untouched buckets
+        open only the files whose live-only token bloom holds every
+        query token; delta-touched buckets fold and filter for real.
+        Returns live-view rows (logical names, bookkeeping dropped)
+        matching the exact row predicate."""
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        man, paths, live = self._units(spark, table)
+        cmap = table._column_map(man)
+        pcol = cmap.get(col, col)
+        where = self._live_where(table)
+        files = []
+        for b in sorted(paths):
+            bloom = self.idx.token_bloom(spark, paths[b], pcol,
+                                         bits_log2, hashes, where=where)
+            files += token_bloom_pruned_files(spark, bloom, query,
+                                              bits_log2, hashes)
+        # partitioned manifests own the schema (old files NULL-fill
+        # evolved columns by name); flat snapshots are schema-uniform
+        # per version, so the footer schema is authoritative there
+        schema = (StructType.fromJson(_json.loads(man["schema"]))
+                  if "schema" in man else None)
+
+        def read_files(fs):
+            r = (spark.read.schema(schema) if schema is not None
+                 else spark.read)
+            return r.parquet(*fs)
+
+        pieces = []
+        if files:
+            pieces.append(read_files(files)
+                          .where(~F.col(table.DELETED)))
+        if live is not None:
+            pieces.append(live)
+        if pieces:
+            out = pieces[0]
+            for p in pieces[1:]:
+                out = out.unionByName(p)
+        elif schema is not None:
+            # every file provably lacks a query token: the success case
+            out = spark.createDataFrame([], schema)
+        else:
+            out = read_files([paths[min(paths)]]).limit(0)
+        cond = F.lit(True)
+        for t in _query_tokens(spark, query):
+            cond = cond & F.array_contains(_tokens_expr(F.col(pcol)),
+                                           F.lit(t))
+        out = out.where(cond)
+        return (table._to_logical(man, out)
+                .drop(table.seq_col, table.DELETED))

@@ -196,3 +196,95 @@ def test_flat_lookup_parity(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError, match="at least one key"):
         t.lookup(spark, [])
+
+
+# -- r12 (VERDICT r11 item 8): clone vs source DDL isolation -----------------
+
+def _mk(spark, tmp_path, layout, name="src"):
+    if layout == "flat":
+        t = CdcTable(str(tmp_path / name), "k", app_id="w")
+    else:
+        t = PartitionedCdcTable(str(tmp_path / name), "k", app_id="w",
+                                num_buckets=4,
+                                write_mode="merge_on_read")
+    t.initialize(_seed(spark))
+    return t
+
+
+@pytest.mark.parametrize("layout", ["flat", "partitioned"])
+def test_source_ddl_after_clone_does_not_leak(spark, tmp_path, layout):
+    """Column maps are manifest-owned and per-table: a post-clone
+    RENAME/DROP on the SOURCE must not change the clone's logical
+    schema — and vice versa — even though both read the same shared
+    data files (physical names never move)."""
+    src = _mk(spark, tmp_path, layout)
+    clone = src.clone_to(spark, str(tmp_path / "c"))
+    assert set(clone.current(spark).columns) == {"k", "s", "v"}
+
+    src.rename_column(spark, "v", "v_src")
+    src.drop_column(spark, "s")
+    assert set(src.current(spark).columns) == {"k", "v_src"}
+    # the clone still serves BOTH columns under the original names,
+    # from the very files the source's manifest-only DDL left in place
+    assert set(clone.current(spark).columns) == {"k", "s", "v"}
+    assert _rows(clone, spark) == sorted(
+        (k, f"s{k}", k * 10) for k in range(1, 9))
+
+    clone.rename_column(spark, "v", "v_clone")
+    assert set(clone.current(spark).columns) == {"k", "s", "v_clone"}
+    assert set(src.current(spark).columns) == {"k", "v_src"}
+
+    # each side writes under its OWN logical names
+    src(spark.createDataFrame([(1, 111, 1, "update")],
+                              "k long, v_src long, seq long, op string"),
+        10)
+    clone(spark.createDataFrame(
+        [(1, "x1", 222, 1, "update")],
+        "k long, s string, v_clone long, seq long, op string"), 10)
+    assert {(r.k, r.v_src) for r in
+            src.current(spark).where("k = 1").collect()} == {(1, 111)}
+    assert {(r.k, r.s, r.v_clone) for r in
+            clone.current(spark).where("k = 1").collect()} \
+        == {(1, "x1", 222)}
+
+
+@pytest.mark.parametrize("layout", ["flat", "partitioned"])
+def test_clone_of_renamed_table_time_travels(spark, tmp_path, layout):
+    """A clone taken AFTER a source rename carries the map at clone
+    time: its seed version reads the shared (old physical-name) files
+    under the renamed logical names, and each version of the clone's
+    own history shows its own names."""
+    src = _mk(spark, tmp_path, layout)
+    src.rename_column(spark, "v", "val")
+    clone = src.clone_to(spark, str(tmp_path / "c"))
+    seed_v = clone._latest_version(spark)
+    assert set(clone.current(spark).columns) == {"k", "s", "val"}
+
+    clone.rename_column(spark, "val", "val2")
+    assert set(clone.current(spark).columns) == {"k", "s", "val2"}
+    # time travel to the seed shows the AT-CLONE names
+    at_seed = clone.at_version(spark, seed_v)
+    assert "val" in at_seed.columns and "val2" not in at_seed.columns
+    # and the source never saw the clone's rename
+    assert set(src.current(spark).columns) == {"k", "s", "val"}
+
+
+@pytest.mark.parametrize("layout", ["flat", "partitioned"])
+def test_clone_of_clone_ddl_isolation(spark, tmp_path, layout):
+    """Clone-of-clone: the grandchild carries the ORIGINAL data base
+    through and its own copy of the map; DDL on any of the three
+    tables stays local to it."""
+    src = _mk(spark, tmp_path, layout)
+    c1 = src.clone_to(spark, str(tmp_path / "c1"))
+    c1.rename_column(spark, "v", "v1")
+    c2 = c1.clone_to(spark, str(tmp_path / "c2"))
+    assert set(c2.current(spark).columns) == {"k", "s", "v1"}
+
+    c2.rename_column(spark, "v1", "v2")
+    c2.drop_column(spark, "s")
+    src.rename_column(spark, "v", "v0")
+    assert set(src.current(spark).columns) == {"k", "s", "v0"}
+    assert set(c1.current(spark).columns) == {"k", "s", "v1"}
+    assert set(c2.current(spark).columns) == {"k", "v2"}
+    assert sorted((r.k, r.v2) for r in c2.current(spark).collect()) \
+        == sorted((k, k * 10) for k in range(1, 9))
