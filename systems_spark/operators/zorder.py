@@ -173,7 +173,7 @@ def _bloom_position_cols(col: Column, bits_log2: int, hashes: int):
 
 
 def file_bloom(spark, path: str, col: str, bits_log2: int = 17,
-               hashes: int = 4) -> DataFrame:
+               hashes: int = 4, where=None) -> DataFrame:
     """Per-FILE Bloom filter over ``col``'s non-NULL values — the
     point-lookup skipping index min/max stats cannot provide: on a
     hash-scattered high-cardinality key every file's [min, max] spans
@@ -190,8 +190,11 @@ def file_bloom(spark, path: str, col: str, bits_log2: int = 17,
 
     NULL semantics: an equality probe never matches NULL, so files
     whose column is entirely NULL (absent from the index) are sound to
-    skip."""
+    skip. ``where`` (SQL string) restricts which rows contribute, like
+    :func:`file_stats` — a CDC bucket indexes only its live rows."""
     df = spark.read.parquet(path)
+    if where is not None:
+        df = df.where(where)
     pos = _bloom_position_cols(F.col(col), bits_log2, hashes)
     exploded = (df.where(F.col(col).isNotNull())
                 .select(F.input_file_name().alias("file"),
@@ -494,22 +497,27 @@ class StatsIndex:
         return stats.agg(*aggs)
 
     def _bloom_tag(self, path: str, col: str, bits_log2: int,
-                   hashes: int, fingerprint: str) -> str:
-        bid = md5(f"{col}:{bits_log2}:{hashes}".encode()).hexdigest()[:12]
+                   hashes: int, fingerprint: str, where=None) -> str:
+        sig = f"{col}:{bits_log2}:{hashes}" \
+            + (f":w:{where}" if where else "")
+        bid = md5(sig.encode()).hexdigest()[:12]
         return f"zbloom:{bid}:{fingerprint}"
 
     def bloom(self, spark, path: str, col: str, bits_log2: int = 17,
-              hashes: int = 4) -> DataFrame:
+              hashes: int = 4, where=None) -> DataFrame:
         """The persisted per-file bloom index for ``(path, col)`` at
         the table's CURRENT layout — same freshness contract as
         :meth:`stats`: one build scan per layout version, reuse across
-        sessions, eager invalidation when the fingerprint moves."""
+        sessions, eager invalidation when the fingerprint moves.
+        ``where`` restricts the indexed rows and is part of the index
+        identity."""
         fp = layout_fingerprint(spark, path)
         return self._materialize_fresh(
             spark, self._key(path),
-            self._bloom_tag(path, col, bits_log2, hashes, ""),
-            self._bloom_tag(path, col, bits_log2, hashes, fp),
-            lambda: file_bloom(spark, path, col, bits_log2, hashes))
+            self._bloom_tag(path, col, bits_log2, hashes, "", where),
+            self._bloom_tag(path, col, bits_log2, hashes, fp, where),
+            lambda: file_bloom(spark, path, col, bits_log2, hashes,
+                               where=where))
 
     def read_eq(self, spark, path: str, col: str, values,
                 bits_log2: int = 17, hashes: int = 4) -> DataFrame:
@@ -672,6 +680,44 @@ class CdcSkippingIndex:
                       .alias(f"{c}_count")]
         return u.agg(*final)
 
+    def _manifest_schema(self, spark, man, paths):
+        """Partitioned manifests own the schema (old files NULL-fill
+        evolved columns by name); flat snapshots are schema-uniform per
+        version, so the footer schema is authoritative there."""
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        if "schema" in man:
+            return StructType.fromJson(_json.loads(man["schema"]))
+        return spark.read.parquet(paths[min(paths)]).schema
+
+    def _assemble(self, spark, table, man, paths, live,
+                  files) -> DataFrame:
+        """Shared tail of every pruned live read: open only ``files``
+        (live-row filter applied — the bytes still hold tombstones),
+        union the delta-touched buckets' folded live rows. Raw shape:
+        physical names, bookkeeping columns present."""
+        schema = self._manifest_schema(spark, man, paths)
+        pieces = []
+        if files:
+            pieces.append(spark.read.schema(schema).parquet(*files)
+                          .where(~F.col(table.DELETED)))
+        if live is not None:
+            pieces.append(live)
+        if not pieces:
+            # zero surviving files is the SUCCESS case for an absent
+            # key/token: empty frame, table shape
+            return spark.createDataFrame([], schema)
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _finish(self, table, man, df) -> DataFrame:
+        return (table._to_logical(man, df)
+                .drop(table.seq_col, table.DELETED))
+
     def search_tokens(self, spark, table, col, query: str,
                       bits_log2: int = 17, hashes: int = 4) -> DataFrame:
         """All-terms text search over the LIVE view: untouched buckets
@@ -679,13 +725,8 @@ class CdcSkippingIndex:
         query token; delta-touched buckets fold and filter for real.
         Returns live-view rows (logical names, bookkeeping dropped)
         matching the exact row predicate."""
-        import json as _json
-
-        from pyspark.sql.types import StructType
-
         man, paths, live = self._units(spark, table)
-        cmap = table._column_map(man)
-        pcol = cmap.get(col, col)
+        pcol = table._column_map(man).get(col, col)
         where = self._live_where(table)
         files = []
         for b in sorted(paths):
@@ -693,36 +734,52 @@ class CdcSkippingIndex:
                                          bits_log2, hashes, where=where)
             files += token_bloom_pruned_files(spark, bloom, query,
                                               bits_log2, hashes)
-        # partitioned manifests own the schema (old files NULL-fill
-        # evolved columns by name); flat snapshots are schema-uniform
-        # per version, so the footer schema is authoritative there
-        schema = (StructType.fromJson(_json.loads(man["schema"]))
-                  if "schema" in man else None)
-
-        def read_files(fs):
-            r = (spark.read.schema(schema) if schema is not None
-                 else spark.read)
-            return r.parquet(*fs)
-
-        pieces = []
-        if files:
-            pieces.append(read_files(files)
-                          .where(~F.col(table.DELETED)))
-        if live is not None:
-            pieces.append(live)
-        if pieces:
-            out = pieces[0]
-            for p in pieces[1:]:
-                out = out.unionByName(p)
-        elif schema is not None:
-            # every file provably lacks a query token: the success case
-            out = spark.createDataFrame([], schema)
-        else:
-            out = read_files([paths[min(paths)]]).limit(0)
+        out = self._assemble(spark, table, man, paths, live, files)
         cond = F.lit(True)
         for t in _query_tokens(spark, query):
             cond = cond & F.array_contains(_tokens_expr(F.col(pcol)),
                                            F.lit(t))
-        out = out.where(cond)
-        return (table._to_logical(man, out)
-                .drop(table.seq_col, table.DELETED))
+        return self._finish(table, man, out.where(cond))
+
+    def read(self, spark, table, cols, predicates: dict) -> DataFrame:
+        """Range-pruned LIVE read: untouched buckets open only the
+        files whose live-only [min, max] stats overlap every predicate
+        range (``{logical_col: (lo, hi)}``, either bound None);
+        delta-touched buckets fold for real. Returns live-view rows
+        under logical names — the caller still applies the row-level
+        filter, exactly like :meth:`StatsIndex.read`."""
+        cols = list(cols)
+        man, paths, live = self._units(spark, table)
+        cmap = table._column_map(man)
+        pcols = [cmap.get(c, c) for c in cols]
+        preds = {cmap.get(c, c): rng for c, rng in predicates.items()}
+        where = self._live_where(table)
+        files = []
+        for b in sorted(paths):
+            st = self.idx.stats(spark, paths[b], pcols, where=where)
+            files += pruned_files(st, preds)
+        return self._finish(
+            table, man,
+            self._assemble(spark, table, man, paths, live, files))
+
+    def read_eq(self, spark, table, col, values,
+                bits_log2: int = 17, hashes: int = 4) -> DataFrame:
+        """Bloom-served point read over the LIVE view: ``col IN
+        (values)`` opens only the files whose live-only bloom may hold
+        a probed value (a tombstoned row's value can never pass);
+        delta-touched buckets fold for real. The caller still applies
+        the row-level filter (bloom false positives pass files, never
+        rows)."""
+        man, paths, live = self._units(spark, table)
+        pcol = table._column_map(man).get(col, col)
+        where = self._live_where(table)
+        dtype = self._manifest_schema(spark, man, paths)[pcol].dataType
+        files = []
+        for b in sorted(paths):
+            bloom = self.idx.bloom(spark, paths[b], pcol,
+                                   bits_log2, hashes, where=where)
+            files += bloom_pruned_files(spark, bloom, values, dtype,
+                                        bits_log2, hashes)
+        return self._finish(
+            table, man,
+            self._assemble(spark, table, man, paths, live, files))

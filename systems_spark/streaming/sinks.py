@@ -1898,6 +1898,10 @@ class PartitionedCdcTable(CdcTable):
     # the same bounded-collect posture as the touched-bucket list;
     # bigger batches keep the fully distributed semi-join path
     KEYS_INLINE_MAX = 20_000
+    # composite keys inline as an OR of per-key AND chains — an
+    # expression tree, not a single IN list, so the cap must stay
+    # small enough for Catalyst to fold comfortably
+    KEYS_INLINE_MAX_COMPOSITE = 256
 
     def _bucket_expr(self):
         return F.pmod(F.xxhash64(*[F.col(k) for k in self.key_cols]),
@@ -2225,20 +2229,23 @@ class PartitionedCdcTable(CdcTable):
             *[self._dir_path(man1, d) for d in dirs])
         keys = ch.select(*self.key_cols).distinct()
         # one bounded job prunes BOTH dimensions: when the batch's
-        # distinct key set fits the inline cap (single-key tables), the
-        # same collect that finds the touched buckets also brings the
-        # keys driver-side, so the endpoint restriction becomes a
-        # pushed literal filter — the semi-join shuffles (and the keys
-        # subtree's repeated change-file scans) disappear from the
-        # feed plan. Over the cap it degrades to the semi-join path
-        # with the ≤ num_buckets collect the merge path does.
+        # distinct key set fits the inline cap, the same collect that
+        # finds the touched buckets also brings the keys driver-side,
+        # so the endpoint restriction becomes a pushed literal filter —
+        # the semi-join shuffles (and the keys subtree's repeated
+        # change-file scans) disappear from the feed plan. Single-key
+        # tables inline as one IN list (20k cap); composite keys as an
+        # OR of AND chains (r12 — much smaller cap: it's an expression
+        # tree). Over the cap it degrades to the semi-join path with
+        # the ≤ num_buckets collect the merge path does.
         inline = None
-        if len(self.key_cols) == 1:
-            rows = (keys.withColumn("_cdf_b", self._bucket_expr())
-                    .limit(self.KEYS_INLINE_MAX + 1).collect())
-            if len(rows) <= self.KEYS_INLINE_MAX:
-                inline = [(r[0],) for r in rows]
-                buckets = sorted({int(r["_cdf_b"]) for r in rows})
+        cap = (self.KEYS_INLINE_MAX if len(self.key_cols) == 1
+               else self.KEYS_INLINE_MAX_COMPOSITE)
+        rows = (keys.withColumn("_cdf_b", self._bucket_expr())
+                .limit(cap + 1).collect())
+        if len(rows) <= cap:
+            inline = [tuple(r[k] for k in self.key_cols) for r in rows]
+            buckets = sorted({int(r["_cdf_b"]) for r in rows})
         if inline is None:
             buckets = sorted(
                 int(r[0]) for r in keys.select(self._bucket_expr())

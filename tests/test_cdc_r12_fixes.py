@@ -245,3 +245,51 @@ def test_composite_lookup_null_slot(spark, tmp_path):
     got = {(r.k1, r.k2, r.v) for r in
            t.lookup(spark, [(1, None)]).collect()}
     assert got == {(1, None, 5)}
+
+
+# -- composite-key change feed takes the inline literal fast path ------------
+
+def _cfeed_rows(df):
+    return {(r.k1, r.k2, r.v, r._change_type) for r in df.collect()}
+
+
+def test_composite_feed_inlines_and_matches_semi_join(spark, tmp_path,
+                                                      monkeypatch):
+    """A composite-key table's bounded change window now takes the
+    literal fast path (OR-of-AND predicate) — previously always the
+    semi-join. Results must equal the semi-join path's, null slots
+    included."""
+    t = PartitionedCdcTable(str(tmp_path / "t"), ["k1", "k2"],
+                            app_id="w", num_buckets=4,
+                            write_mode="merge_on_read")
+    t.initialize(spark.createDataFrame(
+        [(1, "a", 10), (1, None, 11), (2, "b", 20), (3, "a", 30)],
+        CPAY))
+    v0 = t._latest_version(spark)
+    t(spark.createDataFrame(
+        [(1, "a", 99, 1, "update"), (1, None, 12, 1, "update"),
+         (2, "b", 0, 1, "delete"), (9, "z", 90, 1, "insert")], CCH), 0)
+    v1 = t._latest_version(spark)
+
+    seen = []
+    real = PartitionedCdcTable._pruned_view
+
+    def record(self, spark_, man, keys, buckets, inline_keys=None):
+        seen.append(inline_keys)
+        return real(self, spark_, man, keys, buckets,
+                    inline_keys=inline_keys)
+
+    monkeypatch.setattr(PartitionedCdcTable, "_pruned_view", record)
+    fast = _cfeed_rows(t.changes_between(spark, v0, v1))
+    assert seen and all(k is not None for k in seen)  # inlined
+    monkeypatch.undo()
+
+    # force the semi-join path and compare
+    monkeypatch.setattr(PartitionedCdcTable,
+                        "KEYS_INLINE_MAX_COMPOSITE", 0)
+    slow = _cfeed_rows(t.changes_between(spark, v0, v1))
+    monkeypatch.undo()
+    want = {(1, "a", 99, "update"), (1, None, 12, "update"),
+            (2, "b", 20, "delete"), (9, "z", 90, "insert")}
+    assert fast == want
+    assert fast == slow

@@ -180,3 +180,39 @@ def test_flat_layout_and_rename_survival(spark, tmp_path):
     assert got == want
     agg = idx.aggregate(spark, t, ["body"]).collect()[0]
     assert "body_min" in agg.asDict()
+
+
+def test_live_range_read_and_bloom_point_read(spark, tmp_path):
+    """read() / read_eq() over a live MOR table with pending deltas:
+    stats- and bloom-pruned file opens plus the touched-bucket fold,
+    row-filtered by the caller — full-scan exact."""
+    t = PartitionedCdcTable(str(tmp_path / "t"), "k", app_id="w",
+                            num_buckets=8, write_mode="merge_on_read")
+    t.initialize(_seed(spark))
+    idx = CdcSkippingIndex(StateStore(root=str(tmp_path / "state")))
+    t(spark.createDataFrame(
+        [(15, 9999, "alpha moved doc15", 1, "update"),
+         (16, None, None, 1, "delete"),
+         (600, 5, "late gamma doc600", 1, "insert")], CH), 0)
+    assert t._latest_manifest(spark).get("pending")
+    live = t.current(spark)
+
+    got = sorted(tuple(r) for r in
+                 idx.read(spark, t, ["k"], {"k": (10, 20)})
+                 .where("k BETWEEN 10 AND 20")
+                 .select("k", "v").collect())
+    want = sorted(tuple(r) for r in
+                  live.where("k BETWEEN 10 AND 20")
+                  .select("k", "v").collect())
+    assert got == want and (15, 9999) in got and 16 not in {g[0]
+                                                            for g in got}
+
+    probes = [15, 16, 600, 999999]
+    got = sorted(tuple(r) for r in
+                 idx.read_eq(spark, t, "k", probes)
+                 .where(F.col("k").isin(probes))
+                 .select("k", "v").collect())
+    want = sorted(tuple(r) for r in
+                  live.where(F.col("k").isin(probes))
+                  .select("k", "v").collect())
+    assert got == want and {g[0] for g in got} == {15, 600}
