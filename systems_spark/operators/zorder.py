@@ -783,3 +783,39 @@ class CdcSkippingIndex:
         return self._finish(
             table, man,
             self._assemble(spark, table, man, paths, live, files))
+
+    def vacuum(self, spark, table) -> int:
+        """Reclaim ORPHANED index state for ``table``: a merge moves
+        its touched buckets to new directories, so those buckets'
+        standing stats/bloom entries — keyed on the OLD paths — can
+        never be served again and would otherwise accumulate one
+        generation per merge forever. Deletes every committed entry
+        whose recorded key names a path under this table that is no
+        longer a live indexing unit; entries of OTHER tables sharing
+        the store root, clone-shared entries under a SOURCE's path,
+        and pre-r12 manifests (no recorded key) are never touched.
+        Returns the number of entries reclaimed."""
+        man = table._latest_manifest(spark)
+        if hasattr(table, "bucket_paths"):
+            mapping = table._mapping(man)
+            live = {table._bucket_paths(man, [b])[0].rstrip("/")
+                    for b in mapping}
+        else:
+            live = {table._data_path(man).rstrip("/")}
+        prefix = table.path.rstrip("/") + "/"
+        reclaimed = 0
+        for entry in self.idx.store.entries(spark):
+            m = entry["manifest"]
+            if not m or "key" not in m:
+                continue
+            k = str(m["key"])
+            if not k.startswith("table:"):
+                continue
+            p = k[len("table:"):].rstrip("/")
+            if not p.startswith(prefix):
+                continue  # another table / a clone's shared source
+            if p in live:
+                continue
+            self.idx.store.invalidate(spark, m["tag"], key=k)
+            reclaimed += 1
+        return reclaimed

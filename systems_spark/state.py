@@ -209,6 +209,14 @@ class StateStore:
                 .alias("checksum")).collect()[0]
             manifest = {"tag": tag, "rows": int(row["rows"]),
                         "checksum": str(row["checksum"])}
+            if key is not None:
+                # the explicit scope rides in the manifest so retention
+                # jobs can resolve an entry back to (key, tag) — the
+                # pair invalidate() needs (r12: CdcSkippingIndex.vacuum
+                # reclaims per-bucket entries whose bucket path a merge
+                # moved). applicationId-scoped entries stay keyless:
+                # they die with the app and sweep() already ages them.
+                manifest["key"] = key
             # marker LAST, atomically = the commit point
             fs_write_text_atomic(spark, self._marker(path),
                                  json.dumps(manifest, sort_keys=True))

@@ -216,3 +216,75 @@ def test_live_range_read_and_bloom_point_read(spark, tmp_path):
                   live.where(F.col("k").isin(probes))
                   .select("k", "v").collect())
     assert got == want and {g[0] for g in got} == {15, 600}
+
+
+def test_vacuum_reclaims_orphaned_bucket_entries(spark, tmp_path):
+    """A merge moves its touched bucket to a new directory; the old
+    path's standing index entry is unreachable forever. vacuum()
+    reclaims exactly those — live entries, other tables' entries in
+    the same store root, and the answers all survive."""
+    store = StateStore(root=str(tmp_path / "state"))
+    t = PartitionedCdcTable(str(tmp_path / "t"), "k", app_id="w",
+                            num_buckets=8)
+    t.initialize(_seed(spark))
+    other = PartitionedCdcTable(str(tmp_path / "o"), "k", app_id="o",
+                                num_buckets=4)
+    other.initialize(_seed(spark, 40))
+    idx = CdcSkippingIndex(store)
+    _check_agg(spark, idx, t)
+    idx.aggregate(spark, other, ["v"]).collect()
+    n_before = len([e for e in store.entries(spark) if e["manifest"]])
+
+    t(spark.createDataFrame([(7, 70000, "alpha doc7", 1, "update")],
+                            CH), 0)
+    _check_agg(spark, idx, t)  # rebuilds ONLY the moved bucket
+    reclaimed = idx.vacuum(spark, t)
+    assert reclaimed == 1      # exactly the orphaned old-path entry
+    assert idx.vacuum(spark, t) == 0  # idempotent
+    # live entries intact: both tables still answer with marker hits
+    calls = {"n": 0}
+    real = zz.file_stats
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    zz.file_stats = counting
+    try:
+        _check_agg(spark, idx, t)
+        idx.aggregate(spark, other, ["v"]).collect()
+    finally:
+        zz.file_stats = real
+    assert calls["n"] == 0
+    assert len([e for e in store.entries(spark) if e["manifest"]]) \
+        == n_before  # n_before + 1 new - 1 orphan
+
+
+def test_clone_shares_source_index_entries(spark, tmp_path):
+    """A zero-copy clone's bucket paths resolve to the SOURCE's
+    directories (dir_bases), so the source's standing index entries
+    serve the clone with zero rebuilds — and the clone's vacuum never
+    reclaims entries under the source's path."""
+    store = StateStore(root=str(tmp_path / "state"))
+    src = PartitionedCdcTable(str(tmp_path / "src"), "k", app_id="w",
+                              num_buckets=8)
+    src.initialize(_seed(spark))
+    idx = CdcSkippingIndex(store)
+    _check_agg(spark, idx, src)
+
+    clone = src.clone_to(spark, str(tmp_path / "c"))
+    calls = {"n": 0}
+    real = zz.file_stats
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    zz.file_stats = counting
+    try:
+        _check_agg(spark, idx, clone)   # index once, serve every clone
+    finally:
+        zz.file_stats = real
+    assert calls["n"] == 0
+    assert idx.vacuum(spark, clone) == 0  # shared entries untouchable
+    _check_agg(spark, idx, src)
