@@ -105,7 +105,8 @@ def zorder_layout(df: DataFrame, cols, ranges, bits: int = 16,
     return out.sortWithinPartitions(z_col)
 
 
-def file_stats(spark, path: str, cols, where=None) -> DataFrame:
+def file_stats(spark, path: str, cols, where=None,
+               read_schema=None) -> DataFrame:
     """Per-FILE min/max/rows for ``cols`` over a parquet dataset — the
     data-skipping stats index every table format keeps (Delta's
     add-file stats, Iceberg manifests), built here as one scan that
@@ -113,9 +114,14 @@ def file_stats(spark, path: str, cols, where=None) -> DataFrame:
     state (StateStore) next to the table; rebuild on layout changes.
     ``where`` (SQL string) restricts which rows contribute — a CDC
     bucket indexes its LIVE rows, so tombstones never pollute min/max;
-    a file with no qualifying rows is simply absent from the index."""
+    a file with no qualifying rows is simply absent from the index.
+    ``read_schema`` reads the files under an explicit schema (a CDC
+    manifest's): files written before a schema evolution NULL-fill the
+    evolved columns by name instead of failing analysis."""
     cols = list(cols)
-    df = spark.read.parquet(path)
+    reader = (spark.read.schema(read_schema) if read_schema is not None
+              else spark.read)
+    df = reader.parquet(path)
     if where is not None:
         df = df.where(where)
     aggs = [F.count(F.lit(1)).alias("rows")]
@@ -173,7 +179,8 @@ def _bloom_position_cols(col: Column, bits_log2: int, hashes: int):
 
 
 def file_bloom(spark, path: str, col: str, bits_log2: int = 17,
-               hashes: int = 4, where=None) -> DataFrame:
+               hashes: int = 4, where=None,
+               read_schema=None) -> DataFrame:
     """Per-FILE Bloom filter over ``col``'s non-NULL values — the
     point-lookup skipping index min/max stats cannot provide: on a
     hash-scattered high-cardinality key every file's [min, max] spans
@@ -191,8 +198,11 @@ def file_bloom(spark, path: str, col: str, bits_log2: int = 17,
     NULL semantics: an equality probe never matches NULL, so files
     whose column is entirely NULL (absent from the index) are sound to
     skip. ``where`` (SQL string) restricts which rows contribute, like
-    :func:`file_stats` — a CDC bucket indexes only its live rows."""
-    df = spark.read.parquet(path)
+    :func:`file_stats` — a CDC bucket indexes only its live rows;
+    ``read_schema`` NULL-fills pre-evolution files by name."""
+    reader = (spark.read.schema(read_schema) if read_schema is not None
+              else spark.read)
+    df = reader.parquet(path)
     if where is not None:
         df = df.where(where)
     pos = _bloom_position_cols(F.col(col), bits_log2, hashes)
@@ -267,7 +277,8 @@ def _tokens_expr(col: Column) -> Column:
 
 
 def file_token_bloom(spark, path: str, col: str, bits_log2: int = 17,
-                     hashes: int = 4, where=None) -> DataFrame:
+                     hashes: int = 4, where=None,
+                     read_schema=None) -> DataFrame:
     """Per-FILE Bloom filter over the DISTINCT TOKENS of a text
     column — full-text file skipping (the needle-in-100 TB grep): a
     token query opens only the files whose token bloom contains every
@@ -278,8 +289,11 @@ def file_token_bloom(spark, path: str, col: str, bits_log2: int = 17,
     size, so the index stays O(files). ``where`` (SQL string)
     restricts which rows contribute, like :func:`file_stats` — a CDC
     bucket indexes only its live rows, so a tombstoned document's
-    tokens can never pass a file."""
-    df = spark.read.parquet(path)
+    tokens can never pass a file. ``read_schema`` NULL-fills
+    pre-evolution files by name."""
+    reader = (spark.read.schema(read_schema) if read_schema is not None
+              else spark.read)
+    df = reader.parquet(path)
     if where is not None:
         df = df.where(where)
     toks = (df.where(F.col(col).isNotNull())
@@ -451,7 +465,8 @@ class StatsIndex:
                     self.store.invalidate(spark, m["tag"], key=key)
         return self.store.materialize(builder, tag, key=key, spark=spark)
 
-    def stats(self, spark, path: str, cols, where=None) -> DataFrame:
+    def stats(self, spark, path: str, cols, where=None,
+              read_schema=None) -> DataFrame:
         """The persisted per-file stats for ``(path, cols)`` at the
         table's CURRENT layout — one stats scan on first use per
         layout version, a marker-gated parquet read ever after.
@@ -464,7 +479,8 @@ class StatsIndex:
         return self._materialize_fresh(
             spark, self._key(path), self._tag(path, cols, "", where),
             self._tag(path, cols, fp, where),
-            lambda: file_stats(spark, path, cols, where=where))
+            lambda: file_stats(spark, path, cols, where=where,
+                               read_schema=read_schema))
 
     def read(self, spark, path: str, cols, predicates: dict) -> DataFrame:
         """:func:`pruned_read` through the persisted index — the scan a
@@ -504,7 +520,8 @@ class StatsIndex:
         return f"zbloom:{bid}:{fingerprint}"
 
     def bloom(self, spark, path: str, col: str, bits_log2: int = 17,
-              hashes: int = 4, where=None) -> DataFrame:
+              hashes: int = 4, where=None,
+              read_schema=None) -> DataFrame:
         """The persisted per-file bloom index for ``(path, col)`` at
         the table's CURRENT layout — same freshness contract as
         :meth:`stats`: one build scan per layout version, reuse across
@@ -517,7 +534,7 @@ class StatsIndex:
             self._bloom_tag(path, col, bits_log2, hashes, "", where),
             self._bloom_tag(path, col, bits_log2, hashes, fp, where),
             lambda: file_bloom(spark, path, col, bits_log2, hashes,
-                               where=where))
+                               where=where, read_schema=read_schema))
 
     def read_eq(self, spark, path: str, col: str, values,
                 bits_log2: int = 17, hashes: int = 4) -> DataFrame:
@@ -532,7 +549,7 @@ class StatsIndex:
 
     def token_bloom(self, spark, path: str, col: str,
                     bits_log2: int = 17, hashes: int = 4,
-                    where=None) -> DataFrame:
+                    where=None, read_schema=None) -> DataFrame:
         """The persisted per-file TOKEN bloom for ``(path, col)`` —
         full-text skipping as standing state, same freshness contract
         as :meth:`stats`/:meth:`bloom`. ``where`` restricts the
@@ -545,7 +562,8 @@ class StatsIndex:
             spark, self._key(path), f"ztokbloom:{tid}:",
             f"ztokbloom:{tid}:{fp}",
             lambda: file_token_bloom(spark, path, col,
-                                     bits_log2, hashes, where=where))
+                                     bits_log2, hashes, where=where,
+                                     read_schema=read_schema))
 
     def search_tokens(self, spark, path: str, col: str, query: str,
                       bits_log2: int = 17, hashes: int = 4) -> DataFrame:
@@ -643,12 +661,15 @@ class CdcSkippingIndex:
         :meth:`StatsIndex.aggregate`, under LOGICAL column names."""
         cols = list(cols)
         man, paths, live = self._units(spark, table)
+        self._check_cols(spark, table, man, paths, cols)
         cmap = table._column_map(man)
         pcols = [cmap.get(c, c) for c in cols]
         where = self._live_where(table)
+        rs = self._manifest_schema(spark, man, paths)             if "schema" in man else None
         stats = None
         for b in sorted(paths):
-            st = self.idx.stats(spark, paths[b], pcols, where=where)
+            st = self.idx.stats(spark, paths[b], pcols, where=where,
+                                read_schema=rs)
             stats = st if stats is None else stats.unionByName(st)
         parts = []
         if stats is not None:
@@ -679,6 +700,22 @@ class CdcSkippingIndex:
                       F.coalesce(F.sum(f"{pc}_count"), F.lit(0))
                       .alias(f"{c}_count")]
         return u.agg(*final)
+
+    def _check_cols(self, spark, table, man, paths, cols):
+        """Friendly guard: every requested LOGICAL column must exist in
+        the live view — an unknown or DROPPED column must raise here,
+        not leak dropped data from the physical files or die deep in
+        analysis."""
+        import json as _json
+
+        frame = spark.createDataFrame(
+            [], self._manifest_schema(spark, man, paths))
+        live = set(table._to_logical(man, frame).columns)             - {table.seq_col, table.DELETED}
+        bad = [c for c in cols if c not in live]
+        if bad:
+            raise ValueError(
+                f"column(s) {sorted(bad)} are not in the live view "
+                f"(available: {sorted(live)})")
 
     def _manifest_schema(self, spark, man, paths):
         """Partitioned manifests own the schema (old files NULL-fill
@@ -726,12 +763,15 @@ class CdcSkippingIndex:
         Returns live-view rows (logical names, bookkeeping dropped)
         matching the exact row predicate."""
         man, paths, live = self._units(spark, table)
+        self._check_cols(spark, table, man, paths, [col])
         pcol = table._column_map(man).get(col, col)
         where = self._live_where(table)
+        rs = self._manifest_schema(spark, man, paths)             if "schema" in man else None
         files = []
         for b in sorted(paths):
             bloom = self.idx.token_bloom(spark, paths[b], pcol,
-                                         bits_log2, hashes, where=where)
+                                         bits_log2, hashes, where=where,
+                                         read_schema=rs)
             files += token_bloom_pruned_files(spark, bloom, query,
                                               bits_log2, hashes)
         out = self._assemble(spark, table, man, paths, live, files)
@@ -750,13 +790,17 @@ class CdcSkippingIndex:
         filter, exactly like :meth:`StatsIndex.read`."""
         cols = list(cols)
         man, paths, live = self._units(spark, table)
+        self._check_cols(spark, table, man, paths,
+                         set(cols) | set(predicates))
         cmap = table._column_map(man)
         pcols = [cmap.get(c, c) for c in cols]
         preds = {cmap.get(c, c): rng for c, rng in predicates.items()}
         where = self._live_where(table)
+        rs = self._manifest_schema(spark, man, paths)             if "schema" in man else None
         files = []
         for b in sorted(paths):
-            st = self.idx.stats(spark, paths[b], pcols, where=where)
+            st = self.idx.stats(spark, paths[b], pcols, where=where,
+                                read_schema=rs)
             files += pruned_files(st, preds)
         return self._finish(
             table, man,
@@ -771,13 +815,16 @@ class CdcSkippingIndex:
         the row-level filter (bloom false positives pass files, never
         rows)."""
         man, paths, live = self._units(spark, table)
+        self._check_cols(spark, table, man, paths, [col])
         pcol = table._column_map(man).get(col, col)
         where = self._live_where(table)
+        rs = self._manifest_schema(spark, man, paths)             if "schema" in man else None
         dtype = self._manifest_schema(spark, man, paths)[pcol].dataType
         files = []
         for b in sorted(paths):
             bloom = self.idx.bloom(spark, paths[b], pcol,
-                                   bits_log2, hashes, where=where)
+                                   bits_log2, hashes, where=where,
+                                   read_schema=rs)
             files += bloom_pruned_files(spark, bloom, values, dtype,
                                         bits_log2, hashes)
         return self._finish(

@@ -2847,8 +2847,14 @@ class PartitionedCdcTable(CdcTable):
         buckets = sorted(
             int(r[0]) for r in frame.select(self._bucket_expr())
             .distinct().collect())
+        # huge probe sets keep the distributed semi-join (the literal
+        # predicate is an IN list for single keys but an expression
+        # TREE for composite ones — same caps as the change feed)
+        cap = (self.KEYS_INLINE_MAX if len(self.key_cols) == 1
+               else self.KEYS_INLINE_MAX_COMPOSITE)
+        inline = key_tuples if len(key_tuples) <= cap else None
         view = self._pruned_view(spark, man, frame, buckets,
-                                 inline_keys=key_tuples)
+                                 inline_keys=inline)
         return (self._to_logical(man, view)
                 .where(~F.col(self.DELETED))
                 .drop(self.seq_col, self.DELETED))

@@ -293,3 +293,20 @@ def test_composite_feed_inlines_and_matches_semi_join(spark, tmp_path,
             (2, "b", 20, "delete"), (9, "z", 90, "insert")}
     assert fast == want
     assert fast == slow
+
+
+def test_lookup_over_inline_cap_takes_semi_join(spark, tmp_path,
+                                                monkeypatch):
+    """A probe set over the inline cap must not build a giant literal
+    expression — it degrades to the distributed semi-join with the
+    same answer."""
+    t = PartitionedCdcTable(str(tmp_path / "t"), ["k1", "k2"],
+                            app_id="w", num_buckets=4)
+    t.initialize(_cseed(spark))
+    monkeypatch.setattr(PartitionedCdcTable,
+                        "KEYS_INLINE_MAX_COMPOSITE", 2)
+    probes = [(k, ns) for k in range(1, 7) for ns in ("a", "b")]
+    got = {(r.k1, r.k2, r.v) for r in t.lookup(spark, probes).collect()}
+    monkeypatch.undo()
+    want = {(r.k1, r.k2, r.v) for r in t.current(spark).collect()}
+    assert got == want

@@ -288,3 +288,37 @@ def test_clone_shares_source_index_entries(spark, tmp_path):
     assert calls["n"] == 0
     assert idx.vacuum(spark, clone) == 0  # shared entries untouchable
     _check_agg(spark, idx, src)
+
+
+def test_schema_evolution_and_column_guard(spark, tmp_path):
+    """A schema-evolved table (merge mode, column added by one epoch)
+    still indexes: untouched buckets' pre-evolution files NULL-fill
+    the new column by name (manifest read schema), so aggregate/read/
+    search on the evolved column stay full-scan exact. Unknown and
+    DROPPED columns raise the friendly guard instead of leaking
+    physical data or dying in analysis."""
+    t = PartitionedCdcTable(str(tmp_path / "t"), "k", app_id="w",
+                            num_buckets=4, schema_evolution="merge")
+    t.initialize(spark.createDataFrame(
+        [(k, k * 10) for k in range(40)], "k long, v long"))
+    t(spark.createDataFrame([(1, 11, 99, 1, "update")],
+                            "k long, v long, w long, seq long, "
+                            "op string"), 0)
+    idx = CdcSkippingIndex(StateStore(root=str(tmp_path / "state")))
+    got = idx.aggregate(spark, t, ["w"]).collect()[0]
+    live = t.current(spark)
+    want = live.agg(F.count(F.lit(1)).alias("count_rows"),
+                    F.min("w").alias("w_min"), F.max("w").alias("w_max"),
+                    F.count("w").alias("w_count")).collect()[0]
+    assert tuple(got) == tuple(want)
+    got_rows = sorted(tuple(r) for r in
+                      idx.read(spark, t, ["w"], {"w": (50, 100)})
+                      .where("w BETWEEN 50 AND 100")
+                      .select("k", "w").collect())
+    assert got_rows == [(1, 99)]
+
+    with pytest.raises(ValueError, match="not in the live view"):
+        idx.aggregate(spark, t, ["nope"])
+    t.drop_column(spark, "w")
+    with pytest.raises(ValueError, match="not in the live view"):
+        idx.aggregate(spark, t, ["w"])  # dropped data must not leak
