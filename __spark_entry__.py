@@ -1346,6 +1346,49 @@ def q_cdc_partitioned(spark, sf_dir):
                  .cast("bigint").alias("key_checksum")))
 
 
+def q_cdc_auto_compact(spark, sf_dir):
+    """AUTO-COMPACTION policy (r12 — streaming/sinks.py
+    PartitionedCdcTable(auto_compact_pending=N), Delta autoCompact's
+    role): merge-on-read writes stage O(batch) deltas, and the write
+    that grows the pending list to N folds it immediately — the
+    read-amplification bound becomes standing policy. Two epochs with
+    the bound at 2: the second write triggers the fold, so the table
+    reads with ZERO pending deltas (asserted — a policy that silently
+    didn't fire would still pass a value check). Oracle = the plain
+    global last-op-per-key merge: equality holds only if the staged
+    deltas, the fold, and the fencing semantics compose exactly."""
+    import hashlib
+
+    from systems_spark.streaming import PartitionedCdcTable
+
+    key = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:cdcac:{sf_dir}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join("/tmp", "systems_spark_cdc", key)
+    table = PartitionedCdcTable(os.path.join(base, "t"),
+                                key_cols="o_orderkey", app_id="cdcac",
+                                num_buckets=16,
+                                write_mode="merge_on_read",
+                                auto_compact_pending=2)
+    orders = _t(spark, sf_dir, "orders")
+    table.initialize(
+        orders.where(F.col("o_orderkey") % 8 != 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
+    changes = _cdc_changes(spark, sf_dir)
+    table(changes.where(F.col("seq") == 1), 0)
+    table(changes.where(F.col("seq") == 2), 1)
+    if table._latest_manifest(spark).get("pending"):
+        raise AssertionError(
+            "auto_compact_pending=2 left pending deltas after epoch 2")
+    return (table.current(spark)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+                         2).cast("double").alias("total_price"),
+                 F.sum(F.col("o_orderkey").cast("decimal(38,0)"))
+                 .cast("bigint").alias("key_checksum")))
+
+
 def q_cdc_multiwriter(spark, sf_dir):
     """Optimistic concurrency on the shared commit log
     (streaming/sinks.py CdcTable._commit, ConcurrentCommitError): TWO
@@ -8456,6 +8499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lookup_composite": q_cdc_lookup_composite,
         "cdc_stats_agg": q_cdc_stats_agg,
         "cdc_token_search": q_cdc_token_search,
+        "cdc_auto_compact": q_cdc_auto_compact,
         "media_probe": q_media_probe,
         "cdc_merge_into": q_cdc_merge_into,
         "cdc_rename": q_cdc_rename,
@@ -8741,6 +8785,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_clone": _sql_orders_cdc_apply(),
         "cdc_lookup": _sql_cdc_lookup(),
         "cdc_lookup_composite": _sql_cdc_lookup_composite(),
+        # policy lane: content must equal the plain global merge
+        "cdc_auto_compact": _sql_orders_cdc_apply(),
         # full-scan twins: the skipping answers must equal a scan of
         # the globally merged live view
         "cdc_stats_agg": _sql_cdc_stats_agg(),

@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "cdc_lookup_composite",
     "cdc_stats_agg",
     "cdc_token_search",
+    "cdc_auto_compact",
     "cdc_rename",
     "cdc_drop",
     "cdc_optimize",

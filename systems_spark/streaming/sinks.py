@@ -1872,13 +1872,23 @@ class PartitionedCdcTable(CdcTable):
     join regardless of how many deltas are pending.
     :meth:`compact_deltas` folds them back into only the buckets they
     touch and clears the list — the read-amplification knob. Default
-    ``"copy_on_write"`` keeps the rewrite-touched-buckets behavior."""
+    ``"copy_on_write"`` keeps the rewrite-touched-buckets behavior.
+
+    ``auto_compact_pending=N`` (r12, Delta autoCompact's role): a
+    merge-on-read write that grows the pending list to ≥ N folds it
+    immediately — the read-amplification bound becomes a standing
+    policy instead of a maintenance chore. A HANDLE-level knob, not a
+    table contract (writers may differ); the fold is the ordinary
+    ``compact_deltas`` commit, so OCC, fencing, and the change feed
+    (compaction is a maintenance commit — it contributes nothing to a
+    feed window) all behave exactly as if a human had run it."""
 
     def __init__(self, path: str, key_cols, app_id: str,
                  num_buckets: int = 16,
                  seq_col: str = "seq", op_col: str = "op",
                  schema_evolution: str = "strict",
-                 write_mode: str = "copy_on_write"):
+                 write_mode: str = "copy_on_write",
+                 auto_compact_pending: "int | None" = None):
         super().__init__(path, key_cols, app_id,
                          seq_col=seq_col, op_col=op_col,
                          schema_evolution=schema_evolution)
@@ -1888,8 +1898,13 @@ class PartitionedCdcTable(CdcTable):
             raise ValueError(
                 f"write_mode must be 'copy_on_write' or "
                 f"'merge_on_read', got {write_mode!r}")
+        if auto_compact_pending is not None \
+                and int(auto_compact_pending) < 1:
+            raise ValueError("auto_compact_pending must be >= 1")
         self.num_buckets = int(num_buckets)
         self.write_mode = write_mode
+        self.auto_compact_pending = (None if auto_compact_pending is None
+                                     else int(auto_compact_pending))
 
     BUCKET = "_cdc_bucket"
 
@@ -2367,6 +2382,17 @@ class PartitionedCdcTable(CdcTable):
             touched=set(self._mapping(man)), schema_json=schema_json,
             extra=extra, pending_override=[])
 
+    def _maybe_auto_compact(self, spark: SparkSession) -> None:
+        """The ``auto_compact_pending`` policy hook, run after a
+        successful merge-on-read delta commit: fold when the pending
+        list reached the bound. One marker read when enabled; the fold
+        is the ordinary OCC-safe :meth:`compact_deltas`."""
+        if self.auto_compact_pending is None:
+            return
+        man = self._latest_manifest(spark)
+        if len(man.get("pending", [])) >= self.auto_compact_pending:
+            self.compact_deltas(spark)
+
     def compact_deltas(self, spark: SparkSession) -> int:
         """Fold every pending delta into the buckets it touches and
         clear the pending list — the merge-on-read read-amplification
@@ -2626,12 +2652,14 @@ class PartitionedCdcTable(CdcTable):
                                     spark, version, man, staged["rows"],
                                     staged["dir_name"],
                                     staged["schema_json"], extra=extra)
-                            else:
-                                self._publish_cow_manifest(
-                                    spark, version, man,
-                                    staged["touched"], staged["written"],
-                                    staged["rows"], staged["dir_name"],
-                                    staged["schema_json"], extra=extra)
+                                staged = None
+                                self._maybe_auto_compact(spark)
+                                return
+                            self._publish_cow_manifest(
+                                spark, version, man,
+                                staged["touched"], staged["written"],
+                                staged["rows"], staged["dir_name"],
+                                staged["schema_json"], extra=extra)
                             staged = None
                             return
                         except ConcurrentCommitError:
@@ -2685,6 +2713,7 @@ class PartitionedCdcTable(CdcTable):
                         self._commit_delta(spark, batch, version, man,
                                            schema_json, extra,
                                            keep_staged_on_loss=True)
+                        self._maybe_auto_compact(spark)
                         return
                     except ConcurrentCommitError as err:
                         if err.staged is not None:

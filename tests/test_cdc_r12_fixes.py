@@ -310,3 +310,72 @@ def test_lookup_over_inline_cap_takes_semi_join(spark, tmp_path,
     monkeypatch.undo()
     want = {(r.k1, r.k2, r.v) for r in t.current(spark).collect()}
     assert got == want
+
+
+# -- auto-compaction policy ---------------------------------------------------
+
+def test_auto_compact_bounds_pending_and_keeps_semantics(spark,
+                                                         tmp_path):
+    """auto_compact_pending=2: the second staged delta folds the list
+    immediately — pending stays bounded, content equals the plain MOR
+    table's, epoch replay still no-ops, and a feed window SPANNING the
+    auto-compaction still serves (compaction is a maintenance commit
+    contributing nothing)."""
+    t = PartitionedCdcTable(str(tmp_path / "t"), "k", app_id="w",
+                            num_buckets=4, write_mode="merge_on_read",
+                            auto_compact_pending=2)
+    plain = PartitionedCdcTable(str(tmp_path / "p"), "k", app_id="w",
+                                num_buckets=4,
+                                write_mode="merge_on_read")
+    t.initialize(_seed(spark))
+    plain.initialize(_seed(spark))
+    v0 = t._latest_version(spark)
+
+    e1 = [(1, "x", 11, 1, "update"), (9, "z", 90, 1, "insert")]
+    e2 = [(2, "y", 0, 2, "delete"), (9, "z", 91, 2, "update")]
+    t(_ch(spark, e1), 0)
+    assert len(t._latest_manifest(spark).get("pending", [])) == 1
+    t(_ch(spark, e2), 1)   # hits the bound -> folds
+    man = t._latest_manifest(spark)
+    assert man.get("pending", []) == []
+    assert man.get("delta_compaction") is True
+
+    plain(_ch(spark, e1), 0)
+    plain(_ch(spark, e2), 1)
+    rows = lambda x: sorted(  # noqa: E731
+        tuple(r) for r in x.current(spark).collect())
+    assert rows(t) == rows(plain)
+
+    # replayed epoch after the compaction: still a no-op
+    v_after = t._latest_version(spark)
+    t(_ch(spark, e2), 1)
+    assert t._latest_version(spark) == v_after
+
+    # a feed window spanning the auto-compaction
+    feed = {(r.k, r._change_type) for r in
+            t.changes_between(spark, v0, v_after).collect()}
+    assert feed == {(1, "update"), (9, "insert"), (2, "delete")}
+
+
+def test_matview_over_composite_key_table(spark, tmp_path):
+    """Integration pin: an incrementally maintained view over a
+    COMPOSITE-key table — the refresh reads the change feed through
+    the new composite inline fast path."""
+    t = PartitionedCdcTable(str(tmp_path / "t"), ["k1", "k2"],
+                            app_id="w", num_buckets=4,
+                            write_mode="merge_on_read")
+    t.initialize(_cseed(spark))
+    view = MaterializedAggView(
+        t, str(tmp_path / "mv"), group_cols=["k2"],
+        aggs={"n": ("count", None), "total": ("sum", "v")})
+    view.refresh(spark)
+    t(spark.createDataFrame(
+        [(1, "a", 999, 1, "update"), (2, "b", 0, 1, "delete"),
+         (9, "a", 90, 1, "insert")], CCH), 0)
+    view.refresh(spark)
+    got = {r.k2: (r.n, r.total) for r in view.result(spark).collect()}
+    want = {r.k2: (r.n, r.total) for r in
+            t.current(spark).groupBy("k2").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("v").alias("total")).collect()}
+    assert got == want
