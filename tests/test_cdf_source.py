@@ -231,3 +231,24 @@ def test_replicate_table_via_change_feed(spark, tmp_path):
     src(_ch(spark, [(5, "e", 50, 3, "insert")]), 2)
     run("rck1")
     assert live(replica) == live(src)
+
+
+def test_feed_survives_auto_compaction_mid_stream(spark, tmp_path):
+    """r12: auto_compact_pending folds the pending list DURING normal
+    writes — to a live change-feed stream the fold must look like any
+    maintenance commit (emits nothing, kills nothing), and every real
+    change before/after it must arrive exactly once."""
+    t = _mor(spark, tmp_path, name="acfeed", auto_compact_pending=2)
+    path = str(tmp_path / "acfeed")
+    q = _drain(spark, path, str(tmp_path / "ckac"), "acfeed_sink")
+    t(_ch(spark, [(1, "a1", 11, 1, "update")]), 0)
+    t(_ch(spark, [(3, "c", 30, 2, "insert")]), 1)   # triggers the fold
+    assert t._latest_manifest(spark).get("pending", []) == []
+    t(_ch(spark, [(3, "c2", 31, 3, "update")]), 2)  # post-fold epoch
+    q.processAllAvailable()
+    assert q.isActive  # the fold never killed the stream
+    got = [(r.k, r.s, r.op) for r in
+           spark.table("acfeed_sink").orderBy("seq").collect()]
+    assert got == [(1, "a1", "update"), (3, "c", "insert"),
+                   (3, "c2", "update")]
+    q.stop()
