@@ -147,3 +147,38 @@ def test_merge_into_matches_reference(spark, tmp_path_factory, src,
                 want[k] = sv if ins == {"v": "s.sv"} else sv * 2
     got = {r.k: r.v for r in t.current(spark).collect()}
     assert got == want
+
+
+# -- r12: composite-key lookup predicate vs a plain-Python model --------------
+
+_KEYVAL = st.one_of(st.none(), st.integers(0, 3))
+_NSVAL = st.one_of(st.none(), st.sampled_from(["a", "b"]))
+_PROBE = st.tuples(_KEYVAL, _NSVAL)
+
+
+@settings(max_examples=25, deadline=None)
+@given(rows=st.lists(st.tuples(_KEYVAL, _NSVAL, st.integers(0, 99)),
+                     min_size=1, max_size=10, unique_by=lambda r:
+                     (r[0], r[1])),
+       probes=st.lists(_PROBE, min_size=1, max_size=6))
+def test_composite_lookup_matches_python_model(spark, tmp_path_factory,
+                                               rows, probes):
+    """lookup() with arbitrary composite probes — null slots, null
+    keys in the DATA, absent pairs — equals the plain-Python set
+    filter on both layouts (flat = predicate only; partitioned =
+    predicate + bucket pruning + the typed literal probe frame)."""
+    frame = spark.createDataFrame(rows, "k1 long, k2 string, v long")
+    want = sorted(((r[0], r[1], r[2]) for r in rows
+                   if (r[0], r[1]) in set(probes)),
+                  key=repr)
+    for layout in ("flat", "part"):
+        base = str(tmp_path_factory.mktemp("cmplk"))
+        if layout == "flat":
+            t = CdcTable(f"{base}/t", ["k1", "k2"], app_id="w")
+        else:
+            t = PartitionedCdcTable(f"{base}/t", ["k1", "k2"],
+                                    app_id="w", num_buckets=3)
+        t.initialize(frame)
+        got = sorted(((r.k1, r.k2, r.v) for r in
+                      t.lookup(spark, probes).collect()), key=repr)
+        assert got == want, (layout, got, want)
