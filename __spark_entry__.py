@@ -2318,6 +2318,35 @@ WHERE o_custkey IN (SELECT k FROM anchors WHERE k IS NOT NULL)
 """
 
 
+def q_cdc_bloom_lookup(spark, sf_dir):
+    """Key-bloom point read over the LIVE CDC table (r12 — zorder.py
+    CdcSkippingIndex.read_eq): ``o_orderkey IN (anchors)`` served by
+    opening only the files whose LIVE-ONLY per-bucket bloom may hold a
+    probed key (a tombstoned key's value can never pass), with the
+    delta-touched buckets folded for real. Same probe set and oracle
+    as ``cdc_lookup`` — the two serving reads (hash-pruned lookup,
+    bloom-pruned read_eq) must land the identical answer, each through
+    its own skipping machinery."""
+    from systems_spark.operators.zorder import CdcSkippingIndex
+
+    table = _cdc_lookup_table(spark, sf_dir)
+    orders = _t(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderkey").alias("m")).collect()[0]["m"]
+    row = orders.agg(
+        F.min("o_orderkey"), F.max("o_orderkey"),
+        F.min(F.when(F.col("o_orderkey") * 4 >= mx, F.col("o_orderkey"))),
+        F.min(F.when(F.col("o_orderkey") * 2 >= mx, F.col("o_orderkey"))),
+        F.min(F.when(F.col("o_orderkey") * 4 >= 3 * mx,
+                     F.col("o_orderkey")))).collect()[0]
+    anchors = sorted({int(v) for v in row if v is not None})
+    hits = CdcSkippingIndex().read_eq(spark, table, "o_orderkey",
+                                      anchors, bits_log2=16)
+    return (hits.where(F.col("o_orderkey").isin(anchors))
+            .select("o_orderkey", "o_custkey", "o_orderstatus",
+                    F.col("o_totalprice").cast("double")
+                    .alias("total_price")))
+
+
 def q_cdc_stats_agg(spark, sf_dir):
     """METADATA-ONLY aggregates over a LIVE CDC table (r12 — zorder.py
     CdcSkippingIndex.aggregate, VERDICT r11 item 5): COUNT(*)/MIN/MAX/
@@ -8500,6 +8529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_stats_agg": q_cdc_stats_agg,
         "cdc_token_search": q_cdc_token_search,
         "cdc_auto_compact": q_cdc_auto_compact,
+        "cdc_bloom_lookup": q_cdc_bloom_lookup,
         "media_probe": q_media_probe,
         "cdc_merge_into": q_cdc_merge_into,
         "cdc_rename": q_cdc_rename,
@@ -8787,6 +8817,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_lookup_composite": _sql_cdc_lookup_composite(),
         # policy lane: content must equal the plain global merge
         "cdc_auto_compact": _sql_orders_cdc_apply(),
+        # bloom-pruned read_eq must land exactly the lookup's answer
+        "cdc_bloom_lookup": _sql_cdc_lookup(),
         # full-scan twins: the skipping answers must equal a scan of
         # the globally merged live view
         "cdc_stats_agg": _sql_cdc_stats_agg(),

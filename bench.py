@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "cdc_stats_agg",
     "cdc_token_search",
     "cdc_auto_compact",
+    "cdc_bloom_lookup",
     "cdc_rename",
     "cdc_drop",
     "cdc_optimize",
