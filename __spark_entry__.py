@@ -2347,6 +2347,63 @@ def q_cdc_bloom_lookup(spark, sf_dir):
                     .alias("total_price")))
 
 
+def q_cdc_range_read(spark, sf_dir):
+    """Stats-range-pruned LIVE read (r12 — zorder.py
+    CdcSkippingIndex.read, the fourth skipping read): a price-band
+    scan over the merge-on-read orders table with pending deltas —
+    untouched buckets open only the files whose LIVE-ONLY [min, max]
+    stats overlap the band, touched buckets fold for real, and the
+    caller's row filter lands on what's left. Aggregated so the
+    oracle (the globally merged view filtered to the band) grades
+    every surviving row. Equality holds only if no file holding a
+    band row was skipped AND no tombstoned/stale row leaked in."""
+    from systems_spark.operators.zorder import CdcSkippingIndex
+
+    table = _cdc_lookup_table(spark, sf_dir)
+    lo, hi = 1000.0, 5000.0
+    rows = CdcSkippingIndex().read(
+        spark, table, ["o_totalprice"], {"o_totalprice": (lo, hi)})
+    band = rows.where((F.col("o_totalprice") >= lo)
+                      & (F.col("o_totalprice") <= hi))
+    return band.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double").alias("total_price"),
+        F.sum(F.col("o_orderkey").cast("decimal(38,0)"))
+        .cast("bigint").alias("key_checksum"))
+
+
+def _sql_cdc_range_read() -> str:
+    from systems_spark.operators import apply_cdc_sql
+
+    changes = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN op = 'update' THEN o_totalprice + 1 ELSE o_totalprice END
+         AS o_totalprice,
+       1 AS seq, op
+FROM (SELECT *, CASE WHEN o_orderkey % 24 = 0 THEN 'delete'
+                     WHEN o_orderkey % 16 = 0 THEN 'update'
+                     ELSE 'insert' END AS op
+      FROM orders WHERE o_orderkey % 8 = 0)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2,
+       2 AS seq, 'update' AS op
+FROM orders WHERE o_orderkey % 40 = 0
+"""
+    merged = apply_cdc_sql(
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice "
+        "FROM orders WHERE o_orderkey % 8 <> 0",
+        changes, "o_orderkey",
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"])
+    return f"""
+SELECT count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice::DECIMAL(18,2)), 2)::DOUBLE AS total_price,
+       sum(o_orderkey::HUGEINT)::BIGINT AS key_checksum
+FROM ({merged})
+WHERE o_totalprice >= 1000.0 AND o_totalprice <= 5000.0
+"""
+
+
 def q_cdc_stats_agg(spark, sf_dir):
     """METADATA-ONLY aggregates over a LIVE CDC table (r12 — zorder.py
     CdcSkippingIndex.aggregate, VERDICT r11 item 5): COUNT(*)/MIN/MAX/
@@ -8530,6 +8587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_token_search": q_cdc_token_search,
         "cdc_auto_compact": q_cdc_auto_compact,
         "cdc_bloom_lookup": q_cdc_bloom_lookup,
+        "cdc_range_read": q_cdc_range_read,
         "media_probe": q_media_probe,
         "cdc_merge_into": q_cdc_merge_into,
         "cdc_rename": q_cdc_rename,
@@ -8819,6 +8877,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_auto_compact": _sql_orders_cdc_apply(),
         # bloom-pruned read_eq must land exactly the lookup's answer
         "cdc_bloom_lookup": _sql_cdc_lookup(),
+        "cdc_range_read": _sql_cdc_range_read(),
         # full-scan twins: the skipping answers must equal a scan of
         # the globally merged live view
         "cdc_stats_agg": _sql_cdc_stats_agg(),

@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "cdc_token_search",
     "cdc_auto_compact",
     "cdc_bloom_lookup",
+    "cdc_range_read",
     "cdc_rename",
     "cdc_drop",
     "cdc_optimize",
