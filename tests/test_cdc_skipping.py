@@ -322,3 +322,24 @@ def test_schema_evolution_and_column_guard(spark, tmp_path):
     t.drop_column(spark, "w")
     with pytest.raises(ValueError, match="not in the live view"):
         idx.aggregate(spark, t, ["w"])  # dropped data must not leak
+
+
+def test_vacuum_after_rebucket_reclaims_all_old_entries(spark,
+                                                        tmp_path):
+    """rebucket is a full rewrite: EVERY old bucket path is orphaned,
+    vacuum reclaims them all, and the index rebuilds cleanly at the
+    new layout."""
+    store = StateStore(root=str(tmp_path / "state"))
+    t = PartitionedCdcTable(str(tmp_path / "t"), "k", app_id="w",
+                            num_buckets=4)
+    t.initialize(_seed(spark, 80))
+    idx = CdcSkippingIndex(store)
+    _check_agg(spark, idx, t)
+    n_old = len([e for e in store.entries(spark) if e["manifest"]])
+    assert n_old >= 1
+
+    t.rebucket(spark, 8)
+    reclaimed = idx.vacuum(spark, t)
+    assert reclaimed == n_old       # everything moved
+    _check_agg(spark, idx, t)       # rebuilds at the new layout
+    assert idx.vacuum(spark, t) == 0
