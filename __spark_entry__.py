@@ -2404,6 +2404,88 @@ WHERE o_totalprice >= 1000.0 AND o_totalprice <= 5000.0
 """
 
 
+def q_cdc_adopt(spark, sf_dir):
+    """CONVERT TO TABLE (r12 — streaming/sinks.py CdcTable.adopt;
+    Delta's CONVERT TO DELTA / Iceberg's add_files): the testdata
+    orders parquet directory is brought under a transaction log IN
+    PLACE — the seed commit is METADATA-ONLY (at 100 TB the one
+    migration you can afford: zero bytes rewrite; bookkeeping columns
+    synthesize at read time; the source dir is never written and never
+    vacuumable) — then the adopted table absorbs a change batch
+    through the ordinary OCC merge and serves the merged live view.
+    Oracle = the same upsert applied to orders in SQL, so equality
+    holds only if the in-place seed read, the synthesized bookkeeping,
+    and the first post-adoption merge are all exact. Reference parity:
+    the reference serves externally-produced feature tables it did not
+    write (merlin/systems/dag/ops/feast.py); here that adoption is
+    transactional."""
+    import hashlib
+
+    from systems_spark.streaming import CdcTable
+
+    key = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:cdcadopt:{sf_dir}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join("/tmp", "systems_spark_cdc", key)
+    t = CdcTable(os.path.join(base, "t"), key_cols="o_orderkey",
+                 app_id="cdcad")
+    t.adopt(spark, os.path.join(sf_dir, "orders.parquet"))
+
+    orders = _t(spark, sf_dir, "orders")
+    b = orders.where(F.col("o_orderkey") % 8 == 0)
+    c1 = (b.withColumn(
+              "op",
+              F.when(F.col("o_orderkey") % 24 == 0, F.lit("delete"))
+              .when(F.col("o_orderkey") % 16 == 0, F.lit("update"))
+              .otherwise(F.lit("insert")))
+          .withColumn(
+              "o_totalprice",
+              F.when(F.col("op") == "update", F.col("o_totalprice") + 1)
+              .otherwise(F.col("o_totalprice")))
+          .withColumn("seq", F.lit(1).cast("long")))
+    c2 = (b.where(F.col("o_orderkey") % 40 == 0)
+          .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+          .withColumn("seq", F.lit(2).cast("long"))
+          .withColumn("op", F.lit("update")))
+    t(c1.unionByName(c2), 0)
+    return (t.current(spark).groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+                         2).cast("double").alias("total_price"),
+                 F.sum(F.col("o_orderkey").cast("decimal(38,0)"))
+                 .cast("bigint").alias("key_checksum")))
+
+
+def _sql_cdc_adopt() -> str:
+    from systems_spark.operators import apply_cdc_sql
+
+    changes = """
+SELECT o_orderkey, o_orderstatus,
+       CASE WHEN op = 'update' THEN o_totalprice + 1 ELSE o_totalprice END
+         AS o_totalprice,
+       1 AS seq, op
+FROM (SELECT o_orderkey, o_orderstatus, o_totalprice,
+             CASE WHEN o_orderkey % 24 = 0 THEN 'delete'
+                  WHEN o_orderkey % 16 = 0 THEN 'update'
+                  ELSE 'insert' END AS op
+      FROM orders WHERE o_orderkey % 8 = 0)
+UNION ALL
+SELECT o_orderkey, o_orderstatus, o_totalprice * 2,
+       2 AS seq, 'update' AS op
+FROM orders WHERE o_orderkey % 40 = 0
+"""
+    merged = apply_cdc_sql(
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+        changes, "o_orderkey",
+        ["o_orderkey", "o_orderstatus", "o_totalprice"])
+    return f"""
+SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice::DECIMAL(18,2)), 2)::DOUBLE AS total_price,
+       sum(o_orderkey::HUGEINT)::BIGINT AS key_checksum
+FROM ({merged}) GROUP BY 1
+"""
+
+
 def q_cdc_stats_agg(spark, sf_dir):
     """METADATA-ONLY aggregates over a LIVE CDC table (r12 — zorder.py
     CdcSkippingIndex.aggregate, VERDICT r11 item 5): COUNT(*)/MIN/MAX/
@@ -8588,6 +8670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_auto_compact": q_cdc_auto_compact,
         "cdc_bloom_lookup": q_cdc_bloom_lookup,
         "cdc_range_read": q_cdc_range_read,
+        # r12 late: CONVERT TO TABLE — zero-rewrite in-place adoption
+        "cdc_adopt": q_cdc_adopt,
         "media_probe": q_media_probe,
         "cdc_merge_into": q_cdc_merge_into,
         "cdc_rename": q_cdc_rename,
@@ -8878,6 +8962,7 @@ def oracle_sql() -> dict[str, str]:
         # bloom-pruned read_eq must land exactly the lookup's answer
         "cdc_bloom_lookup": _sql_cdc_lookup(),
         "cdc_range_read": _sql_cdc_range_read(),
+        "cdc_adopt": _sql_cdc_adopt(),
         # full-scan twins: the skipping answers must equal a scan of
         # the globally merged live view
         "cdc_stats_agg": _sql_cdc_stats_agg(),

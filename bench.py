@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "cdc_auto_compact",
     "cdc_bloom_lookup",
     "cdc_range_read",
+    "cdc_adopt",
     "cdc_rename",
     "cdc_drop",
     "cdc_optimize",

@@ -622,6 +622,15 @@ class CdcSkippingIndex:
         """``(man, {bucket: path} served from the index, live rows of
         the delta-touched buckets or None)``."""
         man = table._latest_manifest(spark)
+        if man.get("plain_payload") or man.get("plain_dirs"):
+            # an ADOPTED table's files carry no bookkeeping columns,
+            # so the live-only build predicate cannot evaluate on them
+            raise ValueError(
+                "table data is an ADOPTED plain directory — "
+                "materialize the transactional layout first (any "
+                "merge/compact/optimize on the flat layout; "
+                "rebucket()/compact_deltas() on the bucketed one) "
+                "before skip-indexing it")
         if not hasattr(table, "bucket_paths"):
             # flat layout: one snapshot dir, never pending deltas
             return man, {0: table._data_path(man)}, None

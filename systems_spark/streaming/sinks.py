@@ -498,6 +498,77 @@ class CdcTable:
         except ConcurrentCommitError:
             return  # another writer seeded first — same idempotent no-op
 
+    def adopt(self, spark: SparkSession, source_path: str,
+              seq: int = 0) -> None:
+        """CONVERT TO TABLE (Delta's ``CONVERT TO DELTA``, Iceberg's
+        ``add_files``): bring an EXISTING plain parquet directory under
+        this transaction log WITHOUT rewriting a byte. The seed
+        manifest references the directory IN PLACE (the same
+        ``data_base`` indirection shallow clones use) and the
+        bookkeeping columns are synthesized at read time (``seq_col`` =
+        the adoption seq, nothing deleted) — at 100 TB this is the only
+        viable migration; :meth:`initialize` would rewrite the corpus.
+
+        The source directory is never written to and never vacuumed
+        (it lives OUTSIDE the table path, and vacuum sweeps only
+        table-local ``version=`` dirs); every later commit writes
+        ordinary table-local snapshots, so the adoption flag vanishes
+        at the first data-moving commit. Idempotent like
+        :meth:`initialize`: adopting an already-initialized table (or
+        losing the seed race) is a no-op. Adopting a directory inside
+        the table path (or vice versa) raises — the table's own vacuum
+        must never be able to reach adopted data."""
+        source = source_path.rstrip("/")
+        fs, m = self._fs(spark, self._marker_path(-1))
+        if fs.exists(m):
+            return
+        if (source == self.path or source.startswith(self.path + "/")
+                or self.path.startswith(source + "/")):
+            raise ValueError(
+                f"adopt: {source} overlaps the table path {self.path} — "
+                f"vacuum must never be able to sweep adopted data")
+        sfs, sp = self._fs(spark, source)
+        if not sfs.exists(sp):
+            raise ValueError(f"adopt: no parquet data at {source}")
+        payload = spark.read.parquet(source)
+        clash = [c for c in (self.seq_col, self.op_col, self.DELETED)
+                 if c in payload.columns]
+        if clash:
+            raise ValueError(
+                f"adopt: source column(s) {clash} collide with the "
+                f"table's bookkeeping names")
+        missing = [k for k in self.key_cols if k not in payload.columns]
+        if missing:
+            raise ValueError(
+                f"adopt: source lacks merge key column(s) {missing}")
+        rows = payload.count()
+        base, _, name = source.rpartition("/")
+        manifest = {"app_id": self.app_id, "version": -1,
+                    "rows": int(rows), "data_dir": name,
+                    "data_base": base, "plain_payload": True,
+                    "adopted_seq": int(seq), "adopted_from": source,
+                    "txn": {}, "committed_at_ms": _commit_stamp_ms(None)}
+        from systems_spark.state import fs_publish_text_exclusive
+        if not fs_publish_text_exclusive(
+                spark, self._marker_path(-1),
+                json.dumps(manifest, sort_keys=True)):
+            return  # lost the seed race — same idempotent no-op
+        self._update_latest_hint(spark, -1)
+
+    def _read_snapshot(self, spark: SparkSession, man: dict) -> DataFrame:
+        """The committed snapshot frame AT ``man``, in PHYSICAL names —
+        the single read choke point. An ADOPTED manifest
+        (``plain_payload``) references a plain parquet directory that
+        predates the log, so the bookkeeping columns are synthesized
+        here instead of read: adoption never rewrote a byte."""
+        df = spark.read.parquet(self._data_path(man))
+        if man.get("plain_payload"):
+            df = (df.withColumn(
+                      self.seq_col,
+                      F.lit(int(man.get("adopted_seq", 0))).cast("long"))
+                  .withColumn(self.DELETED, F.lit(False)))
+        return df
+
     def snapshot(self, spark: SparkSession) -> DataFrame:
         """Latest committed snapshot INCLUDING tombstones + seq column,
         in PHYSICAL column names — the internal read every maintenance
@@ -505,8 +576,7 @@ class CdcTable:
         physical names stay constant on disk forever. User-facing
         reads (``current``/``at_version``/feeds) apply the manifest's
         column map to show LOGICAL names."""
-        return spark.read.parquet(
-            self._data_path(self._latest_manifest(spark)))
+        return self._read_snapshot(spark, self._latest_manifest(spark))
 
     # -- column mapping (RENAME COLUMN without rewrite) ---------------------
     def _column_map(self, man: dict) -> "dict[str, str]":
@@ -656,8 +726,8 @@ class CdcTable:
             phys_cols = [f.name for f in StructType.fromJson(
                 json.loads(man["schema"])).fields] \
                 if "schema" in man else \
-                [f.name for f in spark.read.parquet(
-                    self._data_path(man)).schema.fields]
+                [f.name for f in
+                 self._read_snapshot(spark, man).schema.fields]
             inv = {p: l for l, p in cmap.items()}
             logical = [inv.get(p, p) for p in phys_cols]
             dead = set(self._dropped(man))
@@ -723,7 +793,7 @@ class CdcTable:
             if int(batch_id) <= int(man.get("txn", {})
                                     .get(txn_app, -1)):
                 return  # replayed epoch: this batch already committed
-            snap = spark.read.parquet(self._data_path(man))
+            snap = self._read_snapshot(spark, man)
             batch = self._fill_dropped(
                 man,
                 self._to_physical(man,
@@ -781,8 +851,7 @@ class CdcTable:
         column names AS OF that version — renaming history time-travels
         with the data, like Delta's column mapping."""
         man = self._manifest_at(spark, version)
-        return self._to_logical(
-            man, spark.read.parquet(self._data_path(man)))
+        return self._to_logical(man, self._read_snapshot(spark, man))
 
     def register_views(self, spark: SparkSession, name: str,
                        version: "int | None" = None) -> None:
@@ -975,10 +1044,16 @@ class CdcTable:
                         schema_evolution=self.schema_evolution)
 
     def _clone_seed_manifest(self, clone: "CdcTable", man: dict) -> dict:
-        return {"app_id": clone.app_id, "version": -1,
+        seed = {"app_id": clone.app_id, "version": -1,
                 "rows": int(man.get("rows", 0)),
                 "data_dir": man["data_dir"],
                 "data_base": man.get("data_base", self.path)}
+        if man.get("plain_payload"):
+            # cloning an adopted table: the clone serves the same
+            # plain source directory, synthesized the same way
+            seed["plain_payload"] = True
+            seed["adopted_seq"] = int(man.get("adopted_seq", 0))
+        return seed
 
     def restore(self, spark: SparkSession, version: int) -> int:
         """RESTORE TABLE TO VERSION: commit the OLD version's content
@@ -994,8 +1069,8 @@ class CdcTable:
             man = self._latest_manifest(spark)
             # PHYSICAL read: restore round-trips the old snapshot back
             # into the log, and on-disk names must never drift
-            old = spark.read.parquet(self._data_path(
-                self._manifest_at(spark, version)))
+            old = self._read_snapshot(
+                spark, self._manifest_at(spark, version))
             # a restore may not resurrect rows a constraint added since
             # then forbids — validated like Delta validates a RESTORE
             self._enforce_constraints(man, old, "restored")
@@ -1165,6 +1240,11 @@ class CdcTable:
                     "committed_at_ms": _commit_stamp_ms(prior_man)}
         if "data_base" in prior_man:  # noop over a clone's seed data
             manifest["data_base"] = prior_man["data_base"]
+        if prior_man.get("plain_payload"):
+            # noop over an ADOPTED seed: the shared directory is still
+            # the plain source, so the read-time synthesis must carry
+            manifest["plain_payload"] = True
+            manifest["adopted_seq"] = int(prior_man.get("adopted_seq", 0))
         if "fence_seq" in prior_man:
             manifest["fence_seq"] = int(prior_man["fence_seq"])
         self._carry_standing(manifest, prior_man)
@@ -1725,7 +1805,7 @@ class CdcTable:
                     else None)
             fence = max(int(fence_seq), prev) if prev is not None \
                 else int(fence_seq)
-            snap = spark.read.parquet(self._data_path(man))
+            snap = self._read_snapshot(spark, man)
             compacted = snap.where(~(F.col(self.DELETED)
                                      & (F.col(self.seq_col) <= fence)))
             version = int(man["version"]) + 1
@@ -1765,7 +1845,7 @@ class CdcTable:
         for _attempt in range(self._COMMIT_RETRIES):
             self._backoff(_attempt)
             man = self._latest_manifest(spark)
-            snap = spark.read.parquet(self._data_path(man))
+            snap = self._read_snapshot(spark, man)
             laid = zorder_layout(snap, zorder_cols, ranges, bits=bits,
                                  partitions=partitions).drop("_zorder")
             extra = {"optimize": True,
@@ -1958,12 +2038,20 @@ class PartitionedCdcTable(CdcTable):
         # the manifest's "dirs" map resolves every writer version its
         # bucket mapping references to that version's winning data
         # directory (carried forward commit-to-commit, pruned to the
-        # referenced set) — no other manifest needs reading
+        # referenced set) — no other manifest needs reading. An
+        # ADOPTED plain directory (``plain_dirs``) has no bucket
+        # subdirectories: it IS the single bucket, read verbatim.
         mapping = self._mapping(man)
         dirs = man.get("dirs", {})
-        return [f"{self._dir_path(man, dirs[str(mapping[b])])}"
-                f"/{self.BUCKET}={b}"
-                for b in sorted(buckets) if b in mapping]
+        plain = set(man.get("plain_dirs", []))
+        out = []
+        for b in sorted(buckets):
+            if b not in mapping:
+                continue
+            d = dirs[str(mapping[b])]
+            p = self._dir_path(man, d)
+            out.append(p if d in plain else f"{p}/{self.BUCKET}={b}")
+        return out
 
     def _empty_like(self, spark: SparkSession, man: dict) -> DataFrame:
         from pyspark.sql.types import StructType
@@ -1982,6 +2070,22 @@ class PartitionedCdcTable(CdcTable):
         # mergeSchema footer sweep
         from pyspark.sql.types import StructType
         schema = StructType.fromJson(json.loads(man["schema"]))
+        if man.get("plain_dirs"):
+            # ADOPTED seed data: the files predate the log and carry no
+            # bookkeeping columns — synthesize them, exactly like the
+            # flat layout's _read_snapshot. Adoption pins num_buckets=1
+            # and the first data-moving commit rewrites the only
+            # bucket, so a manifest never mixes plain and normal dirs.
+            payload = StructType([
+                f for f in schema.fields
+                if f.name not in (self.seq_col, self.DELETED)])
+            df = spark.read.schema(payload).parquet(*paths)
+            return (df.withColumn(
+                        self.seq_col,
+                        F.lit(int(man.get("adopted_seq", 0)))
+                        .cast("long"))
+                    .withColumn(self.DELETED, F.lit(False))
+                    .select(*[f.name for f in schema.fields]))
         return spark.read.schema(schema).parquet(*paths)
 
     # -- merge-on-read: delta log entries + reader-side fold ---------------
@@ -2503,6 +2607,14 @@ class PartitionedCdcTable(CdcTable):
         kept = {d: b for d, b in bases.items() if d in referenced}
         if kept:
             manifest["dir_bases"] = kept
+        # an adopted plain dir's read-time synthesis rides exactly as
+        # long as the dir itself is still referenced
+        plain = [d for d in prior_man.get("plain_dirs", [])
+                 if d in referenced]
+        if plain:
+            manifest["plain_dirs"] = plain
+            manifest["adopted_seq"] = int(
+                prior_man.get("adopted_seq", 0))
 
     def _commit_version(self, spark: SparkSession, df: "DataFrame | None",
                         version: int, prior_man: "dict | None",
@@ -2572,6 +2684,73 @@ class PartitionedCdcTable(CdcTable):
                 -1, None, touched=(), schema_json=schema_json)
         except ConcurrentCommitError:
             return  # another writer seeded first — same idempotent no-op
+
+    def adopt(self, spark: SparkSession, source_path: str,
+              seq: int = 0) -> None:
+        """CONVERT TO TABLE on the bucketed layout, still metadata-only:
+        an existing plain parquet directory cannot be hash-bucketed
+        without the rewrite adoption exists to avoid, so it adopts as
+        ONE bucket (with ``num_buckets=1`` every key pmod-hashes to
+        bucket 0 — the pruning invariant holds trivially) referenced IN
+        PLACE, and :meth:`rebucket` is the explicit, OCC-safe scale-out
+        rewrite run when convenient. Reads (current/at_version/lookup/
+        feeds) work immediately; merge-on-read writes stack deltas on
+        the plain bucket at O(batch); the first data-moving commit
+        (COW merge, compact_deltas, rebucket, optimize, restore)
+        rewrites the only bucket and the adoption flag vanishes. A
+        handle with ``num_buckets != 1`` raises rather than silently
+        mispruning. Idempotent like :meth:`initialize`."""
+        if self.num_buckets != 1:
+            raise ValueError(
+                "adopt requires num_buckets=1 (the plain directory is "
+                "the single bucket); rebucket(n) afterwards is the one "
+                "explicit rewrite")
+        source = source_path.rstrip("/")
+        fs, m = self._fs(spark, self._marker_path(-1))
+        if fs.exists(m):
+            return
+        if (source == self.path or source.startswith(self.path + "/")
+                or self.path.startswith(source + "/")):
+            raise ValueError(
+                f"adopt: {source} overlaps the table path {self.path} — "
+                f"vacuum must never be able to sweep adopted data")
+        sfs, sp = self._fs(spark, source)
+        if not sfs.exists(sp):
+            raise ValueError(f"adopt: no parquet data at {source}")
+        payload = spark.read.parquet(source)
+        clash = [c for c in (self.seq_col, self.op_col, self.DELETED,
+                             self.BUCKET) if c in payload.columns]
+        if clash:
+            raise ValueError(
+                f"adopt: source column(s) {clash} collide with the "
+                f"table's bookkeeping names")
+        missing = [k for k in self.key_cols if k not in payload.columns]
+        if missing:
+            raise ValueError(
+                f"adopt: source lacks merge key column(s) {missing}")
+        rows = payload.count()
+        from pyspark.sql.types import (BooleanType, LongType,
+                                       StructField, StructType)
+        schema = StructType(
+            list(payload.schema.fields)
+            + [StructField(self.seq_col, LongType(), True),
+               StructField(self.DELETED, BooleanType(), True)])
+        base, _, name = source.rpartition("/")
+        manifest = {"app_id": self.app_id, "version": -1,
+                    "rows": int(rows),
+                    "buckets": {"0": -1}, "dirs": {"-1": name},
+                    "dir_bases": {name: base}, "plain_dirs": [name],
+                    "adopted_seq": int(seq), "adopted_from": source,
+                    "pending": [], "txn": {},
+                    "committed_at_ms": _commit_stamp_ms(None),
+                    "table_conf": self._table_conf(),
+                    "schema": json.dumps(schema.jsonValue())}
+        from systems_spark.state import fs_publish_text_exclusive
+        if not fs_publish_text_exclusive(
+                spark, self._marker_path(-1),
+                json.dumps(manifest, sort_keys=True)):
+            return  # lost the seed race — same idempotent no-op
+        self._update_latest_hint(spark, -1)
 
     def snapshot(self, spark: SparkSession) -> DataFrame:
         return self._materialize_view(spark,
@@ -2908,7 +3087,7 @@ class PartitionedCdcTable(CdcTable):
         prior = man.get("dir_bases", {})
         referenced = set(man.get("dirs", {}).values()) \
             | set(man.get("pending", []))
-        return {"app_id": clone.app_id, "version": -1,
+        seed = {"app_id": clone.app_id, "version": -1,
                 "rows": int(man.get("rows", 0)),
                 "buckets": dict(man.get("buckets", {})),
                 "dirs": dict(man.get("dirs", {})),
@@ -2917,6 +3096,13 @@ class PartitionedCdcTable(CdcTable):
                               for d in referenced},
                 "table_conf": clone._table_conf(),
                 "schema": man["schema"]}
+        plain = [d for d in man.get("plain_dirs", []) if d in referenced]
+        if plain:
+            # cloning an adopted table: the clone reads the same plain
+            # directory with the same read-time synthesis
+            seed["plain_dirs"] = plain
+            seed["adopted_seq"] = int(man.get("adopted_seq", 0))
+        return seed
 
     def restore(self, spark: SparkSession, version: int) -> int:
         """RESTORE TO VERSION, bucket-shaped: the restored content
@@ -3000,6 +3186,12 @@ class PartitionedCdcTable(CdcTable):
             raise ValueError(
                 "snapshot has pending merge-on-read deltas — "
                 "compact_deltas() before stats-indexing bucket files")
+        if man.get("plain_dirs"):
+            raise ValueError(
+                "table data is an ADOPTED plain directory (no "
+                "bookkeeping columns on disk) — rebucket()/optimize() "
+                "first to materialize the transactional layout before "
+                "stats-indexing bucket files")
         return self._bucket_paths(man, self._mapping(man))
 
     def optimize(self, spark: SparkSession, zorder_cols, ranges,
