@@ -310,6 +310,78 @@ def test_part_adopt_clone_serves_source(spark, tmp_path):
         [(1, "a1", 11), (2, "b", 20), (3, "c", 30)]
 
 
+def test_part_adopt_optimize_materializes(spark, tmp_path):
+    src = str(tmp_path / "ext" / "src")
+    _write_source(spark, src)
+    t = PartitionedCdcTable(str(tmp_path / "p"), key_cols="k",
+                            app_id="pa7", num_buckets=1)
+    t.adopt(spark, src)
+    t.optimize(spark, ["v"], [(10, 30)])
+    man = t._latest_manifest(spark)
+    assert not man.get("plain_dirs")
+    assert _rows(t.current(spark)) == \
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)]
+
+
+def test_part_adopt_vacuum_after_rebucket_spares_source(spark, tmp_path):
+    src = str(tmp_path / "ext" / "src")
+    _write_source(spark, src)
+    t = PartitionedCdcTable(str(tmp_path / "p"), key_cols="k",
+                            app_id="pa8", num_buckets=1)
+    t.adopt(spark, src)
+    t.rebucket(spark, 4)
+    t4 = PartitionedCdcTable(str(tmp_path / "p"), key_cols="k",
+                             app_id="pa8", num_buckets=4)
+    t4(_ch(spark, [(1, "a1", 11, 1, "update")]), 0)
+    t4.vacuum(spark, keep_last=1)
+    # the adopted seed's marker aged out; the external dir is intact
+    assert -1 not in t4.versions(spark)
+    assert _rows(spark.read.parquet(src)) == \
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)]
+    assert _rows(t4.current(spark)) == \
+        [(1, "a1", 11), (2, "b", 20), (3, "c", 30)]
+
+
+def test_adopt_second_source_is_noop_on_both_layouts(spark, tmp_path):
+    src1 = str(tmp_path / "ext" / "one")
+    src2 = str(tmp_path / "ext" / "two")
+    _write_source(spark, src1)
+    _write_source(spark, src2, rows=[(9, "z", 90)])
+    flat = CdcTable(str(tmp_path / "t"), key_cols="k", app_id="adn")
+    flat.adopt(spark, src1)
+    flat.adopt(spark, src2)  # seed already committed: no-op
+    assert _rows(flat.current(spark)) == \
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)]
+    part = PartitionedCdcTable(str(tmp_path / "p"), key_cols="k",
+                               app_id="adn", num_buckets=1)
+    part.adopt(spark, src1)
+    part.adopt(spark, src2)
+    assert _rows(part.current(spark)) == \
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)]
+
+
+def test_adopt_constraints_validate_synthesized_snapshot(spark, tmp_path):
+    """add_constraint on a freshly adopted table is a manifest-only
+    commit over the shared plain dir: validation must run against the
+    SYNTHESIZED snapshot, the flag must ride the noop, and the
+    constraint must gate the first post-adoption merge."""
+    src = str(tmp_path / "ext" / "src")
+    _write_source(spark, src)
+    t = CdcTable(str(tmp_path / "t"), key_cols="k", app_id="adc")
+    t.adopt(spark, src)
+    # violated by existing (adopted) rows → rejected
+    with pytest.raises(ValueError, match="existing"):
+        t.add_constraint(spark, "v_big", "v > 15")
+    t.add_constraint(spark, "v_pos", "v > 0")
+    # the noop carried the synthesis flag: reads still work, zero-copy
+    assert _data_dirs(str(tmp_path / "t")) == []
+    assert len(_rows(t.current(spark))) == 3
+    with pytest.raises(ValueError, match="v_pos"):
+        t(_ch(spark, [(4, "d", -5, 1, "insert")]), 0)
+    t(_ch(spark, [(4, "d", 40, 1, "insert")]), 1)
+    assert _rows(t.current(spark))[-1] == (4, "d", 40)
+
+
 def test_part_adopt_restore_and_schema_evolution(spark, tmp_path):
     src = str(tmp_path / "ext" / "src")
     _write_source(spark, src)
