@@ -1389,6 +1389,55 @@ def q_cdc_auto_compact(spark, sf_dir):
                  .cast("bigint").alias("key_checksum")))
 
 
+def q_cdc_compact_files(spark, sf_dir):
+    """FILE COMPACTION (r12 — streaming/sinks.py compact_files,
+    Delta's plain OPTIMIZE without Z-ORDER): a wide seed write leaves
+    one file per shuffle task in every bucket, fragmenting the table;
+    compact_files rewrites ONLY the buckets split past the bound (one
+    output file each) while untouched buckets keep their directories —
+    the content-identical relayout a 100 TB table under continuous
+    MERGE needs to stop paying per-file open cost forever. The lane
+    asserts the policy actually fired (every bucket within bound
+    after), then folds a change epoch through the ordinary merge and
+    serves the merged view. Oracle = the plain global merge: equality
+    holds only if the relayout moved no row, dropped no tombstone, and
+    the post-compaction merge composed exactly."""
+    import hashlib
+
+    from systems_spark.streaming import PartitionedCdcTable
+
+    key = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:cdccf:{sf_dir}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join("/tmp", "systems_spark_cdc", key)
+    table = PartitionedCdcTable(os.path.join(base, "t"),
+                                key_cols="o_orderkey", app_id="cdccf",
+                                num_buckets=16)
+    orders = _t(spark, sf_dir, "orders")
+    table.initialize(
+        orders.where(F.col("o_orderkey") % 8 != 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+                "o_totalprice").repartition(32))
+    table.compact_files(spark, max_files=1)
+    man = table._latest_manifest(spark)
+    over = [b for b in table._mapping(man)
+            if len(table._list_parquet(
+                spark, table._bucket_paths(man, [b])[0])) > 1]
+    if over:
+        raise AssertionError(
+            f"compact_files(max_files=1) left buckets {over} fragmented")
+    changes = _cdc_changes(spark, sf_dir)
+    table(changes.where(F.col("seq") == 1), 0)
+    table(changes.where(F.col("seq") == 2), 1)
+    return (table.current(spark)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+                         2).cast("double").alias("total_price"),
+                 F.sum(F.col("o_orderkey").cast("decimal(38,0)"))
+                 .cast("bigint").alias("key_checksum")))
+
+
 def q_cdc_multiwriter(spark, sf_dir):
     """Optimistic concurrency on the shared commit log
     (streaming/sinks.py CdcTable._commit, ConcurrentCommitError): TWO
@@ -8672,6 +8721,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_range_read": q_cdc_range_read,
         # r12 late: CONVERT TO TABLE — zero-rewrite in-place adoption
         "cdc_adopt": q_cdc_adopt,
+        # r12 late: bin-packing file compaction (plain OPTIMIZE)
+        "cdc_compact_files": q_cdc_compact_files,
         "media_probe": q_media_probe,
         "cdc_merge_into": q_cdc_merge_into,
         "cdc_rename": q_cdc_rename,
@@ -8963,6 +9014,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_bloom_lookup": _sql_cdc_lookup(),
         "cdc_range_read": _sql_cdc_range_read(),
         "cdc_adopt": _sql_cdc_adopt(),
+        # relayout lane: content must equal the plain global merge
+        "cdc_compact_files": _sql_orders_cdc_apply(),
         # full-scan twins: the skipping answers must equal a scan of
         # the globally merged live view
         "cdc_stats_agg": _sql_cdc_stats_agg(),

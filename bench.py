@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "cdc_bloom_lookup",
     "cdc_range_read",
     "cdc_adopt",
+    "cdc_compact_files",
     "cdc_rename",
     "cdc_drop",
     "cdc_optimize",

@@ -1821,6 +1821,55 @@ class CdcTable:
             f"compact gave up after {self._COMMIT_RETRIES} attempts on "
             f"{self.path}")
 
+    def _list_parquet(self, spark: SparkSession, path: str) -> list:
+        """(name, bytes) of the parquet files directly under ``path``
+        — the O(files) driver-side listing every maintenance decision
+        (describe_detail, file compaction) is allowed to make."""
+        fs, d = self._fs(spark, path)
+        if not fs.exists(d):
+            return []
+        return [(s.getPath().getName(), int(s.getLen()))
+                for s in fs.listStatus(d)
+                if s.getPath().getName().endswith(".parquet")]
+
+    def compact_files(self, spark: SparkSession,
+                      max_files: int = 4) -> "int | None":
+        """OPTIMIZE (bin-packing file compaction, Delta's plain
+        ``OPTIMIZE`` without Z-ORDER): when the live snapshot is split
+        across more than ``max_files`` parquet files, rewrite it
+        coalesced and commit as a new, content-identical version —
+        rows, tombstones and seqs are untouched payload; only the file
+        layout changes. Every wide merge leaves one file per task, so
+        a table under continuous MERGE trends toward
+        shuffle-partition-many tiny files — the small-file problem
+        that makes every later scan pay per-file open cost. Decision
+        is an O(files) driver-side listing (the same one
+        ``describe_detail`` makes); returns the committed version, or
+        None when the layout is already within bounds (no commit, no
+        version burned)."""
+        if max_files < 1:
+            raise ValueError("max_files must be >= 1")
+        for _attempt in range(self._COMMIT_RETRIES):
+            self._backoff(_attempt)
+            man = self._latest_manifest(spark)
+            files = self._list_parquet(spark, self._data_path(man))
+            if len(files) <= max_files:
+                return None
+            snap = self._read_snapshot(spark, man).coalesce(max_files)
+            extra = {"file_compaction": True}
+            if "fence_seq" in man:
+                extra["fence_seq"] = int(man["fence_seq"])
+            version = int(man["version"]) + 1
+            try:
+                self._commit(spark, snap, version, extra=extra,
+                             prior_man=man)
+                return version
+            except ConcurrentCommitError:
+                continue  # relayout the NEW snapshot
+        raise ConcurrentCommitError(
+            f"compact_files gave up after {self._COMMIT_RETRIES} "
+            f"attempts on {self.path}")
+
     def data_path(self, spark: SparkSession) -> str:
         """Directory of the LATEST committed snapshot — the standing
         location a :class:`~systems_spark.operators.zorder.StatsIndex`
@@ -2990,6 +3039,58 @@ class PartitionedCdcTable(CdcTable):
         raise ConcurrentCommitError(
             f"compact gave up after {self._COMMIT_RETRIES} attempts on "
             f"{self.path}")
+
+    def compact_files(self, spark: SparkSession,
+                      max_files: int = 4) -> "int | None":
+        """OPTIMIZE (bin-packing file compaction), bucket-respecting:
+        ONLY buckets split across more than ``max_files`` parquet
+        files rewrite — each into a single file — and every other
+        bucket keeps its directory untouched (so its standing
+        skipping-index entries keep hitting, the same survival
+        contract merges honor). A wide merge leaves one file per
+        shuffle task in every bucket it touches, so a 100 TB table
+        under continuous MERGE fragments; this is the bounded repair:
+        decision = one O(files) listing, rewrite cost = only the
+        fragmented buckets' volume. Pending merge-on-read deltas are
+        NOT folded (that is :meth:`compact_deltas`) — they carry
+        forward and the read-time fold is unchanged over the
+        relaid-out bucket files. Content-identical; returns the
+        committed version or None when nothing is fragmented (no
+        commit, no version burned)."""
+        if max_files < 1:
+            raise ValueError("max_files must be >= 1")
+        for _attempt in range(self._COMMIT_RETRIES):
+            self._backoff(_attempt)
+            man = self._latest_manifest(spark)
+            self._check_conf(man)
+            mapping = self._mapping(man)
+            dirty = sorted(
+                b for b in mapping
+                if len(self._list_parquet(
+                    spark, self._bucket_paths(man, [b])[0])) > max_files)
+            if not dirty:
+                return None
+            kept = self._read_buckets(spark, man, dirty)
+            # one task per rewritten bucket = exactly one output file
+            # per bucket directory (two buckets hashing to one task
+            # still split into their own files under partitionBy)
+            laid = (kept.withColumn(self.BUCKET, self._bucket_expr())
+                    .repartition(len(dirty), F.col(self.BUCKET)))
+            extra = {"file_compaction": True}
+            if "fence_seq" in man:
+                extra["fence_seq"] = int(man["fence_seq"])
+            version = int(man["version"]) + 1
+            try:
+                self._commit_version(spark, laid, version, man,
+                                     touched=dirty,
+                                     schema_json=man["schema"],
+                                     extra=extra)
+                return version
+            except ConcurrentCommitError:
+                continue  # relayout against the NEW manifest
+        raise ConcurrentCommitError(
+            f"compact_files gave up after {self._COMMIT_RETRIES} "
+            f"attempts on {self.path}")
 
     def rebucket(self, spark: SparkSession,
                  new_num_buckets: int) -> int:
