@@ -122,6 +122,55 @@ def test_part_compact_files_keeps_pending_deltas(spark, tmp_path):
     assert all(k != 2 for k, _, _ in _rows(t.current(spark)))
 
 
+def test_compact_files_untouched_bucket_index_survives(spark, tmp_path):
+    """compact_files honors the same survival contract as merges: a
+    bucket it does not rewrite keeps its directory, so its standing
+    skipping-index entries keep hitting — only the relaid-out buckets
+    rebuild (counted via the file_stats builder), and the index stays
+    full-scan exact across the relayout."""
+    import systems_spark.operators.zorder as zz
+    from systems_spark.operators.zorder import CdcSkippingIndex
+    from systems_spark.state import StateStore
+
+    t = PartitionedCdcTable(str(tmp_path / "p"), key_cols="k",
+                            app_id="cf5", num_buckets=4)
+    t.initialize(_seed(spark).repartition(12))
+    # one bucket compacted ahead of time via a single-task merge
+    t(_ch(spark, [(1, "one", 11, 1, "update")]).coalesce(1), 0)
+    idx = CdcSkippingIndex(StateStore(root=str(tmp_path / "state")))
+
+    def agg():
+        got = idx.aggregate(spark, t, ["v"]).collect()[0]
+        want = t.current(spark).agg(
+            F.count(F.lit(1)).alias("count_rows"),
+            F.min("v").alias("v_min"), F.max("v").alias("v_max"),
+            F.count("v").alias("v_count")).collect()[0]
+        assert tuple(got) == tuple(want)
+
+    agg()  # standing entries built at the pre-compaction layout
+    man = t._latest_manifest(spark)
+    n_files = {b: _n_files(t._bucket_paths(man, [b])[0])
+               for b in t._mapping(man)}
+    bound = min(n_files.values())
+    dirty = [b for b, n in n_files.items() if n > bound]
+    assert dirty and len(dirty) < len(n_files)
+
+    assert t.compact_files(spark, max_files=bound) is not None
+    calls = {"n": 0}
+    real = zz.file_stats
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    zz.file_stats = counting
+    try:
+        agg()  # exact over the new layout
+    finally:
+        zz.file_stats = real
+    assert calls["n"] == len(dirty)  # untouched buckets never rebuilt
+
+
 def test_compact_files_validates_and_carries_fence(spark, tmp_path):
     t = CdcTable(str(tmp_path / "t"), key_cols="k", app_id="cf4")
     with pytest.raises(ValueError, match="max_files"):
