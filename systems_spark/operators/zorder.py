@@ -640,11 +640,15 @@ class CdcSkippingIndex:
         if pend:
             ch = spark.read.schema(table._change_schema(man)).parquet(
                 *[table._dir_path(man, d) for d in pend])
-            # bounded collect (≤ num_buckets) — the same pruning
-            # decision the merge path makes
-            touched = {int(r[0]) for r in
-                       ch.select(table._bucket_expr())
-                       .distinct().collect()}
+            if "pending_buckets" in man:
+                # the manifest's standing touched-bucket set: no job
+                touched = {int(b) for b in man["pending_buckets"]}
+            else:
+                # bounded collect (≤ num_buckets) — the same pruning
+                # decision the merge path makes
+                touched = {int(r[0]) for r in
+                           ch.select(table._bucket_expr())
+                           .distinct().collect()}
         paths = {int(b): table._bucket_paths(man, [b])[0]
                  for b in mapping if int(b) not in touched}
         live = None

@@ -2154,18 +2154,43 @@ class PartitionedCdcTable(CdcTable):
         manifest's pending deltas through the same fenced merge the
         write path would have run — one batch window + one key join
         regardless of how many deltas are pending (last-op-wins by seq
-        makes the union order-independent)."""
+        makes the union order-independent).
+
+        PRUNED FOLD: when the manifest records the pending deltas'
+        touched buckets (``pending_buckets``, maintained by every
+        delta commit), only THOSE buckets enter the fold's
+        window/join — every other bucket unions through verbatim. A
+        change row's key hashes to its bucket, so a bucket no pending
+        delta touches provably holds no affected row; without this, a
+        100 TB snapshot read with ONE small pending delta would
+        shuffle the whole table through the fold. Manifests from
+        before this field (or whose older pending deltas predate it)
+        fall back to the full fold — same answer, full cost."""
         from systems_spark.operators.cdc import merge_cdc_fenced
 
-        base = self._read_buckets(spark, man, self._mapping(man))
         pend = man.get("pending", [])
+        mapping = self._mapping(man)
         if not pend:
-            return base
+            return self._read_buckets(spark, man, mapping)
         changes = spark.read.schema(self._change_schema(man)).parquet(
             *[self._dir_path(man, d) for d in pend])
         fence = int(man["fence_seq"]) if "fence_seq" in man else None
-        # inline tie guard: a read-side fold must not pay the eager
-        # sample-collect job on every snapshot materialization
+        pb = man.get("pending_buckets")
+        if pb is not None:
+            touched = sorted({int(b) for b in pb})
+            untouched = sorted(set(mapping) - set(touched))
+            # inline tie guard: a read-side fold must not pay the
+            # eager sample-collect job on every materialization
+            folded = merge_cdc_fenced(
+                self._read_buckets(spark, man, touched), changes,
+                self.key_cols, seq_col=self.seq_col,
+                op_col=self.op_col, deleted_col=self.DELETED,
+                min_seq=fence, check_unique_seq="inline")
+            if untouched:
+                folded = self._read_buckets(
+                    spark, man, untouched).unionByName(folded)
+            return folded
+        base = self._read_buckets(spark, man, mapping)
         return merge_cdc_fenced(
             base, changes, self.key_cols, seq_col=self.seq_col,
             op_col=self.op_col, deleted_col=self.DELETED, min_seq=fence,
@@ -2218,12 +2243,23 @@ class PartitionedCdcTable(CdcTable):
     def _publish_delta_manifest(self, spark: SparkSession, version: int,
                                 prior_man: dict, rows: int, dir_name: str,
                                 schema_json: str,
-                                extra: "dict | None" = None) -> None:
+                                extra: "dict | None" = None,
+                                change_buckets: "list | None" = None
+                                ) -> None:
         """CAS-publish a merge-on-read manifest: bucket mapping and
         dirs carry forward from ``prior_man`` untouched, pending grows
         by the staged ``dir_name`` (whose encoded version number need
         not match ``version`` — fast recommit). Raises on CAS loss
-        without touching data; cleanup is the caller's policy."""
+        without touching data; cleanup is the caller's policy.
+
+        ``change_buckets`` (this delta's touched buckets, computed at
+        stage time) accumulates into the manifest's standing
+        ``pending_buckets`` set — the zero-extra-jobs input the pruned
+        snapshot fold reads. The set is recorded only while coverage
+        is PROVABLE: if the prior manifest carries pending deltas
+        without it (a pre-field log), the union would silently
+        under-cover and the field is omitted — readers then take the
+        full fold, which is always correct."""
         txn = dict(prior_man.get("txn", {}))
         if extra and "batch_id" in extra:
             app = extra.get("txn_app", self.app_id)
@@ -2246,6 +2282,12 @@ class PartitionedCdcTable(CdcTable):
                     "committed_at_ms": _commit_stamp_ms(prior_man),
                     "table_conf": self._table_conf(),
                     "schema": schema_json}
+        if change_buckets is not None and (
+                not prior_man.get("pending")
+                or "pending_buckets" in prior_man):
+            manifest["pending_buckets"] = sorted(
+                {int(b) for b in prior_man.get("pending_buckets", [])}
+                | {int(b) for b in change_buckets})
         self._carry_dir_bases(manifest, prior_man)
         self._carry_standing(manifest, prior_man)
         manifest.update(extra or {})
@@ -2276,15 +2318,23 @@ class PartitionedCdcTable(CdcTable):
         dir_name = f"delta={int(version)}__{self.app_id}"
         target = f"{self.path}/{dir_name}"
         batch.write.mode("overwrite").parquet(target)
-        rows = spark.read.parquet(target).count()
+        # ONE O(batch) job over the staged files yields both the
+        # row count and this delta's touched buckets (the pruned
+        # snapshot fold's standing input)
+        per = (spark.read.parquet(target)
+               .groupBy(self._bucket_expr().alias(self.BUCKET))
+               .count().collect())
+        rows = sum(int(r["count"]) for r in per)
+        tb = sorted(int(r[self.BUCKET]) for r in per)
         try:
             self._publish_delta_manifest(spark, version, prior_man,
                                          int(rows), dir_name,
-                                         schema_json, extra=extra)
+                                         schema_json, extra=extra,
+                                         change_buckets=tb)
         except ConcurrentCommitError as err:
             if keep_staged_on_loss:
                 err.staged = {"dir_name": dir_name, "written": set(),
-                              "rows": int(rows)}
+                              "rows": int(rows), "change_buckets": tb}
             else:
                 fs, d = self._fs(spark, target)
                 fs.delete(d, True)
@@ -2563,9 +2613,14 @@ class PartitionedCdcTable(CdcTable):
             changes = spark.read.schema(self._change_schema(man)).parquet(
                 *[self._dir_path(man, d) for d in pend])
             fence = int(man["fence_seq"]) if "fence_seq" in man else None
-            dirty = sorted(
-                int(r[0]) for r in changes.select(self._bucket_expr())
-                .distinct().collect())
+            # the manifest's standing touched-bucket set (maintained
+            # by every delta commit) saves the distinct-collect job;
+            # pre-field logs keep the collect
+            dirty = (sorted({int(b) for b in man["pending_buckets"]})
+                     if "pending_buckets" in man else
+                     sorted(int(r[0]) for r in
+                            changes.select(self._bucket_expr())
+                            .distinct().collect()))
             base_dirty = self._read_buckets(spark, man, dirty)
             folded = merge_cdc_fenced(
                 base_dirty, changes, self.key_cols,
@@ -2620,6 +2675,14 @@ class PartitionedCdcTable(CdcTable):
         pending = (list(pending_override) if pending_override is not None
                    else list(prior_man.get("pending", []))
                    if prior_man else [])
+        # the pending deltas' touched-bucket set travels with the
+        # pending list it describes: carried while the list carries,
+        # gone when an override clears it
+        pend_buckets = (list(prior_man["pending_buckets"])
+                        if pending and prior_man
+                        and "pending_buckets" in prior_man
+                        and pending == list(prior_man.get("pending", []))
+                        else None)
         manifest = {"app_id": self.app_id, "version": int(version),
                     "rows": int(rows),
                     "buckets": {str(b): v for b, v in
@@ -2630,6 +2693,8 @@ class PartitionedCdcTable(CdcTable):
                     "committed_at_ms": _commit_stamp_ms(prior_man),
                     "table_conf": self._table_conf(),
                     "schema": schema_json}
+        if pend_buckets is not None:
+            manifest["pending_buckets"] = pend_buckets
         self._carry_dir_bases(manifest, prior_man)
         self._carry_standing(manifest, prior_man)
         manifest.update(extra or {})
@@ -2879,7 +2944,9 @@ class PartitionedCdcTable(CdcTable):
                                 self._publish_delta_manifest(
                                     spark, version, man, staged["rows"],
                                     staged["dir_name"],
-                                    staged["schema_json"], extra=extra)
+                                    staged["schema_json"], extra=extra,
+                                    change_buckets=staged.get(
+                                        "change_buckets"))
                                 staged = None
                                 self._maybe_auto_compact(spark)
                                 return
@@ -3203,6 +3270,10 @@ class PartitionedCdcTable(CdcTable):
             # directory with the same read-time synthesis
             seed["plain_dirs"] = plain
             seed["adopted_seq"] = int(man.get("adopted_seq", 0))
+        if seed["pending"] and "pending_buckets" in man:
+            # the pruned fold's touched-bucket set describes the
+            # pending list the clone inherits verbatim
+            seed["pending_buckets"] = list(man["pending_buckets"])
         return seed
 
     def restore(self, spark: SparkSession, version: int) -> int:
