@@ -5684,6 +5684,13 @@ def q_curation_pipeline(spark, sf_dir):
         .withColumn("quality", TX.quality_score(F.col("clean_text")))
         .where((F.col("n_tokens") >= _PIPE_MIN_TOKENS)
                & (F.col("quality") >= _PIPE_MIN_QUALITY))
+        # r12 perf: pin the quality-gated frame (non-eager localCheckpoint,
+        # the ppl_buckets pattern). It feeds eval_docs, the decontaminate
+        # corpus side AND the kept join — left lazy, the whole
+        # redact→boilerplate→token/quality chain re-executed per reference
+        # (the before-plan read the documents parquet 48×; 6.2 s lane).
+        # Pinned: the chain runs once per bench run.
+        .localCheckpoint(eager=False)
     )
 
     eval_docs = qual.where(F.col("doc_id") % 37 == 0)
@@ -5698,7 +5705,13 @@ def q_curation_pipeline(spark, sf_dir):
     deduped = (
         kept.withColumn("_minid", F.min("doc_id").over(wmin))
         .where(F.col("doc_id") == F.col("_minid"))
-        .drop("_minid")
+        # clean_text is dead after the dedup window — project to the four
+        # columns the mixer/packer need BEFORE the pin (guide §2.3), then
+        # pin: MixtureSampler passes over its input twice (counts +
+        # predicate), and each pass re-ran the decontaminate join without
+        # the pin.
+        .select("doc_id", "source", "lang", "n_tokens")
+        .localCheckpoint(eager=False)
     )
 
     mixed = MixtureSampler("doc_id", "source", _PIPE_WEIGHTS, salt="pipe")(deduped)

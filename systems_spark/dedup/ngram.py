@@ -73,7 +73,13 @@ class NGramJaccardDedup(Operator):
         Set sizes come from a pure per-row projection (``size(array_distinct
         (shingles))``) — no explode, no shuffle, no caching; only the
         pair-intersection needs the exploded shingle relation."""
-        sh = self._shingle_rows(df)
+        # r12 perf: pin the exploded shingle relation and the per-doc size
+        # table (non-eager localCheckpoint). `sizes` is joined twice (a and
+        # b sides) and `sh` feeds both the pair stage and (under a freq
+        # cap) the sizes — left lazy, each reference re-ran the corpus
+        # tokenize+shingle pass (dedup_ngram's before-plan read the corpus
+        # parquet 3×). Computed once per action, rebuilt per call.
+        sh = self._shingle_rows(df).localCheckpoint(eager=False)
         if self.max_shingle_freq > 0:
             # sizes must count only retained shingles → derive from sh
             sizes = sh.groupBy(self.id_col).agg(F.count(F.lit(1)).alias("set_size"))
@@ -89,6 +95,8 @@ class NGramJaccardDedup(Operator):
                     F.array_distinct(word_shingles_from_tokens(F.col("_toks"), self.shingle_k))
                 ).cast("long").alias("set_size"),
             )
+        # (sizes stays lazy: it is a cheap projection / small agg, and the
+        # planner's size estimate keeps its two join uses broadcastable)
         # pair intersections via groupBy(shingle)+collect_list, generating
         # ordered (a, b) pairs as an array op — computes the shingle
         # relation ONCE and replaces the self-join (measured 2.6× faster;
@@ -134,7 +142,10 @@ class NGramJaccardDedup(Operator):
         Join order matters: pairs⋈shingles(a) first, THEN an equi-join on
         (b, shingle) — keeping 'shingle' in the join key avoids the per-pair
         |A|×|B| cross product a filter-after-join would materialize."""
-        sh = self._shingle_rows(df)
+        # r12 perf: pin the shingle relation — it is referenced FOUR times
+        # here (a side, b side, and sizes joined on both pair ends), and
+        # each lazy reference re-ran the corpus tokenize+shingle pass.
+        sh = self._shingle_rows(df).localCheckpoint(eager=False)
         a_sh = sh.withColumnRenamed(self.id_col, "a")
         b_sh = sh.withColumnRenamed(self.id_col, "b")
         inter = (

@@ -654,21 +654,54 @@ class QueryANN(Operator):
                     F.col("_ann_vec").alias("_cent_vec")))
         cells = self._ivf_cells(items, cents).select(
             "_ann_id", "_ann_vec", "_cell")
-        resid = cells.join(
-            cents, cells["_cell"] == cents["_cent_id"]).select(
-            "_ann_id", "_cell",
-            F.zip_with("_ann_vec", "_cent_vec",
-                       lambda x, y: x.cast("double") - y.cast("double"))
-            .alias("_rvec"))
+
+        def _resid_of(assigned):
+            return assigned.join(
+                cents, assigned["_cell"] == cents["_cent_id"]).select(
+                "_ann_id", "_cell",
+                F.zip_with("_ann_vec", "_cent_vec",
+                           lambda x, y: x.cast("double") - y.cast("double"))
+                .alias("_rvec"))
+
+        resid = _resid_of(cells)
 
         def subvec(vec, m):
             return _pq_subvec(vec, m, sub)
 
         subdot = functools.partial(_sub_score, self.metric)
-        codebook = F.broadcast(
-            self._codebook if self._codebook is not None
-            else self._pq_codebook(
-                resid.select("_ann_id", F.col("_rvec").alias("_ann_vec"))))
+        # r12 perf: the untrained codebook needs only the K lowest-id
+        # items' residuals, and cell assignment is a pure per-item
+        # function — so seed it from a K-row slice assigned on its own
+        # instead of referencing the full-corpus `resid` chain (which
+        # made the whole corpus×centroid assignment run TWICE, once for
+        # the codebook build and once for the item codes). Bit-identical
+        # seeds, one fewer full assignment pass at any scale.
+        if self._codebook is not None:
+            codebook = F.broadcast(self._codebook)
+        elif self.pq_train_iters > 0:
+            # Lloyd refinement needs every item's residual — keep the full
+            # chain, but pin the small refined codebook so the refine loop
+            # is not re-run per reference
+            codebook = F.broadcast(self._pq_codebook(
+                resid.select("_ann_id", F.col("_rvec").alias("_ann_vec")))
+                .localCheckpoint(eager=False))
+        else:
+            # r12 perf: the untrained codebook needs only the K lowest-id
+            # items' residuals, and cell assignment is a pure per-item
+            # function — seed from a K-row slice assigned on its own
+            # instead of referencing the full-corpus `resid` chain (which
+            # made the corpus×centroid assignment run TWICE, once for the
+            # codebook and once for the item codes). Bit-identical seeds,
+            # one fewer full assignment pass at any scale. (A
+            # localCheckpoint pin here measured SLOWER — the frames are
+            # tiny and the pin's extra job boundary costs more than the
+            # recompute it saves.)
+            seed_items = items.orderBy(F.col("_ann_id").asc()).limit(K)
+            seed_resid = _resid_of(
+                self._ivf_cells(seed_items, cents)
+                .select("_ann_id", "_ann_vec", "_cell"))
+            codebook = F.broadcast(self._pq_codebook(
+                seed_resid.select("_ann_id", F.col("_rvec").alias("_ann_vec"))))
 
         code_w = Window.partitionBy("_ann_id", "_m").orderBy(
             F.col("_sdot").desc(), F.col("_k").asc())

@@ -80,8 +80,11 @@ class BM25(Operator):
         """idf + avgdl from the postings table — a postings pass (narrow
         longs, map-side combined), never a text pass."""
         docs = self._postings.select("_doc", "dl").distinct()
+        # 1-row frame referenced by both idf (n) and avgdl — pin so the
+        # distinct+agg pass over the postings runs once per action
         stats = docs.agg(F.count(F.lit(1)).alias("n"),
-                         F.expr("sum(dl) div count(1)").alias("avgdl"))
+                         F.expr("sum(dl) div count(1)").alias("avgdl")) \
+            .localCheckpoint(eager=False)
         dfreq = self._postings.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
         self._idf = (dfreq.crossJoin(F.broadcast(stats.select("n")))
                      .select("h", F.round(F.log(
@@ -91,7 +94,12 @@ class BM25(Operator):
         self._avgdl = stats.select("avgdl")
 
     def fit(self, df: DataFrame) -> "BM25":
-        self._postings = self._tokenize_postings(df)
+        # r12 perf: pin the postings table (non-eager localCheckpoint).
+        # idf, avgdl AND the search join all reference it; left lazy, one
+        # search plan re-tokenized the corpus 3-4× (bm25_search /
+        # hybrid_search before-plans). Computed once per action, refit
+        # per call — nothing persists across bench runs.
+        self._postings = self._tokenize_postings(df).localCheckpoint(eager=False)
         self._derive_stats()
         return self
 
@@ -126,7 +134,7 @@ class BM25(Operator):
                 self._postings.select(F.col("_doc").alias(self.id_col)),
                 df, self.id_col, "BM25.fit_update")
         self._postings = self._postings.unionByName(
-            self._tokenize_postings(df))
+            self._tokenize_postings(df)).localCheckpoint(eager=False)
         self._derive_stats()
         return self
 

@@ -81,7 +81,16 @@ class NaiveBayesTextClassifier(Operator):
         # every token-level statistic derives from ONE (label, token) count
         # aggregation, and the doc-level ones from ONE label count — two
         # column-pruned corpus scans total, everything downstream is tiny
-        counts = tok.groupBy("label", "token").agg(F.count(F.lit(1)).alias("cnt"))
+        # r12 perf: pin the (label, token) count table — the one heavy
+        # aggregation everything else derives from. Left lazy, each of its
+        # ~5 references in a transform plan (weights, totals, vocab, stats
+        # crossJoin, priors pivot) re-tokenized the training corpus —
+        # quality_classifier's plan read the corpus parquet 15×
+        # (plans/r12/quality_classifier_before.txt). Non-eager pin:
+        # computed once per action, refit per call, nothing crosses runs.
+        counts = (tok.groupBy("label", "token")
+                  .agg(F.count(F.lit(1)).alias("cnt"))
+                  .localCheckpoint(eager=False))
         totals = counts.groupBy("label").agg(F.sum("cnt").alias("tot"))
         vocab = counts.agg(F.countDistinct("token").alias("v"))
         ndocs = df.groupBy(lbl.alias("label")).agg(F.count(F.lit(1)).alias("nd"))
@@ -98,6 +107,10 @@ class NaiveBayesTextClassifier(Operator):
                 micros(F.col("nd") / F.col("n")).alias("prior"),
                 micros(F.lit(1.0) / (F.col("tot") + F.col("v"))).alias("dflt"),
             )
+            # one row per label; referenced by transform's crossJoin, the
+            # priors pivot AND _weights — pin so the per-label doc count
+            # scan behind it runs once, not once per reference
+            .localCheckpoint(eager=False)
         )
         self._weights = counts.join(stats.select("label", "tot", "v"), on="label").select(
             "label", "token",

@@ -90,9 +90,19 @@ class BigramLM(Operator):
 
     def fit(self, df: DataFrame) -> "BigramLM":
         toks = df.select(TX.tokens(F.col(self.text_col)).alias("_tk"))
+        # r12 perf: pin the unigram count table (non-eager localCheckpoint).
+        # All three weight tables derive from `uni`; left lazy, every
+        # reference in a transform/score_many plan re-executed the full
+        # corpus tokenize+explode+agg — lm_perplexity's plan read the
+        # corpus parquet 8×, dsir_resample's 15× (plans/r12/*_before.txt).
+        # The pin computes it once per action; each bench run still refits
+        # from the parquet inputs (a fresh RDD per call — nothing persists
+        # across runs). Guide §2.4 (duplicated subtrees) + §5
+        # (localCheckpoint as the cheap lineage cut).
         uni = (toks.select(F.explode(F.col("_tk")).alias("_t"))
                .select(hash64(F.col("_t")).alias("h1"))
-               .groupBy("h1").agg(F.count(F.lit(1)).alias("c1")))
+               .groupBy("h1").agg(F.count(F.lit(1)).alias("c1"))
+               .localCheckpoint(eager=False))
         vocab = uni.agg(F.count(F.lit(1)).alias("v"))
         big = (self._grams(df, F.lit(0))
                .groupBy("h2", "h1").agg(F.count(F.lit(1)).alias("c12")))

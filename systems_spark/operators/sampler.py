@@ -163,9 +163,14 @@ class MixtureSampler(Operator):
 
     def transform(self, df: DataFrame) -> DataFrame:
         in_mix = df.where(self._weight_case().isNotNull())
+        # r12 perf: pin the #groups-row count table — `scale` and `rates`
+        # both reference it, and each lazy reference re-executed the FULL
+        # input lineage (for curation_pipeline that was the whole
+        # redact→boilerplate→quality chain). One pinned pass + the output
+        # predicate pass = the documented two-pass shape.
         counts = in_mix.groupBy(self.group_col).agg(
             F.count(F.lit(1)).cast("double").alias("_cnt")
-        ).withColumn("_w", self._weight_case())
+        ).withColumn("_w", self._weight_case()).localCheckpoint(eager=False)
         scale = counts.agg(F.min(F.col("_cnt") / F.col("_w")).alias("_scale"))
         rates = counts.crossJoin(F.broadcast(scale)).select(
             self.group_col,
