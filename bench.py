@@ -282,7 +282,7 @@ def _run_anchors(spark) -> "dict[str, float]":
 
 
 def main() -> None:
-    spark = (
+    builder = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("systems-spark-bench")
         .config("spark.sql.shuffle.partitions", CPUS)
@@ -298,8 +298,14 @@ def main() -> None:
         .config("spark.sql.warehouse.dir", "/tmp/systems-spark-bench-warehouse")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .getOrCreate()
     )
+    # extra conf knobs for A/B experiments, e.g.
+    # SPARK_GRAFT_CONF="spark.io.compression.codec=zstd;spark.x=y"
+    for kv in os.environ.get("SPARK_GRAFT_CONF", "").split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     # warmup: JVM/JIT + parquet footer reads — environment setup, not query

@@ -102,7 +102,12 @@ def winnow_pairs(docs: DataFrame, k: int = 4, w: int = 4,
         raise ValueError("min_shared must be >= 1")
     if max_doc_freq is not None and max_doc_freq < 1:
         raise ValueError("max_doc_freq must be >= 1")
-    fps = winnow_fingerprints(docs, k, w, text_col, id_col)
+    # r12 perf: pin the fingerprint relation — both sides of the pair
+    # self-join (and the hot-fingerprint agg under the skew cap) reference
+    # it, and each lazy reference re-ran the tokenize + winnowing pass
+    # (the ngram verify_pairs lesson: exchange reuse never fires here)
+    fps = winnow_fingerprints(docs, k, w, text_col, id_col) \
+        .localCheckpoint(eager=False)
     if max_doc_freq is not None:
         # fingerprints are per-doc DISTINCT, so count(*) == doc frequency
         hot = (fps.groupBy("_fp").agg(F.count(F.lit(1)).alias("_df"))

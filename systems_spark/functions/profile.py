@@ -181,6 +181,9 @@ def psi_drift(old: DataFrame, new: DataFrame, value_col: str,
               .select("bin",
                       F.coalesce("n_old", F.lit(0)).alias("n_old"),
                       F.coalesce("n_new", F.lit(0)).alias("n_new")))
+    # (r12 perf note: pinning `counts` measured neutral-to-slower — the
+    # two count aggregations behind it are cheap scans, and the pin's
+    # job-structure serialization costs more than the saved recompute.)
     tots = counts.agg(F.sum("n_old").alias("_to"),
                       F.sum("n_new").alias("_tn"))
     w = counts.crossJoin(F.broadcast(tots))

@@ -669,13 +669,6 @@ class QueryANN(Operator):
             return _pq_subvec(vec, m, sub)
 
         subdot = functools.partial(_sub_score, self.metric)
-        # r12 perf: the untrained codebook needs only the K lowest-id
-        # items' residuals, and cell assignment is a pure per-item
-        # function — so seed it from a K-row slice assigned on its own
-        # instead of referencing the full-corpus `resid` chain (which
-        # made the whole corpus×centroid assignment run TWICE, once for
-        # the codebook build and once for the item codes). Bit-identical
-        # seeds, one fewer full assignment pass at any scale.
         if self._codebook is not None:
             codebook = F.broadcast(self._codebook)
         elif self.pq_train_iters > 0:

@@ -73,6 +73,12 @@ def remove_boilerplate(
         F.col("_u.pos").alias("_pos"),
         F.col("_u.seg").alias("_seg"),
     ).withColumn("_h", hash64(F.col("_seg")))
+    # r12 perf: pin the exploded segment relation — the corpus-frequency
+    # agg and the kept join both reference it, and each lazy reference
+    # re-ran the upstream chain (for curation_pipeline that chain includes
+    # the full PII-redact pass). One pinned pass per action, rebuilt per
+    # call.
+    segs = segs.localCheckpoint(eager=False)
 
     freq = segs.groupBy("_h").agg(F.count(F.lit(1)).alias("_freq"))
 

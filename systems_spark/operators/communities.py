@@ -45,7 +45,7 @@ from systems_spark.operators.graph import symmetrize
 
 
 def label_propagation(edges: DataFrame, src: str = "src", dst: str = "dst",
-                      rounds: int = 4, checkpoint_every: int = 4,
+                      rounds: int = 4, checkpoint_every: int = 1,
                       stop_when_stable: bool = False) -> DataFrame:
     """(node, community) after ``rounds`` synchronous label-propagation
     updates; ``community`` is the propagated label (a node id)."""
@@ -69,11 +69,17 @@ def label_propagation(edges: DataFrame, src: str = "src", dst: str = "dst",
                                     F.col("community").alias("_lb")))
                      .alias("_m"))
                 .select("node", F.col("_m._lb").alias("_new")))
-        labels = (nodes.join(best, on="node", how="left")
-                  .join(prev.select(F.col("node"),
-                                    F.col("community").alias("_own")),
-                        on="node")
-                  .select("node", F.coalesce(F.col("_new"), F.col("_own"))
+        # r12 perf: every labeling contains EVERY node (initial labels =
+        # nodes; this select preserves the node set), so the argmax result
+        # left-joins back onto prev directly — the old nodes⋈best⋈prev
+        # form referenced prev twice per round with no checkpoint until
+        # checkpoint_every, so the plan DOUBLED per round (2^rounds
+        # subtree replication: part_communities' 4-round plan carried 76
+        # Exchange nodes and re-executed the round-0 join 16×). One
+        # reference + a per-round pin (checkpoint_every now defaults 1)
+        # keeps the plan linear in rounds.
+        labels = (prev.join(best, on="node", how="left")
+                  .select("node", F.coalesce(F.col("_new"), F.col("community"))
                           .alias("community")))
         checkpointed = False
         if checkpoint_every and (r + 1) % checkpoint_every == 0 and r + 1 < rounds:
