@@ -6726,8 +6726,12 @@ def q_association_rules(spark, sf_dir):
     DISTINCT (order, part) first so multi-lineitem parts can't inflate
     support. One basket self-join (bounded by basket size) + one item
     count + a 1-row broadcast total."""
+    # r12 perf: pin the deduped incidence — five consumers (self-join L/R,
+    # per-item counts, the distinct-order total) each re-ran the scan +
+    # distinct when left lazy (the item_knn cache_incidence shape)
     op = (_t(spark, sf_dir, "lineitem")
-          .select("l_orderkey", "l_partkey").distinct())
+          .select("l_orderkey", "l_partkey").distinct()
+          .localCheckpoint(eager=False))
     pair = (op.alias("L")
             .join(op.alias("R"), on=[
                 F.col("L.l_orderkey") == F.col("R.l_orderkey"),
