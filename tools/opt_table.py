@@ -29,6 +29,15 @@ INHERENT = {
     "dedup_editdist", "semantic_dedup", "dedup_embedding_lsh",
     "customer_linkage", "decontaminate", "ann_recall",
 }
+# Measured every pass (movement tracks the anchors), plan audited in a
+# prior round, untouched this round, queued for the r13 sweep.
+MID = {
+    "value_bins", "funnel_latency", "four_stage_recs",
+    "bloom_join_revenue", "negative_samples", "source_overlap",
+    "embedding_pc1", "value_quantiles_scalable", "orders_replica_diff",
+    "heavy_parts", "phrase_search", "cms_part_counts", "region_revenue",
+    "orders_point_lookup", "cdc_replication",
+}
 
 
 def load(p):
@@ -44,7 +53,8 @@ def main():
     print("|---|---|---|---|")
     for k in sorted(set(bq) | set(aq), key=lambda k: -(bq.get(k) or 0)):
         cls = ("OPT" if k in OPT else
-               "INHERENT" if k in INHERENT else "CHEAP")
+               "INHERENT" if k in INHERENT else
+               "MID" if k in MID else "CHEAP")
         bb = f"{bq[k]:.2f}" if k in bq else "—"
         aa = f"{aq[k]:.2f}" if k in aq else "—"
         print(f"| {k} | {bb} | {aa} | {cls} |")
