@@ -121,7 +121,13 @@ class BigramLM(Operator):
             uni.crossJoin(F.broadcast(vocab))
             .select("h1", micros(F.lit(1.0) / (F.col("c1") + F.col("v"))).alias("dflt1"))
         )
-        self._global_w = vocab.select(micros(F.lit(1.0) / F.col("v")).alias("gdflt"))
+        # try_divide: an EMPTY fit corpus has v = 0 and the plain division
+        # raises DIVIDE_BY_ZERO under ANSI the moment the broadcast side
+        # evaluates (hypothesis-found, r13 green gate). NULL is correct:
+        # with no vocabulary there are no grams, so the default weight is
+        # never consulted and every transform NLL stays empty/NULL.
+        self._global_w = vocab.select(
+            micros(F.try_divide(F.lit(1.0), F.col("v"))).alias("gdflt"))
         return self
 
     # -- transform ---------------------------------------------------------
