@@ -301,10 +301,15 @@ def main() -> None:
     )
     # extra conf knobs for A/B experiments, e.g.
     # SPARK_GRAFT_CONF="spark.io.compression.codec=zstd;spark.x=y"
+    # (limitation: values containing ';' are not supported — the split is
+    # naive; fragments without '=' are warned about, not silently dropped)
     for kv in os.environ.get("SPARK_GRAFT_CONF", "").split(";"):
         if "=" in kv:
             k, v = kv.split("=", 1)
             builder = builder.config(k.strip(), v.strip())
+        elif kv.strip():
+            print(f"# SPARK_GRAFT_CONF fragment without '=' skipped: "
+                  f"{kv!r}", file=sys.stderr)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -427,12 +432,26 @@ def main() -> None:
     except OSError as exc:
         print(f"# sidecar write failed: {exc}", file=sys.stderr)
     spark.stop()
+
+    def _sig3(x):
+        """3 significant digits (VERDICT r12 item 4): the one-line summary
+        outgrew the driver's 2000-char stdout-tail window at r11 and nulled
+        the round-over-round comparison. Per-lane ms precision beyond 3
+        sig figs is below run-to-run noise anyway; full-precision samples
+        stay in the sidecar."""
+        if x is None or x == 0:
+            return x
+        from math import floor, log10
+        return round(x, max(0, 2 - int(floor(log10(abs(x))))))
+
+    # anchors live in the sidecar only (same VERDICT item): they are
+    # builder-side calibration, not part of the driver contract, and they
+    # cost ~350 chars of the driver's capture window
     print(json.dumps({
         "metric": "headline_queries_total_sec",
         "value": round(total, 3),
         "unit": "sec",
-        "queries": timings,
-        "anchors": anchors,
+        "queries": {k: _sig3(v) for k, v in timings.items()},
         "sf": sf,
     }, separators=(",", ":")))
 

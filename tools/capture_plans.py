@@ -1,9 +1,11 @@
 #!/usr/bin/env python
-"""Dump .explain("formatted") for named lanes to plans/r12/<lane>_<tag>.txt.
+"""Dump .explain("formatted") for named lanes to plans/<round>/<lane>_<tag>.txt.
 
-Usage: python tools/capture_plans.py <tag> lane1,lane2,...
+Usage: python tools/capture_plans.py <tag> lane1,lane2,... [round_dir]
   tag: "before" / "after" (file suffix)
-Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS.
+  round_dir: plans/ subdirectory (default $SPARK_GRAFT_PLAN_ROUND or "r13")
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS,
+     SPARK_GRAFT_PLAN_ROUND.
 
 Plans are captured from the SAME DataFrame object bench.py times (the
 queries() thunk return), on an identically-configured session. Lanes whose
@@ -23,14 +25,18 @@ import __spark_entry__ as entrymod
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                       "plans", "r12")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
+    if len(sys.argv) < 3:
+        raise SystemExit(__doc__)
     tag = sys.argv[1]
     names = [n.strip() for n in sys.argv[2].split(",") if n.strip()]
-    os.makedirs(OUT_DIR, exist_ok=True)
+    round_dir = (sys.argv[3] if len(sys.argv) > 3
+                 else os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r13"))
+    out_dir = os.path.join(_REPO, "plans", round_dir)
+    os.makedirs(out_dir, exist_ok=True)
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("systems-spark-plan-capture")
@@ -56,7 +62,7 @@ def main() -> None:
         df = queries[name](spark, SF_DIR)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted")
-        path = os.path.join(OUT_DIR, f"{name}_{tag}.txt")
+        path = os.path.join(out_dir, f"{name}_{tag}.txt")
         with open(path, "w") as fh:
             fh.write(plan)
         print(f"wrote {path} ({plan.count('Exchange')} Exchange, "
