@@ -48,6 +48,7 @@ from systems_spark.operators.asof import AsofJoin
 from systems_spark.operators.embedding_lookup import EmbeddingLookup
 from systems_spark.operators.global_rank import GlobalRank, exact_quantiles
 from systems_spark.operators.multimodal import FrameSample, MediaFeatureExtract
+from systems_spark.pinning import pin as _pin
 from systems_spark.state import StateStore
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -5689,8 +5690,9 @@ def q_curation_pipeline(spark, sf_dir):
         # corpus side AND the kept join — left lazy, the whole
         # redact→boilerplate→token/quality chain re-executed per reference
         # (the before-plan read the documents parquet 48×; 6.2 s lane).
-        # Pinned: the chain runs once per bench run.
-        .localCheckpoint(eager=False)
+        # Pinned: the chain runs once per bench run. (r13: corpus_scale
+        # pin — reliable checkpoint on clusters with a checkpoint dir.)
+        .transform(lambda d: _pin(d, corpus_scale=True))
     )
 
     eval_docs = qual.where(F.col("doc_id") % 37 == 0)
@@ -5711,7 +5713,7 @@ def q_curation_pipeline(spark, sf_dir):
         # predicate), and each pass re-ran the decontaminate join without
         # the pin.
         .select("doc_id", "source", "lang", "n_tokens")
-        .localCheckpoint(eager=False)
+        .transform(lambda d: _pin(d, corpus_scale=True))
     )
 
     mixed = MixtureSampler("doc_id", "source", _PIPE_WEIGHTS, salt="pipe")(deduped)
@@ -6266,8 +6268,12 @@ def q_funnel_latency(spark, sf_dir):
           .select("user_id", F.col("ts_us").alias("_t1")))
     tN = (per.where(F.col("step") == len(_FUNNEL_STEPS))
           .select("user_id", F.col("ts_us").alias("_tn")))
-    lat = t1.join(tN, on="user_id").select(
-        (F.col("_tn") - F.col("_t1")).alias("latency_us"))
+    # r13 (§2.4): pin the converter latency column — TWO consumers
+    # (exact_quantiles' multi-pass rank selection and the mean/count agg)
+    # each re-ran the t1⋈tN join over the step frames without it; the
+    # pinned frame is one long per converter
+    lat = _pin(t1.join(tN, on="user_id").select(
+        (F.col("_tn") - F.col("_t1")).alias("latency_us")))
     q = exact_quantiles(lat, "latency_us", [0.5, 0.9])
     # the SUM widens, not its result: sum-then-cast would wrap int64
     # first (review r6 round C — the session_stats overflow class)

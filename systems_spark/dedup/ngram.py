@@ -28,6 +28,7 @@ from systems_spark.functions.text import (
     word_shingles_sql,
 )
 from systems_spark.operators.base import Operator
+from systems_spark.pinning import pin
 
 
 class NGramJaccardDedup(Operator):
@@ -79,7 +80,7 @@ class NGramJaccardDedup(Operator):
         # cap) the sizes — left lazy, each reference re-ran the corpus
         # tokenize+shingle pass (dedup_ngram's before-plan read the corpus
         # parquet 3×). Computed once per action, rebuilt per call.
-        sh = self._shingle_rows(df).localCheckpoint(eager=False)
+        sh = pin(self._shingle_rows(df), corpus_scale=True)
         if self.max_shingle_freq > 0:
             # sizes must count only retained shingles → derive from sh
             sizes = sh.groupBy(self.id_col).agg(F.count(F.lit(1)).alias("set_size"))
@@ -145,7 +146,7 @@ class NGramJaccardDedup(Operator):
         # r12 perf: pin the shingle relation — it is referenced FOUR times
         # here (a side, b side, and sizes joined on both pair ends), and
         # each lazy reference re-ran the corpus tokenize+shingle pass.
-        sh = self._shingle_rows(df).localCheckpoint(eager=False)
+        sh = pin(self._shingle_rows(df), corpus_scale=True)
         a_sh = sh.withColumnRenamed(self.id_col, "a")
         b_sh = sh.withColumnRenamed(self.id_col, "b")
         inter = (

@@ -53,6 +53,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from systems_spark.pinning import pin
 
 _M = 1_000_000
 
@@ -90,11 +91,10 @@ def jaccard_join(docs: DataFrame, content_col: str = "text",
     # sides) — exchange reuse would dedupe only the shuffle write, not
     # the tokenize/shingle/explode/distinct work (the repo pinning
     # discipline, review r6)
-    toks = (staged
-            .select(F.col(id_col).alias("_doc"),
-                    F.explode(feats).alias("tok"))
-            .distinct()
-            .localCheckpoint(eager=False))
+    toks = pin(staged
+               .select(F.col(id_col).alias("_doc"),
+                       F.explode(feats).alias("tok"))
+               .distinct(), corpus_scale=True)
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_tf"))
     w = Window.partitionBy("_doc").orderBy(F.col("_tf").asc(),
                                            F.col("tok").asc())
@@ -103,10 +103,10 @@ def jaccard_join(docs: DataFrame, content_col: str = "text",
               .withColumn("_n", F.count(F.lit(1)).over(
                   Window.partitionBy("_doc"))))
     # p = n - ceil(t*n) + 1, all integer; pinned for the two pair sides
-    prefix = ranked.where(
+    prefix = pin(ranked.where(
         F.col("_rn") <= F.col("_n")
-        - F.expr(f"CAST((_n * {tm} + {_M - 1}) DIV {_M} AS INT)") + 1) \
-        .localCheckpoint(eager=False)
+        - F.expr(f"CAST((_n * {tm} + {_M - 1}) DIV {_M} AS INT)") + 1),
+        corpus_scale=True)
     pa = prefix.select(F.col("_doc").alias("a"), "tok",
                        F.col("_n").alias("size_a"),
                        F.col("_rn").alias("_pa"))

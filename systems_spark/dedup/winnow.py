@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from systems_spark.functions import text as TX
 from systems_spark.functions.hashing import hash64, hash64_sql
+from systems_spark.pinning import pin
 
 
 def gram_hashes_expr(tokens_col: Column, k: int) -> Column:
@@ -106,8 +107,8 @@ def winnow_pairs(docs: DataFrame, k: int = 4, w: int = 4,
     # self-join (and the hot-fingerprint agg under the skew cap) reference
     # it, and each lazy reference re-ran the tokenize + winnowing pass
     # (the ngram verify_pairs lesson: exchange reuse never fires here)
-    fps = winnow_fingerprints(docs, k, w, text_col, id_col) \
-        .localCheckpoint(eager=False)
+    fps = pin(winnow_fingerprints(docs, k, w, text_col, id_col),
+              corpus_scale=True)
     if max_doc_freq is not None:
         # fingerprints are per-doc DISTINCT, so count(*) == doc frequency
         hot = (fps.groupBy("_fp").agg(F.count(F.lit(1)).alias("_df"))

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from systems_spark.functions import text as TX
 from systems_spark.functions.hashing import hash64, hash64_sql
 from systems_spark.operators.base import Operator
+from systems_spark.pinning import pin, unpin
 
 _M = 1_000_000
 
@@ -94,12 +95,15 @@ class BM25(Operator):
         self._avgdl = stats.select("avgdl")
 
     def fit(self, df: DataFrame) -> "BM25":
-        # r12 perf: pin the postings table (non-eager localCheckpoint).
-        # idf, avgdl AND the search join all reference it; left lazy, one
-        # search plan re-tokenized the corpus 3-4× (bm25_search /
-        # hybrid_search before-plans). Computed once per action, refit
-        # per call — nothing persists across bench runs.
-        self._postings = self._tokenize_postings(df).localCheckpoint(eager=False)
+        # r12 perf: pin the postings table (non-eager). idf, avgdl AND
+        # the search join all reference it; left lazy, one search plan
+        # re-tokenized the corpus 3-4× (bm25_search / hybrid_search
+        # before-plans). Computed once per action, refit per call —
+        # nothing persists across bench runs. r13: the postings relation
+        # is O(corpus), so the pin is corpus_scale — reliable checkpoint
+        # on clusters with a checkpoint dir (pinning.py; local behavior
+        # unchanged).
+        self._postings = pin(self._tokenize_postings(df), corpus_scale=True)
         self._derive_stats()
         return self
 
@@ -133,8 +137,19 @@ class BM25(Operator):
             ensure_disjoint_ids(
                 self._postings.select(F.col("_doc").alias(self.id_col)),
                 df, self.id_col, "BM25.fit_update")
-        self._postings = self._postings.unionByName(
-            self._tokenize_postings(df)).localCheckpoint(eager=False)
+        # ADVICE r12 item 1: each update used to re-pin the full
+        # cumulative postings lazily, keeping EVERY prior generation's
+        # blocks reachable through the new pin's lineage — O(n_updates ×
+        # corpus) executor storage on a long-lived incremental index.
+        # Materialize the new generation EAGERLY (its lineage still reads
+        # the old pin — one batch tokenization + a union of longs, the
+        # same work the next search action would have paid), THEN release
+        # the superseded generation's storage.
+        prev = self._postings
+        self._postings = pin(
+            prev.unionByName(self._tokenize_postings(df)),
+            corpus_scale=True, eager=True)
+        unpin(prev)
         self._derive_stats()
         return self
 

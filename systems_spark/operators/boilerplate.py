@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from systems_spark.functions.fence import fence_columns
 from systems_spark.functions.hashing import hash64
 from systems_spark.functions.text import tokens
+from systems_spark.pinning import pin
 
 
 def _segments(toks: Column, seg_words: int) -> Column:
@@ -78,7 +79,7 @@ def remove_boilerplate(
     # re-ran the upstream chain (for curation_pipeline that chain includes
     # the full PII-redact pass). One pinned pass per action, rebuilt per
     # call.
-    segs = segs.localCheckpoint(eager=False)
+    segs = pin(segs, corpus_scale=True)
 
     freq = segs.groupBy("_h").agg(F.count(F.lit(1)).alias("_freq"))
 

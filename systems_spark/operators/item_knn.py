@@ -40,6 +40,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from systems_spark.pinning import pin
 
 
 def item_knn(df: DataFrame, basket_col: str, item_col: str, k: int = 5,
@@ -69,7 +70,7 @@ def item_knn(df: DataFrame, basket_col: str, item_col: str, k: int = 5,
               .where(F.col("_sz") <= max_basket_size).select("_b"))
         inc = inc.join(ok, on="_b", how="semi")
     if cache_incidence:
-        inc = inc.localCheckpoint(eager=False)
+        inc = pin(inc, corpus_scale=True)
     counts = inc.groupBy("_i").agg(F.count(F.lit(1)).alias("_n"))
 
     pairs = (
