@@ -88,7 +88,9 @@ def connected_components(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
         .withColumn("lbl", F.col("node"))
     )
 
-    prev_sum = None  # label-sum from the last CHECKED round (monotone invariant)
+    _unset = object()
+    prev_sum = _unset  # label-sum from the last CHECKED round (monotone invariant)
+    pending = []  # per-round 1-row label-sum aggregates awaiting one fused check
     for i in range(max_iterations):
         # (1) min over neighbor labels (map-side combined; shuffles only
         # (node, candidate-label) longs, never payloads)
@@ -137,21 +139,35 @@ def connected_components(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
         # non-increasing and the total strictly decreases until fixpoint.
         # One decimal-exact aggregate replaces a join + count
         # (decimal(38,0): an int64 sum of billions of int64 ids would
-        # overflow). r4: after round 3 the check runs every SECOND round —
-        # equality across two rounds still proves both changed nothing
-        # (monotone), and skipping the aggregate also defers the lazy
-        # localCheckpoint, so two rounds fuse into one job: halves the
-        # fixed per-round job overhead that dominates at small scale
-        # (VERDICT r3 item 7). Early rounds check every time because
-        # star-shaped clusters converge in 1-2 rounds.
-        if i >= 4 and i % 2 == 0:
+        # overflow). r13 (VERDICT r12 item 2 — the anti-scaling lanes are
+        # job-count bound, ~0.35 s fixed overhead per driver action): each
+        # round's sum is a lazy 1-row aggregate; rounds 0-2 flush every
+        # round (star-shaped clusters converge in 1-2), later rounds flush
+        # THREE per action — one union-collect materializes the three
+        # pinned rounds and reads all three sums, so the driver pays one
+        # job per three rounds instead of one per round (the r4 cadence
+        # skipped every second CHECK but still detected late; this batches
+        # the checks without losing per-round resolution). Rounds built
+        # past the fixpoint before the flush are no-op stages over
+        # converged labels — idempotent by the monotone invariant, so the
+        # returned (latest) frame IS the fixpoint labeling.
+        pending.append(labels.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s"))
+            .select(F.lit(len(pending)).alias("_k"), "s"))
+        if i >= 3 and len(pending) < 3 and i < max_iterations - 1:
             continue
-        cur_sum = labels.agg(
-            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
-        ).first()["s"]
-        if cur_sum == prev_sum:
+        flushed = pending[0]
+        for p in pending[1:]:
+            flushed = flushed.union(p)
+        rows = sorted(flushed.collect(), key=lambda r: r["_k"])
+        sums = [r["s"] for r in rows]
+        # None == None is a REAL fixpoint (sum over an empty label frame
+        # — e.g. an empty input graph stays empty every round)
+        seq = ([prev_sum] if prev_sum is not _unset else []) + sums
+        if any(a == b for a, b in zip(seq, seq[1:])):
             break
-        prev_sum = cur_sum
+        prev_sum = sums[-1]
+        pending = []
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "

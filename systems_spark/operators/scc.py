@@ -91,10 +91,6 @@ def _pin_fresh(df: DataFrame) -> DataFrame:
     return type(ds)(j_new, spark)
 
 
-def _sum(df: DataFrame, col: str):
-    return df.agg(F.sum(F.col(col).cast("decimal(38,0)"))).first()[0]
-
-
 def _min_color(nodes: DataFrame, e: DataFrame, pull_col: str,
                assign_col: str, max_rounds: int, what: str,
                bcast: bool = False) -> DataFrame:
@@ -123,7 +119,9 @@ def _min_color(nodes: DataFrame, e: DataFrame, pull_col: str,
     the hint would be wrong on billion-node graphs."""
     maybe_b = F.broadcast if bcast else (lambda df: df)
     lab = _pin_fresh(nodes.select("n", F.col("n").alias("c")))
-    prev = None
+    _unset = object()
+    prev = _unset
+    pending = []  # per-round 1-row label-sum aggs awaiting one fused check
     for i in range(max_rounds):
         pulled = (e.join(maybe_b(lab.select(F.col("n").alias(pull_col),
                                             F.col("c").alias("_ec"))),
@@ -139,10 +137,32 @@ def _min_color(nodes: DataFrame, e: DataFrame, pull_col: str,
             cand.append(F.coalesce("_jc", "c"))
         lab = _pin_fresh(base.join(maybe_b(pulled), on="n", how="left")
                          .select("n", F.least(*cand).alias("c")))
-        cur = _sum(lab, "c")
-        if cur == prev:
+        # r13 fused convergence cadence (VERDICT r12 item 2): the r12
+        # loop paid ONE driver action per round; part_scc runs dozens of
+        # rounds across its coloring passes and the lanes are job-count
+        # bound at high core counts. Rounds 0-2 still check every round
+        # (low-diameter graphs converge immediately); later rounds batch
+        # THREE lazy 1-row sums into one union-collect — labels are
+        # monotone non-increasing, so an equal ADJACENT pair anywhere in
+        # the checked sequence proves fixpoint, and rounds built past it
+        # are idempotent no-ops, so returning the latest frame is exact.
+        pending.append(lab.agg(
+            F.sum(F.col("c").cast("decimal(38,0)")).alias("s"))
+            .select(F.lit(len(pending)).alias("_k"), "s"))
+        if i >= 3 and len(pending) < 3 and i < max_rounds - 1:
+            continue
+        flushed = pending[0]
+        for p in pending[1:]:
+            flushed = flushed.union(p)
+        sums = [r["s"] for r in
+                sorted(flushed.collect(), key=lambda r: r["_k"])]
+        # None == None is a real fixpoint (empty rump/class — sum over
+        # zero rows), so compare plain equality from a non-sum sentinel
+        seq = ([prev] if prev is not _unset else []) + sums
+        if any(a == b for a, b in zip(seq, seq[1:])):
             return lab
-        prev = cur
+        prev = sums[-1]
+        pending = []
     raise RuntimeError(f"scc: {what} did not converge in {max_rounds} "
                        f"rounds")
 
