@@ -107,42 +107,31 @@ class KMeansMicros:
                     else "crossjoin")
         if impl == "numpy":
             return self._assign_numpy(pts, cents)
-        # r13 (guide §2.4): the r12 shape was crossJoin(k centroids) +
-        # row_number window partitioned by _km_id — ONE EXCHANGE PER
-        # ASSIGNMENT PASS carrying k copies of every point vector AND the
-        # centroid vectors (k·N rows × two d-long arrays) just to pick a
-        # per-point argmin. The argmin is a pure per-row function of the
-        # broadcast centroid set, so compute it map-side: collapse the
-        # centroid frame to ONE row holding the cid-sorted (cid, cv)
-        # struct array, nested-loop-join that row in, and fold over the
-        # array keeping the (d NULLS FIRST asc, cid asc)-least candidate —
-        # bit-identical to the window's pick (strict `<` on a cid-ascending
-        # array reproduces the lower-cid tie break; a NULL distance —
-        # malformed input dims — still wins over any computed one, the
-        # window's NULLS FIRST). Zero exchanges, zero vector shuffle.
-        cent_row = cents.agg(F.array_sort(F.collect_list(F.struct(
-            F.col("_km_cid").alias("cid"),
-            F.col("_km_cv").alias("cv")))).alias("_km_cents"))
-        init = F.struct(F.lit(None).cast("long").alias("d"),
-                        F.lit(None).cast("long").alias("cid"),
-                        F.lit(False).alias("set"))
-
-        def step(acc, c):
-            d = _dist2(F.col("_km_v"), c["cv"])
-            take = (~acc["set"]
-                    | (d.isNull() & acc["d"].isNotNull())
-                    | (d.isNotNull() & acc["d"].isNotNull()
-                       & (d < acc["d"])))
-            return F.struct(
-                F.when(take, d).otherwise(acc["d"]).alias("d"),
-                F.when(take, c["cid"]).otherwise(acc["cid"]).alias("cid"),
-                F.lit(True).alias("set"))
-
-        best = F.aggregate(F.col("_km_cents"), init, step)
-        return (pts.crossJoin(F.broadcast(cent_row))
-                .select("_km_id", "_km_v",
-                        best["cid"].alias("_km_cid"),
-                        best["d"].alias("_km_d")))
+        # r13 (guide §2.3): the r12 shape was crossJoin(k centroids) +
+        # row_number window partitioned by _km_id — an exchange per
+        # assignment pass carrying k COPIES of every point vector plus
+        # the centroid vectors (k·N wide rows) into a per-point sort,
+        # just to pick an argmin. An aggregate picks the same argmin
+        # with MAP-SIDE partial combining: min over struct(_km_d,
+        # _km_cid, _km_v) is lexicographic — distance asc (NULL first,
+        # like the window's NULLS FIRST), then lower cid — so the
+        # partial agg collapses the k candidates of each point BEFORE
+        # the exchange and the shuffle moves one thin row per point, no
+        # sort, identical tie-breaks. (A pure map-side fold over a
+        # centroid struct array was tried first and measured 2.9×
+        # SLOWER isolated — the k·d-term Catalyst expression evaluates
+        # per row without vectorization; the crossJoin+agg keeps
+        # whole-stage codegen's vectorized loop.)
+        return (pts.crossJoin(F.broadcast(cents))
+                .withColumn("_km_d", _dist2(F.col("_km_v"),
+                                            F.col("_km_cv")))
+                .groupBy("_km_id")
+                .agg(F.min(F.struct("_km_d", "_km_cid", "_km_v"))
+                     .alias("_b"))
+                .select("_km_id",
+                        F.col("_b._km_v").alias("_km_v"),
+                        F.col("_b._km_cid").alias("_km_cid"),
+                        F.col("_b._km_d").alias("_km_d")))
 
     def _assign_numpy(self, pts: DataFrame, cents: DataFrame) -> DataFrame:
         """The map-side escape hatch for large k·d: centroids collect to
