@@ -142,17 +142,31 @@ def item_cf_recommend(history: DataFrame, neighbors: DataFrame,
     # planner's size estimate and the cheap re-scan beats it; left lazy.)
     hist = history.select(F.col(user_col).alias("_u"),
                           F.col(item_col).alias("_i")).distinct()
-    scored = (
+    # r13 (guide §2.4, VERDICT r12 item 7): the "already bought"
+    # anti-join is folded INTO the scoring aggregation — history rows
+    # ride the same (user, candidate) shuffle as ownership markers
+    # (NULL sim2, _own=1) instead of a separate exchange + join of the
+    # history after the agg. A candidate with max(_own) = 1 is owned
+    # and drops; score/contributor aggregates ignore the NULL-sim2
+    # marker rows, so results are identical.
+    contrib = (
         hist.join(neighbors.select(F.col("item").alias("_i"),
                                    F.col("neighbor").alias("_cand"),
                                    "sim2_micros"), on="_i")
+        .select("_u", "_cand", "sim2_micros", F.lit(0).alias("_own"))
+        .unionByName(
+            hist.select("_u", F.col("_i").alias("_cand"),
+                        F.lit(None).cast("long").alias("sim2_micros"),
+                        F.lit(1).alias("_own"))))
+    scored = (
+        contrib
         .groupBy("_u", "_cand")
         .agg(F.expr("CAST(sum(CAST(sim2_micros AS DECIMAL(38,0)))"
                     " AS BIGINT)").alias("score_micros"),
-             F.count(F.lit(1)).alias("n_contributors"))
-        # drop candidates the user already has
-        .join(hist.select("_u", F.col("_i").alias("_cand")),
-              on=["_u", "_cand"], how="anti"))
+             F.count("sim2_micros").alias("n_contributors"),
+             F.max("_own").alias("_owned"))
+        .where(F.col("_owned") == 0)
+        .drop("_owned"))
     w = Window.partitionBy("_u").orderBy(
         F.col("score_micros").desc(), F.col("_cand").asc())
     return (scored.withColumn("rec_rank",
