@@ -5124,7 +5124,14 @@ def q_predict_forest(spark, sf_dir):
     )
     rf = RandomForestClassifier(numTrees=8, maxDepth=4, seed=42)
     assembled = assembler.transform(data)
-    model = rf.fit(assembled)
+    # copy() drops the trainingSummary: the summary holds a SparkSession
+    # reference, and once anything in the session has used the
+    # pyspark.sql.Observation API (the CDC staging write does), the
+    # session's lazily-initialized ObservationManager makes that reference
+    # non-serializable — model.transform then dies with "Task not
+    # serializable" when its predict closure drags the summary along.
+    # Scoring only needs the trees; identical predictions either way.
+    model = rf.fit(assembled).copy()
     return (
         model.transform(assembled)
         .groupBy(F.col("label").cast("long").alias("label"),

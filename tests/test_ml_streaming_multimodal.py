@@ -631,3 +631,26 @@ def test_media_resize_pipeline_roundtrip(spark, tmp_path):
     got = sorted((r.id, bytes(r.payload)) for r in loaded.transform(df).collect())
     assert got == want
     assert all(len(p) == 8 for _, p in got)
+
+
+def test_predict_forest_survives_observation_poisoned_session(spark, tables):
+    """r13 regression: pyspark.sql.Observation initializes the session's
+    lazy ObservationManager (not Serializable); after that, transform()
+    on an MLlib model still carrying its trainingSummary (which references
+    the SparkSession) dies with "Task not serializable". The CDC staging
+    write uses Observation, and the driver's correctness gate runs every
+    declared query in ONE session — so q_predict_forest must score through
+    a summary-stripped copy. This test poisons the session exactly the way
+    a preceding CDC lane does, then runs the declared query."""
+    from pyspark.sql import Observation
+
+    import __spark_entry__ as entry
+
+    obs = Observation()
+    (spark.range(8).observe(obs, F.count(F.lit(1)).alias("n"))
+     .write.format("noop").mode("overwrite").save())
+    assert obs.get["n"] == 8  # manager initialized for real
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    out = entry.queries()["predict_forest"](spark, sf)
+    hist = {(r.label, r.prediction): r.n for r in out.collect()}
+    assert sum(hist.values()) > 0
