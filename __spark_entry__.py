@@ -7892,19 +7892,25 @@ def q_sn_families(spark, sf_dir):
     resolve families, so equal-key runs larger than the window still
     collapse into ONE family via transitive closure — the property
     that lets the window stay small (O(n·w)) at 100 TB."""
-    from systems_spark.dedup.sorted_neighborhood import sn_pairs
+    from systems_spark.dedup.sorted_neighborhood import sn_equal_key_star
 
+    # r13 (guide §2.4): the matched pair set feeds ONLY component
+    # resolution, and equal-key runs are contiguous in each pass's sort —
+    # so per-key star edges are connectivity-equivalent to the windowed
+    # pairs filtered to key_a == key_b (proof at sn_equal_key_star), at
+    # one hash shuffle per pass instead of a GlobalRank global sort + an
+    # explode self-join + a distinct over ~3n pairs. Identical
+    # (doc_id, canonical_id, cluster_size) output; the oracle still
+    # resolves the full windowed pair set.
     docs = _t(spark, sf_dir, "documents")
-    p1 = sn_pairs(docs.select(
+    s1 = sn_equal_key_star(docs.select(
         "doc_id", F.expr(_SN_KEY_SPARK).alias("block_key")),
-        "block_key", "doc_id", window=_SN_WINDOW)
-    p2 = sn_pairs(docs.select(
+        "block_key", "doc_id")
+    s2 = sn_equal_key_star(docs.select(
         "doc_id", F.expr(_SN_KEY2_SPARK).alias("block_key")),
-        "block_key", "doc_id", window=_SN_WINDOW)
-    matched = (p1.unionByName(p2)
-               .where(F.col("key_a") == F.col("key_b"))
-               .select("doc_a", "doc_b").distinct())
-    return canonical_documents(matched, a_col="doc_a", b_col="doc_b")
+        "block_key", "doc_id")
+    return canonical_documents(s1.unionByName(s2),
+                               a_col="doc_a", b_col="doc_b")
 
 
 def _sql_sn_families() -> str:

@@ -60,6 +60,37 @@ def sn_pairs(df: DataFrame, key_col: str, id_col: str,
             .select("doc_a", "doc_b", "key_a", "key_b"))
 
 
+def sn_equal_key_star(df: DataFrame, key_col: str, id_col: str,
+                      a_col: str = "doc_a", b_col: str = "doc_b"
+                      ) -> DataFrame:
+    """Star edges (doc, min doc of its block key) for every non-null key
+    held by ≥ 2 docs — CONNECTIVITY-EQUIVALENT to
+    ``sn_pairs(df, ...).where(key_a == key_b)`` for any window ≥ 2, at
+    one hash shuffle instead of a GlobalRank global sort + explode
+    self-join (r13, guide §2.4).
+
+    Equivalence (what connected-components consumers actually consume):
+    rows with equal keys are CONTIGUOUS in the (key, id) global sort, so
+    an equal-key pair within the window is always a pair within one
+    equal-key run, and every run of size m ≥ 2 contains all its adjacent
+    (distance-1) pairs — the run is one connected chain. A star to the
+    run's min connects exactly the same node set into exactly the same
+    components; runs of size 1 produce no edge either way. Component ids
+    (= min node) and sizes are therefore identical. NOT equivalent as a
+    PAIR SET — only for callers that resolve components over the matched
+    pairs (q_sn_families); candidate-pair consumers keep ``sn_pairs``."""
+    base = (df.select(key_col, id_col)
+            .where(F.col(key_col).isNotNull()))
+    mins = (base.groupBy(key_col)
+            .agg(F.min(id_col).alias(b_col),
+                 F.count(F.lit(1)).alias("_sn_n"))
+            .where(F.col("_sn_n") >= 2)
+            .drop("_sn_n"))
+    return (base.join(mins, on=key_col)
+            .where(F.col(id_col) != F.col(b_col))
+            .select(F.col(id_col).alias(a_col), b_col))
+
+
 def sn_pairs_sql(source_sql: str, key_expr: str, id_expr: str,
                  window: int = 4) -> str:
     """DuckDB twin of :func:`sn_pairs` (single-node window; the band

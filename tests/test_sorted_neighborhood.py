@@ -81,3 +81,36 @@ def test_multipass_families_transitive_closure(spark):
             for r in canonical_documents(pairs, a_col="doc_a",
                                          b_col="doc_b").collect()}
     assert fams == {i: (0, 6) for i in range(6)}
+
+
+def test_equal_key_star_component_equivalence(spark):
+    """r13: sn_equal_key_star must resolve to EXACTLY the families the
+    windowed equal-key pair set resolves to — same node set, same
+    canonical ids, same cluster sizes — across runs of every size,
+    multiple keys, singletons and NULL keys, and for every window ≥ 2
+    (the star does not depend on the window; the pair set does)."""
+    from pyspark.sql import functions as F
+
+    from systems_spark.dedup.clusters import canonical_documents
+    from systems_spark.dedup.sorted_neighborhood import sn_equal_key_star
+
+    rows = ([(i, "run6") for i in range(6)]
+            + [(i, "run2") for i in (20, 21)]
+            + [(30, "solo"), (31, None), (32, None)]
+            + [(i, "run9") for i in range(40, 49)])
+    docs = _docs(spark, rows)
+
+    def fams(pairs):
+        return {r.doc_id: (r.canonical_id, r.cluster_size)
+                for r in canonical_documents(
+                    pairs, a_col="doc_a", b_col="doc_b").collect()}
+
+    star = fams(sn_equal_key_star(docs, "block_key", "doc_id"))
+    for window in (2, 3, 4):
+        matched = (sn_pairs(docs, "block_key", "doc_id", window=window)
+                   .where(F.col("key_a") == F.col("key_b"))
+                   .select("doc_a", "doc_b"))
+        assert fams(matched) == star, f"window={window}"
+    # sanity on the star itself: runs collapse, singles/NULLs never appear
+    assert star[0] == (0, 6) and star[45] == (40, 9) and star[20] == (20, 2)
+    assert 30 not in star and 31 not in star
