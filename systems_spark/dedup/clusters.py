@@ -179,11 +179,72 @@ def connected_components(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
     )
 
 
+#: Edge cap for resolving a TOUCHED SUBGRAPH on the driver instead of
+#: through the iterative distributed loop. The incremental/decremental
+#: subgraphs are batch-proportional BY CONSTRUCTION (star edges of the
+#: components a batch touches + the batch's own edges), so under this cap
+#: a bounded ``limit(cap + 1).collect()`` plus a local union-find replaces
+#: ~10 label-propagation rounds (each a join + agg + checkpoint job —
+#: measured ~0.35 s of fixed scheduling overhead per round at 32 cores,
+#: r12 probe) with ONE job. 250k edges collect to a few tens of MB —
+#: far under any sane driver heap — and anything larger falls back to the
+#: distributed loop, so giant batches and pathological hot components
+#: stay scale-safe (guide §5: the driver may do SMALL work, never
+#: unbounded work).
+LOCAL_RESOLVE_MAX_EDGES = 250_000
+
+
+def _resolve_subgraph(sub: DataFrame, a_col: str, b_col: str,
+                      node_col: str, component_col: str,
+                      local_max_edges: int, **cc_kwargs) -> DataFrame:
+    """``connected_components(sub)`` with a driver-local fast path for
+    provably small subgraphs: identical output contract (one row per node
+    appearing in any pair, component = min node id of its component —
+    a graph property, so the two paths are bit-equal), chosen by a
+    bounded collect. ``local_max_edges=0`` disables the local path."""
+    if local_max_edges:
+        rows = sub.select(a_col, b_col).limit(local_max_edges + 1).collect()
+        if len(rows) <= local_max_edges and all(
+                r[0] is not None and r[1] is not None for r in rows):
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:  # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            for a, b in rows:
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union by min id: the root IS the component minimum
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+            out = [(n, find(n)) for n in parent]
+            from pyspark.sql.types import StructField, StructType
+
+            id_type = sub.schema[a_col].dataType
+            schema = StructType([StructField(node_col, id_type, True),
+                                 StructField(component_col, id_type, True)])
+            return sub.sparkSession.createDataFrame(out, schema=schema)
+    return connected_components(
+        sub, a_col=a_col, b_col=b_col,
+        node_col=node_col, component_col=component_col, **cc_kwargs)
+
+
 def incremental_components(labels: DataFrame, new_pairs: DataFrame,
                            a_col: str = "a", b_col: str = "b",
                            node_col: str = "node",
                            component_col: str = "component",
                            check_labels: bool = True,
+                           local_max_edges: int = LOCAL_RESOLVE_MAX_EDGES,
                            **cc_kwargs) -> DataFrame:
     """Update a connected-components labeling with NEW edges without
     re-resolving the whole graph — the maintenance shape of a
@@ -240,9 +301,13 @@ def incremental_components(labels: DataFrame, new_pairs: DataFrame,
             .select(F.col("_n").alias(a_col), F.col("_c").alias(b_col)))
     sub = star.unionByName(
         edges.select(F.col("_a").alias(a_col), F.col("_b").alias(b_col)))
-    resolved = connected_components(
-        sub, a_col=a_col, b_col=b_col,
-        node_col=node_col, component_col=component_col, **cc_kwargs)
+    # the subgraph is batch-proportional by construction — resolve it on
+    # the driver under LOCAL_RESOLVE_MAX_EDGES (r13, guide §2.6/§5: the
+    # eager CC loop's ~10 fixed-overhead rounds were the dominant cost of
+    # every incremental dedup fold), distributed loop above the cap
+    resolved = _resolve_subgraph(
+        sub, a_col, b_col, node_col, component_col,
+        local_max_edges, **cc_kwargs)
     # old components double as subgraph NODES (star endpoints); a
     # component id is always a member node, so its row is already present
     # as a node row — no synthetic ids leak out
@@ -259,6 +324,7 @@ def decremental_components(labels: DataFrame, pairs: DataFrame,
                            node_col: str = "node",
                            component_col: str = "component",
                            check_labels: bool = True,
+                           local_max_edges: int = LOCAL_RESOLVE_MAX_EDGES,
                            **cc_kwargs) -> DataFrame:
     """Remove DELETED nodes from a standing labeling — the
     right-to-be-forgotten maintenance shape (a takedown/GDPR batch
@@ -317,10 +383,12 @@ def decremental_components(labels: DataFrame, pairs: DataFrame,
                   how="semi")
            .join(members.withColumnRenamed("_n", "_b"), on="_b",
                  how="semi"))
-    resolved = connected_components(
+    # touched-subgraph resolve: driver-local under the cap (see
+    # incremental_components), distributed above it
+    resolved = _resolve_subgraph(
         sub.select(F.col("_a").alias(a_col), F.col("_b").alias(b_col)),
-        a_col=a_col, b_col=b_col,
-        node_col=node_col, component_col=component_col, **cc_kwargs)
+        a_col, b_col, node_col, component_col,
+        local_max_edges, **cc_kwargs)
     singles = (members
                .join(resolved.select(F.col(node_col).alias("_n")),
                      on="_n", how="anti")

@@ -563,3 +563,43 @@ def test_decremental_split_bridge(spark):
     got = {r.node: r.component
            for r in decremental_components(labels, pairs, deleted).collect()}
     assert got == {2: 2, 10: 10, 11: 10}
+
+
+def test_incremental_local_and_distributed_resolve_identical(spark):
+    """r13: incremental/decremental folds resolve their batch-proportional
+    touched subgraph on the driver (bounded collect + union-find) under
+    LOCAL_RESOLVE_MAX_EDGES and through the distributed loop above it.
+    Both paths must be bit-equal — component = min node id is a graph
+    property, not an algorithm artifact — including bridges, new nodes,
+    and the decremental split-back case."""
+    from systems_spark.dedup import connected_components, incremental_components
+    from systems_spark.dedup.clusters import decremental_components
+
+    base = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "a long, b long")
+    labels = connected_components(base)
+    delta = spark.createDataFrame([(2, 10), (30, 31), (31, 32)],
+                                  "a long, b long")
+    local = {(r.node, r.component)
+             for r in incremental_components(labels, delta).collect()}
+    dist = {(r.node, r.component)
+            for r in incremental_components(
+                labels, delta, local_max_edges=0).collect()}
+    forced_fallback = {(r.node, r.component)
+                       for r in incremental_components(
+                           labels, delta, local_max_edges=2).collect()}
+    assert local == dist == forced_fallback
+
+    merged = connected_components(base.unionByName(delta))
+    pairs = base.unionByName(delta)
+    deleted = spark.createDataFrame([(21,)], "node long")
+    dl = {(r.node, r.component)
+          for r in decremental_components(merged, pairs, deleted).collect()}
+    dd = {(r.node, r.component)
+          for r in decremental_components(
+              merged, pairs, deleted, local_max_edges=0).collect()}
+    assert dl == dd
+    # 21 removed: 20 singles out, 22-23 re-pair under min 22
+    assert (20, 20) in dl and (22, 22) in dl and (23, 22) in dl
+    assert all(n != 21 for n, _ in dl)
