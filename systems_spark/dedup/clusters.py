@@ -40,7 +40,8 @@ def connected_components(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
                          component_col: str = "component",
                          max_iterations: int = 50,
                          checkpoint: str = "local",
-                         salt: int = 0) -> DataFrame:
+                         salt: int = 0,
+                         broadcast_nodes_max: int = 1_000_000) -> DataFrame:
     """One row per node appearing in ``pairs``: (node, component) where
     component is the MINIMUM node id in the node's connected component —
     deterministic, so the component id doubles as the canonical survivor.
@@ -56,6 +57,17 @@ def connected_components(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
     (``spark.sparkContext.setCheckpointDir(...)`` must be set) — the right
     mode for long multi-round runs on real clusters where executor loss is
     routine.
+
+    ``broadcast_nodes_max`` (r13 — the scc.py pattern): the per-round
+    label state is (node, long) rows behind stats-free checkpoint pins,
+    so Catalyst plans EVERY label-sided join as a full-shuffle SMJ —
+    measured ~4-6 s per round for a 1,778-edge match graph at 32 cores,
+    all exchange/stage floor, no data. The node set is counted ONCE
+    (the labels pin is materialized by the count, which round 0 needed
+    anyway); at or under the bound (~16 B/row ⇒ ≤ ~16 MB) the label,
+    neighbor-min and pointer-jump frames get explicit broadcast hints —
+    none of them ever exceeds the node count. Above the bound the hints
+    stay off and the shuffle plan is the correct billion-node fallback.
 
     ``salt``: >1 spreads the pointer-jump self-join's hot key (the
     component min, which most rows of a converged giant cluster carry)
@@ -87,6 +99,11 @@ def connected_components(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("lbl", F.col("node"))
     )
+    # one count materializes the labels pin (round 0 reads it anyway) and
+    # sizes the broadcast decision; the label frame can only shrink-or-hold
+    n_nodes = labels.count()
+    maybe_b = (F.broadcast if n_nodes <= int(broadcast_nodes_max)
+               else (lambda df: df))
 
     _unset = object()
     prev_sum = _unset  # label-sum from the last CHECKED round (monotone invariant)
@@ -95,12 +112,13 @@ def connected_components(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
         # (1) min over neighbor labels (map-side combined; shuffles only
         # (node, candidate-label) longs, never payloads)
         nbr = (
-            edges.join(labels.withColumnRenamed("node", "src"), on="src")
+            edges.join(maybe_b(labels.withColumnRenamed("node", "src")),
+                       on="src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("lbl").alias("_nbr"))
         )
         stepped = (
-            labels.join(nbr, on="node", how="left")
+            labels.join(maybe_b(nbr), on="node", how="left")
             .select("node", F.least(F.col("lbl"), F.coalesce("_nbr", "lbl")).alias("lbl"))
         )
         # (2) pointer jump: lbl ← lbl(lbl); the component minimum reaches
@@ -127,7 +145,7 @@ def connected_components(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
             left = stepped.withColumnRenamed("lbl", "_p")
             join_on = ["_p"]
         jumped = (
-            left.join(lookup, on=join_on, how="left")
+            left.join(maybe_b(lookup), on=join_on, how="left")
             .select("node", F.least(F.col("_p"), F.coalesce("_pl", "_p")).alias("lbl"))
         )
         new_labels = _ckpt(jumped)
