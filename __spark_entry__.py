@@ -3867,9 +3867,13 @@ def q_corpus_curation(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     mh = MinHashDedup(**_MINHASH)
-    sigs = mh.signatures(docs).where(F.col("m0") != 2147483647)
+    ng = NGramJaccardDedup(shingle_k=3)
+    # r13 (guide §2.4): shared pinned shingle relation — see
+    # _verified_dedup_pairs for the equivalence argument
+    sh = ng.shingle_relation(docs)
+    sigs = mh.signatures(docs, shingle_rows=sh).where(F.col("m0") != 2147483647)
     cands = mh.candidate_pairs(sigs).select("a", "b")
-    verified = NGramJaccardDedup(shingle_k=3).verify_pairs(docs, cands)
+    verified = ng.verify_pairs(docs, cands, shingles=sh)
     pairs = verified.where(
         F.col("inter") * 10 >= 4 * (F.col("size_a") + F.col("size_b") - F.col("inter"))
     ).select("a", "b")
@@ -4325,10 +4329,16 @@ def _verified_dedup_pairs(spark, sf_dir):
     definition so the graded queries can never drift apart."""
     docs = _t(spark, sf_dir, "documents")
     mh = MinHashDedup(**_MINHASH)
-    sigs = mh.signatures(docs).where(F.col("m0") != 2147483647)
-    cands = mh.candidate_pairs(sigs).select("a", "b")
     ng = NGramJaccardDedup(shingle_k=3)
-    verified = ng.verify_pairs(docs, cands)
+    # r13 (guide §2.4): ONE pinned distinct-shingle relation feeds both the
+    # signature build and the exact verify — identical feature space
+    # (same tokens(), same k=3), so the second corpus tokenize+shingle
+    # pass disappears; min-over-distinct == min-over-all and the m0
+    # sentinel filter below drops shingle-less docs on both paths.
+    sh = ng.shingle_relation(docs)
+    sigs = mh.signatures(docs, shingle_rows=sh).where(F.col("m0") != 2147483647)
+    cands = mh.candidate_pairs(sigs).select("a", "b")
+    verified = ng.verify_pairs(docs, cands, shingles=sh)
     return verified.where(
         F.col("inter") * 10 >= 4 * (F.col("size_a") + F.col("size_b") - F.col("inter"))
     ).select("a", "b")
@@ -4937,10 +4947,13 @@ def q_dedup_verified(spark, sf_dir):
     and it is still fully oracle-checked here."""
     docs = _t(spark, sf_dir, "documents")
     mh = MinHashDedup(**_MINHASH)
-    sigs = mh.signatures(docs).where(F.col("m0") != 2147483647)
-    cands = mh.candidate_pairs(sigs).select("a", "b")
     ng = NGramJaccardDedup(shingle_k=3)
-    verified = ng.verify_pairs(docs, cands)
+    # r13 (guide §2.4): shared pinned shingle relation — see
+    # _verified_dedup_pairs for the equivalence argument
+    sh = ng.shingle_relation(docs)
+    sigs = mh.signatures(docs, shingle_rows=sh).where(F.col("m0") != 2147483647)
+    cands = mh.candidate_pairs(sigs).select("a", "b")
+    verified = ng.verify_pairs(docs, cands, shingles=sh)
     # J >= 0.4  <=>  10*inter >= 4*(size_a+size_b-inter)
     return verified.where(
         F.col("inter") * 10 >= 4 * (F.col("size_a") + F.col("size_b") - F.col("inter"))

@@ -72,17 +72,42 @@ class MinHashDedup(Operator):
         self.requires = (content_col, id_col)
 
     # -- signature ---------------------------------------------------------
-    def signatures(self, df: DataFrame) -> DataFrame:
+    def signatures(self, df: DataFrame,
+                   shingle_rows: "DataFrame | None" = None) -> DataFrame:
         """(id_col, m0..m{P-1}) one row per doc. Docs with no shingles get
         sentinel M31 components (never match anything).
 
         Shape note: explode + groupBy(P mins) beats a per-row array fold
         here (measured 4×) — hash aggregation does map-side partial combine,
         so the shuffle carries only (doc, P ints) per doc anyway, while the
-        fold pays a P-element array allocation per shingle."""
+        fold pays a P-element array allocation per shingle.
+
+        ``shingle_rows`` (r13, guide §2.4): a precomputed (id_col, shingle)
+        relation over the SAME feature space (same tokenization, same
+        ``shingle_k``) — e.g. ``NGramJaccardDedup.shingle_relation``'s
+        pinned frame in a sigs→candidates→exact-verify composition, which
+        otherwise tokenizes + shingles the corpus a SECOND time just to
+        hash it here. min() over distinct shingles equals min() over all
+        shingles, so signature values are identical. The one semantic
+        difference: an exploded relation has NO row for a shingle-less doc,
+        so such docs are ABSENT from the output instead of carrying M31
+        sentinels — pass it only where the caller filters sentinel
+        signatures anyway (a non-empty doc can never hit the sentinel:
+        ``(a·h+b) mod M31 < M31``)."""
         from systems_spark.functions.fence import fence_columns
 
         consts = permutation_constants(self.num_perm, self.seed)
+        if shingle_rows is not None:
+            sh = shingle_rows.select(
+                F.col(self.id_col), F.col("shingle").alias("_sh")
+            ).withColumn("_h", hash64(F.col("_sh")))
+            return sh.groupBy(self.id_col).agg(*[
+                F.coalesce(
+                    F.min(minhash_permuted(F.col("_h"), a, b)),
+                    F.lit(MERSENNE_31),
+                ).alias(f"m{i}")
+                for i, (a, b) in enumerate(consts)
+            ])
         # _toks fenced: a real attribute, never re-inlined into the
         # shingle lambda (functions/fence.py)
         sh = fence_columns(

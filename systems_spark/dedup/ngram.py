@@ -136,17 +136,33 @@ class NGramJaccardDedup(Operator):
             .select("a", "b", "inter", "size_a", "size_b")
         )
 
-    def verify_pairs(self, df: DataFrame, pairs: DataFrame) -> DataFrame:
+    def shingle_relation(self, df: DataFrame) -> DataFrame:
+        """The pinned DISTINCT (id_col, shingle) relation — exposed so a
+        composition can build it ONCE and share it between the stages that
+        need the same feature space (r13, guide §2.4: the sigs→candidates→
+        verify pipelines tokenized + shingled the corpus once for
+        ``MinHashDedup.signatures`` and again here; min-over-distinct equals
+        min-over-all, so both stages can read this one pin). Pass the
+        result to ``verify_pairs(..., shingles=...)`` and to
+        ``MinHashDedup.signatures(..., shingle_rows=...)``."""
+        return pin(self._shingle_rows(df), corpus_scale=True)
+
+    def verify_pairs(self, df: DataFrame, pairs: DataFrame,
+                     shingles: "DataFrame | None" = None) -> DataFrame:
         """Exact-Jaccard verification of candidate (a, b) pairs from an
         approximate pass (minhash/simhash) — the scalable composition.
 
         Join order matters: pairs⋈shingles(a) first, THEN an equi-join on
         (b, shingle) — keeping 'shingle' in the join key avoids the per-pair
-        |A|×|B| cross product a filter-after-join would materialize."""
+        |A|×|B| cross product a filter-after-join would materialize.
+
+        ``shingles``: a pre-built ``shingle_relation(df)`` frame to reuse
+        (skips re-pinning when the caller already shares it with the
+        signature stage)."""
         # r12 perf: pin the shingle relation — it is referenced FOUR times
         # here (a side, b side, and sizes joined on both pair ends), and
         # each lazy reference re-ran the corpus tokenize+shingle pass.
-        sh = pin(self._shingle_rows(df), corpus_scale=True)
+        sh = shingles if shingles is not None else self.shingle_relation(df)
         a_sh = sh.withColumnRenamed(self.id_col, "a")
         b_sh = sh.withColumnRenamed(self.id_col, "b")
         inter = (

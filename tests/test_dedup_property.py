@@ -603,3 +603,28 @@ def test_incremental_local_and_distributed_resolve_identical(spark):
     # 21 removed: 20 singles out, 22-23 re-pair under min 22
     assert (20, 20) in dl and (22, 22) in dl and (23, 22) in dl
     assert all(n != 21 for n, _ in dl)
+
+
+@settings(max_examples=6, deadline=None)
+@given(docs=CORPUS)
+def test_signatures_from_shared_shingle_relation_identical(spark, docs):
+    """r13 §2.4: a sigs→candidates→verify composition shares ONE pinned
+    distinct-shingle relation between MinHashDedup.signatures and
+    NGramJaccardDedup.verify_pairs. min over distinct shingles equals min
+    over all shingles, so after the m0-sentinel filter (shingle-less docs
+    are absent from the exploded relation but carry M31 sentinels on the
+    explode_outer path) both signature paths must be row-identical."""
+    from pyspark.sql import functions as F
+
+    mh = MinHashDedup(shingle_k=2, threshold=0.3)
+    ng = NGramJaccardDedup(shingle_k=2)
+    rows = [(i, d) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sent = 2147483647
+    base = {tuple(r) for r in
+            mh.signatures(df).where(F.col("m0") != sent).collect()}
+    sh = ng.shingle_relation(df)
+    shared = {tuple(r) for r in
+              mh.signatures(df, shingle_rows=sh)
+              .where(F.col("m0") != sent).collect()}
+    assert shared == base
