@@ -78,6 +78,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``_t`` with scale-adaptive read parallelism (sources.load_table
+    ``parallel=True``): used by lanes whose heavy per-row compute
+    (tokenize/shingle/vector kernels) would otherwise run inside a
+    single-task scan stage — the sf testdata tables are one row group
+    each, so the scan cannot fan out on its own (guide §2.5). Opt-in per
+    lane, adopted only where the r13 A/B measured a win; the gate never
+    fires on multi-row-group production layouts."""
+    from systems_spark.sources import load_table
+
+    return load_table(spark, sf_dir, name, parallel=True)
+
+
 def _dec(col, p=18, s=6):
     return F.col(col).cast(f"decimal({p},{s})") if isinstance(col, str) else col.cast(f"decimal({p},{s})")
 
@@ -3461,7 +3474,7 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 def q_dedup_ngram(spark, sf_dir):
-    return NGramJaccardDedup(**_NGRAM).transform(_t(spark, sf_dir, "documents"))
+    return NGramJaccardDedup(**_NGRAM).transform(_tp(spark, sf_dir, "documents"))
 
 
 def q_dedup_embedding(spark, sf_dir):
@@ -3865,7 +3878,7 @@ def q_corpus_curation(spark, sf_dir):
     text_stats lanes); this query grades their composition."""
     from systems_spark.functions.fence import fence_columns
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     mh = MinHashDedup(**_MINHASH)
     ng = NGramJaccardDedup(shingle_k=3)
     # r13 (guide §2.4): shared pinned shingle relation — see
@@ -4509,7 +4522,7 @@ def q_text_stats(spark, sf_dir):
     the per-document text-analysis sweep, all JVM expressions."""
     from systems_spark.functions.fence import fence_columns
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     t = F.col("text")
     # fenced token materialization: tokens computed ONCE per row as real
     # attributes (functions/fence.py — a plain alias would be re-inlined
@@ -5265,7 +5278,7 @@ def q_embedding_gram(spark, sf_dir):
     tests) and serves as plan literals (pca_project)."""
     from systems_spark.operators import gram_matrix
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _tp(spark, sf_dir, "embeddings")
     return gram_matrix(emb, "embedding", 64)
 
 
@@ -5289,7 +5302,7 @@ def q_embedding_pc1(spark, sf_dir):
     from systems_spark.operators import gram_matrix
     from systems_spark.operators.pca import top_eigenvector_micros
 
-    gram = gram_matrix(_t(spark, sf_dir, "embeddings"),
+    gram = gram_matrix(_tp(spark, sf_dir, "embeddings"),
                        "embedding", 64).collect()
     v = top_eigenvector_micros(gram, 64, iterations=40)
     return spark.createDataFrame(
@@ -5422,7 +5435,7 @@ def q_pii_redact(spark, sf_dir):
     (functions/pii.py), no shuffle at all."""
     from systems_spark.functions import pii
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     aug = _pii_augmented(F.col("text"))
     counts = pii.pii_counts(aug)
     return docs.select(
@@ -5467,7 +5480,7 @@ def q_decontaminate(spark, sf_dir):
     aggregation is the only exchange (dedup/decontaminate.py)."""
     from systems_spark.dedup.decontaminate import decontaminate
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 37 == 0)
     return decontaminate(docs, bench, k=3, threshold=0.2)
 
@@ -5936,7 +5949,7 @@ def q_lm_perplexity(spark, sf_dir):
     join carries only (doc_id, gram-hash, weight) longs."""
     from systems_spark.operators.lm_perplexity import BigramLM
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     lm = BigramLM().fit(docs)
     return lm.transform(docs.select("doc_id", "text")).select(
         "doc_id", "n_bigrams", "nll_micros", "ppl_micros")
@@ -6048,7 +6061,7 @@ def q_source_overlap(spark, sf_dir):
     and no operator's fan-out exceeds the band bound."""
     from systems_spark.functions.hashing import hash64
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     staged = docs.select("source", TX.tokens(F.col("text")).alias("_tk"))
     grp = (staged.select(
              F.col("source"),
@@ -6907,7 +6920,7 @@ def q_winnow_overlap(spark, sf_dir):
     banding lanes."""
     from systems_spark.dedup.winnow import winnow_pairs
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
     return winnow_pairs(docs, **_WINNOW)
 
 
@@ -6921,7 +6934,7 @@ def q_winnow_families(spark, sf_dir):
     the same recursive min-reachable-id CTE that grades dedup_clusters."""
     from systems_spark.dedup.winnow import winnow_pairs
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
     pairs = winnow_pairs(docs, **_WINNOW)
     return canonical_documents(pairs, a_col="doc_a", b_col="doc_b")
 
@@ -7453,7 +7466,7 @@ def q_substring_dedup(spark, sf_dir):
     over the doc's own token array."""
     from systems_spark.dedup.substrings import remove_duplicate_substrings
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
     return remove_duplicate_substrings(docs, k=_SUBSTR_K)
 
 

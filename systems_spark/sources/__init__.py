@@ -90,11 +90,74 @@ def normalize_epoch_nanos(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+#: (path, mtime) → estimated scan-split count; footer reads are a few ms
+#: but load_table is called per lane build, so memoize per file state.
+_SPLIT_CACHE: dict = {}
+
+
+def _estimated_scan_splits(path: str) -> "int | None":
+    """How many tasks a parquet scan of ``path`` can actually fan out to:
+    parquet splits at ROW-GROUP granularity, so a file is never more
+    parallel than its row-group count regardless of
+    ``spark.sql.files.maxPartitionBytes``. Filesystem + footer metadata
+    only — no Spark jobs. Returns None when the layout can't be read
+    (non-local path, exotic dir) — callers must treat None as 'plenty'."""
+    import os
+
+    try:
+        files = []
+        if os.path.isdir(path):
+            for root, _dirs, names in os.walk(path):
+                files += [os.path.join(root, n) for n in names
+                          if n.endswith(".parquet")]
+        elif os.path.isfile(path):
+            files = [path]
+        else:
+            return None
+        total = 0
+        for f in files:
+            key = (f, os.path.getmtime(f))
+            if key not in _SPLIT_CACHE:
+                import pyarrow.parquet as pq
+
+                _SPLIT_CACHE[key] = pq.ParquetFile(f).metadata.num_row_groups
+            total += _SPLIT_CACHE[key]
+        return total
+    except Exception:  # noqa: BLE001 - estimation only, never break a read
+        return None
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str,
+               parallel: bool = False) -> DataFrame:
     """Load one driver-generated testdata table under the repo's schema
-    contract (events.ts → int64 nanos regardless of file type)."""
+    contract (events.ts → int64 nanos regardless of file type).
+
+    ``parallel`` — scale-adaptive read parallelism (r13, guide §2.5
+    "input skew: one huge unsplittable file … repartition immediately
+    after the read"): parquet scans split at ROW-GROUP granularity, and a
+    single-row-group file — which is what every sf0.001–0.1 testdata
+    table is — pins the whole scan stage, and every projection Spark
+    fuses into it (the tokenize / shingle / explode corpus passes, BNLJ
+    probe sides), to ONE task while the other cores idle. With
+    ``parallel=True``, when the file layout provides fewer potential
+    splits than half the cores, fan out with one round-robin repartition
+    of the (by construction tiny: < cores/2 row groups) table. At
+    production scale tables have many files × many row groups, the gate
+    never fires, and no extra exchange is paid. Derived from the
+    session's core count, so the driver's low-core scaling runs keep
+    their own layout. OPT-IN per call site: the exchange only pays for
+    itself where heavy per-row compute sits in the scan stage — measured
+    per lane, it slows scan-light aggregation lanes by its own fixed
+    cost (the r13 A/B table in OPTIMIZATION_r13.md)."""
     df = read_parquet(spark, f"{sf_dir}/{name}.parquet")
-    return normalize_epoch_nanos(df) if name == "events" else df
+    if name == "events":
+        df = normalize_epoch_nanos(df)
+    if parallel:
+        cores = spark.sparkContext.defaultParallelism
+        splits = _estimated_scan_splits(f"{sf_dir}/{name}.parquet")
+        if splits is not None and cores > 1 and splits < cores // 2:
+            df = df.repartition(cores)
+    return df
 
 
 def read_csv(spark: SparkSession, path: str, schema=None, header: bool = True,
