@@ -123,6 +123,12 @@ def connected_components(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
         )
         # (2) pointer jump: lbl ← lbl(lbl); the component minimum reaches
         # every member in logarithmic rounds even on chain graphs.
+        # r13 (scc.py's accepted trade, deferred from the r12 audit): the
+        # jump only engages from round 3 — near-dup cluster graphs are
+        # dense/cliquey and converge in 1-2 one-hop rounds, where the
+        # jump's self-join is pure per-round overhead (a join + its
+        # exchange); a chain still shortcuts in 3 + O(log diameter)
+        # rounds once doubling starts, and rounds 0-2 cost one join less.
         # SKEW NOTE: as clusters converge, most rows of a giant cluster
         # carry the same _p (the component min), so the left side of this
         # self-join is maximally skewed exactly on the clusters the
@@ -132,25 +138,28 @@ def connected_components(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
         # group. Keep spark.sql.adaptive.skewJoin.enabled=true (default)
         # on real runs; see SCALE.md for the salted fallback if AQE is
         # unavailable.
-        lookup = stepped.select(F.col("node").alias("_p"), F.col("lbl").alias("_pl"))
-        if salt > 1:
-            left = stepped.withColumnRenamed("lbl", "_p").withColumn(
-                "_salt", F.pmod(F.xxhash64("node"), F.lit(salt)).cast("int")
+        if i >= 3:
+            lookup = stepped.select(F.col("node").alias("_p"),
+                                    F.col("lbl").alias("_pl"))
+            if salt > 1:
+                left = stepped.withColumnRenamed("lbl", "_p").withColumn(
+                    "_salt", F.pmod(F.xxhash64("node"), F.lit(salt)).cast("int")
+                )
+                lookup = lookup.withColumn(
+                    "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+                )
+                join_on = ["_p", "_salt"]
+            else:
+                left = stepped.withColumnRenamed("lbl", "_p")
+                join_on = ["_p"]
+            jumped = (
+                left.join(maybe_b(lookup), on=join_on, how="left")
+                .select("node",
+                        F.least(F.col("_p"), F.coalesce("_pl", "_p")).alias("lbl"))
             )
-            lookup = lookup.withColumn(
-                "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
-            )
-            join_on = ["_p", "_salt"]
         else:
-            left = stepped.withColumnRenamed("lbl", "_p")
-            join_on = ["_p"]
-        jumped = (
-            left.join(maybe_b(lookup), on=join_on, how="left")
-            .select("node", F.least(F.col("_p"), F.coalesce("_pl", "_p")).alias("lbl"))
-        )
-        new_labels = _ckpt(jumped)
-
-        labels = new_labels
+            jumped = stepped
+        labels = _ckpt(jumped)
 
         # Convergence via the label-sum invariant: every step takes a
         # least(...) of the old label, so per-node labels are monotonically
